@@ -1,0 +1,134 @@
+"""Distributed directory expansion + stat — the crawl plane's hot path.
+
+The reference runs N walker processes popping a shared dir queue
+(``os.scandir`` per dir, re-enqueue child dirs, emit every entry) and N
+stater processes calling ``os.lstat`` per path (storcrawl.py:420-488).  The
+Spark-native shape is a **per-level frontier loop**: the set of directories
+at depth d is a DataFrame; one ``mapInPandas`` pass scans every directory in
+the frontier AND stats its entries in the same Arrow batch (scandir's
+DirEntry.stat(follow_symlinks=False) is the lstat — one syscall pass, no
+inter-stage queue hop), emitting a columnar batch of entries; the child
+directories become the depth d+1 frontier.
+
+Scale properties:
+- work distribution: the frontier is repartitioned by path hash each level,
+  so a skewed tree (one dir with 10M children) spreads across the cluster as
+  its children become the next frontier; within a single giant directory,
+  scandir streams and yields Arrow batches incrementally (no per-dir
+  materialization of the full child list beyond the batch).
+- no driver round-trip of row data: entries stay in executors; the driver
+  only sees per-level counts (Spark actions), never paths.
+- lineage: each level is localCheckpoint()ed to keep the plan tree flat
+  (a depth-30 tree would otherwise nest 30 unions of mapInPandas plans).
+
+Semantics preserved from the reference:
+- every entry (file, dir, symlink) is emitted, including excluded dirs
+  (the exclusion filter gates *descent* only — storcrawl.py:466-473);
+- symlinked dirs are emitted but never descended (follow_symlinks=False,
+  storcrawl.py:465);
+- lstat, never stat (symlinks are records themselves, storcrawl.py:434).
+
+Deliberately fixed defect: on lstat failure the reference silently reuses
+the previous record's stat struct (storcrawl.py:427-440); we emit NULL stat
+columns plus an ``error`` string instead.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from storage_crawler_spark.schemas import ENTRY_SCHEMA
+
+_BATCH_ROWS = 8192
+
+
+def _entry_record(path: bytes, st, is_dir: bool, is_symlink: bool, error: str | None):
+    if st is None:
+        return (path, is_dir, is_symlink) + (None,) * 10 + (error,)
+    return (
+        path,
+        is_dir,
+        is_symlink,
+        int(st.st_mode),
+        int(st.st_ino),
+        int(st.st_dev),
+        int(st.st_nlink),
+        int(st.st_uid),
+        int(st.st_gid),
+        int(st.st_size),
+        int(st.st_atime),  # truncation toward zero, as the reference does
+        int(st.st_mtime),  # (storcrawl.py:368-370)
+        int(st.st_ctime),
+        None,
+    )
+
+
+def scan_frontier_batches(
+    dir_paths: Iterator[pd.DataFrame], exclude_names: frozenset[bytes]
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: for each frontier directory, scandir + lstat its
+    children, yielding columnar batches of ENTRY_SCHEMA rows.
+
+    Child rows carry ``is_dir`` (real dirs only — symlinks-to-dirs are
+    False so they are never descended) so the caller can derive the next
+    frontier with a plain filter, no second pass.
+    """
+    cols = [f.name for f in ENTRY_SCHEMA.fields]
+    buf: list[tuple] = []
+    for pdf in dir_paths:
+        for raw in pdf["path"]:
+            d = bytes(raw)
+            try:
+                it = os.scandir(d)
+            except OSError as exc:
+                # Unreadable dir: the dir row itself was emitted by the
+                # parent's scan; record a child-less error marker row? The
+                # reference just logs and moves on (storcrawl.py:463 try) —
+                # we do the same: skip.
+                _ = exc
+                continue
+            with it:
+                for entry in it:
+                    name = os.path.basename(entry.path.encode() if isinstance(entry.path, str) else entry.path)
+                    epath = entry.path if isinstance(entry.path, bytes) else entry.path.encode()
+                    try:
+                        st = entry.stat(follow_symlinks=False)
+                        is_symlink = entry.is_symlink()
+                        is_dir = entry.is_dir(follow_symlinks=False)
+                        err = None
+                    except OSError as exc:
+                        st, is_symlink, is_dir, err = None, False, False, str(exc)
+                    descend = is_dir and name not in exclude_names
+                    buf.append(_entry_record(epath, st, descend, is_symlink, err))
+                    if len(buf) >= _BATCH_ROWS:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+    if buf:
+        yield pd.DataFrame(buf, columns=cols)
+
+
+def expand_level(frontier: DataFrame, exclude_names: frozenset[bytes], parallelism: int) -> DataFrame:
+    """One frontier level → entries DataFrame (ENTRY_SCHEMA)."""
+    n = max(1, parallelism)
+    kernel = lambda it: scan_frontier_batches(it, exclude_names)  # noqa: E731
+    return frontier.repartition(n, F.col("path")).mapInPandas(kernel, ENTRY_SCHEMA)
+
+
+def stat_roots(spark, roots: list[bytes]) -> DataFrame:
+    """Stat the crawl roots themselves (the reference seeds roots into the
+    dir queue, so root dirs appear as rows too once their parent is scanned —
+    but roots have no parent in the crawl, so we stat them explicitly)."""
+    recs = []
+    for r in roots:
+        try:
+            st = os.lstat(r)
+            is_dir = os.path.isdir(r) and not os.path.islink(r)
+            recs.append(_entry_record(r, st, is_dir, os.path.islink(r), None))
+        except OSError as exc:
+            recs.append(_entry_record(r, None, False, False, str(exc)))
+    return spark.createDataFrame(recs, ENTRY_SCHEMA)

@@ -1,0 +1,101 @@
+"""End-to-end crawl over a synthetic tree (SURVEY.md §5.3 / FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from storage_crawler_spark.config import CrawlConfig
+from storage_crawler_spark.crawl import crawl
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    """Build the fixture tree: excluded dir, symlinks (file + dir targets),
+    long extensions, dotless names, dotted dir components, non-UTF-8 name."""
+    root = tmp_path / "root"
+    (root / "sub1").mkdir(parents=True)
+    (root / "sub1" / "a.txt").write_bytes(b"x" * 10)
+    (root / "sub1" / "archive.tarball").write_bytes(b"y" * 100)
+    (root / "sub1" / "noext").write_bytes(b"z")
+    (root / ".snapshot").mkdir()
+    (root / ".snapshot" / "hidden_child.txt").write_bytes(b"h")
+    (root / "v1.0").mkdir()
+    (root / "v1.0" / "plain").write_bytes(b"p" * 7)
+    (root / "deep" / "d1" / "d2").mkdir(parents=True)
+    (root / "deep" / "d1" / "d2" / "leaf.tar.gz").write_bytes(b"l" * 42)
+    os.symlink(root / "sub1" / "a.txt", root / "link_to_file")
+    os.symlink(root / "sub1", root / "link_to_dir")  # must NOT be descended
+    non_utf8 = bytes(root) + b"/caf\xe9.dat"
+    with open(non_utf8, "wb") as fh:
+        fh.write(b"cafe")
+    return root
+
+
+def test_crawl_rows_and_semantics(spark, tree, tmp_path):
+    owners_file = tmp_path / "owners.txt"
+    owners_file.write_text(
+        f"alice={tree}\nbob={tree}/sub1\n"
+    )
+    cfg = CrawlConfig(dirs=[str(tree)], owners=str(owners_file))
+    res = crawl(spark, cfg)
+    rows = res.files.collect()
+    by_path = {bytes(r.path): r for r in rows}
+
+    root = bytes(tree)
+    # every entry present: files, dirs, symlinks, excluded dir itself
+    assert root in by_path
+    assert root + b"/.snapshot" in by_path  # excluded dir row still emitted
+    assert root + b"/.snapshot/hidden_child.txt" not in by_path  # not descended
+    assert root + b"/link_to_dir" in by_path
+    assert root + b"/link_to_dir/a.txt" not in by_path  # symlink dir not descended
+    assert root + b"/deep/d1/d2/leaf.tar.gz" in by_path  # depth works
+    assert root + b"/caf\xe9.dat" in by_path  # non-UTF-8 fidelity
+
+    # extension semantics on crawled rows
+    assert bytes(by_path[root + b"/deep/d1/d2/leaf.tar.gz"].extension) == b"tar.gz"
+    assert bytes(by_path[root + b"/sub1/archive.tarball"].extension) == b"tarball"
+    assert by_path[root + b"/v1.0/plain"].extension is not None  # fall-through quirk
+    assert bytes(by_path[root + b"/v1.0/plain"].extension).endswith(b"0/plain")
+
+    # owner: deepest ancestor wins
+    assert by_path[root + b"/sub1/a.txt"].owner == "bob"
+    assert by_path[root + b"/v1.0/plain"].owner == "alice"
+
+    # lstat not stat: symlink rows carry symlink mode bits (S_IFLNK = 0o120000)
+    link = by_path[root + b"/link_to_file"]
+    assert link.st_mode[:5] != "00000"  # mode present
+    assert int(link.st_mode, 2) & 0o170000 == 0o120000
+
+    # sizes recorded
+    assert by_path[root + b"/sub1/a.txt"].st_size == 10
+
+    # st_mode is the 19-bit string encoding
+    f = by_path[root + b"/sub1/archive.tarball"]
+    assert len(f.st_mode) == 19 and set(f.st_mode) <= {"0", "1"}
+
+    # summary counters agree with the row set
+    assert res.summary["files"] == len(rows)
+    dir_rows = [r for r in rows if int(r.st_mode, 2) & 0o170000 == 0o040000]
+    assert res.summary["dirs"] == len(dir_rows)
+
+    # status log: all nine lifecycle events present (storcrawl.py:575-629)
+    status = {r.status for r in res.status.collect()}
+    for ev in (
+        "begin",
+        "walker started",
+        "processed all dirs",
+        "processed all files",
+        "processed all DB commits",
+        "end",
+    ):
+        assert ev in status
+    assert "file stat rate" in status  # metric snapshot rows too
+
+
+def test_crawl_is_deterministic_rowset(spark, tree):
+    cfg = CrawlConfig(dirs=[str(tree)])
+    a = {bytes(r.path) for r in crawl(spark, cfg).files.collect()}
+    b = {bytes(r.path) for r in crawl(spark, cfg).files.collect()}
+    assert a == b
