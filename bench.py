@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Headline-query benchmark.  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+
+Each query is executed to completion (count + a cheap collect of the head)
+after a warm-up pass of the session (JVM + parquet footer reads are not what
+we're measuring).  Times are per-query wall clock, single run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from storage_crawler_spark.plans.registry import QUERIES, headline_queries
+    from storage_crawler_spark.session import build_session
+
+    spark = build_session(app_name="bench")
+
+    # Warm up: JVM, Arrow, parquet footers — not part of the measurement.
+    from storage_crawler_spark.plans.views import register_base_tables
+
+    register_base_tables(spark, sf_dir)
+    spark.table("lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in headline_queries():
+        spec = QUERIES[name]
+        t0 = time.time()
+        df = spec.builder(spark, sf_dir)
+        n = df.count()
+        _ = df.limit(10).collect()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,154 @@
+"""Deduplication operators over ``documents`` (SURVEY.md §2.9 north star).
+
+Four tiers, each a different cost/recall point, all shuffle-conscious:
+
+- **exact** — md5-fingerprint groupBy.  At 100 TB this is a single shuffle
+  on a 16-byte key with map-side partial aggregation; the text column never
+  moves, only (hash, id).
+- **n-gram Jaccard** — exact token-set Jaccard over *blocked* pairs (same
+  lang, |n_chars| window).  Blocking keys turn an O(n²) cross join into a
+  per-block join a shuffle can colocate; the length window keeps blocks
+  tight (a true near-dup rarely changes length much).
+- **MinHash + LSH** — k=16 permutations over 3-token shingles, banded 4×4;
+  candidate pairs come from band-key equality joins (shuffle on band key),
+  estimated similarity = signature agreement.  The scale path: cost is
+  linear in corpus + join on colliding buckets only.
+- **SimHash** — 64-bit near-dup fingerprint with Hamming-ball lookup,
+  implemented as an Arrow-vectorized pandas UDF (bit ops are not worth
+  expressing in SQL); Spark-only, verified by pytest rather than the SQL
+  oracle.
+
+The SQL-expressible tiers are generated per dialect (plans/dialect.py) so
+the DuckDB oracle runs the semantically identical query.
+"""
+
+from __future__ import annotations
+
+from storage_crawler_spark.plans.dialect import Dialect
+
+# (a, b) multipliers for the 16 minhash permutations ((a*h + b) mod P).
+MINHASH_P = 2_147_483_647
+MINHASH_PERMS = [
+    (541, 11), (1223, 29), (2741, 47), (3571, 83),
+    (4799, 101), (5903, 131), (7129, 173), (8387, 199),
+    (9613, 233), (10847, 271), (12011, 313), (13217, 353),
+    (14407, 397), (15601, 433), (16811, 479), (18041, 523),
+]
+N_BANDS = 4
+ROWS_PER_BAND = 4
+
+
+def gen_dedup_exact(d: Dialect) -> str:
+    """Exact dedup: one group per distinct text fingerprint, keeper = min id."""
+    fp = d.md5_utf8("text")
+    return f"""
+SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+FROM (SELECT doc_id, {fp} AS fp FROM documents) t
+GROUP BY fp
+HAVING count(*) >= 1
+""".strip()
+
+
+def gen_jaccard_pairs(d: Dialect, threshold: float = 0.5, length_window: int = 60) -> str:
+    """Blocked exact Jaccard over distinct token sets.
+
+    Blocking: same ``lang`` + n_chars within ±window.  The join condition is
+    relational (hash-join-able on lang); the length predicate prunes inside
+    each block.
+    """
+    toks = d.adistinct(d.split("text"))
+    inter = d.size(d.aintersect("a.toks", "b.toks"))
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars, {toks} AS toks, {d.size(toks)} AS n_toks
+  FROM documents
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         {d.trunc6(f"CAST({inter} AS DOUBLE) / (a.n_toks + b.n_toks - {inter})")} AS jaccard
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= {length_window}
+) p
+WHERE jaccard >= {threshold}
+""".strip()
+
+
+def _shingles(d: Dialect) -> str:
+    """3-token shingles; documents shorter than 3 tokens shingle to the whole
+    text.  seq() bounds are guarded (Spark's sequence counts down on lo>hi)."""
+    toks = "toks"
+    three = d.transform(
+        d.seq("1", f"{d.size(toks)} - 2"),
+        "i",
+        f"concat({d.elem(toks, 'i')}, ' ', {d.elem(toks, 'i + 1')}, ' ', {d.elem(toks, 'i + 2')})",
+    )
+    return f"CASE WHEN {d.size(toks)} >= 3 THEN {three} ELSE {d.arr1('text')} END"
+
+
+def gen_minhash_sigs(d: Dialect) -> str:
+    """Per-document minhash signature (16 BIGINT columns m0..m15).
+
+    Pipeline: tokens → 3-shingles → md5-derived 48-bit shingle hash (md5
+    computed once per shingle) → per-permutation min.  Everything stays in
+    array expressions: no explode, no extra shuffle — at scale this is a
+    map-only stage over the documents scan.
+    """
+    mins = ",\n  ".join(
+        f"{d.amin(d.transform('hs', 'h', f'({a} * h + {b}) % {MINHASH_P}'))} AS m{k}"
+        for k, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    return f"""
+SELECT doc_id,
+  {mins}
+FROM (
+  SELECT doc_id, {d.transform("hexes", "m", d.hex12_to_bigint("m"))} AS hs
+  FROM (
+    SELECT doc_id, {d.transform("shingles", "s", f"substr({d.md5_utf8('s')}, 1, 12)")} AS hexes
+    FROM (
+      SELECT doc_id, text, {_shingles(d)} AS shingles
+      FROM (SELECT doc_id, text, {d.split("text")} AS toks FROM documents) t0
+    ) t1
+  ) t2
+) t3
+""".strip()
+
+
+def gen_minhash_pairs(d: Dialect, min_agreement: float = 0.25) -> str:
+    """LSH candidate generation + signature-agreement estimate.
+
+    Bands of {ROWS_PER_BAND} rows; candidates = pairs sharing ≥1 band key
+    (equality join per band, unioned); estimate = fraction of the 16
+    signature slots that agree.  The band join is the only shuffle.
+    """
+    sigs = gen_minhash_sigs(d)
+    band_selects = []
+    for band in range(N_BANDS):
+        cols = ", ".join(f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        key = d.md5_utf8(f"concat_ws('|', {cols})")
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band_id, {key} AS band_key FROM sigs"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    agree = " + ".join(f"(CASE WHEN sa.m{k} = sb.m{k} THEN 1 ELSE 0 END)" for k in range(16))
+    return f"""
+WITH sigs AS (
+{sigs}
+),
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, est_jaccard FROM (
+  SELECT c.doc_a, c.doc_b,
+         round(CAST({agree} AS DOUBLE) / 16, 6) AS est_jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+) p
+WHERE est_jaccard >= {min_agreement}
+""".strip()

@@ -1,0 +1,114 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY.md §2.9).
+
+All four operators are pure Catalyst/DuckDB expressions generated from one
+source per operator (see plans/dialect.py) — no Python UDFs in the hot path,
+so at 100 TB these run entirely inside whole-stage codegen over a single
+parquet scan with column pruning (only ``doc_id``/``text``/``lang`` read).
+"""
+
+from __future__ import annotations
+
+from storage_crawler_spark.plans.dialect import Dialect
+
+# Stopword markers per language for the n-gram/marker language-ID heuristic.
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "a"),
+    "de": ("der", "und", "die", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "los", "y", "es", "las"),
+    "zh": ("de", "shi", "le", "zai", "he"),
+}
+
+_STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "it", "on", "for")
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def gen_token_stats(d: Dialect) -> str:
+    """Whitespace token count + char/byte stats per document."""
+    toks = d.split("text")
+    return f"""
+SELECT
+  doc_id,
+  {d.size(toks)} AS n_tokens,
+  length(text) AS n_chars_text,
+  {d.size(d.adistinct(toks))} AS n_distinct_tokens,
+  {d.trunc6(f"CAST(length(replace(text, ' ', '')) AS DOUBLE) / {d.size(toks)}")} AS avg_token_len
+FROM documents
+""".strip()
+
+
+def gen_quality_score(d: Dialect) -> str:
+    """Heuristic quality scoring: stopword ratio, token-length shape,
+    distinct-token ratio — the length/punct/stopword family of filters used
+    by LLM-data pipelines (C4/Gopher-style rules)."""
+    toks = d.split("text")
+    stops = d.size(d.afilter(toks, "x", f"x IN {_in_list(_STOPWORDS)}"))
+    # outputs are floor-truncated, not rounded: ratios with power-of-two
+    # denominators land EXACTLY on decimal ties where the engines' round()
+    # half-rules differ (Spark HALF_UP, DuckDB half-to-even); floor has no
+    # half-rule and the input doubles are bit-identical in both engines
+    score = (
+        "0.4 * stop_ratio + 0.3 * distinct_ratio"
+        " + 0.3 * (CASE WHEN avg_token_len > 10 THEN 1.0 ELSE avg_token_len / 10 END)"
+    )
+    return f"""
+SELECT doc_id, n_tokens,
+       {d.trunc6('stop_ratio')} AS stop_ratio,
+       {d.trunc6('distinct_ratio')} AS distinct_ratio,
+       {d.trunc6('avg_token_len')} AS avg_token_len,
+       {d.trunc6(score)} AS quality_score
+FROM (
+  SELECT
+    doc_id,
+    {d.size(toks)} AS n_tokens,
+    CAST({stops} AS DOUBLE) / {d.size(toks)} AS stop_ratio,
+    CAST({d.size(d.adistinct(toks))} AS DOUBLE) / {d.size(toks)} AS distinct_ratio,
+    CAST(length(replace(text, ' ', '')) AS DOUBLE) / {d.size(toks)} AS avg_token_len
+  FROM documents
+) t
+""".strip()
+
+
+def gen_lang_id(d: Dialect) -> str:
+    """Marker-word language ID: score each language by marker hits over the
+    token set, argmax with a fixed priority order on ties; compared against
+    the labeled ``lang`` column."""
+    toks = d.adistinct(d.split("text"))
+    scores = {
+        lang: d.size(d.afilter(toks, "x", f"x IN {_in_list(markers)}"))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    score_cols = ",\n    ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    langs = list(_LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pick = "CASE WHEN " + best + " = 0 THEN 'unknown' " + " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+SELECT doc_id, lang AS actual_lang, {pick} AS predicted_lang,
+       CASE WHEN {pick} = lang THEN 1 ELSE 0 END AS hit
+FROM (
+  SELECT doc_id, lang,
+    {score_cols}
+  FROM documents
+) t
+""".strip()
+
+
+def gen_fingerprint(d: Dialect) -> str:
+    """Order-sensitive rolling document fingerprint: a 31/131 polynomial
+    hash folded over (token length, first char) left-to-right — the rolling
+    content-defined fingerprint family, kept integer-exact in both engines."""
+    # fold over a pre-transformed BIGINT array: per-token value first
+    # (length*131 + first-char), then the order-sensitive 31-poly fold —
+    # keeps the fold input homogeneous for both engines' reduce primitives
+    tokvals = d.transform(
+        d.split("text"), "x", f"CAST(length(x) AS BIGINT) * 131 + {d.ascii_safe('x')}"
+    )
+    return f"""
+SELECT doc_id, {d.reduce_bigint(tokvals, "(acc * 31 + x) % 1000000007")} AS fingerprint
+FROM documents
+""".strip()

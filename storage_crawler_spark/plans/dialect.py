@@ -1,0 +1,149 @@
+"""Two-dialect SQL rendering: each operator's query text is generated ONCE
+by a Python function taking a :class:`Dialect`, and rendered for Spark SQL
+and DuckDB.  The DuckDB rendering is the correctness oracle; generating both
+from the same source makes semantic drift between the engine and its oracle
+structurally impossible.
+
+Only genuinely divergent primitives live here (array/lambda function names,
+epoch extraction, hex digests); everything the two engines share (CASE, ||,
+%, instr, substr, joins, windows, ROLLUP, LIMIT) is written directly in the
+query source.
+
+A note on determinism across engines:
+- all floating aggregates are ``round(x, n)``-ed in the query itself;
+- list folds use explicit left-to-right semantics in both engines (Spark
+  ``aggregate``, DuckDB ``list_reduce`` over a 0-prepended list), so double
+  summation order is identical;
+- event timestamps are nanosecond-precision in the driver's parquet; Spark
+  reads them as LONG (``spark.sql.legacy.parquet.nanosAsLong``) and DuckDB
+  as TIMESTAMP_NS, so *seconds* (integer floor) is the exchange unit —
+  ``epoch_s`` below — and no query outputs a raw timestamp.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class Dialect:
+    name: str
+
+    # ---- arrays / lambdas -------------------------------------------------
+    def split(self, s: str, delim: str = " ") -> str:
+        fn = "split" if self.name == "spark" else "string_split"
+        return f"{fn}({s}, '{delim}')"
+
+    def size(self, arr: str) -> str:
+        fn = "size" if self.name == "spark" else "len"
+        return f"{fn}({arr})"
+
+    def adistinct(self, arr: str) -> str:
+        fn = "array_distinct" if self.name == "spark" else "list_distinct"
+        return f"{fn}({arr})"
+
+    def aintersect(self, a: str, b: str) -> str:
+        fn = "array_intersect" if self.name == "spark" else "list_intersect"
+        return f"{fn}({a}, {b})"
+
+    def transform(self, arr: str, var: str, expr: str) -> str:
+        fn = "transform" if self.name == "spark" else "list_transform"
+        return f"{fn}({arr}, {var} -> {expr})"
+
+    def afilter(self, arr: str, var: str, pred: str) -> str:
+        fn = "filter" if self.name == "spark" else "list_filter"
+        return f"{fn}({arr}, {var} -> {pred})"
+
+    def amin(self, arr: str) -> str:
+        fn = "array_min" if self.name == "spark" else "list_min"
+        return f"{fn}({arr})"
+
+    def seq(self, lo: str, hi: str) -> str:
+        """Inclusive integer sequence; callers must guarantee lo <= hi
+        (Spark's sequence() counts DOWN when lo > hi; DuckDB returns [])."""
+        fn = "sequence" if self.name == "spark" else "generate_series"
+        return f"{fn}({lo}, {hi})"
+
+    def elem(self, arr: str, idx: str) -> str:
+        """1-based element access (Spark's [] is 0-based, DuckDB's 1-based —
+        never use brackets in shared source)."""
+        if self.name == "spark":
+            return f"element_at({arr}, {idx})"
+        return f"list_extract({arr}, {idx})"
+
+    def reduce_bigint(self, arr: str, step: str) -> str:
+        """Left fold with BIGINT accumulator starting at 0; ``step`` uses
+        variables ``acc`` and ``x``.  Identical fold order in both engines."""
+        if self.name == "spark":
+            return f"aggregate({arr}, CAST(0 AS BIGINT), (acc, x) -> {step})"
+        return f"list_reduce(list_prepend(CAST(0 AS BIGINT), {arr}), (acc, x) -> {step})"
+
+    def fold_double(self, arr: str) -> str:
+        """Sum a double array left-to-right (deterministic order)."""
+        if self.name == "spark":
+            return f"aggregate({arr}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        return f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {arr}), (acc, x) -> acc + x)"
+
+    def zip_mul(self, a: str, b: str) -> str:
+        """Elementwise product of two double arrays."""
+        if self.name == "spark":
+            return f"zip_with({a}, {b}, (u, v) -> u * v)"
+        # DuckDB has no zip_with; index-based transform
+        return f"list_transform(generate_series(1, len({a})), i -> list_extract({a}, i) * list_extract({b}, i))"
+
+    def dot(self, a: str, b: str) -> str:
+        return self.fold_double(self.zip_mul(a, b))
+
+    def cast_double_arr(self, arr: str) -> str:
+        if self.name == "spark":
+            return f"transform({arr}, v -> CAST(v AS DOUBLE))"
+        return f"CAST({arr} AS DOUBLE[])"
+
+    def arr1(self, x: str) -> str:
+        """Single-element array literal."""
+        return f"array({x})" if self.name == "spark" else f"[{x}]"
+
+    # ---- scalars ----------------------------------------------------------
+    def md5_utf8(self, text: str) -> str:
+        """Hex MD5 of a string's UTF-8 bytes (identical hex both engines)."""
+        if self.name == "spark":
+            return f"md5(encode({text}, 'utf-8'))"
+        return f"md5({text})"
+
+    def json_str(self, col: str, path: str) -> str:
+        if self.name == "spark":
+            return f"get_json_object({col}, '{path}')"
+        return f"json_extract_string({col}, '{path}')"
+
+    def ascii_safe(self, s: str) -> str:
+        """ascii() of first char, 0 for empty strings (engines disagree on
+        ascii(''))."""
+        return f"(CASE WHEN length({s}) = 0 THEN 0 ELSE ascii(substr({s}, 1, 1)) END)"
+
+    def trunc6(self, x: str) -> str:
+        """Truncate to 6 decimals via floor — engine-independent, unlike
+        round(): rational ratios (k/2^m) land EXACTLY on decimal ties where
+        Spark rounds HALF_UP and DuckDB half-to-even.  Spark's floor(double)
+        returns BIGINT, DuckDB's DOUBLE, so cast before the division."""
+        return f"(CAST(floor(({x}) * 1000000) AS DOUBLE) / 1000000)"
+
+    # ---- time -------------------------------------------------------------
+    def epoch_s_events(self, col: str) -> str:
+        """events.ts → epoch seconds (BIGINT).  Spark sees LONG nanoseconds
+        (nanosAsLong), DuckDB a TIMESTAMP_NS; integer floor matches."""
+        if self.name == "spark":
+            return f"({col} div 1000000000)"
+        return f"CAST(floor(epoch({col})) AS BIGINT)"
+
+    def hex12_to_bigint(self, hexstr: str) -> str:
+        """First 12 hex chars → BIGINT (48 bits, overflow-safe for k*h+b)."""
+        digits = self.transform(
+            self.seq("1", "12"),
+            "i",
+            f"CAST(instr('0123456789abcdef', substr({hexstr}, i, 1)) - 1 AS BIGINT)",
+        )
+        return self.reduce_bigint(digits, "acc * 16 + x")
+
+
+SPARK = Dialect("spark")
+DUCK = Dialect("duck")

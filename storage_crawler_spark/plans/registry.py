@@ -1,0 +1,471 @@
+"""Query registry: every operator the engine exposes, as (spark builder,
+DuckDB oracle) pairs.
+
+This is the driver contract's backing store (``__spark_entry__.queries()`` /
+``oracle_sql()``) and the bench's headline-query source.  Three construction
+styles, by what best fits each operator:
+
+- **shared-dialect SQL** (TPC-H plane, views): one ANSI string both engines
+  parse — zero drift by construction;
+- **dialect-generated SQL** (text/dedup/similarity operators): one Python
+  generator rendered per engine (plans/dialect.py);
+- **DataFrame API + hand oracle** (report plane): the canonical engine
+  implementation from reports/queries.py, with the DuckDB SQL mirroring it.
+
+Float-parity rules applied throughout (the driver hashes values):
+- money-ish SUMs go through DECIMAL(18,s) so summation order can't change
+  the result; final cast to DOUBLE for a stable schema;
+- AVGs are round(sum/count, 6); other float outputs round(·, 4..6);
+- no raw timestamps in outputs — epoch seconds/days as BIGINT (session
+  timezone independent).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storage_crawler_spark.operators import dedup, multimodal, similarity, text
+from storage_crawler_spark.plans.dialect import DUCK, SPARK, Dialect
+from storage_crawler_spark.plans import views as V
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    headline: bool = False
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+def _sql_pair(gen: Callable[[Dialect], str], tables: tuple[str, ...]):
+    """Builder+oracle from a dialect generator."""
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, tables)
+        return spark.sql(gen(SPARK))
+
+    return build, gen(DUCK)
+
+
+def _shared_sql(sql: str, tables: tuple[str, ...]):
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, tables)
+        return spark.sql(sql)
+
+    return build, sql
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style relational plane (shared-dialect SQL; money sums via DECIMAL)
+# --------------------------------------------------------------------------
+
+_DSUM2 = "CAST(sum(CAST({x} AS DECIMAL(18,2))) AS DOUBLE)"
+_REV = "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)"
+
+Q1_SQL = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {_DSUM2.format(x='l_quantity')} AS sum_qty,
+  {_DSUM2.format(x='l_extendedprice')} AS sum_base_price,
+  {_REV} AS sum_disc_price,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+  round({_DSUM2.format(x='l_quantity')} / count(*), 6) AS avg_qty,
+  round({_DSUM2.format(x='l_extendedprice')} / count(*), 6) AS avg_price,
+  round({_DSUM2.format(x='l_discount')} / count(*), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""".strip()
+
+Q3_SQL = f"""
+SELECT
+  l.l_orderkey AS orderkey,
+  {_REV.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')} AS revenue,
+  CAST(o.o_orderdate AS DATE) AS orderdate,
+  o.o_orderpriority AS orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+  AND CAST(l.l_shipdate AS DATE) > DATE '1998-03-15'
+GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+""".strip()
+
+Q5_SQL = f"""
+SELECT
+  n.n_name AS nation,
+  {_REV.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')} AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+""".strip()
+
+Q6_SQL = """
+SELECT
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  count(*) AS n_rows
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+""".strip()
+
+TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+""".strip()
+
+
+def gen_event_deltas(d: Dialect) -> str:
+    e = d.epoch_s_events("ts")
+    return f"""
+SELECT event_id, event_type, epoch_s,
+       epoch_s - lag(epoch_s) OVER (PARTITION BY event_type ORDER BY event_id) AS delta_s
+FROM (SELECT event_id, event_type, {e} AS epoch_s FROM events) t
+""".strip()
+
+
+def gen_rollup_daily(d: Dialect) -> str:
+    e = d.epoch_s_events("ts")
+    day = f"(({e}) // 86400)" if d.name == "duck" else f"(({e}) div 86400)"
+    return f"""
+SELECT event_type, day_num, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (SELECT event_type, {day} AS day_num, value FROM events) t
+GROUP BY ROLLUP(event_type, day_num)
+""".strip()
+
+
+def gen_json_props(d: Dialect) -> str:
+    k = f"CAST({d.json_str('props', '$.k')} AS BIGINT)"
+    return f"""
+SELECT event_type, count(*) AS n, min({k}) AS min_k, max({k}) AS max_k, sum({k}) AS sum_k
+FROM events
+GROUP BY event_type
+""".strip()
+
+
+def _anti_join_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    V.register_base_tables(spark, sf_dir, ("customer", "orders"))
+    cust = spark.table("customer")
+    orders = spark.table("orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""".strip()
+
+# --------------------------------------------------------------------------
+# Report plane (reference report.py queries over the derived files/status
+# views) — DataFrame API builders, hand-written DuckDB oracles.
+# --------------------------------------------------------------------------
+
+_DUCK_EPOCH = "CAST(floor(epoch(time)) AS BIGINT)"
+
+
+def _status_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """status view with a real TIMESTAMP time column (from LONG nanos)."""
+    sv = V.status_view(spark, sf_dir)
+    return sv.withColumn("time", F.timestamp_micros(F.expr("time div 1000")))
+
+
+def _files_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return V.files_view(spark, sf_dir)
+
+
+def _b_status_full(spark, sf_dir):
+    from storage_crawler_spark.reports.queries import status_full
+
+    out = status_full(_status_df(spark, sf_dir))
+    return out.select(F.col("time").cast("long").alias("time_s"), "status", "value", "units")
+
+
+def _b_status_events(spark, sf_dir):
+    from storage_crawler_spark.reports.queries import status_events
+
+    out = status_events(_status_df(spark, sf_dir))
+    return out.select(F.col("time").cast("long").alias("time_s"), "status", "value", "units")
+
+
+def _b_status_averages(spark, sf_dir):
+    from storage_crawler_spark.reports.queries import status_averages
+
+    out = status_averages(_status_df(spark, sf_dir))
+    return out.select("status", "units", F.round("avg", 6).alias("avg_value"))
+
+
+def _b_status_brief(spark, sf_dir):
+    from storage_crawler_spark.reports.queries import status_brief
+
+    out = status_brief(_status_df(spark, sf_dir))
+    return out.select(F.col("time").cast("long").alias("time_s"), "status", "value", "units")
+
+
+def _b_first_thousand(spark, sf_dir):
+    from storage_crawler_spark.reports.queries import first_thousand
+
+    return first_thousand(_files_df(spark, sf_dir), deterministic=True)
+
+
+def _b_large_old_files(spark, sf_dir):
+    from storage_crawler_spark.reports.queries import large_old_files
+
+    fv = _files_df(spark, sf_dir)
+    canonical = fv.select(
+        "id",
+        F.timestamp_seconds(F.col("insert_epoch")).alias("insert_time"),
+        F.encode("path", "utf-8").alias("path"),
+        F.encode("extension", "utf-8").alias("extension"),
+        "st_size",
+        "st_uid",
+        "st_gid",
+        "st_atime",
+        "st_mtime",
+        "st_ctime",
+        "owner",
+    )
+    return large_old_files(
+        canonical,
+        min_size=V.FILES_MIN_SIZE,
+        min_delta=V.FILES_MIN_DELTA,
+        as_of_epoch=V.FILES_AS_OF_EPOCH,
+    )
+
+
+LARGE_OLD_ORACLE = V.with_files_cte(
+    f"""
+SELECT insert_epoch, path, id, st_size, extension, st_uid, st_gid,
+       st_atime, st_mtime, st_ctime, owner
+FROM files
+WHERE st_size >= {V.FILES_MIN_SIZE}
+  AND (st_ctime + {V.FILES_MIN_DELTA} >= {V.FILES_AS_OF_EPOCH}
+       OR st_mtime + {V.FILES_MIN_DELTA} >= {V.FILES_AS_OF_EPOCH})
+""".strip()
+)
+
+_FILES_COLS = (
+    "id",
+    "insert_epoch",
+    "path",
+    "st_size",
+    "st_mtime",
+    "st_ctime",
+    "st_atime",
+    "st_uid",
+    "st_gid",
+    "owner",
+    "extension",
+)
+
+
+def _b_schema_files(spark, sf_dir):
+    fv = _files_df(spark, sf_dir)
+    return spark.createDataFrame([(c,) for c in sorted(fv.columns)], "column_name string")
+
+
+SCHEMA_FILES_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{c}')" for c in sorted(_FILES_COLS))
+    + ") t(column_name)"
+)
+
+# --------------------------------------------------------------------------
+# Registry assembly
+# --------------------------------------------------------------------------
+
+
+def _specs() -> list[QuerySpec]:
+    specs: list[QuerySpec] = []
+
+    def add(name, builder, oracle, headline=False, tags=(), doc=""):
+        specs.append(QuerySpec(name, builder, oracle, headline, tuple(tags), doc))
+
+    # report plane ---------------------------------------------------------
+    add(
+        "report_status_full",
+        _b_status_full,
+        V.with_status_cte(f"SELECT {_DUCK_EPOCH} AS time_s, status, value, units FROM status"),
+        tags=("report",),
+        doc="report.py:118-121 'full' action (projection + time sort)",
+    )
+    add(
+        "report_status_events",
+        _b_status_events,
+        V.with_status_cte(
+            f"SELECT {_DUCK_EPOCH} AS time_s, status, value, units FROM status WHERE units = 'event'"
+        ),
+        tags=("report",),
+        doc="report.py:128-131 'events' action (filter)",
+    )
+    add(
+        "report_status_averages",
+        _b_status_averages,
+        V.with_status_cte(
+            "SELECT status, units, round(avg(value), 6) AS avg_value FROM status "
+            "WHERE status LIKE '%rate' GROUP BY status, units"
+        ),
+        tags=("report",),
+        doc="report.py:139-145 'averages' action (LIKE filter + hash agg)",
+    )
+    add(
+        "report_status_brief",
+        _b_status_brief,
+        V.with_status_cte(
+            f"SELECT {_DUCK_EPOCH} AS time_s, status, value, units FROM status "
+            "WHERE id IN (SELECT max(id) FROM status GROUP BY status)"
+        ),
+        tags=("report",),
+        doc="report.py:153-159 'brief' action (argmax-per-group semi-join)",
+    )
+    add(
+        "report_first_thousand",
+        _b_first_thousand,
+        V.with_files_cte("SELECT * FROM files ORDER BY id LIMIT 1000"),
+        tags=("report",),
+        doc="report.py:166-175 '1000' action (limit; pinned by id for determinism)",
+    )
+    add(
+        "report_large_old_files",
+        _b_large_old_files,
+        LARGE_OLD_ORACLE,
+        headline=True,
+        tags=("report",),
+        doc="report.py:178-191 'largeoldfiles' (filter + multi-key sort), deterministic as-of",
+    )
+    add(
+        "report_schema_files",
+        _b_schema_files,
+        SCHEMA_FILES_ORACLE,
+        tags=("report",),
+        doc="report.py:103-112 schema introspection",
+    )
+
+    # TPC-H-ish relational plane --------------------------------------------
+    b, o = _shared_sql(Q1_SQL, ("lineitem",))
+    add("tpch_q1_pricing_summary", b, o, headline=True, tags=("tpch",), doc="scan+agg flagship")
+    b, o = _shared_sql(Q3_SQL, ("customer", "orders", "lineitem"))
+    add("tpch_q3_shipping_priority", b, o, headline=True, tags=("tpch",), doc="3-way join + agg + top-k")
+    b, o = _shared_sql(Q5_SQL, ("customer", "orders", "lineitem", "supplier", "nation", "region"))
+    add("tpch_q5_local_supplier", b, o, headline=True, tags=("tpch",), doc="6-way join + agg")
+    b, o = _shared_sql(Q6_SQL, ("lineitem",))
+    add("tpch_q6_revenue", b, o, tags=("tpch",), doc="selective scan agg")
+    b, o = _shared_sql(TOPK_SQL, ("orders",))
+    add("window_topk_orders", b, o, headline=True, tags=("window",), doc="row_number top-k per group")
+    b, o = _sql_pair(gen_event_deltas, ("events",))
+    add("window_event_deltas", b, o, tags=("window",), doc="lag() rate/delta derivation (A17 analog)")
+    b, o = _sql_pair(gen_rollup_daily, ("events",))
+    add("rollup_events_daily", b, o, tags=("agg",), doc="ROLLUP grouping sets over event days")
+    add(
+        "join_anti_customers_without_orders",
+        _anti_join_builder,
+        ANTI_ORACLE,
+        tags=("join",),
+        doc="anti join (NOT EXISTS)",
+    )
+    b, o = _sql_pair(gen_json_props, ("events",))
+    add("events_json_props", b, o, tags=("json",), doc="semi-structured JSON extraction + agg")
+
+    # LLM-pipeline plane -----------------------------------------------------
+    b, o = _sql_pair(dedup.gen_dedup_exact, ("documents",))
+    add("dedup_exact", b, o, headline=True, tags=("dedup",), doc="exact dedup via md5 fingerprint groupBy")
+    b, o = _sql_pair(dedup.gen_jaccard_pairs, ("documents",))
+    add("dedup_jaccard_pairs", b, o, headline=True, tags=("dedup",), doc="blocked exact token-set Jaccard")
+    b, o = _sql_pair(dedup.gen_minhash_sigs, ("documents",))
+    add("dedup_minhash_signatures", b, o, tags=("dedup",), doc="16-perm minhash signatures (map-only)")
+    b, o = _sql_pair(dedup.gen_minhash_pairs, ("documents",))
+    add("dedup_minhash_lsh", b, o, headline=True, tags=("dedup",), doc="banded LSH candidate pairs + sig agreement")
+    b, o = _sql_pair(text.gen_token_stats, ("documents",))
+    add("text_token_stats", b, o, tags=("text",), doc="token counting")
+    b, o = _sql_pair(text.gen_quality_score, ("documents",))
+    add("text_quality_score", b, o, tags=("text",), doc="stopword/length quality heuristics")
+    b, o = _sql_pair(text.gen_lang_id, ("documents",))
+    add("text_lang_id", b, o, tags=("text",), doc="marker-based language ID vs labels")
+    b, o = _sql_pair(text.gen_fingerprint, ("documents",))
+    add("text_fingerprint", b, o, tags=("text",), doc="rolling polynomial document fingerprint")
+    b, o = _sql_pair(similarity.gen_cosine_topk, ("embeddings",))
+    add("sim_cosine_topk", b, o, headline=True, tags=("similarity",), doc="brute-force cosine top-k (exact baseline)")
+    b, o = _sql_pair(similarity.gen_ivf_topk, ("embeddings",))
+    add("sim_ivf_topk", b, o, tags=("similarity",), doc="IVF-bucketed approximate top-k (scale path)")
+    b, o = _sql_pair(multimodal.gen_binary_meta, ("documents",))
+    add("multimodal_binary_meta", b, o, tags=("multimodal",), doc="binary payload metadata (length/digest)")
+
+    # Spark-only (no SQL oracle → driver rows-only check) --------------------
+    def _simhash_builder(spark, sf_dir):
+        from storage_crawler_spark.operators.simhash import simhash_near_dups
+
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        return simhash_near_dups(spark.table("documents"), max_hamming=10)
+
+    add(
+        "dedup_simhash_pairs",
+        _simhash_builder,
+        None,
+        tags=("dedup",),
+        doc="simhash near-dup pairs (pandas-UDF fingerprint + chunk-join); pytest-verified",
+    )
+
+    def _multimodal_features_builder(spark, sf_dir):
+        from storage_crawler_spark.operators.multimodal import documents_as_media, extract_features
+
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        return extract_features(documents_as_media(spark.table("documents")))
+
+    add(
+        "multimodal_features",
+        _multimodal_features_builder,
+        None,
+        tags=("multimodal",),
+        doc="binary decode/feature plumbing (stubbed codec), mapInPandas",
+    )
+
+    return specs
+
+
+QUERIES: dict[str, QuerySpec] = {s.name: s for s in _specs()}
+
+
+def get_query(name: str) -> QuerySpec:
+    return QUERIES[name]
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.builder for name, spec in QUERIES.items()}
+
+
+def oracle_map() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}
+
+
+def headline_queries() -> list[str]:
+    return [name for name, spec in QUERIES.items() if spec.headline]
