@@ -136,13 +136,17 @@ class Dialect:
         return f"CAST(floor(epoch({col})) AS BIGINT)"
 
     def hex12_to_bigint(self, hexstr: str) -> str:
-        """First 12 hex chars → BIGINT (48 bits, overflow-safe for k*h+b)."""
-        digits = self.transform(
-            self.seq("1", "12"),
-            "i",
-            f"CAST(instr('0123456789abcdef', substr({hexstr}, i, 1)) - 1 AS BIGINT)",
-        )
-        return self.reduce_bigint(digits, "acc * 16 + x")
+        """First 12 hex chars → BIGINT (48 bits, overflow-safe for k*h+b).
+        Native radix conversion in both engines (Spark conv(), DuckDB hex
+        cast) — far cheaper than a per-character fold."""
+        if self.name == "spark":
+            return f"CAST(conv({hexstr}, 16, 10) AS BIGINT)"
+        return f"CAST('0x' || {hexstr} AS BIGINT)"
+
+    def idiv(self, a: str, b: str) -> str:
+        """Integer (floor) division of non-negative integers."""
+        op = "div" if self.name == "spark" else "//"
+        return f"(({a}) {op} ({b}))"
 
 
 SPARK = Dialect("spark")
