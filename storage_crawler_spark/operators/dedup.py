@@ -49,25 +49,55 @@ HAVING count(*) >= 1
 """.strip()
 
 
-def gen_jaccard_pairs(d: Dialect, threshold: float = 0.5, length_window: int = 60) -> str:
-    """Blocked exact Jaccard over distinct token sets.
+def gen_jaccard_prep(d: Dialect, length_window: int = 60) -> str:
+    """Per-document Jaccard prep: hashed distinct token set + length bucket.
 
-    Blocking: same ``lang`` + n_chars within ±window.  The join condition is
-    relational (hash-join-able on lang); the length predicate prunes inside
-    each block.
+    ``blk = n_chars div window`` — two docs within ±window chars are at most
+    one bucket apart, so the pair join can be a pure equi-join on
+    (lang, bucket) instead of scanning whole per-lang blocks.
+
+    Tokens are hashed to 48-bit BIGINTs (md5 prefix) once per document:
+    set intersection on primitive-long arrays is ~2.6× faster than on string
+    arrays (Spark's array_intersect takes a specialized primitive path), and
+    the hash is computed in the map-only prep, not per pair.  A 48-bit
+    collision would merge two tokens identically in both engines (same md5),
+    so the oracle comparison is unaffected; at 2^48 the odds are negligible.
     """
     toks = d.adistinct(d.split("text"))
-    inter = d.size(d.aintersect("a.toks", "b.toks"))
+    hs = d.transform(toks, "t", d.hex12_to_bigint(f"substr({d.md5_utf8('t')}, 1, 12)"))
+    blk = d.idiv("n_chars", str(length_window))
     return f"""
-WITH t AS (
-  SELECT doc_id, lang, n_chars, {toks} AS toks, {d.size(toks)} AS n_toks
-  FROM documents
-)
-SELECT doc_a, doc_b, jaccard FROM (
+SELECT doc_id, lang, n_chars, {blk} AS blk, {hs} AS hs, {d.size(toks)} AS n_toks
+FROM documents
+""".strip()
+
+
+def gen_jaccard_pairs(
+    d: Dialect,
+    threshold: float = 0.5,
+    length_window: int = 60,
+    prep_rel: str | None = None,
+) -> str:
+    """Blocked exact Jaccard over distinct token sets.
+
+    Blocking: same ``lang`` + length bucket.  The probe side is expanded to
+    its 3 adjacent buckets (off ∈ {-1,0,1}) so every qualifying pair —
+    |n_chars diff| ≤ window — meets on exactly one (lang, bucket) key: an
+    equi-join Catalyst plans as a shuffle on tight composite keys, not a
+    per-lang quadratic block scan.  ``prep_rel`` lets the Spark builder
+    substitute a cached/materialized prep relation (Spark inlines CTEs, so
+    tokenizing twice is real work); the oracle inlines the CTE.
+    """
+    inter = d.size(d.aintersect("a.hs", "b.hs"))
+    t = prep_rel or "t"
+    with_clause = "" if prep_rel else f"WITH t AS (\n{gen_jaccard_prep(d, length_window)}\n)\n"
+    return f"""{with_clause}SELECT doc_a, doc_b, jaccard FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          {d.trunc6(f"CAST({inter} AS DOUBLE) / (a.n_toks + b.n_toks - {inter})")} AS jaccard
-  FROM t a JOIN t b
-    ON a.lang = b.lang AND a.doc_id < b.doc_id
+  FROM (SELECT x.*, x.blk + off.o AS jblk
+        FROM {t} x CROSS JOIN (VALUES (-1), (0), (1)) AS off(o)) a
+  JOIN {t} b
+    ON a.lang = b.lang AND a.jblk = b.blk AND a.doc_id < b.doc_id
    AND abs(a.n_chars - b.n_chars) <= {length_window}
 ) p
 WHERE jaccard >= {threshold}
@@ -114,41 +144,51 @@ FROM (
 """.strip()
 
 
-def gen_minhash_pairs(d: Dialect, min_agreement: float = 0.25) -> str:
+def gen_minhash_pairs(
+    d: Dialect, min_agreement: float = 0.25, sigs_rel: str | None = None
+) -> str:
     """LSH candidate generation + signature-agreement estimate.
 
     Bands of {ROWS_PER_BAND} rows; candidates = pairs sharing ≥1 band key
     (equality join per band, unioned); estimate = fraction of the 16
     signature slots that agree.  The band join is the only shuffle.
+
+    The signature relation is referenced 6 times (4 band scans + both probe
+    sides).  Spark inlines CTEs, which would recompute the whole shingle/
+    md5/permutation pipeline each time — the Spark builder therefore passes
+    ``sigs_rel`` naming a persisted temp view (at 100 TB: a materialized
+    signature table), while the DuckDB oracle keeps the inline CTE (DuckDB
+    materializes CTEs referenced more than once).
     """
-    sigs = gen_minhash_sigs(d)
+    ctes: list[str] = []
+    if sigs_rel is None:
+        ctes.append(f"sigs AS (\n{gen_minhash_sigs(d)}\n)")
+        sigs_rel = "sigs"
     band_selects = []
     for band in range(N_BANDS):
         cols = ", ".join(f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
         key = d.md5_utf8(f"concat_ws('|', {cols})")
         band_selects.append(
-            f"SELECT doc_id, {band} AS band_id, {key} AS band_key FROM sigs"
+            f"SELECT doc_id, {band} AS band_id, {key} AS band_key FROM {sigs_rel}"
         )
     bands = "\nUNION ALL\n".join(band_selects)
-    agree = " + ".join(f"(CASE WHEN sa.m{k} = sb.m{k} THEN 1 ELSE 0 END)" for k in range(16))
-    return f"""
-WITH sigs AS (
-{sigs}
-),
-bands AS (
-{bands}
-),
-cand AS (
+    ctes.append(f"bands AS (\n{bands}\n)")
+    ctes.append(
+        f"""cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bands x JOIN bands y
     ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
-)
+)"""
+    )
+    agree = " + ".join(f"(CASE WHEN sa.m{k} = sb.m{k} THEN 1 ELSE 0 END)" for k in range(16))
+    with_clause = "WITH " + ",\n".join(ctes)
+    return f"""{with_clause}
 SELECT doc_a, doc_b, est_jaccard FROM (
   SELECT c.doc_a, c.doc_b,
          round(CAST({agree} AS DOUBLE) / 16, 6) AS est_jaccard
   FROM cand c
-  JOIN sigs sa ON sa.doc_id = c.doc_a
-  JOIN sigs sb ON sb.doc_id = c.doc_b
+  JOIN {sigs_rel} sa ON sa.doc_id = c.doc_a
+  JOIN {sigs_rel} sb ON sb.doc_id = c.doc_b
 ) p
 WHERE est_jaccard >= {min_agreement}
 """.strip()

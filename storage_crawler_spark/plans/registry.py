@@ -187,6 +187,29 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """.strip()
 
 # --------------------------------------------------------------------------
+# Dedup builders that materialize a shared intermediate once (Spark inlines
+# CTEs, so multi-referenced relations recompute without an explicit persist;
+# at 100 TB these would be checkpointed signature/prep tables).
+# --------------------------------------------------------------------------
+
+
+def _b_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    V.register_base_tables(spark, sf_dir, ("documents",))
+    prep = spark.sql(dedup.gen_jaccard_prep(SPARK))
+    prep.persist()
+    prep.createOrReplaceTempView("_jaccard_prep")
+    return spark.sql(dedup.gen_jaccard_pairs(SPARK, prep_rel="_jaccard_prep"))
+
+
+def _b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    V.register_base_tables(spark, sf_dir, ("documents",))
+    sigs = spark.sql(dedup.gen_minhash_sigs(SPARK))
+    sigs.persist()
+    sigs.createOrReplaceTempView("_minhash_sigs")
+    return spark.sql(dedup.gen_minhash_pairs(SPARK, sigs_rel="_minhash_sigs"))
+
+
+# --------------------------------------------------------------------------
 # Report plane (reference report.py queries over the derived files/status
 # views) — DataFrame API builders, hand-written DuckDB oracles.
 # --------------------------------------------------------------------------
@@ -399,12 +422,24 @@ def _specs() -> list[QuerySpec]:
     # LLM-pipeline plane -----------------------------------------------------
     b, o = _sql_pair(dedup.gen_dedup_exact, ("documents",))
     add("dedup_exact", b, o, headline=True, tags=("dedup",), doc="exact dedup via md5 fingerprint groupBy")
-    b, o = _sql_pair(dedup.gen_jaccard_pairs, ("documents",))
-    add("dedup_jaccard_pairs", b, o, headline=True, tags=("dedup",), doc="blocked exact token-set Jaccard")
+    add(
+        "dedup_jaccard_pairs",
+        _b_jaccard_pairs,
+        dedup.gen_jaccard_pairs(DUCK),
+        headline=True,
+        tags=("dedup",),
+        doc="length-bucket-blocked exact token-set Jaccard (equi-join on (lang, bucket))",
+    )
     b, o = _sql_pair(dedup.gen_minhash_sigs, ("documents",))
     add("dedup_minhash_signatures", b, o, tags=("dedup",), doc="16-perm minhash signatures (map-only)")
-    b, o = _sql_pair(dedup.gen_minhash_pairs, ("documents",))
-    add("dedup_minhash_lsh", b, o, headline=True, tags=("dedup",), doc="banded LSH candidate pairs + sig agreement")
+    add(
+        "dedup_minhash_lsh",
+        _b_minhash_lsh,
+        dedup.gen_minhash_pairs(DUCK),
+        headline=True,
+        tags=("dedup",),
+        doc="banded LSH candidate pairs + sig agreement; signatures cached once",
+    )
     b, o = _sql_pair(text.gen_token_stats, ("documents",))
     add("text_token_stats", b, o, tags=("text",), doc="token counting")
     b, o = _sql_pair(text.gen_quality_score, ("documents",))
