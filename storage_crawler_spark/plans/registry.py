@@ -324,6 +324,66 @@ SCHEMA_FILES_ORACLE = (
 )
 
 # --------------------------------------------------------------------------
+# Streaming builders (events file stream, run to completion)
+# --------------------------------------------------------------------------
+
+_WINDOW_S = 300
+_SESSION_GAP_S = 30
+
+
+def _b_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_crawler_spark.streaming import read_events_stream, run_to_completion, windowed_counts
+
+    return run_to_completion(windowed_counts(read_events_stream(spark, sf_dir), _WINDOW_S))
+
+
+def _b_streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_crawler_spark.streaming import read_events_stream, run_to_completion, session_counts
+
+    return run_to_completion(session_counts(read_events_stream(spark, sf_dir), _SESSION_GAP_S))
+
+
+def _b_streaming_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_crawler_spark.streaming import per_key_deltas, read_events_stream, run_to_completion
+
+    return run_to_completion(per_key_deltas(read_events_stream(spark, sf_dir)), output_mode="update")
+
+
+_DUCK_EPOCH_EVENTS = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+STREAMING_WINDOW_ORACLE = f"""
+SELECT (epoch_s // {_WINDOW_S}) * {_WINDOW_S} AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (SELECT {_DUCK_EPOCH_EVENTS} AS epoch_s, event_type, value FROM events) t
+GROUP BY 1, 2
+""".strip()
+
+# Session windows merge events with inter-arrival <= gap (verified: exactly
+# gap apart DOES merge), so islands break on delta > gap; session end is
+# last event + gap.
+STREAMING_SESSION_ORACLE = f"""
+WITH e AS (SELECT event_type, {_DUCK_EPOCH_EVENTS} AS epoch_s FROM events),
+l AS (
+  SELECT event_type, epoch_s,
+         CASE WHEN epoch_s - lag(epoch_s) OVER (PARTITION BY event_type ORDER BY epoch_s)
+                   > {_SESSION_GAP_S} THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+i AS (
+  SELECT event_type, epoch_s,
+         sum(brk) OVER (PARTITION BY event_type ORDER BY epoch_s
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM l
+)
+SELECT min(epoch_s) AS session_start, max(epoch_s) + {_SESSION_GAP_S} AS session_end,
+       event_type, count(*) AS n_events
+FROM i
+GROUP BY event_type, island
+""".strip()
+
+
+# --------------------------------------------------------------------------
 # Registry assembly
 # --------------------------------------------------------------------------
 
@@ -454,6 +514,31 @@ def _specs() -> list[QuerySpec]:
     add("sim_ivf_topk", b, o, tags=("similarity",), doc="IVF-bucketed approximate top-k (scale path)")
     b, o = _sql_pair(multimodal.gen_binary_meta, ("documents",))
     add("multimodal_binary_meta", b, o, tags=("multimodal",), doc="binary payload metadata (length/digest)")
+
+    # Streaming plane (bounded runs via AvailableNow + memory sink;
+    # complete-mode results are batch-equivalent under any micro-batch split,
+    # so the windowed/session aggregations get full SQL oracles) -------------
+    add(
+        "streaming_window_counts",
+        _b_streaming_window_counts,
+        STREAMING_WINDOW_ORACLE,
+        tags=("streaming",),
+        doc="watermarked tumbling-window agg over the events file stream (complete mode)",
+    )
+    add(
+        "streaming_session_counts",
+        _b_streaming_session_counts,
+        STREAMING_SESSION_ORACLE,
+        tags=("streaming",),
+        doc="session_window agg; oracle = gaps-and-islands SQL (break when delta > gap)",
+    )
+    add(
+        "streaming_event_deltas",
+        _b_streaming_deltas,
+        None,
+        tags=("streaming",),
+        doc="applyInPandasWithState per-key deltas (A17 rate analog); rows-only check, pytest-verified vs lag()",
+    )
 
     # Spark-only (no SQL oracle → driver rows-only check) --------------------
     def _simhash_builder(spark, sf_dir):

@@ -1,0 +1,126 @@
+"""Streaming source + windowed aggregations over the events table.
+
+Design notes for the 100 TB shape:
+
+- The source is a *file stream* (``spark.readStream.parquet``): on a real
+  deployment this is the landing zone a crawler appends to, and Spark's
+  file-stream source gives exactly-once per-file processing with
+  ``maxFilesPerTrigger`` back-pressure — the bounded-memory replacement for
+  the reference's unbounded ``multiprocessing.JoinableQueue`` pipelining
+  (storcrawl.py:533-536, which has no backpressure at all).
+- Aggregations run in **complete** output mode for the oracle-checked
+  plane: the final result table is a pure function of the input set, so it
+  is deterministic under ANY micro-batch split — the property the DuckDB
+  oracle comparison needs.  Watermark + append mode (state eviction for
+  truly unbounded streams) is exercised in :func:`windowed_counts` via
+  ``with_watermark`` and covered by tests; at 100 TB the same plan runs in
+  update/append mode with the watermark bounding state.
+- ``run_to_completion`` uses ``Trigger.AvailableNow`` + a memory sink:
+  process everything currently available, possibly as several batches,
+  then stop.  This is the harness that turns a streaming plan into a
+  DataFrame the driver/oracle can hash.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SINK_IDS = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over ``events.parquet`` with an event-time column.
+
+    The driver's parquet stores ``ts`` as nanosecond precision, which Spark
+    reads as LONG (``nanosAsLong``); ``ts_ts`` derives a proper TIMESTAMP
+    (second floor) for window/session operators, matching
+    ``Dialect.epoch_s_events`` on the batch/oracle side.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file-stream sources take a directory; glob-filter to the events table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("epoch_s", F.expr("ts div 1000000000")).withColumn(
+        "ts_ts", F.timestamp_seconds(F.col("epoch_s"))
+    )
+
+
+def windowed_counts(
+    events: DataFrame, width_s: int = 300, watermark: str | None = "10 minutes"
+) -> DataFrame:
+    """Tumbling event-time window counts per event_type.
+
+    Output columns are epoch BIGINTs (window start) so the result is
+    session-timezone independent and directly comparable to the SQL oracle
+    ``(epoch_s div width) * width``.
+    """
+    src = events.withWatermark("ts_ts", watermark) if watermark else events
+    return (
+        src.groupBy(
+            F.window("ts_ts", f"{width_s} seconds").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap_s: int = 30) -> DataFrame:
+    """Session windows (gap-merged) per event_type.
+
+    ``F.session_window`` merges events closer than ``gap_s``; the batch-SQL
+    equivalent is the gaps-and-islands pattern (lag + running flag sum),
+    which is exactly what the oracle runs.  Session end in Spark is
+    ``last_event + gap``; the oracle adds the gap to the island max.
+    """
+    return (
+        events.groupBy(
+            F.session_window("ts_ts", f"{gap_s} seconds").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def run_to_completion(
+    result: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Run a (bounded) streaming DataFrame to completion; return the result.
+
+    ``AvailableNow`` processes all currently-available input — possibly as
+    multiple micro-batches — then terminates; the memory sink holds the
+    final result table.  Complete-mode results are batch-equivalent
+    regardless of how the input was split into batches.
+    """
+    spark = result.sparkSession
+    qname = name or f"stream_result_{next(_SINK_IDS)}"
+    query = (
+        result.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname)

@@ -1,0 +1,110 @@
+"""Streaming plane tests (SURVEY.md §2.8): windowed/session aggregations,
+stateful deltas, and the progress listener, all on the sf0.001 events table
+via bounded AvailableNow runs."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from storage_crawler_spark.streaming import (
+    StatusMetricsListener,
+    per_key_deltas,
+    read_events_stream,
+    run_to_completion,
+    session_counts,
+    windowed_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _batch_events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "epoch_s", F.expr("ts div 1000000000")
+    )
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_windowed_counts_match_batch(spark):
+    stream_out = run_to_completion(windowed_counts(read_events_stream(spark, SF_DIR), 300))
+    batch = (
+        _batch_events(spark)
+        .groupBy(
+            ((F.col("epoch_s") / 300).cast("long") * 300).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _rows(stream_out, *cols) == _rows(batch, *cols)
+
+
+def test_session_counts_match_islands(spark):
+    gap = 30
+    stream_out = run_to_completion(session_counts(read_events_stream(spark, SF_DIR), gap))
+    _batch_events(spark).createOrReplaceTempView("ev_batch")
+    islands = spark.sql(
+        f"""
+        WITH l AS (
+          SELECT event_type, epoch_s,
+                 CASE WHEN epoch_s - lag(epoch_s) OVER (PARTITION BY event_type ORDER BY epoch_s)
+                           > {gap} THEN 1 ELSE 0 END AS brk
+          FROM ev_batch
+        ),
+        i AS (
+          SELECT event_type, epoch_s,
+                 sum(brk) OVER (PARTITION BY event_type ORDER BY epoch_s
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM l
+        )
+        SELECT min(epoch_s) AS session_start, max(epoch_s) + {gap} AS session_end,
+               event_type, count(*) AS n_events
+        FROM i GROUP BY event_type, island
+        """
+    )
+    cols = ["session_start", "session_end", "event_type", "n_events"]
+    assert _rows(stream_out, *cols) == _rows(islands, *cols)
+
+
+def test_stateful_deltas_match_lag(spark):
+    stream_out = run_to_completion(
+        per_key_deltas(read_events_stream(spark, SF_DIR)), output_mode="update"
+    )
+    batch = _batch_events(spark).selectExpr(
+        "event_id",
+        "event_type",
+        "epoch_s",
+        "epoch_s - lag(epoch_s) OVER (PARTITION BY event_type ORDER BY event_id) AS delta_s",
+    )
+    cols = ["event_id", "event_type", "epoch_s", "delta_s"]
+    assert _rows(stream_out, *cols) == _rows(batch, *cols)
+
+
+def test_status_listener_collects_progress(spark):
+    listener = StatusMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        run_to_completion(windowed_counts(read_events_stream(spark, SF_DIR), 300))
+        # listener events are delivered asynchronously
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if any(r[1] == "insert rate" for r in listener.rows):
+                break
+            time.sleep(0.5)
+        df = listener.to_df(spark)
+        assert df.columns == ["time_s", "status", "value", "units"]
+        statuses = {r[1] for r in listener.rows}
+        assert "stream begin" in statuses
+        assert "insert rate" in statuses, f"no progress rows captured: {statuses}"
+    finally:
+        spark.streams.removeListener(listener)
