@@ -1,0 +1,122 @@
+"""PostgreSQL parity adapter: schema-per-tag DDL + batched JDBC writes.
+
+The reference's sink is psycopg2 row-at-a-time INSERTs, group-committed on
+a timer (storcrawl.py:314-417), after a DDL bootstrap that drops and
+re-creates the per-tag schema (storcrawl.py:88-164) and provisions a
+read-only reporting user (storcrawl.py:166-215).  Here the DDL is rendered
+from the engine's canonical StructType schemas — one source of truth — and
+the data path is Spark's JDBC writer: executor-parallel batched INSERTs
+(``batchsize``), the scalable replacement for group commit.
+
+No PostgreSQL server or JDBC driver ships in this environment, so
+``write_files_jdbc`` raises a clear error when the driver is absent; the
+DDL renderers are pure functions and fully unit-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from storage_crawler_spark.schemas import FILES_SCHEMA, STATUS_SCHEMA
+
+# Spark type → PostgreSQL type for the reference's files DDL
+# (storcrawl.py:132-148; bit(19) and bytea restored on the way out).
+_PG_OVERRIDES = {
+    "path": "bytea",
+    "extension": "bytea",
+    "st_mode": "bit(19)",
+    "st_dev": "text",
+}
+
+_PG_TYPES = {
+    T.LongType(): "bigint",
+    T.IntegerType(): "int",
+    T.DoubleType(): "double precision",
+    T.StringType(): "text",
+    T.BinaryType(): "bytea",
+    T.TimestampType(): "timestamp with time zone",
+    T.BooleanType(): "boolean",
+}
+
+
+def _pg_type(field: T.StructField) -> str:
+    if field.name in _PG_OVERRIDES:
+        return _PG_OVERRIDES[field.name]
+    return _PG_TYPES.get(field.dataType, "text")
+
+
+def _render_table(schema_name: str, table: str, st: T.StructType, serial_id: bool) -> str:
+    cols = []
+    for f in st.fields:
+        if serial_id and f.name == "id":
+            cols.append("id SERIAL")
+            continue
+        null = "" if f.nullable else " NOT NULL"
+        cols.append(f"{f.name} {_pg_type(f)}{null}")
+    body = ",\n  ".join(cols)
+    return f"CREATE TABLE {schema_name}.{table} (\n  {body}\n)"
+
+
+def files_table_ddl(tag: str) -> str:
+    """files DDL (storcrawl.py:132-148) rendered from FILES_SCHEMA."""
+    return _render_table(f"storcrawl_{tag}", "files", FILES_SCHEMA, serial_id=True)
+
+
+def status_table_ddl(tag: str) -> str:
+    """Normalized status DDL (SURVEY.md §1.3 design decision: the jsonb
+    blob the reference creates cannot serve its own report queries)."""
+    return _render_table(f"storcrawl_{tag}", "status", STATUS_SCHEMA, serial_id=True)
+
+
+def schema_lifecycle_ddl(tag: str) -> list[str]:
+    """The destructive re-create sequence (storcrawl.py:88-164)."""
+    s = f"storcrawl_{tag}"
+    return [
+        f"DROP SCHEMA IF EXISTS {s} CASCADE",
+        f"CREATE SCHEMA {s}",
+        files_table_ddl(tag),
+        status_table_ddl(tag),
+    ]
+
+
+def reporting_user_ddl(tag: str, user: str, password: str) -> list[str]:
+    """Read-only reporting-user provisioning (storcrawl.py:166-215)."""
+    s = f"storcrawl_{tag}"
+    return [
+        f"DROP OWNED BY {user}",
+        f"DROP USER IF EXISTS {user}",
+        f"CREATE USER {user} ENCRYPTED PASSWORD '{password}'",
+        f"GRANT USAGE ON SCHEMA {s} TO {user}",
+        f"GRANT SELECT ON ALL TABLES IN SCHEMA {s} TO {user}",
+        f"ALTER DEFAULT PRIVILEGES IN SCHEMA {s} GRANT SELECT ON TABLES TO {user}",
+        f"GRANT CONNECT ON DATABASE current_database() TO {user}",
+    ]
+
+
+def write_files_jdbc(
+    files: DataFrame,
+    url: str,
+    tag: str = "crawl",
+    batchsize: int = 10_000,
+    mode: str = "append",
+    properties: dict | None = None,
+) -> None:
+    """Executor-parallel batched JDBC append of the files table.
+
+    ``batchsize`` plays the reference's group-commit role
+    (storcrawl.py:382-391) — rows buffer into multi-row INSERT batches per
+    partition instead of committing on a wall-clock timer.
+    """
+    props = {"driver": "org.postgresql.Driver", **(properties or {})}
+    try:
+        (
+            files.write.mode(mode)
+            .option("batchsize", batchsize)
+            .jdbc(url, f"storcrawl_{tag}.files", properties=props)
+        )
+    except Exception as exc:  # driver jar absent in this environment
+        raise RuntimeError(
+            "JDBC write failed — is the PostgreSQL JDBC driver on the Spark "
+            "classpath? (spark.jars / --jars org.postgresql:postgresql)"
+        ) from exc

@@ -1,0 +1,91 @@
+"""Parquet lake sink: the engine's primary storage layout.
+
+The reference keeps one PostgreSQL schema per crawl run
+(``storcrawl_<tag>``, storcrawl.py:59/:103) holding ``files`` + ``status``.
+The lake mirrors that namespace as a directory layout:
+
+    <root>/storcrawl_<tag>/files/    (Parquet, range-partitioned by path)
+    <root>/storcrawl_<tag>/status/   (Parquet, append-only)
+
+Scale design (the 100 TB shape):
+
+- **Range partition by path** before writing: lexicographically contiguous
+  subtrees land in the same files, so Parquet min/max column stats prune
+  subtree-scoped queries (``path LIKE '/data/x/%'``) to a handful of files
+  — the lake-native analog of an index on path.  Range partitioning also
+  avoids the small-files problem a ``partitionBy(top_dir)`` layout hits on
+  skewed trees (one huge partition per heavy top-level dir, thousands of
+  tiny ones elsewhere).
+- **Append-only status**: each crawl/report run appends normalized metric
+  rows; readers aggregate (latest-per-key via window, B8) instead of
+  updating in place.
+- ``drop_tag`` + overwrite mode reproduce the reference's destructive
+  re-create semantics (DROP SCHEMA … CASCADE, storcrawl.py:97-131).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from storage_crawler_spark.crawl.pipeline import CrawlResult
+
+
+def _tag_dir(root: str, tag: str) -> str:
+    return os.path.join(root, f"storcrawl_{tag}")
+
+
+def write_crawl(
+    result: CrawlResult,
+    root: str,
+    tag: str = "crawl",
+    mode: str = "overwrite",
+    target_partitions: int | None = None,
+) -> str:
+    """Persist a crawl result under ``<root>/storcrawl_<tag>/``.
+
+    ``target_partitions`` sizes the files table's output files; default is
+    the session's shuffle parallelism.  Returns the tag directory.
+    """
+    tag_dir = _tag_dir(root, tag)
+    files, status = result.files, result.status
+    n = target_partitions or files.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    (
+        files.repartitionByRange(int(n), "path")
+        .sortWithinPartitions("path")
+        .write.mode(mode)
+        .parquet(os.path.join(tag_dir, "files"))
+    )
+    status.write.mode("append").parquet(os.path.join(tag_dir, "status"))
+    return tag_dir
+
+
+def read_files(spark: SparkSession, root: str, tag: str = "crawl") -> DataFrame:
+    return spark.read.parquet(os.path.join(_tag_dir(root, tag), "files"))
+
+
+def read_status(spark: SparkSession, root: str, tag: str = "crawl") -> DataFrame:
+    return spark.read.parquet(os.path.join(_tag_dir(root, tag), "status"))
+
+
+def list_tags(root: str) -> list[str]:
+    """Crawl tags present under the lake root (schema namespaces, B2 analog)."""
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        d[len("storcrawl_"):]
+        for d in os.listdir(root)
+        if d.startswith("storcrawl_") and os.path.isdir(os.path.join(root, d))
+    )
+
+
+def drop_tag(root: str, tag: str) -> bool:
+    """DROP SCHEMA … CASCADE analog (storcrawl.py:97-101): remove a tag's
+    entire namespace.  Returns whether anything existed."""
+    tag_dir = _tag_dir(root, tag)
+    existed = os.path.isdir(tag_dir)
+    if existed:
+        shutil.rmtree(tag_dir)
+    return existed
