@@ -172,18 +172,22 @@ GROUP BY event_type
 
 
 def _anti_join_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no urgent order (every customer has SOME order in the
+    synthetic data, so the plain no-orders anti-join is vacuously empty —
+    the priority condition makes the check exercise real row elimination)."""
     V.register_base_tables(spark, sf_dir, ("customer", "orders"))
     cust = spark.table("customer")
     orders = spark.table("orders")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-    )
+    cond = (cust.c_custkey == orders.o_custkey) & (orders.o_orderpriority == "1-URGENT")
+    return cust.join(orders, cond, "left_anti").select("c_custkey", "c_name")
 
 
 ANTI_ORACLE = """
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
 """.strip()
 
 # --------------------------------------------------------------------------
@@ -478,6 +482,12 @@ def _specs() -> list[QuerySpec]:
     )
     b, o = _sql_pair(gen_json_props, ("events",))
     add("events_json_props", b, o, tags=("json",), doc="semi-structured JSON extraction + agg")
+
+    from storage_crawler_spark.plans.tpch import TPCH_EXTRA
+
+    for name, sql, tables, doc in TPCH_EXTRA:
+        b, o = _shared_sql(sql, tables)
+        add(name, b, o, tags=("tpch",), doc=doc)
 
     # LLM-pipeline plane -----------------------------------------------------
     b, o = _sql_pair(dedup.gen_dedup_exact, ("documents",))
