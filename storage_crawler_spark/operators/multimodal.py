@@ -99,6 +99,78 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("frame_offset", T.LongType(), False),
+        T.StructField("frame_bytes", T.BinaryType(), True),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4, frame_len: int = 64) -> DataFrame:
+    """UDTF-shaped frame sampling: 1 media row → up to ``n_frames`` rows.
+
+    Stands in for video keyframe extraction: the payload is sliced at
+    evenly-spaced offsets (a real deployment swaps the slicer for libav
+    keyframe decode — batching, fan-out schema, and partitioning are what
+    Spark sees either way).  Frame count is a pure function of payload
+    length, so row counts are deterministic for the driver's checks.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if content is None:
+                    continue
+                blob = bytes(content)
+                k = min(n_frames, max(len(blob) // frame_len, 1))
+                for i in range(k):
+                    off = (len(blob) * i) // k
+                    rows.append((doc_id, i, off, blob[off : off + frame_len]))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def resize_stub(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Image-resize plumbing: binary in → binary out with target dims.
+
+    The 'resize' here is a deterministic byte subsample (every k-th byte to
+    hit the target payload size); a real deployment swaps in PIL/opencv —
+    the Arrow round-trip of binary columns through mapInPandas is the part
+    Spark cares about.  Raises ``NotImplementedError`` via decode_stub for
+    media types without a codec.
+    """
+    target_bytes = max(target_w * target_h // 256, 16)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), True),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content, mtype in zip(pdf["doc_id"], pdf["content"], pdf["media_type"]):
+                if content is None:
+                    rows.append((doc_id, mtype, target_w, target_h, None))
+                    continue
+                blob = bytes(content)
+                step = max(len(blob) // target_bytes, 1)
+                rows.append((doc_id, mtype, target_w, target_h, blob[::step][:target_bytes]))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return media.mapInPandas(kernel, out_schema)
+
+
 def gen_binary_meta(d: Dialect) -> str:
     """Oracle-checked binary metadata: byte length, md5 digest, first byte."""
     return f"""

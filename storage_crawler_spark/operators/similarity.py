@@ -17,21 +17,29 @@ from __future__ import annotations
 from storage_crawler_spark.plans.dialect import Dialect
 
 
-def _cosine(d: Dialect, a: str, b: str) -> str:
-    av, bv = d.cast_double_arr(a), d.cast_double_arr(b)
-    dot = d.dot(av, bv)
-    na = d.dot(av, av)
-    nb = d.dot(bv, bv)
-    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+def _norm_cte(d: Dialect, with_bucket: bool = False) -> str:
+    """Per-vector prep: double array + L2 norm (and optionally the sign
+    bucket), computed ONCE per vector.  Downstream pair math is then a
+    single dot product — without this, every pair pays three dot folds
+    (dot, |a|², |b|²), tripling the hot-path cost."""
+    ev = d.cast_double_arr("embedding")
+    bkt = f", {_bucket(d, 'ev')} AS bkt" if with_bucket else ""
+    return f"""v0 AS (SELECT vec_id, label, {ev} AS ev FROM embeddings),
+v AS (SELECT vec_id, label, ev, sqrt({d.dot('ev', 'ev')}) AS nrm{bkt} FROM v0)"""
 
 
 def gen_cosine_topk(d: Dialect, query_vec_id: int = 0, k: int = 10) -> str:
-    """Exact cosine top-k against the embedding of ``query_vec_id``."""
-    cos = _cosine(d, "e.embedding", "q.qv")
+    """Exact cosine top-k against the embedding of ``query_vec_id``.
+
+    ``sqrt(na)*sqrt(nb)`` is precomputed per side in the norm CTE — the
+    expression tree per pair is one dot fold and two scalar multiplies, so
+    the corpus scan stays map-only ahead of TakeOrderedAndProject."""
+    cos = f"({d.dot('e.ev', 'q.ev')}) / (e.nrm * q.nrm)"
     return f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id})
+WITH {_norm_cte(d)},
+q AS (SELECT ev, nrm FROM v WHERE vec_id = {query_vec_id})
 SELECT e.vec_id, e.label, round({cos}, 4) AS cosine
-FROM embeddings e CROSS JOIN q
+FROM v e CROSS JOIN q
 WHERE e.vec_id <> {query_vec_id}
 ORDER BY {cos} DESC, e.vec_id
 LIMIT {k}
@@ -53,14 +61,39 @@ def gen_ivf_topk(d: Dialect, query_vec_id: int = 0, k: int = 10) -> str:
     """IVF-bucketed ANN: probe only vectors in the query's sign bucket.
     Approximate by construction — recall < 1 is expected and measured by
     comparing to gen_cosine_topk, not hidden."""
-    cos = _cosine(d, "e.embedding", "q.qv")
-    eb = _bucket(d, "e.embedding")
-    qb = _bucket(d, "q.qv")
+    cos = f"({d.dot('e.ev', 'q.ev')}) / (e.nrm * q.nrm)"
     return f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id})
+WITH {_norm_cte(d, with_bucket=True)},
+q AS (SELECT ev, nrm, bkt FROM v WHERE vec_id = {query_vec_id})
 SELECT e.vec_id, e.label, round({cos}, 4) AS cosine
-FROM embeddings e CROSS JOIN q
-WHERE e.vec_id <> {query_vec_id} AND {eb} = {qb}
+FROM v e CROSS JOIN q
+WHERE e.vec_id <> {query_vec_id} AND e.bkt = q.bkt
 ORDER BY {cos} DESC, e.vec_id
 LIMIT {k}
+""".strip()
+
+
+def gen_embedding_near_dup(d: Dialect, threshold: float = 0.35, nbits: int = 4) -> str:
+    """Embedding-cosine near-duplicate pairs (the dedup tier over vectors).
+
+    Blocking: sign-pattern bucket over the leading components — two copies
+    of the same underlying item land in the same bucket unless noise flips
+    a leading sign, the standard random-hyperplane LSH recall tradeoff
+    (more tables/bits at scale).  Within a bucket the pair join computes
+    one dot per pair against precomputed norms; at 100 TB the bucket key
+    is the shuffle key and no cross-bucket pair is ever materialized.
+
+    The default threshold is tuned to the synthetic embeddings (near-
+    random vectors, max pairwise cosine ≈ 0.51): real dedup corpora use
+    0.9+; the plan shape is threshold-independent.
+    """
+    cos = f"({d.dot('a.ev', 'b.ev')}) / (a.nrm * b.nrm)"
+    return f"""
+WITH {_norm_cte(d, with_bucket=True)}
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {d.trunc6(cos)} AS cosine
+  FROM v a JOIN v b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+) p
+WHERE cosine >= {threshold}
 """.strip()

@@ -522,6 +522,14 @@ def _specs() -> list[QuerySpec]:
     add("sim_cosine_topk", b, o, headline=True, tags=("similarity",), doc="brute-force cosine top-k (exact baseline)")
     b, o = _sql_pair(similarity.gen_ivf_topk, ("embeddings",))
     add("sim_ivf_topk", b, o, tags=("similarity",), doc="IVF-bucketed approximate top-k (scale path)")
+    b, o = _sql_pair(similarity.gen_embedding_near_dup, ("embeddings",))
+    add(
+        "dedup_embedding_cosine",
+        b,
+        o,
+        tags=("dedup", "similarity"),
+        doc="embedding-cosine near-dup pairs, sign-bucket LSH blocked, precomputed norms",
+    )
     b, o = _sql_pair(multimodal.gen_binary_meta, ("documents",))
     add("multimodal_binary_meta", b, o, tags=("multimodal",), doc="binary payload metadata (length/digest)")
 
@@ -577,6 +585,20 @@ def _specs() -> list[QuerySpec]:
         None,
         tags=("multimodal",),
         doc="binary decode/feature plumbing (stubbed codec), mapInPandas",
+    )
+
+    def _frame_sample_builder(spark, sf_dir):
+        from storage_crawler_spark.operators.multimodal import documents_as_media, frame_sample
+
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        return frame_sample(documents_as_media(spark.table("documents")))
+
+    add(
+        "multimodal_frame_sample",
+        _frame_sample_builder,
+        None,
+        tags=("multimodal",),
+        doc="UDTF-shaped frame sampling (1 media row → k frame rows), mapInPandas",
     )
 
     return specs

