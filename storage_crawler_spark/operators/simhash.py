@@ -62,17 +62,23 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Candidate pairs via 16-bit chunk equality (pigeonhole over 4 chunks
     guarantees recall for distance ≤ 3), verified by exact Hamming distance.
+
+    Fingerprints are persisted before the chunk fan-out: the pandas-UDF
+    hash is the expensive stage and the plan references it on both join
+    sides — without the persist Spark would recompute it per reference
+    (at 100 TB: a materialized fingerprint table).  The 4-chunk fan-out is
+    a single posexplode pass, not a 4-way union of re-scans.
     """
-    fp = simhash_fingerprints(docs)
-    chunks = None
-    for c in range(4):
-        part = fp.select(
-            "doc_id",
-            "simhash",
-            F.lit(c).alias("chunk_id"),
-            F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
-        )
-        chunks = part if chunks is None else chunks.unionByName(part)
+    fp = simhash_fingerprints(docs).persist()
+    chunk_vals = F.array(
+        *[
+            F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))
+            for c in range(4)
+        ]
+    )
+    chunks = fp.select(
+        "doc_id", "simhash", F.posexplode(chunk_vals).alias("chunk_id", "chunk_val")
+    )
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (
