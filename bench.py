@@ -36,6 +36,12 @@ def main() -> int:
 
     register_base_tables(spark, sf_dir)
     spark.table("lineitem").count()
+    # spin up the Python/Arrow UDF workers too — worker fork/import time is
+    # environment startup, not query cost
+    from pyspark.sql.functions import col
+    from storage_crawler_spark.operators.simhash import simhash_udf
+
+    spark.range(32).select(simhash_udf(col("id").cast("string"))).count()
 
     timings: dict[str, float] = {}
     for name in headline_queries():
