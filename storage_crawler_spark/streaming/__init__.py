@@ -22,6 +22,7 @@ from storage_crawler_spark.streaming.events import (
     session_counts,
     windowed_counts,
 )
+from storage_crawler_spark.streaming.incremental import incremental_crawl, read_path_stream
 from storage_crawler_spark.streaming.listener import StatusMetricsListener
 from storage_crawler_spark.streaming.stateful import per_key_deltas
 
@@ -32,4 +33,6 @@ __all__ = [
     "windowed_counts",
     "per_key_deltas",
     "StatusMetricsListener",
+    "incremental_crawl",
+    "read_path_stream",
 ]

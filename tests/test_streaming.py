@@ -108,3 +108,45 @@ def test_status_listener_collects_progress(spark):
         assert "insert rate" in statuses, f"no progress rows captured: {statuses}"
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_incremental_crawl_epochs(spark, tmp_path):
+    """Two landing waves → two epochs, exactly-once, status rows per epoch."""
+    from storage_crawler_spark.streaming import incremental_crawl
+
+    tree = tmp_path / "tree"
+    tree.mkdir()
+    f1 = tree / "one.txt"
+    f1.write_text("1")
+    f2 = tree / "two.tar.gz"
+    f2.write_text("22")
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    lake = str(tmp_path / "lake")
+
+    (landing / "wave1.txt").write_text(f"{f1}\n")
+    q = incremental_crawl(spark, str(landing), lake, tag="inc")
+    q.awaitTermination()
+
+    (landing / "wave2.txt").write_text(f"{f2}\n{tmp_path}/missing\n")
+    q = incremental_crawl(spark, str(landing), lake, tag="inc")
+    q.awaitTermination()
+
+    files = spark.read.parquet(f"{lake}/storcrawl_inc/files")
+    rows = {bytes(r.path).decode(): r for r in files.collect()}
+    assert set(rows) == {str(f1), str(f2), f"{tmp_path}/missing"}
+    assert rows[str(f1)].st_size == 1
+    assert bytes(rows[str(f2)].extension) == b"tar.gz"
+    assert rows[f"{tmp_path}/missing"].error is not None
+    assert rows[f"{tmp_path}/missing"].st_size is None
+
+    status = spark.read.parquet(f"{lake}/storcrawl_inc/status")
+    inserts = sorted((r.id, r.value) for r in status.collect())
+    assert len(inserts) == 2  # one status row per epoch
+    assert sum(v for _, v in inserts) == 3.0
+
+    # re-running with nothing new landed appends nothing (exactly-once)
+    q = incremental_crawl(spark, str(landing), lake, tag="inc")
+    q.awaitTermination()
+    assert spark.read.parquet(f"{lake}/storcrawl_inc/files").count() == 3
