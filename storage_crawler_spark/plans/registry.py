@@ -328,6 +328,47 @@ SCHEMA_FILES_ORACLE = (
 )
 
 # --------------------------------------------------------------------------
+# Skew builders
+# --------------------------------------------------------------------------
+
+
+def _b_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_crawler_spark.operators.skew import salted_agg
+
+    V.register_base_tables(spark, sf_dir, ("orders",))
+    df = spark.table("orders").withColumn(
+        "price_dec", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    out = salted_agg(
+        df,
+        key="o_orderstatus",
+        aggs={
+            "n_orders": "count(*)",
+            "sum_price": "sum(price_dec)",
+            "max_price": "max(o_totalprice)",
+            "min_key": "min(o_orderkey)",
+        },
+        spread_cols=["o_orderkey"],
+        n_salts=16,
+    )
+    return out.select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("sum_price").cast("double").alias("sum_price"),
+        "max_price",
+        "min_key",
+    )
+
+
+SALTED_AGG_ORACLE = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       max(o_totalprice) AS max_price, min(o_orderkey) AS min_key
+FROM orders GROUP BY o_orderstatus
+""".strip()
+
+
+# --------------------------------------------------------------------------
 # Streaming builders (events file stream, run to completion)
 # --------------------------------------------------------------------------
 
@@ -532,6 +573,17 @@ def _specs() -> list[QuerySpec]:
     )
     b, o = _sql_pair(multimodal.gen_binary_meta, ("documents",))
     add("multimodal_binary_meta", b, o, tags=("multimodal",), doc="binary payload metadata (length/digest)")
+
+    # Skew plane: salted two-phase aggregation must equal the plain groupBy
+    # (algebraic partials combine losslessly; decimal sums are exact so
+    # re-summation order cannot change the hash) ----------------------------
+    add(
+        "skew_salted_agg",
+        _b_skew_salted_agg,
+        SALTED_AGG_ORACLE,
+        tags=("skew", "agg"),
+        doc="salted (key,salt) partial agg + final combine == plain GROUP BY",
+    )
 
     # Streaming plane (bounded runs via AvailableNow + memory sink;
     # complete-mode results are batch-equivalent under any micro-batch split,

@@ -62,6 +62,32 @@ def write_crawl(
     return tag_dir
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int = 8,
+    path: str | None = None,
+    mode: str = "overwrite",
+    sorted_by_key: bool = True,
+) -> None:
+    """Bucketed (hash-partitioned-at-rest) catalog table for co-located joins.
+
+    Two tables bucketed by the same keys into the same bucket count join
+    WITHOUT a shuffle — each bucket pair is joined in place.  At 100 TB
+    this is the standing answer for the fact↔fact joins that would
+    otherwise shuffle the big side every query (e.g. files↔files across
+    crawl tags, lineitem↔orders).  ``sorted_by_key`` additionally persists
+    sort order so the sort-merge join skips its sort.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *keys)
+    if sorted_by_key:
+        writer = writer.sortBy(*keys)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def read_files(spark: SparkSession, root: str, tag: str = "crawl") -> DataFrame:
     return spark.read.parquet(os.path.join(_tag_dir(root, tag), "files"))
 
