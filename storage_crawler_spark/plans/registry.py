@@ -610,6 +610,36 @@ def _specs() -> list[QuerySpec]:
         doc="applyInPandasWithState per-key deltas (A17 rate analog); rows-only check, pytest-verified vs lag()",
     )
 
+    # Sketch plane (estimates are not bit-stable across engines → rows-only;
+    # accuracy vs exact is pytest-asserted) ----------------------------------
+    def _b_sketch_distinct(spark, sf_dir):
+        from storage_crawler_spark.operators.sketches import approx_distinct_by
+
+        V.register_base_tables(spark, sf_dir, ("events",))
+        return approx_distinct_by(spark.table("events"), "event_type", "user_id")
+
+    add(
+        "sketch_distinct_users",
+        _b_sketch_distinct,
+        None,
+        tags=("sketch", "agg"),
+        doc="HLL++ distinct users per event type (rows-only; ±2% vs exact in pytest)",
+    )
+
+    def _b_sketch_quantiles(spark, sf_dir):
+        from storage_crawler_spark.operators.sketches import approx_quantiles_by
+
+        V.register_base_tables(spark, sf_dir, ("events",))
+        return approx_quantiles_by(spark.table("events"), "event_type", "value")
+
+    add(
+        "sketch_value_quantiles",
+        _b_sketch_quantiles,
+        None,
+        tags=("sketch", "agg"),
+        doc="GK-sketch value quantiles per event type (rows-only)",
+    )
+
     # Spark-only (no SQL oracle → driver rows-only check) --------------------
     def _simhash_builder(spark, sf_dir):
         from storage_crawler_spark.operators.simhash import simhash_near_dups

@@ -13,6 +13,12 @@ from storage_crawler_spark.operators.multimodal import (
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def _register_events(spark):
+    from storage_crawler_spark.plans.views import register_base_tables
+
+    register_base_tables(spark, SF_DIR, ("events",))
+
+
 def _media(spark):
     spark.read.parquet(f"{SF_DIR}/documents.parquet").createOrReplaceTempView("documents")
     return documents_as_media(spark.table("documents"))
@@ -59,3 +65,45 @@ def test_embedding_near_dup_matches_brute_force(spark):
     out = spark.sql(gen_embedding_near_dup(SPARK, threshold=0.3)).collect()
     assert all(r.cosine >= 0.3 for r in out)
     assert all(r.vec_a < r.vec_b for r in out)
+
+
+def test_sketch_distinct_within_tolerance(spark):
+    from storage_crawler_spark.operators.sketches import approx_distinct_by
+
+    _register_events(spark)
+    ev = spark.table("events")
+    approx = {r.event_type: r.approx_distinct_user_id for r in approx_distinct_by(ev, "event_type", "user_id").collect()}
+    exact = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(approx) == set(exact)
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(0.05 * e, 2), (k, approx[k], e)
+
+
+def test_sketch_quantiles_ordered_and_bounded(spark):
+    from storage_crawler_spark.operators.sketches import approx_quantiles_by
+
+    _register_events(spark)
+    ev = spark.table("events")
+    rows = approx_quantiles_by(ev, "event_type", "value").collect()
+    bounds = {
+        r.event_type: (r.lo, r.hi)
+        for r in ev.groupBy("event_type").agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()
+    }
+    assert rows
+    for r in rows:
+        qs = [r.p25, r.p50, r.p90, r.p99]
+        if any(q is None for q in qs):
+            continue  # all-NULL value groups (e.g. signup events)
+        assert qs == sorted(qs)
+        lo, hi = bounds[r.event_type]
+        assert lo <= qs[0] and qs[-1] <= hi
+
+
+def test_heavy_hitter_sketch_deterministic(spark):
+    from storage_crawler_spark.operators.sketches import heavy_hitter_sketch
+
+    _register_events(spark)
+    ev = spark.table("events")
+    a = bytes(heavy_hitter_sketch(ev, "event_type").collect()[0].cms)
+    b = bytes(heavy_hitter_sketch(ev, "event_type").collect()[0].cms)
+    assert a == b and len(a) > 0
