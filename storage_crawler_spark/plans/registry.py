@@ -141,6 +141,46 @@ FROM (
 WHERE rn <= 3
 """.strip()
 
+# Sliding-frame window: sum/count over an explicit ROWS frame.  The ratio is
+# computed outside the frame from an exact DECIMAL sum — engines disagree on
+# floating sliding-aggregate strategies (recompute vs add/remove), decimals
+# don't care.
+MOVING_AGG_SQL = """
+SELECT event_id, event_type,
+       (CAST(floor((CAST(win_sum AS DOUBLE) / win_n) * 1000000) AS DOUBLE) / 1000000) AS moving_avg,
+       win_n
+FROM (
+  SELECT event_id, event_type,
+         sum(CAST(value AS DECIMAL(18,2))) OVER w AS win_sum,
+         count(value) OVER w AS win_n
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+) t
+WHERE win_n > 0
+""".strip()
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""".strip()
+
+SETOPS_SQL = """
+SELECT 'urgent_and_building' AS cohort, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+) a
+UNION ALL
+SELECT 'building_never_urgent' AS cohort, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+) b
+""".strip()
+
 
 def gen_event_deltas(d: Dialect) -> str:
     e = d.epoch_s_events("ts")
@@ -512,6 +552,12 @@ def _specs() -> list[QuerySpec]:
     add("window_topk_orders", b, o, headline=True, tags=("window",), doc="row_number top-k per group")
     b, o = _sql_pair(gen_event_deltas, ("events",))
     add("window_event_deltas", b, o, tags=("window",), doc="lag() rate/delta derivation (A17 analog)")
+    b, o = _shared_sql(MOVING_AGG_SQL, ("events",))
+    add("window_moving_avg", b, o, tags=("window",), doc="sliding ROWS-frame aggregate (exact decimal sums)")
+    b, o = _shared_sql(GROUPING_SETS_SQL, ("orders",))
+    add("grouping_sets_orders", b, o, tags=("agg",), doc="explicit GROUPING SETS (multi-granularity agg)")
+    b, o = _shared_sql(SETOPS_SQL, ("customer", "orders"))
+    add("setops_customer_cohorts", b, o, tags=("setops",), doc="INTERSECT / EXCEPT cohort split")
     b, o = _sql_pair(gen_rollup_daily, ("events",))
     add("rollup_events_daily", b, o, tags=("agg",), doc="ROLLUP grouping sets over event days")
     add(
