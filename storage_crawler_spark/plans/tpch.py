@@ -5,12 +5,21 @@ partsupp and the comment/shipmode/phone/date-pair columns, so each query
 here keeps its TPC-H *operator shape* (the thing the engine must plan
 well) with predicates adapted to the available columns:
 
+q2  correlated scalar-min subquery      q13 outer join + grouped histogram
 q4  EXISTS semi-join + group            q14 conditional-ratio agg (LIKE)
 q7  multi-join, two-dimension group     q15 scalar-subquery max (view top-1)
 q8  market-share ratio by year          q16 distinct-count aggregation
-q10 join + agg + top-k by measure       q17 correlated scalar avg subquery
-q13 outer join + grouped histogram      q18 IN over grouped HAVING
-q19 disjunctive multi-predicate scan    q22 NOT EXISTS + avg-threshold filter
+q9  5-way join, profit by nation/year   q17 correlated scalar avg subquery
+q10 join + agg + top-k by measure       q18 IN over grouped HAVING
+q11 grouped HAVING vs global scalar     q19 disjunctive multi-predicate scan
+q12 conditional two-sum agg             q20 nested IN + grouped HAVING
+q21 EXISTS/NOT EXISTS self-joins        q22 NOT EXISTS + avg-threshold filter
+
+(q1/q3/q5/q6 live in registry.py as headline queries; with the shapes here
+the full 22-query TPC-H operator surface is covered.  partsupp does not
+exist in the testdata, so q2/q9/q11/q20 use lineitem as the part↔supplier
+relation and p_retailprice as the cost column — operator shape preserved,
+predicates adapted.)
 
 Determinism rules (the driver hashes result values across engines):
 money sums go through DECIMAL(18,2); ratios/averages are floor-truncated
@@ -197,12 +206,145 @@ GROUP BY cntrycode
 ORDER BY cntrycode
 """.strip()
 
+# q2 shape: correlated scalar-min subquery that repeats the outer query's
+# join tree (the classic decorrelation stress test).  The testdata has no
+# partsupp, so lineitem serves as the part↔supplier "offer" relation and
+# l_extendedprice as the offered cost; equality on a *stored* double (no
+# arithmetic) is exact in both engines.  DISTINCT because several lineitems
+# can tie at the minimum for the same (part, supplier).
+Q2_SQL = """
+SELECT DISTINCT s.s_acctbal AS acctbal, s.s_name AS supp_name, n.n_name AS nation,
+       p.p_partkey AS partkey, p.p_type AS ptype
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND p.p_size = 10
+  AND l.l_extendedprice = (
+    SELECT min(l2.l_extendedprice)
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA'
+  )
+ORDER BY acctbal DESC, nation, supp_name, partkey
+LIMIT 100
+""".strip()
+
+# q9 shape: LIKE-filtered part, 5-way join, profit = revenue − cost, grouped
+# by (nation, year).  p_retailprice stands in for ps_supplycost.
+Q9_SQL = """
+SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))
+           - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2)) AS amount
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE 'red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""".strip()
+
+# q11 shape: grouped value HAVING > fraction-of-global scalar subquery.
+# Both sides reduced to DOUBLE via one exact DECIMAL sum before the single
+# float multiply/compare, so the threshold cannot flip between engines.
+Q11_SQL = """
+SELECT l.l_partkey AS partkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_7'
+GROUP BY l.l_partkey
+HAVING CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) > (
+  SELECT CAST(sum(CAST(l2.l_extendedprice AS DECIMAL(18,2)) * CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 0.001
+  FROM lineitem l2
+  JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+  WHERE n2.n_name = 'NATION_7'
+)
+ORDER BY part_value DESC, partkey
+""".strip()
+
+# q12 shape: join + two conditional sums by category.  l_linestatus stands in
+# for l_shipmode; "shipped after ordering within 1997" for the date window.
+Q12_SQL = """
+SELECT l.l_linestatus AS linestatus,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+  AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE)
+GROUP BY l.l_linestatus
+ORDER BY linestatus
+""".strip()
+
+# q20 shape: IN over a grouped-HAVING subquery that itself nests an IN over a
+# LIKE-filtered part list.  sum(l_quantity) is an integer-valued double —
+# exact in any summation order.
+Q20_SQL = """
+SELECT s.s_name AS name, n.n_name AS nation
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING sum(l.l_quantity) > 50
+)
+ORDER BY name
+""".strip()
+
+# q21 shape: EXISTS (another supplier on the order) + NOT EXISTS (another
+# *late* supplier on the order), late = shipped >60 days after order date
+# (no receipt/commit dates in the testdata).
+Q21_SQL = """
+SELECT s.s_name AS name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND n.n_name = 'NATION_3'
+  AND CAST(l1.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND CAST(l3.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, name
+LIMIT 100
+""".strip()
+
+
 # (name, sql, tables, doc) — registry consumes this.
 TPCH_EXTRA = [
+    ("tpch_q2_min_cost_supplier", Q2_SQL, ("part", "lineitem", "supplier", "nation", "region"), "correlated scalar-min subquery repeating the outer join tree (q2 shape)"),
     ("tpch_q4_order_priority", Q4_SQL, ("orders", "lineitem"), "EXISTS semi-join + group (q4 shape)"),
     ("tpch_q7_volume_shipping", Q7_SQL, ("supplier", "lineitem", "orders", "customer", "nation"), "5-way join, two-dimension group + year extract (q7 shape)"),
     ("tpch_q8_market_share", Q8_SQL, ("lineitem", "part", "supplier", "orders", "nation"), "conditional-ratio market share by year (q8 shape)"),
+    ("tpch_q9_product_profit", Q9_SQL, ("lineitem", "supplier", "part", "orders", "nation"), "LIKE-filtered 5-way join, profit by nation/year (q9 shape)"),
     ("tpch_q10_returned_items", Q10_SQL, ("customer", "orders", "lineitem", "nation"), "join + agg + top-k by measure (q10 shape)"),
+    ("tpch_q11_important_stock", Q11_SQL, ("lineitem", "supplier", "nation"), "grouped HAVING vs fraction-of-global scalar subquery (q11 shape)"),
+    ("tpch_q12_priority_shipping", Q12_SQL, ("orders", "lineitem"), "join + conditional two-sum aggregate (q12 shape)"),
     ("tpch_q13_customer_distribution", Q13_SQL, ("customer", "orders"), "left outer join with ON-filter + grouped histogram (q13 shape)"),
     ("tpch_q14_promo_revenue", Q14_SQL, ("lineitem", "part"), "conditional-ratio aggregate with LIKE (q14 shape)"),
     ("tpch_q15_top_supplier", Q15_SQL, ("supplier", "lineitem"), "CTE revenue view + scalar-subquery max (q15 shape)"),
@@ -210,5 +352,7 @@ TPCH_EXTRA = [
     ("tpch_q17_small_qty_revenue", Q17_SQL, ("lineitem", "part"), "correlated scalar avg subquery (q17 shape)"),
     ("tpch_q18_large_volume_customer", Q18_SQL, ("customer", "orders", "lineitem"), "IN over grouped HAVING + top-k (q18 shape)"),
     ("tpch_q19_disjunctive_filter", Q19_SQL, ("lineitem", "part"), "disjunctive multi-predicate join filter (q19 shape)"),
+    ("tpch_q20_part_promotion", Q20_SQL, ("supplier", "nation", "lineitem", "part"), "nested IN subqueries with grouped HAVING (q20 shape)"),
+    ("tpch_q21_waiting_suppliers", Q21_SQL, ("supplier", "lineitem", "orders", "nation"), "EXISTS + NOT EXISTS correlated self-joins (q21 shape)"),
     ("tpch_q22_acctbal_prospects", Q22_SQL, ("customer", "orders"), "NOT EXISTS anti-join + uncorrelated avg threshold (q22 shape)"),
 ]
