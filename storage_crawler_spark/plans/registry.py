@@ -729,6 +729,32 @@ def _specs() -> list[QuerySpec]:
         doc="UDTF-shaped frame sampling (1 media row → k frame rows), mapInPandas",
     )
 
+    def _fsmeta_builder(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from storage_crawler_spark.sources.fsmeta import register_fsmeta
+
+        register_fsmeta(spark)
+        # Scan the testdata directory itself (read-only listing): the driver
+        # checks row stability; sizes/names of the parquet files are fixed.
+        df = spark.read.format("fsmeta").option("partitions", "8").load(sf_dir)
+        return (
+            df.filter("NOT is_dir AND st_size > 0")
+            .select(
+                F.element_at(F.split(F.decode("path", "UTF-8"), "/"), -1).alias("name"),
+                F.col("st_size"),
+            )
+            .orderBy("name")
+        )
+
+    add(
+        "fsmeta_scan",
+        _fsmeta_builder,
+        None,
+        tags=("source",),
+        doc="Python DataSource filesystem-metadata scan with stat-column filter pushdown (rows-only)",
+    )
+
     return specs
 
 

@@ -8,10 +8,14 @@
   plus a batched JDBC writer (group-commit analog);
 - :mod:`binary_files` — Spark's ``binaryFile`` source as the built-in
   analog of crawl + content: (path, modificationTime, length, content)
-  for multimodal/binary processing.
+  for multimodal/binary processing;
+- :mod:`fsmeta` — filesystem metadata as a registered Python Data Source
+  (``spark.read.format("fsmeta")``) with stat-column filter pushdown into
+  the listing stage — the custom-pushdown candidate of SURVEY.md §4.2.
 """
 
 from storage_crawler_spark.sources.binary_files import read_binary_tree
+from storage_crawler_spark.sources.fsmeta import register_fsmeta
 from storage_crawler_spark.sources.jdbc import (
     files_table_ddl,
     schema_lifecycle_ddl,

@@ -110,3 +110,95 @@ def test_binary_files_scan(spark, small_tree):
     # glob filter pushdown
     only_txt = read_binary_tree(spark, small_tree, glob="*.txt")
     assert only_txt.count() == 1
+
+
+# -- fsmeta Python Data Source (sources/fsmeta.py) --------------------------
+
+
+@pytest.fixture()
+def fsmeta_tree(tmp_path):
+    """Deeper tree than small_tree so the planner's BFS actually expands a
+    spine (regression: expanded spine dirs must still emit their own rows)."""
+    root = tmp_path / "tree"
+    (root / "a" / "b" / "c").mkdir(parents=True)
+    (root / ".snapshot" / "hidden").mkdir(parents=True)
+    (root / "d").mkdir()
+    for i in range(5):
+        (root / "a" / f"f{i}.txt").write_text("x" * (i * 1000))
+    (root / "a" / "b" / "c" / "deep.tar.gz").write_text("y" * 5000)
+    os.symlink(str(root / "a"), str(root / "link_to_a"))
+    bad = os.fsdecode(str(root).encode() + b"/\xff\xfebad")
+    os.mkdir(bad)
+    with open(os.path.join(bad, "nm"), "w") as fh:
+        fh.write("z")
+    return str(root)
+
+
+def test_fsmeta_matches_crawl_pipeline(spark, fsmeta_tree):
+    from storage_crawler_spark.sources.fsmeta import register_fsmeta
+
+    register_fsmeta(spark)
+    # partitions > subtree count forces full BFS expansion of the spine
+    df = spark.read.format("fsmeta").option("partitions", "16").load(fsmeta_tree)
+    rows = df.collect()
+    paths = sorted(bytes(r.path) for r in rows)
+
+    res = crawl(spark, CrawlConfig(dirs=[fsmeta_tree]))
+    crawl_paths = sorted(bytes(r.path) for r in res.files.collect())
+    assert paths == crawl_paths  # same entry set as the crawl plane
+
+    by_path = {bytes(r.path): r for r in rows}
+    snap = next(p for p in paths if p.endswith(b"/.snapshot"))
+    assert by_path[snap].is_dir  # excluded dir emitted...
+    assert not any(b"hidden" in p for p in paths)  # ...but not descended
+    assert sum(1 for r in rows if r.is_symlink) == 1  # symlink emitted, not followed
+    assert any(b"\xff\xfebad/nm" in p for p in paths)  # non-UTF-8 fidelity
+
+
+def test_fsmeta_filter_pushdown(spark, fsmeta_tree):
+    from storage_crawler_spark.sources.fsmeta import register_fsmeta
+
+    register_fsmeta(spark)
+    df = spark.read.format("fsmeta").load(fsmeta_tree)
+    flt = df.filter("st_size >= 3000 AND NOT is_dir AND NOT is_symlink")
+    names = sorted(os.path.basename(bytes(r.path)).decode() for r in flt.collect())
+    assert names == ["deep.tar.gz", "f3.txt", "f4.txt"]
+    # the size comparison was consumed by the source: the post-scan Filter
+    # node must not re-evaluate st_size
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    filter_lines = [l for l in plan.splitlines() if "Filter " in l]
+    assert filter_lines and all("st_size" not in l for l in filter_lines)
+
+
+def test_fsmeta_pushfilters_split():
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, StringStartsWith
+
+    from storage_crawler_spark.sources.fsmeta import FsMetaReader
+
+    r = FsMetaReader({"path": "/tmp"})
+    leftover = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("st_size",), 100),   # pushable
+                EqualTo(("is_dir",), False),             # pushable
+                StringStartsWith(("error",), "x"),       # not pushable
+                EqualTo(("path",), b"/tmp/a"),           # not pushable (binary col)
+            ]
+        )
+    )
+    assert len(leftover) == 2
+    assert {c for c, _, _ in r.pushed} == {"st_size", "is_dir"}
+    # predicate compiles and rejects NULL stat cells
+    pred = r._row_pred()
+    null_rec = (b"/p", False, False) + (None,) * 10 + ("err",)
+    assert not pred(null_rec)
+
+
+def test_fsmeta_unreadable_root(spark):
+    from storage_crawler_spark.sources.fsmeta import register_fsmeta
+
+    register_fsmeta(spark)
+    df = spark.read.format("fsmeta").load("/nonexistent_fsmeta_root")
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].error is not None
+    assert rows[0].st_size is None
