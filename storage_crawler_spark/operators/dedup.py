@@ -49,7 +49,7 @@ HAVING count(*) >= 1
 """.strip()
 
 
-def gen_jaccard_prep(d: Dialect, length_window: int = 60) -> str:
+def gen_jaccard_prep(d: Dialect, length_window: int = 60, src: str = "documents") -> str:
     """Per-document Jaccard prep: hashed distinct token set + length bucket.
 
     ``blk = n_chars div window`` — two docs within ±window chars are at most
@@ -68,7 +68,7 @@ def gen_jaccard_prep(d: Dialect, length_window: int = 60) -> str:
     blk = d.idiv("n_chars", str(length_window))
     return f"""
 SELECT doc_id, lang, n_chars, {blk} AS blk, {hs} AS hs, {d.size(toks)} AS n_toks
-FROM documents
+FROM {src}
 """.strip()
 
 
@@ -116,7 +116,7 @@ def _shingles(d: Dialect) -> str:
     return f"CASE WHEN {d.size(toks)} >= 3 THEN {three} ELSE {d.arr1('text')} END"
 
 
-def gen_minhash_sigs(d: Dialect) -> str:
+def gen_minhash_sigs(d: Dialect, src: str = "documents") -> str:
     """Per-document minhash signature (16 BIGINT columns m0..m15).
 
     Pipeline: tokens → 3-shingles → md5-derived 48-bit shingle hash (md5
@@ -137,7 +137,7 @@ FROM (
     SELECT doc_id, {d.transform("shingles", "s", f"substr({d.md5_utf8('s')}, 1, 12)")} AS hexes
     FROM (
       SELECT doc_id, text, {_shingles(d)} AS shingles
-      FROM (SELECT doc_id, text, {d.split("text")} AS toks FROM documents) t0
+      FROM (SELECT doc_id, text, {d.split("text")} AS toks FROM {src}) t0
     ) t1
   ) t2
 ) t3

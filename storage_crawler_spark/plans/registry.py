@@ -239,7 +239,14 @@ WHERE NOT EXISTS (
 
 def _b_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     V.register_base_tables(spark, sf_dir, ("documents",))
-    prep = spark.sql(dedup.gen_jaccard_prep(SPARK))
+    # Repartition the *input* before the tokenize/md5 prep runs: the source
+    # may be a single parquet file (1 partition), and both the map-heavy prep
+    # and the O(pairs) intersect work downstream inherit the cached
+    # partitioning — without this the whole operator runs as one task no
+    # matter how many cores exist.
+    n = spark.sparkContext.defaultParallelism
+    spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
+    prep = spark.sql(dedup.gen_jaccard_prep(SPARK, src="_documents_rep"))
     prep.persist()
     prep.createOrReplaceTempView("_jaccard_prep")
     return spark.sql(dedup.gen_jaccard_pairs(SPARK, prep_rel="_jaccard_prep"))
@@ -247,7 +254,9 @@ def _b_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     V.register_base_tables(spark, sf_dir, ("documents",))
-    sigs = spark.sql(dedup.gen_minhash_sigs(SPARK))
+    n = spark.sparkContext.defaultParallelism
+    spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
+    sigs = spark.sql(dedup.gen_minhash_sigs(SPARK, src="_documents_rep"))
     sigs.persist()
     sigs.createOrReplaceTempView("_minhash_sigs")
     return spark.sql(dedup.gen_minhash_pairs(SPARK, sigs_rel="_minhash_sigs"))
