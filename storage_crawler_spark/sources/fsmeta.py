@@ -294,4 +294,8 @@ class FsMetaDataSource(DataSource):
 
 
 def register_fsmeta(spark) -> None:
+    # Runtime conf: a session built elsewhere (the correctness driver's, a
+    # notebook's) won't have it; without it Spark refuses any reader that
+    # implements pushFilters.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(FsMetaDataSource)
