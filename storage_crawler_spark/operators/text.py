@@ -26,13 +26,23 @@ def _in_list(words: tuple[str, ...]) -> str:
     return "(" + ", ".join(f"'{w}'" for w in words) + ")"
 
 
+# BPE-ish pre-tokenization (the GPT-2 pattern family, reduced to portable
+# ASCII classes): letter runs, digit runs, and punctuation singletons each
+# count as one token — the word-boundary split a byte-pair encoder sees
+# before merges.  Counts approximate LLM token counts far better than
+# whitespace (punctuation and numbers tokenize separately).
+_BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
 def gen_token_stats(d: Dialect) -> str:
-    """Whitespace token count + char/byte stats per document."""
+    """Whitespace + BPE-ish-regex token counts, char stats per document."""
     toks = d.split("text")
+    btoks = d.regex_tokens("text", _BPE_ISH)
     return f"""
 SELECT
   doc_id,
   {d.size(toks)} AS n_tokens,
+  {d.size(btoks)} AS n_bpe_tokens,
   length(text) AS n_chars_text,
   {d.size(d.adistinct(toks))} AS n_distinct_tokens,
   {d.trunc6(f"CAST(length(replace(text, ' ', '')) AS DOUBLE) / {d.size(toks)}")} AS avg_token_len

@@ -143,6 +143,15 @@ class Dialect:
             return f"CAST(conv({hexstr}, 16, 10) AS BIGINT)"
         return f"CAST('0x' || {hexstr} AS BIGINT)"
 
+    def regex_tokens(self, s: str, pattern: str) -> str:
+        """All full-pattern matches as an array.  Spark's regexp_extract_all
+        defaults to group 1 (must pass 0 for the whole match); DuckDB defaults
+        to group 0.  Keep patterns to portable ASCII classes — Java regex and
+        RE2 agree on those."""
+        if self.name == "spark":
+            return f"regexp_extract_all({s}, '{pattern}', 0)"
+        return f"regexp_extract_all({s}, '{pattern}')"
+
     def idiv(self, a: str, b: str) -> str:
         """Integer (floor) division of non-negative integers."""
         op = "div" if self.name == "spark" else "//"
