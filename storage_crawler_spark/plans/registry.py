@@ -738,6 +738,51 @@ def _specs() -> list[QuerySpec]:
         doc="UDTF-shaped frame sampling (1 media row → k frame rows), mapInPandas",
     )
 
+    # Temporal joins (operators/temporal.py): the Spark side runs the
+    # scalable shapes (union+window as-of; bucketed range join), the oracle
+    # the naive formulations (correlated subquery; raw inequality join) —
+    # an independent derivation, not a restatement.
+    def _b_asof_events(spark, sf_dir):
+        from storage_crawler_spark.operators.temporal import asof_join
+
+        V.register_base_tables(spark, sf_dir, ("events",))
+        ev = spark.table("events").withColumn("ts_s", F.expr("ts div 1000000000"))
+        left = ev.filter("event_type = 'click'").select(
+            "event_id", "user_id", F.col("ts_s").alias("left_ts_s")
+        )
+        right = ev.filter("event_type = 'purchase'").select("user_id", "ts_s")
+        return asof_join(left, right, key="user_id", left_ts="left_ts_s", right_ts="ts_s")
+
+    from storage_crawler_spark.operators.temporal import gen_asof_oracle, gen_range_oracle
+
+    add(
+        "join_asof_events",
+        _b_asof_events,
+        gen_asof_oracle(DUCK),
+        tags=("join", "temporal"),
+        doc="as-of join (last purchase at-or-before each click) via union+running-window",
+    )
+
+    def _b_range_events(spark, sf_dir):
+        from storage_crawler_spark.operators.temporal import range_join
+
+        V.register_base_tables(spark, sf_dir, ("events",))
+        ev = spark.table("events").withColumn("ts_s", F.expr("ts div 1000000000"))
+        a = ev.select(F.col("event_id").alias("ev_a"), "user_id", F.col("ts_s").alias("a_ts"))
+        b = ev.select(F.col("event_id").alias("ev_b"), "user_id", F.col("ts_s").alias("b_ts"))
+        out = range_join(a, b, key="user_id", left_ts="a_ts", right_ts="b_ts", width_s=3600)
+        return out.select(
+            "ev_a", "ev_b", "user_id", (F.col("b_ts") - F.col("a_ts")).alias("delta_s")
+        )
+
+    add(
+        "join_range_events",
+        _b_range_events,
+        gen_range_oracle(DUCK, width_s=3600),
+        tags=("join", "temporal"),
+        doc="range join (same-user event pairs within 1h) via bucketed equi-join, no nested loop",
+    )
+
     def _fsmeta_builder(spark, sf_dir):
         from pyspark.sql import functions as F
 

@@ -107,3 +107,45 @@ def test_heavy_hitter_sketch_deterministic(spark):
     a = bytes(heavy_hitter_sketch(ev, "event_type").collect()[0].cms)
     b = bytes(heavy_hitter_sketch(ev, "event_type").collect()[0].cms)
     assert a == b and len(a) > 0
+
+
+# -- temporal joins (operators/temporal.py) ---------------------------------
+
+
+def test_asof_join_micro(spark):
+    from storage_crawler_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 100), (2, "u1", 200), (3, "u2", 50), (4, "u3", 10)],
+        "id LONG, k STRING, ts LONG",
+    )
+    right = spark.createDataFrame(
+        [("u1", 100), ("u1", 150), ("u2", 60), ("u2", 40)], "k STRING, ts LONG"
+    )
+    out = {r.id: (r.asof_ts, r.asof_n) for r in
+           asof_join(left, right, key="k", left_ts="ts", right_ts="ts").collect()}
+    assert out[1] == (100, 1)   # equal ts is inclusive
+    assert out[2] == (150, 2)
+    assert out[3] == (40, 1)    # 60 is after 50
+    assert out[4] == (None, 0)  # no right rows for u3
+
+
+def test_range_join_micro(spark):
+    from storage_crawler_spark.operators.temporal import range_join
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame(
+        [(1, "u1", 0), (2, "u1", 95), (3, "u2", 0)], "ev_a LONG, k STRING, a_ts LONG"
+    )
+    b = spark.createDataFrame(
+        [(10, "u1", 100), (11, "u1", 101), (12, "u2", 500)], "ev_b LONG, k STRING, b_ts LONG"
+    )
+    out = range_join(a, b, key="k", left_ts="a_ts", right_ts="b_ts", width_s=100)
+    pairs = sorted((r.ev_a, r.ev_b) for r in out.collect())
+    # (1,10): delta 100 <= 100 ok (bucket boundary: 0→blk0, 100→blk1);
+    # (1,11): delta 101 excluded; (2,10): delta 5; (2,11): delta 6;
+    # (3,12): delta 500 excluded
+    assert pairs == [(1, 10), (2, 10), (2, 11)]
+    # the plan must be a hash join on the bucketed keys, not a nested loop
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
