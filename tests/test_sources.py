@@ -202,3 +202,42 @@ def test_fsmeta_unreadable_root(spark):
     rows = df.collect()
     assert len(rows) == 1 and rows[0].error is not None
     assert rows[0].st_size is None
+
+
+def test_fsmeta_streaming_incremental(spark, tmp_path):
+    import time
+
+    from storage_crawler_spark.sources.fsmeta import register_fsmeta
+
+    register_fsmeta(spark)
+    root = tmp_path / "tree"
+    (root / "a").mkdir(parents=True)
+    for i in range(3):
+        (root / "a" / f"f{i}.txt").write_text("x" * 100)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_batch():
+        s = spark.readStream.format("fsmeta").load(str(root))
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch()
+    assert spark.read.parquet(out).count() == 5  # root, a, f0..f2
+
+    time.sleep(1.2)
+    (root / "a" / "new.txt").write_text("y")
+    run_batch()
+    rows = spark.read.parquet(out).collect()
+    names = sorted(os.path.basename(bytes(r.path)).decode() for r in rows)
+    # batch 2 emits exactly the changed entries: new.txt and its parent dir
+    # (whose mtime the create bumped) — nothing else is re-emitted
+    assert names.count("new.txt") == 1
+    assert names.count("a") == 2
+    assert names.count("f0.txt") == 1
+    assert len(rows) == 7
