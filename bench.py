@@ -43,6 +43,20 @@ def main() -> int:
 
     spark.range(32).select(simhash_udf(col("id").cast("string"))).count()
 
+    # JMH-style warmup: run every headline builder once at the sf0.001 smoke
+    # scale so codegen compilation, Arrow converters, and broadcast machinery
+    # are warm; the measurement below is steady-state per-query time at the
+    # target scale factor.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in headline_queries():
+            try:
+                QUERIES[name].builder(spark, warm_dir).count()
+            except Exception:
+                pass  # warmup must never fail the bench
+        spark.catalog.clearCache()
+        register_base_tables(spark, sf_dir)
+
     timings: dict[str, float] = {}
     for name in headline_queries():
         spec = QUERIES[name]
