@@ -141,7 +141,13 @@ def owner_join(files: DataFrame, owners_dim: DataFrame, path_col: str = "path") 
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy(path_col).orderBy(F.length("__anc").desc())
+    # Matched ancestors rank before unmatched ones (otherwise the deepest
+    # ancestor — the path itself, rarely in the dim — would always win with
+    # a NULL owner), deepest match first; a row with no match at all keeps
+    # one representative with NULL owner (left-join semantics).
+    w = Window.partitionBy(path_col).orderBy(
+        F.col("__dir").isNull().asc(), F.length("__anc").desc()
+    )
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -738,6 +738,59 @@ def _specs() -> list[QuerySpec]:
         doc="UDTF-shaped frame sampling (1 media row → k frame rows), mapInPandas",
     )
 
+    # Longest-prefix (deepest-ancestor) owner join — A10's declarative form.
+    # Dim = per-source dirs + two coarser ancestors, so deepest-match wins
+    # are actually exercised ('/data/<src>' beats '/data').
+    OWNER_DIM_SQL = """
+SELECT DISTINCT '/data/' || source AS dir, 'own_' || source AS owner FROM documents
+UNION ALL SELECT '/data' AS dir, 'datakeeper' AS owner
+UNION ALL SELECT '/archive' AS dir, 'archivist' AS owner
+""".strip()
+
+    def _b_owner_prefix(spark, sf_dir):
+        from storage_crawler_spark.functions.owners import owner_join
+
+        fv = V.files_view(spark, sf_dir)
+        files = fv.select("id", F.encode("path", "utf-8").alias("path"))
+        dim = spark.sql(OWNER_DIM_SQL).select(
+            F.encode("dir", "utf-8").alias("dir"), "owner"
+        )
+        return owner_join(files, dim).select("id", "owner")
+
+    OWNER_PREFIX_ORACLE = (
+        f"WITH files AS ({V.FILES_WITH_EXT_SQL}),\ndims AS ({OWNER_DIM_SQL})\n"
+        + """
+SELECT f.id, (
+  SELECT d.owner FROM dims d
+  WHERE f.path = d.dir OR starts_with(f.path, d.dir || '/')
+  ORDER BY length(d.dir) DESC LIMIT 1
+) AS owner
+FROM files f
+""".strip()
+    )
+
+    add(
+        "owner_prefix_join",
+        _b_owner_prefix,
+        OWNER_PREFIX_ORACLE,
+        tags=("join", "crawl"),
+        doc="longest-prefix (deepest-ancestor) owner join, explode+broadcast+argmax (A10 declarative form)",
+    )
+
+    def _b_resize(spark, sf_dir):
+        from storage_crawler_spark.operators.multimodal import documents_as_media, resize_stub
+
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        return resize_stub(documents_as_media(spark.table("documents")))
+
+    add(
+        "multimodal_resize",
+        _b_resize,
+        None,
+        tags=("multimodal",),
+        doc="binary resize plumbing (stubbed codec, deterministic subsample), mapInPandas",
+    )
+
     # Temporal joins (operators/temporal.py): the Spark side runs the
     # scalable shapes (union+window as-of; bucketed range join), the oracle
     # the naive formulations (correlated subquery; raw inequality join) —
