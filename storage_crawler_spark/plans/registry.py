@@ -75,7 +75,7 @@ SELECT
   {_DSUM2.format(x='l_quantity')} AS sum_qty,
   {_DSUM2.format(x='l_extendedprice')} AS sum_base_price,
   {_REV} AS sum_disc_price,
-  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(18,2)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
   round({_DSUM2.format(x='l_quantity')} / count(*), 6) AS avg_qty,
   round({_DSUM2.format(x='l_extendedprice')} / count(*), 6) AS avg_price,
   round({_DSUM2.format(x='l_discount')} / count(*), 6) AS avg_disc,
@@ -205,7 +205,7 @@ GROUP BY ROLLUP(event_type, day_num)
 def gen_json_props(d: Dialect) -> str:
     k = f"CAST({d.json_str('props', '$.k')} AS BIGINT)"
     return f"""
-SELECT event_type, count(*) AS n, min({k}) AS min_k, max({k}) AS max_k, sum({k}) AS sum_k
+SELECT event_type, count(*) AS n, min({k}) AS min_k, max({k}) AS max_k, CAST(sum({k}) AS BIGINT) AS sum_k
 FROM events
 GROUP BY event_type
 """.strip()

@@ -278,8 +278,8 @@ ORDER BY part_value DESC, partkey
 # for l_shipmode; "shipped after ordering within 1997" for the date window.
 Q12_SQL = """
 SELECT l.l_linestatus AS linestatus,
-       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'

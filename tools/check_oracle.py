@@ -20,20 +20,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def normalize(rows: list[tuple], cols: list[str]) -> list[str]:
-    """Sort columns by name, render cells canonically, sort rows."""
+    """Sort columns by name, render cells canonically, sort rows.
+
+    Type-faithful on purpose (stricter than round 1's ``%.9g``): floats render
+    at full precision via ``repr`` so ULP-level cross-engine drift fails HERE
+    rather than only at the driver, and int-vs-float distinctions survive
+    (DuckDB HUGEINT/DECIMAL aggregates must be CAST to BIGINT/DOUBLE in the
+    oracle SQL or they will not match Spark's LONG/DOUBLE).
+    """
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for row in rows:
         cells = []
         for i in order:
             v = row[i]
-            if isinstance(v, float):
-                # canonical float rendering (queries already round)
-                cells.append(f"{v:.9g}")
+            if isinstance(v, bool):
+                cells.append(str(v))
+            elif isinstance(v, float):
+                cells.append(repr(v))  # full precision; 1.0 stays "1.0"
             elif isinstance(v, bytes):
                 cells.append(v.hex())
             else:
-                cells.append(str(v))
+                cells.append(str(v))  # int has no ".0"; Decimal keeps scale
         out.append("\x1f".join(cells))
     out.sort()
     return out
