@@ -85,9 +85,11 @@ def crawl(spark: SparkSession, config: CrawlConfig) -> CrawlResult:
         status_log.append((ev, None, "event"))
 
     # --- frontier loop -----------------------------------------------------
+    # ``descend`` (is_dir AND not excluded) drives the frontier; the emitted
+    # is_dir column stays the real lstat answer for excluded dirs too.
     entries = stat_roots(spark, roots)
-    frontier = entries.filter(F.col("is_dir")).select("path")
-    levels = [entries]
+    frontier = entries.filter(F.col("descend")).select("path")
+    levels = [entries.drop("descend")]
     depth = 0
     dir_total = frontier.count()
     while dir_total > 0 and depth < config.max_depth:
@@ -95,8 +97,8 @@ def crawl(spark: SparkSession, config: CrawlConfig) -> CrawlResult:
         # Flatten lineage: each level's plan is materialized so a deep tree
         # doesn't nest N mapInPandas stages into one giant plan.
         level = level.localCheckpoint(eager=True)
-        levels.append(level)
-        frontier = level.filter(F.col("is_dir")).select("path")
+        levels.append(level.drop("descend"))
+        frontier = level.filter(F.col("descend")).select("path")
         dir_total = frontier.count()
         depth += 1
     status_log.append(("processed all dirs", None, "event"))

@@ -42,12 +42,25 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import BooleanType, StructField, StructType
+
 from storage_crawler_spark.schemas import ENTRY_SCHEMA
 
 _BATCH_ROWS = 8192
 
+# ENTRY_SCHEMA + the internal descend flag (is_dir AND not excluded).  The
+# record's is_dir column is the REAL lstat answer — an excluded directory is
+# still a directory (the exclusion contract gates descent only); the caller
+# derives the next frontier from ``descend`` and drops the column.
+# (Built as a fresh StructType: StructType.add mutates in place.)
+ENTRY_DESCEND_SCHEMA = StructType(
+    list(ENTRY_SCHEMA.fields) + [StructField("descend", BooleanType())]
+)
+
 
 def _entry_record(path: bytes, st, is_dir: bool, is_symlink: bool, error: str | None):
+    """ENTRY_SCHEMA tuple (no descend column — streaming/incremental.py
+    shares this for plain per-path stats)."""
     if st is None:
         return (path, is_dir, is_symlink) + (None,) * 10 + (error,)
     return (
@@ -68,17 +81,24 @@ def _entry_record(path: bytes, st, is_dir: bool, is_symlink: bool, error: str | 
     )
 
 
+def _entry_record_descend(
+    path: bytes, st, is_dir: bool, is_symlink: bool, error: str | None, descend: bool
+):
+    return _entry_record(path, st, is_dir, is_symlink, error) + (descend,)
+
+
 def scan_frontier_batches(
     dir_paths: Iterator[pd.DataFrame], exclude_names: frozenset[bytes]
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: for each frontier directory, scandir + lstat its
-    children, yielding columnar batches of ENTRY_SCHEMA rows.
+    children, yielding columnar batches of ENTRY_DESCEND_SCHEMA rows.
 
-    Child rows carry ``is_dir`` (real dirs only — symlinks-to-dirs are
-    False so they are never descended) so the caller can derive the next
-    frontier with a plain filter, no second pass.
+    ``is_dir`` is the real lstat answer (symlinks-to-dirs are False —
+    follow_symlinks=False); ``descend`` additionally applies the exclusion
+    list, so the caller derives the next frontier with a plain filter, no
+    second pass, and excluded dirs still report is_dir=true in the output.
     """
-    cols = [f.name for f in ENTRY_SCHEMA.fields]
+    cols = [f.name for f in ENTRY_DESCEND_SCHEMA.fields]
     buf: list[tuple] = []
     for pdf in dir_paths:
         for raw in pdf["path"]:
@@ -104,7 +124,7 @@ def scan_frontier_batches(
                     except OSError as exc:
                         st, is_symlink, is_dir, err = None, False, False, str(exc)
                     descend = is_dir and name not in exclude_names
-                    buf.append(_entry_record(epath, st, descend, is_symlink, err))
+                    buf.append(_entry_record_descend(epath, st, is_dir, is_symlink, err, descend))
                     if len(buf) >= _BATCH_ROWS:
                         yield pd.DataFrame(buf, columns=cols)
                         buf = []
@@ -113,22 +133,24 @@ def scan_frontier_batches(
 
 
 def expand_level(frontier: DataFrame, exclude_names: frozenset[bytes], parallelism: int) -> DataFrame:
-    """One frontier level → entries DataFrame (ENTRY_SCHEMA)."""
+    """One frontier level → entries DataFrame (ENTRY_DESCEND_SCHEMA)."""
     n = max(1, parallelism)
     kernel = lambda it: scan_frontier_batches(it, exclude_names)  # noqa: E731
-    return frontier.repartition(n, F.col("path")).mapInPandas(kernel, ENTRY_SCHEMA)
+    return frontier.repartition(n, F.col("path")).mapInPandas(kernel, ENTRY_DESCEND_SCHEMA)
 
 
 def stat_roots(spark, roots: list[bytes]) -> DataFrame:
     """Stat the crawl roots themselves (the reference seeds roots into the
     dir queue, so root dirs appear as rows too once their parent is scanned —
-    but roots have no parent in the crawl, so we stat them explicitly)."""
+    but roots have no parent in the crawl, so we stat them explicitly).
+    Roots are always descended when they are real dirs: the reference's
+    exclusion check applies to dirs FOUND during the walk, not to seeds."""
     recs = []
     for r in roots:
         try:
             st = os.lstat(r)
             is_dir = os.path.isdir(r) and not os.path.islink(r)
-            recs.append(_entry_record(r, st, is_dir, os.path.islink(r), None))
+            recs.append(_entry_record_descend(r, st, is_dir, os.path.islink(r), None, is_dir))
         except OSError as exc:
-            recs.append(_entry_record(r, None, False, False, str(exc)))
-    return spark.createDataFrame(recs, ENTRY_SCHEMA)
+            recs.append(_entry_record_descend(r, None, False, False, str(exc), False))
+    return spark.createDataFrame(recs, ENTRY_DESCEND_SCHEMA)

@@ -115,9 +115,21 @@ def owner_join(files: DataFrame, owners_dim: DataFrame, path_col: str = "path") 
     """Longest-prefix (deepest-ancestor) join, fully declarative.
 
     Explodes each path into its ancestor chain (explode factor = path depth,
-    bounded ~20), broadcast-joins the owner dimension, and keeps the deepest
-    match per row.  Catalyst plans this as a broadcast hash join — no shuffle
-    of the fact table; the argmax is a partial-aggregable groupBy."""
+    bounded ~20), broadcast-joins the owner dimension (broadcast hash join —
+    the join itself moves no fact rows), then collapses back to one row per
+    path with a ``max_by(owner, (matched, depth))`` argmax aggregate.
+
+    Matched ancestors rank before unmatched ones (otherwise the deepest
+    ancestor — the path itself, rarely in the dim — would always win with a
+    NULL owner); among matches the deepest wins; a path with no match at all
+    keeps NULL owner (left-join semantics).
+
+    Scale shape: the argmax is an algebraic aggregate, so it partial-combines
+    map-side — the depth× explode factor collapses BEFORE the one shuffle,
+    which then carries ~|files| pre-aggregated rows and needs no
+    per-partition sort (round 1 used a ``row_number`` window here: same
+    answer, but a full shuffle+sort of the exploded fact).  ``files`` must
+    not already contain an ``owner`` column."""
     decoded = files.withColumn("__path_str", F.decode(F.col(path_col), "UTF-8"))
     with_ancestors = decoded.withColumn(
         "__anc",
@@ -139,17 +151,16 @@ def owner_join(files: DataFrame, owners_dim: DataFrame, path_col: str = "path") 
         F.col("__anc_bytes") == F.col("__dir"),
         "left",
     )
-    from pyspark.sql import Window
-
-    # Matched ancestors rank before unmatched ones (otherwise the deepest
-    # ancestor — the path itself, rarely in the dim — would always win with
-    # a NULL owner), deepest match first; a row with no match at all keeps
-    # one representative with NULL owner (left-join semantics).
-    w = Window.partitionBy(path_col).orderBy(
-        F.col("__dir").isNull().asc(), F.length("__anc").desc()
+    rank = F.struct(
+        F.col("__dir").isNotNull().cast("int").alias("matched"),
+        F.length("__anc").alias("depth"),
     )
+    payload = [c for c in files.columns if c != path_col]
     return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__anc", "__anc_bytes", "__dir", "__rn", "__path_str")
+        joined.groupBy(path_col)
+        .agg(
+            F.max_by(F.col("owner"), rank).alias("owner"),
+            *[F.first(c).alias(c) for c in payload],
+        )
+        .select(*files.columns, "owner")
     )

@@ -77,30 +77,71 @@ def gen_jaccard_pairs(
     threshold: float = 0.5,
     length_window: int = 60,
     prep_rel: str | None = None,
+    block_cap: int = 512,
 ) -> str:
-    """Blocked exact Jaccard over distinct token sets.
+    """Blocked exact Jaccard over distinct token sets, with bounded blocks.
 
-    Blocking: same ``lang`` + length bucket.  The probe side is expanded to
-    its 3 adjacent buckets (off ∈ {-1,0,1}) so every qualifying pair —
-    |n_chars diff| ≤ window — meets on exactly one (lang, bucket) key: an
-    equi-join Catalyst plans as a shuffle on tight composite keys, not a
-    per-lang quadratic block scan.  ``prep_rel`` lets the Spark builder
-    substitute a cached/materialized prep relation (Spark inlines CTEs, so
-    tokenizing twice is real work); the oracle inlines the CTE.
+    Blocking is **sorted-neighborhood**: docs are ranked per ``lang`` by
+    (n_chars, doc_id); only pairs within ``block_cap`` rank positions are
+    compared, meeting on (lang, rank-bucket) equi-keys (probe side expanded
+    to buckets {blk, blk+1}, so every in-window rank pair lands on exactly
+    one key).  The |n_chars diff| ≤ window predicate is applied exactly
+    inside the block.
+
+    Why capped: a corpus of many same-lang same-length docs made the old
+    (lang, length-bucket) block quadratic.  Rank-bucketing bounds every
+    block at ``block_cap`` rows per side — per-block work is O(cap²) and
+    total work O(n·cap), whatever the length histogram does.  Recall: a true
+    pair is dropped only when > block_cap docs sit between the two in the
+    per-lang length sort — i.e. only on corpora where the quadratic scan was
+    the alternative; :func:`gen_jaccard_dropped` counts that loss instead of
+    letting it hide.
+
+    ``prep_rel`` lets the Spark builder substitute a cached/materialized
+    prep relation (Spark inlines CTEs, so tokenizing twice is real work);
+    the oracle inlines the CTE.
     """
     inter = d.size(d.aintersect("a.hs", "b.hs"))
     t = prep_rel or "t"
     with_clause = "" if prep_rel else f"WITH t AS (\n{gen_jaccard_prep(d, length_window)}\n)\n"
+    rblk = d.idiv("(rnk - 1)", str(block_cap))
     return f"""{with_clause}SELECT doc_a, doc_b, jaccard FROM (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b,
          {d.trunc6(f"CAST({inter} AS DOUBLE) / (a.n_toks + b.n_toks - {inter})")} AS jaccard
-  FROM (SELECT x.*, x.blk + off.o AS jblk
-        FROM {t} x CROSS JOIN (VALUES (-1), (0), (1)) AS off(o)) a
-  JOIN {t} b
-    ON a.lang = b.lang AND a.jblk = b.blk AND a.doc_id < b.doc_id
+  FROM (SELECT x.*, x.rblk + off.o AS jblk
+        FROM (SELECT r.*, {rblk} AS rblk
+              FROM (SELECT t0.*, row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rnk
+                    FROM {t} t0) r) x
+        CROSS JOIN (VALUES (0), (1)) AS off(o)) a
+  JOIN (SELECT r.*, {rblk} AS rblk
+        FROM (SELECT t0.*, row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rnk
+              FROM {t} t0) r) b
+    ON a.lang = b.lang AND a.jblk = b.rblk
+   AND b.rnk > a.rnk AND b.rnk - a.rnk <= {block_cap}
    AND abs(a.n_chars - b.n_chars) <= {length_window}
 ) p
 WHERE jaccard >= {threshold}
+""".strip()
+
+
+def gen_jaccard_dropped(
+    d: Dialect, length_window: int = 60, block_cap: int = 512, src: str = "documents"
+) -> str:
+    """Diagnostic for the block cap: per lang, how many length-window
+    neighbors the densest doc has, and an upper bound on pairs the rank cap
+    refuses to compare (pairs within ±window chars but > block_cap rank
+    positions apart).  0 everywhere ⇒ the capped result is exact."""
+    est = d.idiv(f"CAST(sum(greatest(0, neighbors - 2 * {block_cap})) AS BIGINT)", "2")
+    return f"""
+SELECT lang, count(*) AS n_docs, max(neighbors) AS max_neighbors,
+       {est} AS est_dropped_pairs
+FROM (
+  SELECT lang,
+         count(*) OVER (PARTITION BY lang ORDER BY n_chars
+                        RANGE BETWEEN {length_window} PRECEDING AND {length_window} FOLLOWING) - 1 AS neighbors
+  FROM {src}
+) t
+GROUP BY lang
 """.strip()
 
 
@@ -128,6 +169,10 @@ def gen_minhash_sigs(d: Dialect, src: str = "documents") -> str:
         f"{d.amin(d.transform('hs', 'h', f'({a} * h + {b}) % {MINHASH_P}'))} AS m{k}"
         for k, (a, b) in enumerate(MINHASH_PERMS)
     )
+    # adistinct before md5: min() is idempotent to duplicates, so hashing
+    # each DISTINCT shingle once yields bit-identical signatures while
+    # cutting the md5 volume (the dominant cost of the whole operator) by
+    # the corpus' shingle repetition factor.
     return f"""
 SELECT doc_id,
   {mins}
@@ -136,7 +181,7 @@ FROM (
   FROM (
     SELECT doc_id, {d.transform("shingles", "s", f"substr({d.md5_utf8('s')}, 1, 12)")} AS hexes
     FROM (
-      SELECT doc_id, text, {_shingles(d)} AS shingles
+      SELECT doc_id, {d.adistinct(_shingles(d))} AS shingles
       FROM (SELECT doc_id, text, {d.split("text")} AS toks FROM {src}) t0
     ) t1
   ) t2

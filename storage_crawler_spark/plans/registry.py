@@ -594,7 +594,15 @@ def _specs() -> list[QuerySpec]:
         dedup.gen_jaccard_pairs(DUCK),
         headline=True,
         tags=("dedup",),
-        doc="length-bucket-blocked exact token-set Jaccard (equi-join on (lang, bucket))",
+        doc="sorted-neighborhood-blocked exact token-set Jaccard (capped (lang, rank-bucket) equi-join)",
+    )
+    b, o = _sql_pair(dedup.gen_jaccard_dropped, ("documents",))
+    add(
+        "dedup_jaccard_block_guard",
+        b,
+        o,
+        tags=("dedup",),
+        doc="block-cap diagnostic: densest length-window neighborhood + upper bound on rank-capped (dropped) pairs per lang",
     )
     b, o = _sql_pair(dedup.gen_minhash_sigs, ("documents",))
     add("dedup_minhash_signatures", b, o, tags=("dedup",), doc="16-perm minhash signatures (map-only)")

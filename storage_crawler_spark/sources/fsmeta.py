@@ -307,11 +307,21 @@ class FsMetaStreamReader(DataSourceStreamReader):
     (``cp -p`` from elsewhere) fall before the watermark and are missed —
     the same contract as rsync-style mtime syncing.  The first batch
     (initialOffset mtime 0) emits everything.
+
+    ``latestOffset`` holds the watermark back by ``slack_s`` seconds
+    (default 2): a window is only closed once the filesystem can no longer
+    stamp an entry inside it.  Without the slack, a file written during the
+    current second *after* its directory was scanned has mtime < the next
+    window's start and is silently lost forever.  The cost is ``slack_s`` of
+    detection latency per entry; set ``slack_s`` higher on filesystems whose
+    clocks may trail the driver's (NFS), never below the driver↔fs clock
+    skew.
     """
 
     def __init__(self, options: dict):
         self._batch = FsMetaReader(options)
         self._start_mtime = int(options.get("start_mtime", "0"))
+        self._slack_s = max(0, int(options.get("slack_s", "2")))
 
     def initialOffset(self) -> dict:
         return {"mtime": self._start_mtime}
@@ -319,7 +329,9 @@ class FsMetaStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         import time as _time
 
-        return {"mtime": int(_time.time()) + 1}  # +1: include files stamped this second
+        # +1 would include files stamped this second — but those can still be
+        # racing the scan; close the window slack_s seconds in the past.
+        return {"mtime": int(_time.time()) + 1 - self._slack_s}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         if start["mtime"] >= end["mtime"]:

@@ -80,8 +80,12 @@ def schema_lifecycle_ddl(tag: str) -> list[str]:
     ]
 
 
-def reporting_user_ddl(tag: str, user: str, password: str) -> list[str]:
-    """Read-only reporting-user provisioning (storcrawl.py:166-215)."""
+def reporting_user_ddl(tag: str, user: str, password: str, database: str = "storcrawl") -> list[str]:
+    """Read-only reporting-user provisioning (storcrawl.py:166-215).
+
+    ``database`` is interpolated into the GRANT CONNECT like the reference's
+    configured db name — a function call (``current_database()``) is not
+    legal PostgreSQL in identifier position."""
     s = f"storcrawl_{tag}"
     return [
         f"DROP OWNED BY {user}",
@@ -90,7 +94,7 @@ def reporting_user_ddl(tag: str, user: str, password: str) -> list[str]:
         f"GRANT USAGE ON SCHEMA {s} TO {user}",
         f"GRANT SELECT ON ALL TABLES IN SCHEMA {s} TO {user}",
         f"ALTER DEFAULT PRIVILEGES IN SCHEMA {s} GRANT SELECT ON TABLES TO {user}",
-        f"GRANT CONNECT ON DATABASE current_database() TO {user}",
+        f'GRANT CONNECT ON DATABASE "{database}" TO {user}',
     ]
 
 

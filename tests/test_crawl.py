@@ -48,6 +48,10 @@ def test_crawl_rows_and_semantics(spark, tree, tmp_path):
     assert root in by_path
     assert root + b"/.snapshot" in by_path  # excluded dir row still emitted
     assert root + b"/.snapshot/hidden_child.txt" not in by_path  # not descended
+    # exclusion gates DESCENT only: the excluded dir's own record still says
+    # "directory" (S_IFDIR mode bits — regression for the descend/is_dir mixup)
+    snap = by_path[root + b"/.snapshot"]
+    assert int(snap.st_mode, 2) & 0o170000 == 0o040000
     assert root + b"/link_to_dir" in by_path
     assert root + b"/link_to_dir/a.txt" not in by_path  # symlink dir not descended
     assert root + b"/deep/d1/d2/leaf.tar.gz" in by_path  # depth works

@@ -109,6 +109,120 @@ def test_heavy_hitter_sketch_deterministic(spark):
     assert a == b and len(a) > 0
 
 
+# -- jaccard block cap (operators/dedup.py) ---------------------------------
+
+
+def test_jaccard_block_cap_bounds_skewed_corpus(spark):
+    """A same-lang same-length corpus (the pathological case for length
+    blocking) must stay bounded under the rank cap, and the diagnostic must
+    report the dropped comparisons instead of hiding them."""
+    from storage_crawler_spark.operators.dedup import gen_jaccard_dropped, gen_jaccard_pairs
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    rows = []
+    for i in range(200):
+        text = f"a{i % 4} b{i % 4} c{i % 4} d{i % 4}"  # 4 disjoint templates, equal length
+        rows.append((i, "en", text, len(text)))
+    spark.createDataFrame(
+        rows, "doc_id LONG, lang STRING, text STRING, n_chars INT"
+    ).createOrReplaceTempView("documents")
+    try:
+        uncapped = {
+            (r.doc_a, r.doc_b)
+            for r in spark.sql(gen_jaccard_pairs(SPARK, block_cap=1_000_000)).collect()
+        }
+        capped = {
+            (r.doc_a, r.doc_b)
+            for r in spark.sql(gen_jaccard_pairs(SPARK, block_cap=8)).collect()
+        }
+        assert len(uncapped) == 4 * (50 * 49) // 2  # full quadratic-per-template answer
+        assert capped <= uncapped
+        assert 0 < len(capped) <= 200 * 8  # work bounded by n·cap, not n²
+        diag = {r.lang: r for r in spark.sql(gen_jaccard_dropped(SPARK, block_cap=8)).collect()}
+        assert diag["en"].max_neighbors == 199
+        assert diag["en"].est_dropped_pairs > 0
+        # with a cap wider than any neighborhood the capped result is exact
+        diag_wide = spark.sql(gen_jaccard_dropped(SPARK, block_cap=1_000_000)).collect()
+        assert all(r.est_dropped_pairs == 0 for r in diag_wide)
+    finally:
+        spark.catalog.dropTempView("documents")
+
+
+# -- simhash (operators/simhash.py) -----------------------------------------
+
+
+def test_simhash_batch_equals_scalar():
+    """The vectorized batch path must be bit-identical to the scalar
+    reference, including None / empty / whitespace-only edge docs."""
+    import random
+
+    import pandas as pd
+
+    from storage_crawler_spark.operators.simhash import simhash64, simhash64_batch
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(300)]
+    docs = [
+        " ".join(rng.choices(vocab, k=rng.randint(0, 120))) for _ in range(200)
+    ] + [None, "", "   ", "single", "a  b   c"]
+    got = simhash64_batch(pd.Series(docs, dtype=object)).tolist()
+    assert got == [simhash64(d) for d in docs]
+
+
+def test_simhash_batch_work_is_sublinear_in_occurrences():
+    """The batch path's scale contract, asserted on WORK not wall-clock
+    (this sandbox throttles CPU unpredictably): md5 must run once per
+    DISTINCT token in the batch — not once per occurrence as the scalar
+    reference does — and the 64-bit vote must not loop in Python (no
+    per-row Python beyond tokenize; enforced by the md5 bound, since the
+    scalar path cannot produce fingerprints without per-occurrence hashing)."""
+    import random
+    from unittest import mock
+
+    import pandas as pd
+
+    import storage_crawler_spark.operators.simhash as sh
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(500)]
+    docs = [" ".join(rng.choices(vocab, k=150)) for _ in range(1000)]  # 150k occurrences
+    s = pd.Series(docs, dtype=object)
+
+    calls = {"n": 0}
+    real_md5 = sh.hashlib.md5
+
+    def counting_md5(data):
+        calls["n"] += 1
+        return real_md5(data)
+
+    with mock.patch.object(sh.hashlib, "md5", counting_md5):
+        got = sh.simhash64_batch(s).tolist()
+    assert calls["n"] <= len(vocab)  # one md5 per distinct token, not 150 000
+    assert got == [sh.simhash64(d) for d in docs]
+
+
+def test_simhash_near_dups_finds_perturbed_doc(spark):
+    """A doc and its single-token-perturbed copy land within the Hamming
+    radius the 4×16-bit pigeonhole guarantees (≤ 3); an unrelated doc does
+    not pair with either."""
+    from storage_crawler_spark.operators.simhash import (
+        hamming64,
+        simhash64,
+        simhash_near_dups,
+    )
+
+    base = " ".join(f"w{i}" for i in range(400))
+    near = " ".join(f"w{i}" for i in range(399)) + " x0"
+    other = " ".join(f"z{i}" for i in range(400))
+    assert hamming64(simhash64(base), simhash64(near)) <= 3  # within guarantee
+    docs = spark.createDataFrame(
+        [(0, base), (1, near), (2, other)], "doc_id LONG, text STRING"
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in simhash_near_dups(docs, max_hamming=3).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
 # -- temporal joins (operators/temporal.py) ---------------------------------
 
 

@@ -227,11 +227,12 @@ def test_fsmeta_streaming_incremental(spark, tmp_path):
         )
         q.awaitTermination(120)
 
+    time.sleep(2.2)  # age the writes past the 2 s watermark slack
     run_batch()
     assert spark.read.parquet(out).count() == 5  # root, a, f0..f2
 
-    time.sleep(1.2)
     (root / "a" / "new.txt").write_text("y")
+    time.sleep(2.2)
     run_batch()
     rows = spark.read.parquet(out).collect()
     names = sorted(os.path.basename(bytes(r.path)).decode() for r in rows)
