@@ -78,49 +78,87 @@ def gen_jaccard_pairs(
     length_window: int = 60,
     prep_rel: str | None = None,
     block_cap: int = 512,
+    block_width: int = 64,
+    ranked_rel: str | None = None,
+    src: str = "documents",
 ) -> str:
     """Blocked exact Jaccard over distinct token sets, with bounded blocks.
 
     Blocking is **sorted-neighborhood**: docs are ranked per ``lang`` by
     (n_chars, doc_id); only pairs within ``block_cap`` rank positions are
-    compared, meeting on (lang, rank-bucket) equi-keys (probe side expanded
-    to buckets {blk, blk+1}, so every in-window rank pair lands on exactly
-    one key).  The |n_chars diff| ≤ window predicate is applied exactly
+    compared.  The |n_chars diff| ≤ window predicate is applied exactly
     inside the block.
 
     Why capped: a corpus of many same-lang same-length docs made the old
-    (lang, length-bucket) block quadratic.  Rank-bucketing bounds every
-    block at ``block_cap`` rows per side — per-block work is O(cap²) and
-    total work O(n·cap), whatever the length histogram does.  Recall: a true
-    pair is dropped only when > block_cap docs sit between the two in the
-    per-lang length sort — i.e. only on corpora where the quadratic scan was
-    the alternative; :func:`gen_jaccard_dropped` counts that loss instead of
-    letting it hide.
+    (lang, length-bucket) block quadratic.  The rank cap bounds total work
+    at O(n·cap), whatever the length histogram does.  Recall: a true pair
+    is dropped only when > block_cap docs sit between the two in the
+    per-lang length sort — i.e. only on corpora where the quadratic scan
+    was the alternative; :func:`gen_jaccard_dropped` counts that loss
+    instead of letting it hide.
+
+    Join-key shape (the part that decides parallelism): ranks are bucketed
+    at ``block_width`` (NOT at ``block_cap``) and the probe side is
+    expanded to offsets 0..ceil(cap/width), so every in-cap rank pair meets
+    on exactly one (lang, bucket) equi-key while the key space stays
+    n/width keys per lang.  Bucketing at the cap itself (round-1 shape)
+    collapsed the key space to n/cap keys — ~20 keys at 5k docs — and the
+    join ran ~5× slower on 32 cores from key-granularity skew alone, with
+    identical pair counts.  Candidate volume is the same either way
+    (≈ n·(cap+width)); only the distribution changes.
 
     ``prep_rel`` lets the Spark builder substitute a cached/materialized
     prep relation (Spark inlines CTEs, so tokenizing twice is real work);
-    the oracle inlines the CTE.
+    ``ranked_rel`` substitutes a relation that already carries ``rnk``
+    (see :func:`gen_jaccard_ranked`) so the per-lang window also runs
+    once.  The oracle inlines both CTEs.
     """
+    width = min(block_width, block_cap)
+    n_off = block_cap // width + (1 if block_cap % width else 0) + 1
+    offsets = ", ".join(f"({i})" for i in range(n_off))
     inter = d.size(d.aintersect("a.hs", "b.hs"))
-    t = prep_rel or "t"
-    with_clause = "" if prep_rel else f"WITH t AS (\n{gen_jaccard_prep(d, length_window)}\n)\n"
-    rblk = d.idiv("(rnk - 1)", str(block_cap))
+    if ranked_rel:
+        rt = ranked_rel
+        with_clause = ""
+    else:
+        t = prep_rel or "t"
+        prep_cte = "" if prep_rel else f"t AS (\n{gen_jaccard_prep(d, length_window, src=src)}\n),\n"
+        with_clause = f"WITH {prep_cte}rt AS (\n{gen_jaccard_ranked(d, t, src=src)}\n)\n"
+        rt = "rt"
+    rblk = d.idiv("(rnk - 1)", str(width))
     return f"""{with_clause}SELECT doc_a, doc_b, jaccard FROM (
   SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b,
          {d.trunc6(f"CAST({inter} AS DOUBLE) / (a.n_toks + b.n_toks - {inter})")} AS jaccard
-  FROM (SELECT x.*, x.rblk + off.o AS jblk
-        FROM (SELECT r.*, {rblk} AS rblk
-              FROM (SELECT t0.*, row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rnk
-                    FROM {t} t0) r) x
-        CROSS JOIN (VALUES (0), (1)) AS off(o)) a
-  JOIN (SELECT r.*, {rblk} AS rblk
-        FROM (SELECT t0.*, row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rnk
-              FROM {t} t0) r) b
+  FROM (SELECT x.*, {rblk} + off.o AS jblk
+        FROM {rt} x CROSS JOIN (VALUES {offsets}) AS off(o)) a
+  JOIN (SELECT x.*, {rblk} AS rblk FROM {rt} x) b
     ON a.lang = b.lang AND a.jblk = b.rblk
    AND b.rnk > a.rnk AND b.rnk - a.rnk <= {block_cap}
    AND abs(a.n_chars - b.n_chars) <= {length_window}
 ) p
 WHERE jaccard >= {threshold}
+""".strip()
+
+
+def gen_jaccard_ranked(d: Dialect, prep_rel: str = "t", src: str = "documents") -> str:
+    """Per-lang sorted-neighborhood rank joined onto the Jaccard prep.
+
+    The rank depends only on (doc_id, lang, n_chars) — source-table columns,
+    no tokenization — so the window runs over a NARROW pruned scan of
+    ``src`` and the result is hash-joined back to the prep by doc_id: the
+    token-hash arrays never ride the per-lang exchange, and the rank side
+    never pays the tokenize/md5 map.  A ``row_number() OVER (PARTITION BY
+    lang …)`` necessarily funnels each lang into one sort task; keeping that
+    shuffle to 20-byte rows makes it cheap at any corpus size, while the
+    array-carrying join distributes on doc_id across all cores.  (At extreme
+    per-lang cardinality the single-task sort itself becomes the ceiling;
+    the two-phase range-partitioned rank is the documented upgrade path.)"""
+    return f"""
+SELECT p.*, r.rnk
+FROM {prep_rel} p
+JOIN (SELECT doc_id, row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rnk
+      FROM {src}) r
+  ON p.doc_id = r.doc_id
 """.strip()
 
 

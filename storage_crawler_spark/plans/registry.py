@@ -246,10 +246,18 @@ def _b_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matter how many cores exist.
     n = spark.sparkContext.defaultParallelism
     spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
-    prep = spark.sql(dedup.gen_jaccard_prep(SPARK, src="_documents_rep"))
-    prep.persist()
-    prep.createOrReplaceTempView("_jaccard_prep")
-    return spark.sql(dedup.gen_jaccard_pairs(SPARK, prep_rel="_jaccard_prep"))
+    # One persisted relation: prep (tokenize+md5, the expensive map) with the
+    # sorted-neighborhood rank joined on.  The rank side windows a narrow
+    # pruned scan of the source (no tokenization — rnk depends only on
+    # doc_id/lang/n_chars), so materializing ranked costs ~the prep alone;
+    # the pair join then references it twice from cache.
+    spark.sql(dedup.gen_jaccard_prep(SPARK, src="_documents_rep")).createOrReplaceTempView(
+        "_jaccard_prep"
+    )
+    ranked = spark.sql(dedup.gen_jaccard_ranked(SPARK, "_jaccard_prep", src="documents"))
+    ranked.persist()
+    ranked.createOrReplaceTempView("_jaccard_ranked")
+    return spark.sql(dedup.gen_jaccard_pairs(SPARK, ranked_rel="_jaccard_ranked"))
 
 
 def _b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

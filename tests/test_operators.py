@@ -127,9 +127,10 @@ def test_jaccard_block_cap_bounds_skewed_corpus(spark):
         rows, "doc_id LONG, lang STRING, text STRING, n_chars INT"
     ).createOrReplaceTempView("documents")
     try:
+        # cap 1024 > any rank distance in this 200-doc corpus ⇒ exact result
         uncapped = {
             (r.doc_a, r.doc_b)
-            for r in spark.sql(gen_jaccard_pairs(SPARK, block_cap=1_000_000)).collect()
+            for r in spark.sql(gen_jaccard_pairs(SPARK, block_cap=1024)).collect()
         }
         capped = {
             (r.doc_a, r.doc_b)
