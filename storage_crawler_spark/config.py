@@ -103,6 +103,13 @@ class CrawlConfig:
     update_interval: float = 60.0  # storcrawl.py:45
     commit_timeout: float = 60.0  # storcrawl.py:46
     max_depth: int = 512  # loop safety bound; real trees are << this
+    # When set, the crawl spills each frontier level (and the final files
+    # materialization) to parquet under this directory and re-reads it,
+    # instead of localCheckpoint: checkpoint blocks pin executor storage and
+    # die with the executor, while lake levels survive and free the heap —
+    # the right mode for metadata trees too big for cluster memory.  Spark
+    # knob, no reference analog.
+    level_store: str | None = None
 
     @classmethod
     def from_env(cls, **overrides) -> "CrawlConfig":
@@ -131,6 +138,8 @@ class CrawlConfig:
             cfg.update_interval = float(env["STORCRAWL_UPDATE"])
         if "STORCRAWL_TIMEOUT" in env:
             cfg.commit_timeout = float(env["STORCRAWL_TIMEOUT"])
+        if "STORCRAWL_LEVEL_STORE" in env:
+            cfg.level_store = env["STORCRAWL_LEVEL_STORE"]
         for key, value in overrides.items():
             setattr(cfg, key, value)
         return cfg

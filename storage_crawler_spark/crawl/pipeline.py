@@ -62,6 +62,23 @@ def _status_rows(events: list[tuple[str, float | None, str | None]]):
     return rows
 
 
+def _materialize(spark: SparkSession, df: DataFrame, config: CrawlConfig, name: str) -> DataFrame:
+    """Cut lineage + materialize one crawl stage.
+
+    Default: ``localCheckpoint`` — fastest, but blocks pin executor storage
+    and vanish with the executor.  With ``config.level_store`` set, the
+    stage is written to parquet under the store and re-read: heap-free,
+    executor-loss-safe, and each level doubles as a resumable artifact.
+    """
+    if config.level_store:
+        import os
+
+        path = os.path.join(config.level_store, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+    return df.localCheckpoint(eager=True)
+
+
 def crawl(spark: SparkSession, config: CrawlConfig) -> CrawlResult:
     """Run a crawl over ``config.dirs`` and return (files, status) DataFrames.
 
@@ -96,7 +113,7 @@ def crawl(spark: SparkSession, config: CrawlConfig) -> CrawlResult:
         level = expand_level(frontier, exclude, parallelism)
         # Flatten lineage: each level's plan is materialized so a deep tree
         # doesn't nest N mapInPandas stages into one giant plan.
-        level = level.localCheckpoint(eager=True)
+        level = _materialize(spark, level, config, f"level_{depth:05d}")
         levels.append(level.drop("descend"))
         frontier = level.filter(F.col("descend")).select("path")
         dir_total = frontier.count()
@@ -143,7 +160,7 @@ def crawl(spark: SparkSession, config: CrawlConfig) -> CrawlResult:
     status_log.append(("processed all files", None, "event"))
 
     # Materialize once so counters are real and downstream reads are cheap.
-    files = files.localCheckpoint(eager=True)
+    files = _materialize(spark, files, config, "files_stage")
     status_log.append(("processed all DB commits", None, "event"))
 
     elapsed = max(_time.time() - t0, 1e-9)

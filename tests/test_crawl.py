@@ -103,3 +103,28 @@ def test_crawl_is_deterministic_rowset(spark, tree):
     a = {bytes(r.path) for r in crawl(spark, cfg).files.collect()}
     b = {bytes(r.path) for r in crawl(spark, cfg).files.collect()}
     assert a == b
+
+
+def test_crawl_level_store_spills_levels_and_matches_default(spark, tree, tmp_path):
+    """level_store mode must produce the same rowset as localCheckpoint mode,
+    while leaving per-level parquet artifacts (+ files_stage) in the store."""
+    store = tmp_path / "levels"
+    res_default = crawl(spark, CrawlConfig(dirs=[str(tree)]))
+    res_lake = crawl(spark, CrawlConfig(dirs=[str(tree)], level_store=str(store)))
+
+    default_paths = {bytes(r.path) for r in res_default.files.collect()}
+    lake_rows = {bytes(r.path): r for r in res_lake.files.collect()}
+    assert set(lake_rows) == default_paths
+    assert res_lake.summary["files"] == res_default.summary["files"]
+    assert res_lake.summary["dirs"] == res_default.summary["dirs"]
+
+    names = sorted(p.name for p in store.iterdir())
+    assert "files_stage" in names
+    levels = [n for n in names if n.startswith("level_")]
+    # fixture tree is 3 dirs deep below the root → at least 3 expanded levels
+    assert len(levels) >= 3
+    # spilled levels are real re-readable parquet incl. non-UTF-8 path bytes
+    lv0 = spark.read.parquet(str(store / levels[0]))
+    assert "descend" in lv0.columns  # frontier flag travels with the level
+    root = bytes(tree)
+    assert root + b"/caf\xe9.dat" in {bytes(r.path) for r in lv0.collect()}
