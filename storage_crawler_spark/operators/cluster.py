@@ -1,0 +1,112 @@
+"""Near-duplicate cluster assignment: connected components over a pair
+graph (SURVEY.md §2.9 — the step a real dedup pipeline runs AFTER pair
+generation: group transitively-linked near-dups, keep one canonical doc).
+
+The reference engine has no graph operator (its dedup surface stops at
+pairs); this is the LLM-data-pipeline extension.  Semantics: component id =
+min doc_id reachable through the pair graph; every document is a node
+(singletons form their own component); keeper = the component's min-id doc.
+Fully deterministic, so it is oracle-checked against a DuckDB recursive-CTE
+transitive closure over the same pair SQL.
+
+Spark-first shape: iterative min-label propagation on DataFrames —
+    labels ← min(labels, min over neighbours' labels)   until fixpoint
+Each round is one equi-join shuffle (edges ⋈ labels on src) plus one
+groupBy(doc_id) min — both partial-aggregable, no windows, no collects
+except the O(1) convergence scalar.  Rounds needed = graph diameter; LSH
+near-dup clusters are band-cliques stitched into short chains (diameter
+2-4 in practice), so the loop converges in a handful of rounds.  For
+adversarial long-chain graphs the known upgrade is large-star/small-star
+(O(log n) rounds); this module keeps the simple propagation and caps
+rounds at ``max_iter``.  Labels are monotone non-increasing, so
+``sum(component)`` is a convergence witness: equal sums ⇒ fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storage_crawler_spark.plans.dialect import Dialect
+from storage_crawler_spark.operators.dedup import gen_minhash_pairs
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 30,
+) -> DataFrame:
+    """(doc_id, component, cluster_size, is_keeper) for every node.
+
+    ``edges``: columns doc_a, doc_b (undirected pairs).  ``nodes``: column
+    doc_id (the full population — nodes without edges become singleton
+    components).  Deterministic: component = min reachable doc_id.
+    """
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # Materialize the edge list once — it is re-joined every round.
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
+    prev_sum = None
+    for _ in range(max_iter):
+        prop = sym.join(labels, sym.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "component"
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+        )
+        # Flatten lineage per round; the loop otherwise stacks joins into
+        # one unboundedly deep plan.
+        labels = labels.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:  # monotone labels: equal sum ⇒ no change
+            break
+        prev_sum = cur_sum
+
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "component").select(
+        "doc_id",
+        "component",
+        "cluster_size",
+        (F.col("doc_id") == F.col("component")).cast("int").alias("is_keeper"),
+    )
+
+
+def build_minhash_clusters(spark: SparkSession, d: Dialect, sigs_rel: str) -> DataFrame:
+    """Cluster assignment over the minhash-LSH pair graph (Spark path)."""
+    pairs = spark.sql(gen_minhash_pairs(d, sigs_rel=sigs_rel))
+    nodes = spark.table("documents").select("doc_id")
+    return connected_components(pairs.select("doc_a", "doc_b"), nodes)
+
+
+def gen_cluster_oracle(d: Dialect) -> str:
+    """DuckDB oracle: recursive-CTE transitive closure → min-label
+    components over the SAME pair SQL the Spark path consumes.  Closure
+    size is O(nodes·cluster_size) — fine at oracle scale, never run on
+    Spark (the iterative propagation above is the engine path)."""
+    return f"""
+WITH RECURSIVE
+pairs AS (
+{gen_minhash_pairs(d)}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node)
+SELECT c.doc_id, c.component, s.cluster_size,
+       CAST(c.doc_id = c.component AS INT) AS is_keeper
+FROM comp c
+JOIN (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component) s
+  ON c.component = s.component
+""".strip()

@@ -1,0 +1,55 @@
+"""Deterministic hash-based sampling / split assignment (SURVEY.md §2.9 —
+LLM-data-pipeline extension; no reference analog).
+
+Train/val/test assignment at 100 TB must be (a) a pure map over the scan —
+no shuffle, no global sort, no RNG state — and (b) stable across reruns and
+engines, so downstream stages can re-derive membership instead of storing
+it.  Hashing the key and thresholding the bucket gives both: the split is a
+deterministic function of doc_id alone, survives repartitioning, and pushes
+down to a plain scan+project plan.  The same bucket column doubles as a
+deterministic sampler (``WHERE bucket < frac * 10000``).
+"""
+
+from __future__ import annotations
+
+from storage_crawler_spark.plans.dialect import Dialect
+
+N_BUCKETS = 10_000
+
+
+def gen_split_assign(
+    d: Dialect,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    src: str = "documents",
+) -> str:
+    """(doc_id, bucket, split) — md5-bucketed deterministic split.
+
+    bucket = first 48 bits of md5(doc_id) mod 10000; identical in both
+    engines (same digest, same radix conversion), so the oracle checks the
+    actual assignment, not just counts."""
+    train_hi = train_pct * N_BUCKETS // 100
+    val_hi = (train_pct + val_pct) * N_BUCKETS // 100
+    h = d.hex12_to_bigint(f"substr({d.md5_utf8('CAST(doc_id AS STRING)')}, 1, 12)")
+    return f"""
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {train_hi} THEN 'train'
+            WHEN bucket < {val_hi} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, CAST({h} % {N_BUCKETS} AS BIGINT) AS bucket FROM {src}) t
+""".strip()
+
+
+def gen_split_counts(d: Dialect, train_pct: int = 80, val_pct: int = 10) -> str:
+    """Per-(lang, split) document counts — the stratification report a
+    pipeline checks before training (and a groupBy proof the split is a
+    plain map under aggregation)."""
+    return f"""
+SELECT lang, split, count(*) AS n_docs
+FROM (
+  SELECT s.doc_id, s.split, doc.lang
+  FROM ({gen_split_assign(d, train_pct, val_pct)}) s
+  JOIN documents doc ON doc.doc_id = s.doc_id
+) t
+GROUP BY lang, split
+""".strip()

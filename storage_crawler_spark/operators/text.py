@@ -122,3 +122,50 @@ def gen_fingerprint(d: Dialect) -> str:
 SELECT doc_id, {d.reduce_bigint(tokvals, "(acc * 31 + x) % 1000000007")} AS fingerprint
 FROM documents
 """.strip()
+
+
+# Portable regexes (Java regex ∩ RE2 — explicit ASCII classes only).
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+_PHONE_RE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+_LONG_DIGITS_RE = "[0-9]{9,}"
+
+
+def gen_text_normalize(d: Dialect) -> str:
+    """Canonical text normalization for dedup/training prep: lowercase,
+    non-alphanumerics → space, whitespace collapsed, trimmed.  Pure
+    scan+project (no UDF, no shuffle); emits before/after lengths so the
+    reduction is auditable."""
+    norm = d.regex_replace_all(
+        d.regex_replace_all("lower(text)", "[^a-z0-9 ]", " "), "  *", " "
+    )
+    return f"""
+SELECT doc_id, norm_text,
+       length(text) AS n_chars_raw, length(norm_text) AS n_chars_norm
+FROM (SELECT doc_id, text, trim({norm}) AS norm_text FROM documents) t
+""".strip()
+
+
+def gen_pii_redact(d: Dialect) -> str:
+    """PII scrubbing pass (emails, phone-shaped numbers, long digit runs →
+    typed placeholder tokens) with per-document match counts.  Training-data
+    hygiene at scale must be a map-only pass — three chained
+    regexp_replaces inside codegen, counts from the same patterns, one
+    pruned scan."""
+    n_email = d.size(d.regex_tokens("text", _EMAIL_RE))
+    n_phone = d.size(d.regex_tokens("text", _PHONE_RE))
+    red = d.regex_replace_all(
+        d.regex_replace_all(
+            d.regex_replace_all("text", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _LONG_DIGITS_RE,
+        "<NUM>",
+    )
+    return f"""
+SELECT doc_id,
+       CAST({n_email} AS BIGINT) AS n_emails,
+       CAST({n_phone} AS BIGINT) AS n_phones,
+       {red} AS red_text
+FROM documents
+""".strip()

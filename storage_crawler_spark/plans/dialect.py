@@ -152,6 +152,14 @@ class Dialect:
             return f"regexp_extract_all({s}, '{pattern}', 0)"
         return f"regexp_extract_all({s}, '{pattern}')"
 
+    def regex_replace_all(self, s: str, pattern: str, rep: str) -> str:
+        """Replace ALL matches.  Spark's regexp_replace is global by
+        default; DuckDB replaces only the first match without the 'g'
+        flag.  Keep patterns to portable ASCII classes (Java regex ∩ RE2)."""
+        if self.name == "spark":
+            return f"regexp_replace({s}, '{pattern}', '{rep}')"
+        return f"regexp_replace({s}, '{pattern}', '{rep}', 'g')"
+
     def idiv(self, a: str, b: str) -> str:
         """Integer (floor) division of non-negative integers."""
         op = "div" if self.name == "spark" else "//"

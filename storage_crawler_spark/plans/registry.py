@@ -28,7 +28,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from storage_crawler_spark.operators import dedup, multimodal, similarity, text
+from storage_crawler_spark.operators import cluster, dedup, multimodal, sampling, similarity, text
 from storage_crawler_spark.plans.dialect import DUCK, SPARK, Dialect
 from storage_crawler_spark.plans import views as V
 
@@ -268,6 +268,17 @@ def _b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs.persist()
     sigs.createOrReplaceTempView("_minhash_sigs")
     return spark.sql(dedup.gen_minhash_pairs(SPARK, sigs_rel="_minhash_sigs"))
+
+
+def _b_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash-LSH pairs → connected components → keeper per cluster."""
+    V.register_base_tables(spark, sf_dir, ("documents",))
+    n = spark.sparkContext.defaultParallelism
+    spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
+    sigs = spark.sql(dedup.gen_minhash_sigs(SPARK, src="_documents_rep"))
+    sigs.persist()
+    sigs.createOrReplaceTempView("_minhash_sigs_cc")
+    return cluster.build_minhash_clusters(spark, SPARK, sigs_rel="_minhash_sigs_cc")
 
 
 # --------------------------------------------------------------------------
@@ -621,6 +632,45 @@ def _specs() -> list[QuerySpec]:
         headline=True,
         tags=("dedup",),
         doc="banded LSH candidate pairs + sig agreement; signatures cached once",
+    )
+    add(
+        "dedup_cluster_assign",
+        _b_cluster_assign,
+        cluster.gen_cluster_oracle(DUCK),
+        tags=("dedup",),
+        doc="connected components over LSH pairs (iterative min-label propagation; oracle = recursive-CTE closure)",
+    )
+    b, o = _sql_pair(sampling.gen_split_assign, ("documents",))
+    add(
+        "split_assign",
+        b,
+        o,
+        tags=("pipeline",),
+        doc="deterministic md5-bucket train/val/test assignment (map-only, rerun-stable)",
+    )
+    b, o = _sql_pair(sampling.gen_split_counts, ("documents",))
+    add(
+        "split_counts",
+        b,
+        o,
+        tags=("pipeline",),
+        doc="per-(lang, split) stratification counts over the deterministic split",
+    )
+    b, o = _sql_pair(text.gen_text_normalize, ("documents",))
+    add(
+        "text_normalize",
+        b,
+        o,
+        tags=("text",),
+        doc="lowercase/strip/collapse normalization with before-after char audit",
+    )
+    b, o = _sql_pair(text.gen_pii_redact, ("documents",))
+    add(
+        "text_pii_redact",
+        b,
+        o,
+        tags=("text",),
+        doc="email/phone/long-digit redaction with per-doc match counts",
     )
     b, o = _sql_pair(text.gen_token_stats, ("documents",))
     add("text_token_stats", b, o, tags=("text",), doc="token counting")

@@ -224,6 +224,30 @@ def test_simhash_near_dups_finds_perturbed_doc(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+# -- dedup clustering (operators/cluster.py) --------------------------------
+
+
+def test_connected_components_chain_clique_singleton(spark):
+    """Min-label propagation must handle: a 4-node chain (needs >1 round —
+    label 0 travels hop by hop), a 3-clique, an isolated node, and must be
+    deterministic (component = min reachable doc_id)."""
+    from storage_crawler_spark.operators.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (10, 12)],
+        "doc_a LONG, doc_b LONG",
+    )
+    nodes = spark.createDataFrame([(i,) for i in (0, 1, 2, 3, 10, 11, 12, 99)], "doc_id LONG")
+    rows = {r.doc_id: r for r in connected_components(edges, nodes).collect()}
+    assert {i: rows[i].component for i in rows} == {
+        0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10, 99: 99,
+    }
+    assert rows[0].cluster_size == 4 and rows[0].is_keeper == 1
+    assert rows[3].cluster_size == 4 and rows[3].is_keeper == 0
+    assert rows[12].cluster_size == 3
+    assert rows[99].cluster_size == 1 and rows[99].is_keeper == 1
+
+
 # -- temporal joins (operators/temporal.py) ---------------------------------
 
 
