@@ -3,10 +3,13 @@
 The engine treats image/audio/video as ``binary`` columns with a metadata
 struct, exactly how a 100 TB training-data lake stores them (parquet binary
 + sidecar fields).  The Spark-side plumbing — schema, Arrow batch shape,
-``mapInPandas`` signature, partition sizing — is real and tested; the
-actual codec decode is STUBBED (this container has no image/audio libs):
-``decode_stub`` emits deterministic fake features and raises
-``NotImplementedError`` only if asked for a real codec.
+``mapInPandas`` signature, partition sizing — is real and tested.  Header
+METADATA extraction is also real: :func:`sniff_header` parses PNG/GIF/BMP/
+WAV/JPEG containers byte-level (no codec libs), oracle-checked end-to-end
+against :func:`_synth_blob`'s closed-form test vectors.  Only pixel/sample
+DECODE is stubbed (``decode_stub`` emits deterministic fake features and
+raises ``NotImplementedError`` for unknown media types) — that genuinely
+needs image/audio libraries this container doesn't ship.
 
 ``gen_binary_meta`` is the SQL-oracle-checked part: byte length + md5 digest
 + first-byte probe over a binary rendering of ``documents.text`` (the
@@ -169,6 +172,157 @@ def resize_stub(media: DataFrame, target_w: int = 224, target_h: int = 224) -> D
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return media.mapInPandas(kernel, out_schema)
+
+
+# --------------------------------------------------------------------------
+# Real header parsing (no codec libs needed): magic-byte sniff + dimension /
+# audio-param extraction for PNG, GIF, BMP, WAV, JPEG.  This is the honest
+# upgrade over decode_stub — actual byte-level metadata extraction; only
+# pixel/sample DECODE stays stubbed (that genuinely needs codec libs).
+# --------------------------------------------------------------------------
+
+import struct as _struct
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def sniff_header(blob: bytes | None) -> dict:
+    """Parse media container headers: {format, width, height, channels,
+    sample_rate_hz}; fields are None when absent/unknown.  Pure byte
+    parsing — works on any executor, no image/audio libraries."""
+    none = {"format": None, "width": None, "height": None, "channels": None, "sample_rate_hz": None}
+    if not blob:
+        return none
+    try:
+        if blob[:8] == _PNG_MAGIC and len(blob) >= 24 and blob[12:16] == b"IHDR":
+            w, h = _struct.unpack(">II", blob[16:24])
+            return {**none, "format": "png", "width": w, "height": h}
+        if blob[:6] in (b"GIF87a", b"GIF89a") and len(blob) >= 10:
+            w, h = _struct.unpack("<HH", blob[6:10])
+            return {**none, "format": "gif", "width": w, "height": h}
+        if blob[:2] == b"BM" and len(blob) >= 26:
+            w, h = _struct.unpack("<ii", blob[18:26])
+            return {**none, "format": "bmp", "width": w, "height": abs(h)}
+        if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+            # walk RIFF chunks to the fmt chunk (canonical or not)
+            off = 12
+            while off + 8 <= len(blob):
+                cid, csize = blob[off : off + 4], _struct.unpack("<I", blob[off + 4 : off + 8])[0]
+                if cid == b"fmt " and off + 16 <= len(blob):
+                    ch, rate = _struct.unpack("<HI", blob[off + 10 : off + 16])
+                    return {**none, "format": "wav", "channels": ch, "sample_rate_hz": rate}
+                off += 8 + csize + (csize & 1)  # chunks are word-aligned
+            return {**none, "format": "wav"}
+        if blob[:2] == b"\xff\xd8":
+            # walk JPEG segments to the first SOF0-SOF3 frame header
+            off = 2
+            while off + 4 <= len(blob) and blob[off] == 0xFF:
+                marker, seglen = blob[off + 1], _struct.unpack(">H", blob[off + 2 : off + 4])[0]
+                if 0xC0 <= marker <= 0xC3 and off + 9 <= len(blob):
+                    h, w = _struct.unpack(">HH", blob[off + 5 : off + 9])
+                    return {**none, "format": "jpeg", "width": w, "height": h}
+                off += 2 + seglen
+            return {**none, "format": "jpeg"}
+    except (_struct.error, IndexError):
+        return none
+    return none
+
+
+def _synth_blob(doc_id: int) -> bytes:
+    """Deterministic minimal-but-valid media bytes for doc_id (the test
+    vector generator for the header parser; cycles png/gif/bmp/wav/jpeg).
+    Dimensions/params are closed-form in doc_id so an SQL oracle can verify
+    the PARSE path end-to-end: synth bytes → sniff_header == formula."""
+    kind = doc_id % 5
+    w, h = doc_id % 640 + 1, (doc_id * 7) % 480 + 1
+    if kind == 0:  # PNG: magic + IHDR (zeroed CRC) + IEND
+        ihdr = _struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+        return (
+            _PNG_MAGIC
+            + _struct.pack(">I", 13) + b"IHDR" + ihdr + b"\0\0\0\0"
+            + _struct.pack(">I", 0) + b"IEND" + b"\0\0\0\0"
+        )
+    if kind == 1:  # GIF89a logical screen descriptor + trailer
+        return b"GIF89a" + _struct.pack("<HHBBB", w, h, 0, 0, 0) + b";"
+    if kind == 2:  # BMP: 14-byte file header + BITMAPINFOHEADER
+        info = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 2835, 2835, 0, 0)
+        return b"BM" + _struct.pack("<IHHI", 54, 0, 0, 54) + info
+    if kind == 3:  # WAV: RIFF/WAVE + canonical fmt chunk + empty data chunk
+        ch, rate = doc_id % 2 + 1, 8000 + (doc_id % 3) * 4000
+        fmt = _struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+        return (
+            b"RIFF" + _struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + _struct.pack("<I", 16) + fmt
+            + b"data" + _struct.pack("<I", 0)
+        )
+    # JPEG: SOI + SOF0 (3 components) + EOI
+    sof = _struct.pack(">BHHB", 8, h, w, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    return b"\xff\xd8" + b"\xff\xc0" + _struct.pack(">H", 2 + len(sof)) + sof + b"\xff\xd9"
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """doc_id → deterministic media blobs (MEDIA_SCHEMA), the parser's
+    oracle-checkable input."""
+    kinds = ("png", "gif", "bmp", "wav", "jpeg")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "content": [_synth_blob(int(i)) for i in ids],
+                    "media_type": [kinds[int(i) % 5] for i in ids],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+MEDIA_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("channels", T.LongType(), True),
+        T.StructField("sample_rate_hz", T.LongType(), True),
+    ]
+)
+
+
+def media_info(media: DataFrame) -> DataFrame:
+    """Header-parse a binary media column (real byte-level extraction via
+    :func:`sniff_header`) — mapInPandas, Arrow-batched, schema-stable."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                info = sniff_header(bytes(content) if content is not None else None)
+                rows.append(
+                    (doc_id, info["format"], info["width"], info["height"],
+                     info["channels"], info["sample_rate_hz"])
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_INFO_SCHEMA.fields])
+
+    return media.mapInPandas(kernel, MEDIA_INFO_SCHEMA)
+
+
+def gen_media_info_oracle(d: Dialect) -> str:
+    """Closed-form oracle for synth→parse: what sniff_header MUST recover
+    from _synth_blob(doc_id)'s bytes.  A parser or synthesizer bug breaks
+    the hash match."""
+    return """
+SELECT doc_id,
+  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
+                  WHEN 3 THEN 'wav' ELSE 'jpeg' END AS format,
+  CASE WHEN doc_id % 5 IN (0, 1, 2, 4) THEN CAST(doc_id % 640 + 1 AS BIGINT) END AS width,
+  CASE WHEN doc_id % 5 IN (0, 1, 2, 4) THEN CAST((doc_id * 7) % 480 + 1 AS BIGINT) END AS height,
+  CASE WHEN doc_id % 5 = 3 THEN CAST(doc_id % 2 + 1 AS BIGINT) END AS channels,
+  CASE WHEN doc_id % 5 = 3 THEN CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) END AS sample_rate_hz
+FROM documents
+""".strip()
 
 
 def gen_binary_meta(d: Dialect) -> str:

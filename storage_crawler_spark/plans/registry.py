@@ -695,6 +695,18 @@ def _specs() -> list[QuerySpec]:
     b, o = _sql_pair(multimodal.gen_binary_meta, ("documents",))
     add("multimodal_binary_meta", b, o, tags=("multimodal",), doc="binary payload metadata (length/digest)")
 
+    def _media_info_builder(spark, sf_dir):
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        return multimodal.media_info(multimodal.synth_media(spark.table("documents")))
+
+    add(
+        "multimodal_media_info",
+        _media_info_builder,
+        multimodal.gen_media_info_oracle(DUCK),
+        tags=("multimodal",),
+        doc="real PNG/GIF/BMP/WAV/JPEG header parsing over synthesized containers; oracle = closed-form synth params",
+    )
+
     # Skew plane: salted two-phase aggregation must equal the plain groupBy
     # (algebraic partials combine losslessly; decimal sums are exact so
     # re-summation order cannot change the hash) ----------------------------

@@ -224,6 +224,55 @@ def test_simhash_near_dups_finds_perturbed_doc(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+# -- media header parsing (operators/multimodal.py) -------------------------
+
+
+def test_sniff_header_formats_and_edge_cases():
+    """Byte-level header parser: every synthesized format round-trips, and
+    malformed/truncated/non-canonical inputs degrade to None instead of
+    raising (executor-safety contract for mapInPandas kernels)."""
+    import struct
+
+    from storage_crawler_spark.operators.multimodal import _synth_blob, sniff_header
+
+    for doc_id in range(25):
+        info = sniff_header(_synth_blob(doc_id))
+        kind = doc_id % 5
+        assert info["format"] == ("png", "gif", "bmp", "wav", "jpeg")[kind]
+        if kind in (0, 1, 2, 4):
+            assert info["width"] == doc_id % 640 + 1
+            assert info["height"] == (doc_id * 7) % 480 + 1
+        else:
+            assert info["channels"] == doc_id % 2 + 1
+            assert info["sample_rate_hz"] == 8000 + (doc_id % 3) * 4000
+
+    assert sniff_header(None)["format"] is None
+    assert sniff_header(b"")["format"] is None
+    assert sniff_header(b"garbage not a header")["format"] is None
+    assert sniff_header(_synth_blob(0)[:10])["format"] is None  # truncated PNG
+
+    # WAV with a LIST chunk before fmt (non-canonical order must still parse)
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 12 + 24) + b"WAVE"
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+    )
+    info = sniff_header(wav)
+    assert (info["format"], info["channels"], info["sample_rate_hz"]) == ("wav", 2, 44100)
+
+    # JPEG with an APP0 segment before SOF0 (the common JFIF layout)
+    sof = struct.pack(">BHHB", 8, 99, 44, 1) + b"\x01\x11\x00"
+    jfif = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x01\x02" + b"\x00" * 7
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        + b"\xff\xd9"
+    )
+    info = sniff_header(jfif)
+    assert (info["format"], info["width"], info["height"]) == ("jpeg", 44, 99)
+
+
 # -- dedup clustering (operators/cluster.py) --------------------------------
 
 
