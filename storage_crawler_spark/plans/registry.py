@@ -462,6 +462,14 @@ def _b_streaming_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(per_key_deltas(read_events_stream(spark, sf_dir)), output_mode="update")
 
 
+def _b_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_crawler_spark.streaming import attribution_join, read_events_stream, run_to_completion
+
+    return run_to_completion(
+        attribution_join(read_events_stream(spark, sf_dir), _WINDOW_S), output_mode="append"
+    )
+
+
 _DUCK_EPOCH_EVENTS = "CAST(floor(epoch(ts)) AS BIGINT)"
 
 STREAMING_WINDOW_ORACLE = f"""
@@ -475,6 +483,19 @@ GROUP BY 1, 2
 # Session windows merge events with inter-arrival <= gap (verified: exactly
 # gap apart DOES merge), so islands break on delta > gap; session end is
 # last event + gap.
+STREAMING_ATTRIBUTION_ORACLE = f"""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       {_DUCK_EPOCH_EVENTS.replace('ts', 'c.ts')} AS click_s,
+       {_DUCK_EPOCH_EVENTS.replace('ts', 'p.ts')} AS purchase_s,
+       round(p.value, 4) AS purchase_value
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND {_DUCK_EPOCH_EVENTS.replace('ts', 'p.ts')} >= {_DUCK_EPOCH_EVENTS.replace('ts', 'c.ts')}
+ AND {_DUCK_EPOCH_EVENTS.replace('ts', 'p.ts')} <= {_DUCK_EPOCH_EVENTS.replace('ts', 'c.ts')} + {_WINDOW_S}
+""".strip()
+
 STREAMING_SESSION_ORACLE = f"""
 WITH e AS (SELECT event_type, {_DUCK_EPOCH_EVENTS} AS epoch_s FROM events),
 l AS (
@@ -741,6 +762,13 @@ def _specs() -> list[QuerySpec]:
         None,
         tags=("streaming",),
         doc="applyInPandasWithState per-key deltas (A17 rate analog); rows-only check, pytest-verified vs lag()",
+    )
+    add(
+        "streaming_attribution_join",
+        _b_streaming_attribution,
+        STREAMING_ATTRIBUTION_ORACLE,
+        tags=("streaming",),
+        doc="stream-stream self-join (click→purchase within 300s, watermark-bounded state); oracle = batch join",
     )
 
     # Sketch plane (estimates are not bit-stable across engines → rows-only;

@@ -17,6 +17,7 @@ This package re-expresses those semantics on Spark Structured Streaming:
 """
 
 from storage_crawler_spark.streaming.events import (
+    attribution_join,
     read_events_stream,
     run_to_completion,
     session_counts,
@@ -27,6 +28,7 @@ from storage_crawler_spark.streaming.listener import StatusMetricsListener
 from storage_crawler_spark.streaming.stateful import per_key_deltas
 
 __all__ = [
+    "attribution_join",
     "read_events_stream",
     "run_to_completion",
     "session_counts",

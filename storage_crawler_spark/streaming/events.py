@@ -103,6 +103,59 @@ def session_counts(events: DataFrame, gap_s: int = 30) -> DataFrame:
     )
 
 
+def attribution_join(events: DataFrame, window_s: int = 300, watermark: str = "10 minutes") -> DataFrame:
+    """Stream-stream inner join: purchases attributed to same-user clicks
+    within ``window_s`` seconds (the canonical funnel/attribution join).
+
+    Both sides are filters of the SAME event stream (a streaming self-join);
+    each carries its own watermark, and the event-time range condition
+    (purchase within [click, click+window]) lets Spark bound both join-state
+    buffers: click state older than watermark+window is evicted, purchase
+    state older than watermark.  At 100 TB-of-stream this state bound — not
+    the join itself — is what keeps the operator runnable; without the time
+    condition Spark rejects the plan (unbounded state).
+
+    Inner-join output is append-mode and batch-equivalent: every matching
+    pair is emitted exactly once whatever the micro-batch split, so the
+    result has a plain batch-SQL oracle.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts_ts").alias("click_ts"),
+            F.col("epoch_s").alias("click_s"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts_ts").alias("purchase_ts"),
+            F.col("epoch_s").alias("purchase_s"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"user_id = p_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + interval {window_s} seconds"
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "click_s",
+        "purchase_s",
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+
+
 def run_to_completion(
     result: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:
