@@ -140,6 +140,65 @@ WHERE jaccard >= {threshold}
 """.strip()
 
 
+def scalable_lang_rank(src_df, n_partitions: int | None = None):
+    """Two-phase range-partitioned per-lang rank — row_number() OVER
+    (PARTITION BY lang ORDER BY n_chars, doc_id) without the per-lang
+    single-task sort.
+
+    A per-lang window funnels each lang through ONE sort task; at 100 TB a
+    big lang is a straight scale ceiling.  Two-phase instead:
+
+    1. ``repartitionByRange(lang, n_chars, doc_id)`` — each lang's global
+       sort order becomes partition-contiguous (a lang may span partitions);
+    2. one shuffle computes, per (partition, lang) group, local
+       ``row_number`` AND group count (two window functions over the same
+       spec — Catalyst evaluates both in a single sort pass, and group size
+       is bounded by the RANGE partitioner's balance, not by lang size);
+    3. the distinct (pid, lang, count) triples — O(partitions × langs),
+       kilobytes — come to the driver, prefix-sum to per-(pid, lang)
+       offsets, and broadcast-join back: global rank = local + offset.
+
+    Output: src_df columns + ``rnk``.  Bit-identical to the window (the
+    jaccard oracle's hash match proves it on every driver run; pytest
+    proves it on random data).  src_df needs doc_id, lang, n_chars.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = src_df.sparkSession
+    n = n_partitions or spark.sparkContext.defaultParallelism
+    pidded = (
+        src_df.select("doc_id", "lang", "n_chars")
+        .repartitionByRange(n, "lang", "n_chars", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        # pin partition ids: spark_partition_id is plan-dependent, and the
+        # column is consumed by two different downstream plans
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("pid", "lang").orderBy("n_chars", "doc_id")
+    local = pidded.select(
+        "doc_id",
+        "lang",
+        "pid",
+        F.row_number().over(w).alias("local_rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("pid", "lang")).alias("grp_cnt"),
+    )
+    counts = sorted(
+        (r.pid, r.lang, r.grp_cnt)
+        for r in local.select("pid", "lang", "grp_cnt").distinct().collect()
+    )
+    offsets, seen = [], {}
+    for pid, lang, cnt in counts:  # pid ascending == global order per lang
+        offsets.append((pid, lang, seen.get(lang, 0)))
+        seen[lang] = seen.get(lang, 0) + cnt
+    off_df = spark.createDataFrame(offsets, "pid INT, lang STRING, off BIGINT")
+    ranked = (
+        local.join(F.broadcast(off_df), ["pid", "lang"])
+        .select("doc_id", (F.col("local_rnk") + F.col("off")).alias("rnk"))
+    )
+    return src_df.join(ranked, "doc_id")
+
+
 def gen_jaccard_ranked(d: Dialect, prep_rel: str = "t", src: str = "documents") -> str:
     """Per-lang sorted-neighborhood rank joined onto the Jaccard prep.
 

@@ -247,14 +247,21 @@ def _b_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = spark.sparkContext.defaultParallelism
     spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
     # One persisted relation: prep (tokenize+md5, the expensive map) with the
-    # sorted-neighborhood rank joined on.  The rank side windows a narrow
-    # pruned scan of the source (no tokenization — rnk depends only on
-    # doc_id/lang/n_chars), so materializing ranked costs ~the prep alone;
-    # the pair join then references it twice from cache.
-    spark.sql(dedup.gen_jaccard_prep(SPARK, src="_documents_rep")).createOrReplaceTempView(
-        "_jaccard_prep"
-    )
-    ranked = spark.sql(dedup.gen_jaccard_ranked(SPARK, "_jaccard_prep", src="documents"))
+    # sorted-neighborhood rank joined on; the pair join references it twice
+    # from cache.  Rank strategy by size: below the threshold, a narrow SQL
+    # window over the pruned source (fewest stages — wins at bench scale);
+    # above it, the two-phase range-partitioned rank (scalable_lang_rank) so
+    # no single lang funnels through one sort task.  Both are bit-identical
+    # (pytest-proven); the window formulation is always the oracle.
+    if spark.table("documents").count() < 1_000_000:
+        spark.sql(dedup.gen_jaccard_prep(SPARK, src="_documents_rep")).createOrReplaceTempView(
+            "_jaccard_prep"
+        )
+        ranked = spark.sql(dedup.gen_jaccard_ranked(SPARK, "_jaccard_prep", src="documents"))
+    else:
+        ranked = dedup.scalable_lang_rank(
+            spark.sql(dedup.gen_jaccard_prep(SPARK, src="_documents_rep"))
+        )
     ranked.persist()
     ranked.createOrReplaceTempView("_jaccard_ranked")
     return spark.sql(dedup.gen_jaccard_pairs(SPARK, ranked_rel="_jaccard_ranked"))

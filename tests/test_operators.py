@@ -149,6 +149,30 @@ def test_jaccard_block_cap_bounds_skewed_corpus(spark):
         spark.catalog.dropTempView("documents")
 
 
+def test_scalable_lang_rank_equals_window(spark):
+    """Two-phase range-partitioned rank must be bit-identical to
+    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id),
+    including a skewed lang that spans many range partitions and ties on
+    n_chars (broken by doc_id)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from storage_crawler_spark.operators.dedup import scalable_lang_rank
+
+    rng = random.Random(3)
+    rows = [
+        (i, "big" if i % 10 else "rare", rng.choice([50, 50, 50, 100, rng.randint(1, 500)]))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, n_chars LONG")
+    got = {r.doc_id: r.rnk for r in scalable_lang_rank(df, n_partitions=16).collect()}
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    want = {r.doc_id: r.rnk for r in df.withColumn("rnk", F.row_number().over(w)).collect()}
+    assert got == want
+
+
 # -- simhash (operators/simhash.py) -----------------------------------------
 
 
