@@ -97,3 +97,33 @@ SELECT vec_a, vec_b, cosine FROM (
 ) p
 WHERE cosine >= {threshold}
 """.strip()
+
+
+def gen_knn_join(d: Dialect, k: int = 5, nbits: int = 4) -> str:
+    """Bucketed KNN self-join: top-``k`` neighbours for EVERY vector (the
+    batch retrieval op a training pipeline runs corpus-wide, vs. the
+    single-query top-k above).
+
+    Candidates are bucket-mates only (sign-pattern LSH, same recall
+    tradeoff as the near-dup tier — at 100 TB exact all-pairs KNN is
+    quadratic and not an option, so the bucketed semantics ARE the
+    operator, identically in engine and oracle).  Per query vector the
+    top-k is a row_number window over its candidate list: Spark shuffles
+    on qid once, ranks within partitions — bounded by bucket size, and
+    partial top-k at scale via the bucket key.  Ties break by neighbour
+    id for cross-engine determinism.
+    """
+    cos = f"({d.dot('a.ev', 'b.ev')}) / (a.nrm * b.nrm)"
+    return f"""
+WITH {_norm_cte(d, with_bucket=True)},
+pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid, a.label AS q_label, b.label AS n_label,
+         {d.trunc6(cos)} AS cosine
+  FROM v a JOIN v b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
+)
+SELECT qid, nid, q_label, n_label, cosine, rank FROM (
+  SELECT pairs.*, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+  FROM pairs
+) r
+WHERE rank <= {k}
+""".strip()

@@ -720,6 +720,14 @@ def _specs() -> list[QuerySpec]:
         tags=("dedup", "similarity"),
         doc="embedding-cosine near-dup pairs, sign-bucket LSH blocked, precomputed norms",
     )
+    b, o = _sql_pair(similarity.gen_knn_join, ("embeddings",))
+    add(
+        "sim_knn_join",
+        b,
+        o,
+        tags=("similarity",),
+        doc="bucketed KNN self-join: top-k neighbours per vector (LSH candidates, windowed rank)",
+    )
     b, o = _sql_pair(multimodal.gen_binary_meta, ("documents",))
     add("multimodal_binary_meta", b, o, tags=("multimodal",), doc="binary payload metadata (length/digest)")
 
