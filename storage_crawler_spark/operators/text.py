@@ -169,3 +169,79 @@ SELECT doc_id,
        {red} AS red_text
 FROM documents
 """.strip()
+
+
+def gen_repetition(d: Dialect) -> str:
+    """Duplicate n-gram ratio (Gopher/C4 repetition filter): fraction of
+    3-gram occurrences that are repeats of an earlier 3-gram in the same
+    document.  High ratios flag boilerplate/spam/looping generations.
+    Array-expression only — one pruned scan, no shuffle."""
+    toks = "toks"
+    three = d.transform(
+        d.seq("1", f"{d.size(toks)} - 2"),
+        "i",
+        f"concat({d.elem(toks, 'i')}, ' ', {d.elem(toks, 'i + 1')}, ' ', {d.elem(toks, 'i + 2')})",
+    )
+    grams = f"CASE WHEN {d.size(toks)} >= 3 THEN {three} ELSE {d.arr1('text')} END"
+    return f"""
+SELECT doc_id, n_grams, n_distinct_grams,
+       {d.trunc6("1.0 - CAST(n_distinct_grams AS DOUBLE) / n_grams")} AS dup_ratio
+FROM (
+  SELECT doc_id, {d.size('grams')} AS n_grams,
+         {d.size(d.adistinct('grams'))} AS n_distinct_grams
+  FROM (
+    SELECT doc_id, {grams} AS grams
+    FROM (SELECT doc_id, text, {d.split('text')} AS toks FROM documents) t0
+  ) t1
+) t2
+""".strip()
+
+
+def gen_quality_filter(
+    d: Dialect,
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+    max_avg_token_len: float = 12.0,
+    max_dup_ratio: float = 0.6,
+) -> str:
+    """The composite keep/drop verdict a pipeline actually applies —
+    C4/Gopher-style rule conjunction with machine-readable reasons.
+
+    Each rule is a named boolean; ``keep`` is their conjunction and
+    ``reasons`` concatenates the failed rule names (stable order), so a
+    corpus owner can audit drop causes with one groupBy.  Still a pure
+    scan+project: the rules reuse the token/repetition expressions inline
+    and Catalyst CSEs the token split."""
+    toks = d.split("text")
+    three = d.transform(
+        d.seq("1", f"{d.size('toks')} - 2"),
+        "i",
+        f"concat({d.elem('toks', 'i')}, ' ', {d.elem('toks', 'i + 1')}, ' ', {d.elem('toks', 'i + 2')})",
+    )
+    grams = f"CASE WHEN {d.size('toks')} >= 3 THEN {three} ELSE {d.arr1('text')} END"
+    rules = {
+        "too_short": f"n_tokens < {min_tokens}",
+        "too_long": f"n_tokens > {max_tokens}",
+        "long_tokens": f"avg_token_len > {max_avg_token_len}",
+        "repetitive": f"dup_ratio > {max_dup_ratio}",
+    }
+    fails = " || ".join(
+        f"(CASE WHEN {pred} THEN '{name};' ELSE '' END)" for name, pred in rules.items()
+    )
+    keep = " AND ".join(f"NOT ({pred})" for pred in rules.values())
+    return f"""
+SELECT doc_id, n_tokens, {d.trunc6('avg_token_len')} AS avg_token_len,
+       {d.trunc6('dup_ratio')} AS dup_ratio,
+       CAST(CASE WHEN {keep} THEN 1 ELSE 0 END AS INT) AS keep,
+       {fails} AS reasons
+FROM (
+  SELECT doc_id,
+         {d.size('toks')} AS n_tokens,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE) / {d.size('toks')} AS avg_token_len,
+         1.0 - CAST({d.size(d.adistinct('grams'))} AS DOUBLE) / {d.size('grams')} AS dup_ratio
+  FROM (
+    SELECT doc_id, text, toks, {grams} AS grams
+    FROM (SELECT doc_id, text, {d.split('text')} AS toks FROM documents) t0
+  ) t1
+) t2
+""".strip()

@@ -700,6 +700,22 @@ def _specs() -> list[QuerySpec]:
         tags=("text",),
         doc="email/phone/long-digit redaction with per-doc match counts",
     )
+    b, o = _sql_pair(text.gen_repetition, ("documents",))
+    add(
+        "text_repetition",
+        b,
+        o,
+        tags=("text",),
+        doc="duplicate 3-gram ratio (Gopher/C4 repetition signal), array-only",
+    )
+    b, o = _sql_pair(text.gen_quality_filter, ("documents",))
+    add(
+        "text_quality_filter",
+        b,
+        o,
+        tags=("text",),
+        doc="composite keep/drop verdict with named failure reasons (rule conjunction)",
+    )
     b, o = _sql_pair(text.gen_token_stats, ("documents",))
     add("text_token_stats", b, o, tags=("text",), doc="token counting")
     b, o = _sql_pair(text.gen_quality_score, ("documents",))
