@@ -1,0 +1,121 @@
+"""Distributed Lloyd's k-means over the embeddings table — the trained
+coarse quantizer that upgrades the IVF similarity tier from sign-pattern
+buckets (operators/similarity.py) to real learned centroids.
+
+Spark-first shape (the one that holds at 100 TB):
+
+- **Assign** is a map: centroids are a k×dim literal broadcast into a
+  Catalyst expression (k is small by construction — a coarse quantizer is
+  k ≈ √n partitions, not n), argmin of squared distance per row.  No UDF:
+  the distance unrolls into `aggregate(zip_with(...))` folds.
+- **Update** explodes assigned vectors to (cluster, dim_pos, value) rows and
+  mean-aggregates per (cluster, dim_pos): one shuffle of n·dim skinny rows,
+  partial-aggregated map-side, then k×dim means — kilobytes — collect to
+  the driver for the next round's broadcast.  This is the canonical
+  distributed k-means data flow (MLlib's KMeans does the same dance with a
+  denser accumulator).
+- **Determinism**: init = the k lowest vec_ids' vectors; ties in argmin
+  break toward the lower cluster id; fixed iteration count.  Same input ⇒
+  same model, so downstream entries are driver-checkable (rows-only: the
+  iteration is not SQL-expressible for the DuckDB oracle).
+
+An empty cluster keeps its previous centroid (standard Lloyd's fallback).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dist2_expr(centroid: list[float]) -> str:
+    """Squared L2 distance from ``ev`` to a literal centroid, as one fold."""
+    arr = "array(" + ", ".join(f"CAST({c!r} AS DOUBLE)" for c in centroid) + ")"
+    return (
+        f"aggregate(zip_with(ev, {arr}, (u, v) -> (u - v) * (u - v)), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def assign_clusters(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """vectors(vec_id, ev) + literal centroids → (vec_id, ev, cluster);
+    nearest centroid by squared L2, ties → lowest cluster id
+    (array_position returns the FIRST index of the min)."""
+    dists = "array(" + ", ".join(_dist2_expr(c) for c in centroids) + ")"
+    return vectors.withColumn("__d", F.expr(dists)).withColumn(
+        "cluster", (F.expr("array_position(__d, array_min(__d))") - 1).cast("int")
+    ).drop("__d")
+
+
+def kmeans_fit(vectors: DataFrame, k: int = 8, iters: int = 5) -> list[list[float]]:
+    """Lloyd's iterations; returns the k×dim centroid list.
+
+    ``vectors`` needs (vec_id, ev: array<double>).  The per-iteration
+    driver state is k×dim floats; everything heavy stays distributed.
+    """
+    init_rows = vectors.orderBy("vec_id").limit(k).select("ev").collect()
+    centroids = [list(r.ev) for r in init_rows]
+    for _ in range(iters):
+        assigned = assign_clusters(vectors, centroids)
+        means = (
+            assigned.select("cluster", F.posexplode("ev").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty cluster → keep previous
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = r.m
+        for cid, poses in by_cluster.items():
+            new[cid] = [poses[i] for i in range(len(poses))]
+        centroids = new
+    return centroids
+
+
+def inertia(vectors: DataFrame, centroids: list[list[float]]) -> float:
+    """Sum of squared distances to assigned centroids (the Lloyd's
+    objective; must be non-increasing over iterations)."""
+    assigned = assign_clusters(vectors, centroids)
+    dist_cases = "CASE cluster " + " ".join(
+        f"WHEN {i} THEN {_dist2_expr(c)}" for i, c in enumerate(centroids)
+    ) + " END"
+    return assigned.select(F.expr(dist_cases).alias("d2")).agg(F.sum("d2")).collect()[0][0]
+
+
+def load_vectors(spark, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            "vec_id",
+            "label",
+            F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("ev"),
+        )
+    )
+
+
+def ivf_trained_topk(spark, sf_dir: str, query_vec_id: int = 0, k_neighbours: int = 10,
+                     k_clusters: int = 8, iters: int = 3) -> DataFrame:
+    """IVF top-k with TRAINED centroids: fit the coarse quantizer, assign
+    the corpus, probe only the query's cluster.  The plan after training is
+    identical in shape to the sign-bucket variant (bucket equi-filter +
+    map-only cosine + TakeOrderedAndProject); training cost amortizes over
+    every query served from the index."""
+    vectors = load_vectors(spark, sf_dir)
+    vectors.persist()
+    centroids = kmeans_fit(vectors, k=k_clusters, iters=iters)
+    assigned = assign_clusters(vectors, centroids)
+    norms = assigned.withColumn(
+        "nrm", F.expr("sqrt(aggregate(zip_with(ev, ev, (u, v) -> u * v), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
+    )
+    q = norms.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("ev").alias("q_ev"), F.col("nrm").alias("q_nrm"), F.col("cluster").alias("q_cluster")
+    )
+    cos = "aggregate(zip_with(ev, q_ev, (u, v) -> u * v), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (nrm * q_nrm)"
+    return (
+        norms.join(F.broadcast(q), F.col("cluster") == F.col("q_cluster"))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", F.round(F.expr(cos), 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(k_neighbours)
+    )

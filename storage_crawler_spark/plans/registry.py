@@ -744,6 +744,18 @@ def _specs() -> list[QuerySpec]:
         tags=("similarity",),
         doc="bucketed KNN self-join: top-k neighbours per vector (LSH candidates, windowed rank)",
     )
+    def _b_ivf_trained(spark, sf_dir):
+        from storage_crawler_spark.operators.kmeans import ivf_trained_topk
+
+        return ivf_trained_topk(spark, sf_dir)
+
+    add(
+        "sim_ivf_trained_topk",
+        _b_ivf_trained,
+        None,
+        tags=("similarity",),
+        doc="IVF top-k with TRAINED k-means centroids (distributed Lloyd's fit; deterministic init); rows-only — iterative fit is not SQL-expressible",
+    )
     b, o = _sql_pair(multimodal.gen_binary_meta, ("documents",))
     add("multimodal_binary_meta", b, o, tags=("multimodal",), doc="binary payload metadata (length/digest)")
 

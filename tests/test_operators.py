@@ -248,6 +248,43 @@ def test_simhash_near_dups_finds_perturbed_doc(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+# -- k-means / trained IVF (operators/kmeans.py) -----------------------------
+
+
+def test_kmeans_inertia_monotone_and_deterministic(spark):
+    """Lloyd's objective must be non-increasing over iterations, the fit
+    deterministic across reruns, and every cluster id in range."""
+    from storage_crawler_spark.operators.kmeans import (
+        assign_clusters,
+        inertia,
+        kmeans_fit,
+        load_vectors,
+    )
+
+    vectors = load_vectors(spark, "/root/testdata/sf0.001")
+    vectors.persist()
+    prev = None
+    for iters in (1, 2, 4):
+        c = kmeans_fit(vectors, k=4, iters=iters)
+        cur = inertia(vectors, c)
+        if prev is not None:
+            assert cur <= prev + 1e-9
+        prev = cur
+    again = kmeans_fit(vectors, k=4, iters=4)
+    assert inertia(vectors, again) == prev  # bit-stable rerun
+    clusters = {r.cluster for r in assign_clusters(vectors, again).select("cluster").distinct().collect()}
+    assert clusters <= set(range(4)) and len(clusters) >= 2
+
+
+def test_ivf_trained_topk_shape(spark):
+    from storage_crawler_spark.operators.kmeans import ivf_trained_topk
+
+    rows = ivf_trained_topk(spark, "/root/testdata/sf0.001", k_neighbours=5).collect()
+    assert 0 < len(rows) <= 5
+    assert rows[0].cosine >= rows[-1].cosine  # ranked
+    assert all(r.vec_id != 0 for r in rows)  # query excluded
+
+
 # -- media header parsing (operators/multimodal.py) -------------------------
 
 
