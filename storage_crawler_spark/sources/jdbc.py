@@ -9,8 +9,12 @@ the data path is Spark's JDBC writer: executor-parallel batched INSERTs
 (``batchsize``), the scalable replacement for group commit.
 
 No PostgreSQL server or JDBC driver ships in this environment, so
-``write_files_jdbc`` raises a clear error when the driver is absent; the
-DDL renderers are pure functions and fully unit-tested.
+``write_files_jdbc`` raises a clear error when the Postgres driver is
+absent; the DDL renderers are pure functions and fully unit-tested.  The
+JDBC data path itself (executor-parallel batched INSERT, type mapping,
+schema-qualified target) IS runtime-verified: tests round-trip a crawl
+through the embedded Derby database Spark ships (see
+tests/test_sources.py::test_jdbc_write_round_trip_embedded_derby).
 """
 
 from __future__ import annotations
