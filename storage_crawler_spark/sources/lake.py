@@ -88,6 +88,46 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def merge_snapshot(old_files: DataFrame, new_files: DataFrame, recrawled_roots: list[bytes]) -> DataFrame:
+    """Merge a subtree re-crawl into an existing files table: rows under any
+    re-crawled root are REPLACED by the new snapshot (deletions disappear,
+    changes update), everything else is kept.  This is the incremental
+    maintenance op a real deployment runs instead of full re-crawls.
+
+    Spark shape: the "delete" side is a prefix predicate, not a join — each
+    old row is kept iff its path is outside every re-crawled subtree.  With
+    the lake's files table range-partitioned by path (write_crawl), the
+    prefix predicates align with parquet min/max path stats, so the scan
+    prunes to the files that overlap the re-crawled ranges plus pass-through
+    copies of the rest: no shuffle at any size.  (An equi-join formulation
+    would shuffle the whole table on path.)
+
+    The caller re-crawls ``recrawled_roots`` (byte paths, as stored) into
+    ``new_files``; out-of-scope rows in new_files are rejected loudly rather
+    than silently merged.
+    """
+    from pyspark.sql import functions as F
+
+    def under_any_root(col):
+        # binary-safe prefix test (Column.startswith is string-only)
+        preds = []
+        for r in recrawled_roots:
+            pfx = bytes(r) + b"/"
+            preds.append((col == F.lit(bytes(r))) | (F.substring(col, 1, len(pfx)) == F.lit(pfx)))
+        out = preds[0]
+        for p in preds[1:]:
+            out = out | p
+        return out
+
+    stray = new_files.filter(~under_any_root(F.col("path"))).limit(1).collect()
+    if stray:
+        raise ValueError(
+            f"new_files contains rows outside the re-crawled roots, e.g. {bytes(stray[0].path)!r}"
+        )
+    kept = old_files.filter(~under_any_root(F.col("path")))
+    return kept.unionByName(new_files)
+
+
 def read_files(spark: SparkSession, root: str, tag: str = "crawl") -> DataFrame:
     return spark.read.parquet(os.path.join(_tag_dir(root, tag), "files"))
 

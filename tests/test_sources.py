@@ -92,6 +92,39 @@ def test_jdbc_ddl_parity():
     assert any("GRANT SELECT ON ALL TABLES" in g for g in grants)
 
 
+def test_merge_snapshot_subtree_recrawl(spark, tmp_path):
+    """merge_snapshot(old, recrawl(subtree)) must equal a fresh full crawl
+    after the filesystem changed: updates update, new files appear, deleted
+    files disappear, untouched subtrees pass through; out-of-scope rows in
+    the new snapshot are rejected."""
+    from storage_crawler_spark.sources.lake import merge_snapshot
+
+    root = tmp_path / "tree"
+    (root / "hot").mkdir(parents=True)
+    (root / "cold").mkdir()
+    (root / "hot" / "a.txt").write_text("v1")
+    (root / "hot" / "gone.txt").write_text("x")
+    (root / "cold" / "keep.txt").write_text("keep")
+
+    old = crawl(spark, CrawlConfig(dirs=[str(root)])).files.localCheckpoint()
+
+    (root / "hot" / "a.txt").write_text("v2-longer")  # changed
+    (root / "hot" / "gone.txt").unlink()  # deleted
+    (root / "hot" / "new.txt").write_text("brand new")  # added
+
+    hot = str(root / "hot")
+    new = crawl(spark, CrawlConfig(dirs=[hot])).files.localCheckpoint()
+    merged = merge_snapshot(old, new, [hot.encode()])
+
+    fresh = crawl(spark, CrawlConfig(dirs=[str(root)])).files
+    got = {bytes(r.path): r.st_size for r in merged.collect()}
+    want = {bytes(r.path): r.st_size for r in fresh.collect()}
+    assert got == want
+
+    with pytest.raises(ValueError, match="outside the re-crawled roots"):
+        merge_snapshot(old, new, [str(root / "cold").encode()])
+
+
 def test_jdbc_write_round_trip_embedded_derby(spark, small_tree, tmp_path):
     """Runtime verification of the JDBC sink mechanics (executor-parallel
     batched INSERTs, type mapping, schema-qualified table) against the
