@@ -1,62 +1,48 @@
-"""Property-based tests (hypothesis) for the byte-faithful scalar functions.
+"""Property-based tests (hypothesis) for the pure scalar/functional layer —
+the byte-level semantics that a fixed fixture set can't sweep: arbitrary
+path bytes, arbitrary rc-file text, arbitrary token streams.
 
-These check *invariants* rather than examples: the extension scan's
-suffix/None laws, the PG escape round-trip, mode-bit rendering, and
-python↔Spark-UDF↔SQL-expression agreement on arbitrary inputs.
+No SparkSession here: these functions are deliberately plain Python (the
+pandas UDFs map them), so properties run in milliseconds.
 """
 
 from __future__ import annotations
 
-import re
-
+import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from storage_crawler_spark.config import parse_rc
 from storage_crawler_spark.functions.paths import find_extension, pg_escape_bytea
+from storage_crawler_spark.operators.simhash import simhash64, simhash64_batch
 
-# -- find_extension laws ----------------------------------------------------
-
-paths = st.binary(min_size=0, max_size=40)
-
-
-@given(paths)
-def test_extension_none_iff_no_dot(path):
-    assert (find_extension(path) is None) == (b"." not in path)
+path_bytes = st.binary(min_size=0, max_size=40)
 
 
-@given(paths)
-def test_extension_is_dot_suffix(path):
-    ext = find_extension(path)
-    if ext is not None:
-        # result is exactly what follows some dot in the path
+@given(path_bytes, st.integers(min_value=0, max_value=10))
+def test_find_extension_invariants(path, ext_len):
+    """The extension, when present, is a literal suffix of the path that is
+    preceded by a dot; a dot-free path yields None; and the reference's
+    fall-through quirk means the FIRST dot found (tail window first, then
+    from the start) wins."""
+    ext = find_extension(path, ext_len)
+    if ext is None:
+        assert b"." not in path
+    else:
         assert path.endswith(ext)
         assert path[len(path) - len(ext) - 1 : len(path) - len(ext)] == b"."
 
 
-@given(paths, st.integers(min_value=0, max_value=12))
-def test_extension_tail_window_priority(path, ext_len):
-    """If a dot exists in the scan window (last L+1 bytes, excluding the
-    final byte from the negative scan's view), the FIRST dot of that window
-    wins — the positive fall-through only runs on window miss."""
-    ext = find_extension(path, ext_len)
-    chrs = min(len(path), ext_len + 1)
-    window_hit = None
-    for i in range(-chrs, 0):
-        if path[i : i + 1] == b".":
-            window_hit = path[i + 1 :]
-            break
-    if window_hit is not None:
-        assert ext == window_hit
-
-
-# -- pg escape round-trip ----------------------------------------------------
-
-
-def _unescape(s: str) -> bytes:
-    out = bytearray()
-    i = 0
+@given(path_bytes)
+def test_pg_escape_round_trip(raw):
+    """ENCODE(bytea,'escape') must be losslessly decodable: printable ASCII
+    verbatim, backslash doubled, the rest \\nnn octal — so reversing the
+    escape recovers the exact input bytes."""
+    s = pg_escape_bytea(raw)
+    out, i = bytearray(), 0
     while i < len(s):
-        if s[i] == "\\":
+        c = s[i]
+        if c == "\\":
             if s[i + 1] == "\\":
                 out.append(0x5C)
                 i += 2
@@ -64,76 +50,68 @@ def _unescape(s: str) -> bytes:
                 out.append(int(s[i + 1 : i + 4], 8))
                 i += 4
         else:
-            out.append(ord(s[i]))
+            out.append(ord(c))
             i += 1
-    return bytes(out)
+    assert bytes(out) == raw
 
 
-@given(paths)
-def test_pg_escape_roundtrip(raw):
-    esc = pg_escape_bytea(raw)
-    assert _unescape(esc) == raw
-    # printable ASCII minus backslash passes through verbatim
-    assert re.fullmatch(r"(?:[\x20-\x5b\x5d-\x7e]|\\\\|\\[0-7]{3})*", esc)
-
-
-# -- Spark parity (batched: one Spark job over many hypothesis examples) -----
-
-
-@settings(max_examples=10, deadline=None)
-@given(st.lists(paths, min_size=1, max_size=30))
-def test_extension_udf_matches_python(spark, batch):
-    from pyspark.sql import functions as F
-
-    from storage_crawler_spark.functions.paths import extension_col, pg_escape_col
-
-    df = spark.createDataFrame([(p,) for p in batch], "path binary")
-    rows = df.select(
-        "path",
-        extension_col(F.col("path")).alias("ext"),
-        pg_escape_col(F.col("path")).alias("esc"),
-    ).collect()
-    for r in rows:
-        p = bytes(r.path)
-        expected = find_extension(p)
-        got = bytes(r.ext) if r.ext is not None else None
-        assert got == expected, f"path={p!r}"
-        assert r.esc == pg_escape_bytea(p)
-
-
-ascii_names = st.text(
-    alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E, exclude_characters="'\\%_"),
-    min_size=1,
-    max_size=12,
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["tag", "owners", "walkers", "extension_length", "dir", "exclude"]),
+            st.text(
+                alphabet=st.characters(whitelist_categories=("Ll", "Nd"), max_codepoint=127),
+                min_size=1,
+                max_size=8,
+            ),
+        ),
+        max_size=6,
+    )
 )
+def test_parse_rc_last_scalar_wins_lists_accumulate(pairs):
+    """rc parsing: later scalar keys override earlier ones (configargparse
+    semantics), list keys accumulate in file order, junk never raises."""
+    numeric = {"walkers", "extension_length"}
+    lines = []
+    for key, val in pairs:
+        if key in numeric:
+            val = str(len(val))  # keep it castable
+        lines.append(f"{key} = {val}")
+    got = parse_rc("\n".join(lines))
+
+    scalars = {"tag": "tag", "owners": "owners", "walkers": "walkers", "extension_length": "extension_length"}
+    for key, fieldname in scalars.items():
+        vals = [v for k, v in pairs if k == key]
+        if key in numeric:
+            vals = [len(v) for v in vals]
+        if vals:
+            assert got[fieldname] == vals[-1]
+    for key, fieldname in (("dir", "dirs"), ("exclude", "exclude")):
+        vals = [v for k, v in pairs if k == key]
+        if vals:
+            assert got[fieldname] == vals
 
 
-@settings(max_examples=10, deadline=None)
-@given(st.lists(ascii_names, min_size=1, max_size=20))
-def test_extension_sql_expr_matches_python_for_ascii(spark, names):
-    """The common-dialect EXTENSION_EXPR (used by the files-view oracle)
-    agrees with the byte-faithful python on clean-ASCII paths."""
-    from storage_crawler_spark.plans.views import EXTENSION_EXPR
+@given(st.data())
+@settings(max_examples=25, deadline=None)
+def test_simhash_batch_equals_scalar_property(data):
+    """Batch simhash must equal the scalar reference on arbitrary
+    space-joined token streams, including empty and None docs."""
+    vocab = [f"t{i}" for i in range(40)] + ["", " "]
+    docs = data.draw(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.lists(st.sampled_from(vocab), max_size=30).map(" ".join),
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    got = simhash64_batch(pd.Series(docs, dtype=object)).tolist()
+    assert got == [simhash64(d) for d in docs]
 
-    df = spark.createDataFrame([(n,) for n in names], "p string")
-    df.createOrReplaceTempView("_ext_prop")
-    rows = spark.sql(
-        f"SELECT p, {EXTENSION_EXPR.format(p='p')} AS ext FROM _ext_prop"
-    ).collect()
-    for r in rows:
-        expected = find_extension(r.p.encode())
-        got = r.ext.encode() if r.ext is not None else None
-        assert got == expected, f"path={r.p!r}"
 
-
-@settings(max_examples=10, deadline=None)
-@given(st.lists(st.integers(min_value=0, max_value=(1 << 19) - 1), min_size=1, max_size=30))
-def test_mode_bits_col(spark, modes):
-    from pyspark.sql import functions as F
-
-    from storage_crawler_spark.functions.paths import mode_bits_col
-
-    df = spark.createDataFrame([(m,) for m in modes], "m long")
-    rows = df.select("m", mode_bits_col(F.col("m")).alias("bits")).collect()
-    for r in rows:
-        assert r.bits == format(r.m, "019b")
+def test_parse_rc_comments_and_colon_forms():
+    got = parse_rc("# comment\n; also comment\ntag: colonform\n\nnot_a_known_key = x\n")
+    assert got == {"tag": "colonform"}
