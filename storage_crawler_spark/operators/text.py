@@ -245,3 +245,29 @@ FROM (
   ) t1
 ) t2
 """.strip()
+
+
+def gen_chunk_split(d: Dialect, chunk_tokens: int = 64, stride: int = 48) -> str:
+    """Context-window chunking: split each document into ``chunk_tokens``-token
+    windows starting every ``stride`` tokens (overlap = chunk_tokens −
+    stride) — the packing step before tokenization in a training pipeline.
+
+    UDTF-shaped (1 doc → ceil(n/stride) rows) but implemented as a lateral
+    explode of an integer sequence + array slice: pure Catalyst row
+    expansion, no Python, no shuffle — the chunk fan-out happens inside the
+    scan stage.  Chunk starts are 0, stride, 2·stride … ≤ n−1, so the last
+    chunk may be short (its real token count is emitted); every token is
+    covered and chunk boundaries are deterministic in both engines.
+    """
+    starts = f"{d.lateral_seq('0', d.idiv('n_toks - 1', str(stride)), 'ci')}"
+    chunk = d.aslice("toks", f"ci * {stride} + 1", str(chunk_tokens))
+    return f"""
+SELECT doc_id, ci AS chunk_no, {d.ajoin('chunk')} AS chunk_text,
+       {d.size('chunk')} AS n_chunk_tokens
+FROM (
+  SELECT doc_id, ci, {chunk} AS chunk
+  FROM (SELECT doc_id, {d.split('text')} AS toks, {d.size(d.split('text'))} AS n_toks
+        FROM documents) t0
+  {starts}
+) t1
+""".strip()

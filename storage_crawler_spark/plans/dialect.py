@@ -152,6 +152,25 @@ class Dialect:
             return f"regexp_extract_all({s}, '{pattern}', 0)"
         return f"regexp_extract_all({s}, '{pattern}')"
 
+    def aslice(self, arr: str, start_1based: str, length: str) -> str:
+        """Subarray of ``length`` elements from 1-based ``start``."""
+        if self.name == "spark":
+            return f"slice({arr}, {start_1based}, {length})"
+        # DuckDB list_slice bounds are inclusive begin..end
+        return f"list_slice({arr}, {start_1based}, ({start_1based}) + ({length}) - 1)"
+
+    def ajoin(self, arr: str, sep: str = " ") -> str:
+        fn = "array_join" if self.name == "spark" else "array_to_string"
+        return f"{fn}({arr}, '{sep}')"
+
+    def lateral_seq(self, lo: str, hi: str, var: str) -> str:
+        """FROM-clause suffix exploding the inclusive integer sequence
+        [lo, hi] as column ``var`` (one output row per value).  Callers
+        must guarantee lo <= hi."""
+        if self.name == "spark":
+            return f"LATERAL VIEW explode(sequence({lo}, {hi})) _lv_{var} AS {var}"
+        return f", unnest(generate_series({lo}, {hi})) AS _lv_{var}({var})"
+
     def regex_replace_all(self, s: str, pattern: str, rep: str) -> str:
         """Replace ALL matches.  Spark's regexp_replace is global by
         default; DuckDB replaces only the first match without the 'g'

@@ -716,6 +716,14 @@ def _specs() -> list[QuerySpec]:
         tags=("text",),
         doc="composite keep/drop verdict with named failure reasons (rule conjunction)",
     )
+    b, o = _sql_pair(text.gen_chunk_split, ("documents",))
+    add(
+        "text_chunk_split",
+        b,
+        o,
+        tags=("text", "pipeline"),
+        doc="overlapping context-window chunking (lateral seq explode + array slice, UDTF-shaped, zero Python)",
+    )
     b, o = _sql_pair(text.gen_token_stats, ("documents",))
     add("text_token_stats", b, o, tags=("text",), doc="token counting")
     b, o = _sql_pair(text.gen_quality_score, ("documents",))
