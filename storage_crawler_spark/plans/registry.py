@@ -477,6 +477,12 @@ def _b_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _b_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_crawler_spark.streaming import read_events_stream, run_to_completion, stream_dedup
+
+    return run_to_completion(stream_dedup(read_events_stream(spark, sf_dir)), output_mode="append")
+
+
 _DUCK_EPOCH_EVENTS = "CAST(floor(epoch(ts)) AS BIGINT)"
 
 STREAMING_WINDOW_ORACLE = f"""
@@ -820,6 +826,13 @@ def _specs() -> list[QuerySpec]:
         STREAMING_ATTRIBUTION_ORACLE,
         tags=("streaming",),
         doc="stream-stream self-join (click→purchase within 300s, watermark-bounded state); oracle = batch join",
+    )
+    add(
+        "streaming_dedup",
+        _b_streaming_dedup,
+        f"SELECT DISTINCT user_id, event_type, ({_DUCK_EPOCH_EVENTS} // 60) * 60 AS minute_s FROM events",
+        tags=("streaming", "dedup"),
+        doc="dropDuplicatesWithinWatermark keyed dedup (bounded state); oracle = batch DISTINCT",
     )
 
     # Sketch plane (estimates are not bit-stable across engines → rows-only;

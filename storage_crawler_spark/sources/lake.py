@@ -128,6 +128,53 @@ def merge_snapshot(old_files: DataFrame, new_files: DataFrame, recrawled_roots: 
     return kept.unionByName(new_files)
 
 
+def snapshot_diff(old_files: DataFrame, new_files: DataFrame) -> DataFrame:
+    """Diff two crawl snapshots by path: one row per path that was added,
+    removed, or changed (size or mtime), with the size delta.
+
+    The storage-admin question ("what grew since last week?") as one
+    full-outer equi-join on path.  Scale shape: both sides come out of the
+    lake range-partitioned and sorted by path (write_crawl), so Catalyst
+    plans a sort-merge join whose sort is already satisfied after the
+    exchange; with both tags bucketed by path (write_bucketed) the exchange
+    disappears too.  Unchanged paths are filtered out AFTER the join —
+    they never leave the join stage (the filter sits in the same codegen
+    span), so the output is just the churn, not the corpus.
+    """
+    from pyspark.sql import functions as F
+
+    o = old_files.select(
+        F.col("path"),
+        F.col("st_size").alias("old_size"),
+        F.col("st_mtime").alias("old_mtime"),
+    )
+    n = new_files.select(
+        F.col("path"),
+        F.col("st_size").alias("new_size"),
+        F.col("st_mtime").alias("new_mtime"),
+    )
+    j = o.join(n, "path", "full_outer")
+    status = (
+        F.when(F.col("old_size").isNull(), F.lit("added"))
+        .when(F.col("new_size").isNull(), F.lit("removed"))
+        .when(
+            (F.col("old_size") != F.col("new_size"))
+            | (F.col("old_mtime") != F.col("new_mtime")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("same"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status") != "same")
+        .withColumn(
+            "size_delta",
+            F.coalesce(F.col("new_size"), F.lit(0)) - F.coalesce(F.col("old_size"), F.lit(0)),
+        )
+        .select("path", "status", "old_size", "new_size", "size_delta")
+    )
+
+
 def read_files(spark: SparkSession, root: str, tag: str = "crawl") -> DataFrame:
     return spark.read.parquet(os.path.join(_tag_dir(root, tag), "files"))
 

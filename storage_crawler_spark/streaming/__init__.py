@@ -19,6 +19,7 @@ This package re-expresses those semantics on Spark Structured Streaming:
 from storage_crawler_spark.streaming.events import (
     attribution_join,
     read_events_stream,
+    stream_dedup,
     run_to_completion,
     session_counts,
     windowed_counts,
@@ -30,6 +31,7 @@ from storage_crawler_spark.streaming.stateful import per_key_deltas
 __all__ = [
     "attribution_join",
     "read_events_stream",
+    "stream_dedup",
     "run_to_completion",
     "session_counts",
     "windowed_counts",

@@ -156,6 +156,23 @@ def attribution_join(events: DataFrame, window_s: int = 300, watermark: str = "1
     )
 
 
+def stream_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per
+    (user_id, event_type, minute) key, evicting key state once the
+    watermark passes — the streaming analog of the exact-dedup tier, and
+    the idiom that makes at-least-once upstream delivery exactly-once
+    downstream.  Only the key columns are emitted (which duplicate
+    survives is arrival-order dependent; the key set is deterministic, so
+    the oracle is a batch ``SELECT DISTINCT``)."""
+    return (
+        events.withColumn("minute_s", (F.col("epoch_s") / 60).cast("long") * 60)
+        .withWatermark("ts_ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute_s"])
+        .select("user_id", "event_type", "minute_s")
+    )
+
+
 def run_to_completion(
     result: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:

@@ -125,6 +125,35 @@ def test_merge_snapshot_subtree_recrawl(spark, tmp_path):
         merge_snapshot(old, new, [str(root / "cold").encode()])
 
 
+def test_snapshot_diff_added_removed_changed(spark, tmp_path):
+    """Diff of two crawls reports exactly the churn: added/removed/changed
+    with size deltas; untouched paths never appear."""
+    import time
+
+    from storage_crawler_spark.sources.lake import snapshot_diff
+
+    root = tmp_path / "t"
+    root.mkdir()
+    (root / "stay.txt").write_text("same")
+    (root / "grow.txt").write_text("aa")
+    (root / "die.txt").write_text("bye")
+
+    old = crawl(spark, CrawlConfig(dirs=[str(root)])).files.localCheckpoint()
+    time.sleep(1.1)  # mtime resolution: the change must tick the clock
+    (root / "grow.txt").write_text("aaaaaaaa")
+    (root / "die.txt").unlink()
+    (root / "born.txt").write_text("hello!")
+    new = crawl(spark, CrawlConfig(dirs=[str(root)])).files
+
+    rows = {bytes(r.path): r for r in snapshot_diff(old, new).collect()}
+    b = lambda name: str(root / name).encode()  # noqa: E731
+    assert set(rows) >= {b("grow.txt"), b("die.txt"), b("born.txt")}
+    assert b("stay.txt") not in rows
+    assert rows[b("grow.txt")].status == "changed" and rows[b("grow.txt")].size_delta == 6
+    assert rows[b("die.txt")].status == "removed" and rows[b("die.txt")].size_delta == -3
+    assert rows[b("born.txt")].status == "added" and rows[b("born.txt")].size_delta == 6
+
+
 def test_jdbc_write_round_trip_embedded_derby(spark, small_tree, tmp_path):
     """Runtime verification of the JDBC sink mechanics (executor-parallel
     batched INSERTs, type mapping, schema-qualified table) against the
