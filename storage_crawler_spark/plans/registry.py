@@ -773,6 +773,65 @@ def _specs() -> list[QuerySpec]:
     b, o = _sql_pair(multimodal.gen_binary_meta, ("documents",))
     add("multimodal_binary_meta", b, o, tags=("multimodal",), doc="binary payload metadata (length/digest)")
 
+    def _snapshot_diff_builder(spark, sf_dir):
+        """Two synthetic crawl snapshots derived deterministically from the
+        documents table (old: doc_id % 7 != 0, new: doc_id % 5 != 0 with
+        every 3rd surviving file grown by 10 bytes) → snapshot_diff.  The
+        oracle recomputes the same diff in closed form, so the full-outer
+        join + churn classification is driver-checked end-to-end."""
+        from storage_crawler_spark.sources.lake import snapshot_diff
+
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        base = spark.table("documents").select(
+            F.encode(F.concat(F.lit("/corpus/doc_"), F.col("doc_id").cast("string")), "utf-8").alias("path"),
+            F.col("doc_id"),
+            F.col("n_chars").cast("long").alias("st_size"),
+            F.lit(1000000).cast("long").alias("st_mtime"),
+        )
+        old = base.filter(F.col("doc_id") % 7 != 0).drop("doc_id")
+        new = (
+            base.filter(F.col("doc_id") % 5 != 0)
+            .withColumn(
+                "st_size",
+                F.col("st_size") + F.when(F.col("doc_id") % 3 == 0, 10).otherwise(0),
+            )
+            .withColumn(
+                "st_mtime",
+                F.col("st_mtime") + F.when(F.col("doc_id") % 3 == 0, 60).otherwise(0),
+            )
+            .drop("doc_id")
+        )
+        return snapshot_diff(old, new).select(
+            F.decode("path", "utf-8").alias("path_str"),
+            "status",
+            "old_size",
+            "new_size",
+            "size_delta",
+        )
+
+    add(
+        "lake_snapshot_diff",
+        _snapshot_diff_builder,
+        """
+SELECT '/corpus/doc_' || CAST(doc_id AS STRING) AS path_str,
+       CASE WHEN doc_id % 7 = 0 THEN 'added'
+            WHEN doc_id % 5 = 0 THEN 'removed'
+            ELSE 'changed' END AS status,
+       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(n_chars AS BIGINT) END AS old_size,
+       CASE WHEN doc_id % 5 = 0 THEN NULL
+            ELSE CAST(n_chars + CASE WHEN doc_id % 3 = 0 THEN 10 ELSE 0 END AS BIGINT) END AS new_size,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN n_chars + CASE WHEN doc_id % 3 = 0 THEN 10 ELSE 0 END
+                 WHEN doc_id % 5 = 0 THEN -n_chars
+                 ELSE 10 END AS BIGINT) AS size_delta
+FROM documents
+WHERE (doc_id % 7 = 0 AND doc_id % 5 != 0)
+   OR (doc_id % 5 = 0 AND doc_id % 7 != 0)
+   OR (doc_id % 7 != 0 AND doc_id % 5 != 0 AND doc_id % 3 = 0)
+""".strip(),
+        tags=("lake",),
+        doc="snapshot diff (full-outer path join → added/removed/changed) over synthesized old/new crawls; closed-form oracle",
+    )
+
     def _media_info_builder(spark, sf_dir):
         V.register_base_tables(spark, sf_dir, ("documents",))
         return multimodal.media_info(multimodal.synth_media(spark.table("documents")))
