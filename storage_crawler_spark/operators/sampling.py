@@ -53,3 +53,27 @@ FROM (
 ) t
 GROUP BY lang, split
 """.strip()
+
+
+def gen_stratified_sample(d: Dialect, per_stratum: int = 40, src: str = "documents") -> str:
+    """Deterministic fixed-size sample per stratum (lang): rank documents
+    inside each lang by md5(doc_id) — a uniform-but-frozen shuffle — and
+    keep the first ``per_stratum``.
+
+    The "take N docs per language" op.  Unlike TABLESAMPLE/rand(), the
+    selection is a pure function of the data (rerun- and engine-stable,
+    join-backable).  One shuffle on the stratum key; the per-stratum sort
+    is bounded by stratum size — for heavily skewed strata the same
+    two-phase rank used by the jaccard tier applies, or a threshold
+    pre-filter on the hash (keep ≈ 2·N/|stratum| quantile) ahead of the
+    exact rank."""
+    h = d.md5_utf8("CAST(doc_id AS STRING)")
+    return f"""
+SELECT doc_id, lang, pick_order
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS pick_order
+  FROM {src}
+) t
+WHERE pick_order <= {per_stratum}
+""".strip()

@@ -483,6 +483,15 @@ def _b_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(stream_dedup(read_events_stream(spark, sf_dir)), output_mode="append")
 
 
+_USER_GAP_S = 120
+
+
+def _b_streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_crawler_spark.streaming import read_events_stream, run_to_completion, user_sessions
+
+    return run_to_completion(user_sessions(read_events_stream(spark, sf_dir), _USER_GAP_S))
+
+
 _DUCK_EPOCH_EVENTS = "CAST(floor(epoch(ts)) AS BIGINT)"
 
 STREAMING_WINDOW_ORACLE = f"""
@@ -507,6 +516,27 @@ JOIN events p
  AND c.event_type = 'click' AND p.event_type = 'purchase'
  AND {_DUCK_EPOCH_EVENTS.replace('ts', 'p.ts')} >= {_DUCK_EPOCH_EVENTS.replace('ts', 'c.ts')}
  AND {_DUCK_EPOCH_EVENTS.replace('ts', 'p.ts')} <= {_DUCK_EPOCH_EVENTS.replace('ts', 'c.ts')} + {_WINDOW_S}
+""".strip()
+
+STREAMING_USER_SESSIONS_ORACLE = f"""
+WITH e AS (SELECT user_id, event_type, {_DUCK_EPOCH_EVENTS} AS epoch_s FROM events),
+l AS (
+  SELECT user_id, event_type, epoch_s,
+         CASE WHEN epoch_s - lag(epoch_s) OVER (PARTITION BY user_id ORDER BY epoch_s)
+                   > 120 THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+i AS (
+  SELECT user_id, event_type, epoch_s,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY epoch_s
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM l
+)
+SELECT user_id, min(epoch_s) AS session_start, max(epoch_s) + 120 AS session_end,
+       count(*) AS n_events,
+       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+FROM i
+GROUP BY user_id, island
 """.strip()
 
 STREAMING_SESSION_ORACLE = f"""
@@ -892,6 +922,21 @@ WHERE (doc_id % 7 = 0 AND doc_id % 5 != 0)
         f"SELECT DISTINCT user_id, event_type, ({_DUCK_EPOCH_EVENTS} // 60) * 60 AS minute_s FROM events",
         tags=("streaming", "dedup"),
         doc="dropDuplicatesWithinWatermark keyed dedup (bounded state); oracle = batch DISTINCT",
+    )
+    add(
+        "streaming_user_sessions",
+        _b_streaming_user_sessions,
+        STREAMING_USER_SESSIONS_ORACLE,
+        tags=("streaming",),
+        doc="per-user session_window funnel (span, events, converted); oracle = per-user gaps-and-islands",
+    )
+    b, o = _sql_pair(sampling.gen_stratified_sample, ("documents",))
+    add(
+        "stratified_sample",
+        b,
+        o,
+        tags=("pipeline",),
+        doc="deterministic fixed-size per-lang sample (md5-order rank, rerun-stable)",
     )
 
     # Sketch plane (estimates are not bit-stable across engines → rows-only;

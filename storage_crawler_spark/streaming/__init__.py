@@ -20,6 +20,7 @@ from storage_crawler_spark.streaming.events import (
     attribution_join,
     read_events_stream,
     stream_dedup,
+    user_sessions,
     run_to_completion,
     session_counts,
     windowed_counts,
@@ -32,6 +33,7 @@ __all__ = [
     "attribution_join",
     "read_events_stream",
     "stream_dedup",
+    "user_sessions",
     "run_to_completion",
     "session_counts",
     "windowed_counts",

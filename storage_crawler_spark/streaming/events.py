@@ -156,6 +156,35 @@ def attribution_join(events: DataFrame, window_s: int = 300, watermark: str = "1
     )
 
 
+def user_sessions(events: DataFrame, gap_s: int = 120) -> DataFrame:
+    """Per-user session windows with funnel metrics: events gap-merged per
+    user_id, each session reporting its span, event count, and whether it
+    converted (contains a purchase).
+
+    The realistic key cardinality for session state at scale — millions of
+    users, not five event types; state per key is one window, evicted by
+    the watermark on a true stream.  Conversion is an any-over-window
+    aggregate (max of an indicator), so the whole funnel computes in the
+    same single grouping as the session merge."""
+    return (
+        events.groupBy(
+            F.session_window("ts_ts", f"{gap_s} seconds").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("converted"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "n_events",
+            "converted",
+        )
+    )
+
+
 def stream_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming deduplication with bounded state:
     ``dropDuplicatesWithinWatermark`` keeps one row per
