@@ -110,3 +110,66 @@ FROM comp c
 JOIN (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component) s
   ON c.component = s.component
 """.strip()
+
+
+def build_minhash_cluster_keepers(spark: SparkSession, d: Dialect, sigs_rel: str) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup cluster, keep the
+    HIGHEST-quality document (ties → lowest doc_id) — what a production
+    dedup actually retains, vs. the min-id keeper of the plain assignment.
+
+    Spark shape: the component labels come from the same iterative
+    propagation; the keeper is a ``max_by(doc_id, (quality, -doc_id))``
+    argmax — algebraic, partial-aggregated map-side, one shuffle on
+    component.  No window, no sort."""
+    from storage_crawler_spark.operators.text import gen_quality_score
+
+    pairs = spark.sql(gen_minhash_pairs(d, sigs_rel=sigs_rel))
+    nodes = spark.table("documents").select("doc_id")
+    cc = connected_components(pairs.select("doc_a", "doc_b"), nodes)
+    quality = spark.sql(gen_quality_score(d)).select("doc_id", "quality_score")
+    rank = F.struct(F.col("quality_score"), (-F.col("doc_id")).alias("neg_id"))
+    return (
+        cc.join(quality, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max_by(F.col("doc_id"), rank).alias("keeper_doc_id"),
+            F.max(F.col("quality_score")).alias("keeper_quality"),
+        )
+        .select("component", "cluster_size", "keeper_doc_id", "keeper_quality")
+    )
+
+
+def gen_cluster_keepers_oracle(d: Dialect) -> str:
+    """Oracle: recursive-closure components + quality argmax via window."""
+    from storage_crawler_spark.operators.text import gen_quality_score
+
+    return f"""
+WITH RECURSIVE
+pairs AS (
+{gen_minhash_pairs(d)}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+q AS (
+{gen_quality_score(d)}
+),
+ranked AS (
+  SELECT c.component, c.doc_id, q.quality_score,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.quality_score DESC, c.doc_id) AS rn,
+         count(*) OVER (PARTITION BY c.component) AS cluster_size
+  FROM comp c JOIN q ON q.doc_id = c.doc_id
+)
+SELECT component, cluster_size, doc_id AS keeper_doc_id, quality_score AS keeper_quality
+FROM ranked WHERE rn = 1
+""".strip()

@@ -288,6 +288,16 @@ def _b_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster.build_minhash_clusters(spark, SPARK, sigs_rel="_minhash_sigs_cc")
 
 
+def _b_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    V.register_base_tables(spark, sf_dir, ("documents",))
+    n = spark.sparkContext.defaultParallelism
+    spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
+    sigs = spark.sql(dedup.gen_minhash_sigs(SPARK, src="_documents_rep"))
+    sigs.persist()
+    sigs.createOrReplaceTempView("_minhash_sigs_ck")
+    return cluster.build_minhash_cluster_keepers(spark, SPARK, sigs_rel="_minhash_sigs_ck")
+
+
 # --------------------------------------------------------------------------
 # Report plane (reference report.py queries over the derived files/status
 # views) — DataFrame API builders, hand-written DuckDB oracles.
@@ -703,6 +713,13 @@ def _specs() -> list[QuerySpec]:
         cluster.gen_cluster_oracle(DUCK),
         tags=("dedup",),
         doc="connected components over LSH pairs (iterative min-label propagation; oracle = recursive-CTE closure)",
+    )
+    add(
+        "dedup_cluster_keepers",
+        _b_cluster_keepers,
+        cluster.gen_cluster_keepers_oracle(DUCK),
+        tags=("dedup",),
+        doc="quality-aware keeper per cluster (map-side max_by argmax; oracle = closure + window argmax)",
     )
     b, o = _sql_pair(sampling.gen_split_assign, ("documents",))
     add(
