@@ -107,6 +107,12 @@ def gen_jaccard_pairs(
     identical pair counts.  Candidate volume is the same either way
     (≈ n·(cap+width)); only the distribution changes.
 
+    A size bound prunes ahead of the set intersection: J = |∩|/|∪| ≤
+    min(n_toks)/max(n_toks), so pairs with min < θ·max cannot reach the
+    threshold and are rejected with two integer reads — the intersection
+    (the per-pair hot cost) only runs on pairs that could qualify.  Exact,
+    not approximate.
+
     ``prep_rel`` lets the Spark builder substitute a cached/materialized
     prep relation (Spark inlines CTEs, so tokenizing twice is real work);
     ``ranked_rel`` substitutes a relation that already carries ``rnk``
@@ -135,6 +141,7 @@ def gen_jaccard_pairs(
     ON a.lang = b.lang AND a.jblk = b.rblk
    AND b.rnk > a.rnk AND b.rnk - a.rnk <= {block_cap}
    AND abs(a.n_chars - b.n_chars) <= {length_window}
+   AND least(a.n_toks, b.n_toks) >= {threshold} * greatest(a.n_toks, b.n_toks)
 ) p
 WHERE jaccard >= {threshold}
 """.strip()
