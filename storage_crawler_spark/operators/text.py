@@ -271,3 +271,31 @@ FROM (
   {starts}
 ) t1
 """.strip()
+
+
+def gen_pack_bins(d: Dialect, token_budget: int = 256, chunk_tokens: int = 64, stride: int = 48) -> str:
+    """Streaming sequence packing: assign chunks (from
+    :func:`gen_chunk_split`) to fixed-token-budget bins by running token
+    count — bin = floor(tokens_before_this_chunk / budget) over the
+    deterministic (doc_id, chunk_no) order.
+
+    This is the window-function formulation of greedy packing: one running
+    sum per ordered stream, no per-bin state machine, so it scales as a
+    plain window (and at 100 TB the stream is split per worker with the
+    same two-phase offset trick as the jaccard rank).  Bins are filled to
+    the budget ± one chunk (a chunk never splits); the exact-greedy
+    variant (reset at the boundary) trades that overflow for sequential
+    state — documented, not hidden.
+    """
+    return f"""
+SELECT doc_id, chunk_no, n_chunk_tokens,
+       {d.idiv("cum_before", str(token_budget))} AS bin_id
+FROM (
+  SELECT doc_id, chunk_no, n_chunk_tokens,
+         sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_no
+                                   ROWS UNBOUNDED PRECEDING) - n_chunk_tokens AS cum_before
+  FROM (
+{gen_chunk_split(d, chunk_tokens, stride)}
+  ) chunks
+) t
+""".strip()

@@ -777,6 +777,14 @@ def _specs() -> list[QuerySpec]:
         tags=("text", "pipeline"),
         doc="overlapping context-window chunking (lateral seq explode + array slice, UDTF-shaped, zero Python)",
     )
+    b, o = _sql_pair(text.gen_pack_bins, ("documents",))
+    add(
+        "text_pack_bins",
+        b,
+        o,
+        tags=("text", "pipeline"),
+        doc="sequence packing: chunks → fixed-token-budget bins via running-sum window",
+    )
     b, o = _sql_pair(text.gen_token_stats, ("documents",))
     add("text_token_stats", b, o, tags=("text",), doc="token counting")
     b, o = _sql_pair(text.gen_quality_score, ("documents",))
