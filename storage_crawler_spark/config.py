@@ -103,6 +103,9 @@ class CrawlConfig:
     update_interval: float = 60.0  # storcrawl.py:45
     commit_timeout: float = 60.0  # storcrawl.py:46
     max_depth: int = 512  # loop safety bound; real trees are << this
+    # Rotating-file crawl log (the reference derives logfile from the tag,
+    # storcrawl.py:60; here it is opt-in).  None disables file logging.
+    logfile: str | None = None
     # When set, the crawl spills each frontier level (and the final files
     # materialization) to parquet under this directory and re-reads it,
     # instead of localCheckpoint: checkpoint blocks pin executor storage and
@@ -140,6 +143,8 @@ class CrawlConfig:
             cfg.commit_timeout = float(env["STORCRAWL_TIMEOUT"])
         if "STORCRAWL_LEVEL_STORE" in env:
             cfg.level_store = env["STORCRAWL_LEVEL_STORE"]
+        if "STORCRAWL_LOGFILE" in env:
+            cfg.logfile = env["STORCRAWL_LOGFILE"]
         for key, value in overrides.items():
             setattr(cfg, key, value)
         return cfg

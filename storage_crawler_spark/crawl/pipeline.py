@@ -181,6 +181,11 @@ def crawl(spark: SparkSession, config: CrawlConfig) -> CrawlResult:
     )
     status_log.append(("end", None, "event"))
 
+    if config.logfile:
+        from storage_crawler_spark.crawl.logsink import log_status_events, make_crawl_logger
+
+        log_status_events(make_crawl_logger(config.logfile), status_log)
+
     status = spark.createDataFrame(_status_rows(status_log), STATUS_SCHEMA)
     summary = {
         "files": file_count,

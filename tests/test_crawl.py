@@ -105,6 +105,23 @@ def test_crawl_is_deterministic_rowset(spark, tree):
     assert a == b
 
 
+def test_crawl_logfile_rotating_reference_format(spark, tree, tmp_path):
+    """With config.logfile set, the crawl writes its lifecycle + metric
+    events to a rotating file in the reference listener's record format."""
+    logfile = tmp_path / "storcrawl.log"
+    crawl(spark, CrawlConfig(dirs=[str(tree)], logfile=str(logfile)))
+    text = logfile.read_text()
+    for needle in ("begin", "processed all dirs", "end", "file stat rate", "INFO"):
+        assert needle in text
+    # reference format: asctime processName name levelname message
+    first = text.splitlines()[0]
+    assert " storcrawl " in first and "INFO" in first
+    # repeated crawls append through ONE handler (no duplicate lines)
+    crawl(spark, CrawlConfig(dirs=[str(tree)], logfile=str(logfile)))
+    ends = [ln for ln in logfile.read_text().splitlines() if ln.endswith(" end")]
+    assert len(ends) == 2
+
+
 def test_crawl_level_store_spills_levels_and_matches_default(spark, tree, tmp_path):
     """level_store mode must produce the same rowset as localCheckpoint mode,
     while leaving per-level parquet artifacts (+ files_stage) in the store."""
