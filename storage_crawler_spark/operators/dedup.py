@@ -341,3 +341,32 @@ SELECT doc_a, doc_b, est_jaccard FROM (
 ) p
 WHERE est_jaccard >= {min_agreement}
 """.strip()
+
+
+def gen_lsh_quality(d: Dialect, jaccard_threshold: float = 0.5) -> str:
+    """Precision/recall of the minhash-LSH candidate tier against exact
+    blocked Jaccard at ``jaccard_threshold`` — the dedup sketch's accuracy
+    measured as a driver-checked query.
+
+    true  = exact pairs with J >= threshold (gen_jaccard_pairs)
+    found = LSH candidate pairs (gen_minhash_pairs, any agreement)
+    Reports |true|, |found|, |true ∩ found|, recall (found/true) and
+    precision-proxy (hits/found).  Pair ids are (least, greatest) in both
+    generators, so the intersection is a plain equi-join."""
+    exact = gen_jaccard_pairs(d, threshold=jaccard_threshold)
+    lsh = gen_minhash_pairs(d)
+    return f"""
+WITH truth AS (
+{exact}
+),
+found AS (
+{lsh}
+),
+hits AS (SELECT truth.doc_a, truth.doc_b
+         FROM truth JOIN found ON truth.doc_a = found.doc_a AND truth.doc_b = found.doc_b)
+SELECT (SELECT count(*) FROM truth) AS n_true,
+       (SELECT count(*) FROM found) AS n_found,
+       (SELECT count(*) FROM hits) AS n_hits,
+       {d.trunc6("CAST((SELECT count(*) FROM hits) AS DOUBLE) / (SELECT count(*) FROM truth)")} AS recall,
+       {d.trunc6("CAST((SELECT count(*) FROM hits) AS DOUBLE) / (SELECT count(*) FROM found)")} AS precision_proxy
+""".strip()

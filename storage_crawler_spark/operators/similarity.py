@@ -127,3 +127,23 @@ SELECT qid, nid, q_label, n_label, cosine, rank FROM (
 ) r
 WHERE rank <= {k}
 """.strip()
+
+
+def gen_ivf_recall(d: Dialect, query_vec_id: int = 0, k: int = 10) -> str:
+    """Recall@k of the bucketed IVF tier against the exact top-k — the
+    accuracy contract of the ANN path measured as a query, not asserted in
+    prose.  One row: k, hits, recall.  Runs both formulations and
+    intersects their id sets; at oracle scale this is cheap, and in
+    production it is the periodic index-quality probe."""
+    exact = gen_cosine_topk(d, query_vec_id, k)
+    approx = gen_ivf_topk(d, query_vec_id, k)
+    return f"""
+SELECT {k} AS k, count(*) AS n_hits,
+       {d.trunc6(f"CAST(count(*) AS DOUBLE) / {k}")} AS recall
+FROM (
+{exact}
+) e
+JOIN (
+{approx}
+) a ON e.vec_id = a.vec_id
+""".strip()

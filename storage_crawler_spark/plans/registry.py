@@ -805,6 +805,22 @@ def _specs() -> list[QuerySpec]:
         tags=("dedup", "similarity"),
         doc="embedding-cosine near-dup pairs, sign-bucket LSH blocked, precomputed norms",
     )
+    b, o = _sql_pair(similarity.gen_ivf_recall, ("embeddings",))
+    add(
+        "sim_ivf_recall",
+        b,
+        o,
+        tags=("similarity", "quality"),
+        doc="recall@k of the bucketed IVF tier vs exact top-k, as a measured query",
+    )
+    b, o = _sql_pair(dedup.gen_lsh_quality, ("documents",))
+    add(
+        "dedup_lsh_quality",
+        b,
+        o,
+        tags=("dedup", "quality"),
+        doc="precision/recall of minhash-LSH candidates vs exact blocked Jaccard",
+    )
     b, o = _sql_pair(similarity.gen_knn_join, ("embeddings",))
     add(
         "sim_knn_join",
