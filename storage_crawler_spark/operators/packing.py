@@ -1,0 +1,70 @@
+"""Exact-greedy sequence packing (the stateful complement to
+``text.gen_pack_bins``'s window approximation).
+
+Greedy packing — close a bin when the next chunk would overflow — is
+inherently sequential, so the distributed form runs greedy PER PARTITION:
+chunks are range-partitioned and sorted by (doc_id, chunk_no), each
+partition packs its own stream with a carried fill counter, and bin ids are
+namespaced by partition (``pid * 2^32 + local_bin``).  Bins never span
+workers — exactly what production packers do, costing at most one
+underfilled bin per partition (negligible against partitions of millions of
+tokens).  Unlike the window formulation, NO bin exceeds the budget (a
+single over-budget chunk gets a bin of its own).
+
+mapInPandas keeps the kernel Arrow-batched; the carry lives across batches
+of one partition via the generator closure — the same per-partition
+imperative pattern as the crawl's scandir kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PACKED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("chunk_no", T.LongType(), False),
+        T.StructField("n_chunk_tokens", T.LongType(), False),
+        T.StructField("bin_id", T.LongType(), False),
+        T.StructField("bin_fill", T.LongType(), False),
+    ]
+)
+
+
+def pack_greedy(chunks: DataFrame, token_budget: int = 256, n_partitions: int | None = None) -> DataFrame:
+    """chunks(doc_id, chunk_no, n_chunk_tokens) → + (bin_id, bin_fill).
+
+    ``bin_fill`` is the bin's running total AFTER this chunk — the last
+    chunk of a bin carries its final fill.  Deterministic for a given
+    partitioning (range partitioner boundaries are sampled with a fixed
+    seed over the same input)."""
+    n = n_partitions or chunks.sparkSession.sparkContext.defaultParallelism
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = int(TaskContext.get().partitionId())
+        local_bin, fill = 0, 0
+        for pdf in batches:
+            out = []
+            for doc_id, chunk_no, n_tok in zip(
+                pdf["doc_id"], pdf["chunk_no"], pdf["n_chunk_tokens"], strict=True
+            ):
+                n_tok = int(n_tok)
+                if fill > 0 and fill + n_tok > token_budget:
+                    local_bin += 1
+                    fill = 0
+                fill += n_tok
+                out.append((int(doc_id), int(chunk_no), n_tok, (pid << 32) | local_bin, fill))
+            yield pd.DataFrame(out, columns=[f.name for f in PACKED_SCHEMA.fields])
+
+    return (
+        chunks.repartitionByRange(n, "doc_id", "chunk_no")
+        .sortWithinPartitions("doc_id", "chunk_no")
+        .mapInPandas(kernel, PACKED_SCHEMA)
+    )

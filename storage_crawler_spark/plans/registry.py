@@ -785,6 +785,21 @@ def _specs() -> list[QuerySpec]:
         tags=("text", "pipeline"),
         doc="sequence packing: chunks → fixed-token-budget bins via running-sum window",
     )
+
+    def _pack_greedy_builder(spark, sf_dir):
+        from storage_crawler_spark.operators.packing import pack_greedy
+
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        chunks = spark.sql(text.gen_chunk_split(SPARK))
+        return pack_greedy(chunks)
+
+    add(
+        "text_pack_greedy",
+        _pack_greedy_builder,
+        None,
+        tags=("text", "pipeline"),
+        doc="exact-greedy packing per range partition (no bin exceeds the budget); rows-only, bound pytest-asserted",
+    )
     b, o = _sql_pair(text.gen_token_stats, ("documents",))
     add("text_token_stats", b, o, tags=("text",), doc="token counting")
     b, o = _sql_pair(text.gen_quality_score, ("documents",))

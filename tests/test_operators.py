@@ -248,6 +248,38 @@ def test_simhash_near_dups_finds_perturbed_doc(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+# -- greedy packing (operators/packing.py) -----------------------------------
+
+
+def test_pack_greedy_respects_budget_and_covers_all_chunks(spark):
+    """Exact-greedy packing: no bin exceeds the budget unless a single
+    chunk alone does; every chunk lands in exactly one bin; chunks of one
+    bin are contiguous in (doc_id, chunk_no) order."""
+    import random
+
+    from storage_crawler_spark.operators.packing import pack_greedy
+
+    rng = random.Random(5)
+    rows = [(d, c, rng.randint(10, 90)) for d in range(40) for c in range(rng.randint(1, 5))]
+    chunks = spark.createDataFrame(rows, "doc_id LONG, chunk_no LONG, n_chunk_tokens LONG")
+    packed = pack_greedy(chunks, token_budget=128, n_partitions=4).collect()
+
+    assert len(packed) == len(rows)
+    assert {(r.doc_id, r.chunk_no) for r in packed} == {(d, c) for d, c, _ in rows}
+    by_bin: dict[int, list] = {}
+    for r in packed:
+        by_bin.setdefault(r.bin_id, []).append(r)
+    for rs in by_bin.values():
+        total = sum(r.n_chunk_tokens for r in rs)
+        assert total <= 128 or len(rs) == 1
+        assert max(r.bin_fill for r in rs) == total
+        # contiguity: bins hold consecutive chunks of the sorted stream
+        keys = sorted((r.doc_id, r.chunk_no) for r in rs)
+        all_sorted = sorted((d, c) for d, c, _ in rows)
+        i = all_sorted.index(keys[0])
+        assert all_sorted[i : i + len(keys)] == keys
+
+
 # -- k-means / trained IVF (operators/kmeans.py) -----------------------------
 
 
