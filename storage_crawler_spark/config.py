@@ -20,6 +20,7 @@ spelled); the [+]-style list options ``dir`` and ``exclude`` accept either a
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from dataclasses import dataclass, field
 
@@ -145,6 +146,13 @@ class CrawlConfig:
             cfg.level_store = env["STORCRAWL_LEVEL_STORE"]
         if "STORCRAWL_LOGFILE" in env:
             cfg.logfile = env["STORCRAWL_LOGFILE"]
+        # Reject unknown kwargs the way cls(**overrides) would: a typo like
+        # logfil=... must not silently grow a dead attribute.
+        valid = {f.name for f in dataclasses.fields(cls)}
         for key, value in overrides.items():
+            if key not in valid:
+                raise TypeError(
+                    f"CrawlConfig.from_env() got an unexpected keyword argument {key!r}"
+                )
             setattr(cfg, key, value)
         return cfg

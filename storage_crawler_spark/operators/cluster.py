@@ -50,6 +50,7 @@ def connected_components(
 
     labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         prop = sym.join(labels, sym.src == labels.doc_id).select(
             F.col("dst").alias("doc_id"), "component"
@@ -64,8 +65,18 @@ def connected_components(
         labels = labels.localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:  # monotone labels: equal sum ⇒ no change
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # A silent exit here would hand back wrong component ids for any
+        # graph whose diameter exceeds max_iter.  Fail loudly; callers with
+        # adversarial chains raise max_iter (or this grows the documented
+        # large-star/small-star O(log n) upgrade).
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (pair-graph diameter exceeds the cap); raise max_iter"
+        )
 
     sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "component").select(

@@ -191,17 +191,30 @@ def scalable_lang_rank(src_df, n_partitions: int | None = None):
         F.count(F.lit(1)).over(Window.partitionBy("pid", "lang")).alias("grp_cnt"),
     )
     counts = sorted(
-        (r.pid, r.lang, r.grp_cnt)
-        for r in local.select("pid", "lang", "grp_cnt").distinct().collect()
+        (
+            (r.pid, r.lang, r.grp_cnt)
+            for r in local.select("pid", "lang", "grp_cnt").distinct().collect()
+        ),
+        # None-safe: lang may be NULL (the window path groups NULL langs into
+        # one partition; a plain tuple sort would raise TypeError on
+        # None-vs-str).  Only (pid, lang-grouping) matters — the offset walk
+        # below keys per-lang state off pid order alone.
+        key=lambda t: (t[0], t[1] is not None, t[1] or ""),
     )
     offsets, seen = [], {}
     for pid, lang, cnt in counts:  # pid ascending == global order per lang
         offsets.append((pid, lang, seen.get(lang, 0)))
         seen[lang] = seen.get(lang, 0) + cnt
     off_df = spark.createDataFrame(offsets, "pid INT, lang STRING, off BIGINT")
+    # eqNullSafe on lang: a plain equi-join would drop NULL-lang rows (the
+    # window path ranks them as their own partition, so this path must too).
     ranked = (
-        local.join(F.broadcast(off_df), ["pid", "lang"])
-        .select("doc_id", (F.col("local_rnk") + F.col("off")).alias("rnk"))
+        local.alias("l")
+        .join(
+            F.broadcast(off_df).alias("o"),
+            (F.col("l.pid") == F.col("o.pid")) & F.col("l.lang").eqNullSafe(F.col("o.lang")),
+        )
+        .select("l.doc_id", (F.col("local_rnk") + F.col("off")).alias("rnk"))
     )
     return src_df.join(ranked, "doc_id")
 

@@ -140,6 +140,13 @@ def snapshot_diff(old_files: DataFrame, new_files: DataFrame) -> DataFrame:
     disappears too.  Unchanged paths are filtered out AFTER the join —
     they never leave the join stage (the filter sits in the same codegen
     span), so the output is just the churn, not the corpus.
+
+    Presence is tracked with explicit markers, not stat-column nullness:
+    real crawls emit lstat-error rows whose st_* columns are all NULL
+    (walker ``_entry_record`` with ``st=None``), so a path present in both
+    snapshots with a NULL size must not read as "added".  Change detection
+    is null-safe (``IS DISTINCT FROM``): NULL→value and value→NULL stat
+    transitions count as "changed", NULL→NULL counts as "same".
     """
     from pyspark.sql import functions as F
 
@@ -147,19 +154,21 @@ def snapshot_diff(old_files: DataFrame, new_files: DataFrame) -> DataFrame:
         F.col("path"),
         F.col("st_size").alias("old_size"),
         F.col("st_mtime").alias("old_mtime"),
+        F.lit(True).alias("in_old"),
     )
     n = new_files.select(
         F.col("path"),
         F.col("st_size").alias("new_size"),
         F.col("st_mtime").alias("new_mtime"),
+        F.lit(True).alias("in_new"),
     )
     j = o.join(n, "path", "full_outer")
     status = (
-        F.when(F.col("old_size").isNull(), F.lit("added"))
-        .when(F.col("new_size").isNull(), F.lit("removed"))
+        F.when(F.col("in_old").isNull(), F.lit("added"))
+        .when(F.col("in_new").isNull(), F.lit("removed"))
         .when(
-            (F.col("old_size") != F.col("new_size"))
-            | (F.col("old_mtime") != F.col("new_mtime")),
+            ~F.col("old_size").eqNullSafe(F.col("new_size"))
+            | ~F.col("old_mtime").eqNullSafe(F.col("new_mtime")),
             F.lit("changed"),
         )
         .otherwise(F.lit("same"))

@@ -75,3 +75,10 @@ def test_defaults_without_any_source(tmp_path, monkeypatch):
             monkeypatch.delenv(var)
     cfg = CrawlConfig.from_env()
     assert cfg.tag == "crawl" and cfg.exclude == [".snapshot"] and cfg.walkers == 4
+
+
+def test_from_env_rejects_unknown_override():
+    import pytest
+
+    with pytest.raises(TypeError, match="unexpected keyword argument 'logfil'"):
+        CrawlConfig.from_env(logfil="/tmp/x.log")

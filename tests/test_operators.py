@@ -430,3 +430,42 @@ def test_range_join_micro(spark):
     # the plan must be a hash join on the bucketed keys, not a nested loop
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain whose diameter exceeds max_iter must raise, not silently
+    return wrong component ids (the label needs ~n rounds to cross an
+    n-node chain)."""
+    import pytest
+
+    from storage_crawler_spark.operators.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a LONG, doc_b LONG"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(13)], "doc_id LONG")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_iter=2)
+    # and with enough rounds the same graph resolves to one component
+    rows = connected_components(edges, nodes, max_iter=20).collect()
+    assert {r.component for r in rows} == {0}
+
+
+def test_scalable_lang_rank_null_lang(spark):
+    """NULL lang must neither crash the driver-side offset sort nor drop
+    rows at the offset join: output matches the window formulation, which
+    treats NULL as its own partition."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from storage_crawler_spark.operators.dedup import scalable_lang_rank
+
+    rows = [
+        (i, None if i % 3 == 0 else ("en" if i % 2 else "de"), (i * 37) % 211)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, n_chars LONG")
+    got = {r.doc_id: r.rnk for r in scalable_lang_rank(df, n_partitions=8).collect()}
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    want = {r.doc_id: r.rnk for r in df.withColumn("rnk", F.row_number().over(w)).collect()}
+    assert got == want

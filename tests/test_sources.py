@@ -329,3 +329,41 @@ def test_fsmeta_streaming_incremental(spark, tmp_path):
     assert names.count("a") == 2
     assert names.count("f0.txt") == 1
     assert len(rows) == 7
+
+
+def test_snapshot_diff_null_stat_rows(spark):
+    """lstat-error rows (all-null st_*) must classify by PRESENCE, not stat
+    nullness: a path in both snapshots with null size is not 'added'; a
+    null→value stat transition is 'changed'; null→null is 'same' (dropped)."""
+    from storage_crawler_spark.sources.lake import snapshot_diff
+
+    schema = "path BINARY, st_size LONG, st_mtime LONG"
+    old = spark.createDataFrame(
+        [
+            (b"/t/errboth", None, None),   # lstat failed in both crawls
+            (b"/t/errold", None, None),    # stat appeared in new crawl
+            (b"/t/errnew", 7, 1000),       # stat disappeared in new crawl
+            (b"/t/plain", 5, 1000),        # unchanged control
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            (b"/t/errboth", None, None),
+            (b"/t/errold", 9, 2000),
+            (b"/t/errnew", None, None),
+            (b"/t/plain", 5, 1000),
+            (b"/t/fresh", None, None),     # genuinely added, stat failed
+        ],
+        schema,
+    )
+    rows = {bytes(r.path): r for r in snapshot_diff(old, new).collect()}
+    assert bytes_status(rows) == {
+        b"/t/errold": "changed",
+        b"/t/errnew": "changed",
+        b"/t/fresh": "added",
+    }
+
+
+def bytes_status(rows):
+    return {p: r.status for p, r in rows.items()}
