@@ -41,6 +41,10 @@ def connected_components(
     ``edges``: columns doc_a, doc_b (undirected pairs).  ``nodes``: column
     doc_id (the full population — nodes without edges become singleton
     components).  Deterministic: component = min reachable doc_id.
+
+    ``max_iter`` must be >= pair-graph diameter + 1: convergence is only
+    confirmed by a round that observes no label change, so a graph that
+    stabilizes exactly at round ``max_iter`` still raises.
     """
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -72,10 +76,14 @@ def connected_components(
         # A silent exit here would hand back wrong component ids for any
         # graph whose diameter exceeds max_iter.  Fail loudly; callers with
         # adversarial chains raise max_iter (or this grows the documented
-        # large-star/small-star O(log n) upgrade).
+        # large-star/small-star O(log n) upgrade).  Note convergence is
+        # *confirmed* by an extra no-change round, so size max_iter >=
+        # diameter + 1: labels that stabilize exactly at round max_iter
+        # still raise, because the confirming round never ran.
         raise RuntimeError(
-            f"connected_components did not converge within max_iter={max_iter} "
-            "rounds (pair-graph diameter exceeds the cap); raise max_iter"
+            f"connected_components could not confirm convergence within "
+            f"max_iter={max_iter} rounds; raise max_iter (needs >= pair-graph "
+            "diameter + 1 — the final round must observe no change)"
         )
 
     sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))

@@ -50,11 +50,7 @@ HAVING count(*) >= 1
 
 
 def gen_jaccard_prep(d: Dialect, length_window: int = 60, src: str = "documents") -> str:
-    """Per-document Jaccard prep: hashed distinct token set + length bucket.
-
-    ``blk = n_chars div window`` — two docs within ±window chars are at most
-    one bucket apart, so the pair join can be a pure equi-join on
-    (lang, bucket) instead of scanning whole per-lang blocks.
+    """Per-document Jaccard prep: hashed distinct token set + set size.
 
     Tokens are hashed to 48-bit BIGINTs (md5 prefix) once per document:
     set intersection on primitive-long arrays is ~2.6× faster than on string
@@ -62,12 +58,15 @@ def gen_jaccard_prep(d: Dialect, length_window: int = 60, src: str = "documents"
     the hash is computed in the map-only prep, not per pair.  A 48-bit
     collision would merge two tokens identically in both engines (same md5),
     so the oracle comparison is unaffected; at 2^48 the odds are negligible.
+
+    (``length_window`` is accepted for signature stability; the ±window
+    predicate is applied inside the rank-bucketed pair join, which blocks on
+    sorted-neighborhood rank — see :func:`gen_jaccard_pairs`.)
     """
     toks = d.adistinct(d.split("text"))
     hs = d.transform(toks, "t", d.hex12_to_bigint(f"substr({d.md5_utf8('t')}, 1, 12)"))
-    blk = d.idiv("n_chars", str(length_window))
     return f"""
-SELECT doc_id, lang, n_chars, {blk} AS blk, {hs} AS hs, {d.size(toks)} AS n_toks
+SELECT doc_id, lang, n_chars, {hs} AS hs, {d.size(toks)} AS n_toks
 FROM {src}
 """.strip()
 

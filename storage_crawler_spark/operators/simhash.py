@@ -3,10 +3,10 @@
 64-bit simhash over whitespace tokens: each token hashes to 64 bits (md5
 prefix); bit-position vote weighted by token frequency; fingerprint = sign
 vector.  Near-dups are pairs within a small Hamming distance, found by the
-pigeonhole trick: split the 64 bits into 4 16-bit chunks — any pair within
-Hamming distance 3 shares at least one exact chunk, so candidate pairs come
-from equality joins on chunk values (shuffle on 16-bit keys), never a
-cross join.
+pigeonhole trick: split the 64 bits into n equal chunks — any pair within
+Hamming distance n-1 shares at least one exact chunk (default 8×8-bit
+chunks ⇒ complete recall for distance ≤ 7), so candidate pairs come from
+equality joins on chunk values, never a cross join.
 
 Bit-twiddling is a poor fit for SQL, so the fingerprint is an
 Arrow-vectorized pandas UDF: per document, unique tokens are md5-hashed once
@@ -131,21 +131,37 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs via 16-bit chunk equality (pigeonhole over 4 chunks
-    guarantees recall for distance ≤ 3), verified by exact Hamming distance.
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 7, n_chunks: int = 8) -> DataFrame:
+    """Candidate pairs via equal-width chunk equality, verified by exact
+    Hamming distance.
+
+    **Recall contract (pigeonhole)**: a pair at Hamming distance ``h`` is
+    guaranteed to share at least one identical chunk iff ``h < n_chunks``;
+    with the default 8×8-bit chunks every pair with distance ≤ 7 is found.
+    ``max_hamming`` above ``n_chunks - 1`` is rejected loudly rather than
+    silently under-recalling (the round-2..3 wart: max_hamming=10 over 4
+    chunks missed distance-4..10 pairs whose four chunks all differed).
 
     Fingerprints are persisted before the chunk fan-out: the pandas-UDF
     hash is the expensive stage and the plan references it on both join
     sides — without the persist Spark would recompute it per reference
-    (at 100 TB: a materialized fingerprint table).  The 4-chunk fan-out is
-    a single posexplode pass, not a 4-way union of re-scans.
+    (at 100 TB: a materialized fingerprint table).  The chunk fan-out is
+    a single posexplode pass, not an n-way union of re-scans.
     """
+    if not 64 % n_chunks == 0:
+        raise ValueError(f"n_chunks must divide 64, got {n_chunks}")
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
+            f"{n_chunks} chunks (recall is only guaranteed for distance <= {n_chunks - 1})"
+        )
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
     fp = simhash_fingerprints(docs).persist()
     chunk_vals = F.array(
         *[
-            F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))
-            for c in range(4)
+            F.shiftrightunsigned("simhash", c * width).bitwiseAND(F.lit(mask))
+            for c in range(n_chunks)
         ]
     )
     chunks = fp.select(

@@ -14,10 +14,12 @@ A note on determinism across engines:
 - list folds use explicit left-to-right semantics in both engines (Spark
   ``aggregate``, DuckDB ``list_reduce`` over a 0-prepended list), so double
   summation order is identical;
-- event timestamps are nanosecond-precision in the driver's parquet; Spark
-  reads them as LONG (``spark.sql.legacy.parquet.nanosAsLong``) and DuckDB
-  as TIMESTAMP_NS, so *seconds* (integer floor) is the exchange unit —
-  ``epoch_s`` below — and no query outputs a raw timestamp.
+- event timestamps vary by driver round (nanosecond parquet read as LONG
+  under ``nanosAsLong``; microsecond parquet read as TIMESTAMP_NTZ);
+  ``views.register_base_tables`` normalizes ``events.ts`` to a canonical
+  UTC-session TIMESTAMP, DuckDB reads the raw parquet natively, and
+  *seconds* (integer floor — ``epoch_s_events`` below) is the exchange
+  unit: no query outputs a raw timestamp.
 """
 
 from __future__ import annotations
@@ -129,10 +131,12 @@ class Dialect:
 
     # ---- time -------------------------------------------------------------
     def epoch_s_events(self, col: str) -> str:
-        """events.ts → epoch seconds (BIGINT).  Spark sees LONG nanoseconds
-        (nanosAsLong), DuckDB a TIMESTAMP_NS; integer floor matches."""
+        """events.ts → epoch seconds (BIGINT).  Spark reads the canonical
+        TIMESTAMP view (views.normalize_events_ts, UTC session), DuckDB the
+        raw parquet timestamp; integer floor matches for positive epochs
+        (unix_seconds truncates, epoch() floors)."""
         if self.name == "spark":
-            return f"({col} div 1000000000)"
+            return f"unix_seconds({col})"
         return f"CAST(floor(epoch({col})) AS BIGINT)"
 
     def hex12_to_bigint(self, hexstr: str) -> str:

@@ -18,6 +18,8 @@ fall-through), and dotted directory components.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 # -- extension, as the reference computes it (storcrawl.py:259-268), for
 # clean-ASCII paths, in the common dialect.  The negative scan covers the
@@ -110,16 +112,45 @@ BASE_TABLES = (
 )
 
 
+def normalize_events_ts(events: DataFrame) -> DataFrame:
+    """Canonicalize ``events.ts`` to a session-timezone TIMESTAMP whatever
+    physical parquet type the driver wrote this round:
+
+    - nanosecond parquet → Spark reads LONG (under ``nanosAsLong``):
+      ``timestamp_micros(ts div 1000)``;
+    - microsecond parquet → Spark reads TIMESTAMP_NTZ: reinterpreted in the
+      (UTC-pinned) session timezone, matching DuckDB's naive ``epoch()``;
+    - tz-aware parquet → already TIMESTAMP, passed through.
+
+    Every consumer (``Dialect.epoch_s_events`` → ``unix_seconds(ts)``, the
+    status view, the streaming source, the temporal joins) reads the
+    canonical column, so a future driver-side dtype flip only touches here.
+    """
+    dt = events.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events
+
+
 def register_base_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = BASE_TABLES) -> None:
     """Register the driver parquet tables as temp views (idempotent).
 
-    events.ts is nanosecond-precision parquet, which Spark only reads as
-    LONG (nanosAsLong); all query plans treat it via Dialect.epoch_s_events
-    so second-level results match DuckDB's native TIMESTAMP_NS reading.
+    ``events.ts`` is normalized to TIMESTAMP via :func:`normalize_events_ts`
+    (schema-adaptive: LONG nanos or TIMESTAMP/NTZ micros) so second-level
+    results match DuckDB's native timestamp reading regardless of the
+    parquet physical type.  The session timezone is pinned UTC here — the
+    NTZ reinterpretation and ``unix_seconds`` both depend on it, and the
+    driver's session may not come from session.build_session.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     for name in tables:
-        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = normalize_events_ts(df)
+        df.createOrReplaceTempView(name)
 
 
 def files_view(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -34,12 +34,16 @@ _SINK_IDS = itertools.count()
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream over ``events.parquet`` with an event-time column.
 
-    The driver's parquet stores ``ts`` as nanosecond precision, which Spark
-    reads as LONG (``nanosAsLong``); ``ts_ts`` derives a proper TIMESTAMP
-    (second floor) for window/session operators, matching
-    ``Dialect.epoch_s_events`` on the batch/oracle side.
+    ``ts`` is normalized schema-adaptively (LONG nanos under ``nanosAsLong``,
+    or TIMESTAMP/NTZ micros — the driver's parquet dtype has changed between
+    rounds) via :func:`views.normalize_events_ts`; ``epoch_s`` / ``ts_ts``
+    derive the second-floor epoch and TIMESTAMP the window/session operators
+    and the batch/oracle side (``Dialect.epoch_s_events``) agree on.
     """
+    from storage_crawler_spark.plans.views import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file-stream sources take a directory; glob-filter to the events table
     stream = (
@@ -47,8 +51,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("epoch_s", F.expr("ts div 1000000000")).withColumn(
-        "ts_ts", F.timestamp_seconds(F.col("epoch_s"))
+    return (
+        normalize_events_ts(stream)
+        .withColumn("epoch_s", F.unix_seconds(F.col("ts")))
+        .withColumn("ts_ts", F.timestamp_seconds(F.col("epoch_s")))
     )
 
 

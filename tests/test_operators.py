@@ -228,7 +228,7 @@ def test_simhash_batch_work_is_sublinear_in_occurrences():
 
 def test_simhash_near_dups_finds_perturbed_doc(spark):
     """A doc and its single-token-perturbed copy land within the Hamming
-    radius the 4×16-bit pigeonhole guarantees (≤ 3); an unrelated doc does
+    radius the 8×8-bit pigeonhole guarantees (≤ 7); an unrelated doc does
     not pair with either."""
     from storage_crawler_spark.operators.simhash import (
         hamming64,
@@ -239,13 +239,45 @@ def test_simhash_near_dups_finds_perturbed_doc(spark):
     base = " ".join(f"w{i}" for i in range(400))
     near = " ".join(f"w{i}" for i in range(399)) + " x0"
     other = " ".join(f"z{i}" for i in range(400))
-    assert hamming64(simhash64(base), simhash64(near)) <= 3  # within guarantee
+    assert hamming64(simhash64(base), simhash64(near)) <= 7  # within guarantee
     docs = spark.createDataFrame(
         [(0, base), (1, near), (2, other)], "doc_id LONG, text STRING"
     )
-    pairs = {(r.doc_a, r.doc_b) for r in simhash_near_dups(docs, max_hamming=3).collect()}
+    pairs = {(r.doc_a, r.doc_b) for r in simhash_near_dups(docs, max_hamming=7).collect()}
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_near_dups_recall_at_distance_5(spark):
+    """The round-2..3 wart made concrete: a pair at Hamming distance 4..7 is
+    OUTSIDE the old 4×16-bit guarantee but inside the 8×8-bit one.  Find a
+    perturbation at measured distance 5-7 and require the pair to be
+    returned; also require the contract to reject max_hamming beyond the
+    pigeonhole bound instead of silently under-recalling."""
+    import pytest
+
+    from storage_crawler_spark.operators.simhash import (
+        hamming64,
+        simhash64,
+        simhash_near_dups,
+    )
+
+    base = " ".join(f"w{i}" for i in range(400))
+    h_base = simhash64(base)
+    far = None
+    for k in range(2, 40):  # grow the perturbation until distance lands in [4, 7]
+        cand = " ".join(f"w{i}" for i in range(400 - k)) + " " + " ".join(f"x{i}" for i in range(k))
+        d = hamming64(h_base, simhash64(cand))
+        if 4 <= d <= 7:
+            far = cand
+            break
+    assert far is not None, "no perturbation landed in distance [4, 7]"
+    docs = spark.createDataFrame([(0, base), (1, far)], "doc_id LONG, text STRING")
+    pairs = {(r.doc_a, r.doc_b) for r in simhash_near_dups(docs, max_hamming=7).collect()}
+    assert (0, 1) in pairs
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dups(docs, max_hamming=10)
 
 
 # -- greedy packing (operators/packing.py) -----------------------------------
@@ -444,7 +476,7 @@ def test_connected_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(12)], "doc_a LONG, doc_b LONG"
     )
     nodes = spark.createDataFrame([(i,) for i in range(13)], "doc_id LONG")
-    with pytest.raises(RuntimeError, match="did not converge"):
+    with pytest.raises(RuntimeError, match="could not confirm convergence"):
         connected_components(edges, nodes, max_iter=2)
     # and with enough rounds the same graph resolves to one component
     rows = connected_components(edges, nodes, max_iter=20).collect()

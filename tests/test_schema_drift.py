@@ -1,0 +1,48 @@
+"""Testdata-schema drift guard.
+
+Round 3's only break was driver-side: events.ts changed parquet dtype
+(nanos-as-LONG → timestamp[us]) and 14 registry entries started throwing
+AnalysisException — a failure visible from *analysis alone*, no execution
+needed, yet it first surfaced at the driver's correctness gate.  This test
+builds every registry entry's DataFrame against the ACTUAL
+``/root/testdata`` parquet and touches ``.schema`` (forces full analysis),
+so the next dtype drift fails in-round, in pytest, with the entry name in
+the assertion.
+
+Streaming-backed builders execute a bounded AvailableNow run inside the
+builder itself (that is their contract); at sf0.001 each is ~1-2 s, and that
+execution is exactly where their round-3 break surfaced — so they are
+covered too, not skipped.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from storage_crawler_spark.plans import registry
+
+# One shared mark: the whole module is pointless if the testdata dir moved.
+pytestmark = pytest.mark.usefixtures("sf_dir")
+
+
+def _entry_names() -> list[str]:
+    return list(registry.QUERIES)
+
+
+@pytest.mark.parametrize("name", _entry_names())
+def test_entry_analyzes_against_driver_testdata(spark, sf_dir, name):
+    spec = registry.get_query(name)
+    df = spec.builder(spark, sf_dir)
+    # .schema forces analysis (resolution + type-checking) without running
+    # a job for pure-plan builders; builders that execute internally
+    # (streaming run_to_completion, k-means fit) have already run by now.
+    assert len(df.schema.fields) > 0, f"{name}: empty schema"
+
+
+def test_driver_window_is_exactly_fifty():
+    """The driver samples the first 50 entries of queries() order; the
+    explicit window list must stay exactly 50 and be a permutation prefix
+    of the registry."""
+    names = list(registry.QUERIES)
+    assert len(registry._DRIVER_WINDOW_FIRST) == 50
+    assert names[:50] == list(registry._DRIVER_WINDOW_FIRST)

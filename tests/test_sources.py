@@ -358,12 +358,8 @@ def test_snapshot_diff_null_stat_rows(spark):
         schema,
     )
     rows = {bytes(r.path): r for r in snapshot_diff(old, new).collect()}
-    assert bytes_status(rows) == {
+    assert {p: r.status for p, r in rows.items()} == {
         b"/t/errold": "changed",
         b"/t/errnew": "changed",
         b"/t/fresh": "added",
     }
-
-
-def bytes_status(rows):
-    return {p: r.status for p, r in rows.items()}

@@ -22,9 +22,12 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _batch_events(spark):
+    from storage_crawler_spark.plans.views import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "epoch_s", F.expr("ts div 1000000000")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return normalize_events_ts(spark.read.parquet(f"{SF_DIR}/events.parquet")).withColumn(
+        "epoch_s", F.unix_seconds(F.col("ts"))
     )
 
 
