@@ -11,15 +11,20 @@ transitive closure over the same pair SQL.
 
 Spark-first shape: iterative min-label propagation on DataFrames —
     labels ← min(labels, min over neighbours' labels)   until fixpoint
-Each round is one equi-join shuffle (edges ⋈ labels on src) plus one
-groupBy(doc_id) min — both partial-aggregable, no windows, no collects
-except the O(1) convergence scalar.  Rounds needed = graph diameter; LSH
-near-dup clusters are band-cliques stitched into short chains (diameter
-2-4 in practice), so the loop converges in a handful of rounds.  For
-adversarial long-chain graphs the known upgrade is large-star/small-star
-(O(log n) rounds); this module keeps the simple propagation and caps
-rounds at ``max_iter``.  Labels are monotone non-increasing, so
-``sum(component)`` is a convergence witness: equal sums ⇒ fixpoint.
+— plus a **pointer-doubling shortcut** each round (label ← label of label,
+the PRAM pointer-jumping step): the propagation moves the minimum one hop
+per round, the shortcut then halves every label chain, so rounds needed
+drop from O(diameter) to O(log diameter) — a 10M-node adversarial chain
+converges in ~25 rounds instead of 10M (the large-star/small-star bound,
+without its edge-set rewriting).  Each round is one equi-join shuffle
+(edges ⋈ labels on src), one groupBy(doc_id) min, and one self-join on
+(component = doc_id) — all partial-aggregable, no windows, no collects
+except the O(1) convergence scalar.  Both steps only ever replace a label
+by the label of a *reachable* node and never increase it, so labels stay
+monotone non-increasing within the component and ``sum(component)``
+remains a convergence witness: equal sums ⇒ fixpoint, and the fixpoint of
+the propagation step is exactly min-reachable-id per component.
+``max_iter`` stays as a loud backstop.
 """
 
 from __future__ import annotations
@@ -35,6 +40,7 @@ def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
     max_iter: int = 30,
+    shortcut: bool = True,
 ) -> DataFrame:
     """(doc_id, component, cluster_size, is_keeper) for every node.
 
@@ -42,9 +48,13 @@ def connected_components(
     doc_id (the full population — nodes without edges become singleton
     components).  Deterministic: component = min reachable doc_id.
 
-    ``max_iter`` must be >= pair-graph diameter + 1: convergence is only
-    confirmed by a round that observes no label change, so a graph that
-    stabilizes exactly at round ``max_iter`` still raises.
+    With the pointer-doubling shortcut (default) convergence takes
+    O(log diameter) + 1 rounds; ``max_iter`` must exceed that by one —
+    convergence is only *confirmed* by a round that observes no label
+    change, so labels that stabilize exactly at round ``max_iter`` still
+    raise.  The default cap of 30 therefore covers any graph a physical
+    dataset can produce (2^28 node chains); pass ``shortcut=False`` for
+    the plain one-hop propagation (rounds = diameter + 1).
     """
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -64,6 +74,20 @@ def connected_components(
             .groupBy("doc_id")
             .agg(F.min("component").alias("component"))
         )
+        if shortcut:
+            # Pointer jumping: component ← component's own label.  Every
+            # label is a node id (mins over node ids), so the inner
+            # self-join is total; chains of stale labels halve per round.
+            labels = (
+                labels.alias("l")
+                .join(
+                    labels.select(
+                        F.col("doc_id").alias("p_id"), F.col("component").alias("p_comp")
+                    ),
+                    F.col("l.component") == F.col("p_id"),
+                )
+                .select(F.col("l.doc_id").alias("doc_id"), F.col("p_comp").alias("component"))
+            )
         # Flatten lineage per round; the loop otherwise stacks joins into
         # one unboundedly deep plan.
         labels = labels.localCheckpoint(eager=True)
@@ -74,16 +98,13 @@ def connected_components(
         prev_sum = cur_sum
     if not converged:
         # A silent exit here would hand back wrong component ids for any
-        # graph whose diameter exceeds max_iter.  Fail loudly; callers with
-        # adversarial chains raise max_iter (or this grows the documented
-        # large-star/small-star O(log n) upgrade).  Note convergence is
-        # *confirmed* by an extra no-change round, so size max_iter >=
-        # diameter + 1: labels that stabilize exactly at round max_iter
-        # still raise, because the confirming round never ran.
+        # graph needing more rounds.  Fail loudly; the confirming round
+        # must observe no change, so size max_iter >= rounds-to-fixpoint
+        # + 1 (log2(diameter) + 2 with shortcut, diameter + 1 without).
         raise RuntimeError(
             f"connected_components could not confirm convergence within "
-            f"max_iter={max_iter} rounds; raise max_iter (needs >= pair-graph "
-            "diameter + 1 — the final round must observe no change)"
+            f"max_iter={max_iter} rounds; raise max_iter (the final round "
+            "must observe no change)"
         )
 
     sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))

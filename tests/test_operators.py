@@ -483,6 +483,27 @@ def test_connected_components_nonconvergence_raises(spark):
     assert {r.component for r in rows} == {0}
 
 
+def test_connected_components_logarithmic_on_long_chain(spark):
+    """Pointer doubling makes a 200-node chain converge in O(log n) rounds:
+    12 rounds suffice with the shortcut (log2(200) ≈ 7.6 + slack), while the
+    plain one-hop propagation provably cannot cross 199 hops in 12 rounds —
+    the budget only works because the shortcut halves label chains."""
+    import pytest
+
+    from storage_crawler_spark.operators.cluster import connected_components
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a LONG, doc_b LONG"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id LONG")
+    rows = connected_components(edges, nodes, max_iter=12).collect()
+    assert {r.component for r in rows} == {0}
+    assert all(r.cluster_size == n for r in rows)
+    with pytest.raises(RuntimeError, match="could not confirm convergence"):
+        connected_components(edges, nodes, max_iter=12, shortcut=False)
+
+
 def test_scalable_lang_rank_null_lang(spark):
     """NULL lang must neither crash the driver-side offset sort nor drop
     rows at the offset join: output matches the window formulation, which
