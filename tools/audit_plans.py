@@ -68,6 +68,11 @@ NLJ_ALLOWED = {
     "dedup_embedding_cosine",
     "tpch_q22_acctbal_prospects",
     "sim_cosine_topk",
+    # accuracy probes: compose the two allowlisted shapes above (the 1-row
+    # query-vector cross join; the VALUES offset expansion) plus 1-row
+    # scalar-subquery aggregates — every BNLJ build side is <= 1 row
+    "sim_ivf_recall",
+    "dedup_lsh_quality",
 }
 
 # Queries that must not plan a Window operator (their aggregates are
