@@ -52,19 +52,21 @@ HAVING count(*) >= 1
 def gen_jaccard_prep(d: Dialect, length_window: int = 60, src: str = "documents") -> str:
     """Per-document Jaccard prep: hashed distinct token set + set size.
 
-    Tokens are hashed to 48-bit BIGINTs (md5 prefix) once per document:
-    set intersection on primitive-long arrays is ~2.6× faster than on string
-    arrays (Spark's array_intersect takes a specialized primitive path), and
-    the hash is computed in the map-only prep, not per pair.  A 48-bit
-    collision would merge two tokens identically in both engines (same md5),
-    so the oracle comparison is unaffected; at 2^48 the odds are negligible.
+    Tokens are hashed to 64-bit BIGINTs once per document: set intersection
+    on primitive-long arrays is ~2.6× faster than on string arrays (Spark's
+    array_intersect takes a specialized primitive path), and the hash is
+    computed in the map-only prep, not per pair.  The hash is engine-local
+    (Spark xxhash64 / DuckDB md5 prefix — see Dialect.token_hash64): only
+    intersection CARDINALITIES reach the output, so the engines never
+    compare hash values, and a collision merging two tokens within one
+    engine is negligible at 2^48+.
 
     (``length_window`` is accepted for signature stability; the ±window
     predicate is applied inside the rank-bucketed pair join, which blocks on
     sorted-neighborhood rank — see :func:`gen_jaccard_pairs`.)
     """
     toks = d.adistinct(d.split("text"))
-    hs = d.transform(toks, "t", d.hex12_to_bigint(f"substr({d.md5_utf8('t')}, 1, 12)"))
+    hs = d.transform(toks, "t", d.token_hash64("t"))
     return f"""
 SELECT doc_id, lang, n_chars, {hs} AS hs, {d.size(toks)} AS n_toks
 FROM {src}

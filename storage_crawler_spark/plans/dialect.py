@@ -139,6 +139,21 @@ class Dialect:
             return f"unix_seconds({col})"
         return f"CAST(floor(epoch({col})) AS BIGINT)"
 
+    def token_hash64(self, s: str) -> str:
+        """64-bit token hash for SET-CARDINALITY operators only (exact
+        Jaccard: only |A ∩ B| / |A ∪ B| reaches the output, so each engine
+        merely needs an injective-modulo-negligible-collisions hash of its
+        own — the hash VALUES never cross engines).  Spark uses native
+        xxhash64 (whole-stage-codegen, ~10× cheaper than an md5 hex digest
+        per token — at 100 TB the token-hash map is a dominant prep cost);
+        DuckDB keeps the md5-prefix form.  Operators whose OUTPUT depends
+        on hash values (minhash signatures/LSH bands) must instead use
+        :meth:`hex12_to_bigint` over md5 so both engines see identical
+        values."""
+        if self.name == "spark":
+            return f"xxhash64({s})"
+        return self.hex12_to_bigint(f"substr({self.md5_utf8(s)}, 1, 12)")
+
     def hex12_to_bigint(self, hexstr: str) -> str:
         """First 12 hex chars → BIGINT (48 bits, overflow-safe for k*h+b).
         Native radix conversion in both engines (Spark conv(), DuckDB hex
