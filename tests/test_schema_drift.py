@@ -39,6 +39,37 @@ def test_entry_analyzes_against_driver_testdata(spark, sf_dir, name):
     assert len(df.schema.fields) > 0, f"{name}: empty schema"
 
 
+def test_events_ts_epoch_is_session_tz_independent(spark, sf_dir):
+    """The driver's session need not be UTC: register_base_tables pins the
+    session timezone itself, so the canonical events.ts epoch must agree
+    with DuckDB's naive epoch() even when the session starts in another
+    zone (TIMESTAMP_NTZ reinterpretation is timezone-sensitive)."""
+    import duckdb
+
+    from storage_crawler_spark.plans import views as V
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        V.register_base_tables(spark, sf_dir, ("events",))
+        got = [
+            r.s
+            for r in spark.sql(
+                "SELECT unix_seconds(ts) AS s FROM events ORDER BY event_id LIMIT 5"
+            ).collect()
+        ]
+        exp = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s "
+                f"FROM '{sf_dir}/events.parquet' ORDER BY event_id LIMIT 5"
+            ).fetchall()
+        ]
+        assert got == exp
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_driver_window_is_exactly_fifty():
     """The driver samples the first 50 entries of queries() order; the
     explicit window list must stay exactly 50 and be a permutation prefix
