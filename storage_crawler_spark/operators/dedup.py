@@ -263,6 +263,59 @@ GROUP BY lang
 """.strip()
 
 
+def gen_substring_spans(
+    d: Dialect, width: int = 32, stride: int = 8, src: str = "documents"
+) -> str:
+    """Cross-document EXACT substring dedup: token windows of ``width``
+    tokens (sampled every ``stride``) that occur verbatim in two or more
+    documents — the span-level tier between exact-doc dedup (whole-text
+    fingerprint) and near-dup (MinHash/Jaccard), catching boilerplate,
+    quoted passages, and template text that document-level similarity
+    misses entirely.
+
+    Spark-first shape: a UDTF-shaped lateral explode of window start
+    positions (zero Python), one md5 per sampled window (md5 — not the
+    engine-local token hash — because the span KEY is an output column and
+    must be byte-identical in both engines), then a single aggregation on
+    the span key.  Wholly map-side until one shuffle on span_key; the
+    count-distinct is planned as Spark's standard expand+two-phase
+    aggregate, both phases partial-combining.  100 TB posture: window
+    volume is n_tokens/stride per doc — the stride caps explode fan-out at
+    a measured recall cost (a duplicated region of length L >= width +
+    stride - 1 always contains a sampled window start in one doc, but BOTH
+    docs must sample aligned starts, so stride>1 trades recall for volume;
+    stride=1 is the exact Lee-et-al-style sweep and the documented
+    upgrade, whose volume wants the rolling-hash fingerprint rather than
+    per-window md5).  Common-boilerplate span keys are hot but the
+    aggregate is partial-combining, so skew collapses map-side; no join
+    anywhere.
+
+    Output: span_key (md5 hex), n_docs (distinct documents containing the
+    span), n_occurrences (total sampled occurrences), first_doc_id
+    (min doc id — the canonical holder).
+    """
+    toks = d.split("text")  # positional tokens — NOT distinct
+    span = d.ajoin(d.aslice("toks", "pos", str(width)), " ")
+    key = d.md5_utf8(span)
+    lat = d.lateral_seq("1", f"n_toks - {width - 1}", "pos", str(stride))
+    # the n_toks >= width guard must precede the explode: Spark's sequence()
+    # counts DOWN when lo > hi, so short docs would explode garbage positions
+    return f"""
+SELECT span_key, count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS first_doc_id
+FROM (
+  SELECT doc_id, {key} AS span_key
+  FROM (SELECT doc_id, {toks} AS toks, {d.size(d.split('text'))} AS n_toks
+        FROM {src}
+        WHERE {d.size(d.split('text'))} >= {width}) t
+  {lat}
+) w
+GROUP BY span_key
+HAVING count(DISTINCT doc_id) >= 2
+""".strip()
+
+
 def _shingles(d: Dialect) -> str:
     """3-token shingles; documents shorter than 3 tokens shingle to the whole
     text.  seq() bounds are guarded (Spark's sequence counts down on lo>hi)."""

@@ -182,13 +182,13 @@ class Dialect:
         fn = "array_join" if self.name == "spark" else "array_to_string"
         return f"{fn}({arr}, '{sep}')"
 
-    def lateral_seq(self, lo: str, hi: str, var: str) -> str:
+    def lateral_seq(self, lo: str, hi: str, var: str, step: str = "1") -> str:
         """FROM-clause suffix exploding the inclusive integer sequence
-        [lo, hi] as column ``var`` (one output row per value).  Callers
-        must guarantee lo <= hi."""
+        [lo, hi] (by ``step``) as column ``var`` (one output row per
+        value).  Callers must guarantee lo <= hi and step >= 1."""
         if self.name == "spark":
-            return f"LATERAL VIEW explode(sequence({lo}, {hi})) _lv_{var} AS {var}"
-        return f", unnest(generate_series({lo}, {hi})) AS _lv_{var}({var})"
+            return f"LATERAL VIEW explode(sequence({lo}, {hi}, {step})) _lv_{var} AS {var}"
+        return f", unnest(generate_series({lo}, {hi}, {step})) AS _lv_{var}({var})"
 
     def regex_replace_all(self, s: str, pattern: str, rep: str) -> str:
         """Replace ALL matches.  Spark's regexp_replace is global by

@@ -725,6 +725,15 @@ def _specs() -> list[QuerySpec]:
         tags=("dedup",),
         doc="banded LSH candidate pairs + sig agreement; signatures cached once",
     )
+    b, o = _sql_pair(dedup.gen_substring_spans, ("documents",))
+    add(
+        "dedup_substring_spans",
+        b,
+        o,
+        tags=("dedup",),
+        doc="cross-doc exact substring spans (sampled token windows, md5 span key, "
+        "single partial-combining agg; span-level tier between exact-doc and near-dup)",
+    )
     add(
         "dedup_cluster_assign",
         _b_cluster_assign,

@@ -173,6 +173,37 @@ def test_scalable_lang_rank_equals_window(spark):
     assert got == want
 
 
+# -- substring-span dedup (operators/dedup.py) -------------------------------
+
+
+def test_substring_spans_finds_cross_doc_duplicate_run(spark):
+    """Two docs share an exact 48-token run at stride-aligned offsets; the
+    sampled-window sweep must surface at least one shared span keyed to
+    both docs, an unrelated doc must contribute nothing, and a doc shorter
+    than the window must not explode (Spark's sequence() counts DOWN on
+    lo > hi — the guard must precede the lateral)."""
+    from storage_crawler_spark.operators.dedup import gen_substring_spans
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    shared = " ".join(f"s{i}" for i in range(48))
+    doc_a = " ".join(f"a{i}" for i in range(16)) + " " + shared + " tail_a"
+    doc_b = " ".join(f"b{i}" for i in range(8)) + " " + shared + " tail_b"
+    other = " ".join(f"z{i}" for i in range(80))
+    short = "tiny doc"
+    spark.createDataFrame(
+        [(0, doc_a), (1, doc_b), (2, other), (3, short)], "doc_id LONG, text STRING"
+    ).createOrReplaceTempView("documents")
+    try:
+        rows = spark.sql(gen_substring_spans(SPARK, width=32, stride=8)).collect()
+        assert rows, "shared 48-token run not detected"
+        # every reported span is cross-doc by construction of the HAVING
+        assert all(r.n_docs >= 2 for r in rows)
+        # the only cross-doc material is the shared run between docs 0 and 1
+        assert all(r.first_doc_id == 0 for r in rows)
+    finally:
+        spark.catalog.dropTempView("documents")
+
+
 # -- simhash (operators/simhash.py) -----------------------------------------
 
 
