@@ -95,10 +95,20 @@ def load_vectors(spark, sf_dir: str) -> DataFrame:
 
 
 def ivf_trained_topk(spark, sf_dir: str, query_vec_id: int = 0, k_neighbours: int = 10,
-                     k_clusters: int = 8, iters: int = 3) -> DataFrame:
+                     k_clusters: int = 8, iters: int = 3, nprobe: int = 2) -> DataFrame:
     """IVF top-k with TRAINED centroids: fit the coarse quantizer, assign
-    the corpus, probe only the query's cluster.  The plan after training is
-    identical in shape to the sign-bucket variant (bucket equi-filter +
+    the corpus, probe the ``nprobe`` clusters whose centroids are nearest
+    the query (multi-probe — the standard IVF recall lever: true
+    neighbours of a query near a cell boundary live in the adjacent cell,
+    which single-probe misses structurally).
+
+    The centroids are driver-held (k×dim floats), so probe selection is a
+    driver-side argsort and reaches the plan as a pushed-down
+    ``cluster IN (...)`` filter — no join for candidate selection at all;
+    the only join is broadcasting the single query row for the cosine.
+    ``nprobe = k_clusters`` degenerates to exact brute force (every cell
+    probed), which is the property the recall test pins.  The plan shape
+    after training matches the sign-bucket variant (bucket filter +
     map-only cosine + TakeOrderedAndProject); training cost amortizes over
     every query served from the index."""
     vectors = load_vectors(spark, sf_dir)
@@ -108,12 +118,24 @@ def ivf_trained_topk(spark, sf_dir: str, query_vec_id: int = 0, k_neighbours: in
     norms = assigned.withColumn(
         "nrm", F.expr("sqrt(aggregate(zip_with(ev, ev, (u, v) -> u * v), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
     )
+    # probe selection: the query vector is one row (O(dim) to the driver),
+    # centroid distances are a python-side argsort over k scalars
+    q_row = vectors.filter(F.col("vec_id") == query_vec_id).select("ev").collect()
+    if not q_row:
+        raise ValueError(f"query_vec_id={query_vec_id} not found")
+    q_ev = list(q_row[0].ev)
+    d2 = [
+        (sum((u - v) * (u - v) for u, v in zip(q_ev, c)), i)
+        for i, c in enumerate(centroids)
+    ]
+    probes = [i for _, i in sorted(d2)[: max(1, min(nprobe, k_clusters))]]
     q = norms.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("ev").alias("q_ev"), F.col("nrm").alias("q_nrm"), F.col("cluster").alias("q_cluster")
+        F.col("ev").alias("q_ev"), F.col("nrm").alias("q_nrm")
     )
     cos = "aggregate(zip_with(ev, q_ev, (u, v) -> u * v), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (nrm * q_nrm)"
     return (
-        norms.join(F.broadcast(q), F.col("cluster") == F.col("q_cluster"))
+        norms.filter(F.col("cluster").isin(probes))
+        .join(F.broadcast(q))
         .filter(F.col("vec_id") != query_vec_id)
         .select("vec_id", "label", F.round(F.expr(cos), 4).alias("cosine"))
         .orderBy(F.col("cosine").desc(), "vec_id")

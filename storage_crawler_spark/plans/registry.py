@@ -881,7 +881,9 @@ def _specs() -> list[QuerySpec]:
         _b_ivf_trained,
         None,
         tags=("similarity",),
-        doc="IVF top-k with TRAINED k-means centroids (distributed Lloyd's fit; deterministic init); rows-only — iterative fit is not SQL-expressible",
+        doc="IVF top-k with TRAINED k-means centroids (distributed Lloyd's fit; "
+        "deterministic init; multi-probe nprobe=2 — nprobe=k degenerates to exact, "
+        "pytest-pinned); rows-only — iterative fit is not SQL-expressible",
     )
     b, o = _sql_pair(multimodal.gen_binary_meta, ("documents",))
     add("multimodal_binary_meta", b, o, tags=("multimodal",), doc="binary payload metadata (length/digest)")

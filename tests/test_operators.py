@@ -380,6 +380,38 @@ def test_ivf_trained_topk_shape(spark):
     assert all(r.vec_id != 0 for r in rows)  # query excluded
 
 
+def test_ivf_trained_multiprobe_recall(spark):
+    """Multi-probe contract: probing every cell (nprobe = k_clusters) is
+    exact brute force — its top-k id set must equal the full-scan cosine
+    top-k — and recall is monotone in nprobe (more cells probed can never
+    lose a neighbour that fewer cells found)."""
+    from storage_crawler_spark.operators.kmeans import ivf_trained_topk
+
+    sf = "/root/testdata/sf0.001"
+    k = 8
+
+    def ids(nprobe):
+        return {
+            r.vec_id
+            for r in ivf_trained_topk(
+                spark, sf, k_neighbours=k, k_clusters=4, nprobe=nprobe
+            ).collect()
+        }
+
+    exact = ids(4)  # every cell probed == brute force
+    # independent brute-force oracle: full-scan cosine top-k via the
+    # sign-bucket module's exact generator
+    from storage_crawler_spark.operators.similarity import gen_cosine_topk
+    from storage_crawler_spark.plans.dialect import SPARK
+    from storage_crawler_spark.plans import views as V
+
+    V.register_base_tables(spark, sf, ("embeddings",))
+    brute = {r.vec_id for r in spark.sql(gen_cosine_topk(SPARK, 0, k)).collect()}
+    assert exact == brute
+    r1, r2 = len(ids(1) & brute), len(ids(2) & brute)
+    assert r1 <= r2 <= k  # recall monotone in nprobe
+
+
 # -- media header parsing (operators/multimodal.py) -------------------------
 
 
