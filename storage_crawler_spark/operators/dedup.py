@@ -316,6 +316,48 @@ HAVING count(DISTINCT doc_id) >= 2
 """.strip()
 
 
+def gen_dup_span_ratio(
+    d: Dialect, width: int = 32, stride: int = 8, src: str = "documents"
+) -> str:
+    """Per-document duplicated-span ratio: the fraction of a doc's sampled
+    token windows whose exact text also occurs in ANOTHER document — the
+    quality signal substring-span dedup feeds back to filtering (a doc
+    that is 80% shared boilerplate is a removal candidate even when no
+    single other doc is a near-duplicate of it).
+
+    Shape: the same sampled-window explode as :func:`gen_substring_spans`,
+    one aggregation to per-(span, doc) rows, a self-aggregation marking
+    spans with >= 2 docs, then a broadcast-friendly semi-style join back
+    and a final per-doc aggregation.  All joins are on span_key (equi);
+    docs shorter than the window emit 0 windows and report ratio 0.
+    """
+    toks = d.split("text")
+    span = d.ajoin(d.aslice("toks", "pos", str(width)), " ")
+    key = d.md5_utf8(span)
+    lat = d.lateral_seq("1", f"n_toks - {width - 1}", "pos", str(stride))
+    ratio = d.trunc6(
+        "CAST(sum(CASE WHEN dup.span_key IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)"
+        " / count(*)"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, {key} AS span_key
+  FROM (SELECT doc_id, {toks} AS toks, {d.size(d.split('text'))} AS n_toks
+        FROM {src}
+        WHERE {d.size(d.split('text'))} >= {width}) t
+  {lat}
+),
+per_doc AS (SELECT span_key, doc_id, count(*) AS n FROM w GROUP BY span_key, doc_id),
+dup AS (SELECT span_key FROM per_doc GROUP BY span_key HAVING count(*) >= 2)
+SELECT w.doc_id,
+       count(*) AS n_windows,
+       CAST(sum(CASE WHEN dup.span_key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       {ratio} AS dup_ratio
+FROM w LEFT JOIN dup ON w.span_key = dup.span_key
+GROUP BY w.doc_id
+""".strip()
+
+
 def _shingles(d: Dialect) -> str:
     """3-token shingles; documents shorter than 3 tokens shingle to the whole
     text.  seq() bounds are guarded (Spark's sequence counts down on lo>hi)."""

@@ -734,6 +734,15 @@ def _specs() -> list[QuerySpec]:
         doc="cross-doc exact substring spans (sampled token windows, md5 span key, "
         "single partial-combining agg; span-level tier between exact-doc and near-dup)",
     )
+    b, o = _sql_pair(dedup.gen_dup_span_ratio, ("documents",))
+    add(
+        "text_dup_span_ratio",
+        b,
+        o,
+        tags=("dedup", "text"),
+        doc="per-doc duplicated-span ratio (fraction of sampled windows shared with "
+        "other docs) — the boilerplate-contamination quality signal",
+    )
     add(
         "dedup_cluster_assign",
         _b_cluster_assign,

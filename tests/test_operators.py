@@ -200,6 +200,17 @@ def test_substring_spans_finds_cross_doc_duplicate_run(spark):
         assert all(r.n_docs >= 2 for r in rows)
         # the only cross-doc material is the shared run between docs 0 and 1
         assert all(r.first_doc_id == 0 for r in rows)
+
+        # companion quality signal: sharers have dup_ratio > 0, the
+        # unrelated doc reports 0, the short doc emits no windows at all
+        from storage_crawler_spark.operators.dedup import gen_dup_span_ratio
+
+        ratios = {
+            r.doc_id: r for r in spark.sql(gen_dup_span_ratio(SPARK, width=32, stride=8)).collect()
+        }
+        assert ratios[0].dup_ratio > 0 and ratios[1].dup_ratio > 0
+        assert ratios[2].dup_ratio == 0.0
+        assert 3 not in ratios  # shorter than the window: no sampled windows
     finally:
         spark.catalog.dropTempView("documents")
 
