@@ -47,14 +47,55 @@ def assign_clusters(vectors: DataFrame, centroids: list[list[float]]) -> DataFra
     ).drop("__d")
 
 
-def kmeans_fit(vectors: DataFrame, k: int = 8, iters: int = 5) -> list[list[float]]:
+def farthest_first_init(vectors: DataFrame, k: int) -> list[list[float]]:
+    """Deterministic k-means++-style seeding: start from the lowest vec_id,
+    then repeatedly take the vector FARTHEST (max squared distance to its
+    nearest chosen centroid; ties → lowest vec_id).  Farthest-first is the
+    derandomized k-means++ (the 2-approximation for the k-center objective)
+    — seeds spread across the data instead of the first k rows, which can
+    all share one true cluster and strand Lloyd's in a poor local minimum.
+
+    Each of the k-1 rounds is one distributed argmax over a map-only
+    distance expression (TakeOrderedAndProject, one row to the driver);
+    total driver state is k×dim floats.  Fully deterministic ⇒ downstream
+    rows-only driver checks stay reproducible.
+    """
+    first = vectors.orderBy("vec_id").limit(1).select("ev").collect()
+    if not first:
+        raise ValueError("cannot seed k-means from an empty vector set")
+    chosen: list[list[float]] = [list(first[0].ev)]
+    while len(chosen) < k:
+        min_d2 = "least(" + ", ".join(_dist2_expr(c) for c in chosen) + ")" \
+            if len(chosen) > 1 else _dist2_expr(chosen[0])
+        far = (
+            vectors.select("vec_id", "ev", F.expr(min_d2).alias("d2"))
+            .orderBy(F.col("d2").desc(), "vec_id")
+            .limit(1)
+            .collect()
+        )
+        chosen.append(list(far[0].ev))
+    return chosen
+
+
+def kmeans_fit(
+    vectors: DataFrame, k: int = 8, iters: int = 5, init: str = "first"
+) -> list[list[float]]:
     """Lloyd's iterations; returns the k×dim centroid list.
 
     ``vectors`` needs (vec_id, ev: array<double>).  The per-iteration
     driver state is k×dim floats; everything heavy stays distributed.
+    ``init``: 'first' (the k lowest vec_ids — one job, the default) or
+    'farthest' (deterministic spread seeding above).  Measured on the
+    synthetic embeddings the two converge to equal inertia (uniform-ish
+    data has no bad seeds to avoid), so the cheap init stays default;
+    'farthest' is for genuinely clustered corpora, where first-k seeds
+    can all land in one true cluster.
     """
-    init_rows = vectors.orderBy("vec_id").limit(k).select("ev").collect()
-    centroids = [list(r.ev) for r in init_rows]
+    if init == "farthest":
+        centroids = farthest_first_init(vectors, k)
+    else:
+        init_rows = vectors.orderBy("vec_id").limit(k).select("ev").collect()
+        centroids = [list(r.ev) for r in init_rows]
     for _ in range(iters):
         assigned = assign_clusters(vectors, centroids)
         means = (

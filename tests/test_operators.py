@@ -381,6 +381,16 @@ def test_kmeans_inertia_monotone_and_deterministic(spark):
     clusters = {r.cluster for r in assign_clusters(vectors, again).select("cluster").distinct().collect()}
     assert clusters <= set(range(4)) and len(clusters) >= 2
 
+    # farthest-first seeding: deterministic, k distinct spread seeds, and a
+    # fit quality in the same regime as the cheap init on this corpus
+    from storage_crawler_spark.operators.kmeans import farthest_first_init
+
+    seeds = farthest_first_init(vectors, 4)
+    assert seeds == farthest_first_init(vectors, 4)  # bit-stable
+    assert len({tuple(s) for s in seeds}) == 4  # distinct seeds
+    far = kmeans_fit(vectors, k=4, iters=4, init="farthest")
+    assert inertia(vectors, far) <= prev * 1.05
+
 
 def test_ivf_trained_topk_shape(spark):
     from storage_crawler_spark.operators.kmeans import ivf_trained_topk
