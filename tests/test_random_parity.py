@@ -1,0 +1,109 @@
+"""Randomized Spark-vs-DuckDB parity over adversarial corpora.
+
+The driver's oracle gate (and tools/check_oracle.py) only ever compares the
+engines on the FIXED synthetic testdata; these tests sweep the same
+dialect-generated queries over seeded random corpora built to hit the edges
+the fixture can't: empty texts, single tokens, exact duplicates, shared
+substring runs, repeated-whitespace-free token streams, NULL lang, and
+cross-lang near-duplicates.  Any cross-engine semantic drift in the shared
+SQL source (split/array/lambda/regex/rounding behavior) fails here with the
+seed that produced it.
+
+Comparison reuses the driver-faithful normalizer from tools/check_oracle.py
+(column-name sort, repr-precision floats, row sort) so a pass here means
+the same thing as a pass at the gate.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.check_oracle import value_hash  # noqa: E402  (driver-faithful normalize)
+
+from storage_crawler_spark.operators import dedup, text  # noqa: E402
+from storage_crawler_spark.plans.dialect import DUCK, SPARK  # noqa: E402
+
+VOCAB = (
+    [f"w{i}" for i in range(30)]
+    + ["the", "a", "of", "and", "is"]
+    # non-ASCII and punctuation-bearing tokens: md5/split/length parity must
+    # hold on multi-byte UTF-8 and regex-significant characters too
+    + ["é", "日本", "naïve", "a.b", "x+y", "(paren)", "emoji🙂"]
+)
+
+
+def _random_corpus(seed: int, n_docs: int = 60) -> list[tuple]:
+    """Seeded corpus with the documents schema and adversarial structure."""
+    rng = random.Random(seed)
+    rows = []
+    shared_run = " ".join(rng.choice(VOCAB) for _ in range(12))
+    for doc_id in range(n_docs):
+        kind = rng.randrange(8)
+        if kind == 0:
+            body = ""  # empty text
+        elif kind == 1:
+            body = rng.choice(VOCAB)  # single token
+        elif kind == 2 and rows:
+            body = rows[rng.randrange(len(rows))][1]  # exact duplicate
+        elif kind == 3:
+            # shared substring run embedded at a random offset
+            pre = " ".join(rng.choice(VOCAB) for _ in range(rng.randrange(6)))
+            post = " ".join(rng.choice(VOCAB) for _ in range(rng.randrange(6)))
+            body = " ".join(x for x in (pre, shared_run, post) if x)
+        else:
+            body = " ".join(rng.choice(VOCAB) for _ in range(rng.randrange(1, 40)))
+        lang = rng.choice(["en", "fr", "de", None])
+        rows.append((doc_id, body, lang, f"src{doc_id % 3}", len(body)))
+    return rows
+
+
+QUERIES = [
+    ("dedup_exact", lambda d: dedup.gen_dedup_exact(d)),
+    ("jaccard_pairs", lambda d: dedup.gen_jaccard_pairs(d, threshold=0.3, block_cap=64)),
+    ("minhash_sigs", lambda d: dedup.gen_minhash_sigs(d)),
+    ("minhash_pairs", lambda d: dedup.gen_minhash_pairs(d)),
+    ("substring_spans", lambda d: dedup.gen_substring_spans(d, width=8, stride=2)),
+    ("dup_span_ratio", lambda d: dedup.gen_dup_span_ratio(d, width=8, stride=2)),
+    ("token_stats", lambda d: text.gen_token_stats(d)),
+    ("quality_score", lambda d: text.gen_quality_score(d)),
+    ("text_normalize", lambda d: text.gen_text_normalize(d)),
+    ("fingerprint", lambda d: text.gen_fingerprint(d)),
+    ("repetition", lambda d: text.gen_repetition(d)),
+]
+
+
+@pytest.fixture(scope="module", params=[11, 23, 47])
+def corpus_parquet(request, tmp_path_factory, spark):
+    import pandas as pd
+
+    rows = _random_corpus(request.param)
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    path = str(tmp_path_factory.mktemp("rand") / f"documents_{request.param}.parquet")
+    pdf.to_parquet(path, index=False)
+    spark.read.parquet(path).createOrReplaceTempView("documents")
+    yield path
+    spark.catalog.dropTempView("documents")
+
+
+@pytest.mark.parametrize("name,gen", QUERIES, ids=[q[0] for q in QUERIES])
+def test_random_corpus_parity(spark, corpus_parquet, name, gen):
+    sdf = spark.sql(gen(SPARK))
+    s_cols = [f.name for f in sdf.schema.fields]
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{corpus_parquet}'")
+    cur = con.execute(gen(DUCK))
+    d_cols = [c[0] for c in cur.description]
+    d_rows = cur.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column drift"
+    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    assert value_hash(s_rows, s_cols) == value_hash(d_rows, d_cols), f"{name}: value drift"
