@@ -452,6 +452,60 @@ WHERE est_jaccard >= {min_agreement}
 """.strip()
 
 
+def gen_minhash_pairs_incremental(
+    d: Dialect,
+    new_pred: str = "doc_id % 10 = 0",
+    min_agreement: float = 0.25,
+    sigs_rel: str | None = None,
+) -> str:
+    """Incremental near-dup pass: candidate pairs that involve at least one
+    NEW document (``new_pred``) — the daily-increment pattern at 100 TB,
+    where re-pairing the whole corpus per batch is a non-starter.  The band
+    join probes the full banded index with only the new docs' bands, so
+    per-batch work is O(|new| · bands), not O(|corpus|); old↔old pairs are
+    never generated.  Result is EXACTLY the full pair set restricted to
+    pairs touching a new doc (the oracle states it that way over the full
+    join — an independent formulation, not a restatement).
+
+    Same banding/agreement machinery as :func:`gen_minhash_pairs`;
+    ``least``/``greatest`` + DISTINCT canonicalize new↔new pairs that meet
+    in both probe directions.
+    """
+    ctes: list[str] = []
+    if sigs_rel is None:
+        ctes.append(f"sigs AS (\n{gen_minhash_sigs(d)}\n)")
+        sigs_rel = "sigs"
+    band_selects = []
+    for band in range(N_BANDS):
+        cols = ", ".join(f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        key = d.md5_utf8(f"concat_ws('|', {cols})")
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band_id, {key} AS band_key FROM {sigs_rel}"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    ctes.append(f"bands AS (\n{bands}\n)")
+    ctes.append(f"bands_new AS (SELECT * FROM bands WHERE {new_pred})")
+    ctes.append(
+        """cand AS (
+  SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a, greatest(x.doc_id, y.doc_id) AS doc_b
+  FROM bands_new x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id <> y.doc_id
+)"""
+    )
+    agree = " + ".join(f"(CASE WHEN sa.m{k} = sb.m{k} THEN 1 ELSE 0 END)" for k in range(16))
+    with_clause = "WITH " + ",\n".join(ctes)
+    return f"""{with_clause}
+SELECT doc_a, doc_b, est_jaccard FROM (
+  SELECT c.doc_a, c.doc_b,
+         round(CAST({agree} AS DOUBLE) / 16, 6) AS est_jaccard
+  FROM cand c
+  JOIN {sigs_rel} sa ON sa.doc_id = c.doc_a
+  JOIN {sigs_rel} sb ON sb.doc_id = c.doc_b
+) p
+WHERE est_jaccard >= {min_agreement}
+""".strip()
+
+
 def gen_lsh_quality(d: Dialect, jaccard_threshold: float = 0.5) -> str:
     """Precision/recall of the minhash-LSH candidate tier against exact
     blocked Jaccard at ``jaccard_threshold`` — the dedup sketch's accuracy

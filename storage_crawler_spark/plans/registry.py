@@ -295,6 +295,26 @@ def _b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(dedup.gen_minhash_pairs(SPARK, sigs_rel="_minhash_sigs"))
 
 
+def _b_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    V.register_base_tables(spark, sf_dir, ("documents",))
+    n = spark.sparkContext.defaultParallelism
+    spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
+    sigs = spark.sql(dedup.gen_minhash_sigs(SPARK, src="_documents_rep"))
+    sigs.persist()
+    sigs.createOrReplaceTempView("_minhash_sigs_inc")
+    return spark.sql(dedup.gen_minhash_pairs_incremental(SPARK, sigs_rel="_minhash_sigs_inc"))
+
+
+# Independent oracle formulation: the FULL pair join, restricted to pairs
+# touching a new doc — the incremental builder never generates old-old
+# candidates, so equality here proves the restriction is exact.
+_MINHASH_INC_ORACLE = (
+    "SELECT doc_a, doc_b, est_jaccard FROM (\n"
+    + dedup.gen_minhash_pairs(DUCK)
+    + "\n) full_pairs WHERE doc_a % 10 = 0 OR doc_b % 10 = 0"
+)
+
+
 def _b_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minhash-LSH pairs → connected components → keeper per cluster."""
     V.register_base_tables(spark, sf_dir, ("documents",))
@@ -724,6 +744,15 @@ def _specs() -> list[QuerySpec]:
         headline=True,
         tags=("dedup",),
         doc="banded LSH candidate pairs + sig agreement; signatures cached once",
+    )
+    add(
+        "dedup_minhash_incremental",
+        _b_minhash_incremental,
+        _MINHASH_INC_ORACLE,
+        tags=("dedup",),
+        doc="incremental near-dup pass: new docs' bands probe the full banded index "
+        "(O(new x bands) per batch, old-old pairs never generated; oracle = full join "
+        "restricted to new-doc pairs)",
     )
     b, o = _sql_pair(dedup.gen_substring_spans, ("documents",))
     add(

@@ -69,6 +69,17 @@ QUERIES = [
     ("jaccard_pairs", lambda d: dedup.gen_jaccard_pairs(d, threshold=0.3, block_cap=64)),
     ("minhash_sigs", lambda d: dedup.gen_minhash_sigs(d)),
     ("minhash_pairs", lambda d: dedup.gen_minhash_pairs(d)),
+    (
+        "minhash_incremental",
+        # Spark runs the incremental probe, DuckDB the full join restricted
+        # to new-doc pairs — independent formulations whose equality is the
+        # incremental pass's correctness claim
+        lambda d: dedup.gen_minhash_pairs_incremental(d)
+        if d.name == "spark"
+        else "SELECT doc_a, doc_b, est_jaccard FROM (\n"
+        + dedup.gen_minhash_pairs(d)
+        + "\n) fp WHERE doc_a % 10 = 0 OR doc_b % 10 = 0",
+    ),
     ("substring_spans", lambda d: dedup.gen_substring_spans(d, width=8, stride=2)),
     ("dup_span_ratio", lambda d: dedup.gen_dup_span_ratio(d, width=8, stride=2)),
     ("token_stats", lambda d: text.gen_token_stats(d)),
