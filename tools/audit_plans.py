@@ -73,6 +73,9 @@ NLJ_ALLOWED = {
     # scalar-subquery aggregates — every BNLJ build side is <= 1 row
     "sim_ivf_recall",
     "dedup_lsh_quality",
+    # multi-probe trained IVF: probe-cluster selection is a pushed-down IN
+    # filter; the only join is the broadcast single query row (1-row build)
+    "sim_ivf_trained_topk",
 }
 
 # Queries that must not plan a Window operator (their aggregates are
