@@ -515,7 +515,11 @@ def gen_lsh_quality(d: Dialect, jaccard_threshold: float = 0.5) -> str:
     found = LSH candidate pairs (gen_minhash_pairs, any agreement)
     Reports |true|, |found|, |true ∩ found|, recall (found/true) and
     precision-proxy (hits/found).  Pair ids are (least, greatest) in both
-    generators, so the intersection is a plain equi-join."""
+    generators, so the intersection is a plain equi-join.  The ratio
+    divisors are NULLIF-guarded: a corpus with no true (or no candidate)
+    pairs reports NULL recall/precision instead of throwing on Spark
+    (ANSI DIVIDE_BY_ZERO) while DuckDB silently NULLs — the engines must
+    agree on the degenerate corpus too."""
     exact = gen_jaccard_pairs(d, threshold=jaccard_threshold)
     lsh = gen_minhash_pairs(d)
     return f"""
@@ -530,6 +534,6 @@ hits AS (SELECT truth.doc_a, truth.doc_b
 SELECT (SELECT count(*) FROM truth) AS n_true,
        (SELECT count(*) FROM found) AS n_found,
        (SELECT count(*) FROM hits) AS n_hits,
-       {d.trunc6("CAST((SELECT count(*) FROM hits) AS DOUBLE) / (SELECT count(*) FROM truth)")} AS recall,
-       {d.trunc6("CAST((SELECT count(*) FROM hits) AS DOUBLE) / (SELECT count(*) FROM found)")} AS precision_proxy
+       {d.trunc6("CAST((SELECT count(*) FROM hits) AS DOUBLE) / NULLIF((SELECT count(*) FROM truth), 0)")} AS recall,
+       {d.trunc6("CAST((SELECT count(*) FROM hits) AS DOUBLE) / NULLIF((SELECT count(*) FROM found), 0)")} AS precision_proxy
 """.strip()

@@ -165,6 +165,8 @@ def ivf_trained_topk(spark, sf_dir: str, query_vec_id: int = 0, k_neighbours: in
     if not q_row:
         raise ValueError(f"query_vec_id={query_vec_id} not found")
     q_ev = list(q_row[0].ev)
+    if not any(q_ev):
+        raise ValueError(f"query_vec_id={query_vec_id} is the zero vector; cosine undefined")
     d2 = [
         (sum((u - v) * (u - v) for u, v in zip(q_ev, c)), i)
         for i, c in enumerate(centroids)
@@ -175,7 +177,8 @@ def ivf_trained_topk(spark, sf_dir: str, query_vec_id: int = 0, k_neighbours: in
     )
     cos = "aggregate(zip_with(ev, q_ev, (u, v) -> u * v), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (nrm * q_nrm)"
     return (
-        norms.filter(F.col("cluster").isin(probes))
+        # nrm > 0: a zero-norm corpus vector would throw ANSI DIVIDE_BY_ZERO
+        norms.filter((F.col("nrm") > 0) & F.col("cluster").isin(probes))
         .join(F.broadcast(q))
         .filter(F.col("vec_id") != query_vec_id)
         .select("vec_id", "label", F.round(F.expr(cos), 4).alias("cosine"))

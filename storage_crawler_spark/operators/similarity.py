@@ -24,8 +24,16 @@ def _norm_cte(d: Dialect, with_bucket: bool = False) -> str:
     (dot, |a|², |b|²), tripling the hot-path cost."""
     ev = d.cast_double_arr("embedding")
     bkt = f", {_bucket(d, 'ev')} AS bkt" if with_bucket else ""
+    # nrm > 0 guard: cosine is undefined for the zero vector, and a single
+    # all-zero embedding (a failed-embedding row — realistic at scale) would
+    # otherwise CRASH the whole query on Spark (ANSI DIVIDE_BY_ZERO throws)
+    # while DuckDB silently yields NULL — found by the randomized parity
+    # tests.  Dropping zero-norm vectors is the principled semantic and is
+    # stated in one shared predicate so both engines agree.
     return f"""v0 AS (SELECT vec_id, label, {ev} AS ev FROM embeddings),
-v AS (SELECT vec_id, label, ev, sqrt({d.dot('ev', 'ev')}) AS nrm{bkt} FROM v0)"""
+v AS (SELECT * FROM (
+  SELECT vec_id, label, ev, sqrt({d.dot('ev', 'ev')}) AS nrm{bkt} FROM v0
+) vn WHERE nrm > 0)"""
 
 
 def gen_cosine_topk(d: Dialect, query_vec_id: int = 0, k: int = 10) -> str:

@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.check_oracle import value_hash  # noqa: E402  (driver-faithful normalize)
 
-from storage_crawler_spark.operators import dedup, text  # noqa: E402
+from storage_crawler_spark.operators import dedup, sampling, similarity, text  # noqa: E402
 from storage_crawler_spark.plans.dialect import DUCK, SPARK  # noqa: E402
 
 VOCAB = (
@@ -87,6 +87,9 @@ QUERIES = [
     ("text_normalize", lambda d: text.gen_text_normalize(d)),
     ("fingerprint", lambda d: text.gen_fingerprint(d)),
     ("repetition", lambda d: text.gen_repetition(d)),
+    ("split_assign", lambda d: sampling.gen_split_assign(d)),
+    ("split_counts", lambda d: sampling.gen_split_counts(d)),
+    ("stratified_sample", lambda d: sampling.gen_stratified_sample(d, per_stratum=5)),
 ]
 
 
@@ -101,6 +104,85 @@ def corpus_parquet(request, tmp_path_factory, spark):
     spark.read.parquet(path).createOrReplaceTempView("documents")
     yield path
     spark.catalog.dropTempView("documents")
+
+
+def _random_embeddings(seed: int, n: int = 40, dim: int = 8) -> list[tuple]:
+    """Seeded embedding corpus: components are k/8 rationals (exactly
+    representable in float32 AND float64, so the double-cast is lossless in
+    both engines), with exact duplicates, a negated twin, sign-boundary
+    zeros in the bucketed components, and one ALL-ZERO vector — the row
+    that crashes an unguarded cosine on Spark (ANSI DIVIDE_BY_ZERO) while
+    DuckDB silently NULLs; the nrm > 0 guard must make the engines agree."""
+    rng = random.Random(seed)
+    rows = []
+    for vec_id in range(n):
+        kind = rng.randrange(8)
+        if vec_id == n // 2:
+            vec = [0.0] * dim  # the failed-embedding row
+        elif kind == 0 and rows:
+            vec = list(rows[rng.randrange(len(rows))][1])  # exact duplicate
+        elif kind == 1 and rows:
+            vec = [-x for x in rows[rng.randrange(len(rows))][1]]  # antipode
+        else:
+            vec = [rng.randrange(-16, 17) / 8 for _ in range(dim)]
+            if kind == 2:
+                vec[rng.randrange(dim)] = 0.0  # sign-boundary component
+        rows.append((vec_id, vec, vec_id % 4))
+    return rows
+
+
+EMB_QUERIES = [
+    ("cosine_topk", lambda d: similarity.gen_cosine_topk(d, 0, 10)),
+    ("ivf_topk", lambda d: similarity.gen_ivf_topk(d, 0, 10)),
+    ("embedding_near_dup", lambda d: similarity.gen_embedding_near_dup(d)),
+    ("knn_join", lambda d: similarity.gen_knn_join(d, k=3)),
+    ("ivf_recall", lambda d: similarity.gen_ivf_recall(d, 0, 10)),
+]
+
+
+@pytest.fixture(scope="module", params=[5, 17])
+def embeddings_parquet(request, tmp_path_factory, spark):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = _random_embeddings(request.param)
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [np.array(r[1], dtype=np.float32) for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    path = str(tmp_path_factory.mktemp("remb") / f"embeddings_{request.param}.parquet")
+    pq.write_table(table, path)
+    spark.read.parquet(path).createOrReplaceTempView("embeddings")
+    yield path
+    spark.catalog.dropTempView("embeddings")
+
+
+@pytest.mark.parametrize("name,gen", EMB_QUERIES, ids=[q[0] for q in EMB_QUERIES])
+def test_random_embeddings_parity(spark, embeddings_parquet, name, gen):
+    _compare(spark, embeddings_parquet, "embeddings", name, gen)
+
+
+def _compare(spark, parquet_path, view, name, gen):
+    sdf = spark.sql(gen(SPARK))
+    s_cols = [f.name for f in sdf.schema.fields]
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW {view} AS SELECT * FROM '{parquet_path}'")
+    cur = con.execute(gen(DUCK))
+    d_cols = [c[0] for c in cur.description]
+    d_rows = cur.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column drift"
+    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    assert value_hash(s_rows, s_cols) == value_hash(d_rows, d_cols), f"{name}: value drift"
 
 
 @pytest.mark.parametrize("name,gen", QUERIES, ids=[q[0] for q in QUERIES])
