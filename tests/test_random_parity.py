@@ -90,6 +90,11 @@ QUERIES = [
     ("split_assign", lambda d: sampling.gen_split_assign(d)),
     ("split_counts", lambda d: sampling.gen_split_counts(d)),
     ("stratified_sample", lambda d: sampling.gen_stratified_sample(d, per_stratum=5)),
+    ("lang_id", lambda d: text.gen_lang_id(d)),
+    ("pii_redact", lambda d: text.gen_pii_redact(d)),
+    ("quality_filter", lambda d: text.gen_quality_filter(d)),
+    ("chunk_split", lambda d: text.gen_chunk_split(d, chunk_tokens=8, stride=6)),
+    ("pack_bins", lambda d: text.gen_pack_bins(d, token_budget=40, chunk_tokens=8, stride=6)),
 ]
 
 
