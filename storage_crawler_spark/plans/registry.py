@@ -566,17 +566,24 @@ JOIN events p
  AND {_DUCK_EPOCH_EVENTS.replace('ts', 'p.ts')} <= {_DUCK_EPOCH_EVENTS.replace('ts', 'c.ts')} + {_WINDOW_S}
 """.strip()
 
+# The event_id tiebreak in BOTH windows below is load-bearing: with only
+# ORDER BY epoch_s, rows sharing a timestamp are visited in nondeterministic
+# order by the ROWS-frame island sum, and a tied row can land in the
+# PREVIOUS island while its twin starts the new one (found by the randomized
+# events parity tests — Spark's session_window is order-insensitive and
+# never splits a tie).  A total order makes the brk=1 row lead its tie
+# group, so all tied rows share an island.
 STREAMING_USER_SESSIONS_ORACLE = f"""
-WITH e AS (SELECT user_id, event_type, {_DUCK_EPOCH_EVENTS} AS epoch_s FROM events),
+WITH e AS (SELECT event_id, user_id, event_type, {_DUCK_EPOCH_EVENTS} AS epoch_s FROM events),
 l AS (
-  SELECT user_id, event_type, epoch_s,
-         CASE WHEN epoch_s - lag(epoch_s) OVER (PARTITION BY user_id ORDER BY epoch_s)
+  SELECT event_id, user_id, event_type, epoch_s,
+         CASE WHEN epoch_s - lag(epoch_s) OVER (PARTITION BY user_id ORDER BY epoch_s, event_id)
                    > 120 THEN 1 ELSE 0 END AS brk
   FROM e
 ),
 i AS (
   SELECT user_id, event_type, epoch_s,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY epoch_s
+         sum(brk) OVER (PARTITION BY user_id ORDER BY epoch_s, event_id
                         ROWS UNBOUNDED PRECEDING) AS island
   FROM l
 )
@@ -588,16 +595,16 @@ GROUP BY user_id, island
 """.strip()
 
 STREAMING_SESSION_ORACLE = f"""
-WITH e AS (SELECT event_type, {_DUCK_EPOCH_EVENTS} AS epoch_s FROM events),
+WITH e AS (SELECT event_id, event_type, {_DUCK_EPOCH_EVENTS} AS epoch_s FROM events),
 l AS (
-  SELECT event_type, epoch_s,
-         CASE WHEN epoch_s - lag(epoch_s) OVER (PARTITION BY event_type ORDER BY epoch_s)
+  SELECT event_id, event_type, epoch_s,
+         CASE WHEN epoch_s - lag(epoch_s) OVER (PARTITION BY event_type ORDER BY epoch_s, event_id)
                    > {_SESSION_GAP_S} THEN 1 ELSE 0 END AS brk
   FROM e
 ),
 i AS (
   SELECT event_type, epoch_s,
-         sum(brk) OVER (PARTITION BY event_type ORDER BY epoch_s
+         sum(brk) OVER (PARTITION BY event_type ORDER BY epoch_s, event_id
                         ROWS UNBOUNDED PRECEDING) AS island
   FROM l
 )

@@ -1,0 +1,100 @@
+"""Randomized Spark-vs-DuckDB parity for the events plane.
+
+The events-backed entries carry the most tie-prone semantics in the repo —
+the as-of join's at-or-before with equal timestamps, the range join's
+inclusive window edges, the status argmax, session gap merging — and the
+fixed testdata exercises one draw of them.  These tests synthesize seeded
+random events tables with DELIBERATE collisions (same user+timestamp,
+duplicate purchase instants, unknown event types, NULL values) into a tmp
+dir shaped like an sf_dir, then run the REAL registry builders and their
+DuckDB oracles unmodified on it.
+
+The timestamp column is written as microsecond parquet (what the driver
+currently ships); the schema-adaptive normalization is therefore also
+exercised on data the fixture never saw.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.check_oracle import value_hash  # noqa: E402
+
+from storage_crawler_spark.plans import registry  # noqa: E402
+
+EVENT_ENTRIES = [
+    "report_status_full",
+    "report_status_events",
+    "report_status_averages",
+    "report_status_brief",
+    "window_event_deltas",
+    "rollup_events_daily",
+    "events_json_props",
+    "join_asof_events",
+    "join_range_events",
+    "streaming_window_counts",
+    "streaming_session_counts",
+    "streaming_attribution_join",
+    "streaming_dedup",
+    "streaming_user_sessions",
+    # streaming_event_deltas is rows-only (stateful applyInPandasWithState,
+    # no SQL oracle) — covered by tests/test_streaming.py instead
+]
+
+
+def _random_events(seed: int, n: int = 300) -> "pd.DataFrame":  # noqa: F821
+    import pandas as pd
+
+    rng = random.Random(seed)
+    base = 1_704_000_000  # 2024-01-01-ish, matches the fixture's era
+    types = ["click", "view", "purchase", "signup", "error", "mystery"]
+    rows = []
+    ts_pool = [base + rng.randrange(0, 7 * 86_400) for _ in range(n // 3)]
+    for event_id in range(n):
+        user_id = rng.randrange(12)
+        event_type = rng.choice(types)
+        # a third of events reuse pooled instants → same-user same-ts ties,
+        # duplicate purchase instants (as-of tie break), shared window edges
+        ts_s = rng.choice(ts_pool) if rng.random() < 0.33 else base + rng.randrange(0, 7 * 86_400)
+        value = None if rng.random() < 0.1 else rng.randrange(0, 8000) / 8
+        props = json.dumps({"k": rng.randrange(0, 1000)}) if rng.random() < 0.9 else json.dumps({})
+        rows.append((event_id, pd.Timestamp(ts_s, unit="s"), user_id, event_type, value, props))
+    return pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+
+
+@pytest.fixture(scope="module", params=[3, 19])
+def events_sf_dir(request, tmp_path_factory):
+    pdf = _random_events(request.param)
+    d = tmp_path_factory.mktemp("revents")
+    pdf.to_parquet(str(d / "events.parquet"), index=False)
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EVENT_ENTRIES)
+def test_random_events_parity(spark, events_sf_dir, name):
+    spec = registry.get_query(name)
+    sdf = spec.builder(spark, events_sf_dir)
+    s_cols = [f.name for f in sdf.schema.fields]
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{events_sf_dir}/events.parquet'"
+    )
+    cur = con.execute(spec.oracle)
+    d_cols = [c[0] for c in cur.description]
+    d_rows = cur.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column drift"
+    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    assert value_hash(s_rows, s_cols) == value_hash(d_rows, d_cols), f"{name}: value drift"
