@@ -129,11 +129,20 @@ def owner_join(files: DataFrame, owners_dim: DataFrame, path_col: str = "path") 
     which then carries ~|files| pre-aggregated rows and needs no
     per-partition sort (round 1 used a ``row_number`` window here: same
     answer, but a full shuffle+sort of the exploded fact).  ``files`` must
-    not already contain an ``owner`` column."""
-    decoded = files.withColumn("__path_str", F.decode(F.col(path_col), "UTF-8"))
+    not already contain an ``owner`` column.
+
+    Row preservation is strict left-join semantics: the collapse groups on
+    a per-input-row key (NOT the path), so NULL paths and duplicate paths
+    each keep their own output row with NULL/looked-up owner — grouping on
+    the path collapsed duplicates and merged all NULL paths into one row,
+    and ``explode`` (vs ``explode_outer``) dropped NULL paths entirely
+    (both found by the randomized registry-entry parity sweep)."""
+    decoded = files.withColumn("__row_id", F.monotonically_increasing_id()).withColumn(
+        "__path_str", F.decode(F.col(path_col), "UTF-8")
+    )
     with_ancestors = decoded.withColumn(
         "__anc",
-        F.explode(
+        F.explode_outer(
             F.expr(
                 """
                 transform(
@@ -155,12 +164,11 @@ def owner_join(files: DataFrame, owners_dim: DataFrame, path_col: str = "path") 
         F.col("__dir").isNotNull().cast("int").alias("matched"),
         F.length("__anc").alias("depth"),
     )
-    payload = [c for c in files.columns if c != path_col]
     return (
-        joined.groupBy(path_col)
+        joined.groupBy("__row_id")
         .agg(
             F.max_by(F.col("owner"), rank).alias("owner"),
-            *[F.first(c).alias(c) for c in payload],
+            *[F.first(c).alias(c) for c in files.columns],
         )
         .select(*files.columns, "owner")
     )

@@ -190,6 +190,61 @@ def _compare(spark, parquet_path, view, name, gen):
     assert value_hash(s_rows, s_cols) == value_hash(d_rows, d_cols), f"{name}: value drift"
 
 
+# Registry ENTRIES (builder + committed oracle) that need only a documents
+# table: sweeping these runs the real builder paths — the persisted prep,
+# the ranked-relation cache, the parquet-footer strategy gate, the derived
+# files view with its extension fall-through and escape encoding — not just
+# the raw generators above.
+DOC_ENTRIES = [
+    "report_first_thousand",
+    "report_large_old_files",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_jaccard_block_guard",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
+    "dedup_substring_spans",
+    "text_dup_span_ratio",
+    "dedup_cluster_assign",
+    "dedup_cluster_keepers",
+    "owner_prefix_join",
+]
+
+
+@pytest.fixture(scope="module", params=[31])
+def docs_sf_dir(request, tmp_path_factory):
+    import pandas as pd
+
+    rows = _random_corpus(request.param, n_docs=80)
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    d = tmp_path_factory.mktemp("rdocs")
+    pdf.to_parquet(str(d / "documents.parquet"), index=False)
+    return str(d)
+
+
+@pytest.mark.parametrize("entry", DOC_ENTRIES)
+def test_random_docs_registry_entry_parity(spark, docs_sf_dir, entry):
+    from storage_crawler_spark.plans import registry
+
+    spec = registry.get_query(entry)
+    sdf = spec.builder(spark, docs_sf_dir)
+    s_cols = [f.name for f in sdf.schema.fields]
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{docs_sf_dir}/documents.parquet'"
+    )
+    cur = con.execute(spec.oracle)
+    d_cols = [c[0] for c in cur.description]
+    d_rows = cur.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{entry}: column drift"
+    assert len(s_rows) == len(d_rows), f"{entry}: row count {len(s_rows)} vs {len(d_rows)}"
+    assert value_hash(s_rows, s_cols) == value_hash(d_rows, d_cols), f"{entry}: value drift"
+
+
 @pytest.mark.parametrize("name,gen", QUERIES, ids=[q[0] for q in QUERIES])
 def test_random_corpus_parity(spark, corpus_parquet, name, gen):
     sdf = spark.sql(gen(SPARK))
