@@ -36,6 +36,7 @@ EVENT_ENTRIES = [
     "report_status_averages",
     "report_status_brief",
     "window_event_deltas",
+    "window_moving_avg",
     "rollup_events_daily",
     "events_json_props",
     "join_asof_events",

@@ -209,6 +209,8 @@ DOC_ENTRIES = [
     "dedup_cluster_assign",
     "dedup_cluster_keepers",
     "owner_prefix_join",
+    "lake_snapshot_diff",
+    "stratified_sample",
 ]
 
 

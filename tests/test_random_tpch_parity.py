@@ -1,0 +1,109 @@
+"""Randomized Spark-vs-DuckDB parity for the relational (TPC-H) plane.
+
+The 22 TPC-H entries rotated out of the driver's sampled window in round 4
+(they were stamped green three rounds running); this sweep keeps them gated
+locally on inputs the fixture never produced.  Tables are BOOTSTRAP
+samples of the real testdata — every column value is drawn from the real
+domain (prices, dates, flags stay realistic) — but primary keys are
+regenerated and foreign keys remapped by a seeded RNG, producing novel join
+shapes: customers with zero/many orders, dangling foreign keys, duplicated
+(order, part, supplier) combinations, skewed key frequencies.
+
+The queries are shared-SQL (one string, both engines), so any drift here is
+an engine-semantics difference (DECIMAL summation, date/timestamp
+comparison, empty-group aggregates), which is precisely what the fixed
+fixture cannot probe.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.check_oracle import value_hash  # noqa: E402
+
+from storage_crawler_spark.plans import registry  # noqa: E402
+
+SRC = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+
+RELATIONAL_ENTRIES = [n for n in registry.QUERIES if n.startswith("tpch_q")] + [
+    "window_topk_orders",
+    "grouping_sets_orders",
+    "setops_customer_cohorts",
+    "join_anti_customers_without_orders",
+    "skew_salted_agg",  # orders-only; oracle = plain GROUP BY equality
+    # window_moving_avg is events-plane — swept by test_random_events_parity
+]
+
+
+def _bootstrap(rng: np.random.Generator, pdf: pd.DataFrame, n: int) -> pd.DataFrame:
+    return pdf.iloc[rng.integers(0, len(pdf), size=n)].reset_index(drop=True)
+
+
+def _random_tpch(seed: int) -> dict[str, pd.DataFrame]:
+    rng = np.random.default_rng(seed)
+    real = {t: pd.read_parquet(f"{SRC}/{t}.parquet") for t in TABLES}
+    out: dict[str, pd.DataFrame] = {}
+    out["region"] = real["region"]
+    out["nation"] = real["nation"]
+
+    cust = _bootstrap(rng, real["customer"], 40)
+    cust["c_custkey"] = np.arange(40, dtype=np.int64)
+    out["customer"] = cust
+
+    supp = _bootstrap(rng, real["supplier"], 10)
+    supp["s_suppkey"] = np.arange(10, dtype=np.int64)
+    out["supplier"] = supp
+
+    part = _bootstrap(rng, real["part"], 30)
+    part["p_partkey"] = np.arange(30, dtype=np.int64)
+    out["part"] = part
+
+    orders = _bootstrap(rng, real["orders"], 120)
+    orders["o_orderkey"] = np.arange(120, dtype=np.int64)
+    # keys 0..44 over 40 customers: some customers orderless, some orders dangle
+    orders["o_custkey"] = rng.integers(0, 45, size=120).astype(np.int64)
+    out["orders"] = orders
+
+    li = _bootstrap(rng, real["lineitem"], 400)
+    li["l_orderkey"] = rng.integers(0, 130, size=400).astype(np.int64)  # some dangle
+    li["l_partkey"] = rng.integers(0, 34, size=400).astype(np.int64)
+    li["l_suppkey"] = rng.integers(0, 12, size=400).astype(np.int64)
+    li["l_linenumber"] = rng.integers(1, 8, size=400).astype(np.int32)
+    out["lineitem"] = li
+    return out
+
+
+@pytest.fixture(scope="module", params=[7, 29])
+def tpch_sf_dir(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp("rtpch")
+    for name, pdf in _random_tpch(request.param).items():
+        pdf.to_parquet(str(d / f"{name}.parquet"), index=False)
+    return str(d)
+
+
+@pytest.mark.parametrize("entry", RELATIONAL_ENTRIES)
+def test_random_tpch_parity(spark, tpch_sf_dir, entry):
+    spec = registry.get_query(entry)
+    sdf = spec.builder(spark, tpch_sf_dir)
+    s_cols = [f.name for f in sdf.schema.fields]
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{tpch_sf_dir}/{t}.parquet'")
+    cur = con.execute(spec.oracle)
+    d_cols = [c[0] for c in cur.description]
+    d_rows = cur.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{entry}: column drift"
+    assert len(s_rows) == len(d_rows), f"{entry}: row count {len(s_rows)} vs {len(d_rows)}"
+    assert value_hash(s_rows, s_cols) == value_hash(d_rows, d_cols), f"{entry}: value drift"
