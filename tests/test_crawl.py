@@ -145,3 +145,83 @@ def test_crawl_level_store_spills_levels_and_matches_default(spark, tree, tmp_pa
     assert "descend" in lv0.columns  # frontier flag travels with the level
     root = bytes(tree)
     assert root + b"/caf\xe9.dat" in {bytes(r.path) for r in lv0.collect()}
+
+
+def test_crawl_random_tree_matches_reference_walk(spark, tmp_path):
+    """Randomized-tree crawl vs an independent os-level reference walk.
+
+    The curated fixture pins known edge cases; this seeded random tree
+    (adversarial names — dots, spaces, non-UTF-8 bytes, long extensions —
+    random nesting, file/dir symlinks, an excluded directory name) checks
+    the full walker semantics hold on shapes nobody hand-picked: every
+    entry emitted exactly once, descent gated by exclusion and symlink
+    status, lstat fidelity for size and mode type bits."""
+    import random
+    import stat as stat_mod
+
+    rng = random.Random(1234)
+    root = tmp_path / "rnd"
+    root.mkdir()
+    name_pool = [
+        b"plain",
+        b"a.txt",
+        b"two.dots.tar.gz",
+        b"trailing.",
+        b".hidden",
+        b"sp ace",
+        b"caf\xe9",  # non-UTF-8
+        b"longextension.verylongext",
+        b"v1.0",
+        b"skipme",
+    ]
+    dirs = [root]
+    all_entries = []
+    for _ in range(40):
+        parent = rng.choice(dirs)
+        raw = rng.choice(name_pool) + str(rng.randrange(1000)).encode()
+        full = bytes(parent) + b"/" + raw
+        kind = rng.randrange(10)
+        try:
+            if kind < 3 and len(dirs) < 15:
+                os.mkdir(full)
+                dirs.append(type(root)(os.fsdecode(full)))
+            elif kind == 3 and all_entries:
+                os.symlink(rng.choice(all_entries), full)
+            else:
+                with open(full, "wb") as fh:
+                    fh.write(b"x" * rng.randrange(0, 200))
+        except FileExistsError:
+            continue
+        all_entries.append(full)
+    excluded_dir = bytes(root) + b"/EXCLUDED"
+    os.mkdir(excluded_dir)
+    with open(excluded_dir + b"/invisible.txt", "wb") as fh:
+        fh.write(b"no")
+
+    # independent reference walk with the reference's semantics
+    expect: dict[bytes, os.stat_result] = {}
+    frontier = [bytes(root)]
+    expect[bytes(root)] = os.lstat(bytes(root))
+    while frontier:
+        nxt = []
+        for d in frontier:
+            for entry in os.scandir(d):
+                p = entry.path if isinstance(entry.path, bytes) else os.fsencode(entry.path)
+                st = os.lstat(p)
+                expect[p] = st
+                if (
+                    stat_mod.S_ISDIR(st.st_mode)
+                    and os.path.basename(p) != b"EXCLUDED"
+                ):
+                    nxt.append(p)
+        frontier = nxt
+
+    res = crawl(spark, CrawlConfig(dirs=[str(root)], exclude=["EXCLUDED"]))
+    got = {bytes(r.path): r for r in res.files.collect()}
+
+    assert set(got) == set(expect)
+    for p, st in expect.items():
+        r = got[p]
+        assert r.st_size == st.st_size, p
+        assert int(r.st_mode, 2) & 0o170000 == stat_mod.S_IFMT(st.st_mode), p
+        assert r.st_mtime == int(st.st_mtime), p
