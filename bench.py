@@ -4,7 +4,7 @@
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     SPARK_GRAFT_REPS (default 2).
+     SPARK_GRAFT_REPS (default 3).
 
 Each query is executed to completion (count + a cheap collect of the head)
 after a warm-up pass of the session (JVM + parquet footer reads are not what
@@ -62,7 +62,7 @@ def main() -> int:
         spark.catalog.clearCache()
         register_base_tables(spark, sf_dir)
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "2")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     timings: dict[str, float] = {}
     for name in headline_queries():
         spec = QUERIES[name]
