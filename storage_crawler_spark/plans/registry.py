@@ -1241,6 +1241,43 @@ FROM files f
         doc="range join (same-user event pairs within 1h) via bucketed equi-join, no nested loop",
     )
 
+    def _ingest_jsonl_builder(spark, sf_dir):
+        from storage_crawler_spark.sources.ingest import (
+            fidelity_fingerprint,
+            read_documents_jsonl,
+        )
+
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        return fidelity_fingerprint(read_documents_jsonl(spark, sf_dir))
+
+    def _ingest_csv_builder(spark, sf_dir):
+        from storage_crawler_spark.sources.ingest import (
+            fidelity_fingerprint,
+            read_documents_csv,
+        )
+
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        return fidelity_fingerprint(read_documents_csv(spark, sf_dir))
+
+    from storage_crawler_spark.sources.ingest import FIDELITY_ORACLE
+
+    add(
+        "ingest_jsonl_fidelity",
+        _ingest_jsonl_builder,
+        FIDELITY_ORACLE,
+        tags=("source",),
+        doc="JSONL landing-zone ingestion, gated byte-faithful: parquet->jsonl->agg must "
+        "equal the oracle's parquet agg incl. a text-digest sum (schema pinned, no inference)",
+    )
+    add(
+        "ingest_csv_fidelity",
+        _ingest_csv_builder,
+        FIDELITY_ORACLE,
+        tags=("source",),
+        doc="CSV ingestion with multiline/quote/escape/out-of-band-NULL pinned, gated "
+        "byte-faithful against the parquet oracle (empty-string vs NULL preserved)",
+    )
+
     def _fsmeta_builder(spark, sf_dir):
         from pyspark.sql import functions as F
 

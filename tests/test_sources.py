@@ -363,3 +363,63 @@ def test_snapshot_diff_null_stat_rows(spark):
         b"/t/errnew": "changed",
         b"/t/fresh": "added",
     }
+
+
+def test_ingest_formats_round_trip_adversarial_text(spark, tmp_path):
+    """JSONL and CSV ingestion must be byte-faithful on the texts that break
+    naive readers: embedded newlines, the delimiter, double quotes,
+    backslashes, unicode, the empty string, and NULL — with empty-vs-NULL
+    preserved as distinct states (the default ""-as-NULL CSV convention
+    would corrupt the empty text)."""
+    import pandas as pd
+
+    from storage_crawler_spark.sources.ingest import (
+        fidelity_fingerprint,
+        read_documents_csv,
+        read_documents_jsonl,
+    )
+
+    texts = [
+        "plain words",
+        "comma, inside",
+        'quote " inside',
+        "new\nline",
+        "back\\slash",
+        "tab\tinside",
+        "unicode é 日本 🙂",
+        "",            # empty string — must NOT become NULL
+        None,          # NULL — must NOT become ''
+        '"',
+        "\n",
+    ]
+    rows = [
+        (i, t, ["en", "fr", None][i % 3], f"s{i%2}", len(t) if t is not None else None)
+        for i, t in enumerate(texts)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    # a None in n_chars floats the column in pandas; the real table is int64
+    pdf["n_chars"] = pdf["n_chars"].astype("Int64")
+    sf_dir = tmp_path / "adv"
+    sf_dir.mkdir()
+    pdf.to_parquet(str(sf_dir / "documents.parquet"), index=False)
+
+    base = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(str(sf_dir / "documents.parquet")).collect()
+    }
+    for reader in (read_documents_jsonl, read_documents_csv):
+        got = {r.doc_id: r.text for r in reader(spark, str(sf_dir)).collect()}
+        assert got == base, reader.__name__
+
+    # and the registry-facing fingerprint agrees across formats
+    def rows(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: (t[0] is not None, t[0] or ""),
+        )
+
+    fp_parquet = rows(
+        fidelity_fingerprint(spark.read.parquet(str(sf_dir / "documents.parquet")))
+    )
+    for reader in (read_documents_jsonl, read_documents_csv):
+        assert rows(fidelity_fingerprint(reader(spark, str(sf_dir)))) == fp_parquet, reader.__name__
