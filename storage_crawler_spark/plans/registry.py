@@ -1278,6 +1278,24 @@ FROM files f
         "byte-faithful against the parquet oracle (empty-string vs NULL preserved)",
     )
 
+    def _ingest_orc_builder(spark, sf_dir):
+        from storage_crawler_spark.sources.ingest import (
+            fidelity_fingerprint,
+            read_documents_orc,
+        )
+
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        return fidelity_fingerprint(read_documents_orc(spark, sf_dir))
+
+    add(
+        "ingest_orc_fidelity",
+        _ingest_orc_builder,
+        FIDELITY_ORACLE,
+        tags=("source",),
+        doc="ORC ingestion (vectorized columnar alternative), gated byte-faithful "
+        "against the parquet oracle",
+    )
+
     def _fsmeta_builder(spark, sf_dir):
         from pyspark.sql import functions as F
 

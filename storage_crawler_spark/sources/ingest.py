@@ -75,6 +75,8 @@ def _ensure_derived(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             src.write.mode("overwrite").json(out)
         elif fmt == "csv":
             src.write.mode("overwrite").options(**_CSV_OPTS).csv(out)
+        elif fmt == "orc":
+            src.write.mode("overwrite").orc(out)
         else:
             raise ValueError(f"unknown ingest format: {fmt}")
     return out
@@ -92,6 +94,17 @@ def read_documents_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .options(multiLine=True, **_CSV_OPTS)
         .csv(path)
     )
+
+
+def read_documents_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingestion (columnar alternative landing format; built into
+    Spark — vectorized reader, predicate pushdown, zlib/zstd codecs).
+    Binary-typed columnar formats have no quoting/NULL-convention pitfalls;
+    the fidelity gate still proves the type mapping round-trips.  (Avro is
+    the one landing format NOT covered: the spark-avro connector is not on
+    this classpath.)"""
+    path = _ensure_derived(spark, sf_dir, "orc")
+    return spark.read.schema(DOCS_SCHEMA).orc(path)
 
 
 def fidelity_fingerprint(docs: DataFrame) -> DataFrame:

@@ -377,6 +377,7 @@ def test_ingest_formats_round_trip_adversarial_text(spark, tmp_path):
         fidelity_fingerprint,
         read_documents_csv,
         read_documents_jsonl,
+        read_documents_orc,
     )
 
     texts = [
@@ -407,7 +408,7 @@ def test_ingest_formats_round_trip_adversarial_text(spark, tmp_path):
         r.doc_id: r.text
         for r in spark.read.parquet(str(sf_dir / "documents.parquet")).collect()
     }
-    for reader in (read_documents_jsonl, read_documents_csv):
+    for reader in (read_documents_jsonl, read_documents_csv, read_documents_orc):
         got = {r.doc_id: r.text for r in reader(spark, str(sf_dir)).collect()}
         assert got == base, reader.__name__
 
@@ -421,5 +422,5 @@ def test_ingest_formats_round_trip_adversarial_text(spark, tmp_path):
     fp_parquet = rows(
         fidelity_fingerprint(spark.read.parquet(str(sf_dir / "documents.parquet")))
     )
-    for reader in (read_documents_jsonl, read_documents_csv):
+    for reader in (read_documents_jsonl, read_documents_csv, read_documents_orc):
         assert rows(fidelity_fingerprint(reader(spark, str(sf_dir)))) == fp_parquet, reader.__name__
