@@ -17,6 +17,26 @@ from storage_crawler_spark.plans.dialect import Dialect
 N_BUCKETS = 10_000
 
 
+def split_bucket_expr(d: Dialect, id_col: str = "doc_id") -> str:
+    """Deterministic bucket in [0, N_BUCKETS): first 48 bits of
+    md5(id) mod 10000 — identical in both engines (same digest, same radix
+    conversion).  The single source of truth for split hashing; composers
+    (the end-to-end pipeline) inline this instead of joining the split
+    relation back on doc_id."""
+    h = d.hex12_to_bigint(f"substr({d.md5_utf8(f'CAST({id_col} AS STRING)')}, 1, 12)")
+    return f"CAST({h} % {N_BUCKETS} AS BIGINT)"
+
+
+def split_case_expr(bucket_sql: str, train_pct: int = 80, val_pct: int = 10) -> str:
+    """train/val/test CASE over a bucket expression."""
+    train_hi = train_pct * N_BUCKETS // 100
+    val_hi = (train_pct + val_pct) * N_BUCKETS // 100
+    return (
+        f"CASE WHEN {bucket_sql} < {train_hi} THEN 'train' "
+        f"WHEN {bucket_sql} < {val_hi} THEN 'val' ELSE 'test' END"
+    )
+
+
 def gen_split_assign(
     d: Dialect,
     train_pct: int = 80,
@@ -25,18 +45,12 @@ def gen_split_assign(
 ) -> str:
     """(doc_id, bucket, split) — md5-bucketed deterministic split.
 
-    bucket = first 48 bits of md5(doc_id) mod 10000; identical in both
-    engines (same digest, same radix conversion), so the oracle checks the
-    actual assignment, not just counts."""
-    train_hi = train_pct * N_BUCKETS // 100
-    val_hi = (train_pct + val_pct) * N_BUCKETS // 100
-    h = d.hex12_to_bigint(f"substr({d.md5_utf8('CAST(doc_id AS STRING)')}, 1, 12)")
+    Built from :func:`split_bucket_expr` / :func:`split_case_expr`, so the
+    oracle checks the actual assignment, not just counts."""
     return f"""
 SELECT doc_id, bucket,
-       CASE WHEN bucket < {train_hi} THEN 'train'
-            WHEN bucket < {val_hi} THEN 'val'
-            ELSE 'test' END AS split
-FROM (SELECT doc_id, CAST({h} % {N_BUCKETS} AS BIGINT) AS bucket FROM {src}) t
+       {split_case_expr('bucket', train_pct, val_pct)} AS split
+FROM (SELECT doc_id, {split_bucket_expr(d)} AS bucket FROM {src}) t
 """.strip()
 
 

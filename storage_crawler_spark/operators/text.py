@@ -203,6 +203,7 @@ def gen_quality_filter(
     max_tokens: int = 5000,
     max_avg_token_len: float = 12.0,
     max_dup_ratio: float = 0.6,
+    passthrough: tuple[str, ...] = (),
 ) -> str:
     """The composite keep/drop verdict a pipeline actually applies —
     C4/Gopher-style rule conjunction with machine-readable reasons.
@@ -211,7 +212,12 @@ def gen_quality_filter(
     ``reasons`` concatenates the failed rule names (stable order), so a
     corpus owner can audit drop causes with one groupBy.  Still a pure
     scan+project: the rules reuse the token/repetition expressions inline
-    and Catalyst CSEs the token split."""
+    and Catalyst CSEs the token split.
+
+    ``passthrough`` names extra source columns to carry through to the
+    output — composers (the end-to-end pipeline) need text/lang downstream
+    of the verdict, and carrying them here keeps the composition a single
+    scan instead of a self-join back to the source on doc_id."""
     toks = d.split("text")
     three = d.transform(
         d.seq("1", f"{d.size('toks')} - 2"),
@@ -229,19 +235,23 @@ def gen_quality_filter(
         f"(CASE WHEN {pred} THEN '{name};' ELSE '' END)" for name, pred in rules.items()
     )
     keep = " AND ".join(f"NOT ({pred})" for pred in rules.values())
+    pt = "".join(f", {c}" for c in passthrough)
+    # inner layers already carry text/toks; only OTHER passthrough columns
+    # need selecting up from the source scan
+    pt_inner = "".join(f", {c}" for c in passthrough if c not in ("text", "toks"))
     return f"""
 SELECT doc_id, n_tokens, {d.trunc6('avg_token_len')} AS avg_token_len,
        {d.trunc6('dup_ratio')} AS dup_ratio,
        CAST(CASE WHEN {keep} THEN 1 ELSE 0 END AS INT) AS keep,
-       {fails} AS reasons
+       {fails} AS reasons{pt}
 FROM (
   SELECT doc_id,
          {d.size('toks')} AS n_tokens,
          CAST(length(replace(text, ' ', '')) AS DOUBLE) / {d.size('toks')} AS avg_token_len,
-         1.0 - CAST({d.size(d.adistinct('grams'))} AS DOUBLE) / {d.size('grams')} AS dup_ratio
+         1.0 - CAST({d.size(d.adistinct('grams'))} AS DOUBLE) / {d.size('grams')} AS dup_ratio{pt}
   FROM (
-    SELECT doc_id, text, toks, {grams} AS grams
-    FROM (SELECT doc_id, text, {d.split('text')} AS toks FROM documents) t0
+    SELECT doc_id, text, toks, {grams} AS grams{pt_inner}
+    FROM (SELECT doc_id, text, {d.split('text')} AS toks{pt_inner} FROM documents) t00
   ) t1
 ) t2
 """.strip()

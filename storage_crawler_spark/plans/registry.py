@@ -1278,6 +1278,19 @@ FROM files f
         "byte-faithful against the parquet oracle (empty-string vs NULL preserved)",
     )
 
+    from storage_crawler_spark.operators.pipeline import gen_training_pipeline
+
+    b, o = _sql_pair(gen_training_pipeline, ("documents",))
+    add(
+        "pipeline_training_corpus",
+        b,
+        o,
+        tags=("pipeline", "dedup", "text"),
+        doc="end-to-end corpus pipeline as ONE plan: quality filter -> exact-dedup "
+        "keepers -> deterministic split -> per-(split, lang) audit agg; two shuffles "
+        "total, both on md5 keys",
+    )
+
     def _ingest_orc_builder(spark, sf_dir):
         from storage_crawler_spark.sources.ingest import (
             fidelity_fingerprint,

@@ -211,6 +211,7 @@ DOC_ENTRIES = [
     "owner_prefix_join",
     "lake_snapshot_diff",
     "stratified_sample",
+    "pipeline_training_corpus",
 ]
 
 
