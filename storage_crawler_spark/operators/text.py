@@ -124,6 +124,42 @@ FROM documents
 """.strip()
 
 
+def gen_unigram_surprisal(d: Dialect, src: str = "documents") -> str:
+    """Per-document mean token surprisal under the corpus' OWN unigram
+    model — the classic statistical gibberish/quality signal: a document of
+    corpus-rare tokens scores high, boilerplate scores low, and unlike the
+    rule-based quality score it needs no hand-tuned thresholds.
+
+    surprisal(t) = -ln(count(t) / total_tokens); output = per-doc mean,
+    floor-truncated at 6 decimals (repo float-parity convention — the
+    per-doc mean's summation order is engine-dependent at the ULP level).
+
+    100 TB shape: one explode (map), a token-frequency aggregate
+    (partial-combining; vocabulary skew collapses map-side), a
+    token-keyed join of the exploded stream against the frequency table
+    (broadcast for any real vocabulary; the heavy stream never re-sorts),
+    and a per-doc aggregate.  The model and the scoring pass share one
+    explode via the CTE.
+    """
+    toks = d.split("text")
+    lat = d.lateral_explode("toks", "token")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, token
+  FROM (SELECT doc_id, {toks} AS toks FROM {src}) t
+  {lat}
+),
+freq AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM freq)
+SELECT doc_id, count(*) AS n_tokens,
+       {d.trunc6("avg(-ln(f.n / tot.total))")} AS mean_surprisal
+FROM tok
+JOIN freq f ON tok.token = f.token
+CROSS JOIN tot
+GROUP BY doc_id
+""".strip()
+
+
 # Portable regexes (Java regex ∩ RE2 — explicit ASCII classes only).
 _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
 _PHONE_RE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"

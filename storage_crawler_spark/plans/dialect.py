@@ -190,6 +190,14 @@ class Dialect:
             return f"LATERAL VIEW explode(sequence({lo}, {hi}, {step})) _lv_{var} AS {var}"
         return f", unnest(generate_series({lo}, {hi}, {step})) AS _lv_{var}({var})"
 
+    def lateral_explode(self, arr: str, var: str) -> str:
+        """FROM-clause suffix exploding an array column as ``var`` (one
+        output row per element; a NULL array yields no rows in both
+        engines)."""
+        if self.name == "spark":
+            return f"LATERAL VIEW explode({arr}) _lv_{var} AS {var}"
+        return f", unnest({arr}) AS _lv_{var}({var})"
+
     def regex_replace_all(self, s: str, pattern: str, rep: str) -> str:
         """Replace ALL matches.  Spark's regexp_replace is global by
         default; DuckDB replaces only the first match without the 'g'

@@ -1278,6 +1278,16 @@ FROM files f
         "byte-faithful against the parquet oracle (empty-string vs NULL preserved)",
     )
 
+    b, o = _sql_pair(text.gen_unigram_surprisal, ("documents",))
+    add(
+        "text_unigram_surprisal",
+        b,
+        o,
+        tags=("text",),
+        doc="per-doc mean token surprisal under the corpus' own unigram model "
+        "(statistical gibberish signal; model + scoring share one explode)",
+    )
+
     from storage_crawler_spark.operators.pipeline import gen_training_pipeline
 
     b, o = _sql_pair(gen_training_pipeline, ("documents",))
