@@ -160,6 +160,46 @@ GROUP BY doc_id
 """.strip()
 
 
+def gen_tfidf_topterms(d: Dialect, k: int = 3, src: str = "documents") -> str:
+    """Per-document characteristic terms: top-``k`` tokens by term
+    frequency × inverse document frequency, with the tf-idf score emitted.
+
+    Ranking is on the INTEGER (tf DESC, df ASC, token) lattice, not on the
+    float score: JVM and libm ``ln`` can differ in the last ulp, so a float
+    ORDER BY is not exactly reproducible across engines when two terms'
+    scores are within an ulp — the integer lattice is the order tf·idf
+    induces whenever one term dominates on both axes, and it is exactly
+    reproducible (the emitted score is informational, floor-truncated to
+    the repo's 6-decimal convention).
+
+    100 TB shape: explode (map) → (doc, token) tf aggregate → token df
+    aggregate (both partial-combining) → broadcast df back onto the tf
+    relation → per-doc top-k window on integer keys.
+    """
+    toks = d.split("text")
+    lat = d.lateral_explode("toks", "token")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, token
+  FROM (SELECT doc_id, {toks} AS toks FROM {src}) t
+  {lat}
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM {src})
+SELECT doc_id, token, tf, df,
+       {d.trunc6("tf * ln(n_docs / df)")} AS tfidf,
+       rnk
+FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df, n.n_docs,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df, tf.token) AS rnk
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+) r
+WHERE rnk <= {k}
+""".strip()
+
+
 # Portable regexes (Java regex ∩ RE2 — explicit ASCII classes only).
 _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
 _PHONE_RE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"

@@ -1278,6 +1278,16 @@ FROM files f
         "byte-faithful against the parquet oracle (empty-string vs NULL preserved)",
     )
 
+    b, o = _sql_pair(text.gen_tfidf_topterms, ("documents",))
+    add(
+        "text_tfidf_topterms",
+        b,
+        o,
+        tags=("text",),
+        doc="per-doc top-3 characteristic terms (tf-idf; integer-lattice rank for "
+        "exact cross-engine order, float score informational)",
+    )
+
     b, o = _sql_pair(text.gen_unigram_surprisal, ("documents",))
     add(
         "text_unigram_surprisal",

@@ -88,6 +88,7 @@ QUERIES = [
     ("fingerprint", lambda d: text.gen_fingerprint(d)),
     ("repetition", lambda d: text.gen_repetition(d)),
     ("unigram_surprisal", lambda d: text.gen_unigram_surprisal(d)),
+    ("tfidf_topterms", lambda d: text.gen_tfidf_topterms(d)),
     ("split_assign", lambda d: sampling.gen_split_assign(d)),
     ("split_counts", lambda d: sampling.gen_split_counts(d)),
     ("stratified_sample", lambda d: sampling.gen_stratified_sample(d, per_stratum=5)),
