@@ -76,6 +76,10 @@ NLJ_ALLOWED = {
     # multi-probe trained IVF: probe-cluster selection is a pushed-down IN
     # filter; the only join is the broadcast single query row (1-row build)
     "sim_ivf_trained_topk",
+    # corpus-model scorers: CROSS JOIN of the 1-row total-count aggregate
+    # (the scalar normalizer) — 1-row build side
+    "text_unigram_surprisal",
+    "text_tfidf_topterms",
 }
 
 # Queries that must not plan a Window operator (their aggregates are
