@@ -294,30 +294,43 @@ def gen_substring_spans(
     span), n_occurrences (total sampled occurrences), first_doc_id
     (min doc id — the canonical holder).
     """
-    toks = d.split("text")  # positional tokens — NOT distinct
-    span = d.ajoin(d.aslice("toks", "pos", str(width)), " ")
-    key = d.md5_utf8(span)
-    lat = d.lateral_seq("1", f"n_toks - {width - 1}", "pos", str(stride))
-    # the n_toks >= width guard must precede the explode: Spark's sequence()
-    # counts DOWN when lo > hi, so short docs would explode garbage positions
     return f"""
 SELECT span_key, count(*) AS n_occurrences,
        count(DISTINCT doc_id) AS n_docs,
        min(doc_id) AS first_doc_id
 FROM (
-  SELECT doc_id, {key} AS span_key
-  FROM (SELECT doc_id, {toks} AS toks, {d.size(d.split('text'))} AS n_toks
-        FROM {src}
-        WHERE {d.size(d.split('text'))} >= {width}) t
-  {lat}
+{gen_span_windows(d, width, stride, src)}
 ) w
 GROUP BY span_key
 HAVING count(DISTINCT doc_id) >= 2
 """.strip()
 
 
-def gen_dup_span_ratio(
+def gen_span_windows(
     d: Dialect, width: int = 32, stride: int = 8, src: str = "documents"
+) -> str:
+    """(doc_id, span_key) sampled-window relation shared by the substring
+    operators.  Docs shorter than ``width`` tokens emit NO rows (the guard
+    precedes the explode — Spark's sequence() counts down on lo > hi)."""
+    toks = d.split("text")
+    span = d.ajoin(d.aslice("toks", "pos", str(width)), " ")
+    key = d.md5_utf8(span)
+    lat = d.lateral_seq("1", f"n_toks - {width - 1}", "pos", str(stride))
+    return f"""
+SELECT doc_id, {key} AS span_key
+FROM (SELECT doc_id, {toks} AS toks, {d.size(d.split('text'))} AS n_toks
+      FROM {src}
+      WHERE {d.size(d.split('text'))} >= {width}) t
+{lat}
+""".strip()
+
+
+def gen_dup_span_ratio(
+    d: Dialect,
+    width: int = 32,
+    stride: int = 8,
+    src: str = "documents",
+    windows_rel: str | None = None,
 ) -> str:
     """Per-document duplicated-span ratio: the fraction of a doc's sampled
     token windows whose exact text also occurs in ANOTHER document — the
@@ -325,36 +338,38 @@ def gen_dup_span_ratio(
     that is 80% shared boilerplate is a removal candidate even when no
     single other doc is a near-duplicate of it).
 
-    Shape: the same sampled-window explode as :func:`gen_substring_spans`,
-    one aggregation to per-(span, doc) rows, a self-aggregation marking
-    spans with >= 2 docs, then a broadcast-friendly semi-style join back
-    and a final per-doc aggregation.  All joins are on span_key (equi);
-    docs shorter than the window emit 0 windows and report ratio 0.
+    Shape: the sampled-window relation (:func:`gen_span_windows`), one
+    aggregation to per-(span, doc) rows, a self-aggregation marking spans
+    with >= 2 docs, then a broadcast-friendly semi-style join back and a
+    final per-doc aggregation.  All joins are on span_key (equi).  Docs
+    shorter than the window emit no windows and are ABSENT from the
+    output (not ratio 0) — consumers left-joining this signal must treat
+    a missing row as 'not computable', not 'clean'.
+
+    The window relation is referenced twice; Spark inlines CTEs, so the
+    Spark builder passes ``windows_rel`` naming a persisted temp view
+    (the explode + per-window md5 is the dominant cost and must not run
+    twice at scale), while the DuckDB oracle keeps the inline CTE (DuckDB
+    materializes CTEs referenced more than once).
     """
-    toks = d.split("text")
-    span = d.ajoin(d.aslice("toks", "pos", str(width)), " ")
-    key = d.md5_utf8(span)
-    lat = d.lateral_seq("1", f"n_toks - {width - 1}", "pos", str(stride))
     ratio = d.trunc6(
         "CAST(sum(CASE WHEN dup.span_key IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)"
         " / count(*)"
     )
-    return f"""
-WITH w AS (
-  SELECT doc_id, {key} AS span_key
-  FROM (SELECT doc_id, {toks} AS toks, {d.size(d.split('text'))} AS n_toks
-        FROM {src}
-        WHERE {d.size(d.split('text'))} >= {width}) t
-  {lat}
-),
-per_doc AS (SELECT span_key, doc_id, count(*) AS n FROM w GROUP BY span_key, doc_id),
+    if windows_rel:
+        w = windows_rel
+        with_clause = "WITH "
+    else:
+        w = "w"
+        with_clause = f"WITH w AS (\n{gen_span_windows(d, width, stride, src)}\n),\n"
+    return f"""{with_clause}per_doc AS (SELECT span_key, doc_id, count(*) AS n FROM {w} GROUP BY span_key, doc_id),
 dup AS (SELECT span_key FROM per_doc GROUP BY span_key HAVING count(*) >= 2)
-SELECT w.doc_id,
+SELECT {w}.doc_id,
        count(*) AS n_windows,
        CAST(sum(CASE WHEN dup.span_key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
        {ratio} AS dup_ratio
-FROM w LEFT JOIN dup ON w.span_key = dup.span_key
-GROUP BY w.doc_id
+FROM {w} LEFT JOIN dup ON {w}.span_key = dup.span_key
+GROUP BY {w}.doc_id
 """.strip()
 
 

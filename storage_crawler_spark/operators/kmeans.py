@@ -73,6 +73,12 @@ def farthest_first_init(vectors: DataFrame, k: int) -> list[list[float]]:
             .limit(1)
             .collect()
         )
+        if far[0].d2 == 0.0:
+            # every remaining vector coincides with a chosen seed: fewer
+            # than k distinct points exist.  Return the distinct seeds
+            # (matching the 'first' init, which also returns < k when the
+            # corpus is smaller) instead of silently duplicating centroids.
+            break
         chosen.append(list(far[0].ev))
     return chosen
 

@@ -124,7 +124,21 @@ FROM documents
 """.strip()
 
 
-def gen_unigram_surprisal(d: Dialect, src: str = "documents") -> str:
+def gen_token_explode(d: Dialect, src: str = "documents") -> str:
+    """(doc_id, token) exploded relation shared by the corpus-model
+    scorers (surprisal, tf-idf)."""
+    toks = d.split("text")
+    lat = d.lateral_explode("toks", "token")
+    return f"""
+SELECT doc_id, token
+FROM (SELECT doc_id, {toks} AS toks FROM {src}) t
+{lat}
+""".strip()
+
+
+def gen_unigram_surprisal(
+    d: Dialect, src: str = "documents", tok_rel: str | None = None
+) -> str:
     """Per-document mean token surprisal under the corpus' OWN unigram
     model — the classic statistical gibberish/quality signal: a document of
     corpus-rare tokens scores high, boilerplate scores low, and unlike the
@@ -138,63 +152,72 @@ def gen_unigram_surprisal(d: Dialect, src: str = "documents") -> str:
     (partial-combining; vocabulary skew collapses map-side), a
     token-keyed join of the exploded stream against the frequency table
     (broadcast for any real vocabulary; the heavy stream never re-sorts),
-    and a per-doc aggregate.  The model and the scoring pass share one
-    explode via the CTE.
+    and a per-doc aggregate.  The exploded relation is referenced by both
+    the model and the scoring pass; Spark inlines CTEs, so the Spark
+    builder passes ``tok_rel`` naming a persisted temp view (one explode),
+    while the DuckDB oracle keeps the inline CTE (DuckDB materializes
+    multiply-referenced CTEs).
     """
-    toks = d.split("text")
-    lat = d.lateral_explode("toks", "token")
-    return f"""
-WITH tok AS (
-  SELECT doc_id, token
-  FROM (SELECT doc_id, {toks} AS toks FROM {src}) t
-  {lat}
-),
-freq AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+    if tok_rel:
+        tok = tok_rel
+        with_clause = "WITH "
+    else:
+        tok = "tok"
+        with_clause = f"WITH tok AS (\n{gen_token_explode(d, src)}\n),\n"
+    return f"""{with_clause}freq AS (SELECT token, count(*) AS n FROM {tok} GROUP BY token),
 tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM freq)
 SELECT doc_id, count(*) AS n_tokens,
        {d.trunc6("avg(-ln(f.n / tot.total))")} AS mean_surprisal
-FROM tok
-JOIN freq f ON tok.token = f.token
+FROM {tok}
+JOIN freq f ON {tok}.token = f.token
 CROSS JOIN tot
 GROUP BY doc_id
 """.strip()
 
 
-def gen_tfidf_topterms(d: Dialect, k: int = 3, src: str = "documents") -> str:
-    """Per-document characteristic terms: top-``k`` tokens by term
-    frequency × inverse document frequency, with the tf-idf score emitted.
+def gen_tfidf_topterms(
+    d: Dialect, k: int = 3, src: str = "documents", tf_rel: str | None = None
+) -> str:
+    """Per-document characteristic terms: top-``k`` tokens ranked on the
+    integer (tf DESC, df ASC, token) lattice, with the tf·idf score
+    emitted as an informational column.
 
-    Ranking is on the INTEGER (tf DESC, df ASC, token) lattice, not on the
-    float score: JVM and libm ``ln`` can differ in the last ulp, so a float
-    ORDER BY is not exactly reproducible across engines when two terms'
-    scores are within an ulp — the integer lattice is the order tf·idf
-    induces whenever one term dominates on both axes, and it is exactly
-    reproducible (the emitted score is informational, floor-truncated to
-    the repo's 6-decimal convention).
+    This is NOT a strict tf·idf top-k: a term with lower tf but much
+    rarer df can out-score a lattice-ranked term (tf=10/df=5 loses on
+    score to tf=9/df=1 in a 100-doc corpus but ranks first here).  The
+    lattice is chosen deliberately — JVM and libm ``ln`` can differ in
+    the last ulp, so a float ORDER BY is not exactly reproducible across
+    engines; the integer lattice agrees with the tf·idf order whenever
+    one term dominates on both axes and is bit-reproducible everywhere.
+    Consumers needing the strict float ordering should sort the emitted
+    ``tfidf`` column and accept engine-local tie behavior.
 
     100 TB shape: explode (map) → (doc, token) tf aggregate → token df
     aggregate (both partial-combining) → broadcast df back onto the tf
-    relation → per-doc top-k window on integer keys.
+    relation → per-doc top-k window on integer keys.  The tf relation is
+    referenced twice (df derivation + scoring); Spark inlines CTEs, so
+    the Spark builder passes ``tf_rel`` naming a persisted temp view,
+    while the DuckDB oracle keeps the inline CTE.
     """
-    toks = d.split("text")
-    lat = d.lateral_explode("toks", "token")
-    return f"""
-WITH tok AS (
-  SELECT doc_id, token
-  FROM (SELECT doc_id, {toks} AS toks FROM {src}) t
-  {lat}
-),
-tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
-df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    if tf_rel:
+        tf = tf_rel
+        with_clause = "WITH "
+    else:
+        tf = "tf"
+        with_clause = (
+            f"WITH tok AS (\n{gen_token_explode(d, src)}\n),\n"
+            "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),\n"
+        )
+    return f"""{with_clause}df AS (SELECT token, count(*) AS df FROM {tf} GROUP BY token),
 n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM {src})
 SELECT doc_id, token, tf, df,
        {d.trunc6("tf * ln(n_docs / df)")} AS tfidf,
        rnk
 FROM (
-  SELECT tf.doc_id, tf.token, tf.tf, df.df, n.n_docs,
-         row_number() OVER (PARTITION BY tf.doc_id
-                            ORDER BY tf.tf DESC, df.df, tf.token) AS rnk
-  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+  SELECT {tf}.doc_id, {tf}.token, {tf}.tf, df.df, n.n_docs,
+         row_number() OVER (PARTITION BY {tf}.doc_id
+                            ORDER BY {tf}.tf DESC, df.df, {tf}.token) AS rnk
+  FROM {tf} JOIN df ON {tf}.token = df.token CROSS JOIN n
 ) r
 WHERE rnk <= {k}
 """.strip()

@@ -59,10 +59,29 @@ _CSV_OPTS = {
 }
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """mtime+size fingerprint of the source parquet (file or directory of
+    part files).  Part of the derived-cache key: the driver regenerates the
+    testdata parquet IN PLACE between rounds (events.ts changed dtype that
+    way in round 3), and a path-only key would silently feed stale derived
+    data to the fidelity gate."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            parts.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
+    else:
+        st = os.stat(src)
+        parts.append(f"{st.st_mtime_ns}:{st.st_size}")
+    return hashlib.md5(";".join(parts).encode()).hexdigest()[:12]
+
+
 def _derived_dir(sf_dir: str, fmt: str) -> str:
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     return os.path.join(
-        tempfile.gettempdir(), f"scs_ingest_{fmt}_{key}"
+        tempfile.gettempdir(),
+        f"scs_ingest_{fmt}_{key}_{_source_fingerprint(sf_dir)}",
     )
 
 
@@ -70,15 +89,26 @@ def _ensure_derived(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     out = _derived_dir(sf_dir, fmt)
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
+        # write to a private dir, publish with an atomic rename: concurrent
+        # sessions (bench + driver) may derive the same source; the loser's
+        # rename fails and its work is discarded — readers never see a
+        # half-written directory
+        tmp_out = f"{out}.tmp.{os.getpid()}"
         src = spark.read.parquet(f"{sf_dir}/documents.parquet")
         if fmt == "json":
-            src.write.mode("overwrite").json(out)
+            src.write.mode("overwrite").json(tmp_out)
         elif fmt == "csv":
-            src.write.mode("overwrite").options(**_CSV_OPTS).csv(out)
+            src.write.mode("overwrite").options(**_CSV_OPTS).csv(tmp_out)
         elif fmt == "orc":
-            src.write.mode("overwrite").orc(out)
+            src.write.mode("overwrite").orc(tmp_out)
         else:
             raise ValueError(f"unknown ingest format: {fmt}")
+        try:
+            os.rename(tmp_out, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp_out, ignore_errors=True)
     return out
 
 
@@ -107,32 +137,48 @@ def read_documents_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(DOCS_SCHEMA).orc(path)
 
 
-def fidelity_fingerprint(docs: DataFrame) -> DataFrame:
+def _digest_expr(d) -> str:
+    """48-bit text digest (NULL → -1), rendered from the Dialect helpers so
+    the engine-specific md5/radix idioms live in plans/dialect.py only."""
+    h = d.hex12_to_bigint(f"substr({d.md5_utf8('text')}, 1, 12)")
+    return f"CASE WHEN text IS NULL THEN CAST(-1 AS BIGINT) ELSE {h} END"
+
+
+def gen_fidelity_fingerprint(d) -> str:
     """Per-lang fidelity aggregate: row count, n_chars sum, and a
-    text-digest sum (first 12 hex of md5 as a 48-bit int, summed) — equal
-    digests across the format round-trip prove every text byte survived,
-    which counts alone cannot."""
-    digest = F.expr(
-        "CASE WHEN text IS NULL THEN CAST(-1 AS BIGINT) "
-        "ELSE CAST(conv(substr(md5(encode(text, 'utf-8')), 1, 12), 16, 10) AS BIGINT) END"
-    )
+    text-digest sum — equal digests across a format round-trip prove every
+    text byte survived, which counts alone cannot.  One generator, two
+    renderings (repo dialect convention)."""
+    return f"""
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+       CAST(sum({_digest_expr(d)}) AS BIGINT) AS text_digest_sum
+FROM documents
+GROUP BY lang
+""".strip()
+
+
+def fidelity_fingerprint(docs: DataFrame) -> DataFrame:
+    """Spark-side fingerprint over an arbitrary documents DataFrame
+    (the ingested relation, not the registered view)."""
+    from storage_crawler_spark.plans.dialect import SPARK
+
     return (
         docs.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("sum_chars"),
-            F.sum(digest).alias("text_digest_sum"),
+            F.sum(F.expr(_digest_expr(SPARK))).cast("long").alias("text_digest_sum"),
         )
         .select("lang", "n_docs", "sum_chars", "text_digest_sum")
     )
 
 
+def _duck_oracle() -> str:
+    from storage_crawler_spark.plans.dialect import DUCK
+
+    return gen_fidelity_fingerprint(DUCK)
+
+
 # DuckDB oracle: the same fingerprint over the ORIGINAL parquet — equality
 # through the format round-trip is the fidelity claim.
-FIDELITY_ORACLE = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
-       CAST(sum(CASE WHEN text IS NULL THEN CAST(-1 AS BIGINT)
-                     ELSE CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) END) AS BIGINT) AS text_digest_sum
-FROM documents
-GROUP BY lang
-""".strip()
+FIDELITY_ORACLE = _duck_oracle()

@@ -391,6 +391,14 @@ def test_kmeans_inertia_monotone_and_deterministic(spark):
     far = kmeans_fit(vectors, k=4, iters=4, init="farthest")
     assert inertia(vectors, far) <= prev * 1.05
 
+    # k > distinct points: return the distinct seeds, never duplicates
+    spark_df = vectors.sparkSession.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [0.0, 0.0])],
+        "vec_id LONG, ev ARRAY<DOUBLE>",
+    )
+    small = farthest_first_init(spark_df, 5)
+    assert len(small) == 2 and len({tuple(s) for s in small}) == 2
+
 
 def test_ivf_trained_topk_shape(spark):
     from storage_crawler_spark.operators.kmeans import ivf_trained_topk
