@@ -43,6 +43,14 @@ class QuerySpec:
     doc: str = ""
 
 
+def _persist_view(df: DataFrame, name: str) -> None:
+    """Persist a relation and register it as a temp view — the pattern every
+    builder with a multiply-referenced subplan uses (Spark inlines CTEs, so
+    an un-persisted relation would recompute per reference)."""
+    df.persist()
+    df.createOrReplaceTempView(name)
+
+
 def _sql_pair(gen: Callable[[Dialect], str], tables: tuple[str, ...]):
     """Builder+oracle from a dialect generator."""
 
@@ -280,8 +288,7 @@ def _b_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked = dedup.scalable_lang_rank(
             spark.sql(dedup.gen_jaccard_prep(SPARK, src="_documents_rep"))
         )
-    ranked.persist()
-    ranked.createOrReplaceTempView("_jaccard_ranked")
+    _persist_view(ranked, "_jaccard_ranked")
     return spark.sql(dedup.gen_jaccard_pairs(SPARK, ranked_rel="_jaccard_ranked"))
 
 
@@ -290,8 +297,7 @@ def _b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = spark.sparkContext.defaultParallelism
     spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
     sigs = spark.sql(dedup.gen_minhash_sigs(SPARK, src="_documents_rep"))
-    sigs.persist()
-    sigs.createOrReplaceTempView("_minhash_sigs")
+    _persist_view(sigs, "_minhash_sigs")
     return spark.sql(dedup.gen_minhash_pairs(SPARK, sigs_rel="_minhash_sigs"))
 
 
@@ -300,8 +306,7 @@ def _b_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = spark.sparkContext.defaultParallelism
     spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
     sigs = spark.sql(dedup.gen_minhash_sigs(SPARK, src="_documents_rep"))
-    sigs.persist()
-    sigs.createOrReplaceTempView("_minhash_sigs_inc")
+    _persist_view(sigs, "_minhash_sigs_inc")
     return spark.sql(dedup.gen_minhash_pairs_incremental(SPARK, sigs_rel="_minhash_sigs_inc"))
 
 
@@ -321,8 +326,7 @@ def _b_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = spark.sparkContext.defaultParallelism
     spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
     sigs = spark.sql(dedup.gen_minhash_sigs(SPARK, src="_documents_rep"))
-    sigs.persist()
-    sigs.createOrReplaceTempView("_minhash_sigs_cc")
+    _persist_view(sigs, "_minhash_sigs_cc")
     return cluster.build_minhash_clusters(spark, SPARK, sigs_rel="_minhash_sigs_cc")
 
 
@@ -331,8 +335,7 @@ def _b_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = spark.sparkContext.defaultParallelism
     spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
     sigs = spark.sql(dedup.gen_minhash_sigs(SPARK, src="_documents_rep"))
-    sigs.persist()
-    sigs.createOrReplaceTempView("_minhash_sigs_ck")
+    _persist_view(sigs, "_minhash_sigs_ck")
     return cluster.build_minhash_cluster_keepers(spark, SPARK, sigs_rel="_minhash_sigs_ck")
 
 
@@ -776,8 +779,7 @@ def _specs() -> list[QuerySpec]:
         # relation twice (Spark inlines CTEs)
         V.register_base_tables(spark, sf_dir, ("documents",))
         w = spark.sql(dedup.gen_span_windows(SPARK))
-        w.persist()
-        w.createOrReplaceTempView("_span_windows")
+        _persist_view(w, "_span_windows")
         return spark.sql(dedup.gen_dup_span_ratio(SPARK, windows_rel="_span_windows"))
 
     add(
@@ -1294,8 +1296,7 @@ FROM files f
         tf = spark.sql(
             "SELECT doc_id, token, count(*) AS tf FROM _tok_tfidf GROUP BY doc_id, token"
         )
-        tf.persist()
-        tf.createOrReplaceTempView("_tf_rel")
+        _persist_view(tf, "_tf_rel")
         return spark.sql(text.gen_tfidf_topterms(SPARK, tf_rel="_tf_rel"))
 
     add(
@@ -1311,8 +1312,7 @@ FROM files f
     def _b_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         V.register_base_tables(spark, sf_dir, ("documents",))
         tok = spark.sql(text.gen_token_explode(SPARK))
-        tok.persist()
-        tok.createOrReplaceTempView("_tok_surprisal")
+        _persist_view(tok, "_tok_surprisal")
         return spark.sql(text.gen_unigram_surprisal(SPARK, tok_rel="_tok_surprisal"))
 
     add(

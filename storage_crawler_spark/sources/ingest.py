@@ -37,6 +37,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from storage_crawler_spark.plans.dialect import DUCK, SPARK
+
 DOCS_SCHEMA = (
     "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
 )
@@ -160,8 +162,6 @@ GROUP BY lang
 def fidelity_fingerprint(docs: DataFrame) -> DataFrame:
     """Spark-side fingerprint over an arbitrary documents DataFrame
     (the ingested relation, not the registered view)."""
-    from storage_crawler_spark.plans.dialect import SPARK
-
     return (
         docs.groupBy("lang")
         .agg(
@@ -173,12 +173,6 @@ def fidelity_fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
-def _duck_oracle() -> str:
-    from storage_crawler_spark.plans.dialect import DUCK
-
-    return gen_fidelity_fingerprint(DUCK)
-
-
 # DuckDB oracle: the same fingerprint over the ORIGINAL parquet — equality
 # through the format round-trip is the fidelity claim.
-FIDELITY_ORACLE = _duck_oracle()
+FIDELITY_ORACLE = gen_fidelity_fingerprint(DUCK)

@@ -17,18 +17,13 @@ exercised on data the fixture never saw.
 from __future__ import annotations
 
 import json
-import os
 import random
-import sys
 
-import duckdb
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from parity_util import assert_parity
 
-from tools.check_oracle import value_hash  # noqa: E402
-
-from storage_crawler_spark.plans import registry  # noqa: E402
+from storage_crawler_spark.plans import registry
 
 EVENT_ENTRIES = [
     "report_status_full",
@@ -84,18 +79,9 @@ def events_sf_dir(request, tmp_path_factory):
 @pytest.mark.parametrize("name", EVENT_ENTRIES)
 def test_random_events_parity(spark, events_sf_dir, name):
     spec = registry.get_query(name)
-    sdf = spec.builder(spark, events_sf_dir)
-    s_cols = [f.name for f in sdf.schema.fields]
-    s_rows = [tuple(r) for r in sdf.collect()]
-
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW events AS SELECT * FROM '{events_sf_dir}/events.parquet'"
+    assert_parity(
+        spec.builder(spark, events_sf_dir),
+        spec.oracle,
+        {"events": f"{events_sf_dir}/events.parquet"},
+        name,
     )
-    cur = con.execute(spec.oracle)
-    d_cols = [c[0] for c in cur.description]
-    d_rows = cur.fetchall()
-
-    assert sorted(s_cols) == sorted(d_cols), f"{name}: column drift"
-    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
-    assert value_hash(s_rows, s_cols) == value_hash(d_rows, d_cols), f"{name}: value drift"

@@ -16,19 +16,14 @@ the same thing as a pass at the gate.
 
 from __future__ import annotations
 
-import os
 import random
-import sys
 
-import duckdb
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from parity_util import assert_parity
 
-from tools.check_oracle import value_hash  # noqa: E402  (driver-faithful normalize)
-
-from storage_crawler_spark.operators import dedup, sampling, similarity, text  # noqa: E402
-from storage_crawler_spark.plans.dialect import DUCK, SPARK  # noqa: E402
+from storage_crawler_spark.operators import dedup, sampling, similarity, text
+from storage_crawler_spark.plans.dialect import DUCK, SPARK
 
 VOCAB = (
     [f"w{i}" for i in range(30)]
@@ -173,23 +168,9 @@ def embeddings_parquet(request, tmp_path_factory, spark):
 
 @pytest.mark.parametrize("name,gen", EMB_QUERIES, ids=[q[0] for q in EMB_QUERIES])
 def test_random_embeddings_parity(spark, embeddings_parquet, name, gen):
-    _compare(spark, embeddings_parquet, "embeddings", name, gen)
-
-
-def _compare(spark, parquet_path, view, name, gen):
-    sdf = spark.sql(gen(SPARK))
-    s_cols = [f.name for f in sdf.schema.fields]
-    s_rows = [tuple(r) for r in sdf.collect()]
-
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW {view} AS SELECT * FROM '{parquet_path}'")
-    cur = con.execute(gen(DUCK))
-    d_cols = [c[0] for c in cur.description]
-    d_rows = cur.fetchall()
-
-    assert sorted(s_cols) == sorted(d_cols), f"{name}: column drift"
-    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
-    assert value_hash(s_rows, s_cols) == value_hash(d_rows, d_cols), f"{name}: value drift"
+    assert_parity(
+        spark.sql(gen(SPARK)), gen(DUCK), {"embeddings": embeddings_parquet}, name
+    )
 
 
 # Registry ENTRIES (builder + committed oracle) that need only a documents
@@ -233,35 +214,14 @@ def test_random_docs_registry_entry_parity(spark, docs_sf_dir, entry):
     from storage_crawler_spark.plans import registry
 
     spec = registry.get_query(entry)
-    sdf = spec.builder(spark, docs_sf_dir)
-    s_cols = [f.name for f in sdf.schema.fields]
-    s_rows = [tuple(r) for r in sdf.collect()]
-
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{docs_sf_dir}/documents.parquet'"
+    assert_parity(
+        spec.builder(spark, docs_sf_dir),
+        spec.oracle,
+        {"documents": f"{docs_sf_dir}/documents.parquet"},
+        entry,
     )
-    cur = con.execute(spec.oracle)
-    d_cols = [c[0] for c in cur.description]
-    d_rows = cur.fetchall()
-
-    assert sorted(s_cols) == sorted(d_cols), f"{entry}: column drift"
-    assert len(s_rows) == len(d_rows), f"{entry}: row count {len(s_rows)} vs {len(d_rows)}"
-    assert value_hash(s_rows, s_cols) == value_hash(d_rows, d_cols), f"{entry}: value drift"
 
 
 @pytest.mark.parametrize("name,gen", QUERIES, ids=[q[0] for q in QUERIES])
 def test_random_corpus_parity(spark, corpus_parquet, name, gen):
-    sdf = spark.sql(gen(SPARK))
-    s_cols = [f.name for f in sdf.schema.fields]
-    s_rows = [tuple(r) for r in sdf.collect()]
-
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{corpus_parquet}'")
-    cur = con.execute(gen(DUCK))
-    d_cols = [c[0] for c in cur.description]
-    d_rows = cur.fetchall()
-
-    assert sorted(s_cols) == sorted(d_cols), f"{name}: column drift"
-    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
-    assert value_hash(s_rows, s_cols) == value_hash(d_rows, d_cols), f"{name}: value drift"
+    assert_parity(spark.sql(gen(SPARK)), gen(DUCK), {"documents": corpus_parquet}, name)

@@ -17,19 +17,13 @@ fixture cannot probe.
 
 from __future__ import annotations
 
-import os
-import sys
-
-import duckdb
 import numpy as np
 import pandas as pd
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from parity_util import assert_parity
 
-from tools.check_oracle import value_hash  # noqa: E402
-
-from storage_crawler_spark.plans import registry  # noqa: E402
+from storage_crawler_spark.plans import registry
 
 SRC = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
@@ -93,17 +87,9 @@ def tpch_sf_dir(request, tmp_path_factory):
 @pytest.mark.parametrize("entry", RELATIONAL_ENTRIES)
 def test_random_tpch_parity(spark, tpch_sf_dir, entry):
     spec = registry.get_query(entry)
-    sdf = spec.builder(spark, tpch_sf_dir)
-    s_cols = [f.name for f in sdf.schema.fields]
-    s_rows = [tuple(r) for r in sdf.collect()]
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{tpch_sf_dir}/{t}.parquet'")
-    cur = con.execute(spec.oracle)
-    d_cols = [c[0] for c in cur.description]
-    d_rows = cur.fetchall()
-
-    assert sorted(s_cols) == sorted(d_cols), f"{entry}: column drift"
-    assert len(s_rows) == len(d_rows), f"{entry}: row count {len(s_rows)} vs {len(d_rows)}"
-    assert value_hash(s_rows, s_cols) == value_hash(d_rows, d_cols), f"{entry}: value drift"
+    assert_parity(
+        spec.builder(spark, tpch_sf_dir),
+        spec.oracle,
+        {t: f"{tpch_sf_dir}/{t}.parquet" for t in TABLES},
+        entry,
+    )
