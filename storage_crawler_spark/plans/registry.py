@@ -1324,7 +1324,20 @@ FROM files f
         "(statistical gibberish signal); exploded relation persisted once",
     )
 
-    from storage_crawler_spark.operators.pipeline import gen_training_pipeline
+    from storage_crawler_spark.operators.pipeline import (
+        gen_split_contamination,
+        gen_training_pipeline,
+    )
+
+    b, o = _sql_pair(gen_split_contamination, ("documents",))
+    add(
+        "pipeline_split_contamination",
+        b,
+        o,
+        tags=("pipeline", "dedup"),
+        doc="train->eval contamination report: exact spans present in both train and "
+        "val/test splits (benchmark decontamination); single-pass pivot, two shuffles",
+    )
 
     b, o = _sql_pair(gen_training_pipeline, ("documents",))
     add(

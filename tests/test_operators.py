@@ -215,6 +215,43 @@ def test_substring_spans_finds_cross_doc_duplicate_run(spark):
         spark.catalog.dropTempView("documents")
 
 
+def test_split_contamination_detects_cross_split_span(spark):
+    """Plant an identical 40-token run in one train doc and one test doc
+    (doc ids chosen by querying the deterministic split itself); the
+    contamination report must surface it with the right per-split counts,
+    and a train-only duplicate must NOT appear."""
+    from storage_crawler_spark.operators.pipeline import gen_split_contamination
+    from storage_crawler_spark.operators.sampling import gen_split_assign
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    ids = spark.createDataFrame([(i,) for i in range(300)], "doc_id LONG")
+    ids.createOrReplaceTempView("documents")
+    try:
+        splits = {
+            r.doc_id: r.split
+            for r in spark.sql(gen_split_assign(SPARK, src="documents")).collect()
+        }
+        train_ids = [i for i, s in splits.items() if s == "train"]
+        test_id = next(i for i, s in splits.items() if s == "test")
+        shared = " ".join(f"c{i}" for i in range(40))
+        filler = lambda tag: " ".join(f"{tag}{i}" for i in range(40))  # noqa: E731
+        docs = [
+            (train_ids[0], shared),                 # train copy
+            (test_id, shared),                      # test copy -> contaminated
+            (train_ids[1], filler("t")),            # train-only duplicate pair...
+            (train_ids[2], filler("t")),            # ...must NOT be reported
+        ]
+        spark.createDataFrame(docs, "doc_id LONG, text STRING").createOrReplaceTempView(
+            "documents"
+        )
+        rows = spark.sql(gen_split_contamination(SPARK)).collect()
+        assert rows, "planted cross-split span not detected"
+        assert all(r.n_train > 0 and (r.n_val + r.n_test) > 0 for r in rows)
+        assert all(r.example_eval_doc == test_id for r in rows)
+    finally:
+        spark.catalog.dropTempView("documents")
+
+
 # -- simhash (operators/simhash.py) -----------------------------------------
 
 

@@ -195,6 +195,7 @@ DOC_ENTRIES = [
     "lake_snapshot_diff",
     "stratified_sample",
     "pipeline_training_corpus",
+    "pipeline_split_contamination",
     # format ingestion: derives JSONL/CSV/ORC from the random parquet and
     # must reproduce the oracle's parquet aggregate byte-for-byte
     "ingest_jsonl_fidelity",
