@@ -91,11 +91,7 @@ def _report_df(spark, args):
     if action == "1000":
         return RQ.first_thousand(read_files(spark, args.lake, args.tag))
     if action == "large_old_files":
-        files = read_files(spark, args.lake, args.tag)
-        import pyspark.sql.functions as F
-
-        files = files.withColumn("insert_time", F.col("insert_time"))
-        return RQ.large_old_files(files)
+        return RQ.large_old_files(read_files(spark, args.lake, args.tag))
     raise SystemExit(f"unknown action {args.action!r}")
 
 

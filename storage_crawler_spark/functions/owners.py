@@ -136,7 +136,15 @@ def owner_join(files: DataFrame, owners_dim: DataFrame, path_col: str = "path") 
     each keep their own output row with NULL/looked-up owner — grouping on
     the path collapsed duplicates and merged all NULL paths into one row,
     and ``explode`` (vs ``explode_outer``) dropped NULL paths entirely
-    (both found by the randomized registry-entry parity sweep)."""
+    (both found by the randomized registry-entry parity sweep).
+
+    Determinism precondition: ``__row_id`` comes from
+    ``monotonically_increasing_id``, which is only stable when the upstream
+    ``files`` plan is deterministic.  If ``files`` arrives through a shuffle
+    with indeterminate row order (e.g. a repartition of a non-ordered
+    relation), a task retry can re-key rows mid-aggregation.  Safe for the
+    parquet-scan callers in this repo; pass a deterministic plan (scan,
+    filtered scan, or a sorted relation) or pre-materialize otherwise."""
     decoded = files.withColumn("__row_id", F.monotonically_increasing_id()).withColumn(
         "__path_str", F.decode(F.col(path_col), "UTF-8")
     )

@@ -395,10 +395,14 @@ def gen_pack_bins(d: Dialect, token_budget: int = 256, chunk_tokens: int = 64, s
     the budget ± one chunk (a chunk never splits); the exact-greedy
     variant (reset at the boundary) trades that overflow for sequential
     state — documented, not hidden.
+
+    ``bin_id`` is CAST to BIGINT because DuckDB's window ``sum(BIGINT)``
+    returns HUGEINT and ``//`` keeps that width, which Arrow renders as
+    decimal128(38,0) against Spark's int64 (driver r4 hash mismatch).
     """
     return f"""
 SELECT doc_id, chunk_no, n_chunk_tokens,
-       {d.idiv("cum_before", str(token_budget))} AS bin_id
+       CAST({d.idiv("cum_before", str(token_budget))} AS BIGINT) AS bin_id
 FROM (
   SELECT doc_id, chunk_no, n_chunk_tokens,
          sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_no

