@@ -64,6 +64,7 @@ def main() -> int:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     timings: dict[str, float] = {}
+    shuffles: dict[str, int] = {}
     for name in headline_queries():
         spec = QUERIES[name]
         best, n = None, 0
@@ -76,7 +77,20 @@ def main() -> int:
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows, min of {reps})", file=sys.stderr)
+        # plan evidence rides along with the timing (untimed): shuffle count
+        # from the same summarizer PLANS.md uses, so BENCH_r*.json alone
+        # shows whether a timing moved because the PLAN changed or the box did
+        try:
+            from tools.audit_plans import plan_string, summarize
+
+            shuffles[name] = summarize(plan_string(spark, df))["shuffles"]
+        except Exception:
+            pass  # plan introspection must never fail the bench
+        print(
+            f"# {name}: {timings[name]:.3f}s ({n} rows, min of {reps}, "
+            f"{shuffles.get(name, '?')} shuffles)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -86,6 +100,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "shuffles": shuffles,
                 "sf": sf,
             }
         )
