@@ -79,7 +79,11 @@ def main() -> int:
         timings[name] = round(best, 3)
         # plan evidence rides along with the timing (untimed): shuffle count
         # from the same summarizer PLANS.md uses, so BENCH_r*.json alone
-        # shows whether a timing moved because the PLAN changed or the box did
+        # shows whether a timing moved because the PLAN changed or the box did.
+        # Can read HIGHER than PLANS.md for queries with a persisted relation
+        # referenced N times (e.g. minhash band joins): this explain counts
+        # the cached lineage once per reference, while execution materializes
+        # it once — PLANS.md's static count is the executed-shape number.
         try:
             from tools.audit_plans import plan_string, summarize
 
