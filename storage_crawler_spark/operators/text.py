@@ -412,3 +412,60 @@ FROM (
   ) chunks
 ) t
 """.strip()
+
+
+def gen_token_ngrams(d: Dialect, n: int = 5, src: str = "documents") -> str:
+    """(doc_id, gram_no, ngram) token n-gram relation — the shared base of
+    the boilerplate detector and the n-gram contamination check (the
+    GPT-3-style decontamination unit is a token n-gram, not a char span).
+
+    Same lateral-sequence shape as :func:`gen_chunk_split` (pure Catalyst
+    row expansion inside the scan stage, no Python, no shuffle), with
+    stride 1 and only FULL n-grams: documents shorter than ``n`` tokens
+    are filtered out BEFORE the sequence so the inclusive bounds stay
+    lo <= hi (Spark's ``sequence`` raises on inverted bounds; the filter
+    also drops NULL texts in both engines — Spark sizes a NULL split to
+    -1, DuckDB to NULL, and both fail ``n_toks >= n``).
+    """
+    starts = d.lateral_seq("0", f"n_toks - {n}", "gi")
+    gram = d.ajoin(d.aslice("toks", "gi + 1", str(n)))
+    return f"""
+SELECT doc_id, gi AS gram_no, {gram} AS ngram
+FROM (
+  SELECT doc_id, toks, n_toks
+  FROM (SELECT doc_id, {d.split('text')} AS toks,
+               {d.size(d.split('text'))} AS n_toks
+        FROM {src}) t0
+  WHERE n_toks >= {n}
+) t1
+{starts}
+""".strip()
+
+
+def gen_boilerplate_ngrams(
+    d: Dialect, n: int = 5, top_k: int = 50, gram_rel: str | None = None
+) -> str:
+    """Corpus-wide boilerplate detector: the ``top_k`` token n-grams by
+    document frequency (then total occurrences) — headers, footers,
+    cookie banners, and license blurbs surface here long before any
+    per-document signal sees them, and the output feeds a removal filter.
+
+    Order is fully deterministic: (n_docs DESC, n_occur DESC, ngram) — the
+    ngram itself is the final tiebreak, so LIMIT is stable across engines.
+
+    100 TB shape: one aggregation on the exploded gram relation with
+    map-side partial combine (hot boilerplate keys collapse per-partition
+    BEFORE the shuffle, so key skew is absorbed where it is created), and
+    the top-k fuses to TakeOrderedAndProject — no global sort. The
+    count(DISTINCT doc_id) rides the same shuffle via Spark's expand.
+    """
+    grams = gram_rel if gram_rel else f"(\n{gen_token_ngrams(d, n)}\n) g"
+    return f"""
+SELECT ngram,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occur
+FROM {grams}
+GROUP BY ngram
+ORDER BY n_docs DESC, n_occur DESC, ngram
+LIMIT {top_k}
+""".strip()

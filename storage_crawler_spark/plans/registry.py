@@ -1368,6 +1368,60 @@ FROM files f
         "against the parquet oracle",
     )
 
+    # round-5 additions: n-gram plane (boilerplate detection, per-doc eval
+    # contamination) + domain-mixture weights
+    from storage_crawler_spark.operators.pipeline import (
+        gen_domain_mixture,
+        gen_ngram_contamination,
+    )
+
+    b, o = _sql_pair(lambda d: text.gen_boilerplate_ngrams(d), ("documents",))
+    add(
+        "text_boilerplate_ngrams",
+        b,
+        o,
+        tags=("text", "dedup"),
+        doc="corpus-wide top-50 token 5-grams by document frequency (boilerplate / "
+        "banner / license-blurb detector); partial-combining agg absorbs key skew "
+        "map-side, top-k fused to TakeOrderedAndProject",
+    )
+
+    def _b_ngram_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from storage_crawler_spark.operators.sampling import (
+            split_bucket_expr,
+            split_case_expr,
+        )
+
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        split = split_case_expr(split_bucket_expr(SPARK))
+        spark.sql(text.gen_token_ngrams(SPARK)).createOrReplaceTempView("_ngram_g")
+        kd = spark.sql(
+            f"SELECT DISTINCT ngram, doc_id, {split} AS split FROM _ngram_g"
+        )
+        _persist_view(kd, "_ngram_kd")
+        return spark.sql(gen_ngram_contamination(SPARK, kd_rel="_ngram_kd"))
+
+    add(
+        "pipeline_ngram_contamination",
+        _b_ngram_contam,
+        gen_ngram_contamination(DUCK),
+        tags=("pipeline", "dedup", "text"),
+        doc="per-eval-doc token-5-gram contamination vs the train split (GPT-3-style "
+        "decontamination verdict per document); semi-match LEFT JOIN on the gram key "
+        "(AQE-splittable, unlike a per-key window); (ngram, doc) relation persisted once",
+    )
+
+    b, o = _sql_pair(gen_domain_mixture, ("documents",))
+    add(
+        "pipeline_domain_mixture",
+        b,
+        o,
+        tags=("pipeline",),
+        doc="domain-mixture weights: per-source token share and alpha=0.5 "
+        "temperature-sampling weight (mT5/XLM-R rule); one corpus agg, global "
+        "windows on the per-domain relation only",
+    )
+
     def _fsmeta_builder(spark, sf_dir):
         from pyspark.sql import functions as F
 

@@ -28,9 +28,15 @@ def assert_parity(sdf, duck_sql: str, views: dict[str, str], label: str) -> None
     con = duckdb.connect()
     for name, path in views.items():
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
-    cur = con.execute(duck_sql)
-    d_cols = [c[0] for c in cur.description]
-    d_rows = cur.fetchall()
+    # Arrow fetch, not fetchall(): DuckDB's fetchall() flattens HUGEINT to
+    # Python int, hiding the decimal128-vs-int64 drift the driver's hash
+    # catches (see tools/check_oracle.py — round-4 text_pack_bins red row)
+    tbl = con.execute(duck_sql).fetch_arrow_table()
+    d_cols = tbl.column_names
+    d_rows = [
+        tuple(tbl.column(i)[r].as_py() for i in range(tbl.num_columns))
+        for r in range(tbl.num_rows)
+    ]
 
     assert sorted(s_cols) == sorted(d_cols), f"{label}: column drift"
     assert len(s_rows) == len(d_rows), f"{label}: row count {len(s_rows)} vs {len(d_rows)}"

@@ -651,3 +651,82 @@ def test_scalable_lang_rank_null_lang(spark):
     w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
     want = {r.doc_id: r.rnk for r in df.withColumn("rnk", F.row_number().over(w)).collect()}
     assert got == want
+
+
+# ---- round-5 n-gram plane: semantic behavior (parity is covered by the
+# randomized batteries; these pin the MEANING of the outputs) --------------
+
+
+def _docs_view(spark, rows):
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    ).createOrReplaceTempView("documents")
+
+
+def test_boilerplate_ngrams_ranks_injected_banner_first(spark):
+    from storage_crawler_spark.operators.text import gen_boilerplate_ngrams
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    banner = "subscribe to our newsletter now"
+    rows = [
+        (i, f"u{i} v{i} w{i} x{i} {banner}", "en", "src0", 0) for i in range(6)
+    ] + [(10, "totally unrelated text body", "en", "src1", 0)]
+    _docs_view(spark, rows)
+    top = spark.sql(gen_boilerplate_ngrams(SPARK, n=5, top_k=3)).collect()
+    assert top[0].ngram == banner
+    assert top[0].n_docs == 6 and top[0].n_occur == 6
+
+
+def test_ngram_contamination_flags_train_duplicate(spark):
+    from storage_crawler_spark.operators.pipeline import gen_ngram_contamination
+    from storage_crawler_spark.operators.sampling import N_BUCKETS, split_bucket_expr
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    # pick ids by their actual split buckets so the test is robust to the
+    # md5 split assignment: one train id, two eval ids
+    import duckdb
+
+    from storage_crawler_spark.plans.dialect import DUCK
+
+    con = duckdb.connect()
+    bucket = split_bucket_expr(DUCK, id_col="i")
+    ids = con.execute(
+        f"SELECT i, {bucket} AS b FROM (SELECT unnest(generate_series(0, 200)) AS i)"
+    ).fetchall()
+    train_hi = 80 * N_BUCKETS // 100
+    train_id = next(i for i, b in ids if b < train_hi)
+    eval_ids = [i for i, b in ids if b >= train_hi]
+    dup_eval, clean_eval = eval_ids[0], eval_ids[1]
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (train_id, shared, "en", "src0", 0),
+        (dup_eval, shared, "en", "src0", 0),  # verbatim train text in eval
+        (clean_eval, "one two three four five six", "en", "src0", 0),
+    ]
+    _docs_view(spark, rows)
+    out = {r.doc_id: r for r in spark.sql(gen_ngram_contamination(SPARK, n=5)).collect()}
+    assert train_id not in out  # train docs are not reported
+    assert out[dup_eval].contaminated_frac == 1.0 and out[dup_eval].flagged == 1
+    assert out[clean_eval].n_in_train == 0 and out[clean_eval].flagged == 0
+
+
+def test_domain_mixture_weights_sum_to_one_and_lift_small_domains(spark):
+    from storage_crawler_spark.operators.pipeline import gen_domain_mixture
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    rows = [(i, "w " * 50, "en", "big", 0) for i in range(9)] + [
+        (100, "w " * 50, "en", "small", 0)
+    ]
+    _docs_view(spark, rows)
+    out = {r.source: r for r in spark.sql(gen_domain_mixture(SPARK)).collect()}
+    assert abs(sum(r.mix_weight for r in out.values()) - 1.0) < 1e-5
+    assert abs(sum(r.token_share for r in out.values()) - 1.0) < 1e-5
+    # alpha=0.5 lifts the small domain above its raw share and caps the big one
+    assert out["small"].mix_weight > out["small"].token_share
+    assert out["big"].mix_weight < out["big"].token_share
+    # NULL text counts zero tokens but the doc still counts
+    _docs_view(spark, rows + [(101, None, "en", "small", 0)])
+    out2 = {r.source: r for r in spark.sql(gen_domain_mixture(SPARK)).collect()}
+    assert out2["small"].n_docs == 2
+    assert out2["small"].sum_tokens == out["small"].sum_tokens

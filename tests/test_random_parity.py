@@ -22,7 +22,7 @@ import pytest
 
 from parity_util import assert_parity
 
-from storage_crawler_spark.operators import dedup, sampling, similarity, text
+from storage_crawler_spark.operators import dedup, pipeline, sampling, similarity, text
 from storage_crawler_spark.plans.dialect import DUCK, SPARK
 
 VOCAB = (
@@ -92,6 +92,11 @@ QUERIES = [
     ("quality_filter", lambda d: text.gen_quality_filter(d)),
     ("chunk_split", lambda d: text.gen_chunk_split(d, chunk_tokens=8, stride=6)),
     ("pack_bins", lambda d: text.gen_pack_bins(d, token_budget=40, chunk_tokens=8, stride=6)),
+    # round-5 n-gram plane: small n so the 1-40-token random docs produce grams
+    ("token_ngrams", lambda d: text.gen_token_ngrams(d, n=3)),
+    ("boilerplate_ngrams", lambda d: text.gen_boilerplate_ngrams(d, n=3, top_k=20)),
+    ("ngram_contamination", lambda d: pipeline.gen_ngram_contamination(d, n=3)),
+    ("domain_mixture", lambda d: pipeline.gen_domain_mixture(d)),
 ]
 
 
@@ -201,6 +206,10 @@ DOC_ENTRIES = [
     "ingest_jsonl_fidelity",
     "ingest_csv_fidelity",
     "ingest_orc_fidelity",
+    # round-5 additions
+    "text_boilerplate_ngrams",
+    "pipeline_ngram_contamination",
+    "pipeline_domain_mixture",
 ]
 
 
