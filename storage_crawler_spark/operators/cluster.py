@@ -213,3 +213,106 @@ ranked AS (
 SELECT component, cluster_size, doc_id AS keeper_doc_id, quality_score AS keeper_quality
 FROM ranked WHERE rn = 1
 """.strip()
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star rewrite (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public algorithm).
+
+    ``edges`` is the symmetric neighbor relation (src, dst).  Per node u,
+    m = min(N(u) ∪ {u}); large-star rewires every LARGER neighbor to m,
+    small-star rewires every not-larger neighbor (and u itself) to m.
+    Both emit (v, m) pairs; self-loops are dropped and the output is
+    re-symmetrized by the caller.  Each round is a partial-combining
+    groupBy(src).min + one equi-join of the edge list against that
+    per-node min — two shuffles, and unlike label propagation the EDGE
+    RELATION ITSELF CONTRACTS toward star form, so later rounds join
+    strictly less data (the property that matters on a 100 TB pair graph;
+    min-label propagation re-joins the full edge list every round).
+    """
+    mins = edges.groupBy("src").agg(F.least(F.min("dst"), F.col("src")).alias("m"))
+    joined = edges.join(mins, "src")
+    if large:
+        out = joined.filter(F.col("dst") > F.col("src")).select(
+            F.col("dst").alias("a"), F.col("m").alias("b")
+        )
+    else:
+        out = (
+            joined.filter(F.col("dst") <= F.col("src"))
+            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+            .unionByName(
+                mins.select(F.col("src").alias("a"), F.col("m").alias("b"))
+            )
+        )
+    return out.filter(F.col("a") != F.col("b")).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components — the scale
+    path for graphs where min-label propagation's full-edge-list re-join
+    per round dominates.  Same output contract as
+    :func:`connected_components`: (doc_id, component, cluster_size,
+    is_keeper), component = min reachable doc_id, singletons included.
+
+    Convergence is structural, not diameter-bound: the alternating
+    rewrites reach a star forest in O(log^2 n) rounds REGARDLESS of
+    diameter (a 2^50-node chain converges in tens of rounds), and the
+    fixpoint test is exact set equality of the canonical edge relation
+    (one anti-join each way), not a hash witness — ``max_iter`` is a loud
+    backstop exactly like the propagation path, but its bound depends
+    only on log(n), never on graph shape.
+
+    At the fixpoint every remaining edge is (member, component-min), so
+    labels fall out of the edge relation directly — no closure pass.
+    """
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+            df.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+
+    cur = (
+        edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = cur.isEmpty()
+    for _ in range(max_iter):
+        if converged:
+            break
+        nxt = _star_round(_sym(_star_round(_sym(cur), large=True)), large=False)
+        nxt = nxt.localCheckpoint(eager=True)  # flatten lineage per round
+        # exact fixpoint: canonical edge sets equal (both distinct already)
+        if nxt.exceptAll(cur).isEmpty() and cur.exceptAll(nxt).isEmpty():
+            converged = True
+        cur = nxt
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not reach a star-forest fixpoint "
+            f"within max_iter={max_iter} rounds; raise max_iter"
+        )
+
+    # star forest: every edge is (larger member a, component min b)
+    member_labels = cur.groupBy("a").agg(F.min("b").alias("component")).select(
+        F.col("a").alias("doc_id"), "component"
+    )
+    labels = (
+        nodes.select("doc_id")
+        .join(member_labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+    )
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "component").select(
+        "doc_id",
+        "component",
+        "cluster_size",
+        (F.col("doc_id") == F.col("component")).cast("int").alias("is_keeper"),
+    )

@@ -730,3 +730,65 @@ def test_domain_mixture_weights_sum_to_one_and_lift_small_domains(spark):
     out2 = {r.source: r for r in spark.sql(gen_domain_mixture(SPARK)).collect()}
     assert out2["small"].n_docs == 2
     assert out2["small"].sum_tokens == out["small"].sum_tokens
+
+
+# ---- large-star/small-star CC (scale path) ------------------------------
+
+
+def _cc_both(spark, edge_rows, node_ids):
+    from storage_crawler_spark.operators.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(edge_rows or [(0, 0)], "doc_a LONG, doc_b LONG")
+    if not edge_rows:
+        edges = edges.filter("doc_a != doc_a")  # empty with schema
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "doc_id LONG")
+    a = {r.doc_id: (r.component, r.cluster_size, r.is_keeper)
+         for r in connected_components(edges, nodes).collect()}
+    b = {r.doc_id: (r.component, r.cluster_size, r.is_keeper)
+         for r in connected_components_star(edges, nodes).collect()}
+    return a, b
+
+
+def test_cc_star_matches_propagation_on_chain_clique_singletons(spark):
+    chain = [(i, i + 1) for i in range(20, 40)]
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    a, b = _cc_both(spark, chain + clique, list(range(45)))
+    assert a == b
+    assert a[25][0] == 20 and a[3][0] == 0 and a[44][0] == 44
+
+
+def test_cc_star_matches_propagation_on_random_graphs(spark):
+    import random
+
+    for seed in (7, 19, 101):
+        rng = random.Random(seed)
+        n = 120
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(20, 140))
+        ]
+        # duplicates + reversed duplicates are legal pair-generator output
+        edges += [(b_, a_) for a_, b_ in edges[:10]]
+        a, b = _cc_both(spark, [(x, y) for x, y in edges if x != y], list(range(n)))
+        assert a == b, f"seed {seed}: star CC diverged from propagation CC"
+
+
+def test_cc_star_long_chain_converges_and_empty_graph(spark):
+    from storage_crawler_spark.operators.cluster import connected_components_star
+
+    # 300-node chain: diameter 300 >> rounds; star path must converge well
+    # under its cap without any diameter dependence
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "doc_a LONG, doc_b LONG"
+    )
+    nodes = spark.range(301).withColumnRenamed("id", "doc_id")
+    rows = connected_components_star(edges, nodes, max_iter=15).collect()
+    assert all(r.component == 0 for r in rows) and len(rows) == 301
+    assert sum(r.is_keeper for r in rows) == 1
+
+    empty = edges.filter("doc_a < 0")
+    rows2 = connected_components_star(empty, spark.range(4).withColumnRenamed("id", "doc_id")).collect()
+    assert {r.doc_id: r.component for r in rows2} == {i: i for i in range(4)}
+    assert all(r.cluster_size == 1 and r.is_keeper == 1 for r in rows2)
