@@ -1464,6 +1464,11 @@ FROM files f
 # pipeline_split_contamination) move IN for their first driver stamps.
 # text_pack_bins stays to prove the r4 HUGEINT fix; everything rotated out
 # remains in the registry, the bench, and tools/check_oracle.py's full sweep.
+# The three round-5 additions (text_boilerplate_ngrams,
+# pipeline_ngram_contamination, pipeline_domain_mixture) take the slots of
+# three quadruple-stamped stable entries (window_topk_orders, dedup_exact,
+# events_json_props — driver-green r1-r4) so the newest code meets the
+# external gate in its own round (r4 advice).
 _DRIVER_WINDOW_FIRST = (
     # ts-fixed report/window plane (r3 driver FAILs — keep stamped)
     "report_status_full",
@@ -1477,11 +1482,12 @@ _DRIVER_WINDOW_FIRST = (
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
-    "window_topk_orders",
-    "dedup_exact",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
-    "events_json_props",
+    # round-5 additions, first driver stamps
+    "text_boilerplate_ngrams",
+    "pipeline_ngram_contamination",
+    "pipeline_domain_mixture",
     # never-driver-stamped entries (positions 51-85 in rounds 1-3)
     "text_chunk_split",
     "text_pack_bins",
