@@ -155,3 +155,182 @@ JOIN (
 {approx}
 ) a ON e.vec_id = a.vec_id
 """.strip()
+
+
+def gen_embedding_stats(d: Dialect) -> str:
+    """Per-label embedding-corpus audit: vector counts, dimension bounds,
+    zero-norm (failed-embedding) counts, and L2-norm distribution — the
+    sanity gate a 100 TB embedding store runs BEFORE building any index
+    (a single wrong-dimension or all-zero batch silently poisons ANN
+    recall; this surfaces both as first-class columns).
+
+    One pruned scan + one partial-combining aggregation on ``label`` — the
+    per-vector norm folds inside the scan stage (deterministic
+    left-to-right order, see plans/dialect.py), so the shuffle carries
+    only (label, scalar) rows.  All integer aggregates CAST to BIGINT:
+    DuckDB's sum(int) is HUGEINT and its len() BIGINT vs Spark's INT —
+    the exact Arrow decimal128-vs-int64 trap of driver round 4.
+    """
+    ev = d.cast_double_arr("embedding")
+    return f"""
+WITH v0 AS (
+  SELECT vec_id, label, {ev} AS ev FROM embeddings WHERE embedding IS NOT NULL
+),
+n AS (
+  SELECT label, CAST({d.size('ev')} AS BIGINT) AS dims,
+         sqrt({d.dot('ev', 'ev')}) AS nrm
+  FROM v0
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(dims) AS BIGINT) AS min_dims,
+       CAST(max(dims) AS BIGINT) AS max_dims,
+       CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+       {d.trunc6('min(nrm)')} AS min_norm,
+       {d.trunc6('avg(nrm)')} AS mean_norm,
+       {d.trunc6('max(nrm)')} AS max_norm
+FROM n
+GROUP BY label
+ORDER BY label
+""".strip()
+
+
+def gen_label_outliers(d: Dialect, per_label: int = 3) -> str:
+    """Per-label centroid outliers: the ``per_label`` vectors farthest
+    (Euclidean) from their label's mean vector — mislabeled rows, embedding
+    failures, and adversarial inserts all surface here.  The quality-probe
+    sibling of the trained-IVF path (kmeans.py): same centroid math, but
+    expressed fully relationally so the oracle checks it.
+
+    100 TB shape, in three bounded steps:
+    1. dims — posexplode each vector to (vec_id, label, dim_i, x): pure
+       lateral row expansion inside the scan stage, no shuffle;
+    2. cent — per-(label, dim) means via ONE partial-combining aggregation
+       (the shuffle carries labels × dims rows, i.e. tiny), reassembled
+       into ordered centroid arrays with an ORDER-PINNED array agg
+       (plans/dialect.py agg_arr_by — bare collect_list order is
+       partition-nondeterministic and would scramble the centroid);
+    3. dist — centroids are a labels-row dimension: Spark broadcasts the
+       join, and each vector pays one deterministic fold for its distance;
+       per-label top-k is a window over scalar rows.
+    The distance fold order is identical in both engines (zip_sub_sq),
+    so d2 agrees to the last bit given equal centroids; rank ties are
+    pinned by vec_id.
+    """
+    ev = d.cast_double_arr("embedding")
+    starts = d.lateral_seq("1", d.size("ev"), "di")
+    return f"""
+WITH v0 AS (
+  SELECT vec_id, label, {ev} AS ev FROM embeddings
+  WHERE embedding IS NOT NULL AND {d.size('embedding')} >= 1
+),
+dims AS (
+  SELECT vec_id, label, di, {d.elem('ev', 'di')} AS x
+  FROM v0
+  {starts}
+),
+cent AS (
+  SELECT label, {d.agg_arr_by('di', 'cx')} AS cev
+  FROM (SELECT label, di, avg(x) AS cx FROM dims GROUP BY label, di) c
+  GROUP BY label
+),
+dist AS (
+  SELECT v.vec_id, v.label, {d.dist2('v.ev', 'c.cev')} AS d2
+  FROM v0 v JOIN cent c ON v.label = c.label
+)
+SELECT label, vec_id, {d.trunc6('sqrt(d2)')} AS dist
+FROM (
+  SELECT label, vec_id, d2,
+         row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rnk
+  FROM dist
+) r
+WHERE rnk <= {per_label}
+ORDER BY label, dist DESC, vec_id
+""".strip()
+
+
+def _rp_planes_cte(d: Dialect, n_planes: int, seed: str = "rp") -> str:
+    """Deterministic random-hyperplane relation: component (j, i) of plane
+    ``j`` is an md5-derived pseudo-uniform in [-1, 1] — the SAME doubles in
+    Spark and DuckDB, so the whole LSH index is oracle-checkable (a seeded
+    JVM/NumPy RNG never would be).  The hyperplane table is ``n_planes ×
+    dim`` doubles built from a one-row dim probe: driver-free,
+    literal-free, and at any scale a broadcast of a few KB.  Planes are
+    reassembled with ORDER-PINNED array aggs (bare collect_list would
+    scramble components) into ONE row holding array-of-arrays, so signing
+    a vector is a map-only projection, not an 8-way join fanout."""
+    concat = f"concat('{seed}', j, '_', i)"
+    md5_12 = f"substr({d.md5_utf8(concat)}, 1, 12)"
+    comp = f"(CAST({d.hex12_to_bigint(md5_12)} % 2001 AS DOUBLE) - 1000.0) / 1000.0"
+    return f"""dm AS (SELECT max({d.size('ev')}) AS dim FROM v),
+comp AS (
+  SELECT j, i, {comp} AS c
+  FROM dm
+  {d.lateral_seq('1', str(n_planes), 'j')}
+  {d.lateral_seq('1', 'dim', 'i')}
+),
+pl AS (SELECT j, {d.agg_arr_by('i', 'c')} AS parr FROM comp GROUP BY j),
+p AS (SELECT {d.agg_arr_by('j', 'parr')} AS planes FROM pl)"""
+
+
+def gen_rp_lsh_topk(
+    d: Dialect, query_vec_id: int = 0, k: int = 10, n_planes: int = 8, radius: int = 1
+) -> str:
+    """Random-hyperplane (SimHash-for-vectors) LSH top-k: each vector's
+    ``n_planes``-bit signature is the sign pattern of its dot products with
+    deterministic md5-derived hyperplanes (Charikar 2002, public); the
+    query probes its own bucket plus all buckets within Hamming distance
+    ``radius`` (multi-probe), then ranks candidates by exact cosine.
+
+    Unlike the leading-component sign buckets of :func:`gen_ivf_topk`,
+    hyperplane signatures use EVERY component, so collision probability is
+    monotone in true angle — the textbook recall contract (measured, not
+    asserted, by :func:`gen_rp_lsh_recall`).
+
+    100 TB shape: signing is map-only (one broadcast row of planes, one
+    fold per plane inside codegen); the bucket filter is a bit_count over
+    BIGINT XOR — candidates shrink ~``sum_{h<=radius} C(n_planes,h) /
+    2^n_planes`` (~3.5% at 8 planes, radius 1), and the final exact rank
+    fuses to TakeOrderedAndProject over survivors only."""
+    bit = (
+        f"CASE WHEN {d.dot('ev', d.elem('planes', 'j'))} > 0 "
+        f"THEN CAST(power(2, j - 1) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    )
+    bucket = d.reduce_bigint(
+        d.transform(d.seq("1", str(n_planes)), "j", bit), "acc + x"
+    )
+    cos = f"({d.dot('e.ev', 'q.ev')}) / (e.nrm * q.nrm)"
+    return f"""
+WITH {_norm_cte(d)},
+{_rp_planes_cte(d, n_planes)},
+sig AS (
+  SELECT vec_id, label, ev, nrm, {bucket} AS bucket
+  FROM v CROSS JOIN p
+),
+q AS (SELECT ev, nrm, bucket FROM sig WHERE vec_id = {query_vec_id})
+SELECT e.vec_id, e.label, round({cos}, 4) AS cosine
+FROM sig e CROSS JOIN q
+WHERE e.vec_id <> {query_vec_id}
+  AND {d.popcount(d.bxor('e.bucket', 'q.bucket'))} <= {radius}
+ORDER BY {cos} DESC, e.vec_id
+LIMIT {k}
+""".strip()
+
+
+def gen_rp_lsh_recall(
+    d: Dialect, query_vec_id: int = 0, k: int = 10, n_planes: int = 8, radius: int = 1
+) -> str:
+    """Recall@k of the hyperplane-LSH tier against the exact top-k — same
+    measured-accuracy contract as :func:`gen_ivf_recall`, for the RP index."""
+    exact = gen_cosine_topk(d, query_vec_id, k)
+    approx = gen_rp_lsh_topk(d, query_vec_id, k, n_planes, radius)
+    return f"""
+SELECT {k} AS k, count(*) AS n_hits,
+       {d.trunc6(f"CAST(count(*) AS DOUBLE) / {k}")} AS recall
+FROM (
+{exact}
+) e
+JOIN (
+{approx}
+) a ON e.vec_id = a.vec_id
+""".strip()

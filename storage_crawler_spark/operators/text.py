@@ -469,3 +469,128 @@ GROUP BY ngram
 ORDER BY n_docs DESC, n_occur DESC, ngram
 LIMIT {top_k}
 """.strip()
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gen_gopher_battery(
+    d: Dialect,
+    min_words: int = 5,
+    max_words: int = 100000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 1,
+) -> str:
+    """Gopher-style per-rule quality battery (Rae et al. 2021 §A1.1, public
+    paper): word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio (# and ... pollution), alphabetic-word fraction, and stop-word
+    hits — each emitted as its OWN flag column plus the conjunction, unlike
+    :func:`gen_quality_filter` whose per-rule verdicts collapse into one
+    reasons string.  Corpus owners tune thresholds per rule; exposing each
+    flag lets one groupBy measure every rule's marginal kill rate.
+
+    Pure scan+project: every signal derives from the one token split (CSE'd
+    by Catalyst) — no shuffle, no UDF, whole-stage codegen end to end, so
+    at 100 TB this runs at parquet-scan speed with only
+    ``doc_id``/``text`` read.  Symbol pattern is written with character
+    classes (``[#]|[.][.][.]``) — no backslash escapes, which the two
+    engines' string literals would treat differently.
+    """
+    alpha_words = d.size(d.afilter("toks", "w", d.re_match("w", "[A-Za-z]")))
+    stop_hits = d.size(
+        d.afilter("toks", "w", f"lower(w) IN {_in_list(_GOPHER_STOPWORDS)}")
+    )
+    n_symbols = d.size(d.regex_tokens("text", "[#]|[.][.][.]"))
+    rules = {
+        "flag_word_count": f"n_words >= {min_words} AND n_words <= {max_words}",
+        "flag_word_len": (
+            f"mean_word_len >= {min_mean_word_len} AND mean_word_len <= {max_mean_word_len}"
+        ),
+        "flag_symbols": f"symbol_ratio <= {max_symbol_ratio}",
+        "flag_alpha": f"alpha_frac >= {min_alpha_frac}",
+        "flag_stopwords": f"stop_hits >= {min_stop_hits}",
+    }
+    flags = ",\n       ".join(
+        f"CAST(CASE WHEN {pred} THEN 1 ELSE 0 END AS INT) AS {name}"
+        for name, pred in rules.items()
+    )
+    keep = " AND ".join(f"({pred})" for pred in rules.values())
+    return f"""
+SELECT doc_id, n_words,
+       {d.trunc6('mean_word_len')} AS mean_word_len,
+       {d.trunc6('symbol_ratio')} AS symbol_ratio,
+       {d.trunc6('alpha_frac')} AS alpha_frac,
+       stop_hits,
+       {flags},
+       CAST(CASE WHEN {keep} THEN 1 ELSE 0 END AS INT) AS keep
+FROM (
+  SELECT doc_id,
+         CAST({d.size('toks')} AS BIGINT) AS n_words,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE) / {d.size('toks')} AS mean_word_len,
+         CAST({n_symbols} AS DOUBLE) / {d.size('toks')} AS symbol_ratio,
+         CAST({alpha_words} AS DOUBLE) / {d.size('toks')} AS alpha_frac,
+         CAST({stop_hits} AS BIGINT) AS stop_hits
+  FROM (SELECT doc_id, text, {d.split('text')} AS toks FROM documents
+        WHERE text IS NOT NULL AND length(text) > 0) t0
+) t1
+""".strip()
+
+
+def gen_zipf_audit(d: Dialect, top_k: int = 100, prebuckets: int = 16) -> str:
+    """Corpus-health audit: per-language Zipf slope — the least-squares
+    slope of ln(frequency) against ln(rank) over each language's ``top_k``
+    most frequent terms (natural text sits near −1; spam, logs, and
+    boilerplate-heavy corpora drift off it).  regr_slope/regr_intercept are
+    native aggregates in BOTH engines, so the fit never leaves the JVM /
+    the vectorized engine.
+
+    100 TB shape — the naive formulation (one rank window per language over
+    ALL distinct terms) would sort a vocabulary-sized relation per
+    language; instead the rank is **two-phase**: terms first take a
+    per-(lang, md5-bucket) top-``top_k`` (``prebuckets`` deterministic
+    md5 buckets — engine hashes differ, md5 doesn't), which bounds the
+    final per-language sort to ``top_k × prebuckets`` rows.  The global
+    top-k is provably a subset of the union of per-bucket top-ks.  Tie
+    order is pinned (freq DESC, term) at both phases, so LIMIT-by-rank is
+    stable across engines.
+    """
+    md5_12 = f"substr({d.md5_utf8('term')}, 1, 12)"
+    bucket = f"({d.hex12_to_bigint(md5_12)} % {prebuckets})"
+    return f"""
+WITH toks AS (
+  SELECT lang, lower(tok) AS term
+  FROM (SELECT lang, text FROM documents
+        WHERE text IS NOT NULL AND lang IS NOT NULL) t0
+  {d.lateral_explode(d.split('text'), 'tok')}
+),
+tf AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS freq
+  FROM toks GROUP BY lang, term
+),
+pre AS (
+  SELECT lang, term, freq
+  FROM (
+    SELECT lang, term, freq,
+           row_number() OVER (PARTITION BY lang, {bucket}
+                              ORDER BY freq DESC, term) AS r1
+    FROM tf
+  ) p WHERE r1 <= {top_k}
+),
+rk AS (
+  SELECT lang, term, freq,
+         row_number() OVER (PARTITION BY lang ORDER BY freq DESC, term) AS rnk
+  FROM pre
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(freq) AS BIGINT) AS total_freq,
+       {d.trunc6('regr_slope(ln(freq), ln(rnk))')} AS zipf_slope,
+       {d.trunc6('regr_intercept(ln(freq), ln(rnk))')} AS zipf_intercept
+FROM rk
+WHERE rnk <= {top_k}
+GROUP BY lang
+ORDER BY lang
+""".strip()

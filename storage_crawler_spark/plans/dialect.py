@@ -96,6 +96,37 @@ class Dialect:
     def dot(self, a: str, b: str) -> str:
         return self.fold_double(self.zip_mul(a, b))
 
+    def zip_sub_sq(self, a: str, b: str) -> str:
+        """Elementwise squared difference of two double arrays — the
+        summand of a squared L2 distance.  Same left-to-right fold contract
+        as :meth:`zip_mul`, so ``fold_double(zip_sub_sq(a, b))`` yields
+        bit-identical distances in both engines."""
+        if self.name == "spark":
+            return f"zip_with({a}, {b}, (u, v) -> (u - v) * (u - v))"
+        return (
+            f"list_transform(generate_series(1, len({a})), "
+            f"i -> (list_extract({a}, i) - list_extract({b}, i)) "
+            f"* (list_extract({a}, i) - list_extract({b}, i)))"
+        )
+
+    def dist2(self, a: str, b: str) -> str:
+        """Squared Euclidean distance with a deterministic fold order."""
+        return self.fold_double(self.zip_sub_sq(a, b))
+
+    def agg_arr_by(self, key: str, val: str) -> str:
+        """Aggregate ``val`` into an array ordered by ``key`` (both columns
+        from the grouped input).  Spark's collect_list order is
+        partition-nondeterministic, so sort (key, val) structs after the
+        fact; DuckDB's list() accepts an ORDER BY directly.  Use this —
+        never bare collect_list — whenever an aggregated array's element
+        ORDER reaches the output or a downstream fold."""
+        if self.name == "spark":
+            return (
+                f"transform(sort_array(collect_list(struct({key} AS k, {val} AS v))), "
+                f"s -> s.v)"
+            )
+        return f"list({val} ORDER BY {key})"
+
     def cast_double_arr(self, arr: str) -> str:
         if self.name == "spark":
             return f"transform({arr}, v -> CAST(v AS DOUBLE))"
@@ -197,6 +228,29 @@ class Dialect:
         if self.name == "spark":
             return f"LATERAL VIEW explode({arr}) _lv_{var} AS {var}"
         return f", unnest({arr}) AS _lv_{var}({var})"
+
+    def bxor(self, a: str, b: str) -> str:
+        """Bitwise XOR of two BIGINTs.  Spark's ``^`` is XOR but DuckDB's
+        ``^`` is POWER — never write the operator in shared source."""
+        if self.name == "spark":
+            return f"(({a}) ^ ({b}))"
+        return f"xor({a}, {b})"
+
+    def popcount(self, x: str) -> str:
+        """Set-bit count of a BIGINT (both engines name it bit_count;
+        wrapped so shared source documents the intent and pins the CAST —
+        Spark returns INT, DuckDB BIGINT)."""
+        return f"CAST(bit_count({x}) AS INT)"
+
+    def re_match(self, s: str, pattern: str) -> str:
+        """Boolean partial-match predicate (usable inside lambdas).  Keep
+        patterns to portable ASCII classes and avoid backslash escapes
+        entirely — Spark string literals treat ``\\`` as an escape, DuckDB's
+        don't, so the same source text would reach the two regex engines
+        differently (write ``[.]`` instead of ``\\.``)."""
+        if self.name == "spark":
+            return f"({s} RLIKE '{pattern}')"
+        return f"regexp_matches({s}, '{pattern}')"
 
     def regex_replace_all(self, s: str, pattern: str, rep: str) -> str:
         """Replace ALL matches.  Spark's regexp_replace is global by

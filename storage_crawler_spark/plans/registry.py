@@ -892,6 +892,25 @@ def _specs() -> list[QuerySpec]:
     add("text_lang_id", b, o, tags=("text",), doc="marker-based language ID vs labels")
     b, o = _sql_pair(text.gen_fingerprint, ("documents",))
     add("text_fingerprint", b, o, tags=("text",), doc="rolling polynomial document fingerprint")
+    b, o = _sql_pair(text.gen_gopher_battery, ("documents",))
+    add(
+        "text_gopher_rules",
+        b,
+        o,
+        tags=("text", "quality"),
+        doc="Gopher-style per-rule quality battery (word count/length bounds, symbol "
+        "ratio, alpha fraction, stopword hits) — each rule its own flag column so "
+        "marginal kill rates are one groupBy away; pure scan+project",
+    )
+    b, o = _sql_pair(text.gen_zipf_audit, ("documents",))
+    add(
+        "text_zipf_audit",
+        b,
+        o,
+        tags=("text", "quality"),
+        doc="per-language Zipf slope over top-100 terms via native regr_slope; "
+        "two-phase md5-bucketed rank bounds the per-language sort at vocab scale",
+    )
     b, o = _sql_pair(similarity.gen_cosine_topk, ("embeddings",))
     add("sim_cosine_topk", b, o, headline=True, tags=("similarity",), doc="brute-force cosine top-k (exact baseline)")
     b, o = _sql_pair(similarity.gen_ivf_topk, ("embeddings",))
@@ -919,6 +938,42 @@ def _specs() -> list[QuerySpec]:
         o,
         tags=("dedup", "quality"),
         doc="precision/recall of minhash-LSH candidates vs exact blocked Jaccard",
+    )
+    b, o = _sql_pair(similarity.gen_rp_lsh_topk, ("embeddings",))
+    add(
+        "sim_rp_lsh_topk",
+        b,
+        o,
+        tags=("similarity",),
+        doc="random-hyperplane LSH top-k (md5-derived deterministic planes, multi-probe "
+        "Hamming radius 1, exact rerank of survivors) — every component signed, unlike "
+        "the leading-component IVF buckets",
+    )
+    b, o = _sql_pair(similarity.gen_rp_lsh_recall, ("embeddings",))
+    add(
+        "sim_rp_lsh_recall",
+        b,
+        o,
+        tags=("similarity", "quality"),
+        doc="recall@k of the hyperplane-LSH tier vs exact top-k, as a measured query",
+    )
+    b, o = _sql_pair(similarity.gen_embedding_stats, ("embeddings",))
+    add(
+        "embedding_stats_audit",
+        b,
+        o,
+        tags=("similarity", "quality"),
+        doc="per-label embedding audit (counts, dim bounds, zero-norm count, norm "
+        "distribution) — the pre-index sanity gate; one pruned scan + one partial agg",
+    )
+    b, o = _sql_pair(similarity.gen_label_outliers, ("embeddings",))
+    add(
+        "embedding_label_outliers",
+        b,
+        o,
+        tags=("similarity", "quality"),
+        doc="top-3 farthest-from-centroid vectors per label (mislabel/failed-embedding "
+        "probe); posexplode dim means + order-pinned centroid arrays + broadcast join",
     )
     b, o = _sql_pair(similarity.gen_knn_join, ("embeddings",))
     add(
@@ -1468,15 +1523,22 @@ FROM files f
 # pipeline_ngram_contamination, pipeline_domain_mixture) take the slots of
 # three quadruple-stamped stable entries (window_topk_orders, dedup_exact,
 # events_json_props — driver-green r1-r4) so the newest code meets the
-# external gate in its own round (r4 advice).
+# external gate in its own round (r4 advice).  The four round-5 audit-plane
+# additions (text_gopher_rules, text_zipf_audit, embedding_stats_audit,
+# embedding_label_outliers) likewise take the slots of four r4-stamped
+# stable scan ops (text_token_stats, text_quality_score, text_lang_id,
+# text_fingerprint — driver-green r4, map-only, lowest re-stamp value).
 _DRIVER_WINDOW_FIRST = (
     # ts-fixed report/window plane (r3 driver FAILs — keep stamped)
     "report_status_full",
     "report_status_events",
     "report_status_averages",
     "report_status_brief",
-    "window_event_deltas",
-    "rollup_events_daily",
+    # round-5 RP-LSH plane, first driver stamps (displacing the
+    # double-stamped window_event_deltas / rollup_events_daily — driver-green
+    # r3 AND r4, the lowest re-stamp value left in the window)
+    "sim_rp_lsh_topk",
+    "sim_rp_lsh_recall",
     # headline bench queries
     "report_large_old_files",
     "tpch_q1_pricing_summary",
@@ -1491,10 +1553,11 @@ _DRIVER_WINDOW_FIRST = (
     # never-driver-stamped entries (positions 51-85 in rounds 1-3)
     "text_chunk_split",
     "text_pack_bins",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
+    # round-5 audit plane, first driver stamps
+    "text_gopher_rules",
+    "text_zipf_audit",
+    "embedding_stats_audit",
+    "embedding_label_outliers",
     "sim_cosine_topk",
     "sim_ivf_topk",
     "dedup_embedding_cosine",

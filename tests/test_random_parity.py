@@ -97,6 +97,9 @@ QUERIES = [
     ("boilerplate_ngrams", lambda d: text.gen_boilerplate_ngrams(d, n=3, top_k=20)),
     ("ngram_contamination", lambda d: pipeline.gen_ngram_contamination(d, n=3)),
     ("domain_mixture", lambda d: pipeline.gen_domain_mixture(d)),
+    # round-5 quality-audit plane
+    ("gopher_battery", lambda d: text.gen_gopher_battery(d)),
+    ("zipf_audit", lambda d: text.gen_zipf_audit(d, top_k=10, prebuckets=4)),
 ]
 
 
@@ -144,6 +147,14 @@ EMB_QUERIES = [
     ("embedding_near_dup", lambda d: similarity.gen_embedding_near_dup(d)),
     ("knn_join", lambda d: similarity.gen_knn_join(d, k=3)),
     ("ivf_recall", lambda d: similarity.gen_ivf_recall(d, 0, 10)),
+    # round-5 audit plane: the all-zero vector must land in n_zero_norm (not
+    # crash), and outlier ranks must agree on exact-duplicate ties
+    ("embedding_stats", lambda d: similarity.gen_embedding_stats(d)),
+    ("label_outliers", lambda d: similarity.gen_label_outliers(d, per_label=3)),
+    # 4 planes on 8-dim vectors: duplicate/antipode/zero rows exercise sign
+    # boundaries in every signature bit
+    ("rp_lsh_topk", lambda d: similarity.gen_rp_lsh_topk(d, 0, 10, n_planes=4)),
+    ("rp_lsh_recall", lambda d: similarity.gen_rp_lsh_recall(d, 0, 10, n_planes=4)),
 ]
 
 
