@@ -91,3 +91,47 @@ FROM (
 ) t
 WHERE pick_order <= {per_stratum}
 """.strip()
+
+
+def gen_weighted_sample(d: Dialect, sample_size: int = 200, seed: str = "ws") -> str:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis 2006, public): each document draws a frozen
+    md5-derived uniform u ∈ (0, 1] and competes with key ln(u)/w — the log
+    of the classic u^(1/w) priority, same order, better conditioned — where
+    w is the document's weight (length here; any positive quality column
+    plugs in).  The global top-``sample_size`` by key IS an exact weighted
+    sample: inclusion probability proportional to w, no replacement, no
+    reservoir state.
+
+    This is how a training pipeline samples a token-budgeted mixture
+    ("take 10M docs, longer/higher-quality ones proportionally more
+    often") reproducibly: u is a pure function of (seed, doc_id), so the
+    sample is rerun-stable, engine-stable, and join-backable, unlike
+    rand()/TABLESAMPLE.
+
+    100 TB shape: map-only key computation (one md5 + one ln per row
+    inside codegen), and the ORDER BY+LIMIT fuses to
+    TakeOrderedAndProject — per-partition top-k then a driver merge of
+    ``sample_size`` rows; no global sort, no shuffle of the corpus.
+    Cross-engine note: ln differs from libm-to-JVM by ≤1 ulp, which could
+    in principle flip a rank between keys closer than ~1e-15 — md5-spread
+    keys make that measure-zero (the randomized battery sweeps it).
+    """
+    concat = f"concat('{seed}', doc_id)"
+    md5_12 = f"substr({d.md5_utf8(concat)}, 1, 12)"
+    u = f"(CAST({d.hex12_to_bigint(md5_12)} AS DOUBLE) + 1.0) / 281474976710656.0"
+    return f"""
+SELECT doc_id, lang, w, {d.trunc6('es_key')} AS sample_key
+FROM (
+  SELECT doc_id, lang, w, ln(u) / w AS es_key
+  FROM (
+    SELECT doc_id, lang,
+           CAST(greatest(length(text), 1) AS DOUBLE) AS w,
+           {u} AS u
+    FROM documents
+    WHERE text IS NOT NULL
+  ) t0
+) t1
+ORDER BY es_key DESC, doc_id
+LIMIT {sample_size}
+""".strip()

@@ -805,6 +805,16 @@ def _specs() -> list[QuerySpec]:
         tags=("dedup",),
         doc="quality-aware keeper per cluster (map-side max_by argmax; oracle = closure + window argmax)",
     )
+    b, o = _sql_pair(sampling.gen_weighted_sample, ("documents",))
+    add(
+        "weighted_sample",
+        b,
+        o,
+        tags=("sampling", "pipeline"),
+        doc="deterministic weighted sampling without replacement (Efraimidis-Spirakis "
+        "md5-frozen exponential keys, weight = doc length) — reproducible "
+        "token-budgeted mixture draws; map-only keys + TakeOrderedAndProject",
+    )
     b, o = _sql_pair(sampling.gen_split_assign, ("documents",))
     add(
         "split_assign",
@@ -996,6 +1006,36 @@ def _specs() -> list[QuerySpec]:
         doc="IVF top-k with TRAINED k-means centroids (distributed Lloyd's fit; "
         "deterministic init; multi-probe nprobe=2 — nprobe=k degenerates to exact, "
         "pytest-pinned); rows-only — iterative fit is not SQL-expressible",
+    )
+
+    def _b_pq_topk(spark, sf_dir):
+        from storage_crawler_spark.operators.pq import pq_adc_topk
+
+        return pq_adc_topk(spark, sf_dir)
+
+    add(
+        "sim_pq_topk",
+        _b_pq_topk,
+        None,
+        tags=("similarity",),
+        doc="product-quantization ADC top-k: m=8 per-subspace codebooks (distributed "
+        "Lloyd's), codes-only scan + literal LUT fold (32x memory compression at "
+        "dim=64/float32); rows-only — iterative fit; recall pinned by clustered-corpus "
+        "pytest + sim_pq_recall",
+    )
+
+    def _b_pq_recall(spark, sf_dir):
+        from storage_crawler_spark.operators.pq import pq_recall
+
+        return pq_recall(spark, sf_dir)
+
+    add(
+        "sim_pq_recall",
+        _b_pq_recall,
+        None,
+        tags=("similarity", "quality"),
+        doc="recall@k of the PQ/ADC compressed tier vs exact squared-L2 top-k, as a "
+        "measured query; rows-only",
     )
     b, o = _sql_pair(multimodal.gen_binary_meta, ("documents",))
     add("multimodal_binary_meta", b, o, tags=("multimodal",), doc="binary payload metadata (length/digest)")
@@ -1532,8 +1572,10 @@ _DRIVER_WINDOW_FIRST = (
     # ts-fixed report/window plane (r3 driver FAILs — keep stamped)
     "report_status_full",
     "report_status_events",
-    "report_status_averages",
     "report_status_brief",
+    # round-5 weighted sampler, first driver stamp (displacing the
+    # double-stamped report_status_averages — driver-green r3 AND r4)
+    "weighted_sample",
     # round-5 RP-LSH plane, first driver stamps (displacing the
     # double-stamped window_event_deltas / rollup_events_daily — driver-green
     # r3 AND r4, the lowest re-stamp value left in the window)

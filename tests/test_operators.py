@@ -792,3 +792,99 @@ def test_cc_star_long_chain_converges_and_empty_graph(spark):
     rows2 = connected_components_star(empty, spark.range(4).withColumnRenamed("id", "doc_id")).collect()
     assert {r.doc_id: r.component for r in rows2} == {i: i for i in range(4)}
     assert all(r.cluster_size == 1 and r.is_keeper == 1 for r in rows2)
+
+
+# -- product quantization (operators/pq.py) ----------------------------------
+
+
+def test_pq_fit_encode_shapes_and_determinism(spark):
+    """Codebook shapes, code ranges, rerun bit-stability, and the
+    divisibility guard."""
+    import pytest as _pytest
+
+    from storage_crawler_spark.operators.pq import pq_encode, pq_fit
+    from storage_crawler_spark.operators.kmeans import load_vectors
+
+    vectors = load_vectors(spark, "/root/testdata/sf0.001")
+    vectors.persist()
+    m, ksub = 4, 8
+    books = pq_fit(vectors, dim=64, m=m, ksub=ksub, iters=2)
+    assert len(books) == m
+    assert all(len(b) == ksub for b in books)
+    assert all(len(c) == 64 // m for b in books for c in b)
+    assert books == pq_fit(vectors, dim=64, m=m, ksub=ksub, iters=2)  # bit-stable
+
+    codes = pq_encode(vectors.select("vec_id", F.lit(0).alias("label"), "ev"), books)
+    rows = codes.collect()
+    assert all(len(r.codes) == m for r in rows)
+    assert all(0 <= c < ksub for r in rows for c in r.codes)
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_fit(vectors, dim=64, m=7)
+    vectors.unpersist()
+
+
+def test_pq_encode_centroid_roundtrip(spark):
+    """A vector that IS a centroid must encode to that centroid's code in
+    every subspace (argmin distance 0), and exact duplicates must get
+    identical codes."""
+    from storage_crawler_spark.operators.pq import pq_encode
+
+    books = [
+        [[0.0, 0.0], [1.0, 1.0], [2.0, 2.0]],
+        [[0.0, 0.0], [-1.0, -1.0], [3.0, 3.0]],
+    ]
+    df = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 1.0, -1.0, -1.0]),  # centroids (1, 1)
+            (1, 0, [2.0, 2.0, 3.0, 3.0]),    # centroids (2, 2)
+            (2, 0, [1.0, 1.0, -1.0, -1.0]),  # duplicate of 0
+        ],
+        "vec_id LONG, label INT, ev ARRAY<DOUBLE>",
+    )
+    got = {r.vec_id: list(r.codes) for r in pq_encode(df, books).collect()}
+    assert got[0] == [1, 1]
+    assert got[1] == [2, 2]
+    assert got[2] == got[0]
+
+
+def test_pq_adc_recall_on_clustered_corpus(spark, tmp_path):
+    """On a corpus of tight clusters around distinct anchors, ADC over PQ
+    codes must (a) rank the query's own cluster-mates first — recall@k
+    high against exact L2 — and (b) be rerun-deterministic.  Random data
+    can't pin accuracy (quantization error swamps the tiny true gaps);
+    clustered data is the regime PQ is FOR."""
+    import random
+
+    import pandas as pd
+
+    from storage_crawler_spark.operators.pq import pq_adc_topk, pq_recall
+
+    rng = random.Random(7)
+    anchors = [[rng.choice((-4.0, 4.0)) for _ in range(8)] for _ in range(4)]
+    # cluster size = k + 1: the query's 8 non-query mates are EXACTLY the
+    # exact-L2 top-8, and inter-cluster gaps dwarf quantization error, so
+    # ADC must recover the full set — recall == 1.0, not a loose bound.
+    # (With more mates than k, mates quantize to identical codes and the
+    # est_d2 tie-break picks an arbitrary-but-deterministic k-subset, which
+    # caps recall below 1 structurally, not through any PQ defect.)
+    k = 8
+    rows = []
+    for vec_id in range(36):
+        a = anchors[vec_id % 4]
+        rows.append(
+            (vec_id, [x + rng.uniform(-0.05, 0.05) for x in a], vec_id % 4)
+        )
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/embeddings.parquet", index=False)
+
+    got = pq_adc_topk(spark, sf, query_vec_id=0, k=k, m=4, ksub=4, iters=3).collect()
+    assert len(got) == k
+    assert [r.est_d2 for r in got] == sorted(r.est_d2 for r in got)  # ranked
+    assert all(r.label == 0 for r in got)  # every hit a cluster-mate
+
+    rec = pq_recall(spark, sf, query_vec_id=0, k=k, m=4, ksub=4, iters=3).collect()[0]
+    assert rec.recall == 1.0
+    again = pq_adc_topk(spark, sf, query_vec_id=0, k=k, m=4, ksub=4, iters=3).collect()
+    assert [(r.vec_id, r.est_d2) for r in again] == [(r.vec_id, r.est_d2) for r in got]

@@ -87,6 +87,9 @@ QUERIES = [
     ("split_assign", lambda d: sampling.gen_split_assign(d)),
     ("split_counts", lambda d: sampling.gen_split_counts(d)),
     ("stratified_sample", lambda d: sampling.gen_stratified_sample(d, per_stratum=5)),
+    # ln(u)/w keys: empty-text rows filtered, w floors at 1, ulp-level ln
+    # divergence must not flip md5-spread ranks
+    ("weighted_sample", lambda d: sampling.gen_weighted_sample(d, sample_size=25)),
     ("lang_id", lambda d: text.gen_lang_id(d)),
     ("pii_redact", lambda d: text.gen_pii_redact(d)),
     ("quality_filter", lambda d: text.gen_quality_filter(d)),
