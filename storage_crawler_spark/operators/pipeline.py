@@ -222,3 +222,129 @@ SELECT source, n_docs, sum_tokens,
        {d.trunc6('sqrt(share) / sum(sqrt(share)) OVER ()')} AS mix_weight
 FROM shares
 """.strip()
+
+
+def gen_split_divergence(d: Dialect, train_pct: int = 80, val_pct: int = 10) -> str:
+    """Vocabulary-drift gate between the deterministic train split and each
+    held-out split: add-one-smoothed unigram KL divergence KL(eval ‖ train)
+    plus out-of-vocabulary mass — the split-hygiene check a pipeline runs
+    BEFORE trusting its validation loss (a val set whose vocabulary has
+    drifted from train measures domain shift, not model quality; for the
+    md5-bucketed split here the expected divergence is near zero, so a
+    LARGE value is the alarm).
+
+    KL(e ‖ t) = Σ_v p_e(v) · ln(p_e(v) / p_t(v)) over the UNION vocabulary
+    with add-one smoothing (p_s(v) = (c_s(v) + 1) / (N_s + V)) — smoothing
+    makes both distributions full-support, so the sum is finite even for
+    OOV terms.  oov_mass = unsmoothed token mass of eval terms unseen in
+    train.
+
+    100 TB shape: one explode → one (split, term) partial-combining
+    aggregate → a per-TERM pivot (conditional sums, no join of exploded
+    streams) → one scalar aggregate per eval split.  The pivot means the
+    union-vocabulary "full outer join" costs nothing: each term row
+    already carries all three splits' counts.  Scalar totals (N_s, V)
+    ride in via a single-row cross join, and the long (eval_split, ...)
+    output pivots off ONE 1-row ``final`` aggregate via a constant-VALUES
+    cross join — a UNION ALL referencing the CTE twice would make Spark
+    (which inlines CTEs) run the whole explode chain twice.
+
+    Float parity: counts are exact integers; each term's contribution is
+    a few IEEE-rounded ops on identical doubles; only the final Σ over
+    terms is order-dependent — floor-truncated at 6 decimals per repo
+    convention.
+    """
+    split = split_case_expr(split_bucket_expr(d), train_pct, val_pct)
+    lat = d.lateral_explode(d.split("text"), "token")
+    return f"""
+WITH toks AS (
+  SELECT {split} AS split, token
+  FROM (SELECT doc_id, text FROM documents WHERE text IS NOT NULL) t0
+  {lat}
+),
+tf AS (
+  SELECT token,
+         CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS c_train,
+         CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS c_val,
+         CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS c_test
+  FROM toks
+  GROUP BY token
+),
+tot AS (
+  SELECT CAST(sum(c_train) AS DOUBLE) AS n_train,
+         CAST(sum(c_val) AS DOUBLE) AS n_val,
+         CAST(sum(c_test) AS DOUBLE) AS n_test,
+         CAST(count(*) AS DOUBLE) AS vocab
+  FROM tf
+),
+contrib AS (
+  SELECT
+    tf.c_train, tf.c_val, tf.c_test, tot.n_train, tot.n_val, tot.n_test, tot.vocab,
+    (tf.c_val + 1.0) / (tot.n_val + tot.vocab) AS p_val,
+    (tf.c_test + 1.0) / (tot.n_test + tot.vocab) AS p_test,
+    (tf.c_train + 1.0) / (tot.n_train + tot.vocab) AS p_train
+  FROM tf CROSS JOIN tot
+),
+fin AS (
+  SELECT CAST(max(vocab) AS BIGINT) AS union_vocab,
+         sum(p_val * ln(p_val / p_train)) AS kl_val,
+         sum(p_test * ln(p_test / p_train)) AS kl_test,
+         sum(CASE WHEN c_train = 0 THEN c_val ELSE 0 END) / max(n_val) AS oov_val,
+         sum(CASE WHEN c_train = 0 THEN c_test ELSE 0 END) / max(n_test) AS oov_test
+  FROM contrib
+)
+SELECT m.eval_split, f.union_vocab,
+       {d.trunc6("CASE m.eval_split WHEN 'val' THEN kl_val ELSE kl_test END")} AS kl_vs_train,
+       {d.trunc6("CASE m.eval_split WHEN 'val' THEN oov_val ELSE oov_test END")} AS oov_mass
+FROM fin f CROSS JOIN (VALUES ('val'), ('test')) AS m(eval_split)
+ORDER BY eval_split DESC
+""".strip()
+
+
+def gen_corpus_card(d: Dialect) -> str:
+    """The corpus card: one (metric, value) row per headline corpus
+    statistic — document/token/char volume, NULL-text count, language and
+    source cardinality, and the exact-duplicate ratio.  This is the
+    one-query summary a dataset datasheet starts from, and the cheap
+    drift check run after every ingest batch (diff two cards, alarm on
+    deltas).
+
+    ONE pass over the corpus: a single aggregate row (Spark plans the
+    multiple COUNT(DISTINCT)s via expand + one shuffle; everything else
+    partial-combines map-side), then the long (metric, value) format
+    pivots off that ONE-row relation via a constant-VALUES cross join and
+    a CASE — zero extra scans.  (A UNION ALL of per-metric projections
+    would reference the agg CTE nine times, and Spark inlines CTEs: nine
+    full corpus scans.)  All values emitted as DOUBLE so the long format
+    is type-stable; ratios floor-truncated per repo convention.
+    """
+    ntoks = d.size(d.split("text"))
+    md5t = d.md5_utf8("text")
+    return f"""
+WITH agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS n_null_text,
+         CAST(sum(CASE WHEN text IS NULL THEN 0 ELSE {ntoks} END) AS DOUBLE) AS total_tokens,
+         CAST(sum(CASE WHEN text IS NULL THEN 0 ELSE length(text) END) AS DOUBLE) AS total_chars,
+         CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+         CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+         CAST(count(DISTINCT {md5t}) AS DOUBLE) AS n_distinct_texts
+  FROM documents
+)
+SELECT m.metric,
+       CASE m.metric
+         WHEN 'exact_dup_ratio' THEN {d.trunc6('CASE WHEN n_docs - n_null_text > 0 THEN 1.0 - n_distinct_texts / (n_docs - n_null_text) ELSE 0.0 END')}
+         WHEN 'mean_doc_tokens' THEN {d.trunc6('CASE WHEN n_docs - n_null_text > 0 THEN total_tokens / (n_docs - n_null_text) ELSE 0.0 END')}
+         WHEN 'n_distinct_texts' THEN n_distinct_texts
+         WHEN 'n_docs' THEN n_docs
+         WHEN 'n_langs' THEN n_langs
+         WHEN 'n_null_text' THEN n_null_text
+         WHEN 'n_sources' THEN n_sources
+         WHEN 'total_chars' THEN total_chars
+         ELSE total_tokens
+       END AS value
+FROM agg CROSS JOIN (VALUES ('exact_dup_ratio'), ('mean_doc_tokens'),
+  ('n_distinct_texts'), ('n_docs'), ('n_langs'), ('n_null_text'),
+  ('n_sources'), ('total_chars'), ('total_tokens')) AS m(metric)
+ORDER BY metric
+""".strip()

@@ -414,7 +414,9 @@ FROM (
 """.strip()
 
 
-def gen_token_ngrams(d: Dialect, n: int = 5, src: str = "documents") -> str:
+def gen_token_ngrams(
+    d: Dialect, n: int = 5, src: str = "documents", passthrough: tuple[str, ...] = ()
+) -> str:
     """(doc_id, gram_no, ngram) token n-gram relation — the shared base of
     the boilerplate detector and the n-gram contamination check (the
     GPT-3-style decontamination unit is a token n-gram, not a char span).
@@ -426,14 +428,19 @@ def gen_token_ngrams(d: Dialect, n: int = 5, src: str = "documents") -> str:
     lo <= hi (Spark's ``sequence`` raises on inverted bounds; the filter
     also drops NULL texts in both engines — Spark sizes a NULL split to
     -1, DuckDB to NULL, and both fail ``n_toks >= n``).
+
+    ``passthrough`` names extra source columns carried to the output
+    (e.g. ``source`` for the cross-source overlap matrix) — keeping them
+    here keeps composers a single scan instead of a join back on doc_id.
     """
     starts = d.lateral_seq("0", f"n_toks - {n}", "gi")
     gram = d.ajoin(d.aslice("toks", "gi + 1", str(n)))
+    pt = "".join(f", {c}" for c in passthrough)
     return f"""
-SELECT doc_id, gi AS gram_no, {gram} AS ngram
+SELECT doc_id{pt}, gi AS gram_no, {gram} AS ngram
 FROM (
-  SELECT doc_id, toks, n_toks
-  FROM (SELECT doc_id, {d.split('text')} AS toks,
+  SELECT doc_id{pt}, toks, n_toks
+  FROM (SELECT doc_id{pt}, {d.split('text')} AS toks,
                {d.size(d.split('text'))} AS n_toks
         FROM {src}) t0
   WHERE n_toks >= {n}
@@ -593,4 +600,72 @@ FROM rk
 WHERE rnk <= {top_k}
 GROUP BY lang
 ORDER BY lang
+""".strip()
+
+
+def gen_source_overlap(
+    d: Dialect, n: int = 5, max_df: int = 50, gram_rel: str | None = None
+) -> str:
+    """Cross-source duplication matrix: n-gram Jaccard similarity between
+    every pair of sources — "which feeds are mirroring each other" is the
+    FIRST question of corpus curation (a mirrored feed double-counts its
+    domain in the training mixture and silently defeats per-source
+    dedup budgets).
+
+    Grams occurring in more than ``max_df`` documents are excluded from
+    the comparison — they are corpus-wide boilerplate (see
+    :func:`gen_boilerplate_ngrams`), carry no source-identity signal, and
+    at scale they are exactly the join-fanout keys: the cap is both the
+    statistical and the physical bound.  The exclusion count is emitted
+    per pair is NOT needed — the boilerplate detector reports the dropped
+    mass corpus-wide.
+
+    100 TB shape: distinct (source, ngram) via one partial-combining
+    aggregate over the exploded gram relation; the pair intersection is a
+    self-equi-join on ngram whose per-key fanout is bounded by the
+    number of sources (post-cap); per-source gram totals are a tiny
+    dimension broadcast back onto the pair rows.  No cross join of
+    sources, no all-pairs of documents.
+
+    The gram relation is referenced from several CTEs; Spark inlines
+    CTEs, so the Spark builder passes ``gram_rel`` naming a persisted
+    temp view (one explode), while the DuckDB oracle keeps the inline
+    form (DuckDB materializes multiply-referenced CTEs) — the same
+    split as gen_unigram_surprisal.
+    """
+    if gram_rel:
+        grams = gram_rel
+        dg_src = gram_rel
+    else:
+        grams = "(\n" + gen_token_ngrams(d, n, passthrough=("source",)) + "\n) gr"
+        dg_src = grams
+    return f"""
+WITH dg AS (
+  SELECT DISTINCT doc_id, source, ngram
+  FROM {dg_src}
+  WHERE source IS NOT NULL
+),
+df AS (
+  SELECT ngram FROM (
+    SELECT ngram, count(*) AS n_docs FROM dg GROUP BY ngram
+  ) t WHERE n_docs <= {max_df}
+),
+g AS (
+  SELECT DISTINCT d0.source, d0.ngram
+  FROM dg d0 JOIN df ON d0.ngram = df.ngram
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM g a JOIN g b ON a.ngram = b.ngram AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.source_a, p.source_b, p.n_common,
+       sa.n_grams AS grams_a, sb.n_grams AS grams_b,
+       {d.trunc6('CAST(p.n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - p.n_common)')} AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.source_a = sa.source
+JOIN sizes sb ON p.source_b = sb.source
+ORDER BY source_a, source_b
 """.strip()

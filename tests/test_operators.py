@@ -888,3 +888,43 @@ def test_pq_adc_recall_on_clustered_corpus(spark, tmp_path):
     assert rec.recall == 1.0
     again = pq_adc_topk(spark, sf, query_vec_id=0, k=k, m=4, ksub=4, iters=3).collect()
     assert [(r.vec_id, r.est_d2) for r in again] == [(r.vec_id, r.est_d2) for r in got]
+
+
+# -- rate anomaly (plans/registry.py gen_rate_anomaly) -----------------------
+
+
+def test_rate_anomaly_planted_spike(spark, tmp_path):
+    """A 10x spike after a PERFECTLY steady baseline must be flagged (the
+    zero-trailing-variance case the sd floor exists for), steady windows
+    must stay silent, and a mild wobble within the floor must not alarm."""
+    import pandas as pd
+
+    from storage_crawler_spark.plans import registry
+
+    rows = []
+    eid = 0
+    base = 1_700_000_000
+    # steady: 5 events in each of windows 0..9; spike: 50 events in window 10;
+    # then 4 more steady windows (their trails contain the spike — allowed
+    # to alarm or not; we only pin the spike window and the pre-spike quiet)
+    for w in range(15):
+        n = 50 if w == 10 else 5
+        for i in range(n):
+            rows.append(
+                (eid, pd.Timestamp(base + w * 3600 + (i % 3000), unit="s"),
+                 7, "steady", 1.0, "{}")
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/events.parquet", index=False)
+
+    spec = registry.get_query("window_rate_anomaly")
+    got = {r.window_start: r for r in spec.builder(spark, sf).collect()}
+    spike_ws = base // 3600 * 3600 + 10 * 3600
+    assert spike_ws in got, "zero-variance-trail spike must be flagged"
+    assert got[spike_ws].z == (50 - 5) / 1.0  # exact: sd floored at 1.0
+    pre_spike = [ws for ws in got if ws < spike_ws]
+    assert pre_spike == [], f"steady baseline windows flagged: {pre_spike}"

@@ -41,6 +41,9 @@ EVENT_ENTRIES = [
     "streaming_attribution_join",
     "streaming_dedup",
     "streaming_user_sessions",
+    # trailing-z anomaly: pooled-instant ties stress the exact-integer
+    # trailing stats and the cross-engine threshold decisions
+    "window_rate_anomaly",
     # streaming_event_deltas is rows-only (stateful applyInPandasWithState,
     # no SQL oracle) — covered by tests/test_streaming.py instead
 ]

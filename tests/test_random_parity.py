@@ -103,6 +103,12 @@ QUERIES = [
     # round-5 quality-audit plane
     ("gopher_battery", lambda d: text.gen_gopher_battery(d)),
     ("zipf_audit", lambda d: text.gen_zipf_audit(d, top_k=10, prebuckets=4)),
+    # small n/max_df so the 1-40-token random docs produce grams and the
+    # boilerplate cap actually drops the shared_run grams
+    ("source_overlap", lambda d: text.gen_source_overlap(d, n=3, max_df=10)),
+    ("split_divergence", lambda d: pipeline.gen_split_divergence(d)),
+    # empty texts, NULL lang, exact duplicates all hit the card's guards
+    ("corpus_card", lambda d: pipeline.gen_corpus_card(d)),
 ]
 
 

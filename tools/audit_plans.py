@@ -80,6 +80,16 @@ NLJ_ALLOWED = {
     # (the scalar normalizer) — 1-row build side
     "text_unigram_surprisal",
     "text_tfidf_topterms",
+    # RP-LSH: CROSS JOINs of the 1-row planes relation (array-of-arrays
+    # reassembled by a global agg) and the 1-row query-vector row
+    "sim_rp_lsh_topk",
+    "sim_rp_lsh_recall",
+    # split-hygiene KL: CROSS JOINs of 1-row aggregates (totals; the final
+    # pivot row) and the 2-row constant-VALUES eval-split relation
+    "split_vocab_divergence",
+    # corpus card: 1-row corpus aggregate × 9-row constant-VALUES metric
+    # relation — the pivot that keeps the card to ONE corpus scan
+    "corpus_card",
 }
 
 # Queries that must not plan a Window operator (their aggregates are
