@@ -669,3 +669,40 @@ JOIN sizes sa ON p.source_a = sa.source
 JOIN sizes sb ON p.source_b = sb.source
 ORDER BY source_a, source_b
 """.strip()
+
+
+def gen_length_quantiles(d: Dialect) -> str:
+    """Exact per-language document-length quantiles (p25/p50/p90/p99 of
+    n_chars, linearly interpolated) — the exactness baseline that the
+    approximate sketch tier (operators/sketches.py GK quantiles,
+    ``sketch_value_quantiles``) is measured against, mirroring the
+    brute-force-cosine-vs-IVF pairing of the similarity stack.  Length
+    distributions drive chunking budgets and truncation policy; p99 is the
+    one that finds the pathological megadocs.
+
+    ``percentile_cont(q) WITHIN GROUP (ORDER BY col)`` parses in BOTH
+    engines, and linear interpolation over exact BIGINT inputs is a few
+    IEEE-rounded ops — bit-identical, no trunc6 hedging needed on the
+    quantiles themselves (still applied, for the repo convention).
+
+    Scale note: exact per-group percentiles sort each group — fine at any
+    per-language cardinality a documents table reaches, but the 100 TB
+    DEFAULT is the mergeable GK sketch; this is the audit/oracle tier, the
+    same exact-vs-approx contract as the ANN plane.
+    """
+    qs = {"p25": 0.25, "p50": 0.50, "p90": 0.90, "p99": 0.99}
+    cols = ",\n       ".join(
+        f"{d.trunc6(f'percentile_cont({q}) WITHIN GROUP (ORDER BY n_chars)')} AS {name}_chars"
+        for name, q in qs.items()
+    )
+    return f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       {cols},
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+WHERE text IS NOT NULL AND lang IS NOT NULL
+GROUP BY lang
+ORDER BY lang
+""".strip()

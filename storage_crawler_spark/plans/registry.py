@@ -978,6 +978,16 @@ def _specs() -> list[QuerySpec]:
     add("text_lang_id", b, o, tags=("text",), doc="marker-based language ID vs labels")
     b, o = _sql_pair(text.gen_fingerprint, ("documents",))
     add("text_fingerprint", b, o, tags=("text",), doc="rolling polynomial document fingerprint")
+    b, o = _sql_pair(text.gen_length_quantiles, ("documents",))
+    add(
+        "text_length_quantiles",
+        b,
+        o,
+        tags=("text", "quality"),
+        doc="exact per-language length quantiles (percentile_cont WITHIN GROUP, both "
+        "engines) — the exactness baseline for the GK sketch tier, same exact-vs-"
+        "approx contract as the ANN plane",
+    )
     b, o = _sql_pair(text.gen_gopher_battery, ("documents",))
     add(
         "text_gopher_rules",
@@ -1722,8 +1732,11 @@ _DRIVER_WINDOW_FIRST = (
     "pipeline_ngram_contamination",
     "pipeline_domain_mixture",
     # never-driver-stamped entries (positions 51-85 in rounds 1-3)
-    "text_chunk_split",
     "text_pack_bins",
+    # round-5 exact-quantile tier, first driver stamp (displacing
+    # text_chunk_split — driver-green r4; its lateral-explode machinery is
+    # independently stamped via text_pack_bins, which composes it)
+    "text_length_quantiles",
     # round-5 audit plane, first driver stamps
     "text_gopher_rules",
     "text_zipf_audit",

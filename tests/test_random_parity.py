@@ -109,6 +109,8 @@ QUERIES = [
     ("split_divergence", lambda d: pipeline.gen_split_divergence(d)),
     # empty texts, NULL lang, exact duplicates all hit the card's guards
     ("corpus_card", lambda d: pipeline.gen_corpus_card(d)),
+    # interpolated quantiles over the adversarial length distribution
+    ("length_quantiles", lambda d: text.gen_length_quantiles(d)),
 ]
 
 
