@@ -596,6 +596,18 @@ def _b_streaming_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(per_key_deltas(read_events_stream(spark, sf_dir)), output_mode="update")
 
 
+def _b_streaming_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_crawler_spark.streaming import (
+        rate_anomaly_stream,
+        read_events_stream,
+        run_to_completion,
+    )
+
+    return run_to_completion(
+        rate_anomaly_stream(read_events_stream(spark, sf_dir)), output_mode="update"
+    )
+
+
 def _b_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from storage_crawler_spark.streaming import attribution_join, read_events_stream, run_to_completion
 
@@ -1231,6 +1243,15 @@ WHERE (doc_id % 7 = 0 AND doc_id % 5 != 0)
         None,
         tags=("streaming",),
         doc="applyInPandasWithState per-key deltas (A17 rate analog); rows-only check, pytest-verified vs lag()",
+    )
+    add(
+        "streaming_rate_anomaly",
+        _b_streaming_rate_anomaly,
+        None,
+        tags=("streaming",),
+        doc="stateful trailing-z rate anomaly (O(trail) ring state per key); rows-only "
+        "check, pytest-pinned == batch window_rate_anomaly minus each key's never-"
+        "closing final window",
     )
     add(
         "streaming_attribution_join",

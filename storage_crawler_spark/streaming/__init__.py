@@ -27,7 +27,7 @@ from storage_crawler_spark.streaming.events import (
 )
 from storage_crawler_spark.streaming.incremental import incremental_crawl, read_path_stream
 from storage_crawler_spark.streaming.listener import StatusMetricsListener
-from storage_crawler_spark.streaming.stateful import per_key_deltas
+from storage_crawler_spark.streaming.stateful import per_key_deltas, rate_anomaly_stream
 
 __all__ = [
     "attribution_join",
@@ -38,6 +38,7 @@ __all__ = [
     "session_counts",
     "windowed_counts",
     "per_key_deltas",
+    "rate_anomaly_stream",
     "StatusMetricsListener",
     "incremental_crawl",
     "read_path_stream",

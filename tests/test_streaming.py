@@ -153,3 +153,34 @@ def test_incremental_crawl_epochs(spark, tmp_path):
     q = incremental_crawl(spark, str(landing), lake, tag="inc")
     q.awaitTermination()
     assert spark.read.parquet(f"{lake}/storcrawl_inc/files").count() == 3
+
+
+def test_streaming_rate_anomaly_matches_batch(spark):
+    """The stateful trailing-z detector must equal the batch
+    window_rate_anomaly plan on the same events, minus each key's FINAL
+    window (which never closes in a finite stream) — window starts,
+    counts, and the trunc6'd mean/std/z all bit-equal."""
+    from storage_crawler_spark.plans import registry
+    from storage_crawler_spark.streaming import rate_anomaly_stream
+
+    stream_out = run_to_completion(
+        rate_anomaly_stream(read_events_stream(spark, SF_DIR)), output_mode="update"
+    )
+    batch = registry.get_query("window_rate_anomaly").builder(spark, SF_DIR)
+    last_ws = {
+        r.event_type: r.ws
+        for r in _batch_events(spark)
+        .groupBy("event_type")
+        .agg(F.expr("max(epoch_s div 3600 * 3600)").alias("ws"))
+        .collect()
+    }
+    batch_rows = [
+        t
+        for t in _rows(batch, "window_start", "event_type", "n_events",
+                       "trail_mean", "trail_std", "z")
+        if t[0] != last_ws[t[1]]
+    ]
+    got = _rows(stream_out, "window_start", "event_type", "n_events",
+                "trail_mean", "trail_std", "z")
+    assert got == batch_rows
+    assert len(got) > 0  # the synthetic events do contain anomalies
