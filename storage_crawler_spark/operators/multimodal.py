@@ -335,3 +335,41 @@ SELECT
   {d.ascii_safe("text")} AS first_byte
 FROM documents
 """.strip()
+
+
+def features_oracle_sql() -> str:
+    """DuckDB-ONLY oracle for :func:`extract_features` over the
+    documents-as-media carrier: decode_stub's arithmetic is a pure
+    function of the payload bytes (length, and the sum of the first 64
+    byte values), so it is replicable relationally — byte values come
+    from the hex rendering of the BLOB (DuckDB cannot slice BLOBs
+    directly, but ``unhex``/``hex`` round-trips give positional byte
+    access).  media_type is always 'text' on this carrier, so the codec
+    error column is constantly NULL.  frame_sample/resize stay rows-only:
+    their outputs are raw BINARY columns, and the driver comparator's
+    treatment of Spark bytearray cells is unproven — pytest covers them
+    byte-exactly instead."""
+    byte_i = "CAST('0x' || substring(hx, 2 * i - 1, 2) AS INT)"
+    return f"""
+WITH m AS (
+  SELECT doc_id, encode(text) AS content FROM documents
+),
+b AS (
+  SELECT doc_id, octet_length(content) AS n, hex(content) AS hx FROM m
+),
+s AS (
+  SELECT b.doc_id,
+         coalesce(sum({byte_i}), 0) AS head_sum
+  FROM b, unnest(generate_series(1, least(b.n, 64))) AS _i(i)
+  WHERE b.n IS NOT NULL
+  GROUP BY b.doc_id
+)
+SELECT b.doc_id, 'text' AS media_type,
+       CAST(b.n AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN b.n IS NULL THEN NULL ELSE (b.n % 640) + 1 END AS INT) AS width,
+       CAST(CASE WHEN b.n IS NULL THEN NULL ELSE ((b.n * 7) % 480) + 1 END AS INT) AS height,
+       CASE WHEN b.n IS NULL THEN NULL
+            ELSE round((coalesce(s.head_sum, 0) % 1000) / 1000.0, 6) END AS feature_norm,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM b LEFT JOIN s ON b.doc_id = s.doc_id
+""".strip()

@@ -68,3 +68,45 @@ def pack_greedy(chunks: DataFrame, token_budget: int = 256, n_partitions: int | 
         .sortWithinPartitions("doc_id", "chunk_no")
         .mapInPandas(kernel, PACKED_SCHEMA)
     )
+
+
+def pack_greedy_oracle_sql(
+    token_budget: int = 256, chunk_tokens: int = 64, stride: int = 48
+) -> str:
+    """DuckDB-ONLY oracle for single-partition exact-greedy packing: the
+    sequential fold that :func:`pack_greedy` computes per partition,
+    expressed as a recursive CTE stepping one chunk at a time in
+    (doc_id, chunk_no) order.  Not dialect-shared — Spark SQL has no
+    recursive CTEs, and the point is an INDEPENDENT formulation of the
+    same greedy contract (close the bin when the next chunk would
+    overflow; an over-budget chunk gets a bin to itself).  With one
+    partition, pack_greedy's pid-namespaced bin id (pid << 32 | local)
+    degenerates to the plain sequential bin counter this recursion
+    produces; the multi-partition path's properties (no bin over budget,
+    bins never span partitions) stay pinned by pytest."""
+    from storage_crawler_spark.operators.text import gen_chunk_split
+    from storage_crawler_spark.plans.dialect import DUCK
+
+    return f"""
+WITH RECURSIVE chunks AS (
+  SELECT doc_id, chunk_no, n_chunk_tokens,
+         row_number() OVER (ORDER BY doc_id, chunk_no) AS rn
+  FROM (
+{gen_chunk_split(DUCK, chunk_tokens, stride)}
+  ) c
+),
+greedy AS (
+  SELECT rn, doc_id, chunk_no, n_chunk_tokens,
+         CAST(0 AS BIGINT) AS bin_id, n_chunk_tokens AS bin_fill
+  FROM chunks WHERE rn = 1
+  UNION ALL
+  SELECT c.rn, c.doc_id, c.chunk_no, c.n_chunk_tokens,
+         CASE WHEN g.bin_fill > 0 AND g.bin_fill + c.n_chunk_tokens > {token_budget}
+              THEN g.bin_id + 1 ELSE g.bin_id END,
+         CASE WHEN g.bin_fill > 0 AND g.bin_fill + c.n_chunk_tokens > {token_budget}
+              THEN c.n_chunk_tokens ELSE g.bin_fill + c.n_chunk_tokens END
+  FROM greedy g JOIN chunks c ON c.rn = g.rn + 1
+)
+SELECT doc_id, chunk_no, n_chunk_tokens, bin_id, bin_fill
+FROM greedy
+""".strip()

@@ -348,3 +348,57 @@ FROM agg CROSS JOIN (VALUES ('exact_dup_ratio'), ('mean_doc_tokens'),
   ('n_sources'), ('total_chars'), ('total_tokens')) AS m(metric)
 ORDER BY metric
 """.strip()
+
+
+def gen_mixture_quota(
+    d: Dialect, token_budget: int = 1_000_000, alpha_pct: int = 50
+) -> str:
+    """Per-source sampling QUOTAS for a token-budgeted training mixture —
+    the actionable sequel to :func:`gen_domain_mixture`: given a total
+    ``token_budget``, each source's token allocation is budget × w_i
+    (temperature-sampled weight, alpha = ``alpha_pct``/100), converted to
+    a document quota via the source's OWN mean document length, and capped
+    at the documents the source actually has (a small source cannot
+    oversample without replacement; the shortfall is reported as its own
+    column instead of silently redistributed).
+
+    One corpus aggregation (identical shape to gen_domain_mixture), then
+    pure arithmetic on the per-source relation.  Integer quotas use floor
+    — budgets are ceilings, not targets.
+    """
+    ntoks = d.size(d.split("text"))
+    # sqrt is IEEE-correctly-rounded everywhere; pow(x, 0.5) is not
+    # guaranteed to be, and a last-ulp libm/JVM divergence under the
+    # floor()ed quota could flip an integer — use sqrt for the canonical
+    # alpha = 0.5 and pow only for other temperatures
+    share_pow = (
+        "sqrt(share)" if alpha_pct == 50 else f"power(share, {alpha_pct} / 100.0)"
+    )
+    return f"""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN text IS NULL THEN 0 ELSE {ntoks} END) AS BIGINT) AS sum_tokens
+  FROM documents
+  GROUP BY source
+),
+shares AS (
+  SELECT source, n_docs, sum_tokens,
+         CAST(sum_tokens AS DOUBLE) / CAST(sum(sum_tokens) OVER () AS DOUBLE) AS share
+  FROM per_src
+),
+weights AS (
+  SELECT source, n_docs, sum_tokens, share,
+         {share_pow} / sum({share_pow}) OVER () AS w
+  FROM shares
+  WHERE sum_tokens > 0
+)
+SELECT source, n_docs, sum_tokens,
+       {d.trunc6('w')} AS mix_weight,
+       CAST(floor({token_budget} * w) AS BIGINT) AS token_quota,
+       least(CAST(floor({token_budget} * w / (CAST(sum_tokens AS DOUBLE) / n_docs)) AS BIGINT),
+             n_docs) AS doc_quota,
+       CAST(greatest(CAST(floor({token_budget} * w / (CAST(sum_tokens AS DOUBLE) / n_docs)) AS BIGINT) - n_docs,
+                     0) AS BIGINT) AS doc_shortfall
+FROM weights
+ORDER BY source
+""".strip()

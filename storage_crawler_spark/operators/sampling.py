@@ -135,3 +135,64 @@ FROM (
 ORDER BY es_key DESC, doc_id
 LIMIT {sample_size}
 """.strip()
+
+
+def gen_shard_plan(d: Dialect, n_shards: int = 16, seed: str = "shard") -> str:
+    """Deterministic training-shard layout: every document gets a frozen
+    (shard_id, shard_pos) — shard by md5 bucket, position by md5 order
+    within the shard — so the materialized corpus (one file per shard,
+    sorted by shard_pos) is a reproducible global shuffle: same corpus in,
+    bit-identical shard files out, on any cluster size.  This is the
+    export step after filter/dedup/sample: training jobs stream shards
+    sequentially and get a fixed, engine-independent example order
+    (rand()-based shuffles can't promise any of this).
+
+    100 TB shape: the md5 keys are map-only; one shuffle on shard_id and a
+    per-shard sort — exactly the write pattern of
+    ``df.repartition(n, shard_id).sortWithinPartitions(...)``, which is
+    how the companion writer materializes it (one sorted file per shard,
+    no global sort).  Per-shard rank uses the same two-phase escape hatch
+    as every other big window in this repo if a shard outgrows one task.
+    """
+    concat = f"concat('{seed}', doc_id)"
+    md5_12 = f"substr({d.md5_utf8(concat)}, 1, 12)"
+    key = d.hex12_to_bigint(md5_12)
+    return f"""
+SELECT doc_id, shard_id,
+       row_number() OVER (PARTITION BY shard_id ORDER BY shuffle_key, doc_id) AS shard_pos
+FROM (
+  SELECT doc_id, CAST({key} % {n_shards} AS INT) AS shard_id,
+         {key} AS shuffle_key
+  FROM documents
+) t
+""".strip()
+
+
+def write_shards(df, path: str, n_shards: int = 16, seed: str = "shard"):
+    """Materialize the :func:`gen_shard_plan` layout: one sorted parquet
+    file per shard under ``path/shard_id=N/``.  ``df`` must carry
+    ``doc_id``; all other columns ride along as the payload.
+
+    ``repartition(n_shards, shard_id)`` routes every row of a shard to
+    exactly ONE task (hash collisions merely co-locate two shards in one
+    task — the writer's partitionBy still splits them into separate
+    files), and ``sortWithinPartitions`` makes each file internally
+    ordered by the frozen shuffle key: one shuffle + per-task sort, no
+    global sort, bit-identical files on any cluster size.
+    """
+    from pyspark.sql import functions as F
+
+    key = F.expr(
+        f"CAST(conv(substr(md5(encode(concat('{seed}', doc_id), 'utf-8')), 1, 12), 16, 10) AS BIGINT)"
+    )
+    keyed = df.withColumn("__shuffle_key", key).withColumn(
+        "shard_id", (F.col("__shuffle_key") % n_shards).cast("int")
+    )
+    (
+        keyed.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "__shuffle_key", "doc_id")
+        .drop("__shuffle_key")
+        .write.partitionBy("shard_id")
+        .mode("overwrite")
+        .parquet(path)
+    )

@@ -189,3 +189,67 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 7, n_chunks: int = 8) 
     return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def simhash_pairs_oracle_sql(max_hamming: int = 7, n_chunks: int = 8) -> str:
+    """DuckDB-ONLY oracle replicating the full simhash pipeline in SQL —
+    possible because every ingredient is deterministic and md5-derived:
+    token hash = first 8 md5 bytes (the hex prefix, big-endian, exactly
+    ``int.from_bytes(digest[:8], 'big')``), per-bit ±frequency votes,
+    fingerprint bit b = (vote > 0), pigeonhole chunk equality join, exact
+    Hamming verification.  Everything stays UNSIGNED (UBIGINT) — the
+    signed int64 view only matters for Spark's LongType storage, and the
+    pair output (doc_a, doc_b, hamming) never sees the sign.
+
+    Zero-token documents (empty/whitespace text, non-NULL) fingerprint to
+    0 in the Python kernel, so the LEFT JOIN + coalesce reproduces them
+    instead of dropping docs with no token rows.  Not dialect-shared: this
+    is an INDEPENDENT formulation (relational per-bit votes vs numpy
+    packbits) of the same contract, which is what makes the check strong.
+    """
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    return f"""
+WITH toks AS (
+  SELECT doc_id, token
+  FROM (SELECT doc_id, text FROM documents WHERE text IS NOT NULL) t,
+       unnest(string_split(text, ' ')) AS _lv(token)
+  WHERE token <> ''
+),
+th AS (
+  SELECT doc_id, CAST('0x' || substr(md5(token), 1, 16) AS UBIGINT) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM th, unnest(generate_series(0, 63)) AS _b(b)
+  GROUP BY doc_id, b
+),
+fp0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN (CAST(1 AS UBIGINT) << b)
+                  ELSE CAST(0 AS UBIGINT) END) AS fp_u
+  FROM bits GROUP BY doc_id
+),
+fp AS (
+  SELECT d.doc_id, coalesce(f.fp_u, CAST(0 AS UBIGINT)) AS fp_u
+  FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+  LEFT JOIN fp0 f ON d.doc_id = f.doc_id
+),
+chunks AS (
+  SELECT doc_id, c, (fp_u >> (c * {width})) & {mask} AS cv
+  FROM fp, unnest(generate_series(0, {n_chunks - 1})) AS _c(c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM chunks a JOIN chunks b
+    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT cand.doc_a, cand.doc_b,
+       CAST(bit_count(xor(fa.fp_u, fb.fp_u)) AS INT) AS hamming
+FROM cand
+JOIN fp fa ON cand.doc_a = fa.doc_id
+JOIN fp fb ON cand.doc_b = fb.doc_id
+WHERE bit_count(xor(fa.fp_u, fb.fp_u)) <= {max_hamming}
+""".strip()

@@ -903,6 +903,26 @@ def _specs() -> list[QuerySpec]:
         "md5-frozen exponential keys, weight = doc length) — reproducible "
         "token-budgeted mixture draws; map-only keys + TakeOrderedAndProject",
     )
+    b, o = _sql_pair(sampling.gen_shard_plan, ("documents",))
+    add(
+        "pipeline_shard_plan",
+        b,
+        o,
+        tags=("sampling", "pipeline"),
+        doc="deterministic training-shard layout (md5 shard + frozen in-shard order) — "
+        "the reproducible global shuffle; write_shards materializes it as one sorted "
+        "file per shard (pytest: physical file order == plan order)",
+    )
+    b, o = _sql_pair(pipeline_ops.gen_mixture_quota, ("documents",))
+    add(
+        "pipeline_mixture_quota",
+        b,
+        o,
+        tags=("pipeline",),
+        doc="token-budget -> per-source doc quotas via temperature weights and per-"
+        "source mean lengths; small-source shortfall reported, never silently "
+        "redistributed",
+    )
     b, o = _sql_pair(sampling.gen_split_assign, ("documents",))
     add(
         "split_assign",
@@ -973,14 +993,22 @@ def _specs() -> list[QuerySpec]:
 
         V.register_base_tables(spark, sf_dir, ("documents",))
         chunks = spark.sql(text.gen_chunk_split(SPARK))
-        return pack_greedy(chunks)
+        # n_partitions=1: the oracle-checkable SEQUENTIAL greedy contract
+        # (pid-namespaced bins degenerate to the plain counter the DuckDB
+        # recursive CTE produces); the multi-partition path's properties
+        # stay pinned by the budget-bound pytest
+        return pack_greedy(chunks, n_partitions=1)
+
+    from storage_crawler_spark.operators.packing import pack_greedy_oracle_sql
 
     add(
         "text_pack_greedy",
         _pack_greedy_builder,
-        None,
+        pack_greedy_oracle_sql(),
         tags=("text", "pipeline"),
-        doc="exact-greedy packing per range partition (no bin exceeds the budget); rows-only, bound pytest-asserted",
+        doc="exact-greedy packing (no bin exceeds the budget); oracle = independent "
+        "DuckDB recursive-CTE fold of the same greedy contract; multi-partition "
+        "namespacing bound pytest-asserted",
     )
     b, o = _sql_pair(text.gen_token_stats, ("documents",))
     add("text_token_stats", b, o, tags=("text",), doc="token counting")
@@ -1240,18 +1268,37 @@ WHERE (doc_id % 7 = 0 AND doc_id % 5 != 0)
     add(
         "streaming_event_deltas",
         _b_streaming_deltas,
-        None,
+        # the stateful stream emits exactly the batch lag() relation when
+        # files arrive in event order (single-file driver source; pinned by
+        # tests/test_streaming.py), so the batch plan's DuckDB oracle IS
+        # this entry's oracle — upgraded from rows-only in round 5
+        gen_event_deltas(DUCK),
         tags=("streaming",),
-        doc="applyInPandasWithState per-key deltas (A17 rate analog); rows-only check, pytest-verified vs lag()",
+        doc="applyInPandasWithState per-key deltas (A17 rate analog); oracle = the "
+        "batch lag() formulation (stream==batch pinned by pytest)",
     )
     add(
         "streaming_rate_anomaly",
         _b_streaming_rate_anomaly,
-        None,
+        # stream == batch minus each key's final (never-closing) window —
+        # composed in DuckDB directly, so the stateful operator is
+        # oracle-gated, not rows-only
+        f"""
+WITH base AS (
+{gen_rate_anomaly(DUCK)}
+),
+last_w AS (
+  SELECT event_type,
+         max(CAST({DUCK.idiv(DUCK.epoch_s_events('ts'), '3600')} AS BIGINT) * 3600) AS ws
+  FROM events GROUP BY event_type
+)
+SELECT b.window_start, b.event_type, b.n_events, b.trail_mean, b.trail_std, b.z
+FROM base b JOIN last_w l
+  ON b.event_type = l.event_type AND b.window_start <> l.ws
+""".strip(),
         tags=("streaming",),
-        doc="stateful trailing-z rate anomaly (O(trail) ring state per key); rows-only "
-        "check, pytest-pinned == batch window_rate_anomaly minus each key's never-"
-        "closing final window",
+        doc="stateful trailing-z rate anomaly (O(trail) ring state per key); oracle = "
+        "batch window_rate_anomaly minus each key's never-closing final window",
     )
     add(
         "streaming_attribution_join",
@@ -1313,20 +1360,29 @@ WHERE (doc_id % 7 = 0 AND doc_id % 5 != 0)
         doc="GK-sketch value quantiles per event type (rows-only)",
     )
 
-    # Spark-only (no SQL oracle → driver rows-only check) --------------------
     def _simhash_builder(spark, sf_dir):
         from storage_crawler_spark.operators.simhash import simhash_near_dups
 
         V.register_base_tables(spark, sf_dir, ("documents",))
         return simhash_near_dups(spark.table("documents"), max_hamming=7)
 
+    def _simhash_oracle() -> str:
+        from storage_crawler_spark.operators.simhash import simhash_pairs_oracle_sql
+
+        return simhash_pairs_oracle_sql()
+
     add(
         "dedup_simhash_pairs",
         _simhash_builder,
-        None,
+        # upgraded from rows-only in round 5: every ingredient is
+        # md5-derived, so a DuckDB-only relational formulation (per-bit
+        # votes vs the numpy packbits kernel) independently reproduces the
+        # exact pair set — see simhash.simhash_pairs_oracle_sql
+        _simhash_oracle(),
         tags=("dedup",),
         doc="simhash near-dup pairs (pandas-UDF fingerprint + 8x8-bit chunk-join; "
-        "pigeonhole-complete recall for hamming<=7); pytest-verified",
+        "pigeonhole-complete recall for hamming<=7); oracle = independent DuckDB "
+        "per-bit-vote formulation",
     )
 
     def _multimodal_features_builder(spark, sf_dir):
@@ -1335,12 +1391,21 @@ WHERE (doc_id % 7 = 0 AND doc_id % 5 != 0)
         V.register_base_tables(spark, sf_dir, ("documents",))
         return extract_features(documents_as_media(spark.table("documents")))
 
+    def _features_oracle() -> str:
+        from storage_crawler_spark.operators.multimodal import features_oracle_sql
+
+        return features_oracle_sql()
+
     add(
         "multimodal_features",
         _multimodal_features_builder,
-        None,
+        # upgraded from rows-only in round 5: decode_stub's arithmetic is a
+        # pure function of the payload bytes, replicated relationally via
+        # hex-positional byte access (multimodal.features_oracle_sql)
+        _features_oracle(),
         tags=("multimodal",),
-        doc="binary decode/feature plumbing (stubbed codec), mapInPandas",
+        doc="binary decode/feature plumbing (stubbed codec), mapInPandas; oracle = "
+        "DuckDB hex-byte reimplementation of the stub arithmetic",
     )
 
     def _frame_sample_builder(spark, sf_dir):
@@ -1764,10 +1829,14 @@ _DRIVER_WINDOW_FIRST = (
     "embedding_stats_audit",
     "embedding_label_outliers",
     "sim_cosine_topk",
-    "sim_ivf_topk",
     "dedup_embedding_cosine",
-    "sim_ivf_recall",
     "dedup_lsh_quality",
+    # round-5 shard/quota plane, first driver stamps (displacing the
+    # single-stamped sim_ivf_topk / sim_ivf_recall — driver-green r4; their
+    # bucket machinery stays represented by the in-window RP-LSH pair and
+    # sim_cosine_topk)
+    "pipeline_shard_plan",
+    "pipeline_mixture_quota",
     "sim_knn_join",
     "multimodal_binary_meta",
     "lake_snapshot_diff",

@@ -928,3 +928,44 @@ def test_rate_anomaly_planted_spike(spark, tmp_path):
     assert got[spike_ws].z == (50 - 5) / 1.0  # exact: sd floored at 1.0
     pre_spike = [ws for ws in got if ws < spike_ws]
     assert pre_spike == [], f"steady baseline windows flagged: {pre_spike}"
+
+
+# -- shard export (operators/sampling.py) ------------------------------------
+
+
+def test_shard_plan_covers_corpus_and_write_matches(spark, tmp_path):
+    """The shard plan must partition the corpus (every doc exactly once,
+    positions 1..|shard| contiguous per shard), and the materialized
+    writer must produce ONE file per shard whose physical row order IS the
+    plan's shard_pos order."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from storage_crawler_spark.operators.sampling import gen_shard_plan, write_shards
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    try:
+        n_docs = docs.count()
+        plan = spark.sql(gen_shard_plan(SPARK, n_shards=8)).collect()
+        assert len(plan) == n_docs
+        assert len({r.doc_id for r in plan}) == n_docs  # exactly once
+        by_shard: dict[int, list] = {}
+        for r in plan:
+            by_shard.setdefault(r.shard_id, []).append(r)
+        assert set(by_shard) <= set(range(8))
+        for rows in by_shard.values():
+            assert sorted(r.shard_pos for r in rows) == list(range(1, len(rows) + 1))
+
+        out = str(tmp_path / "shards")
+        write_shards(docs, out, n_shards=8)
+        for shard_id, rows in by_shard.items():
+            files = glob.glob(f"{out}/shard_id={shard_id}/*.parquet")
+            assert len(files) == 1, f"shard {shard_id}: {len(files)} files"
+            physical = pq.read_table(files[0], columns=["doc_id"])["doc_id"].to_pylist()
+            want = [r.doc_id for r in sorted(rows, key=lambda r: r.shard_pos)]
+            assert physical == want  # file order == plan order
+    finally:
+        spark.catalog.dropTempView("documents")

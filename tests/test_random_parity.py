@@ -111,6 +111,8 @@ QUERIES = [
     ("corpus_card", lambda d: pipeline.gen_corpus_card(d)),
     # interpolated quantiles over the adversarial length distribution
     ("length_quantiles", lambda d: text.gen_length_quantiles(d)),
+    ("shard_plan", lambda d: sampling.gen_shard_plan(d, n_shards=4)),
+    ("mixture_quota", lambda d: pipeline.gen_mixture_quota(d, token_budget=500)),
 ]
 
 
@@ -232,6 +234,11 @@ DOC_ENTRIES = [
     "text_boilerplate_ngrams",
     "pipeline_ngram_contamination",
     "pipeline_domain_mixture",
+    # r5 rows-only -> oracle conversions: the independent DuckDB
+    # formulations must hold on adversarial corpora too (empty texts,
+    # multi-byte tokens, exact duplicates)
+    "dedup_simhash_pairs",
+    "text_pack_greedy",
 ]
 
 
