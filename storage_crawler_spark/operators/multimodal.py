@@ -373,3 +373,68 @@ SELECT b.doc_id, 'text' AS media_type,
        CAST(NULL AS VARCHAR) AS decode_error
 FROM b LEFT JOIN s ON b.doc_id = s.doc_id
 """.strip()
+
+
+def frame_sample_oracle_sql(n_frames: int = 4, frame_len: int = 64) -> str:
+    """DuckDB-ONLY oracle for the HEX-projected frame-sample entry: frame
+    count k = min(n_frames, max(len // frame_len, 1)), offsets (len·i)//k,
+    and each frame's bytes re-derived as a substring of the payload's hex
+    rendering (2 hex chars per byte).  Lowercase hex on both engines —
+    Spark's hex() is uppercase, DuckDB's lowercase, so the shared output
+    contract is lower(hex(...))."""
+    return f"""
+WITH m AS (
+  SELECT doc_id, encode(text) AS content FROM documents WHERE text IS NOT NULL
+),
+b AS (
+  SELECT doc_id, octet_length(content) AS n, lower(hex(content)) AS hx FROM m
+),
+k AS (
+  SELECT doc_id, n, hx,
+         least({n_frames}, greatest(n // {frame_len}, 1)) AS nf
+  FROM b
+)
+SELECT doc_id, CAST(i AS INT) AS frame_no,
+       CAST((n * i) // nf AS BIGINT) AS frame_offset,
+       substring(hx, 2 * ((n * i) // nf) + 1, 2 * {frame_len}) AS frame_hex,
+       CAST(least({frame_len}, n - (n * i) // nf) AS INT) AS frame_len
+FROM k, unnest(generate_series(0, nf - 1)) AS _i(i)
+""".strip()
+
+
+def resize_oracle_sql(target_w: int = 224, target_h: int = 224) -> str:
+    """DuckDB-ONLY oracle for the HEX-projected resize entry: every
+    ``step``-th byte (step = max(len // target_bytes, 1)) up to
+    ``target_bytes`` bytes — blob[::step][:target_bytes] — reassembled as
+    an ordered string_agg of hex byte pairs.  A zero-length payload has no
+    selected positions (empty generate_series), but the kernel emits the
+    EMPTY subsample, not NULL — hence the n-aware coalesce (found by the
+    randomized battery's empty-text docs)."""
+    target_bytes = max(target_w * target_h // 256, 16)
+    return f"""
+WITH m AS (
+  SELECT doc_id, encode(text) AS content, 'text' AS media_type FROM documents
+),
+b AS (
+  SELECT doc_id, media_type, octet_length(content) AS n, lower(hex(content)) AS hx
+  FROM m
+),
+params AS (
+  SELECT doc_id, media_type, n, hx,
+         greatest(n // {target_bytes}, 1) AS step
+  FROM b WHERE n IS NOT NULL
+),
+sel AS (
+  SELECT doc_id,
+         string_agg(substring(hx, 2 * (i * step) + 1, 2), '' ORDER BY i) AS content_hex,
+         CAST(count(*) AS INT) AS n_out
+  FROM params,
+       unnest(generate_series(0, least({target_bytes}, (n + step - 1) // step) - 1)) AS _i(i)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.media_type,
+       CAST({target_w} AS INT) AS width, CAST({target_h} AS INT) AS height,
+       CASE WHEN b.n IS NULL THEN NULL ELSE coalesce(s.content_hex, '') END AS content_hex,
+       CASE WHEN b.n IS NULL THEN CAST(NULL AS INT) ELSE coalesce(s.n_out, 0) END AS n_content_bytes
+FROM b LEFT JOIN sel s ON b.doc_id = s.doc_id
+""".strip()

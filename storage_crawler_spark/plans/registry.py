@@ -1412,14 +1412,34 @@ FROM base b JOIN last_w l
         from storage_crawler_spark.operators.multimodal import documents_as_media, frame_sample
 
         V.register_base_tables(spark, sf_dir, ("documents",))
-        return frame_sample(documents_as_media(spark.table("documents")))
+        frames = frame_sample(documents_as_media(spark.table("documents")))
+        # HEX projection of the binary payload: raw-bytes columns are kept
+        # out of oracle outputs (comparator bytearray handling unproven);
+        # lower() because Spark's hex() is uppercase, DuckDB's lowercase
+        return frames.select(
+            "doc_id",
+            "frame_no",
+            "frame_offset",
+            F.lower(F.hex("frame_bytes")).alias("frame_hex"),
+            F.length("frame_bytes").alias("frame_len"),
+        )
+
+    def _frame_sample_oracle() -> str:
+        from storage_crawler_spark.operators.multimodal import frame_sample_oracle_sql
+
+        return frame_sample_oracle_sql()
 
     add(
         "multimodal_frame_sample",
         _frame_sample_builder,
-        None,
+        # upgraded from rows-only in round 5: frame selection is a pure
+        # function of payload length, and hex projection makes the byte
+        # content string-comparable — the DuckDB oracle re-derives every
+        # frame from the payload's hex rendering
+        _frame_sample_oracle(),
         tags=("multimodal",),
-        doc="UDTF-shaped frame sampling (1 media row → k frame rows), mapInPandas",
+        doc="UDTF-shaped frame sampling (1 media row → k frame rows), mapInPandas; "
+        "hex-projected output, oracle re-slices the payload relationally",
     )
 
     # Longest-prefix (deepest-ancestor) owner join — A10's declarative form.
@@ -1465,14 +1485,33 @@ FROM files f
         from storage_crawler_spark.operators.multimodal import documents_as_media, resize_stub
 
         V.register_base_tables(spark, sf_dir, ("documents",))
-        return resize_stub(documents_as_media(spark.table("documents")))
+        resized = resize_stub(documents_as_media(spark.table("documents")))
+        # hex projection: same rationale as the frame-sample entry
+        return resized.select(
+            "doc_id",
+            "media_type",
+            "width",
+            "height",
+            F.lower(F.hex("content")).alias("content_hex"),
+            F.length("content").alias("n_content_bytes"),
+        )
+
+    def _resize_oracle() -> str:
+        from storage_crawler_spark.operators.multimodal import resize_oracle_sql
+
+        return resize_oracle_sql()
 
     add(
         "multimodal_resize",
         _b_resize,
-        None,
+        # upgraded from rows-only in round 5: the subsample is
+        # blob[::step][:target] — re-assembled in DuckDB as an ordered
+        # string_agg of hex byte pairs
+        _resize_oracle(),
         tags=("multimodal",),
-        doc="binary resize plumbing (stubbed codec, deterministic subsample), mapInPandas",
+        doc="binary resize plumbing (stubbed codec, deterministic subsample), "
+        "mapInPandas; hex-projected output, oracle reassembles the subsample "
+        "relationally",
     )
 
     # Temporal joins (operators/temporal.py): the Spark side runs the

@@ -969,3 +969,63 @@ def test_shard_plan_covers_corpus_and_write_matches(spark, tmp_path):
             assert physical == want  # file order == plan order
     finally:
         spark.catalog.dropTempView("documents")
+
+
+# -- quality-audit plane semantics (operators/text.py) ------------------------
+
+
+def test_gopher_battery_flags_planted_violations(spark):
+    """Each rule must trip on a document built to violate exactly it."""
+    from storage_crawler_spark.operators.text import gen_gopher_battery
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    rows = [
+        (0, "the cat sat on the mat with a hat of fur", "en", "s", 0),  # clean
+        (1, "tiny doc", "en", "s", 0),                                   # too few words
+        (2, " ".join(["supercalifragilistic"] * 30), "en", "s", 0),      # long words, no stopwords
+        (3, "the " + " ".join(["###"] * 20), "en", "s", 0),              # symbol spam
+        (4, "the " + " ".join(["12345"] * 20), "en", "s", 0),            # numeric: low alpha
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    ).createOrReplaceTempView("documents")
+    try:
+        got = {r.doc_id: r for r in spark.sql(gen_gopher_battery(SPARK)).collect()}
+        assert got[0].keep == 1
+        assert got[1].flag_word_count == 0 and got[1].keep == 0
+        assert got[2].flag_word_len == 0 and got[2].flag_stopwords == 0
+        assert got[3].flag_symbols == 0
+        assert got[4].flag_alpha == 0
+    finally:
+        spark.catalog.dropTempView("documents")
+
+
+def test_zipf_audit_recovers_planted_power_law(spark):
+    """A corpus whose term frequencies are an EXACT power law freq(r) =
+    round(1000·r^s) must yield a fitted slope close to s — the audit
+    measures what it claims to measure, beyond cross-engine parity."""
+    import math
+
+    from storage_crawler_spark.operators.text import gen_zipf_audit
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    s_true = -1.0
+    terms = [f"w{r}" for r in range(1, 41)]
+    bag = []
+    for r, t in enumerate(terms, start=1):
+        bag.extend([t] * max(int(round(100 * r**s_true)), 1))
+    # spread the bag over docs (content per doc irrelevant to the audit)
+    docs = [
+        (i, " ".join(bag[i::10]), "xx", "s", 0) for i in range(10)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    ).createOrReplaceTempView("documents")
+    try:
+        row = spark.sql(gen_zipf_audit(SPARK, top_k=40)).collect()[0]
+        assert row.lang == "xx"
+        # rounding to integer counts + regression noise: ±0.15 is tight
+        # enough to catch a sign error, a swapped axis, or rank off-by-one
+        assert abs(row.zipf_slope - s_true) < 0.15, row.zipf_slope
+    finally:
+        spark.catalog.dropTempView("documents")

@@ -239,6 +239,9 @@ DOC_ENTRIES = [
     # multi-byte tokens, exact duplicates)
     "dedup_simhash_pairs",
     "text_pack_greedy",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
 ]
 
 
