@@ -176,6 +176,29 @@ FROM (
 WHERE win_n > 0
 """.strip()
 
+# The full ranking-function family on one deterministic ordering: ties are
+# REAL (o_orderstatus has few distinct values per priority), so rank vs
+# dense_rank vs row_number genuinely diverge and percent_rank/cume_dist hit
+# their tie semantics; the (o_orderpriority, o_orderkey) tiebreak pins
+# row_number and ntile across engines.  Windows run on a pre-aggregated
+# per-(priority, status) relation, so the sort is over dozens of rows.
+RANK_FUNCTIONS_SQL = """
+SELECT o_orderpriority, o_orderstatus, n_orders,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       row_number() OVER (PARTITION BY o_orderpriority
+                          ORDER BY n_orders DESC, o_orderstatus) AS rn,
+       ntile(3) OVER (PARTITION BY o_orderpriority
+                      ORDER BY n_orders DESC, o_orderstatus) AS tile,
+       (CAST(floor(percent_rank() OVER w * 1000000) AS DOUBLE) / 1000000) AS pct_rank,
+       (CAST(floor(cume_dist() OVER w * 1000000) AS DOUBLE) / 1000000) AS cume
+FROM (
+  SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+) t
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY n_orders DESC)
+""".strip()
+
 GROUPING_SETS_SQL = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
@@ -794,6 +817,15 @@ def _specs() -> list[QuerySpec]:
     add("window_moving_avg", b, o, tags=("window",), doc="sliding ROWS-frame aggregate (exact decimal sums)")
     b, o = _shared_sql(GROUPING_SETS_SQL, ("orders",))
     add("grouping_sets_orders", b, o, tags=("agg",), doc="explicit GROUPING SETS (multi-granularity agg)")
+    b, o = _shared_sql(RANK_FUNCTIONS_SQL, ("orders",))
+    add(
+        "window_rank_functions",
+        b,
+        o,
+        tags=("window",),
+        doc="the full ranking family (rank/dense_rank/row_number/ntile/percent_rank/"
+        "cume_dist) over real ties on a pre-aggregated relation",
+    )
     b, o = _shared_sql(SETOPS_SQL, ("customer", "orders"))
     add("setops_customer_cohorts", b, o, tags=("setops",), doc="INTERSECT / EXCEPT cohort split")
     b, o = _sql_pair(gen_rollup_daily, ("events",))

@@ -32,6 +32,7 @@ RELATIONAL_ENTRIES = [n for n in registry.QUERIES if n.startswith("tpch_q")] + [
     "window_topk_orders",
     "grouping_sets_orders",
     "setops_customer_cohorts",
+    "window_rank_functions",
     "join_anti_customers_without_orders",
     "skew_salted_agg",  # orders-only; oracle = plain GROUP BY equality
     # window_moving_avg is events-plane — swept by test_random_events_parity

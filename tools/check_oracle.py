@@ -47,8 +47,10 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[str]:
                 cells.append(repr(v))  # full precision; 1.0 stays "1.0"
             elif isinstance(v, decimal.Decimal):
                 cells.append(f"Decimal:{v}")  # never collides with int/float
-            elif isinstance(v, bytes):
-                cells.append(v.hex())
+            elif isinstance(v, (bytes, bytearray)):
+                # Spark collect() hands BinaryType back as bytearray,
+                # DuckDB/Arrow as bytes — same cell either way
+                cells.append(bytes(v).hex())
             else:
                 cells.append(str(v))  # int has no ".0"; Decimal keeps scale
         out.append("\x1f".join(cells))
