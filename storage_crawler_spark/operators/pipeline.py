@@ -183,6 +183,28 @@ FROM (
 """.strip()
 
 
+def _mixture_shares_cte(d: Dialect) -> str:
+    """Shared CTE chain of the mixture plane: per-source doc/token counts
+    and each source's token share of the corpus — ONE corpus aggregation
+    (partial-combining sum of per-doc token counts on the low-cardinality
+    source key), with the global share window running on the tiny
+    per-source relation.  Used by gen_domain_mixture (weights report) and
+    gen_mixture_quota (budgeted quotas) so the two stay semantically
+    identical by construction."""
+    ntoks = d.size(d.split("text"))
+    return f"""per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN text IS NULL THEN 0 ELSE {ntoks} END) AS BIGINT) AS sum_tokens
+  FROM documents
+  GROUP BY source
+),
+shares AS (
+  SELECT source, n_docs, sum_tokens,
+         CAST(sum_tokens AS DOUBLE) / CAST(sum(sum_tokens) OVER () AS DOUBLE) AS share
+  FROM per_src
+)"""
+
+
 def gen_domain_mixture(d: Dialect) -> str:
     """Domain-mixture weights report: per source (domain), document and
     token counts, the domain's token share of the corpus, and the
@@ -204,19 +226,8 @@ def gen_domain_mixture(d: Dialect) -> str:
     floor-truncated at 6 decimals per the repo convention.  The BIGINT
     casts pin DuckDB's HUGEINT sum/window-sum back to int64.
     """
-    ntoks = d.size(d.split("text"))
     return f"""
-WITH per_src AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(CASE WHEN text IS NULL THEN 0 ELSE {ntoks} END) AS BIGINT) AS sum_tokens
-  FROM documents
-  GROUP BY source
-),
-shares AS (
-  SELECT source, n_docs, sum_tokens,
-         CAST(sum_tokens AS DOUBLE) / CAST(sum(sum_tokens) OVER () AS DOUBLE) AS share
-  FROM per_src
-)
+WITH {_mixture_shares_cte(d)}
 SELECT source, n_docs, sum_tokens,
        {d.trunc6('share')} AS token_share,
        {d.trunc6('sqrt(share) / sum(sqrt(share)) OVER ()')} AS mix_weight
@@ -366,7 +377,6 @@ def gen_mixture_quota(
     pure arithmetic on the per-source relation.  Integer quotas use floor
     — budgets are ceilings, not targets.
     """
-    ntoks = d.size(d.split("text"))
     # sqrt is IEEE-correctly-rounded everywhere; pow(x, 0.5) is not
     # guaranteed to be, and a last-ulp libm/JVM divergence under the
     # floor()ed quota could flip an integer — use sqrt for the canonical
@@ -375,17 +385,7 @@ def gen_mixture_quota(
         "sqrt(share)" if alpha_pct == 50 else f"power(share, {alpha_pct} / 100.0)"
     )
     return f"""
-WITH per_src AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(CASE WHEN text IS NULL THEN 0 ELSE {ntoks} END) AS BIGINT) AS sum_tokens
-  FROM documents
-  GROUP BY source
-),
-shares AS (
-  SELECT source, n_docs, sum_tokens,
-         CAST(sum_tokens AS DOUBLE) / CAST(sum(sum_tokens) OVER () AS DOUBLE) AS share
-  FROM per_src
-),
+WITH {_mixture_shares_cte(d)},
 weights AS (
   SELECT source, n_docs, sum_tokens, share,
          {share_pow} / sum({share_pow}) OVER () AS w

@@ -117,9 +117,7 @@ def gen_weighted_sample(d: Dialect, sample_size: int = 200, seed: str = "ws") ->
     in principle flip a rank between keys closer than ~1e-15 — md5-spread
     keys make that measure-zero (the randomized battery sweeps it).
     """
-    concat = f"concat('{seed}', doc_id)"
-    md5_12 = f"substr({d.md5_utf8(concat)}, 1, 12)"
-    u = f"(CAST({d.hex12_to_bigint(md5_12)} AS DOUBLE) + 1.0) / 281474976710656.0"
+    u = f"(CAST({d.md5_key48('doc_id', seed)} AS DOUBLE) + 1.0) / 281474976710656.0"
     return f"""
 SELECT doc_id, lang, w, {d.trunc6('es_key')} AS sample_key
 FROM (
@@ -154,9 +152,7 @@ def gen_shard_plan(d: Dialect, n_shards: int = 16, seed: str = "shard") -> str:
     no global sort).  Per-shard rank uses the same two-phase escape hatch
     as every other big window in this repo if a shard outgrows one task.
     """
-    concat = f"concat('{seed}', doc_id)"
-    md5_12 = f"substr({d.md5_utf8(concat)}, 1, 12)"
-    key = d.hex12_to_bigint(md5_12)
+    key = d.md5_key48("doc_id", seed)
     return f"""
 SELECT doc_id, shard_id,
        row_number() OVER (PARTITION BY shard_id ORDER BY shuffle_key, doc_id) AS shard_pos

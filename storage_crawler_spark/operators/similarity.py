@@ -260,8 +260,7 @@ def _rp_planes_cte(d: Dialect, n_planes: int, seed: str = "rp") -> str:
     scramble components) into ONE row holding array-of-arrays, so signing
     a vector is a map-only projection, not an 8-way join fanout."""
     concat = f"concat('{seed}', j, '_', i)"
-    md5_12 = f"substr({d.md5_utf8(concat)}, 1, 12)"
-    comp = f"(CAST({d.hex12_to_bigint(md5_12)} % 2001 AS DOUBLE) - 1000.0) / 1000.0"
+    comp = f"(CAST({d.md5_key48(concat)} % 2001 AS DOUBLE) - 1000.0) / 1000.0"
     return f"""dm AS (SELECT max({d.size('ev')}) AS dim FROM v),
 comp AS (
   SELECT j, i, {comp} AS c

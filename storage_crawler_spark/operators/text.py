@@ -564,8 +564,7 @@ def gen_zipf_audit(d: Dialect, top_k: int = 100, prebuckets: int = 16) -> str:
     order is pinned (freq DESC, term) at both phases, so LIMIT-by-rank is
     stable across engines.
     """
-    md5_12 = f"substr({d.md5_utf8('term')}, 1, 12)"
-    bucket = f"({d.hex12_to_bigint(md5_12)} % {prebuckets})"
+    bucket = f"({d.md5_key48('term')} % {prebuckets})"
     return f"""
 WITH toks AS (
   SELECT lang, lower(tok) AS term

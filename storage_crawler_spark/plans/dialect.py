@@ -185,6 +185,16 @@ class Dialect:
             return f"xxhash64({s})"
         return self.hex12_to_bigint(f"substr({self.md5_utf8(s)}, 1, 12)")
 
+    def md5_key48(self, expr: str, seed: str = "") -> str:
+        """48-bit md5-derived BIGINT key of (seed ‖ expr) — the frozen
+        uniform the sampling/shard/bucket operators rank and bucket on.
+        One audited construction (md5 → first 12 hex chars → radix cast):
+        overflow-safe (48 < 63 bits), identical in both engines, and a
+        pure function of (seed, expr), so every consumer is rerun- and
+        engine-stable by construction."""
+        inner = f"concat('{seed}', {expr})" if seed else expr
+        return self.hex12_to_bigint(f"substr({self.md5_utf8(inner)}, 1, 12)")
+
     def hex12_to_bigint(self, hexstr: str) -> str:
         """First 12 hex chars → BIGINT (48 bits, overflow-safe for k*h+b).
         Native radix conversion in both engines (Spark conv(), DuckDB hex
