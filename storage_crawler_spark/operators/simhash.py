@@ -169,25 +169,28 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 7, n_chunks: int = 8) 
     )
     a = chunks.alias("a")
     b = chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    cand = a.join(
+        b,
+        (F.col("a.chunk_id") == F.col("b.chunk_id"))
+        & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("sh_a"),
+        F.col("b.simhash").alias("sh_b"),
     )
-    # exact Hamming verification, JVM-side (bit_count on xor)
+    # exact Hamming verification BEFORE the pair dedup: the filter is a
+    # map-side bit op that streams through the join fanout, so the wide
+    # dropDuplicates aggregate only ever sees true near-dups (few) —
+    # dedup-first buffered the full candidate fanout and was the memory
+    # hot spot of the sf0.1 sweep
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "hamming")
     )
 
 

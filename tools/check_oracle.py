@@ -77,7 +77,11 @@ def main() -> int:
     from storage_crawler_spark.plans.views import BASE_TABLES
     from storage_crawler_spark.session import build_session
 
-    spark = build_session(app_name="check-oracle")
+    # 8g driver heap (local-mode default is 1g: a 116-entry sweep at
+    # sf0.1 OOMs on accumulated state long before any single plan does)
+    spark = build_session(
+        app_name="check-oracle", extra_conf={"spark.driver.memory": "8g"}
+    )
 
     con = duckdb.connect()
     for t in BASE_TABLES:
@@ -96,6 +100,11 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {exc}")
             failures += 1
             continue
+        finally:
+            # each entry pays its own persists (same hygiene as bench.py);
+            # without this, ~100 entries of persisted relations accumulate
+            # and the sf0.1 sweep OOMs the driver heap
+            spark.catalog.clearCache()
         if spec.oracle is None:
             print(f"ok   {name}: rows-only ({len(sp_rows)} rows, {time.time()-t0:.1f}s)")
             continue
