@@ -552,3 +552,68 @@ SELECT (SELECT count(*) FROM truth) AS n_true,
        {d.trunc6("CAST((SELECT count(*) FROM hits) AS DOUBLE) / NULLIF((SELECT count(*) FROM truth), 0)")} AS recall,
        {d.trunc6("CAST((SELECT count(*) FROM hits) AS DOUBLE) / NULLIF((SELECT count(*) FROM found), 0)")} AS precision_proxy
 """.strip()
+
+
+def gen_dedup_paragraphs(d: Dialect, block_tokens: int = 8, src: str = "documents") -> str:
+    """C4-style paragraph-level dedup WITH document reassembly: drop every
+    repeated paragraph except its first global occurrence, then rebuild
+    each document from its surviving paragraphs in order (C4 / Raffel et
+    al. 2020 dedupe three-sentence spans the same way; reference parity:
+    the storage-crawler surface has no text plane — this is the
+    training-data tier built on the same engine).
+
+    Paragraph = non-overlapping ``block_tokens``-token block.  That is the
+    segmentation FALLBACK for unstructured text (the synthetic corpus has
+    no newlines); real corpora pass natural ``\\n\\n`` splits through the
+    identical plan — only the ``paras`` CTE changes.  Unlike
+    :func:`gen_substring_spans` (which *reports* duplicated spans), this
+    operator *rewrites* the corpus: the output is the cleaned document.
+
+    First-occurrence-wins is a ``row_number`` over (paragraph md5) ordered
+    by (doc_id, para_no) — deterministic, and the window partitions on the
+    paragraph hash so state per group is the duplicate multiplicity (tiny);
+    the hot-key case is boilerplate repeated millions of times, which this
+    window handles as one partition's sort — bounded by the duplicate
+    count, not the corpus.  Reassembly is one ordered array agg per doc.
+    Three shuffles total (paragraph-hash window, per-doc counts, per-doc
+    reassembly join); the paragraph explode itself is map-side lateral.
+
+    Output per input document (text IS NOT NULL): n_paras, n_kept
+    (0 if every paragraph was someone else's), clean_len, clean_md5 (md5
+    of the reassembled text; NULL when nothing survives).  The md5
+    projection keeps raw rebuilt text out of the comparator while still
+    pinning its exact bytes.
+    """
+    n_blocks = f"CAST(ceil({d.size('toks')} / {block_tokens}.0) AS BIGINT)"
+    block = d.aslice("toks", f"(p - 1) * {block_tokens} + 1", str(block_tokens))
+    rebuilt = d.ajoin(d.agg_arr_by("para_no", "para"))
+    return f"""
+WITH paras AS (
+  SELECT doc_id, p AS para_no, {d.ajoin('block')} AS para
+  FROM (
+    SELECT doc_id, {block} AS block, p
+    FROM (SELECT doc_id, {d.split('text')} AS toks FROM {src} WHERE text IS NOT NULL) t0
+    {d.lateral_seq('1', n_blocks, 'p')}
+  ) t1
+),
+ranked AS (
+  SELECT doc_id, para_no, para,
+         row_number() OVER (PARTITION BY {d.md5_utf8('para')}
+                            ORDER BY doc_id, para_no) AS rn
+  FROM paras
+),
+totals AS (
+  SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id
+),
+kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         CAST(length({rebuilt}) AS BIGINT) AS clean_len,
+         {d.md5_utf8(rebuilt)} AS clean_md5
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_paras,
+       coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       coalesce(k.clean_len, CAST(0 AS BIGINT)) AS clean_len,
+       k.clean_md5
+FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+""".strip()

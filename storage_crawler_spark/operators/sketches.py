@@ -11,9 +11,18 @@ in the engine's vocabulary:
 - count-min sketch: heavy-hitter frequency estimates, mergeable across
   partitions.
 
-Estimates are not bit-stable across engines, so these register with the
-driver as rows-only checks; accuracy (estimate vs exact within the
-configured error) is pytest-asserted instead.
+Estimates are not bit-stable across engines, so the raw-estimate forms
+(:func:`approx_distinct_by`, :func:`approx_quantiles_by`) can only ever be
+rows-only at the driver; accuracy is pytest-asserted.  The
+*tolerance-contract* forms (:func:`distinct_contract`,
+:func:`quantiles_contract`) are the oracle-gated upgrade: each engine runs
+its OWN sketch and checks it against its OWN exact aggregate, and only the
+exact statistics plus the within-tolerance booleans reach the output — so
+the cross-engine hash compares the sketch CONTRACT ("the estimate is inside
+its advertised error band"), which is the strongest property that is
+engine-portable.  This is a real two-sided check: DuckDB's HLL/t-digest and
+Spark's HLL++/GK both have to hold their bound on the same data for the
+hash to match.
 """
 
 from __future__ import annotations
@@ -40,6 +49,88 @@ def approx_quantiles_by(
     out = df.groupBy(key).agg(pa.alias("qs"))
     cols = [F.col("qs")[i].alias(f"p{int(p * 100)}") for i, p in enumerate(probs)]
     return out.select(key, *cols)
+
+
+def distinct_contract(
+    df: DataFrame, key: str, col: str, rsd: float = 0.02, tol_mult: float = 5.0
+) -> DataFrame:
+    """Oracle-gated HLL++ audit: per ``key``, the exact distinct count plus
+    a boolean asserting the sketch estimate landed within ``tol_mult`` ×
+    ``rsd`` of it (absolute floor 3 for tiny keys, where relative error is
+    meaningless).  Only engine-portable values reach the output — see the
+    module docstring.  The exact ``count(DISTINCT)`` makes this the AUDIT
+    query (run on a sample / one partition range at 100 TB); production
+    reads the sketch alone via :func:`approx_distinct_by`."""
+    exact = F.count_distinct(F.col(col))
+    approx = F.approx_count_distinct(col, rsd=rsd)
+    tol = F.greatest(F.lit(3.0), F.lit(tol_mult * rsd) * exact)
+    return df.groupBy(key).agg(
+        exact.alias("exact_distinct"),
+        (F.abs(approx - exact) <= tol).alias("sketch_ok"),
+    )
+
+
+def distinct_contract_oracle_sql(
+    key: str = "event_type", col: str = "user_id", src: str = "events",
+    rsd: float = 0.02, tol_mult: float = 5.0,
+) -> str:
+    """DuckDB rendering of :func:`distinct_contract`: DuckDB's own HLL
+    (``approx_count_distinct``) against DuckDB's own exact count, same
+    tolerance band.  (Not a shared-dialect gen: the sketch function is the
+    one deliberately engine-specific ingredient.)"""
+    tol = f"greatest(3.0, {tol_mult * rsd} * count(DISTINCT {col}))"
+    return f"""
+SELECT {key},
+       count(DISTINCT {col}) AS exact_distinct,
+       abs(approx_count_distinct({col}) - count(DISTINCT {col})) <= {tol} AS sketch_ok
+FROM {src}
+GROUP BY {key}
+""".strip()
+
+
+def quantiles_contract(
+    df: DataFrame, key: str, col: str,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    accuracy: int = 10_000, slack: float = 0.02,
+) -> DataFrame:
+    """Oracle-gated GK audit: per ``key``, the exact row count plus one
+    boolean per percentile asserting the sketch value lies inside the exact
+    [p−slack, p+slack] value band (computed with the exact ``percentile``
+    aggregate — full per-group sort, so this is the AUDIT query; production
+    reads the sketch alone via :func:`approx_quantiles_by`).  ``slack`` is
+    generous vs the GK guarantee (rank error ≤ 1/accuracy) on purpose: the
+    band must also absorb DuckDB's t-digest in the oracle rendering."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for p in probs:
+        ap = F.percentile_approx(col, p, accuracy)
+        lo = F.percentile(F.col(col), F.lit(max(0.0, p - slack)))
+        hi = F.percentile(F.col(col), F.lit(min(1.0, p + slack)))
+        aggs.append(((ap >= lo) & (ap <= hi)).alias(f"p{int(p * 100)}_ok"))
+    return df.groupBy(key).agg(*aggs)
+
+
+def quantiles_contract_oracle_sql(
+    key: str = "event_type", col: str = "value", src: str = "events",
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99), slack: float = 0.02,
+) -> str:
+    """DuckDB rendering of :func:`quantiles_contract`: t-digest
+    (``approx_quantile``) against DuckDB's own exact ``quantile_cont``
+    band."""
+    cols = []
+    for p in probs:
+        lo, hi = max(0.0, p - slack), min(1.0, p + slack)
+        cols.append(
+            f"approx_quantile({col}, {p}) BETWEEN quantile_cont({col}, {lo}) "
+            f"AND quantile_cont({col}, {hi}) AS p{int(p * 100)}_ok"
+        )
+    cols_sql = ",\n       ".join(cols)
+    return f"""
+SELECT {key},
+       count(*) AS n_rows,
+       {cols_sql}
+FROM {src}
+GROUP BY {key}
+""".strip()
 
 
 def heavy_hitter_sketch(df: DataFrame, col: str, eps: float = 0.001, conf: float = 0.99) -> DataFrame:

@@ -705,3 +705,48 @@ WHERE text IS NOT NULL AND lang IS NOT NULL
 GROUP BY lang
 ORDER BY lang
 """.strip()
+
+
+def gen_inverted_index(
+    d: Dialect, postings_cap: int = 20, min_df: int = 2, src: str = "documents"
+) -> str:
+    """Inverted-index build (term -> posting list), the IR-side primitive a
+    corpus engine owes its search tier: per term, the document frequency
+    and the head of the sorted posting list (first ``postings_cap`` doc
+    ids), rare terms (< ``min_df`` docs) pruned.
+
+    Spark-first shape: tokenize map-side (portable ASCII regex), one
+    DISTINCT shuffle on (term, doc_id), then the term-level plane reuses
+    that relation twice — document frequency as a partial-combining count,
+    and the posting head through a per-term ``row_number`` that BOUNDS the
+    aggregation state to ``postings_cap`` rows before the ordered array agg
+    (collect-then-slice would buffer every posting of a hot term; ranking
+    first caps the buffer at the output size).  100 TB posture: the
+    window's per-term sort is the cost ceiling for stopword-grade terms —
+    the documented two-phase upgrade partial-top-ks per partition before
+    the global rank, same trick as the jaccard rank blocks; df itself
+    partial-aggregates and never skews.
+
+    Output: term, n_docs (full document frequency), postings_head (sorted
+    BIGINT array, ≤ ``postings_cap`` ids).
+    """
+    toks = d.regex_tokens("lower(text)", "[a-z0-9]+")
+    postings = d.agg_arr_by("doc_id", "doc_id")
+    return f"""
+WITH td AS (
+  SELECT DISTINCT doc_id, tok AS term
+  FROM (SELECT doc_id, {toks} AS toks FROM {src} WHERE text IS NOT NULL) t0
+  {d.lateral_explode('toks', 'tok')}
+),
+docfreq AS (
+  SELECT term, count(*) AS n_docs FROM td GROUP BY term
+),
+ranked AS (
+  SELECT term, doc_id, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM td
+)
+SELECT f.term, f.n_docs, {postings} AS postings_head
+FROM docfreq f JOIN ranked r ON f.term = r.term
+WHERE r.rn <= {postings_cap} AND f.n_docs >= {min_df}
+GROUP BY f.term, f.n_docs
+""".strip()

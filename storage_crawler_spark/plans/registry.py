@@ -893,6 +893,17 @@ def _specs() -> list[QuerySpec]:
         doc="cross-doc exact substring spans (sampled token windows, md5 span key, "
         "single partial-combining agg; span-level tier between exact-doc and near-dup)",
     )
+    b, o = _sql_pair(dedup.gen_dedup_paragraphs, ("documents",))
+    add(
+        "dedup_paragraphs",
+        b,
+        o,
+        tags=("dedup",),
+        doc="C4-style paragraph dedup WITH reassembly: first-occurrence-wins per "
+        "paragraph hash, documents rebuilt from surviving paragraphs in order "
+        "(md5-projected rebuilt text); the corpus-rewriting tier above the "
+        "span REPORTING of dedup_substring_spans",
+    )
     def _b_dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize the sampled-window relation once: the explode +
         # per-window md5 is the dominant cost and the query references the
@@ -1362,34 +1373,53 @@ FROM base b JOIN last_w l
         doc="deterministic fixed-size per-lang sample (md5-order rank, rerun-stable)",
     )
 
-    # Sketch plane (estimates are not bit-stable across engines → rows-only;
-    # accuracy vs exact is pytest-asserted) ----------------------------------
+    # Sketch plane.  Raw estimates are not bit-stable across engines, so the
+    # registry entries are the TOLERANCE-CONTRACT forms (upgraded from
+    # rows-only in round 5): each engine runs its own sketch against its own
+    # exact aggregate, and only the exact stats + within-band booleans reach
+    # the output — the cross-engine hash gates the sketch contract itself
+    # (sketches.py module docstring).  Raw-estimate accuracy stays
+    # pytest-asserted on approx_distinct_by / approx_quantiles_by.
     def _b_sketch_distinct(spark, sf_dir):
-        from storage_crawler_spark.operators.sketches import approx_distinct_by
+        from storage_crawler_spark.operators.sketches import distinct_contract
 
         V.register_base_tables(spark, sf_dir, ("events",))
-        return approx_distinct_by(spark.table("events"), "event_type", "user_id")
+        return distinct_contract(spark.table("events"), "event_type", "user_id")
+
+    def _o_sketch_distinct() -> str:
+        from storage_crawler_spark.operators.sketches import distinct_contract_oracle_sql
+
+        return distinct_contract_oracle_sql()
 
     add(
         "sketch_distinct_users",
         _b_sketch_distinct,
-        None,
+        _o_sketch_distinct(),
         tags=("sketch", "agg"),
-        doc="HLL++ distinct users per event type (rows-only; ±2% vs exact in pytest)",
+        doc="HLL++ distinct-users audit per event type: exact count + sketch-within-"
+        "tolerance boolean; oracle = DuckDB's own HLL vs its own exact count "
+        "(two-sided contract gate)",
     )
 
     def _b_sketch_quantiles(spark, sf_dir):
-        from storage_crawler_spark.operators.sketches import approx_quantiles_by
+        from storage_crawler_spark.operators.sketches import quantiles_contract
 
         V.register_base_tables(spark, sf_dir, ("events",))
-        return approx_quantiles_by(spark.table("events"), "event_type", "value")
+        return quantiles_contract(spark.table("events"), "event_type", "value")
+
+    def _o_sketch_quantiles() -> str:
+        from storage_crawler_spark.operators.sketches import quantiles_contract_oracle_sql
+
+        return quantiles_contract_oracle_sql()
 
     add(
         "sketch_value_quantiles",
         _b_sketch_quantiles,
-        None,
+        _o_sketch_quantiles(),
         tags=("sketch", "agg"),
-        doc="GK-sketch value quantiles per event type (rows-only)",
+        doc="GK-sketch quantile audit per event type: exact row count + per-percentile "
+        "within-exact-band booleans; oracle = DuckDB t-digest vs its own exact "
+        "quantile_cont band",
     )
 
     def _simhash_builder(spark, sf_dir):
@@ -1707,6 +1737,16 @@ FROM files f
         tags=("text",),
         doc="per-doc mean token surprisal under the corpus' own unigram model "
         "(statistical gibberish signal); exploded relation persisted once",
+    )
+
+    b, o = _sql_pair(text.gen_inverted_index, ("documents",))
+    add(
+        "text_inverted_index",
+        b,
+        o,
+        tags=("text",),
+        doc="inverted-index build: per term, document frequency + sorted posting-list "
+        "head (rank-bounded agg state — never buffers a hot term's full postings)",
     )
 
     from storage_crawler_spark.operators.pipeline import (
