@@ -316,3 +316,56 @@ def connected_components_star(
         "cluster_size",
         (F.col("doc_id") == F.col("component")).cast("int").alias("is_keeper"),
     )
+
+
+def build_semantic_clusters(spark: SparkSession) -> DataFrame:
+    """SemDeDup-style semantic dedup clusters (Abbas et al. 2023): connected
+    components over the embedding-cosine near-dup pair graph, keeper = min
+    vec_id per component.  The vector-space analogue of the minhash
+    clusters above — same iterative engine path, pair generation swapped
+    for :func:`~storage_crawler_spark.operators.similarity.gen_embedding_near_dup`
+    (sign-bucket LSH blocking, so the edge list is bounded and the CC input
+    never materializes cross-bucket pairs).  Zero-norm (failed-embedding)
+    vectors have no edges by construction and come out as singletons.
+
+    Output: vec_id, component, cluster_size, is_keeper.
+    """
+    from storage_crawler_spark.operators.similarity import gen_embedding_near_dup
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    pairs = spark.sql(gen_embedding_near_dup(SPARK)).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    nodes = spark.table("embeddings").select(F.col("vec_id").alias("doc_id"))
+    return connected_components(pairs, nodes).select(
+        F.col("doc_id").alias("vec_id"), "component", "cluster_size", "is_keeper"
+    )
+
+
+def gen_semantic_cluster_oracle(d: Dialect) -> str:
+    """DuckDB oracle for :func:`build_semantic_clusters`: recursive-CTE
+    closure over the SAME embedding near-dup pair SQL."""
+    from storage_crawler_spark.operators.similarity import gen_embedding_near_dup
+
+    return f"""
+WITH RECURSIVE
+pairs AS (
+{gen_embedding_near_dup(d)}
+),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node AS vec_id, min(lbl) AS component FROM reach GROUP BY node)
+SELECT c.vec_id, c.component, s.cluster_size,
+       CAST(c.vec_id = c.component AS INT) AS is_keeper
+FROM comp c
+JOIN (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component) s
+  ON c.component = s.component
+""".strip()

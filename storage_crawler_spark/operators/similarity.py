@@ -333,3 +333,37 @@ JOIN (
 {approx}
 ) a ON e.vec_id = a.vec_id
 """.strip()
+
+
+def gen_hard_negatives(
+    d: Dialect, k: int = 3, dup_threshold: float = 0.5, nbits: int = 4
+) -> str:
+    """Hard-negative mining for contrastive training: per query vector, the
+    top-``k`` most similar OTHER-LABEL neighbours that are NOT
+    near-duplicates (cosine < ``dup_threshold``) — close enough to be
+    informative, provably not the same item and not the same class.  The
+    standard batch-mining pass behind embedding-model fine-tuning
+    (sentence-transformers style) expressed as a corpus-wide query.
+
+    Same 100 TB shape as :func:`gen_knn_join` (sign-bucket LSH candidates,
+    one dot per pair against precomputed norms, per-query row_number over
+    bucket-bounded candidate lists); the two mining predicates — label
+    mismatch and the near-dup ceiling — push into the pair join, so
+    excluded pairs never reach the window.  Ties break by neighbour id.
+    """
+    cos = f"({d.dot('a.ev', 'b.ev')}) / (a.nrm * b.nrm)"
+    return f"""
+WITH {_norm_cte(d, with_bucket=True)},
+pairs AS (
+  SELECT a.vec_id AS qid, a.label AS q_label, b.vec_id AS nid, b.label AS n_label,
+         {d.trunc6(cos)} AS cosine
+  FROM v a JOIN v b
+    ON a.bkt = b.bkt AND a.vec_id <> b.vec_id AND a.label <> b.label
+)
+SELECT qid, q_label, nid, n_label, cosine, rank FROM (
+  SELECT pairs.*, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+  FROM pairs
+  WHERE cosine < {dup_threshold}
+) r
+WHERE rank <= {k}
+""".strip()

@@ -1162,6 +1162,37 @@ def _specs() -> list[QuerySpec]:
         tags=("similarity",),
         doc="bucketed KNN self-join: top-k neighbours per vector (LSH candidates, windowed rank)",
     )
+    b, o = _sql_pair(similarity.gen_hard_negatives, ("embeddings",))
+    add(
+        "sim_hard_negatives",
+        b,
+        o,
+        tags=("similarity", "pipeline"),
+        doc="hard-negative mining for contrastive training: per query, top-k most-"
+        "similar other-label non-near-dup neighbours (mining predicates pushed "
+        "into the bucketed pair join)",
+    )
+
+    def _b_semantic_clusters(spark, sf_dir):
+        from storage_crawler_spark.operators.cluster import build_semantic_clusters
+
+        V.register_base_tables(spark, sf_dir, ("embeddings",))
+        return build_semantic_clusters(spark)
+
+    def _o_semantic_clusters() -> str:
+        from storage_crawler_spark.operators.cluster import gen_semantic_cluster_oracle
+
+        return gen_semantic_cluster_oracle(DUCK)
+
+    add(
+        "dedup_semantic_clusters",
+        _b_semantic_clusters,
+        _o_semantic_clusters(),
+        tags=("dedup", "similarity"),
+        doc="SemDeDup-style semantic dedup: connected components over embedding-"
+        "cosine near-dup pairs, keeper = min vec_id (iterative min-label "
+        "propagation; oracle = recursive-CTE closure)",
+    )
     def _b_ivf_trained(spark, sf_dir):
         from storage_crawler_spark.operators.kmeans import ivf_trained_topk
 

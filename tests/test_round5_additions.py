@@ -181,3 +181,58 @@ def test_quantiles_contract_detects_broken_sketch(spark):
         .collect()[0]
     )
     assert bad.ok is False
+
+
+# ---------------------------------------------------------------------------
+# sim_hard_negatives / dedup_semantic_clusters
+# ---------------------------------------------------------------------------
+
+# 8-dim fixture vectors: first 4 components all-positive so every vector
+# shares one sign bucket (nbits=4); similarity structure lives in the tail.
+_Q = [0.1, 0.1, 0.1, 0.1, 1.0, 0.0, 0.0, 0.0]
+_DUP = [0.2, 0.2, 0.2, 0.2, 2.0, 0.0, 0.0, 0.0]      # cosine(q, dup) = 1
+_SAME = [0.1, 0.1, 0.1, 0.1, 0.9, 0.1, 0.0, 0.0]     # same label as q
+_HARD = [0.1, 0.1, 0.1, 0.1, 0.4, 0.8, 0.0, 0.0]     # cos ≈ 0.47 (< 0.5)
+_FAR = [0.1, 0.1, 0.1, 0.1, 0.0, 0.0, 1.0, 0.0]      # cos ≈ 0.04
+
+
+def _emb_view(spark, rows):
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    df.createOrReplaceTempView("embeddings")
+
+
+def test_hard_negatives_excludes_dups_and_same_label(spark):
+    from storage_crawler_spark.operators.similarity import gen_hard_negatives
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    _emb_view(
+        spark,
+        [(0, _Q, 0), (1, _DUP, 1), (2, _SAME, 0), (3, _HARD, 1), (4, _FAR, 1)],
+    )
+    rows = [
+        r for r in spark.sql(gen_hard_negatives(SPARK, k=3, dup_threshold=0.5)).collect()
+        if r.qid == 0
+    ]
+    got = [(r.nid, r.rank) for r in sorted(rows, key=lambda r: r.rank)]
+    # dup (cos 1 ≥ 0.5) and same-label neighbour excluded; hard before far
+    assert got == [(3, 1), (4, 2)]
+    assert all(r.cosine < 0.5 and r.n_label != 0 for r in rows)
+
+
+def test_semantic_clusters_components_and_keepers(spark):
+    from storage_crawler_spark.operators.cluster import build_semantic_clusters
+
+    _emb_view(
+        spark,
+        [
+            (0, _Q, 0),
+            (1, _DUP, 1),                                  # cosine 1 with vec 0
+            (2, [0.1, 0.1, 0.1, 0.1, 0.0, 1.0, 0.0, 0.0], 0),  # ~orthogonal tail
+            (3, [0.0] * 8, 1),                             # zero-norm: singleton
+        ],
+    )
+    out = {r.vec_id: r for r in build_semantic_clusters(spark).collect()}
+    assert out[0].component == 0 and out[1].component == 0
+    assert out[0].cluster_size == 2 and out[1].is_keeper == 0 and out[0].is_keeper == 1
+    assert out[2].cluster_size == 1 and out[2].is_keeper == 1
+    assert out[3].component == 3 and out[3].cluster_size == 1
