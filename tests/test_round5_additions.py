@@ -236,3 +236,32 @@ def test_semantic_clusters_components_and_keepers(spark):
     assert out[0].cluster_size == 2 and out[1].is_keeper == 0 and out[0].is_keeper == 1
     assert out[2].cluster_size == 1 and out[2].is_keeper == 1
     assert out[3].component == 3 and out[3].cluster_size == 1
+
+
+# ---------------------------------------------------------------------------
+# text_bigram_nll
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_nll_rare_transition_scores_higher(spark):
+    import math
+
+    from storage_crawler_spark.operators.text import gen_bigram_nll
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    # corpus: "a b" transition dominates; doc 3's "a c" is the rare one
+    _docs_view(spark, [(1, "a b a b a b"), (2, "a b a b"), (3, "a c")])
+    rows = {r.doc_id: r for r in spark.sql(gen_bigram_nll(SPARK)).collect()}
+    assert rows[3].mean_bigram_nll > rows[1].mean_bigram_nll
+    # hand-check doc 3: bigrams = (a,c). V = {b, a, c} = 3.
+    # c(a,c)=1, c(a)= count of 'a' as prev = doc1:3(ab)+2(ba)=5... compute:
+    # doc1 bigrams: ab ba ab ba ab ; doc2: ab ba ab ; doc3: ac
+    # c(prev=a) = 3+2+1... prev=a rows: doc1 ab×3, doc2 ab×2, doc3 ac×1 → 6
+    # c(a,c)=1 → P = (1+1)/(6+3) = 2/9
+    expect = -math.log(2 / 9)
+    got = rows[3].mean_bigram_nll
+    assert abs(got - expect) < 1e-5, (got, expect)
+    # single-token / NULL docs emit no row
+    _docs_view(spark, [(1, "a b"), (2, "solo"), (3, None)])
+    out = {r.doc_id for r in spark.sql(gen_bigram_nll(SPARK)).collect()}
+    assert out == {1}
