@@ -80,6 +80,9 @@ NLJ_ALLOWED = {
     # (the scalar normalizer) — 1-row build side
     "text_unigram_surprisal",
     "text_tfidf_topterms",
+    # bigram LM: CROSS JOIN of the 1-row vocabulary-size aggregate — same
+    # scalar-normalizer shape as the unigram scorer
+    "text_bigram_nll",
     # RP-LSH: CROSS JOINs of the 1-row planes relation (array-of-arrays
     # reassembled by a global agg) and the 1-row query-vector row
     "sim_rp_lsh_topk",
