@@ -805,3 +805,65 @@ JOIN uc ON {big}.prev = uc.prev
 CROSS JOIN vocab
 GROUP BY {big}.doc_id
 """.strip()
+
+
+def gen_langid_confusion(d: Dialect) -> str:
+    """Language-ID confusion matrix: the per-doc :func:`gen_lang_id`
+    predictions rolled up to (labeled lang × predicted lang) counts and
+    within-label shares — the audit that turns a classifier into a
+    monitored component (which labels leak into 'unknown', which pairs
+    confuse).  One marker-scoring scan + one partial-combining aggregate;
+    the share window runs on the tiny confusion relation, not the corpus.
+    Both the count and the window sum are CAST before the division (DuckDB
+    window ``sum(BIGINT)`` returns HUGEINT — the r4 pack_bins trap)."""
+    share = d.trunc6(
+        "CAST(count(*) AS DOUBLE) / "
+        "CAST(sum(count(*)) OVER (PARTITION BY actual_lang) AS DOUBLE)"
+    )
+    return f"""
+WITH pred AS (
+{gen_lang_id(d)}
+)
+SELECT actual_lang, predicted_lang, count(*) AS n_docs,
+       {share} AS share_of_actual
+FROM pred
+GROUP BY actual_lang, predicted_lang
+""".strip()
+
+
+def gen_pack_render(
+    d: Dialect, token_budget: int = 256, chunk_tokens: int = 64, stride: int = 48
+) -> str:
+    """Packed-sequence RENDERING: materialize each :func:`gen_pack_bins`
+    bin as its concatenated training sequence (chunks in stream order,
+    space-joined), md5-projected so the comparator never carries the raw
+    packed text.  This is the artifact-producing end of the packing tier —
+    bins stop being bookkeeping and become the causal-LM examples a
+    training job would write to shards.
+
+    The in-bin order key is ``cum_before`` (each chunk's running token
+    offset): strictly increasing along the (doc_id, chunk_no) stream, so
+    it both orders chunks within a bin and is unique — no composite-key
+    struct needed.  Same single running-sum window as pack_bins (two-phase
+    offset split at 100 TB), then one partial-combining aggregate per bin.
+    """
+    rebuilt = d.ajoin(d.agg_arr_by("cum_before", "chunk_text"))
+    return f"""
+SELECT bin_id, count(*) AS n_chunks,
+       CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+       CAST(length({rebuilt}) AS BIGINT) AS packed_len,
+       {d.md5_utf8(rebuilt)} AS packed_md5
+FROM (
+  SELECT CAST({d.idiv('cum_before', str(token_budget))} AS BIGINT) AS bin_id,
+         chunk_text, n_chunk_tokens, cum_before
+  FROM (
+    SELECT doc_id, chunk_no, chunk_text, n_chunk_tokens,
+           sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_no
+                                     ROWS UNBOUNDED PRECEDING) - n_chunk_tokens AS cum_before
+    FROM (
+{gen_chunk_split(d, chunk_tokens, stride)}
+    ) chunks
+  ) offs
+) binned
+GROUP BY bin_id
+""".strip()

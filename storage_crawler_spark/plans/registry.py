@@ -1780,6 +1780,27 @@ FROM files f
         "head (rank-bounded agg state — never buffers a hot term's full postings)",
     )
 
+    b, o = _sql_pair(text.gen_langid_confusion, ("documents",))
+    add(
+        "text_langid_confusion",
+        b,
+        o,
+        tags=("text", "quality"),
+        doc="language-ID confusion matrix: (labeled x predicted) counts + within-"
+        "label shares — classifier audit as a query; share window runs on the "
+        "tiny confusion relation (counts CAST before division: HUGEINT trap)",
+    )
+    b, o = _sql_pair(text.gen_pack_render, ("documents",))
+    add(
+        "text_pack_render",
+        b,
+        o,
+        tags=("text", "pipeline"),
+        doc="packed-sequence rendering: each pack_bins bin materialized as its "
+        "concatenated causal-LM training sequence (cum_before as the unique "
+        "in-bin order key), md5-projected",
+    )
+
     def _b_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         V.register_base_tables(spark, sf_dir, ("documents",))
         big = spark.sql(text.gen_bigram_relation(SPARK))
@@ -1941,8 +1962,10 @@ FROM files f
 # dedup_semantic_clusters), dedup_lsh_quality, sim_knn_join (shape inside
 # sim_hard_negatives), multimodal_binary_meta/media_info (plane covered by
 # features/frames/resize), lake_snapshot_diff, skew_salted_agg,
-# streaming_window_counts/session_counts/user_sessions (plane covered by the
-# two kept streaming entries + deltas + anomaly), stratified_sample.
+# streaming_window_counts/session_counts/user_sessions/attribution_join/
+# dedup (all r4-green; the plane's in-window representatives are the two
+# never-stamped streaming oracles, event_deltas + rate_anomaly),
+# stratified_sample.
 # text_pack_bins stays to prove the r4 HUGEINT fix; dedup_jaccard_pairs and
 # dedup_minhash_lsh stay so the perf-watched plans keep earning
 # current-round stamps; report_status_full stays as the report-plane
@@ -1976,10 +1999,6 @@ _DRIVER_WINDOW_FIRST = (
     "embedding_label_outliers",
     "pipeline_shard_plan",
     "pipeline_mixture_quota",
-    # streaming plane (r4-green trio kept; counts pair rotated out for the
-    # two never-stamped streaming oracles below)
-    "streaming_attribution_join",
-    "streaming_dedup",
     "owner_prefix_join",
     "join_asof_events",
     "join_range_events",
@@ -2005,6 +2024,8 @@ _DRIVER_WINDOW_FIRST = (
     "sketch_distinct_users",
     "sketch_value_quantiles",
     # brand-new round-5 operators, first driver stamps
+    "text_langid_confusion",
+    "text_pack_render",
     "text_bigram_nll",
     "dedup_paragraphs",
     "text_inverted_index",

@@ -265,3 +265,54 @@ def test_bigram_nll_rare_transition_scores_higher(spark):
     _docs_view(spark, [(1, "a b"), (2, "solo"), (3, None)])
     out = {r.doc_id for r in spark.sql(gen_bigram_nll(SPARK)).collect()}
     assert out == {1}
+
+
+# ---------------------------------------------------------------------------
+# text_langid_confusion / text_pack_render
+# ---------------------------------------------------------------------------
+
+
+def test_langid_confusion_cells_and_shares(spark):
+    from storage_crawler_spark.operators.text import gen_langid_confusion
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog", "en"),   # en markers, labeled en → hit
+            (2, "the quick the lazy and", "fr"),  # en markers, labeled fr → miss
+            (3, "xyzzy plugh", "fr"),            # no markers → unknown
+        ],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    df.createOrReplaceTempView("documents")
+    rows = {(r.actual_lang, r.predicted_lang): r for r in spark.sql(gen_langid_confusion(SPARK)).collect()}
+    assert rows[("en", "en")].n_docs == 1 and rows[("en", "en")].share_of_actual == 1.0
+    assert rows[("fr", "en")].n_docs == 1 and rows[("fr", "unknown")].n_docs == 1
+    # shares within a label sum to 1 (floor-truncated at 6 decimals)
+    fr_share = rows[("fr", "en")].share_of_actual + rows[("fr", "unknown")].share_of_actual
+    assert abs(fr_share - 1.0) < 1e-5
+
+
+def test_pack_render_reconstructs_bins_exactly(spark):
+    import hashlib
+
+    from storage_crawler_spark.operators.text import gen_pack_render
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    # 2 docs × 6 tokens, chunk=4/stride=4 (no overlap) → chunks of 4,2,4,2
+    # tokens; budget 6 → bins at offsets [0,6), [6,12): each bin = one doc
+    spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "g h i j k l")], "doc_id LONG, text STRING"
+    ).createOrReplaceTempView("documents")
+    rows = {
+        r.bin_id: r
+        for r in spark.sql(
+            gen_pack_render(SPARK, token_budget=6, chunk_tokens=4, stride=4)
+        ).collect()
+    }
+    assert set(rows) == {0, 1}
+    for bin_id, text in ((0, "a b c d e f"), (1, "g h i j k l")):
+        r = rows[bin_id]
+        assert r.n_chunks == 2 and r.n_tokens == 6
+        assert r.packed_md5 == hashlib.md5(text.encode()).hexdigest()
+        assert r.packed_len == len(text)
