@@ -113,6 +113,13 @@ QUERIES = [
     ("length_quantiles", lambda d: text.gen_length_quantiles(d)),
     ("shard_plan", lambda d: sampling.gen_shard_plan(d, n_shards=4)),
     ("mixture_quota", lambda d: pipeline.gen_mixture_quota(d, token_budget=500)),
+    # round-5 second-pass additions: small blocks/budgets so the 1-40-token
+    # random docs exercise multi-paragraph, multi-chunk, multi-bin paths
+    ("dedup_paragraphs", lambda d: dedup.gen_dedup_paragraphs(d, block_tokens=4)),
+    ("inverted_index", lambda d: text.gen_inverted_index(d, postings_cap=5, min_df=2)),
+    ("bigram_nll", lambda d: text.gen_bigram_nll(d)),
+    ("langid_confusion", lambda d: text.gen_langid_confusion(d)),
+    ("pack_render", lambda d: text.gen_pack_render(d, token_budget=40, chunk_tokens=8, stride=6)),
 ]
 
 
@@ -159,6 +166,10 @@ EMB_QUERIES = [
     ("ivf_topk", lambda d: similarity.gen_ivf_topk(d, 0, 10)),
     ("embedding_near_dup", lambda d: similarity.gen_embedding_near_dup(d)),
     ("knn_join", lambda d: similarity.gen_knn_join(d, k=3)),
+    # duplicate/antipode/zero rows: dup pairs must be excluded by the
+    # cosine ceiling, zero-norm rows by the nrm guard, same-label by the
+    # mining predicate — on adversarial vectors in both engines
+    ("hard_negatives", lambda d: similarity.gen_hard_negatives(d, k=3, dup_threshold=0.9)),
     ("ivf_recall", lambda d: similarity.gen_ivf_recall(d, 0, 10)),
     # round-5 audit plane: the all-zero vector must land in n_zero_norm (not
     # crash), and outlier ranks must agree on exact-duplicate ties
@@ -242,6 +253,12 @@ DOC_ENTRIES = [
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_resize",
+    # round-5 second-pass entries (registry builder + committed oracle)
+    "dedup_paragraphs",
+    "text_inverted_index",
+    "text_bigram_nll",
+    "text_langid_confusion",
+    "text_pack_render",
 ]
 
 
