@@ -367,3 +367,37 @@ SELECT qid, q_label, nid, n_label, cosine, rank FROM (
 ) r
 WHERE rank <= {k}
 """.strip()
+
+
+def gen_embedding_near_dup_incremental(
+    d: Dialect, new_pred: str = "vec_id % 10 = 0", threshold: float = 0.35, nbits: int = 4
+) -> str:
+    """Incremental embedding near-dup pass: cosine near-dup pairs that
+    involve at least one NEW vector (``new_pred``) — the vector-space twin
+    of the minhash daily-increment probe.  The sign-bucket join probes the
+    full bucketed index with only the new vectors, so per-batch work is
+    O(|new| · bucket size), not O(|corpus|); old↔old pairs are never
+    generated.  Result is EXACTLY the full pair set restricted to pairs
+    touching a new vector — the oracle states it that way over the full
+    pair join (independent formulation, not a restatement).
+
+    ``least``/``greatest`` + DISTINCT canonicalize new↔new pairs that meet
+    in both probe directions; the canonicalized ids re-join the prepped
+    relation so the pair math itself stays identical to the full pass.
+    """
+    cos = f"({d.dot('a.ev', 'b.ev')}) / (a.nrm * b.nrm)"
+    return f"""
+WITH {_norm_cte(d, with_bucket=True)},
+v_new AS (SELECT * FROM v WHERE {new_pred}),
+cand AS (
+  SELECT DISTINCT least(x.vec_id, y.vec_id) AS vec_a, greatest(x.vec_id, y.vec_id) AS vec_b
+  FROM v_new x JOIN v y ON x.bkt = y.bkt AND x.vec_id <> y.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT c.vec_a, c.vec_b, {d.trunc6(cos)} AS cosine
+  FROM cand c
+  JOIN v a ON a.vec_id = c.vec_a
+  JOIN v b ON b.vec_id = c.vec_b
+) p
+WHERE cosine >= {threshold}
+""".strip()

@@ -1162,6 +1162,26 @@ def _specs() -> list[QuerySpec]:
         tags=("similarity",),
         doc="bucketed KNN self-join: top-k neighbours per vector (LSH candidates, windowed rank)",
     )
+    _EMB_INC_ORACLE = (
+        "SELECT vec_a, vec_b, cosine FROM (\n"
+        + similarity.gen_embedding_near_dup(DUCK)
+        + "\n) fp WHERE vec_a % 10 = 0 OR vec_b % 10 = 0"
+    )
+
+    def _b_emb_incremental(spark, sf_dir):
+        V.register_base_tables(spark, sf_dir, ("embeddings",))
+        return spark.sql(similarity.gen_embedding_near_dup_incremental(SPARK))
+
+    add(
+        "dedup_embedding_incremental",
+        _b_emb_incremental,
+        _EMB_INC_ORACLE,
+        tags=("dedup", "similarity"),
+        doc="incremental embedding near-dup: new vectors probe the full sign-bucket "
+        "index (O(new x bucket) per batch, old-old pairs never generated; oracle = "
+        "full pair join restricted to new-vector pairs)",
+    )
+
     b, o = _sql_pair(similarity.gen_hard_negatives, ("embeddings",))
     add(
         "sim_hard_negatives",
@@ -2001,7 +2021,6 @@ _DRIVER_WINDOW_FIRST = (
     "pipeline_mixture_quota",
     "owner_prefix_join",
     "join_asof_events",
-    "join_range_events",
     # round-4 additions, first driver stamps
     "dedup_substring_spans",
     "text_dup_span_ratio",
@@ -2024,6 +2043,7 @@ _DRIVER_WINDOW_FIRST = (
     "sketch_distinct_users",
     "sketch_value_quantiles",
     # brand-new round-5 operators, first driver stamps
+    "dedup_embedding_incremental",
     "text_langid_confusion",
     "text_pack_render",
     "text_bigram_nll",

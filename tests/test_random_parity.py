@@ -170,6 +170,17 @@ EMB_QUERIES = [
     # cosine ceiling, zero-norm rows by the nrm guard, same-label by the
     # mining predicate — on adversarial vectors in both engines
     ("hard_negatives", lambda d: similarity.gen_hard_negatives(d, k=3, dup_threshold=0.9)),
+    # Spark runs the incremental probe, DuckDB the full pair join restricted
+    # to new-vector pairs — independent formulations (minhash-incremental
+    # pattern, vector-space twin)
+    (
+        "embedding_incremental",
+        lambda d: similarity.gen_embedding_near_dup_incremental(d)
+        if d.name == "spark"
+        else "SELECT vec_a, vec_b, cosine FROM (\n"
+        + similarity.gen_embedding_near_dup(d)
+        + "\n) fp WHERE vec_a % 10 = 0 OR vec_b % 10 = 0",
+    ),
     ("ivf_recall", lambda d: similarity.gen_ivf_recall(d, 0, 10)),
     # round-5 audit plane: the all-zero vector must land in n_zero_norm (not
     # crash), and outlier ranks must agree on exact-duplicate ties

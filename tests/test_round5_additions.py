@@ -316,3 +316,39 @@ def test_pack_render_reconstructs_bins_exactly(spark):
         assert r.n_chunks == 2 and r.n_tokens == 6
         assert r.packed_md5 == hashlib.md5(text.encode()).hexdigest()
         assert r.packed_len == len(text)
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_incremental
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_incremental_probes_new_only(spark):
+    from storage_crawler_spark.operators.similarity import (
+        gen_embedding_near_dup,
+        gen_embedding_near_dup_incremental,
+    )
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    base = [0.1, 0.1, 0.1, 0.1, 1.0, 0.0, 0.0, 0.0]
+    other = [0.1, 0.1, 0.1, 0.1, 0.0, 1.0, 0.0, 0.0]
+    _emb_view(
+        spark,
+        [
+            (0, base, 0),                      # NEW (0 % 10 == 0), dup of 7
+            (7, base, 1),                      # old twin → pair (0, 7)
+            (3, other, 0),                     # old dup pair (3, 13):
+            (13, list(other), 1),              #   must NOT appear (old-old)
+            (21, [0.1, 0.1, 0.1, 0.1, 0.0, 0.0, 1.0, 0.0], 0),
+        ],
+    )
+    inc = {(r.vec_a, r.vec_b) for r in spark.sql(gen_embedding_near_dup_incremental(SPARK)).collect()}
+    assert (0, 7) in inc
+    assert (3, 13) not in inc
+    # exactly the full pair set restricted to pairs touching a new vector
+    full = {
+        (r.vec_a, r.vec_b)
+        for r in spark.sql(gen_embedding_near_dup(SPARK)).collect()
+        if r.vec_a % 10 == 0 or r.vec_b % 10 == 0
+    }
+    assert inc == full
