@@ -402,3 +402,45 @@ SELECT source, n_docs, sum_tokens,
 FROM weights
 ORDER BY source
 """.strip()
+
+
+def gen_forget_audit(d: Dialect, modulus: int = 53) -> str:
+    """Right-to-be-forgotten propagation audit: given a tombstone set (here
+    a deterministic predicate — every doc whose id ≡ 0 mod ``modulus``,
+    standing in for an opt-out request table), report per source what a
+    purge removes from the corpus AND from the derived chunk relation.
+    The delete itself is the trivial anti-join; what a compliance review
+    actually needs is this audit — proof the purge reaches every derived
+    table, with row/char/chunk counts per source.
+
+    100 TB shape: the chunk relation never materializes its text — only
+    (doc_id, 1) rows reach the per-doc chunk-count aggregate (partial-
+    combining on doc_id, the same key the LEFT JOIN then uses, so AQE
+    reuses the exchange); the outer aggregate partial-combines on the
+    small ``source`` key.  A real tombstone TABLE would broadcast: opt-out
+    sets are tiny relative to the corpus.
+
+    All conditional sums CAST to BIGINT (DuckDB sum → HUGEINT, the round-4
+    driver-hash trap).
+    """
+    from storage_crawler_spark.operators.text import gen_chunk_split
+
+    tomb = f"d.doc_id % {modulus} = 0"
+    return f"""
+WITH ch AS (
+  SELECT doc_id, count(*) AS n_chunks
+  FROM (
+{gen_chunk_split(d)}
+  ) c
+  GROUP BY doc_id
+)
+SELECT d.source AS source,
+       CAST(sum(CASE WHEN {tomb} THEN 1 ELSE 0 END) AS BIGINT) AS docs_purged,
+       CAST(sum(CASE WHEN {tomb} THEN 0 ELSE 1 END) AS BIGINT) AS docs_kept,
+       CAST(sum(CASE WHEN {tomb} THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_purged,
+       CAST(sum(CASE WHEN {tomb} THEN coalesce(ch.n_chunks, 0) ELSE 0 END) AS BIGINT) AS chunks_purged
+FROM documents d
+LEFT JOIN ch ON d.doc_id = ch.doc_id
+GROUP BY d.source
+ORDER BY source
+""".strip()

@@ -195,6 +195,60 @@ ORDER BY label
 """.strip()
 
 
+def gen_int8_quant_audit(d: Dialect) -> str:
+    """Symmetric per-vector int8 quantization audit: quantize each embedding
+    to int8 with its own scale (max|x|/127, the faiss/SQ8 convention),
+    reconstruct, and report the per-label reconstruction-error distribution
+    plus the worst per-vector relative error.  This is the go/no-go gate
+    before shipping a quantized 100 TB vector store — 4× smaller and
+    memory-bandwidth-bound ANN only pays off if the recall-relevant error
+    stays bounded.
+
+    Engine parity: rounding is ``floor(x/scale + 0.5)`` (explicit
+    round-half-up — Spark's round() and DuckDB's disagree at .5 ties), the
+    per-vector squared error folds left-to-right (plans/dialect.py), and
+    zero vectors short-circuit to error 0 (their scale would be 0).
+
+    100 TB shape: everything per-vector happens inside the scan stage
+    (map-only); the shuffle carries (label, scalar error) rows into one
+    partial-combining aggregate.  No joins, no window.
+    """
+    ev = d.cast_double_arr("embedding")
+    absarr = d.transform("ev", "x", "abs(x)")
+    # int8 code of one component: clamp(round_half_up(x / scale), -127, 127)
+    q = "greatest(CAST(-127 AS DOUBLE), least(CAST(127 AS DOUBLE), floor(x / scale + 0.5)))"
+    recon = d.transform("ev", "x", f"({q}) * scale")
+    err2 = d.fold_double(d.zip_sub_sq("ev", "recon"))
+    return f"""
+WITH v0 AS (
+  SELECT vec_id, label, {ev} AS ev FROM embeddings WHERE embedding IS NOT NULL
+),
+s AS (
+  SELECT vec_id, label, ev, {d.amax(absarr)} / 127 AS scale FROM v0
+),
+r AS (
+  SELECT vec_id, label, ev, scale,
+         CASE WHEN scale = 0 THEN {d.transform('ev', 'x', 'CAST(0.0 AS DOUBLE)')}
+              ELSE {recon} END AS recon
+  FROM s
+),
+e AS (
+  SELECT vec_id, label,
+         CASE WHEN scale = 0 THEN CAST(0.0 AS DOUBLE) ELSE {err2} END AS err2,
+         {d.dot('ev', 'ev')} AS nrm2
+  FROM r
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       {d.trunc6('avg(err2)')} AS mean_sq_err,
+       {d.trunc6('max(err2)')} AS max_sq_err,
+       {d.trunc6('max(CASE WHEN nrm2 = 0 THEN 0.0 ELSE err2 / nrm2 END)')} AS max_rel_err
+FROM e
+GROUP BY label
+ORDER BY label
+""".strip()
+
+
 def gen_label_outliers(d: Dialect, per_label: int = 3) -> str:
     """Per-label centroid outliers: the ``per_label`` vectors farthest
     (Euclidean) from their label's mean vector — mislabeled rows, embedding

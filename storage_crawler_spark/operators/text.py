@@ -229,6 +229,47 @@ _PHONE_RE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
 _LONG_DIGITS_RE = "[0-9]{9,}"
 
 
+def gen_vocab_coverage(
+    d: Dialect, vocab_size: int = 64, src: str = "documents", tok_rel: str | None = None
+) -> str:
+    """Tokenizer-training preflight: build the top-``vocab_size`` word
+    vocabulary from the corpus itself (count DESC, token ASC — a total
+    deterministic order), then score every document's out-of-vocabulary
+    token rate against it.  High OOV-rate docs are what blow up a learned
+    tokenizer's fertility; this is the signal a pipeline uses to size the
+    vocab or route docs to a byte-fallback path.
+
+    100 TB shape: token explode (map) → token-frequency aggregate
+    (partial-combining), the vocab rank is a window over the FREQUENCY
+    relation (vocabulary-sized, not corpus-sized), and the vocab itself is
+    a ≤``vocab_size``-row broadcast joined back onto the exploded stream —
+    the heavy stream is touched by one map and one per-doc aggregate, no
+    re-sort.  Spark builder persists the exploded relation (``tok_rel``);
+    the oracle inlines the CTE.
+    """
+    if tok_rel:
+        tok = tok_rel
+        with_clause = "WITH "
+    else:
+        tok = "tok"
+        with_clause = f"WITH tok AS (\n{gen_token_explode(d, src)}\n),\n"
+    oov = "CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    return f"""{with_clause}freq AS (SELECT token, count(*) AS n FROM {tok} GROUP BY token),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY n DESC, token) AS rnk FROM freq
+  ) r WHERE rnk <= {vocab_size}
+)
+SELECT {tok}.doc_id AS doc_id,
+       count(*) AS n_tokens,
+       {oov} AS oov_tokens,
+       {d.trunc6(f"CAST({oov} AS DOUBLE) / count(*)")} AS oov_rate
+FROM {tok}
+LEFT JOIN vocab v ON {tok}.token = v.token
+GROUP BY {tok}.doc_id
+""".strip()
+
+
 def gen_text_normalize(d: Dialect) -> str:
     """Canonical text normalization for dedup/training prep: lowercase,
     non-alphanumerics → space, whitespace collapsed, trimmed.  Pure

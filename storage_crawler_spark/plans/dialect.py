@@ -60,6 +60,10 @@ class Dialect:
         fn = "array_min" if self.name == "spark" else "list_min"
         return f"{fn}({arr})"
 
+    def amax(self, arr: str) -> str:
+        fn = "array_max" if self.name == "spark" else "list_max"
+        return f"{fn}({arr})"
+
     def seq(self, lo: str, hi: str) -> str:
         """Inclusive integer sequence; callers must guarantee lo <= hi
         (Spark's sequence() counts DOWN when lo > hi; DuckDB returns [])."""

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from storage_crawler_spark.operators import (
+    analytics,
     cluster,
     dedup,
     multimodal,
@@ -1933,6 +1934,69 @@ FROM files f
         doc="domain-mixture weights: per-source token share and alpha=0.5 "
         "temperature-sampling weight (mT5/XLM-R rule); one corpus agg, global "
         "windows on the per-domain relation only",
+    )
+
+    def _b_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("events",))
+        wk = SPARK.idiv(SPARK.epoch_s_events("ts"), str(analytics.SECONDS_PER_WEEK))
+        ev = spark.sql(
+            f"SELECT DISTINCT user_id, {wk} AS wk FROM events WHERE user_id IS NOT NULL"
+        )
+        _persist_view(ev, "_cohort_ev")
+        fw = spark.sql(
+            "SELECT user_id, min(wk) AS cohort_wk FROM _cohort_ev GROUP BY user_id"
+        )
+        _persist_view(fw, "_cohort_fw")
+        return spark.sql(
+            analytics.gen_cohort_retention(SPARK, ev_rel="_cohort_ev", first_rel="_cohort_fw")
+        )
+
+    add(
+        "events_cohort_retention",
+        _b_cohort,
+        analytics.gen_cohort_retention(DUCK),
+        tags=("events", "analytics"),
+        doc="weekly cohort-retention matrix over events: first-seen-week cohorts × "
+        "week offset, active counts + retention ratio; (user, week) relation "
+        "persisted once, cohort sizes broadcast",
+    )
+
+    def _b_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        tok = spark.sql(text.gen_token_explode(SPARK))
+        _persist_view(tok, "_tok_vocab")
+        return spark.sql(text.gen_vocab_coverage(SPARK, tok_rel="_tok_vocab"))
+
+    add(
+        "text_vocab_coverage",
+        _b_vocab,
+        text.gen_vocab_coverage(DUCK),
+        tags=("text",),
+        doc="tokenizer-preflight OOV audit: corpus-built top-64 vocab (count DESC, "
+        "token — total deterministic order) broadcast back onto the exploded "
+        "stream; per-doc OOV token rate",
+    )
+
+    b, o = _sql_pair(similarity.gen_int8_quant_audit, ("embeddings",))
+    add(
+        "embedding_int8_audit",
+        b,
+        o,
+        tags=("similarity", "audit"),
+        doc="symmetric per-vector int8 (SQ8) quantization audit: reconstruction "
+        "error distribution per label, explicit half-up rounding for engine "
+        "parity; map-only then one partial-combining agg",
+    )
+
+    b, o = _sql_pair(pipeline_ops.gen_forget_audit, ("documents",))
+    add(
+        "pipeline_forget_audit",
+        b,
+        o,
+        tags=("pipeline",),
+        doc="right-to-be-forgotten purge audit: per-source docs/chars purged plus "
+        "derived-chunk purge counts (tombstones reach every derived table); "
+        "chunk counts aggregated on doc_id before the join",
     )
 
     def _fsmeta_builder(spark, sf_dir):

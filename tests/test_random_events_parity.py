@@ -44,6 +44,9 @@ EVENT_ENTRIES = [
     # trailing-z anomaly: pooled-instant ties stress the exact-integer
     # trailing stats and the cross-engine threshold decisions
     "window_rate_anomaly",
+    # cohort weeks from integer epoch floor-division: pooled instants give
+    # same-user duplicate (user, week) rows the DISTINCT must collapse
+    "events_cohort_retention",
     # streaming_event_deltas is rows-only (stateful applyInPandasWithState,
     # no SQL oracle) — covered by tests/test_streaming.py instead
 ]

@@ -190,6 +190,9 @@ EMB_QUERIES = [
     # boundaries in every signature bit
     ("rp_lsh_topk", lambda d: similarity.gen_rp_lsh_topk(d, 0, 10, n_planes=4)),
     ("rp_lsh_recall", lambda d: similarity.gen_rp_lsh_recall(d, 0, 10, n_planes=4)),
+    # int8 quantization audit: the all-zero vector takes the scale=0
+    # short-circuit, duplicates/antipodes must land in identical error cells
+    ("int8_quant_audit", lambda d: similarity.gen_int8_quant_audit(d)),
 ]
 
 
@@ -270,6 +273,9 @@ DOC_ENTRIES = [
     "text_bigram_nll",
     "text_langid_confusion",
     "text_pack_render",
+    # round-5 third-pass entries
+    "text_vocab_coverage",
+    "pipeline_forget_audit",
 ]
 
 
