@@ -73,3 +73,60 @@ JOIN cs s ON f.cohort_wk = s.cohort_wk
 GROUP BY f.cohort_wk, e.wk - f.cohort_wk, s.cohort_users
 ORDER BY cohort_wk, week_offset
 """.strip()
+
+
+def gen_funnel_conversion(
+    d: Dialect,
+    steps: tuple[str, ...] = ("signup", "click", "purchase"),
+    window_s: int = 6 * 3600,
+) -> str:
+    """Windowed ordered-funnel conversion over the event stream: a user
+    completes step k if some step-k event occurs AT OR AFTER their step-k−1
+    completion time and within ``window_s`` seconds of it (completion time
+    = earliest qualifying instant, the standard product-analytics
+    semantics; ties at the same second count, matching the at-or-before
+    convention of the as-of join).  The window is what makes a funnel a
+    funnel — without it any long-lived user trivially "converts".
+
+    Output: one row per funnel step with the surviving-user count and the
+    conversion rate against step 1.
+
+    100 TB shape: one narrow (user, type, second) projection; each step is
+    a partial-combining min-aggregate joined to the previous step's tiny
+    per-user relation — every join and every aggregate keys on user_id, so
+    AQE plans ONE exchange for the whole chain and the step relations
+    shrink monotonically.  Step count is a query constant, so the chain
+    depth is fixed at plan time, not data-driven.
+    """
+    es = d.epoch_s_events("ts")
+    parts = [
+        f"ev AS (SELECT user_id, event_type, {es} AS es FROM events WHERE user_id IS NOT NULL)"
+    ]
+    for i, step in enumerate(steps):
+        if i == 0:
+            parts.append(
+                f"u1 AS (SELECT user_id, min(es) AS t1 FROM ev WHERE event_type = '{step}' GROUP BY user_id)"
+            )
+        else:
+            parts.append(
+                f"u{i + 1} AS (SELECT e.user_id, min(e.es) AS t{i + 1} "
+                f"FROM ev e JOIN u{i} p ON e.user_id = p.user_id "
+                f"AND e.es >= p.t{i} AND e.es <= p.t{i} + {window_s} "
+                f"WHERE e.event_type = '{step}' GROUP BY e.user_id)"
+            )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS step_no, '{step}' AS step, CAST(count(*) AS BIGINT) AS users FROM u{i + 1}"
+        for i, step in enumerate(steps)
+    )
+    rate = d.trunc6("CAST(f.users AS DOUBLE) / s1.users")
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes},
+f AS (
+{unions}
+),
+s1 AS (SELECT users FROM f WHERE step_no = 1)
+SELECT f.step_no AS step_no, f.step AS step, f.users AS users,
+       {rate} AS conversion_rate
+FROM f CROSS JOIN s1
+ORDER BY step_no
+""".strip()

@@ -617,3 +617,112 @@ SELECT t.doc_id, t.n_paras,
        k.clean_md5
 FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
 """.strip()
+
+
+def gen_containment_pairs(
+    d: Dialect,
+    threshold_pct: int = 80,
+    sh_rel: str | None = None,
+    prep_rel: str | None = None,
+    src: str = "documents",
+) -> str:
+    """Asymmetric containment near-dup pairs over 3-token shingle sets via
+    df-ordered prefix filtering (the AllPairs/PPJoin candidate scheme
+    re-expressed relationally).  Containment C = |A∩B| / min(|A|,|B|)
+    catches the pair symmetric Jaccard structurally cannot: a document
+    quoted wholesale inside a much larger one (J = |A|/|B| → 0 while
+    C = 1).  Length-window blocking is equally useless for that shape —
+    the prefix filter replaces it.  Shingles, not unigram tokens, are the
+    set elements: token sets over a small vocabulary saturate (every doc
+    contains every frequent word), while the 3-gram space keeps set
+    containment a sequence-ish, meaningful signal — the same reason
+    minhash shingles first.
+
+    Candidate generation is EXACT (full recall at the threshold), from the
+    prefix-filter theorem: order each doc's distinct shingles by ascending
+    document frequency (ties by shingle), keep the first ⌊(1−θ)·n⌋+1 as
+    its *prefix*; if C(S,L) ≥ θ with |S| ≤ |L|, S misses at most
+    (1−θ)|S| of L, so at least one prefix shingle — in ANY fixed global
+    order — lands in L.  Candidates = prefix(X) ⋈ full shingle stream on
+    shingle; exact set intersection verifies.  Because recall is exact,
+    the OUTPUT is independent of the chosen order: the two engines need
+    not even agree on df ties for the result to match.
+
+    The df-ascending order is the load-bearing optimization: prefix
+    shingles are each doc's RAREST, so the candidate join fans out by
+    df(shingle) of rare shingles only — boilerplate/hot shingles appear
+    solely on the (never-probed) index side.  100 TB shape: shingle
+    explode (map) → df aggregate (partial-combining) → per-doc prefix-rank
+    window (one shuffle on doc_id) → equi-join on rare shingle keys →
+    DISTINCT pair dedup → two doc_id-keyed hash joins onto the hashed
+    shingle arrays for exact verification.  No all-pairs product at any
+    stage.
+
+    ``sh_rel``/``prep_rel`` let the Spark builder persist the exploded
+    shingle relation and the per-doc hashed-shingle prep once (Spark
+    inlines CTEs); the oracle inlines both.
+    """
+    theta = threshold_pct / 100.0
+    parts = []
+    if sh_rel:
+        sh = sh_rel
+    else:
+        sh = "sh"
+        lat = d.lateral_explode("shingles", "shingle")
+        parts.append(
+            f"""sh AS (
+SELECT doc_id, shingle
+FROM (
+  SELECT doc_id, {d.adistinct(_shingles(d))} AS shingles
+  FROM (SELECT doc_id, text, {d.split("text")} AS toks FROM {src}) s0
+) s1
+{lat}
+)"""
+        )
+    if prep_rel:
+        pr = prep_rel
+    else:
+        pr = "pr"
+        hs = d.transform(d.adistinct(_shingles(d)), "s", d.token_hash64("s"))
+        parts.append(
+            f"""pr AS (
+SELECT doc_id, {hs} AS hs, {d.size(hs)} AS n_sh
+FROM (SELECT doc_id, text, {d.split("text")} AS toks FROM {src}) p0
+)"""
+        )
+    inter = d.size(d.aintersect("a.hs", "b.hs"))
+    prefix_len = d.idiv(f"(100 - {threshold_pct}) * n_sh", "100")
+    parts.append(
+        f"""df AS (SELECT shingle, count(*) AS df FROM {sh} GROUP BY shingle),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM {sh} GROUP BY doc_id),
+pref AS (
+  SELECT doc_id, shingle FROM (
+    SELECT {sh}.doc_id, {sh}.shingle, sz.n_sh,
+           row_number() OVER (PARTITION BY {sh}.doc_id
+                              ORDER BY df.df, {sh}.shingle) AS pos
+    FROM {sh}
+    JOIN df ON {sh}.shingle = df.shingle
+    JOIN sz ON {sh}.doc_id = sz.doc_id
+  ) o
+  WHERE pos <= {prefix_len} + 1
+),
+cand AS (
+  SELECT DISTINCT least(p.doc_id, {sh}.doc_id) AS doc_a,
+                  greatest(p.doc_id, {sh}.doc_id) AS doc_b
+  FROM pref p
+  JOIN {sh} ON p.shingle = {sh}.shingle AND p.doc_id <> {sh}.doc_id
+)"""
+    )
+    with_clause = "WITH " + ",\n".join(parts)
+    return f"""{with_clause}
+SELECT doc_a, doc_b, containment, jaccard
+FROM (
+  SELECT c.doc_a, c.doc_b,
+         {d.trunc6(f"CAST({inter} AS DOUBLE) / least(a.n_sh, b.n_sh)")} AS containment,
+         {d.trunc6(f"CAST({inter} AS DOUBLE) / (a.n_sh + b.n_sh - {inter})")} AS jaccard
+  FROM cand c
+  JOIN {pr} a ON c.doc_a = a.doc_id
+  JOIN {pr} b ON c.doc_b = b.doc_id
+) v
+WHERE containment >= {theta}
+""".strip()

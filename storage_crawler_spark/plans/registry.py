@@ -1936,6 +1936,38 @@ FROM files f
         "windows on the per-domain relation only",
     )
 
+    def _b_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        from storage_crawler_spark.operators.dedup import _shingles
+
+        lat = SPARK.lateral_explode("shingles", "shingle")
+        base = (
+            f"SELECT doc_id, {SPARK.adistinct(_shingles(SPARK))} AS shingles "
+            f"FROM (SELECT doc_id, text, {SPARK.split('text')} AS toks FROM documents) s0"
+        )
+        sh = spark.sql(f"SELECT doc_id, shingle FROM ({base}) s1 {lat}")
+        _persist_view(sh, "_cont_sh")
+        hs = SPARK.transform("shingles", "s", SPARK.token_hash64("s"))
+        pr = spark.sql(
+            f"SELECT doc_id, hs, {SPARK.size('hs')} AS n_sh "
+            f"FROM (SELECT doc_id, {hs} AS hs FROM ({base}) p0) p1"
+        )
+        _persist_view(pr, "_cont_pr")
+        return spark.sql(
+            dedup.gen_containment_pairs(SPARK, sh_rel="_cont_sh", prep_rel="_cont_pr")
+        )
+
+    add(
+        "dedup_containment_pairs",
+        _b_containment,
+        dedup.gen_containment_pairs(DUCK),
+        tags=("dedup",),
+        doc="asymmetric shingle-set containment pairs via df-ordered prefix "
+        "filtering (AllPairs/PPJoin scheme): exact recall at the threshold, "
+        "candidates only from each doc's rarest shingles; catches "
+        "doc-quoted-inside-doc dups Jaccard cannot",
+    )
+
     def _b_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         V.register_base_tables(spark, sf_dir, ("events",))
         wk = SPARK.idiv(SPARK.epoch_s_events("ts"), str(analytics.SECONDS_PER_WEEK))
@@ -1959,6 +1991,17 @@ FROM files f
         doc="weekly cohort-retention matrix over events: first-seen-week cohorts × "
         "week offset, active counts + retention ratio; (user, week) relation "
         "persisted once, cohort sizes broadcast",
+    )
+
+    b, o = _sql_pair(analytics.gen_funnel_conversion, ("events",))
+    add(
+        "events_funnel_conversion",
+        b,
+        o,
+        tags=("events", "analytics"),
+        doc="windowed ordered-funnel conversion (signup -> click -> purchase, 6h "
+        "step window): per-step surviving users + rate vs step 1; every join "
+        "and aggregate keys on user_id so AQE plans one exchange",
     )
 
     def _b_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:

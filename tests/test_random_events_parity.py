@@ -47,6 +47,9 @@ EVENT_ENTRIES = [
     # cohort weeks from integer epoch floor-division: pooled instants give
     # same-user duplicate (user, week) rows the DISTINCT must collapse
     "events_cohort_retention",
+    # windowed funnel: pooled instants create exact window-edge ties
+    # (es = t + window) and same-second step completions in both engines
+    "events_funnel_conversion",
     # streaming_event_deltas is rows-only (stateful applyInPandasWithState,
     # no SQL oracle) — covered by tests/test_streaming.py instead
 ]

@@ -276,6 +276,9 @@ DOC_ENTRIES = [
     # round-5 third-pass entries
     "text_vocab_coverage",
     "pipeline_forget_audit",
+    # prefix-filter containment: exact duplicates (containment 1.0), short
+    # docs (<3 tokens shingle to whole text), NULL langs must all survive
+    "dedup_containment_pairs",
 ]
 
 

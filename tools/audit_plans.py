@@ -93,6 +93,9 @@ NLJ_ALLOWED = {
     # corpus card: 1-row corpus aggregate × 9-row constant-VALUES metric
     # relation — the pivot that keeps the card to ONE corpus scan
     "corpus_card",
+    # funnel: CROSS JOIN of the 1-row step-1 user count (the conversion-rate
+    # denominator) — same scalar-normalizer shape as q22
+    "events_funnel_conversion",
 }
 
 # Queries that must not plan a Window operator (their aggregates are
