@@ -1710,6 +1710,28 @@ FROM files f
         "byte-faithful against the parquet oracle (empty-string vs NULL preserved)",
     )
 
+    def _ingest_schemaevo_builder(spark, sf_dir):
+        from storage_crawler_spark.sources.ingest import (
+            evolution_fingerprint,
+            read_documents_schema_evolution,
+        )
+
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        return evolution_fingerprint(read_documents_schema_evolution(spark, sf_dir))
+
+    from storage_crawler_spark.sources.ingest import EVOLUTION_ORACLE
+
+    add(
+        "ingest_schema_evolution",
+        _ingest_schemaevo_builder,
+        EVOLUTION_ORACLE,
+        tags=("source",),
+        doc="parquet schema evolution: mergeSchema union over two landing "
+        "generations (one widened with a license column), gated byte-faithful "
+        "per (lang, license) against the original-parquet oracle — proves the "
+        "merged scan lost no rows/bytes and NULLed exactly the old-schema rows",
+    )
+
     def _b_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         V.register_base_tables(spark, sf_dir, ("documents",))
         grams = spark.sql(text.gen_token_ngrams(SPARK, passthrough=("source",)))

@@ -222,3 +222,81 @@ def fidelity_fingerprint(docs: DataFrame) -> DataFrame:
 # DuckDB oracle: the same fingerprint over the ORIGINAL parquet — equality
 # through the format round-trip is the fidelity claim.
 FIDELITY_ORACLE = gen_fidelity_fingerprint(DUCK)
+
+
+# deterministic synthetic license column for the v2 schema generation —
+# the "new column added upstream" in the evolution scenario
+_LICENSE_EXPR = "concat('lic', CAST(doc_id % 3 AS STRING))"
+
+
+def _ensure_schema_evolution(spark: SparkSession, sf_dir: str) -> str:
+    """Two parquet generations of the documents feed under one root:
+    ``gen1/`` (even doc_ids, original 5-column schema) and ``gen2/`` (odd
+    doc_ids, schema WIDENED upstream with a ``license`` column) — the
+    standard landing-zone drift a long-running 100 TB pipeline must absorb
+    without reprocessing old files."""
+    out = _derived_dir(sf_dir, "schemaevo")
+    marker = os.path.join(out, "_PUBLISHED")
+    if not os.path.exists(marker):
+        tmp_out = f"{out}.tmp.{os.getpid()}"
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        src.filter("doc_id % 2 = 0").write.mode("overwrite").parquet(
+            os.path.join(tmp_out, "gen1")
+        )
+        src.filter("doc_id % 2 = 1").withColumn(
+            "license", F.expr(_LICENSE_EXPR)
+        ).write.mode("overwrite").parquet(os.path.join(tmp_out, "gen2"))
+        # the single-root _SUCCESS convention doesn't apply (two subdirs);
+        # publish atomically with our own marker
+        open(os.path.join(tmp_out, "_PUBLISHED"), "w").close()
+        try:
+            os.rename(tmp_out, out)
+            _prune_stale_derived(out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp_out, ignore_errors=True)
+    return out
+
+
+def read_documents_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union read across both schema generations via parquet schema merge
+    (``mergeSchema`` reconciles footers at planning time; old files yield
+    NULL for the added column).  Deliberately NOT schema-pinned — footer
+    reconciliation is the feature under test; at 100 TB the merge cost is
+    bounded by footer count, not data size, and column pruning/pushdown
+    still apply to the merged scan."""
+    root = _ensure_schema_evolution(spark, sf_dir)
+    return spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "gen1"), os.path.join(root, "gen2")
+    )
+
+
+def gen_evolution_fingerprint(d) -> str:
+    """Oracle: the same per-(lang, license) fidelity aggregate computed
+    from the ORIGINAL parquet, deriving each row's generation (and the v2
+    license value) from the doc_id split — equality proves the merged scan
+    lost no rows, no bytes, and NULLed exactly the v1 rows."""
+    lic = f"CASE WHEN doc_id % 2 = 1 THEN {_LICENSE_EXPR} ELSE NULL END"
+    return f"""
+SELECT lang, {lic} AS license, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       {_modsum_expr(_digest_expr(d))} AS text_digest_sum
+FROM documents
+GROUP BY lang, {lic}
+""".strip()
+
+
+def evolution_fingerprint(docs: DataFrame) -> DataFrame:
+    return (
+        docs.groupBy("lang", "license")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.expr(_modsum_expr(_digest_expr(SPARK))).alias("text_digest_sum"),
+        )
+        .select("lang", "license", "n_docs", "sum_chars", "text_digest_sum")
+    )
+
+
+EVOLUTION_ORACLE = gen_evolution_fingerprint(DUCK)

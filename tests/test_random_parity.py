@@ -255,6 +255,7 @@ DOC_ENTRIES = [
     "ingest_jsonl_fidelity",
     "ingest_csv_fidelity",
     "ingest_orc_fidelity",
+    "ingest_schema_evolution",
     # round-5 additions
     "text_boilerplate_ngrams",
     "pipeline_ngram_contamination",
