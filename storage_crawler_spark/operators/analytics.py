@@ -130,3 +130,34 @@ SELECT f.step_no AS step_no, f.step AS step, f.users AS users,
 FROM f CROSS JOIN s1
 ORDER BY step_no
 """.strip()
+
+
+def gen_stickiness(d: Dialect, trail_weeks: int = 4) -> str:
+    """Weekly engagement stickiness: per week, WAU (distinct active users),
+    trailing-``trail_weeks`` MAU (distinct users active in that window),
+    and the WAU/MAU ratio — the standard engagement-health metric.
+
+    MAU is a DISTINCT over a trailing window, which no window function
+    computes (COUNT(DISTINCT) OVER RANGE is unsupported in both engines);
+    the relational form is a range join of the tiny week dimension onto
+    the (user, week) relation.  100 TB shape: the week dimension is
+    O(corpus age in weeks) rows — broadcast; the per-(week, user)
+    distinct partial-combines before the count; the raw event stream is
+    projected once to (user_id, wk).
+    """
+    wk = d.idiv(d.epoch_s_events("ts"), str(SECONDS_PER_WEEK))
+    ratio = d.trunc6("CAST(w.wau AS DOUBLE) / m.mau")
+    return f"""
+WITH ev AS (SELECT DISTINCT user_id, {wk} AS wk FROM events WHERE user_id IS NOT NULL),
+wks AS (SELECT DISTINCT wk FROM ev),
+wau AS (SELECT wk, count(*) AS wau FROM ev GROUP BY wk),
+mau AS (
+  SELECT w.wk, count(DISTINCT e.user_id) AS mau
+  FROM wks w
+  JOIN ev e ON e.wk BETWEEN w.wk - {trail_weeks - 1} AND w.wk
+  GROUP BY w.wk
+)
+SELECT w.wk AS wk, w.wau AS wau, m.mau AS mau, {ratio} AS stickiness
+FROM wau w JOIN mau m ON w.wk = m.wk
+ORDER BY wk
+""".strip()

@@ -726,3 +726,31 @@ FROM (
 ) v
 WHERE containment >= {theta}
 """.strip()
+
+
+def gen_dedup_normalized(d: Dialect) -> str:
+    """Normalization-aware exact dedup, reported AGAINST raw exact dedup:
+    per language, how many extra duplicate docs casefolding +
+    whitespace-collapse exposes that byte-exact fingerprints miss — the
+    standard first escalation when exact dedup under-fires on scraped
+    text (trailing whitespace, case-variant mirrors).
+
+    Both fingerprints compute in ONE scan (two md5s per row, map-only);
+    the single aggregate groups by lang and counts docs minus distinct
+    fingerprints of each kind.  No joins, one shuffle.
+    """
+    raw_fp = d.md5_utf8("text")
+    norm = d.regex_replace_all("lower(trim(text))", "[ ]+", " ")
+    norm_fp = d.md5_utf8(norm)
+    return f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) - count(DISTINCT raw_fp) AS BIGINT) AS raw_dup_docs,
+       CAST(count(*) - count(DISTINCT norm_fp) AS BIGINT) AS norm_dup_docs
+FROM (
+  SELECT lang, {raw_fp} AS raw_fp, {norm_fp} AS norm_fp
+  FROM documents WHERE text IS NOT NULL
+) t
+GROUP BY lang
+ORDER BY lang
+""".strip()

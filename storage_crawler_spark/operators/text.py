@@ -908,3 +908,47 @@ FROM (
 ) binned
 GROUP BY bin_id
 """.strip()
+
+
+def gen_char_entropy(d: Dialect, width: int = 3) -> str:
+    """Per-document character-``width``-gram Shannon entropy (nats) — the
+    compression-ratio-style gibberish/diversity signal: natural prose sits
+    in a stable band, base64 blobs and mashed-keyboard noise score high,
+    single-character padding scores near 0.  Complements the token-level
+    signals (surprisal, bigram NLL): it needs no corpus model and catches
+    sub-token garbage that tokenizes into OOV singletons.
+
+    Docs shorter than ``width`` chars have no gram and are emitted with
+    NULL entropy (explicit LEFT JOIN), not silently dropped.
+
+    Single-gram docs pin a portability trap: p=1 makes every summand
+    ±0.0 and a unary minus yields -0.0, which Spark's floor() (BIGINT)
+    renders 0 while DuckDB's (DOUBLE) keeps the sign — the entropy is
+    therefore written ``0.0 - sum(...)`` so both engines emit +0.0.
+
+    100 TB shape: the gram explode inflates the scan ~``width``× (map);
+    then two partial-combining aggregates, (doc, gram) → doc, both keyed
+    by doc_id so AQE plans one exchange.  No corpus-wide state at all —
+    this scales embarrassingly.
+    """
+    lat = d.lateral_seq("1", f"length(text) - {width - 1}", "gi")
+    p = "(CAST(c AS DOUBLE) / n)"
+    return f"""
+WITH g AS (
+  SELECT doc_id, substr(text, gi, {width}) AS gram
+  FROM (SELECT doc_id, text FROM documents WHERE length(text) >= {width}) b
+  {lat}
+),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+e AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         {d.trunc6(f"0.0 - sum({p} * ln({p}))")} AS entropy
+  FROM (SELECT doc_id, gram, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM gc) t
+  GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id,
+       coalesce(e.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+       e.entropy AS entropy
+FROM documents d
+LEFT JOIN e ON d.doc_id = e.doc_id
+""".strip()

@@ -2026,6 +2026,39 @@ FROM files f
         "and aggregate keys on user_id so AQE plans one exchange",
     )
 
+    b, o = _sql_pair(analytics.gen_stickiness, ("events",))
+    add(
+        "events_stickiness",
+        b,
+        o,
+        tags=("events", "analytics"),
+        doc="weekly WAU / trailing-4-week MAU / stickiness ratio; trailing "
+        "DISTINCT via a broadcast week-dimension range join (no "
+        "COUNT(DISTINCT) OVER exists in either engine)",
+    )
+
+    b, o = _sql_pair(text.gen_char_entropy, ("documents",))
+    add(
+        "text_char_entropy",
+        b,
+        o,
+        tags=("text", "quality"),
+        doc="per-doc char-trigram Shannon entropy (model-free gibberish / "
+        "diversity signal; sub-token garbage detector); short docs emitted "
+        "with NULL entropy via LEFT JOIN, never dropped",
+    )
+
+    b, o = _sql_pair(dedup.gen_dedup_normalized, ("documents",))
+    add(
+        "dedup_normalized_exact",
+        b,
+        o,
+        tags=("dedup",),
+        doc="normalization-aware exact dedup vs raw, per lang: extra dup docs "
+        "exposed by casefold+whitespace-collapse; both fingerprints in one "
+        "scan, one aggregate, no joins",
+    )
+
     def _b_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         V.register_base_tables(spark, sf_dir, ("documents",))
         tok = spark.sql(text.gen_token_explode(SPARK))

@@ -50,6 +50,9 @@ EVENT_ENTRIES = [
     # windowed funnel: pooled instants create exact window-edge ties
     # (es = t + window) and same-second step completions in both engines
     "events_funnel_conversion",
+    # trailing-window DISTINCT: weeks with partial overlap across the 7-day
+    # span; the range join must agree on inclusive edges
+    "events_stickiness",
     # streaming_event_deltas is rows-only (stateful applyInPandasWithState,
     # no SQL oracle) — covered by tests/test_streaming.py instead
 ]

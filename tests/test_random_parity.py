@@ -280,6 +280,10 @@ DOC_ENTRIES = [
     # prefix-filter containment: exact duplicates (containment 1.0), short
     # docs (<3 tokens shingle to whole text), NULL langs must all survive
     "dedup_containment_pairs",
+    # char entropy: len<3 docs must surface as NULL-entropy rows; normalized
+    # dedup: case/whitespace variants in the random corpus
+    "text_char_entropy",
+    "dedup_normalized_exact",
 ]
 
 
