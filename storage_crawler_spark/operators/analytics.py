@@ -161,3 +161,40 @@ SELECT w.wk AS wk, w.wau AS wau, m.mau AS mau, {ratio} AS stickiness
 FROM wau w JOIN mau m ON w.wk = m.wk
 ORDER BY wk
 """.strip()
+
+
+def gen_transition_matrix(d: Dialect) -> str:
+    """Per-user event-type transition matrix (first-order Markov audit):
+    counts and conditional probabilities P(next | current) over each
+    user's time-ordered event sequence — the behavioral-drift fingerprint
+    compared release-over-release.
+
+    Tie handling is explicit: the successor order is (ts, event_id), so
+    same-second events transition in event_id order — deterministic in
+    both engines.
+
+    100 TB shape: one lag window per user (shuffle on user_id, sort by
+    the 12-byte (ts, id) key), one partial-combining aggregate on the
+    (type × type)-sized key space, and a broadcast-sized per-source total
+    join for the conditional probability.
+    """
+    es = d.epoch_s_events("ts")
+    prob = d.trunc6("CAST(t.n AS DOUBLE) / f.n_from")
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY {es}, event_id) AS next_type
+  FROM events WHERE user_id IS NOT NULL
+),
+t AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM t GROUP BY from_type)
+SELECT t.from_type AS from_type, t.to_type AS to_type,
+       CAST(t.n AS BIGINT) AS n_transitions,
+       {prob} AS p_next
+FROM t JOIN f ON t.from_type = f.from_type
+ORDER BY from_type, to_type
+""".strip()

@@ -754,3 +754,36 @@ FROM (
 GROUP BY lang
 ORDER BY lang
 """.strip()
+
+
+def gen_threshold_histogram(
+    d: Dialect,
+    threshold: float = 0.3,
+    bin_width_pct: int = 5,
+    ranked_rel: str | None = None,
+) -> str:
+    """Operating-characteristic histogram for the near-dup cutoff: blocked
+    exact-Jaccard pairs (at a deliberately LOW floor) bucketed into
+    similarity bins — the curve a corpus owner reads before choosing the
+    production threshold (a cliff in the histogram = a safe cutoff; a
+    smooth slope = the threshold is picking an arbitrary point of a
+    continuum).
+
+    Reuses the rank-blocked pair generator unchanged at ``threshold`` and
+    adds ONE partial-combining aggregate on the (tiny) bin key — the pair
+    relation's cost dominates and is already bounded O(n·cap).
+    """
+    inner = gen_jaccard_pairs(d, threshold=threshold, ranked_rel=ranked_rel)
+    bin_id = d.idiv(f"CAST(floor(jaccard * 100) AS BIGINT)", str(bin_width_pct))
+    lo = f"{bin_id} * {bin_width_pct}"
+    return f"""
+SELECT CAST({lo} AS BIGINT) AS bin_lo_pct,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       {d.trunc6('min(jaccard)')} AS min_j,
+       {d.trunc6('max(jaccard)')} AS max_j
+FROM (
+{inner}
+) pairs
+GROUP BY {bin_id}
+ORDER BY bin_lo_pct
+""".strip()

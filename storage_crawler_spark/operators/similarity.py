@@ -455,3 +455,55 @@ SELECT vec_a, vec_b, cosine FROM (
 ) p
 WHERE cosine >= {threshold}
 """.strip()
+
+
+def gen_label_cohesion(d: Dialect) -> str:
+    """Exact intra-label MEAN PAIRWISE COSINE without generating a single
+    pair: for unit-normalized vectors, sum_{i≠j} cos(v_i, v_j) =
+    ‖Σv‖² − n, so per-label cohesion = (‖Σv‖² − n) / (n·(n−1)) — the
+    embedding-quality/clusterability audit (do same-label vectors agree?)
+    at O(n·dim) instead of O(n²): the identity IS the scale plan.
+
+    Zero-norm vectors are excluded up front (they cannot normalize);
+    singleton labels emit NULL cohesion (no pairs exist), not 0.
+
+    100 TB shape: normalize in the scan (map), posexplode to
+    (label, dim, component) for the per-dimension sum — partial-combining
+    on a (labels × dims)-sized key space — then one tiny per-label fold.
+    No joins, no pair materialization, nothing quadratic anywhere.
+    """
+    ev = d.cast_double_arr("embedding")
+    nrm = f"sqrt({d.dot('ev', 'ev')})"
+    unit = d.transform("ev", "x", "x / nrm")
+    lat = d.lateral_seq("1", d.size("uv"), "dim")
+    comp = d.elem("uv", "dim")
+    cohesion = "CASE WHEN n > 1 THEN (s2 - n) / (n * (n - 1)) ELSE NULL END"
+    return f"""
+WITH v0 AS (
+  SELECT label, ev, {nrm} AS nrm
+  FROM (SELECT label, {ev} AS ev FROM embeddings WHERE embedding IS NOT NULL) e0
+),
+u AS (
+  SELECT label, {unit} AS uv FROM v0 WHERE nrm > 0
+),
+comps AS (
+  SELECT label, dim, {comp} AS c
+  FROM u
+  {lat}
+),
+sums AS (
+  SELECT label, dim, sum(c) AS sc FROM comps GROUP BY label, dim
+),
+agg AS (
+  SELECT s.label,
+         CAST(n.n AS DOUBLE) AS n,
+         sum(s.sc * s.sc) AS s2
+  FROM sums s
+  JOIN (SELECT label, count(*) AS n FROM u GROUP BY label) n ON s.label = n.label
+  GROUP BY s.label, n.n
+)
+SELECT label, CAST(n AS BIGINT) AS n_vecs,
+       {d.trunc6(cohesion)} AS mean_pairwise_cos
+FROM agg
+ORDER BY label
+""".strip()

@@ -2026,6 +2026,49 @@ FROM files f
         "and aggregate keys on user_id so AQE plans one exchange",
     )
 
+    def _b_threshold_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        n = spark.sparkContext.defaultParallelism
+        spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep_h")
+        spark.sql(dedup.gen_jaccard_prep(SPARK, src="_documents_rep_h")).createOrReplaceTempView(
+            "_hist_prep"
+        )
+        ranked = spark.sql(dedup.gen_jaccard_ranked(SPARK, "_hist_prep", src="documents"))
+        _persist_view(ranked, "_hist_ranked")
+        return spark.sql(dedup.gen_threshold_histogram(SPARK, ranked_rel="_hist_ranked"))
+
+    add(
+        "dedup_threshold_histogram",
+        _b_threshold_hist,
+        dedup.gen_threshold_histogram(DUCK),
+        tags=("dedup", "quality"),
+        doc="near-dup operating characteristic: blocked exact-Jaccard pairs at a "
+        "low floor bucketed into similarity bins (cliff = safe cutoff); one "
+        "extra aggregate on the bounded pair relation",
+    )
+
+    b, o = _sql_pair(similarity.gen_label_cohesion, ("embeddings",))
+    add(
+        "embedding_label_cohesion",
+        b,
+        o,
+        tags=("similarity", "audit"),
+        doc="exact intra-label mean pairwise cosine WITHOUT pair generation: "
+        "sum-vector identity (norm-sum squared minus n over n(n-1)) makes the "
+        "O(n^2) audit O(n*dim); singleton labels NULL, zero-norm excluded",
+    )
+
+    b, o = _sql_pair(analytics.gen_transition_matrix, ("events",))
+    add(
+        "events_transition_matrix",
+        b,
+        o,
+        tags=("events", "analytics"),
+        doc="first-order event-type transition matrix with P(next|current); "
+        "lag window per user with (ts, event_id) tie order, then one agg on "
+        "the type-pair key space",
+    )
+
     b, o = _sql_pair(analytics.gen_stickiness, ("events",))
     add(
         "events_stickiness",

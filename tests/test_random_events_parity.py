@@ -53,6 +53,8 @@ EVENT_ENTRIES = [
     # trailing-window DISTINCT: weeks with partial overlap across the 7-day
     # span; the range join must agree on inclusive edges
     "events_stickiness",
+    # lead() tie order on pooled instants is the whole test here
+    "events_transition_matrix",
     # streaming_event_deltas is rows-only (stateful applyInPandasWithState,
     # no SQL oracle) — covered by tests/test_streaming.py instead
 ]

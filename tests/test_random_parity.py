@@ -193,6 +193,9 @@ EMB_QUERIES = [
     # int8 quantization audit: the all-zero vector takes the scale=0
     # short-circuit, duplicates/antipodes must land in identical error cells
     ("int8_quant_audit", lambda d: similarity.gen_int8_quant_audit(d)),
+    # pair-free cohesion identity: duplicate vectors (cos 1 pairs), the
+    # antipode (cos -1), zero-norm exclusion and singleton labels
+    ("label_cohesion", lambda d: similarity.gen_label_cohesion(d)),
 ]
 
 
@@ -284,6 +287,9 @@ DOC_ENTRIES = [
     # dedup: case/whitespace variants in the random corpus
     "text_char_entropy",
     "dedup_normalized_exact",
+    # threshold histogram shares the rank-blocked pair machinery; random
+    # corpora exercise bin edges at exact-decimal jaccard ties
+    "dedup_threshold_histogram",
 ]
 
 
