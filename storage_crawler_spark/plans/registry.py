@@ -2191,6 +2191,15 @@ FROM files f
 # dedup (all r4-green; the plane's in-window representatives are the two
 # never-stamped streaming oracles, event_deltas + rate_anomaly),
 # stratified_sample.
+# Third-pass swap (late r5): owner_prefix_join and join_asof_events — both
+# r4-green under oracles unchanged since — give their slots to the two
+# riskiest third-pass additions, dedup_containment_pairs (prefix-filter
+# candidate scheme) and ingest_schema_evolution (mergeSchema fidelity),
+# per the r4 ADVICE that the newest code should meet the external gate.
+# The other third-pass entries (cohort/funnel/stickiness/transition, vocab
+# coverage, int8 audit, forget audit, char entropy, normalized dedup,
+# threshold histogram, label cohesion) carry local + randomized-battery
+# evidence and rotate in next round.
 # text_pack_bins stays to prove the r4 HUGEINT fix; dedup_jaccard_pairs and
 # dedup_minhash_lsh stay so the perf-watched plans keep earning
 # current-round stamps; report_status_full stays as the report-plane
@@ -2224,8 +2233,11 @@ _DRIVER_WINDOW_FIRST = (
     "embedding_label_outliers",
     "pipeline_shard_plan",
     "pipeline_mixture_quota",
-    "owner_prefix_join",
-    "join_asof_events",
+    # round-5 third-pass riskiest additions (r4 ADVICE: newest code should
+    # meet the external gate) — in place of owner_prefix_join /
+    # join_asof_events, both driver-green in r4 under unchanged oracles
+    "dedup_containment_pairs",
+    "ingest_schema_evolution",
     # round-4 additions, first driver stamps
     "dedup_substring_spans",
     "text_dup_span_ratio",
