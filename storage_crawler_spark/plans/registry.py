@@ -2026,6 +2026,42 @@ FROM files f
         "and aggregate keys on user_id so AQE plans one exchange",
     )
 
+    from storage_crawler_spark.reports import usage as usage_reports
+
+    def _usage_builder(gen):
+        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+            V.files_view(spark, sf_dir).createOrReplaceTempView("files")
+            return spark.sql(gen(SPARK))
+
+        return build
+
+    add(
+        "report_subtree_du",
+        _usage_builder(usage_reports.gen_subtree_du),
+        V.with_files_cte(usage_reports.gen_subtree_du(DUCK)),
+        tags=("report", "usage"),
+        doc="recursive per-directory disk usage (du): ancestor-prefix explode "
+        "(map, ~depth x) + one partial-combining aggregate on the dir key; "
+        "no join, no window",
+    )
+    add(
+        "report_extension_usage",
+        _usage_builder(usage_reports.gen_extension_usage),
+        V.with_files_cte(usage_reports.gen_extension_usage(DUCK)),
+        tags=("report", "usage"),
+        doc="per-extension usage summary over the byte-faithful reference "
+        "extension (incl. its fall-through quirk, which visibly yields "
+        "dotted-dir 'extensions' - semantics preserved, not sanitized)",
+    )
+    add(
+        "report_owner_usage",
+        _usage_builder(usage_reports.gen_owner_usage),
+        V.with_files_cte(usage_reports.gen_owner_usage(DUCK)),
+        tags=("report", "usage"),
+        doc="per-owner chargeback rollup (files, bytes, distinct top-level "
+        "roots); NULL owner is a first-class row",
+    )
+
     def _b_threshold_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         V.register_base_tables(spark, sf_dir, ("documents",))
         n = spark.sparkContext.defaultParallelism

@@ -1,0 +1,82 @@
+"""Storage-usage rollups over the ``files`` relation — the ``du``-family
+reports a storage-crawler deployment runs daily (the reference crawls and
+stores the metadata, /root/reference/storage_crawler/storcrawl.py:132-148;
+its report.py stops at per-file listings — these are the aggregate tier a
+filesystem team actually pages through).
+
+All three are dialect-generated (the subtree rollup needs array slicing,
+which the engines name differently) and run against the deterministic
+``files`` derivation (plans/views.py), so each has a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from storage_crawler_spark.plans.dialect import Dialect
+
+
+def gen_subtree_du(d: Dialect, src: str = "files") -> str:
+    """Per-directory recursive disk usage (``du``): every file's size and
+    count roll up into ALL its ancestor directories — the subtree-hotspot
+    view ("which tree is eating the filesystem").
+
+    Ancestors come from exploding each path's prefix chain (depth-1 rows
+    per file, depth is small and bounded in real filesystems), then one
+    partial-combining aggregate on the directory key.  100 TB shape: the
+    explode is map-side (~depth× row inflation of a narrow (path, size)
+    projection); the aggregate absorbs the hot root-level keys map-side —
+    no join, no window, one shuffle.  Deliberately NOT a per-depth window:
+    the rollup is additive, so partial aggregation is all it needs.
+    """
+    toks = d.split("path", "/")
+    dir_k = d.ajoin(d.aslice("toks", "1", "k"), "/")
+    lat = d.lateral_seq("2", d.size("toks") + " - 1", "k")
+    # subquery, not a CTE: callers prepend the files-view CTE via
+    # views.with_files_cte, and SQL allows only one WITH clause
+    return f"""
+SELECT dir,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(st_size) AS BIGINT) AS total_bytes
+FROM (
+  SELECT {dir_k} AS dir, st_size
+  FROM (SELECT {toks} AS toks, st_size FROM {src}) f
+  {lat}
+) a
+GROUP BY dir
+ORDER BY dir
+""".strip()
+
+
+def gen_extension_usage(d: Dialect, src: str = "files") -> str:
+    """Per-extension usage summary (count, bytes, size bounds) — the
+    what-kind-of-data-is-this breakdown (reference extension semantics:
+    find_extension, storcrawl.py:259-268, including its fall-through
+    quirk — the derivation in plans/views.py reproduces it).  One
+    partial-combining aggregate over a two-column projection."""
+    return f"""
+SELECT coalesce(extension, '(none)') AS extension,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(st_size) AS BIGINT) AS total_bytes,
+       CAST(min(st_size) AS BIGINT) AS min_bytes,
+       CAST(max(st_size) AS BIGINT) AS max_bytes
+FROM {src}
+GROUP BY extension
+ORDER BY extension
+""".strip()
+
+
+def gen_owner_usage(d: Dialect, src: str = "files") -> str:
+    """Per-owner usage with top-level-root spread — the chargeback /
+    quota-report view (owner semantics: reference find_owner ancestor
+    walk, storcrawl.py:243-258; NULL owners are a first-class row, not
+    dropped).  ``roots`` counts distinct top-level directories an owner
+    touches (split element 2 — paths are absolute)."""
+    root = d.elem(d.split("path", "/"), "2")
+    return f"""
+SELECT coalesce(owner, '(unowned)') AS owner,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(st_size) AS BIGINT) AS total_bytes,
+       CAST(count(DISTINCT {root}) AS BIGINT) AS n_roots
+FROM {src}
+GROUP BY owner
+ORDER BY owner
+""".strip()

@@ -290,6 +290,11 @@ DOC_ENTRIES = [
     # threshold histogram shares the rank-blocked pair machinery; random
     # corpora exercise bin edges at exact-decimal jaccard ties
     "dedup_threshold_histogram",
+    # usage rollups run on the files derivation of the random corpus:
+    # multi-byte path components, the extension fall-through quirk
+    "report_subtree_du",
+    "report_extension_usage",
+    "report_owner_usage",
 ]
 
 
