@@ -507,3 +507,58 @@ SELECT label, CAST(n AS BIGINT) AS n_vecs,
 FROM agg
 ORDER BY label
 """.strip()
+
+
+def gen_centroid_confusion(d: Dialect) -> str:
+    """Nearest-centroid classifier audit over the embedding store: assign
+    every vector to the closest per-label mean vector and report the
+    (actual × predicted) confusion matrix with within-actual shares — the
+    vector-space sibling of the lang-ID confusion audit (operators/text.py
+    gen_langid_confusion): embedding quality quantified as label
+    separability, not eyeballed.
+
+    100 TB shape: centroids via the posexplode/partial-agg/order-pinned
+    reassembly of gen_label_outliers (labels × dims shuffle rows); the
+    assignment is a CROSS JOIN against the labels-row centroid dimension —
+    a broadcast of label-cardinality rows (the right scale shape; the
+    dim-keyed join alternative would funnel vectors × labels × dims rows
+    through dim-count keys).  Argmin ties break by label for cross-engine
+    determinism; the share window runs on the tiny confusion relation with
+    counts CAST before the division (HUGEINT trap).
+    """
+    ev = d.cast_double_arr("embedding")
+    starts = d.lateral_seq("1", d.size("ev"), "di")
+    share = d.trunc6(
+        "CAST(n AS DOUBLE) / sum(CAST(n AS DOUBLE)) OVER (PARTITION BY actual_label)"
+    )
+    return f"""
+WITH v0 AS (
+  SELECT vec_id, label, {ev} AS ev FROM embeddings
+  WHERE embedding IS NOT NULL AND {d.size('embedding')} >= 1
+),
+dims AS (
+  SELECT vec_id, label, di, {d.elem('ev', 'di')} AS x
+  FROM v0
+  {starts}
+),
+cent AS (
+  SELECT label, {d.agg_arr_by('di', 'cx')} AS cev
+  FROM (SELECT label, di, avg(x) AS cx FROM dims GROUP BY label, di) c
+  GROUP BY label
+),
+assign AS (
+  SELECT vec_id, actual_label, pred_label FROM (
+    SELECT v.vec_id, v.label AS actual_label, c.label AS pred_label,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d.dist2('v.ev', 'c.cev')}, c.label) AS rn
+    FROM v0 v CROSS JOIN cent c
+  ) r WHERE rn = 1
+),
+conf AS (
+  SELECT actual_label, pred_label, CAST(count(*) AS BIGINT) AS n
+  FROM assign GROUP BY actual_label, pred_label
+)
+SELECT actual_label, pred_label, n, {share} AS share
+FROM conf
+ORDER BY actual_label, pred_label
+""".strip()

@@ -952,3 +952,40 @@ SELECT d.doc_id AS doc_id,
 FROM documents d
 LEFT JOIN e ON d.doc_id = e.doc_id
 """.strip()
+
+
+def gen_quality_classifier(d: Dialect) -> str:
+    """Model-based quality scoring: a fixed-weight logistic model over the
+    rule-battery features (stopword ratio, distinct-token ratio, length) —
+    the relational stand-in for a fastText-style quality classifier (no
+    model runtime exists in this stack, so the weights are frozen
+    constants; swapping in learned weights changes nothing structurally).
+
+    The keep DECISION is made on the raw logit, not the sigmoid: the logit
+    uses only +/* on bit-identical doubles (IEEE-exact in both engines),
+    while exp() may differ in the last ulp — so the flag can never flip
+    across engines.  The sigmoid score is display-only and truncated.
+
+    Map-only over the scan; no shuffle at all.
+    """
+    toks = d.split("text")
+    stops = d.size(d.afilter(toks, "x", f"x IN {_in_list(_STOPWORDS)}"))
+    logit = (
+        "-2.0 + 3.0 * stop_ratio + 2.0 * distinct_ratio"
+        " + 1.5 * (CASE WHEN n_tokens > 100 THEN 1.0 ELSE n_tokens / 100.0 END)"
+    )
+    return f"""
+SELECT doc_id, n_tokens,
+       {d.trunc6('1.0 / (1.0 + exp(0.0 - logit))')} AS quality_prob,
+       CAST(CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS INT) AS keep
+FROM (
+  SELECT doc_id, n_tokens, ({logit}) AS logit
+  FROM (
+    SELECT doc_id,
+           {d.size(toks)} AS n_tokens,
+           CAST({stops} AS DOUBLE) / {d.size(toks)} AS stop_ratio,
+           CAST({d.size(d.adistinct(toks))} AS DOUBLE) / {d.size(toks)} AS distinct_ratio
+    FROM documents
+  ) f
+) z
+""".strip()

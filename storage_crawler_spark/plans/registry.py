@@ -2094,6 +2094,30 @@ FROM files f
         "O(n^2) audit O(n*dim); singleton labels NULL, zero-norm excluded",
     )
 
+    b, o = _sql_pair(similarity.gen_centroid_confusion, ("embeddings",))
+    add(
+        "embedding_centroid_confusion",
+        b,
+        o,
+        tags=("similarity", "audit"),
+        doc="nearest-centroid classifier confusion matrix (actual x predicted "
+        "with within-actual shares): embedding label separability quantified; "
+        "centroid dimension broadcast via labels-row cross join, argmin ties "
+        "by label",
+    )
+
+    b, o = _sql_pair(text.gen_quality_classifier, ("documents",))
+    add(
+        "text_quality_classifier",
+        b,
+        o,
+        tags=("text", "quality"),
+        doc="fixed-weight logistic quality model over the rule features "
+        "(fastText-style stand-in); keep decided on the IEEE-exact logit so "
+        "the flag can never flip across engines, sigmoid display-only; "
+        "map-only",
+    )
+
     b, o = _sql_pair(analytics.gen_transition_matrix, ("events",))
     add(
         "events_transition_matrix",

@@ -196,6 +196,8 @@ EMB_QUERIES = [
     # pair-free cohesion identity: duplicate vectors (cos 1 pairs), the
     # antipode (cos -1), zero-norm exclusion and singleton labels
     ("label_cohesion", lambda d: similarity.gen_label_cohesion(d)),
+    # centroid argmin ties on duplicate/antipode vectors; 4-label corpus
+    ("centroid_confusion", lambda d: similarity.gen_centroid_confusion(d)),
 ]
 
 
@@ -295,6 +297,8 @@ DOC_ENTRIES = [
     "report_subtree_du",
     "report_extension_usage",
     "report_owner_usage",
+    # logit-decided keep flag must agree on empty/single-token docs
+    "text_quality_classifier",
 ]
 
 

@@ -96,6 +96,10 @@ NLJ_ALLOWED = {
     # funnel: CROSS JOIN of the 1-row step-1 user count (the conversion-rate
     # denominator) — same scalar-normalizer shape as q22
     "events_funnel_conversion",
+    # nearest-centroid assignment: CROSS JOIN of the label-cardinality
+    # centroid dimension (bounded by distinct labels, broadcast at any
+    # scale; the dim-keyed equi-join alternative is the WORSE shape)
+    "embedding_centroid_confusion",
 }
 
 # Queries that must not plan a Window operator (their aggregates are
