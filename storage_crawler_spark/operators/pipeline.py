@@ -444,3 +444,48 @@ LEFT JOIN ch ON d.doc_id = ch.doc_id
 GROUP BY d.source
 ORDER BY source
 """.strip()
+
+
+def gen_dedup_funnel(d: Dialect) -> str:
+    """Dedup-cascade funnel: docs and tokens surviving each escalating
+    tier — raw → byte-exact keepers → normalized-exact keepers — the
+    one-page answer to "how much does each dedup stage actually remove?"
+    that decides whether the expensive near-dup tiers are worth running
+    on a given corpus.
+
+    Each tier's keeper rule is the same min-doc_id-over-fingerprint used
+    by the production operators (dedup_exact / dedup_normalized_exact),
+    recomputed here inside one query so the funnel is ONE Catalyst plan:
+    a single scan computes both fingerprints and the token count, two
+    window passes (one per fingerprint key) mark keepers, and one
+    aggregate pivots the three tiers into rows.  100 TB shape: two
+    shuffles on md5 keys (no skew by construction), zero joins.
+    """
+    raw_fp = d.md5_utf8("text")
+    norm = d.regex_replace_all("lower(trim(text))", "[ ]+", " ")
+    norm_fp = d.md5_utf8(norm)
+    ntoks = d.size(d.split("text"))
+    tiers = {
+        1: ("raw", "1"),
+        2: ("exact_keepers", "CASE WHEN doc_id = raw_keeper THEN 1 ELSE 0 END"),
+        3: ("normalized_keepers", "CASE WHEN doc_id = norm_keeper THEN 1 ELSE 0 END"),
+    }
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {no} AS tier_no, '{name}' AS tier,"
+        f" CAST(sum({flag}) AS BIGINT) AS n_docs,"
+        f" CAST(sum(({flag}) * n_tokens) AS BIGINT) AS sum_tokens FROM marked"
+        for no, (name, flag) in tiers.items()
+    )
+    return f"""
+WITH marked AS (
+  SELECT doc_id, n_tokens,
+         min(doc_id) OVER (PARTITION BY raw_fp) AS raw_keeper,
+         min(doc_id) OVER (PARTITION BY norm_fp) AS norm_keeper
+  FROM (
+    SELECT doc_id, {raw_fp} AS raw_fp, {norm_fp} AS norm_fp, {ntoks} AS n_tokens
+    FROM documents WHERE text IS NOT NULL
+  ) f
+)
+{unions}
+ORDER BY tier_no
+""".strip()

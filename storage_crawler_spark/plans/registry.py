@@ -2189,6 +2189,17 @@ FROM files f
         "parity; map-only then one partial-combining agg",
     )
 
+    b, o = _sql_pair(pipeline_ops.gen_dedup_funnel, ("documents",))
+    add(
+        "pipeline_dedup_funnel",
+        b,
+        o,
+        tags=("pipeline", "dedup"),
+        doc="dedup-cascade funnel (raw -> exact keepers -> normalized keepers, "
+        "docs + tokens per tier) as ONE plan: one scan, two md5-key window "
+        "passes, one pivot aggregate; zero joins",
+    )
+
     b, o = _sql_pair(pipeline_ops.gen_forget_audit, ("documents",))
     add(
         "pipeline_forget_audit",
