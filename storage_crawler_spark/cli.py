@@ -32,6 +32,11 @@ REPORT_ACTIONS = (
     "status-events",
     "1000",
     "large_old_files",
+    # aggregate tier beyond the reference menu (reports/usage.py): du-style
+    # subtree rollup, per-extension and per-owner usage over a crawled tag
+    "du",
+    "extension-usage",
+    "owner-usage",
 )
 
 
@@ -92,6 +97,24 @@ def _report_df(spark, args):
         return RQ.first_thousand(read_files(spark, args.lake, args.tag))
     if action == "large_old_files":
         return RQ.large_old_files(read_files(spark, args.lake, args.tag))
+    if action in ("du", "extension-usage", "owner-usage"):
+        from storage_crawler_spark.plans.dialect import SPARK
+        from storage_crawler_spark.reports import usage as RU
+
+        gen = {
+            "du": RU.gen_subtree_du,
+            "extension-usage": RU.gen_extension_usage,
+            "owner-usage": RU.gen_owner_usage,
+        }[action]
+        # crawled paths are BINARY (byte-faithful); the rollups are
+        # string ops, so decode with the lake's UTF-8 convention
+        files = read_files(spark, args.lake, args.tag)
+        if dict(files.dtypes).get("path") == "binary":
+            from pyspark.sql import functions as F
+
+            files = files.withColumn("path", F.decode("path", "UTF-8"))
+        files.createOrReplaceTempView("files")
+        return spark.sql(gen(SPARK))
     raise SystemExit(f"unknown action {args.action!r}")
 
 
