@@ -989,3 +989,87 @@ FROM (
   ) f
 ) z
 """.strip()
+
+
+def gen_typo_pairs(
+    d: Dialect,
+    min_len: int = 4,
+    rare_max: int = 2,
+    freq_ratio: int = 10,
+    tok_rel: str | None = None,
+) -> str:
+    """Vocabulary typo mining via the symmetric-delete (SymSpell) scheme,
+    re-expressed relationally: a RARE token within edit distance 1 of a
+    ``freq_ratio``× more frequent token is flagged as its probable
+    typo/OCR corruption — the vocabulary-cleaning signal scraped corpora
+    need before tokenizer training.
+
+    Candidate generation is EXACT for Damerau-Levenshtein distance 1 —
+    no verification UDF needed — from three equality joins on derived
+    keys:
+    - insert/delete: del_i(longer) = shorter  ⟺  one-char insertion;
+    - substitution: del_i(a) = del_i(b) at the SAME position i  ⟺  the
+      tokens differ exactly at i;
+    - adjacent transposition (the most common real typo): swap_i(a) = b.
+    All plain equi-joins; nothing fuzzy executes.
+
+    100 TB shape: everything runs on the VOCABULARY relation (one
+    partial-combining count over the exploded stream collapses the corpus
+    to distinct tokens first), then a ~len× lateral expansion of that
+    small relation and two hash joins on (deletion-string[, position])
+    keys.  The corpus-sized stream is touched exactly once.
+    """
+    parts = []
+    if tok_rel:
+        tok = tok_rel
+    else:
+        tok = "tok"
+        parts.append(f"tok AS (\n{gen_token_explode(d)}\n)")
+    delvar = "concat(substr(token, 1, i - 1), substr(token, i + 1))"
+    # swap of chars i, i+1 (defined for i < len; yields the token itself
+    # when the two chars are equal — excluded by the <> predicate)
+    swapvar = (
+        "concat(substr(token, 1, i - 1), substr(token, i + 1, 1), "
+        "substr(token, i, 1), substr(token, i + 2))"
+    )
+    lat = d.lateral_seq("1", "length(token)", "i")
+    parts.append(
+        f"""v AS (
+  SELECT token, count(*) AS freq FROM {tok}
+  WHERE length(token) BETWEEN {min_len} AND 20
+  GROUP BY token
+),
+dv AS (
+  SELECT token, freq, i, {delvar} AS del_s
+  FROM v
+  {lat}
+),
+sv AS (
+  SELECT token, freq, {swapvar} AS swap_s
+  FROM v
+  {d.lateral_seq("1", "length(token) - 1", "i")}
+),
+cand AS (
+  SELECT CASE WHEN s.freq < l.freq THEN s.token ELSE l.token END AS typo,
+         CASE WHEN s.freq < l.freq THEN l.token ELSE s.token END AS correction,
+         least(s.freq, l.freq) AS f_typo, greatest(s.freq, l.freq) AS f_corr
+  FROM dv l JOIN v s ON l.del_s = s.token AND l.token <> s.token
+  UNION
+  SELECT CASE WHEN a.freq < b.freq THEN a.token ELSE b.token END AS typo,
+         CASE WHEN a.freq < b.freq THEN b.token ELSE a.token END AS correction,
+         least(a.freq, b.freq) AS f_typo, greatest(a.freq, b.freq) AS f_corr
+  FROM dv a JOIN dv b ON a.del_s = b.del_s AND a.i = b.i AND a.token < b.token
+  UNION
+  SELECT CASE WHEN a.freq < b.freq THEN a.token ELSE b.token END AS typo,
+         CASE WHEN a.freq < b.freq THEN b.token ELSE a.token END AS correction,
+         least(a.freq, b.freq) AS f_typo, greatest(a.freq, b.freq) AS f_corr
+  FROM sv a JOIN v b ON a.swap_s = b.token AND a.token < b.token
+)"""
+    )
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT typo, correction, CAST(f_typo AS BIGINT) AS f_typo, CAST(f_corr AS BIGINT) AS f_corr
+FROM cand
+WHERE f_typo <= {rare_max} AND f_corr >= {freq_ratio} * f_typo
+ORDER BY typo, correction
+""".strip()

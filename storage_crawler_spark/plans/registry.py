@@ -2106,6 +2106,23 @@ FROM files f
         "by label",
     )
 
+    def _b_typo(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        tok = spark.sql(text.gen_token_explode(SPARK))
+        _persist_view(tok, "_tok_typo")
+        return spark.sql(text.gen_typo_pairs(SPARK, tok_rel="_tok_typo"))
+
+    add(
+        "text_typo_pairs",
+        _b_typo,
+        text.gen_typo_pairs(DUCK),
+        tags=("text", "dedup", "quality"),
+        doc="SymSpell-relational typo mining: EXACT Damerau-Levenshtein-1 "
+        "pairs from three equi-joins on deletion/swap keys (no fuzzy "
+        "execution); rare-vs-frequent asymmetry flags the typo side; runs "
+        "on the vocabulary relation, corpus stream touched once",
+    )
+
     b, o = _sql_pair(text.gen_quality_classifier, ("documents",))
     add(
         "text_quality_classifier",

@@ -302,6 +302,9 @@ DOC_ENTRIES = [
     # exact-dup and case-variant docs in the random corpus make each
     # funnel tier drop a different count
     "pipeline_dedup_funnel",
+    # symmetric-delete joins on multi-byte tokens (substr is char-based in
+    # both engines; the naive byte view would break on the UTF-8 vocab)
+    "text_typo_pairs",
 ]
 
 
