@@ -138,27 +138,31 @@ def gen_stickiness(d: Dialect, trail_weeks: int = 4) -> str:
     and the WAU/MAU ratio — the standard engagement-health metric.
 
     MAU is a DISTINCT over a trailing window, which no window function
-    computes (COUNT(DISTINCT) OVER RANGE is unsupported in both engines);
-    the relational form is a range join of the tiny week dimension onto
-    the (user, week) relation.  100 TB shape: the week dimension is
-    O(corpus age in weeks) rows — broadcast; the per-(week, user)
-    distinct partial-combines before the count; the raw event stream is
-    projected once to (user_id, wk).
+    computes (COUNT(DISTINCT) OVER RANGE is unsupported in both engines).
+    A BETWEEN range join against a week dimension would plan a
+    BroadcastNestedLoopJoin (the plan-audit tool rejected exactly that
+    first cut); instead each (user, activity-week) row is EXPANDED
+    map-side to the ``trail_weeks`` window-weeks it contributes to — a
+    constant lateral fan-out that turns the trailing window into plain
+    equi semantics.  100 TB shape: one narrow projection of the event
+    stream, a ``trail_weeks``× map-side expansion, two partial-combining
+    distinct aggregates, and one broadcast-sized equi-join of the
+    per-week relations; no non-equi join anywhere.
     """
     wk = d.idiv(d.epoch_s_events("ts"), str(SECONDS_PER_WEEK))
     ratio = d.trunc6("CAST(w.wau AS DOUBLE) / m.mau")
+    lat = d.lateral_seq("0", str(trail_weeks - 1), "o")
     return f"""
 WITH ev AS (SELECT DISTINCT user_id, {wk} AS wk FROM events WHERE user_id IS NOT NULL),
-wks AS (SELECT DISTINCT wk FROM ev),
 wau AS (SELECT wk, count(*) AS wau FROM ev GROUP BY wk),
-mau AS (
-  SELECT w.wk, count(DISTINCT e.user_id) AS mau
-  FROM wks w
-  JOIN ev e ON e.wk BETWEEN w.wk - {trail_weeks - 1} AND w.wk
-  GROUP BY w.wk
-)
+contrib AS (
+  SELECT DISTINCT user_id, ev.wk + o AS wwk
+  FROM ev
+  {lat}
+),
+mau AS (SELECT wwk, count(*) AS mau FROM contrib GROUP BY wwk)
 SELECT w.wk AS wk, w.wau AS wau, m.mau AS mau, {ratio} AS stickiness
-FROM wau w JOIN mau m ON w.wk = m.wk
+FROM wau w JOIN mau m ON w.wk = m.wwk
 ORDER BY wk
 """.strip()
 
