@@ -1297,6 +1297,47 @@ def _specs() -> list[QuerySpec]:
             "size_delta",
         )
 
+    def _b_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from storage_crawler_spark.sources.lake import gen_compaction_plan
+
+        V.files_view(spark, sf_dir).createOrReplaceTempView("files")
+        return spark.sql(gen_compaction_plan(SPARK))
+
+    from storage_crawler_spark.sources.lake import gen_compaction_plan as _gen_compact
+
+    add(
+        "lake_compaction_plan",
+        _b_compaction,
+        V.with_files_cte(_gen_compact(DUCK)),
+        tags=("lake", "usage"),
+        doc="small-file compaction plan: deterministic path-order running-sum "
+        "bin assignment per top-level root (~8 MiB groups) - the auditable "
+        "relation a compaction job executes; empty-frame prefix sum coalesced "
+        "(NULL-bin trap), window sums CAST to BIGINT (HUGEINT trap)",
+    )
+
+    def _b_streaming_docs_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from storage_crawler_spark.streaming import run_to_completion
+        from storage_crawler_spark.streaming.documents import (
+            docs_stream_dedup,
+            read_documents_stream,
+        )
+
+        return run_to_completion(
+            docs_stream_dedup(read_documents_stream(spark, sf_dir)),
+            output_mode="append",
+        )
+
+    add(
+        "streaming_docs_dedup",
+        _b_streaming_docs_dedup,
+        "SELECT DISTINCT md5(text) AS fp FROM documents WHERE text IS NOT NULL",
+        tags=("streaming", "dedup"),
+        doc="streaming exact-dedup of the documents landing feed (file stream, "
+        "dropDuplicates on the md5 fingerprint); only the deterministic key "
+        "set is emitted, so the batch DISTINCT is the oracle",
+    )
+
     add(
         "lake_snapshot_diff",
         _snapshot_diff_builder,

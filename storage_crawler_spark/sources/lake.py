@@ -211,3 +211,41 @@ def drop_tag(root: str, tag: str) -> bool:
     if existed:
         shutil.rmtree(tag_dir)
     return existed
+
+
+def gen_compaction_plan(d, target_bytes: int = 8 << 20) -> str:
+    """Small-file compaction PLAN over the ``files`` relation: within each
+    top-level root, files are packed in deterministic path order into
+    output groups of ~``target_bytes`` (running-sum bin assignment — the
+    same windowed-prefix-sum shape as text packing, applied to lake
+    maintenance).  The plan is what a compaction job executes with a
+    repartition-by-(root, bin) + per-task concatenation; emitting the plan
+    as a relation makes the maintenance decision auditable before any
+    rewrite runs.
+
+    One window per root (shuffle on the root key, sort by path) over a
+    narrow (root, path, size) projection, then one partial-combining
+    aggregate.  All window-sum outputs CAST to BIGINT (the round-4 DuckDB
+    HUGEINT driver-hash trap lives exactly here), and each root's FIRST
+    file coalesces its empty-frame prefix sum to 0 (both engines yield
+    NULL over the empty ROWS frame, which would put one file per root
+    into a NULL bin).
+    """
+    root = d.elem(d.split("path", "/"), "2")
+    bin_id = d.idiv("cum_before", str(target_bytes))
+    fill = d.trunc6(f"CAST(sum(st_size) AS DOUBLE) / {target_bytes}")
+    return f"""
+SELECT root, CAST({d.idiv('cum_before', str(target_bytes))} AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(st_size) AS BIGINT) AS total_bytes,
+       {fill} AS fill_ratio
+FROM (
+  SELECT root, st_size,
+         CAST(coalesce(sum(st_size) OVER (PARTITION BY root ORDER BY path
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum_before
+  FROM (SELECT {root} AS root, path, st_size FROM files) f
+) w
+GROUP BY root, {bin_id}
+ORDER BY root, bin_id
+""".strip()

@@ -305,6 +305,9 @@ DOC_ENTRIES = [
     # symmetric-delete joins on multi-byte tokens (substr is char-based in
     # both engines; the naive byte view would break on the UTF-8 vocab)
     "text_typo_pairs",
+    # compaction bins over the files derivation: empty roots, NULL-frame
+    # coalesce on each root's first file, duplicate sizes at bin edges
+    "lake_compaction_plan",
 ]
 
 
