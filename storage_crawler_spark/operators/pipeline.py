@@ -489,3 +489,56 @@ WITH marked AS (
 {unions}
 ORDER BY tier_no
 """.strip()
+
+
+def gen_mixture_apply(
+    d: Dialect, token_budget: int = 1_000_000, alpha_pct: int = 50
+) -> str:
+    """Materialize the temperature-sampled mixture that
+    :func:`gen_mixture_quota` plans: each source's ``doc_quota``
+    lowest-md5-key documents are selected (the frozen Efraimidis-style
+    uniform of the sampling plane — rerun- and engine-stable), and the
+    audit emitted is the per-source REALIZED sample vs its plan: docs
+    kept, tokens kept, token overshoot/undershoot against the quota.
+    This closes the mixture loop: weights → quotas → the actual
+    deterministic document set.
+
+    100 TB shape: the quota relation is source-cardinality rows
+    (broadcast); the rank is a per-source window over (source, key) pairs
+    — at extreme per-source cardinality the two-phase range-partitioned
+    rank of the Jaccard plane is the documented upgrade path; everything
+    else is map-side arithmetic and one final partial-combining
+    aggregate.
+    """
+    key = d.md5_key48("CAST(doc_id AS STRING)", seed="mix")
+    ntoks = d.size(d.split("text"))
+    quota = gen_mixture_quota(d, token_budget, alpha_pct)
+    return f"""
+WITH q AS (
+{quota}
+),
+ranked AS (
+  SELECT doc_id, source, n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rnk
+  FROM (
+    SELECT doc_id, source, {ntoks} AS n_tokens, {key} AS key
+    FROM documents WHERE text IS NOT NULL
+  ) t
+),
+kept AS (
+  SELECT r.source, r.n_tokens
+  FROM ranked r JOIN q ON r.source = q.source
+  WHERE r.rnk <= q.doc_quota
+)
+SELECT q.source AS source, q.doc_quota AS doc_quota,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS docs_kept,
+       CAST(coalesce(k.tok_kept, 0) AS BIGINT) AS tokens_kept,
+       q.token_quota AS token_quota,
+       CAST(coalesce(k.tok_kept, 0) - q.token_quota AS BIGINT) AS token_overshoot
+FROM q
+LEFT JOIN (
+  SELECT source, count(*) AS n_kept, CAST(sum(n_tokens) AS BIGINT) AS tok_kept
+  FROM kept GROUP BY source
+) k ON q.source = k.source
+ORDER BY source
+""".strip()

@@ -2247,6 +2247,17 @@ FROM files f
         "parity; map-only then one partial-combining agg",
     )
 
+    b, o = _sql_pair(pipeline_ops.gen_mixture_apply, ("documents",))
+    add(
+        "pipeline_mixture_apply",
+        b,
+        o,
+        tags=("pipeline", "sampling"),
+        doc="materialize the planned mixture: per-source doc_quota lowest-"
+        "frozen-md5-key docs selected; realized docs/tokens vs plan with "
+        "signed token overshoot - closes weights -> quotas -> sample",
+    )
+
     b, o = _sql_pair(pipeline_ops.gen_dedup_funnel, ("documents",))
     add(
         "pipeline_dedup_funnel",

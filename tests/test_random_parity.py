@@ -308,6 +308,9 @@ DOC_ENTRIES = [
     # compaction bins over the files derivation: empty roots, NULL-frame
     # coalesce on each root's first file, duplicate sizes at bin edges
     "lake_compaction_plan",
+    # quota caps bind on the random corpus's tiny sources; empty-text docs
+    # excluded identically in plan and apply
+    "pipeline_mixture_apply",
 ]
 
 
