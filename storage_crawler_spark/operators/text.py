@@ -1073,3 +1073,50 @@ FROM cand
 WHERE f_typo <= {rare_max} AND f_corr >= {freq_ratio} * f_typo
 ORDER BY typo, correction
 """.strip()
+
+
+def gen_perplexity_tertiles(
+    d: Dialect, src: str = "documents", nll_rel: str | None = None
+) -> str:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): bucket the
+    corpus into LM-perplexity tertiles using the self-trained bigram NLL
+    (:func:`gen_bigram_nll`) as the score, and report each bucket's
+    volume and mean score — the standard curriculum/filter partition
+    (train on head+middle, drop or downweight tail).
+
+    Thresholds are exact ``percentile_cont`` over the TRUNCATED per-doc
+    scores (both engines see bit-identical inputs, and linear
+    interpolation is IEEE-exact arithmetic on them), computed in ONE
+    reduce — deliberately not ntile(), whose global sort would funnel the
+    corpus through a single task; the bucket assignment is then a
+    broadcast of the 1-row threshold relation (allowlisted scalar shape).
+
+    The NLL relation is referenced twice (thresholds + assignment); the
+    Spark builder persists it via ``nll_rel``, the oracle inlines.
+    """
+    if nll_rel:
+        nll = nll_rel
+        with_clause = "WITH "
+    else:
+        nll = "nll"
+        with_clause = f"WITH nll AS (\n{gen_bigram_nll(d, src)}\n),\n"
+    bucket = (
+        "CASE WHEN mean_bigram_nll <= th.t1 THEN 'head' "
+        "WHEN mean_bigram_nll <= th.t2 THEN 'middle' ELSE 'tail' END"
+    )
+    return f"""{with_clause}th AS (
+  SELECT percentile_cont(0.3333333333333333) WITHIN GROUP (ORDER BY mean_bigram_nll) AS t1,
+         percentile_cont(0.6666666666666666) WITHIN GROUP (ORDER BY mean_bigram_nll) AS t2
+  FROM {nll}
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+       {d.trunc6('avg(mean_bigram_nll)')} AS mean_nll
+FROM (
+  SELECT {bucket} AS bucket, mean_bigram_nll, n_bigrams
+  FROM {nll} CROSS JOIN th
+) b
+GROUP BY bucket
+ORDER BY bucket
+""".strip()

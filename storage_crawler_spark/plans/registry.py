@@ -1891,6 +1891,24 @@ FROM files f
         _persist_view(big, "_bigram_rel")
         return spark.sql(text.gen_bigram_nll(SPARK, big_rel="_bigram_rel"))
 
+    def _b_perplexity_tertiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        big = spark.sql(text.gen_bigram_relation(SPARK))
+        _persist_view(big, "_bigram_rel_t")
+        nll = spark.sql(text.gen_bigram_nll(SPARK, big_rel="_bigram_rel_t"))
+        _persist_view(nll, "_nll_rel")
+        return spark.sql(text.gen_perplexity_tertiles(SPARK, nll_rel="_nll_rel"))
+
+    add(
+        "text_perplexity_tertiles",
+        _b_perplexity_tertiles,
+        text.gen_perplexity_tertiles(DUCK),
+        tags=("text", "quality", "pipeline"),
+        doc="CCNet head/middle/tail split on the self-trained bigram NLL: "
+        "exact percentile_cont thresholds in one reduce (not ntile's global "
+        "sort), 1-row threshold broadcast; bucket volumes + mean scores",
+    )
+
     add(
         "text_bigram_nll",
         _b_bigram_nll,

@@ -311,6 +311,9 @@ DOC_ENTRIES = [
     # quota caps bind on the random corpus's tiny sources; empty-text docs
     # excluded identically in plan and apply
     "pipeline_mixture_apply",
+    # tertile thresholds on tiny corpora: ties at the interpolated
+    # percentile and single-doc buckets
+    "text_perplexity_tertiles",
 ]
 
 

@@ -96,6 +96,10 @@ NLJ_ALLOWED = {
     # funnel: CROSS JOIN of the 1-row step-1 user count (the conversion-rate
     # denominator) — same scalar-normalizer shape as q22
     "events_funnel_conversion",
+    # perplexity tertiles: CROSS JOIN of the 1-row percentile-threshold
+    # relation — scalar-normalizer shape (plus the bigram scorer's own
+    # allowlisted scalars upstream)
+    "text_perplexity_tertiles",
     # nearest-centroid assignment: CROSS JOIN of the label-cardinality
     # centroid dimension (bounded by distinct labels, broadcast at any
     # scale; the dim-keyed equi-join alternative is the WORSE shape)
