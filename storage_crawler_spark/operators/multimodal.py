@@ -438,3 +438,45 @@ SELECT b.doc_id, b.media_type,
        CASE WHEN b.n IS NULL THEN CAST(NULL AS INT) ELSE coalesce(s.n_out, 0) END AS n_content_bytes
 FROM b LEFT JOIN sel s ON b.doc_id = s.doc_id
 """.strip()
+
+
+def gen_byte_entropy(d: Dialect) -> str:
+    """Per-payload byte-level Shannon entropy over the documents-as-media
+    carrier — the compressibility probe a binary pipeline runs BEFORE
+    spending codec time: near-8-bit entropy means already-compressed or
+    encrypted content (skip recompression, flag for review), low entropy
+    means text/padding.  Fully relational (no pandas UDF): positional
+    byte access via the lower(hex(...)) rendering — the same round-trip
+    idiom as the frame/resize oracles — so Spark and DuckDB run the
+    identical query.
+
+    100 TB shape: hex explode (map, ~2× the payload in transit) → two
+    partial-combining aggregates keyed by doc_id.  Empty payloads emit
+    NULL entropy via LEFT JOIN (mirrors text_char_entropy's contract,
+    including its 0.0-minus-sum sign pin for single-byte payloads).
+    """
+    content = d.encode_utf8("text")
+    byte_i = d.hex12_to_bigint("substr(hx, 2 * i - 1, 2)")
+    lat = d.lateral_seq("1", "n", "i")
+    p = "(CAST(c AS DOUBLE) / n)"
+    return f"""
+WITH m AS (
+  SELECT doc_id, octet_length({content}) AS n, lower(hex({content})) AS hx
+  FROM documents WHERE text IS NOT NULL
+),
+bytes_rel AS (
+  SELECT doc_id, {byte_i} AS b
+  FROM (SELECT doc_id, n, hx FROM m WHERE n >= 1) m1
+  {lat}
+),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bytes_rel GROUP BY doc_id, b),
+e AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bytes,
+         {d.trunc6(f"0.0 - sum({p} * ln({p}))")} AS byte_entropy
+  FROM (SELECT doc_id, b, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM bc) t
+  GROUP BY doc_id
+)
+SELECT m.doc_id, CAST(m.n AS BIGINT) AS payload_bytes,
+       e.byte_entropy AS byte_entropy
+FROM m LEFT JOIN e ON m.doc_id = e.doc_id
+""".strip()

@@ -141,6 +141,12 @@ class Dialect:
         return f"array({x})" if self.name == "spark" else f"[{x}]"
 
     # ---- scalars ----------------------------------------------------------
+    def encode_utf8(self, text: str) -> str:
+        """String → BLOB/BINARY of its UTF-8 bytes."""
+        if self.name == "spark":
+            return f"encode({text}, 'utf-8')"
+        return f"encode({text})"
+
     def md5_utf8(self, text: str) -> str:
         """Hex MD5 of a string's UTF-8 bytes (identical hex both engines)."""
         if self.name == "spark":

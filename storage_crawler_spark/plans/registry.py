@@ -1261,6 +1261,17 @@ def _specs() -> list[QuerySpec]:
     b, o = _sql_pair(multimodal.gen_binary_meta, ("documents",))
     add("multimodal_binary_meta", b, o, tags=("multimodal",), doc="binary payload metadata (length/digest)")
 
+    b, o = _sql_pair(multimodal.gen_byte_entropy, ("documents",))
+    add(
+        "multimodal_byte_entropy",
+        b,
+        o,
+        tags=("multimodal", "quality"),
+        doc="per-payload byte-level Shannon entropy (compressibility probe: "
+        "near-8-bit = already compressed/encrypted, skip codec time); fully "
+        "relational via the lower(hex()) positional-byte idiom",
+    )
+
     def _snapshot_diff_builder(spark, sf_dir):
         """Two synthetic crawl snapshots derived deterministically from the
         documents table (old: doc_id % 7 != 0, new: doc_id % 5 != 0 with

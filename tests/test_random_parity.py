@@ -314,6 +314,9 @@ DOC_ENTRIES = [
     # tertile thresholds on tiny corpora: ties at the interpolated
     # percentile and single-doc buckets
     "text_perplexity_tertiles",
+    # hex positional-byte access on multi-byte UTF-8 payloads; empty and
+    # single-byte payloads take the NULL/sign-pin paths
+    "multimodal_byte_entropy",
 ]
 
 
