@@ -1120,3 +1120,77 @@ FROM (
 GROUP BY bucket
 ORDER BY bucket
 """.strip()
+
+
+def gen_bm25_topk(
+    d: Dialect,
+    query_terms: tuple[str, ...] = ("spark", "query", "merge"),
+    k: int = 10,
+    k1_x10: int = 12,
+    b_x100: int = 75,
+    tok_rel: str | None = None,
+) -> str:
+    """BM25 ranked retrieval for a fixed term query — the scoring tier on
+    top of the inverted-index build (:func:`gen_inverted_index`): idf from
+    document frequency, per-doc tf with the k1/b length normalization
+    (k1 = ``k1_x10``/10, b = ``b_x100``/100 — integer params so the
+    constants render identically in both engines).
+
+    idf uses the standard Robertson-Sparck-Jones form with the +1 floor
+    (ln((N - df + 0.5)/(df + 0.5) + 1)) so stopword-frequent terms cannot
+    go negative.  The top-k ORDER BY runs on the floor-TRUNCATED score
+    (ties then by doc_id): ln() may differ in the last ulp between JVM
+    and libm, and a raw-float ORDER BY would let that swap ranks at the
+    LIMIT boundary — truncation coarsens the comparison to a granularity
+    ulp drift cannot straddle (same reasoning as the tf-idf integer
+    lattice, applied to an inherently-float score).
+
+    100 TB shape: the query-term relation is a constant-VALUES broadcast;
+    tf for the query terms only comes off the exploded stream pre-filtered
+    by the term IN-list (pushed into the scan side of the aggregate);
+    avg-doc-length is a 1-row scalar; final top-k fuses into
+    TakeOrderedAndProject.  The corpus-wide inverted index is never
+    needed for a fixed query — only df for the query's own terms.
+    """
+    k1 = f"({k1_x10} / 10.0)"
+    b = f"({b_x100} / 100.0)"
+    terms = ", ".join(f"('{t}')" for t in query_terms)
+    parts = []
+    if tok_rel:
+        tok = tok_rel
+    else:
+        tok = "tok"
+        parts.append(f"tok AS (\n{gen_token_explode(d)}\n)")
+    in_list = ", ".join(f"'{t}'" for t in query_terms)
+    parts.append(
+        f"""dl AS (SELECT doc_id, count(*) AS dlen FROM {tok} GROUP BY doc_id),
+adl AS (SELECT avg(CAST(dlen AS DOUBLE)) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
+qt AS (SELECT term FROM (VALUES {terms}) AS q(term)),
+tf AS (
+  SELECT doc_id, token AS term, count(*) AS tf
+  FROM {tok} WHERE token IN ({in_list})
+  GROUP BY doc_id, token
+),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term)"""
+    )
+    idf = "ln((adl.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)"
+    tfn = f"tf.tf * ({k1} + 1) / (tf.tf + {k1} * (1 - {b} + {b} * dl.dlen / adl.avgdl))"
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT doc_id, bm25, n_terms_hit
+FROM (
+  SELECT doc_id, {d.trunc6('score')} AS bm25, n_terms_hit
+  FROM (
+    SELECT tf.doc_id AS doc_id,
+           sum({idf} * {tfn}) AS score,
+           CAST(count(*) AS INT) AS n_terms_hit
+    FROM tf
+    JOIN df ON tf.term = df.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN adl
+    GROUP BY tf.doc_id
+  ) s0
+) s
+ORDER BY bm25 DESC, doc_id
+LIMIT {k}
+""".strip()

@@ -1902,6 +1902,23 @@ FROM files f
         _persist_view(big, "_bigram_rel")
         return spark.sql(text.gen_bigram_nll(SPARK, big_rel="_bigram_rel"))
 
+    def _b_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        tok = spark.sql(text.gen_token_explode(SPARK))
+        _persist_view(tok, "_tok_bm25")
+        return spark.sql(text.gen_bm25_topk(SPARK, tok_rel="_tok_bm25"))
+
+    add(
+        "text_bm25_topk",
+        _b_bm25,
+        text.gen_bm25_topk(DUCK),
+        tags=("text", "search"),
+        doc="BM25 ranked retrieval for a fixed term query (k1=1.2, b=0.75, "
+        "RSJ idf with +1 floor); top-k ordered on the truncated score so ln() "
+        "ulp drift cannot swap ranks at the LIMIT boundary; query terms a "
+        "constant-VALUES broadcast, avgdl a 1-row scalar",
+    )
+
     def _b_perplexity_tertiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         V.register_base_tables(spark, sf_dir, ("documents",))
         big = spark.sql(text.gen_bigram_relation(SPARK))

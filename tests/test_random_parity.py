@@ -317,6 +317,8 @@ DOC_ENTRIES = [
     # hex positional-byte access on multi-byte UTF-8 payloads; empty and
     # single-byte payloads take the NULL/sign-pin paths
     "multimodal_byte_entropy",
+    # bm25 on corpora where query terms tie and miss entirely
+    "text_bm25_topk",
 ]
 
 

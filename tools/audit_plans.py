@@ -65,6 +65,9 @@ WIDE_TABLES = {"lineitem": 11, "orders": 6, "documents": 6, "customer": 5}
 # must hash-join.
 NLJ_ALLOWED = {
     "dedup_jaccard_pairs",
+    # wraps the jaccard pair generator unchanged — same constant-VALUES
+    # bucket-offset expansion as dedup_jaccard_pairs
+    "dedup_threshold_histogram",
     "dedup_embedding_cosine",
     "tpch_q22_acctbal_prospects",
     "sim_cosine_topk",
@@ -96,6 +99,8 @@ NLJ_ALLOWED = {
     # funnel: CROSS JOIN of the 1-row step-1 user count (the conversion-rate
     # denominator) — same scalar-normalizer shape as q22
     "events_funnel_conversion",
+    # BM25: CROSS JOIN of the 1-row avgdl/N scalar aggregate
+    "text_bm25_topk",
     # perplexity tertiles: CROSS JOIN of the 1-row percentile-threshold
     # relation — scalar-normalizer shape (plus the bigram scorer's own
     # allowlisted scalars upstream)
