@@ -202,3 +202,48 @@ SELECT t.from_type AS from_type, t.to_type AS to_type,
 FROM t JOIN f ON t.from_type = f.from_type
 ORDER BY from_type, to_type
 """.strip()
+
+
+def gen_hourly_profile(d: Dialect) -> str:
+    """Diurnal load profile per event type: for each hour-of-day, the
+    mean and variance of the DAILY count at that hour across the stream's
+    whole span — the seasonal baseline that turns the trailing-window
+    anomaly detector (window_rate_anomaly) into a seasonality-aware one,
+    and the capacity-planning heatmap on its own.
+
+    Cross-engine exactness: day/hour come from integer floor-division of
+    epoch seconds; the per-cell aggregates crossing the engines are exact
+    integers (Σn, Σn² — the rate-anomaly convention); mean/variance
+    divide by the GLOBAL day-span (zero-activity days count — an hour
+    that fires one day in thirty is rare, not routine) and truncate at
+    the output only.
+
+    100 TB shape: one narrow projection, a (type × day × hour) partial
+    aggregate, a (type × hour) re-aggregate (tiny), and a 1-row day-span
+    scalar broadcast.
+    """
+    es = d.epoch_s_events("ts")
+    day = d.idiv("es", "86400")
+    hour = d.idiv("es % 86400", "3600")
+    mean = "sum_n / nd"
+    var = f"sum_n2 / nd - ({mean}) * ({mean})"
+    return f"""
+WITH ev AS (
+  SELECT event_type, {day} AS d, {hour} AS h
+  FROM (SELECT event_type, {es} AS es FROM events WHERE event_type IS NOT NULL) e0
+),
+days AS (SELECT CAST(count(DISTINCT d) AS DOUBLE) AS nd FROM ev),
+hc AS (SELECT event_type, d, h, count(*) AS n FROM ev GROUP BY event_type, d, h),
+base AS (
+  SELECT event_type, h,
+         CAST(count(*) AS BIGINT) AS active_days,
+         CAST(sum(n) AS BIGINT) AS sum_n,
+         CAST(sum(n * n) AS BIGINT) AS sum_n2
+  FROM hc GROUP BY event_type, h
+)
+SELECT event_type, h AS hour, active_days, sum_n,
+       {d.trunc6(mean)} AS mean_per_day,
+       {d.trunc6(var)} AS var_per_day
+FROM base CROSS JOIN days
+ORDER BY event_type, hour
+""".strip()

@@ -2233,6 +2233,17 @@ FROM files f
         "the type-pair key space",
     )
 
+    b, o = _sql_pair(analytics.gen_hourly_profile, ("events",))
+    add(
+        "events_hourly_profile",
+        b,
+        o,
+        tags=("events", "analytics"),
+        doc="diurnal load profile per event type: exact-integer (sum, sum-sq) "
+        "hourly baselines over the full day span (zero-activity days count); "
+        "the seasonal companion to window_rate_anomaly",
+    )
+
     b, o = _sql_pair(analytics.gen_stickiness, ("events",))
     add(
         "events_stickiness",

@@ -55,6 +55,8 @@ EVENT_ENTRIES = [
     "events_stickiness",
     # lead() tie order on pooled instants is the whole test here
     "events_transition_matrix",
+    # integer day/hour bucketing on pooled instants; exact sum/sum-sq cells
+    "events_hourly_profile",
     # streaming_event_deltas is rows-only (stateful applyInPandasWithState,
     # no SQL oracle) — covered by tests/test_streaming.py instead
 ]

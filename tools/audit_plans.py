@@ -101,6 +101,8 @@ NLJ_ALLOWED = {
     "events_funnel_conversion",
     # BM25: CROSS JOIN of the 1-row avgdl/N scalar aggregate
     "text_bm25_topk",
+    # diurnal profile: CROSS JOIN of the 1-row day-span scalar
+    "events_hourly_profile",
     # perplexity tertiles: CROSS JOIN of the 1-row percentile-threshold
     # relation — scalar-normalizer shape (plus the bigram scorer's own
     # allowlisted scalars upstream)
