@@ -542,3 +542,72 @@ LEFT JOIN (
 ) k ON q.source = k.source
 ORDER BY source
 """.strip()
+
+
+def gen_neardup_contamination(d: Dialect, sigs_rel: str | None = None) -> str:
+    """NEAR-duplicate train→eval contamination: an eval document is
+    contaminated if it shares a minhash LSH band key with ANY train
+    document — the leakage mode exact n-gram decontamination
+    (:func:`gen_ngram_contamination`) misses (a paraphrased or lightly
+    edited train document inflates eval scores just as surely as a
+    verbatim one).  Reuses the production LSH banding unchanged
+    (operators/dedup.py), so "contaminated" here means exactly "the dedup
+    tier would have paired them".
+
+    Per held-out split: doc count, contaminated count, rate.
+
+    100 TB shape: signatures are a map-only derivation (persisted once
+    Spark-side via ``sigs_rel``); band keys explode 4× (constant); the
+    train-side band-key set DISTINCTs down before the semi-join, which
+    shuffles on the 16-byte band key; one final tiny aggregate.
+    """
+    from storage_crawler_spark.operators.dedup import N_BANDS, ROWS_PER_BAND, gen_minhash_sigs
+    from storage_crawler_spark.operators.sampling import split_bucket_expr, split_case_expr
+
+    split = split_case_expr(split_bucket_expr(d))
+    ctes: list[str] = []
+    if sigs_rel is None:
+        ctes.append(f"sigs AS (\n{gen_minhash_sigs(d)}\n)")
+        sigs_rel = "sigs"
+    band_selects = []
+    for band in range(N_BANDS):
+        cols = ", ".join(f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        key = d.md5_utf8(f"concat_ws('|', {cols})")
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band_id, {key} AS band_key FROM {sigs_rel}"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    ctes.append(f"bands AS (\n{bands}\n)")
+    ctes.append(
+        f"""sb AS (
+  SELECT b.doc_id, dsp.split, b.band_id, b.band_key
+  FROM bands b
+  JOIN (SELECT doc_id, {split} AS split FROM documents) dsp
+    ON b.doc_id = dsp.doc_id
+),
+trainkeys AS (
+  SELECT DISTINCT band_id, band_key FROM sb WHERE split = 'train'
+),
+evaldocs AS (
+  SELECT doc_id, split, max(hit) AS contaminated
+  FROM (
+    SELECT s.doc_id, s.split,
+           CASE WHEN t.band_key IS NOT NULL THEN 1 ELSE 0 END AS hit
+    FROM sb s
+    LEFT JOIN trainkeys t ON s.band_id = t.band_id AND s.band_key = t.band_key
+    WHERE s.split <> 'train'
+  ) h
+  GROUP BY doc_id, split
+)"""
+    )
+    ctes_sql = ",\n".join(ctes)
+    rate = d.trunc6("CAST(sum(contaminated) AS DOUBLE) / count(*)")
+    return f"""WITH {ctes_sql}
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(contaminated) AS BIGINT) AS n_contaminated,
+       {rate} AS contamination_rate
+FROM evaldocs
+GROUP BY split
+ORDER BY split
+""".strip()

@@ -2304,6 +2304,27 @@ FROM files f
         "parity; map-only then one partial-combining agg",
     )
 
+    def _b_neardup_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        n = spark.sparkContext.defaultParallelism
+        spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep_nc")
+        sigs = spark.sql(dedup.gen_minhash_sigs(SPARK, src="_documents_rep_nc"))
+        _persist_view(sigs, "_minhash_sigs_nc")
+        return spark.sql(
+            pipeline_ops.gen_neardup_contamination(SPARK, sigs_rel="_minhash_sigs_nc")
+        )
+
+    add(
+        "pipeline_neardup_contamination",
+        _b_neardup_contam,
+        pipeline_ops.gen_neardup_contamination(DUCK),
+        tags=("pipeline", "dedup"),
+        doc="NEAR-dup train->eval contamination via the production LSH bands "
+        "(the leakage exact n-gram decontamination misses); per held-out "
+        "split: docs, contaminated, rate; train band-key set DISTINCTed "
+        "before the semi-join",
+    )
+
     b, o = _sql_pair(pipeline_ops.gen_mixture_apply, ("documents",))
     add(
         "pipeline_mixture_apply",

@@ -319,6 +319,8 @@ DOC_ENTRIES = [
     "multimodal_byte_entropy",
     # bm25 on corpora where query terms tie and miss entirely
     "text_bm25_topk",
+    # exact duplicates planted across split lines must contaminate
+    "pipeline_neardup_contamination",
 ]
 
 
