@@ -2149,6 +2149,15 @@ FROM files f
         "roots); NULL owner is a first-class row",
     )
 
+    add(
+        "report_growth_daily",
+        _usage_builder(usage_reports.gen_growth_daily),
+        V.with_files_cte(usage_reports.gen_growth_daily(DUCK)),
+        tags=("report", "usage"),
+        doc="daily ingest growth + running cumulative totals; window runs on "
+        "the per-day relation only (corpus never sorts), sums CAST to BIGINT",
+    )
+
     def _b_threshold_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         V.register_base_tables(spark, sf_dir, ("documents",))
         n = spark.sparkContext.defaultParallelism

@@ -80,3 +80,30 @@ FROM {src}
 GROUP BY owner
 ORDER BY owner
 """.strip()
+
+
+def gen_growth_daily(d: Dialect, src: str = "files") -> str:
+    """Daily ingest growth from the insert epoch: files and bytes added
+    per day plus running cumulative totals — the capacity-trend chart a
+    storage team reads next to the du rollup (grow rate decides
+    procurement; the du decides blame).
+
+    One partial-combining aggregate to the per-day relation (tiny: one
+    row per day of corpus age), then running sums via a window over that
+    relation only — the corpus-sized scan never sorts.  Window sums CAST
+    to BIGINT (HUGEINT trap).
+    """
+    day = d.idiv("insert_epoch", "86400")
+    return f"""
+SELECT day,
+       CAST(n_files AS BIGINT) AS n_files,
+       CAST(added_bytes AS BIGINT) AS added_bytes,
+       CAST(sum(n_files) OVER (ORDER BY day) AS BIGINT) AS cum_files,
+       CAST(sum(added_bytes) OVER (ORDER BY day) AS BIGINT) AS cum_bytes
+FROM (
+  SELECT {day} AS day, count(*) AS n_files, sum(st_size) AS added_bytes
+  FROM {src}
+  GROUP BY {day}
+) t
+ORDER BY day
+""".strip()

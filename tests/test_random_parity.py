@@ -297,6 +297,7 @@ DOC_ENTRIES = [
     "report_subtree_du",
     "report_extension_usage",
     "report_owner_usage",
+    "report_growth_daily",
     # logit-decided keep flag must agree on empty/single-token docs
     "text_quality_classifier",
     # exact-dup and case-variant docs in the random corpus make each
