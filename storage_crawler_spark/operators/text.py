@@ -961,22 +961,36 @@ def gen_quality_classifier(d: Dialect) -> str:
     model runtime exists in this stack, so the weights are frozen
     constants; swapping in learned weights changes nothing structurally).
 
-    The keep DECISION is made on the raw logit, not the sigmoid: the logit
-    uses only +/* on bit-identical doubles (IEEE-exact in both engines),
-    while exp() may differ in the last ulp — so the flag can never flip
-    across engines.  The sigmoid score is display-only and truncated.
+    Both outputs are derived from the raw LOGIT only: with every literal
+    CAST to DOUBLE (see below) the logit is a fixed left-associated chain
+    of IEEE-exact double ops on bit-identical inputs, so the keep flag
+    can never flip across engines and the truncated logit never straddles
+    a floor boundary.  The sigmoid is deliberately NOT emitted:
+    exp() may differ in the last ulp between JVM and libm, and at sf0.1
+    one document's sigmoid landed exactly on a 1e-6 floor edge — the
+    cross-SF sweep caught the hash drift.  Consumers wanting a
+    probability apply the monotone 1/(1+e^-x) to the logit themselves.
 
     Map-only over the scan; no shuffle at all.
     """
     toks = d.split("text")
     stops = d.size(d.afilter(toks, "x", f"x IN {_in_list(_STOPWORDS)}"))
+    # every literal CAST to DOUBLE: Spark parses bare 3.0/100.0 as
+    # DECIMAL and runs mixed decimal/double arithmetic with different
+    # intermediate rounding than DuckDB's all-double pipeline — at sf0.01
+    # eight documents' logits crossed trunc6 floor edges from exactly this
+    # (0.0875 vs 0.087499...).  With double literals every op is an
+    # IEEE-exact double op in identical textual association.
+    D = "CAST({} AS DOUBLE)"
     logit = (
-        "-2.0 + 3.0 * stop_ratio + 2.0 * distinct_ratio"
-        " + 1.5 * (CASE WHEN n_tokens > 100 THEN 1.0 ELSE n_tokens / 100.0 END)"
+        f"{D.format('-2.0')} + {D.format('3.0')} * stop_ratio"
+        f" + {D.format('2.0')} * distinct_ratio"
+        f" + {D.format('1.5')} * (CASE WHEN n_tokens > 100 THEN {D.format('1.0')}"
+        f" ELSE n_tokens / {D.format('100.0')} END)"
     )
     return f"""
 SELECT doc_id, n_tokens,
-       {d.trunc6('1.0 / (1.0 + exp(0.0 - logit))')} AS quality_prob,
+       {d.trunc6('logit')} AS quality_logit,
        CAST(CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS INT) AS keep
 FROM (
   SELECT doc_id, n_tokens, ({logit}) AS logit
@@ -1152,8 +1166,12 @@ def gen_bm25_topk(
     TakeOrderedAndProject.  The corpus-wide inverted index is never
     needed for a fixed query — only df for the query's own terms.
     """
-    k1 = f"({k1_x10} / 10.0)"
-    b = f"({b_x100} / 100.0)"
+    # E-notation literals parse as DOUBLE in BOTH engines; bare 10.0 would
+    # be DECIMAL in Spark and its exact decimal arithmetic (int * decimal)
+    # rounds differently than DuckDB's double pipeline — the class of bug
+    # the quality-classifier logit hit at sf0.1
+    k1 = f"({k1_x10} / 1.0e1)"
+    b = f"({b_x100} / 1.0e2)"
     terms = ", ".join(f"('{t}')" for t in query_terms)
     parts = []
     if tok_rel:
