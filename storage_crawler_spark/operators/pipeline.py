@@ -382,7 +382,7 @@ def gen_mixture_quota(
     # floor()ed quota could flip an integer — use sqrt for the canonical
     # alpha = 0.5 and pow only for other temperatures
     share_pow = (
-        "sqrt(share)" if alpha_pct == 50 else f"power(share, {alpha_pct} / 100.0)"
+        "sqrt(share)" if alpha_pct == 50 else f"power(share, {alpha_pct} / 1.0e2)"
     )
     return f"""
 WITH {_mixture_shares_cte(d)},

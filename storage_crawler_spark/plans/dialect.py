@@ -10,6 +10,12 @@ epoch extraction, hex digests); everything the two engines share (CASE, ||,
 query source.
 
 A note on determinism across engines:
+- NEVER mix bare decimal literals into arithmetic with integer columns:
+  Spark types ``100.0`` as DECIMAL and runs exact decimal arithmetic
+  (``int_col / 100.0`` divides in decimal), which rounds differently from
+  DuckDB's all-double pipeline — write ``1.0e2`` (E-notation is DOUBLE in
+  both engines) or CAST the literal.  Comparisons against decimal
+  literals are safe; arithmetic chains are not (round-5 classifier bug);
 - all floating aggregates are ``round(x, n)``-ed in the query itself;
 - list folds use explicit left-to-right semantics in both engines (Spark
   ``aggregate``, DuckDB ``list_reduce`` over a 0-prepended list), so double
