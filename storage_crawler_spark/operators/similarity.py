@@ -562,3 +562,24 @@ SELECT actual_label, pred_label, n, {share} AS share
 FROM conf
 ORDER BY actual_label, pred_label
 """.strip()
+
+
+def gen_embedding_exact_dups(d: Dialect) -> str:
+    """Bitwise-exact duplicate vectors: GROUP BY the embedding array
+    itself (array equality is elementwise float equality in both engines)
+    — the cheap first tier of vector dedup, catching the retry/replay
+    duplicates every large embedding store accumulates, before any
+    LSH/cosine machinery runs.  One shuffle on the array key (hash of the
+    vector bytes); only groups with >1 copy are emitted, keeper = min id.
+    """
+    return """
+SELECT CAST(min(vec_id) AS BIGINT) AS keeper_vec_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(label) AS INT) AS min_label,
+       CAST(max(label) AS INT) AS max_label
+FROM embeddings
+WHERE embedding IS NOT NULL
+GROUP BY embedding
+HAVING count(*) > 1
+ORDER BY keeper_vec_id
+""".strip()

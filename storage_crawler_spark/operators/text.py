@@ -1212,3 +1212,35 @@ FROM (
 ORDER BY bm25 DESC, doc_id
 LIMIT {k}
 """.strip()
+
+
+def gen_quality_by_source(d: Dialect) -> str:
+    """Per-source quality profile: the keep rate and score distribution of
+    the logistic quality model aggregated by source — the
+    which-feed-is-junk table that decides source-level filtering or
+    re-crawling before any per-document work is spent.
+
+    Composes :func:`gen_quality_classifier` (map-only) with one
+    partial-combining aggregate on the small source key.
+    """
+    inner = gen_quality_classifier(d)
+    # the classifier emits doc-level rows; re-derive source via doc_id join
+    # — or cheaper: recompute inline with source carried through.  The
+    # classifier is a pure map, so carrying source is free: wrap with a
+    # doc_id join against the narrow (doc_id, source) projection instead
+    # of widening the classifier's contract.
+    rate = d.trunc6("CAST(sum(keep) AS DOUBLE) / count(*)")
+    return f"""
+WITH q AS (
+{inner}
+)
+SELECT s.source AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(q.keep) AS BIGINT) AS n_keep,
+       {rate} AS keep_rate,
+       {d.trunc6('avg(q.quality_logit)')} AS mean_logit
+FROM q
+JOIN (SELECT doc_id, source FROM documents) s ON q.doc_id = s.doc_id
+GROUP BY s.source
+ORDER BY source
+""".strip()

@@ -2231,6 +2231,28 @@ FROM files f
         "map-only",
     )
 
+    b, o = _sql_pair(text.gen_quality_by_source, ("documents",))
+    add(
+        "text_quality_by_source",
+        b,
+        o,
+        tags=("text", "quality", "pipeline"),
+        doc="per-source quality profile (keep rate + mean logit of the "
+        "logistic model): the which-feed-is-junk table driving source-level "
+        "filter/recrawl decisions; map-only classifier + one small-key agg",
+    )
+
+    b, o = _sql_pair(similarity.gen_embedding_exact_dups, ("embeddings",))
+    add(
+        "dedup_embedding_exact",
+        b,
+        o,
+        tags=("dedup", "similarity"),
+        doc="bitwise-exact duplicate vectors via GROUP BY on the embedding "
+        "array (retry/replay dups); the cheap tier before LSH/cosine, one "
+        "shuffle on the vector key",
+    )
+
     b, o = _sql_pair(analytics.gen_transition_matrix, ("events",))
     add(
         "events_transition_matrix",

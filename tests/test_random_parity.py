@@ -198,6 +198,8 @@ EMB_QUERIES = [
     ("label_cohesion", lambda d: similarity.gen_label_cohesion(d)),
     # centroid argmin ties on duplicate/antipode vectors; 4-label corpus
     ("centroid_confusion", lambda d: similarity.gen_centroid_confusion(d)),
+    # the random fixture plants exact-duplicate vectors (kind-2 rows)
+    ("embedding_exact_dups", lambda d: similarity.gen_embedding_exact_dups(d)),
 ]
 
 
@@ -322,6 +324,7 @@ DOC_ENTRIES = [
     "text_bm25_topk",
     # exact duplicates planted across split lines must contaminate
     "pipeline_neardup_contamination",
+    "text_quality_by_source",
 ]
 
 
