@@ -247,3 +247,41 @@ SELECT event_type, h AS hour, active_days, sum_n,
 FROM base CROSS JOIN days
 ORDER BY event_type, hour
 """.strip()
+
+
+def gen_user_streaks(d: Dialect) -> str:
+    """Per-user activity streaks (gaps-and-islands): distinct active days
+    collapse into consecutive runs via the classic day − dense-rank island
+    key; output = days active, longest streak, streak count per user —
+    the engagement-depth metric cohort retention cannot see (same WAU, 
+    very different habits).
+
+    All-integer pipeline (epoch-day floor division, rank arithmetic), so
+    the engines agree exactly.  100 TB shape: (user, day) distinct with
+    partial aggregation, ONE per-user window over the compact distinct
+    relation (shuffle on user_id), two partial-combining aggregates.
+    """
+    es = d.epoch_s_events("ts")
+    day = d.idiv("es", "86400")
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, {day} AS d
+  FROM (SELECT user_id, {es} AS es FROM events WHERE user_id IS NOT NULL) e0
+),
+isl AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+  FROM ud
+),
+runs AS (
+  SELECT user_id, island, CAST(count(*) AS BIGINT) AS run_len
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(sum(run_len) AS BIGINT) AS active_days,
+       CAST(max(run_len) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM runs
+GROUP BY user_id
+ORDER BY user_id
+""".strip()

@@ -1244,3 +1244,43 @@ JOIN (SELECT doc_id, source FROM documents) s ON q.doc_id = s.doc_id
 GROUP BY s.source
 ORDER BY source
 """.strip()
+
+
+def gen_vocab_coverage_curve(
+    d: Dialect, sizes: tuple[int, ...] = (16, 64, 256, 1024), tok_rel: str | None = None
+) -> str:
+    """Tokenizer vocab-sizing curve: for each candidate vocabulary size N,
+    what fraction of the corpus token STREAM the top-N words cover — the
+    table that turns "how big should the vocab be" into a read-off (the
+    knee of this curve), complementing the per-doc OOV audit
+    (:func:`gen_vocab_coverage`).
+
+    One frequency aggregate; ranks via a window over the FREQUENCY
+    relation (vocabulary-sized); the curve is a constant-VALUES lateral
+    over the candidate sizes joined by a rank threshold — grouped sums,
+    no per-size rescans.  Counts CAST pre-division (HUGEINT trap).
+    """
+    if tok_rel:
+        tok = tok_rel
+        with_clause = "WITH "
+    else:
+        tok = "tok"
+        with_clause = f"WITH tok AS (\n{gen_token_explode(d)}\n),\n"
+    vals = ", ".join(f"({n})" for n in sizes)
+    cov = d.trunc6("CAST(sum(CASE WHEN rnk <= v.n THEN f.c ELSE 0 END) AS DOUBLE) / t.total")
+    return f"""{with_clause}freq AS (
+  SELECT token, count(*) AS c FROM {tok} GROUP BY token
+),
+ranked AS (
+  SELECT token, c, row_number() OVER (ORDER BY c DESC, token) AS rnk FROM freq
+),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total, CAST(count(*) AS BIGINT) AS n_types FROM freq)
+SELECT v.n AS vocab_size,
+       t.n_types AS corpus_types,
+       {cov} AS coverage
+FROM ranked f
+CROSS JOIN (VALUES {vals}) AS v(n)
+CROSS JOIN tot t
+GROUP BY v.n, t.total, t.n_types
+ORDER BY vocab_size
+""".strip()

@@ -2275,6 +2275,17 @@ FROM files f
         "the seasonal companion to window_rate_anomaly",
     )
 
+    b, o = _sql_pair(analytics.gen_user_streaks, ("events",))
+    add(
+        "events_user_streaks",
+        b,
+        o,
+        tags=("events", "analytics"),
+        doc="per-user activity streaks (gaps-and-islands via day minus "
+        "row_number island keys, all-integer); engagement depth retention "
+        "cannot see",
+    )
+
     b, o = _sql_pair(analytics.gen_stickiness, ("events",))
     add(
         "events_stickiness",
@@ -2306,6 +2317,22 @@ FROM files f
         doc="normalization-aware exact dedup vs raw, per lang: extra dup docs "
         "exposed by casefold+whitespace-collapse; both fingerprints in one "
         "scan, one aggregate, no joins",
+    )
+
+    def _b_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        tok = spark.sql(text.gen_token_explode(SPARK))
+        _persist_view(tok, "_tok_vcurve")
+        return spark.sql(text.gen_vocab_coverage_curve(SPARK, tok_rel="_tok_vcurve"))
+
+    add(
+        "text_vocab_coverage_curve",
+        _b_vocab_curve,
+        text.gen_vocab_coverage_curve(DUCK),
+        tags=("text", "pipeline"),
+        doc="tokenizer vocab-sizing curve: corpus-stream coverage at top-"
+        "{16,64,256,1024} words in one pass (constant-VALUES size lateral, "
+        "grouped conditional sums - no per-size rescans)",
     )
 
     def _b_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:

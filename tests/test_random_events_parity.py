@@ -57,6 +57,8 @@ EVENT_ENTRIES = [
     "events_transition_matrix",
     # integer day/hour bucketing on pooled instants; exact sum/sum-sq cells
     "events_hourly_profile",
+    # island keys on pooled instants: same-day duplicate events collapse
+    "events_user_streaks",
     # streaming_event_deltas is rows-only (stateful applyInPandasWithState,
     # no SQL oracle) — covered by tests/test_streaming.py instead
 ]

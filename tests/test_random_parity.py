@@ -325,6 +325,7 @@ DOC_ENTRIES = [
     # exact duplicates planted across split lines must contaminate
     "pipeline_neardup_contamination",
     "text_quality_by_source",
+    "text_vocab_coverage_curve",
 ]
 
 

@@ -101,6 +101,9 @@ NLJ_ALLOWED = {
     "events_funnel_conversion",
     # BM25: CROSS JOIN of the 1-row avgdl/N scalar aggregate
     "text_bm25_topk",
+    # vocab curve: CROSS JOINs of the constant 4-row VALUES size relation
+    # and the 1-row totals aggregate
+    "text_vocab_coverage_curve",
     # diurnal profile: CROSS JOIN of the 1-row day-span scalar
     "events_hourly_profile",
     # perplexity tertiles: CROSS JOIN of the 1-row percentile-threshold
