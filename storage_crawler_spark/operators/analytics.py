@@ -285,3 +285,31 @@ FROM runs
 GROUP BY user_id
 ORDER BY user_id
 """.strip()
+
+
+def gen_user_value_quantiles(d: Dialect) -> str:
+    """Whale-curve summary: exact quantiles of per-user total event value
+    (p50/p90/p99/max) — the monetization-skew readout, and the analytics
+    twin of the salted-aggregation plane's skew concern.
+
+    Exactness note: event values in this corpus are multiples of 1/8
+    (exactly representable), so per-user double sums are order-independent
+    and the quantile inputs bit-identical across engines; corpora with
+    arbitrary floats would route through DECIMAL sums per the repo's
+    money-sum convention (registry float-parity rules).
+    """
+    pc = "percentile_cont({q}) WITHIN GROUP (ORDER BY total)"
+    return f"""
+WITH uv AS (
+  SELECT user_id, sum(coalesce(value, 0)) AS total
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       {d.trunc6(pc.format(q='0.5'))} AS p50,
+       {d.trunc6(pc.format(q='0.9'))} AS p90,
+       {d.trunc6(pc.format(q='0.99'))} AS p99,
+       {d.trunc6('max(total)')} AS max_total,
+       {d.trunc6('sum(total)')} AS sum_total
+FROM uv
+""".strip()

@@ -369,3 +369,26 @@ FROM comp c
 JOIN (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component) s
   ON c.component = s.component
 """.strip()
+
+
+def gen_cluster_sizes_oracle(d: Dialect) -> str:
+    """DuckDB oracle for the cluster-size histogram: the closure oracle's
+    component relation re-aggregated to (cluster_size → n_clusters,
+    n_docs).  The histogram is the dedup-health readout: a long tail of
+    2-doc clusters is normal near-dup noise; a giant component screams
+    boilerplate or a broken banding."""
+    inner = gen_cluster_oracle(d)
+    return f"""
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT component, CAST(max(cluster_size) AS BIGINT) AS cluster_size
+  FROM (
+{inner}
+  ) a
+  GROUP BY component
+) c
+GROUP BY cluster_size
+ORDER BY cluster_size
+""".strip()

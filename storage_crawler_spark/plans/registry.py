@@ -930,6 +930,31 @@ def _specs() -> list[QuerySpec]:
         tags=("dedup",),
         doc="connected components over LSH pairs (iterative min-label propagation; oracle = recursive-CTE closure)",
     )
+    def _b_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+        assigned = _b_cluster_assign(spark, sf_dir)
+        return (
+            assigned.groupBy("component")
+            .agg(F.max("cluster_size").cast("long").alias("cluster_size"))
+            .groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .select(
+                "cluster_size",
+                F.col("n_clusters").cast("long").alias("n_clusters"),
+                (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            )
+            .orderBy("cluster_size")
+        )
+
+    add(
+        "dedup_cluster_sizes",
+        _b_cluster_sizes,
+        cluster.gen_cluster_sizes_oracle(DUCK),
+        tags=("dedup", "quality"),
+        doc="near-dup cluster-size histogram (dedup-health readout: a giant "
+        "component = boilerplate or broken banding); one re-aggregate over "
+        "the component relation",
+    )
+
     add(
         "dedup_cluster_keepers",
         _b_cluster_keepers,
@@ -2273,6 +2298,17 @@ FROM files f
         doc="diurnal load profile per event type: exact-integer (sum, sum-sq) "
         "hourly baselines over the full day span (zero-activity days count); "
         "the seasonal companion to window_rate_anomaly",
+    )
+
+    b, o = _sql_pair(analytics.gen_user_value_quantiles, ("events",))
+    add(
+        "events_user_value_quantiles",
+        b,
+        o,
+        tags=("events", "analytics"),
+        doc="whale-curve summary: exact p50/p90/p99/max of per-user total "
+        "value (1/8-multiple values sum order-independently; arbitrary-float "
+        "corpora would route through DECIMAL per the money-sum rules)",
     )
 
     b, o = _sql_pair(analytics.gen_user_streaks, ("events",))

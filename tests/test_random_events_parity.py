@@ -59,6 +59,8 @@ EVENT_ENTRIES = [
     "events_hourly_profile",
     # island keys on pooled instants: same-day duplicate events collapse
     "events_user_streaks",
+    # NULL values coalesce to 0; percentile interpolation on exact sums
+    "events_user_value_quantiles",
     # streaming_event_deltas is rows-only (stateful applyInPandasWithState,
     # no SQL oracle) — covered by tests/test_streaming.py instead
 ]
