@@ -73,13 +73,16 @@ def _random_events(seed: int, n: int = 300) -> "pd.DataFrame":  # noqa: F821
     base = 1_704_000_000  # 2024-01-01-ish, matches the fixture's era
     types = ["click", "view", "purchase", "signup", "error", "mystery"]
     rows = []
-    ts_pool = [base + rng.randrange(0, 7 * 86_400) for _ in range(n // 3)]
+    # 35-day span: the week-granular entries (cohort offsets, trailing
+    # MAU, streak islands) need multi-week structure; the pooled instants
+    # below still create the same-second ties the join planes stress
+    ts_pool = [base + rng.randrange(0, 35 * 86_400) for _ in range(n // 3)]
     for event_id in range(n):
         user_id = rng.randrange(12)
         event_type = rng.choice(types)
         # a third of events reuse pooled instants → same-user same-ts ties,
         # duplicate purchase instants (as-of tie break), shared window edges
-        ts_s = rng.choice(ts_pool) if rng.random() < 0.33 else base + rng.randrange(0, 7 * 86_400)
+        ts_s = rng.choice(ts_pool) if rng.random() < 0.33 else base + rng.randrange(0, 35 * 86_400)
         value = None if rng.random() < 0.1 else rng.randrange(0, 8000) / 8
         props = json.dumps({"k": rng.randrange(0, 1000)}) if rng.random() < 0.9 else json.dumps({})
         rows.append((event_id, pd.Timestamp(ts_s, unit="s"), user_id, event_type, value, props))
