@@ -192,3 +192,39 @@ def write_shards(df, path: str, n_shards: int = 16, seed: str = "shard"):
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def gen_neyman_allocation(d: Dialect, budget: int = 1000) -> str:
+    """Neyman-optimal stratified sample allocation: per language stratum,
+    the sample count minimizing estimator variance for a fixed ``budget``
+    — allocation_i ∝ N_i·σ_i (big AND internally-varied strata get more
+    draws), the statistically-correct upgrade over the proportional split
+    the fixed-size sampler uses.
+
+    Engine exactness: per-stratum moments are exact integer Σlen and
+    Σlen² (the rate-anomaly convention); σ via IEEE-correctly-rounded
+    sqrt on identical doubles; allocations floored.  The ``sd = 0``
+    degenerate stratum (all docs the same length) allocates 0 — callers
+    sampling it anyway take 1 doc, which is also the statistically right
+    answer (zero within-stratum variance).
+
+    One partial-combining aggregate + a 1-row total broadcast.
+    """
+    sd = "sqrt((sum_sq - CAST(sum_len AS DOUBLE) * sum_len / n_docs) / n_docs)"
+    return f"""
+WITH m AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_len,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_sq
+  FROM documents
+  GROUP BY lang
+),
+w AS (SELECT lang, n_docs, {sd} AS sd, n_docs * ({sd}) AS wgt FROM m),
+tot AS (SELECT sum(wgt) AS total_wgt FROM w)
+SELECT w.lang AS lang, w.n_docs AS n_docs,
+       {d.trunc6('w.sd')} AS stratum_sd,
+       CAST(floor({budget} * w.wgt / t.total_wgt) AS BIGINT) AS alloc_n
+FROM w CROSS JOIN tot t
+ORDER BY lang
+""".strip()

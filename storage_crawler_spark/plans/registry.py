@@ -962,6 +962,17 @@ def _specs() -> list[QuerySpec]:
         tags=("dedup",),
         doc="quality-aware keeper per cluster (map-side max_by argmax; oracle = closure + window argmax)",
     )
+    b, o = _sql_pair(sampling.gen_neyman_allocation, ("documents",))
+    add(
+        "sample_neyman_allocation",
+        b,
+        o,
+        tags=("sampling", "pipeline"),
+        doc="Neyman-optimal stratified allocation (n_i proportional to "
+        "N_i*sigma_i, exact integer moments, floored counts) - the "
+        "variance-minimizing upgrade over proportional splits",
+    )
+
     b, o = _sql_pair(sampling.gen_weighted_sample, ("documents",))
     add(
         "weighted_sample",

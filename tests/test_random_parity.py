@@ -326,6 +326,8 @@ DOC_ENTRIES = [
     "pipeline_neardup_contamination",
     "text_quality_by_source",
     "text_vocab_coverage_curve",
+    # NULL-lang stratum and single-doc strata (sd 0 -> alloc 0)
+    "sample_neyman_allocation",
 ]
 
 

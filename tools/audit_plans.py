@@ -104,6 +104,8 @@ NLJ_ALLOWED = {
     # vocab curve: CROSS JOINs of the constant 4-row VALUES size relation
     # and the 1-row totals aggregate
     "text_vocab_coverage_curve",
+    # Neyman allocation: CROSS JOIN of the 1-row weight-total scalar
+    "sample_neyman_allocation",
     # diurnal profile: CROSS JOIN of the 1-row day-span scalar
     "events_hourly_profile",
     # perplexity tertiles: CROSS JOIN of the 1-row percentile-threshold
