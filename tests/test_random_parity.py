@@ -331,7 +331,7 @@ DOC_ENTRIES = [
 ]
 
 
-@pytest.fixture(scope="module", params=[31])
+@pytest.fixture(scope="module", params=[31, 47])
 def docs_sf_dir(request, tmp_path_factory):
     import pandas as pd
 
