@@ -313,3 +313,32 @@ SELECT CAST(count(*) AS BIGINT) AS n_users,
        {d.trunc6('sum(total)')} AS sum_total
 FROM uv
 """.strip()
+
+
+def gen_interarrival_quantiles(d: Dialect) -> str:
+    """Per-event-type inter-arrival cadence: exact p50/p90/p99/max of the
+    gap (seconds) between consecutive events of the same type — the
+    latency/cadence audit that tells a pipeline owner whether a feed is
+    steady, bursty, or dying.  Integer gaps from a lag window, exact
+    percentile_cont on them (interpolation arithmetic on exact integers —
+    cross-engine identical), one tiny per-type aggregate.
+    """
+    es = d.epoch_s_events("ts")
+    pc = "percentile_cont({q}) WITHIN GROUP (ORDER BY gap_s)"
+    return f"""
+WITH g AS (
+  SELECT event_type,
+         es - lag(es) OVER (PARTITION BY event_type ORDER BY es, event_id) AS gap_s
+  FROM (SELECT event_id, event_type, {es} AS es FROM events WHERE event_type IS NOT NULL) e0
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       {d.trunc6(pc.format(q='0.5'))} AS p50_s,
+       {d.trunc6(pc.format(q='0.9'))} AS p90_s,
+       {d.trunc6(pc.format(q='0.99'))} AS p99_s,
+       CAST(max(gap_s) AS BIGINT) AS max_s
+FROM g
+WHERE gap_s IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""".strip()

@@ -157,3 +157,72 @@ FROM events a
 JOIN events b ON a.user_id = b.user_id {tfilter}
 WHERE {eb} - {ea} > 0 AND {eb} - {ea} <= {width_s}
 """.strip()
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    prefix: str = "next_",
+) -> DataFrame:
+    """Forward as-of join: every left row annotated with the SMALLEST
+    ``right_ts`` at-or-after its ``left_ts`` (NULL if none) and the count
+    of right rows at-or-after — the "next maintenance event after each
+    error" direction the backward join cannot answer.
+
+    Mirror image of :func:`asof_join`: left rows tag side 0 so a right
+    row at the SAME instant sorts after them and lands in the
+    CURRENT..FOLLOWING frame (inclusive match), and the running aggregate
+    is a min/count over the following rows.  Same cost: one shuffle on
+    the key, one per-partition sort.
+    """
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(*lcols).alias("_payload"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(l_tagged.schema["_payload"].dataType).alias("_payload"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    right_ts_or_null = F.when(F.col("_side") == 1, F.col("_ts"))
+    annotated = u.select(
+        "_side",
+        "_payload",
+        F.min(right_ts_or_null).over(w).alias(f"{prefix}ts"),
+        F.count(right_ts_or_null).over(w).alias(f"{prefix}n"),
+    ).filter(F.col("_side") == 0)
+    return annotated.select(
+        *[F.col(f"_payload.{c}").alias(c) for c in lcols],
+        f"{prefix}ts",
+        f"{prefix}n",
+    )
+
+
+def gen_asof_forward_oracle(
+    d: Dialect, left_type: str = "error", right_type: str = "signup"
+) -> str:
+    """Correlated-subquery oracle for the forward as-of join."""
+    ea = d.epoch_s_events("a.ts")
+    eb = d.epoch_s_events("b.ts")
+    return f"""
+SELECT a.event_id, a.user_id, {ea} AS left_ts_s,
+  (SELECT min({eb}) FROM events b
+   WHERE b.user_id = a.user_id AND b.event_type = '{right_type}' AND {eb} >= {ea}) AS next_ts,
+  (SELECT count(*) FROM events b
+   WHERE b.user_id = a.user_id AND b.event_type = '{right_type}' AND {eb} >= {ea}) AS next_n
+FROM events a
+WHERE a.event_type = '{left_type}'
+""".strip()

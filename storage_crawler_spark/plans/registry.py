@@ -1716,6 +1716,41 @@ FROM files f
         "relationally",
     )
 
+    def _b_asof_forward(spark, sf_dir):
+        from storage_crawler_spark.operators.temporal import asof_join_forward
+
+        V.register_base_tables(spark, sf_dir, ("events",))
+        ev = spark.table("events").withColumn("ts_s", F.unix_seconds("ts"))
+        left = ev.filter("event_type = 'error'").select(
+            "event_id", "user_id", F.col("ts_s").alias("left_ts_s")
+        )
+        right = ev.filter("event_type = 'signup'").select("user_id", "ts_s")
+        return asof_join_forward(
+            left, right, key="user_id", left_ts="left_ts_s", right_ts="ts_s"
+        )
+
+    from storage_crawler_spark.operators.temporal import gen_asof_forward_oracle
+
+    add(
+        "join_asof_forward_events",
+        _b_asof_forward,
+        gen_asof_forward_oracle(DUCK),
+        tags=("join", "temporal"),
+        doc="FORWARD as-of join (smallest right ts at-or-after, per key): the "
+        "mirror of the backward union+window shape (CURRENT..FOLLOWING min); "
+        "oracle = correlated min subquery, an independent formulation",
+    )
+
+    b, o = _sql_pair(analytics.gen_interarrival_quantiles, ("events",))
+    add(
+        "events_interarrival_quantiles",
+        b,
+        o,
+        tags=("events", "analytics"),
+        doc="per-type inter-arrival cadence (exact integer gaps from a lag "
+        "window, exact percentile_cont): steady vs bursty vs dying feeds",
+    )
+
     # Temporal joins (operators/temporal.py): the Spark side runs the
     # scalable shapes (union+window as-of; bucketed range join), the oracle
     # the naive formulations (correlated subquery; raw inequality join) —
@@ -2183,6 +2218,15 @@ FROM files f
         tags=("report", "usage"),
         doc="per-owner chargeback rollup (files, bytes, distinct top-level "
         "roots); NULL owner is a first-class row",
+    )
+
+    add(
+        "report_age_tiers",
+        _usage_builder(usage_reports.gen_age_tiers),
+        V.with_files_cte(usage_reports.gen_age_tiers(DUCK)),
+        tags=("report", "usage"),
+        doc="cold-data tiering (hot/warm/cold/frozen by mtime-ctime age vs the "
+        "pinned as-of epoch) per root: the archival migration plan",
     )
 
     add(

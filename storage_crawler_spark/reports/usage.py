@@ -107,3 +107,29 @@ FROM (
 ) t
 ORDER BY day
 """.strip()
+
+
+def gen_age_tiers(d: Dialect, as_of_epoch: int = 1_700_500_000, src: str = "files") -> str:
+    """Cold-data tiering report: files bucketed by modification age
+    (hot < 1 day, warm < 30 days, cold < 180 days, frozen beyond) per
+    top-level root, with counts and bytes — the archival-planning view
+    that turns the du rollup into a migration plan.  The as-of instant is
+    a pinned epoch (the reference's NOW() is not oracle-reproducible —
+    same convention as report_large_old_files).  One partial-combining
+    aggregate over exact integer ages."""
+    root = d.elem(d.split("path", "/"), "2")
+    age = f"({as_of_epoch} - greatest(st_mtime, st_ctime))"
+    tier = (
+        f"CASE WHEN {age} < 86400 THEN '1_hot' "
+        f"WHEN {age} < 2592000 THEN '2_warm' "
+        f"WHEN {age} < 15552000 THEN '3_cold' "
+        f"ELSE '4_frozen' END"
+    )
+    return f"""
+SELECT root, tier,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(st_size) AS BIGINT) AS total_bytes
+FROM (SELECT {root} AS root, {tier} AS tier, st_size FROM {src}) t
+GROUP BY root, tier
+ORDER BY root, tier
+""".strip()

@@ -35,6 +35,9 @@ EVENT_ENTRIES = [
     "rollup_events_daily",
     "events_json_props",
     "join_asof_events",
+    # forward direction: same-instant inclusivity on pooled ties, mirrored
+    "join_asof_forward_events",
+    "events_interarrival_quantiles",
     "join_range_events",
     "streaming_window_counts",
     "streaming_session_counts",

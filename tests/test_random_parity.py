@@ -300,6 +300,7 @@ DOC_ENTRIES = [
     "report_extension_usage",
     "report_owner_usage",
     "report_growth_daily",
+    "report_age_tiers",
     # logit-decided keep flag must agree on empty/single-token docs
     "text_quality_classifier",
     # exact-dup and case-variant docs in the random corpus make each
