@@ -2229,6 +2229,20 @@ FROM files f
         "pinned as-of epoch) per root: the archival migration plan",
     )
 
+    def _b_dup_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.files_view(spark, sf_dir).createOrReplaceTempView("files")
+        return spark.sql(usage_reports.gen_duplicate_files(SPARK))
+
+    add(
+        "report_duplicate_files",
+        _b_dup_files,
+        V.with_files_cte(usage_reports.gen_duplicate_files(DUCK)),
+        tags=("report", "usage", "dedup"),
+        doc="duplicate-file copy-sets by (size, content digest) with "
+        "reclaimable bytes - the classic storage-crawler deliverable; size "
+        "in the group key so digest collisions cannot merge across sizes",
+    )
+
     add(
         "report_growth_daily",
         _usage_builder(usage_reports.gen_growth_daily),

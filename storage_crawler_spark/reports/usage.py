@@ -133,3 +133,34 @@ FROM (SELECT {root} AS root, {tier} AS tier, st_size FROM {src}) t
 GROUP BY root, tier
 ORDER BY root, tier
 """.strip()
+
+
+def gen_duplicate_files(d: Dialect, src: str = "files") -> str:
+    """Duplicate-file report: files with identical (size, content digest)
+    grouped into copy-sets with the reclaimable byte count — the classic
+    storage-crawler deliverable ("this tree wastes N GB on copies").
+    Content digests come from the backing documents relation (the files
+    derivation maps doc → file 1:1); size joins the digest in the group
+    key so a digest collision across different sizes can never merge.
+
+    100 TB shape: one digest map over the narrow (id, size) projection
+    joined to the text source on the id key, one partial-combining
+    aggregate on the (digest, size) key; only multi-copy groups emitted.
+    Wasted bytes CAST to BIGINT (HUGEINT trap).
+    """
+    digest = d.md5_utf8("doc.text")
+    return f"""
+SELECT digest, st_size,
+       CAST(min(id) AS BIGINT) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST((count(*) - 1) * st_size AS BIGINT) AS wasted_bytes
+FROM (
+  SELECT f.id, f.st_size, {digest} AS digest
+  FROM {src} f
+  JOIN documents doc ON f.id = doc.doc_id
+  WHERE doc.text IS NOT NULL
+) fd
+GROUP BY digest, st_size
+HAVING count(*) > 1
+ORDER BY wasted_bytes DESC, digest
+""".strip()

@@ -301,6 +301,8 @@ DOC_ENTRIES = [
     "report_owner_usage",
     "report_growth_daily",
     "report_age_tiers",
+    # exact-duplicate docs in the random corpus become duplicate files
+    "report_duplicate_files",
     # logit-decided keep flag must agree on empty/single-token docs
     "text_quality_classifier",
     # exact-dup and case-variant docs in the random corpus make each
