@@ -342,3 +342,100 @@ WHERE gap_s IS NOT NULL
 GROUP BY event_type
 ORDER BY event_type
 """.strip()
+
+
+def gen_type_affinity(d: Dialect) -> str:
+    """Event-type co-occurrence affinity (market-basket lift over users):
+    for every unordered pair of event types, how many users did BOTH, and
+    the lift n_users * n_both / (n_a * n_b) plus the user-set Jaccard —
+    the feature-adjacency readout behind bundling and funnel design
+    (reference surface has per-type counts only; this is the pairwise
+    tier).
+
+    100 TB shape: DISTINCT (user, type) first (partial agg shrinks the
+    stream to at most |users| x |type vocab|), then a self equi-join on
+    user_id whose per-user fanout is bounded by C(T, 2) for a bounded
+    type vocabulary T — never a cross join; per-type counts and the 1-row
+    user total are broadcast to the final enrich.  All counts CAST to
+    BIGINT before the final double division (DuckDB HUGEINT trap).
+    """
+    return f"""
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+tc AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+  FROM ut GROUP BY event_type
+),
+co AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a
+  JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT co.type_a, co.type_b, co.n_both, ta.n AS n_a, tb.n AS n_b,
+       {d.trunc6('CAST(co.n_both AS DOUBLE) * tot.n_users / (ta.n * tb.n)')} AS lift,
+       {d.trunc6('CAST(co.n_both AS DOUBLE) / (ta.n + tb.n - co.n_both)')} AS user_jaccard
+FROM co
+JOIN tc ta ON co.type_a = ta.event_type
+JOIN tc tb ON co.type_b = tb.event_type
+CROSS JOIN tot
+ORDER BY co.type_a, co.type_b
+""".strip()
+
+
+def gen_value_trend(d: Dialect) -> str:
+    """Per-event-type linear trend of daily value volume: OLS slope and
+    intercept of sum(value)-per-day against the day index, from EXACT
+    integer moments — the is-this-feed-growing/decaying readout.
+
+    Engine parity: values are discretized onto the 1/8 lattice via an
+    explicit floor(value * 8) — CAST(double AS BIGINT) would diverge
+    (Spark truncates, DuckDB rounds), so the floor is written out.  The
+    per-day sums and all five OLS moments (n, Sx, Sy, Sxy, Sxx) are then
+    BIGINT-exact, and both engines compute the identical rational before
+    one final double division (trunc6-ed).  The day index is offset by
+    the corpus' min day so the squared moments stay far from BIGINT
+    range (a fixed-epoch offset would also work; the min-day scalar is a
+    1-row broadcast).  Native regr_slope over raw doubles would drift by
+    summation order — this formulation cannot.
+
+    100 TB shape: one partial-combining aggregate to (type, day) — the
+    compact relation everything else runs on — then one tiny per-type
+    aggregate; the min-day scalar joins broadcast.
+    """
+    es = d.epoch_s_events("ts")
+    day = d.idiv("es", "86400")
+    return f"""
+WITH e0 AS (
+  SELECT event_type, {day} AS d, CAST(floor(coalesce(value, 0) * 8) AS BIGINT) AS v8
+  FROM (SELECT event_type, value, {es} AS es FROM events
+        WHERE event_type IS NOT NULL) raw
+),
+daily AS (
+  SELECT event_type, d, CAST(sum(v8) AS BIGINT) AS y8
+  FROM e0 GROUP BY event_type, d
+),
+mind AS (SELECT CAST(min(d) AS BIGINT) AS d0 FROM daily),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d - d0) AS BIGINT) AS sx,
+         CAST(sum(y8) AS BIGINT) AS sy,
+         CAST(sum((d - d0) * y8) AS BIGINT) AS sxy,
+         CAST(sum((d - d0) * (d - d0)) AS BIGINT) AS sxx
+  FROM daily CROSS JOIN mind
+  GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       {d.trunc6('CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) / 8')} AS slope_per_day,
+       {d.trunc6('CAST(sxx * sy - sx * sxy AS DOUBLE) / (n * sxx - sx * sx) / 8')} AS intercept_day0,
+       {d.trunc6('CAST(sy AS DOUBLE) / n / 8')} AS mean_daily_value
+FROM m
+WHERE n * sxx - sx * sx <> 0
+ORDER BY event_type
+""".strip()

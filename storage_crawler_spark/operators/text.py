@@ -1284,3 +1284,107 @@ CROSS JOIN tot t
 GROUP BY v.n, t.total, t.n_types
 ORDER BY vocab_size
 """.strip()
+
+
+def gen_length_robust(d: Dialect) -> str:
+    """Robust per-language document-length profile: median, MAD (median
+    absolute deviation), and a p05/p95-winsorized mean — the
+    outlier-resistant companion to plain avg(n_chars) that survives the
+    heavy right tail every scraped corpus has (one 100 MB page should not
+    move the gate thresholds).
+
+    Engine parity: the winsorize bounds use percentile_disc (actual corpus
+    values, BIGINT), so clamped values stay integers and their sum is
+    exact; the median/MAD use percentile_cont, whose interpolation is a
+    selection plus one arithmetic step on exact integers — no
+    order-dependent float summation anywhere.
+
+    100 TB shape: two aggregates over the (lang, len) projection (exact
+    percentiles need a per-group sort — per-LANG, bounded groups) plus one
+    broadcast join of the tiny per-lang bounds back onto the stream for
+    the clamp; sketch tier (GK quantiles) is the existing escape hatch
+    when exactness is not required.
+    """
+    pc = "percentile_cont({q}) WITHIN GROUP (ORDER BY len)"
+    pd_ = "percentile_disc({q}) WITHIN GROUP (ORDER BY len)"
+    return f"""
+WITH lx AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS len
+  FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+),
+st AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         {pc.format(q='0.5')} AS med,
+         CAST({pd_.format(q='0.05')} AS BIGINT) AS lo,
+         CAST({pd_.format(q='0.95')} AS BIGINT) AS hi
+  FROM lx GROUP BY lang
+),
+mad AS (
+  SELECT lx.lang,
+         {("percentile_cont(0.5) WITHIN GROUP "
+           "(ORDER BY abs(CAST(lx.len AS DOUBLE) - st.med))")} AS mad
+  FROM lx JOIN st ON lx.lang = st.lang
+  GROUP BY lx.lang
+),
+win AS (
+  SELECT lx.lang,
+         CAST(sum(LEAST(GREATEST(lx.len, st.lo), st.hi)) AS BIGINT) AS wsum
+  FROM lx JOIN st ON lx.lang = st.lang
+  GROUP BY lx.lang
+)
+SELECT st.lang, st.n_docs,
+       {d.trunc6('st.med')} AS median_len,
+       {d.trunc6('mad.mad')} AS mad_len,
+       st.lo AS p05_len, st.hi AS p95_len,
+       {d.trunc6('CAST(win.wsum AS DOUBLE) / st.n_docs')} AS winsorized_mean
+FROM st
+JOIN mad ON st.lang = mad.lang
+JOIN win ON st.lang = win.lang
+ORDER BY st.lang
+""".strip()
+
+
+def gen_bpe_merge_pairs(d: Dialect, top_k: int = 40) -> str:
+    """BPE tokenizer training, first merge step: adjacent character-pair
+    frequencies over the corpus vocabulary, weighted by word frequency —
+    the top rows are exactly the candidates the first BPE merge would
+    pick, and re-running after each merge is the full training loop (the
+    relational formulation scales where the in-memory reference trainers
+    do not).
+
+    100 TB shape: the pair counting runs on the DISTINCT-WORD relation
+    (vocabulary), not the corpus stream — one partial-combining agg
+    collapses the corpus to (word, freq), and the per-word lateral
+    character scan costs O(word length) on that compact relation; the
+    final top-k fuses into TakeOrderedAndProject.  Multiplicity within a
+    word counts (BPE semantics), ties on count break lexically.
+    """
+    toks = d.split("lower(text)")
+    lat = d.lateral_explode("toks", "w")
+    seq = d.lateral_seq("1", "length(word) - 1", "i")
+    return f"""
+WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (
+    SELECT w AS word
+    FROM (SELECT {toks} AS toks FROM documents WHERE text IS NOT NULL) t0
+    {lat}
+  ) t1
+  WHERE length(word) >= 2
+  GROUP BY word
+),
+pairs AS (
+  SELECT substr(word, i, 1) AS sym_l, substr(word, i + 1, 1) AS sym_r, freq
+  FROM words
+  {seq}
+)
+SELECT sym_l, sym_r,
+       CAST(sum(freq) AS BIGINT) AS pair_count,
+       CAST(count(*) AS BIGINT) AS n_word_types
+FROM pairs
+GROUP BY sym_l, sym_r
+ORDER BY pair_count DESC, sym_l, sym_r
+LIMIT {top_k}
+""".strip()

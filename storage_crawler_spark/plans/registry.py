@@ -2547,6 +2547,50 @@ FROM files f
         doc="Python DataSource filesystem-metadata scan with stat-column filter pushdown (rows-only)",
     )
 
+    # ---- round-6 additions ------------------------------------------------
+
+    b, o = _sql_pair(analytics.gen_type_affinity, ("events",))
+    add(
+        "events_type_affinity",
+        b,
+        o,
+        tags=("events", "analytics"),
+        doc="event-type co-occurrence lift + user-set Jaccard per unordered "
+        "type pair; distinct (user, type) first, self equi-join bounded by "
+        "C(T,2) per user",
+    )
+
+    b, o = _sql_pair(text.gen_length_robust, ("documents",))
+    add(
+        "text_length_robust",
+        b,
+        o,
+        tags=("text", "quality"),
+        doc="robust per-lang length profile: median, MAD, p05/p95-winsorized "
+        "mean (disc bounds keep the clamped sum integer-exact)",
+    )
+
+    b, o = _sql_pair(text.gen_bpe_merge_pairs, ("documents",))
+    add(
+        "text_bpe_merge_pairs",
+        b,
+        o,
+        tags=("text", "tokenizer"),
+        doc="BPE training first-merge candidates: adjacent char-pair counts "
+        "weighted by word frequency, computed on the distinct-word relation",
+    )
+
+    b, o = _sql_pair(analytics.gen_value_trend, ("events",))
+    add(
+        "events_value_trend",
+        b,
+        o,
+        tags=("events", "analytics"),
+        doc="per-type OLS trend of daily value volume from exact integer "
+        "moments (value*8 lattice; native regr_* would drift by summation "
+        "order)",
+    )
+
     return specs
 
 

@@ -64,6 +64,12 @@ EVENT_ENTRIES = [
     "events_user_streaks",
     # NULL values coalesce to 0; percentile interpolation on exact sums
     "events_user_value_quantiles",
+    # distinct (user, type) first; pooled instants create duplicate events
+    # the DISTINCT must collapse before the pair join
+    "events_type_affinity",
+    # exact-moment OLS: NULL values floor to 0 on the 1/8 lattice; pooled
+    # instants create multi-event days the daily pre-agg must sum exactly
+    "events_value_trend",
     # streaming_event_deltas is rows-only (stateful applyInPandasWithState,
     # no SQL oracle) — covered by tests/test_streaming.py instead
 ]

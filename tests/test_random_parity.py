@@ -331,6 +331,11 @@ DOC_ENTRIES = [
     "text_vocab_coverage_curve",
     # NULL-lang stratum and single-doc strata (sd 0 -> alloc 0)
     "sample_neyman_allocation",
+    # disc-bound winsorize on tiny strata; NULL lang/n_chars filtered
+    "text_length_robust",
+    # multi-byte words: substr/length are char-based in both engines;
+    # single-char and empty tokens excluded identically
+    "text_bpe_merge_pairs",
 ]
 
 
