@@ -228,3 +228,41 @@ SELECT w.lang AS lang, w.n_docs AS n_docs,
 FROM w CROSS JOIN tot t
 ORDER BY lang
 """.strip()
+
+
+def gen_shard_balance(d: Dialect, n_shards: int = 16, seed: str = "shard") -> str:
+    """Per-shard load audit of the :func:`gen_shard_plan` layout: docs and
+    characters per shard plus each shard's load ratio vs the uniform ideal
+    — the check that the frozen md5 sharding actually balanced the corpus
+    (a skewed shard becomes the long-pole training-reader at scale).
+
+    Uses the IDENTICAL md5 bucket expression as the plan (same seed), so
+    it audits the real layout, not a restatement.  One partial-combining
+    aggregate on shard_id (the n_shards-row relation), one 1-row total
+    broadcast; the all-empty-corpus edge (total 0 chars) yields NULL
+    ratios rather than a divide-by-zero (Spark ANSI would throw).
+    """
+    key = d.md5_key48("doc_id", seed)
+    return f"""
+WITH s AS (
+  SELECT CAST({key} % {n_shards} AS INT) AS shard_id,
+         CAST(coalesce(n_chars, 0) AS BIGINT) AS chars
+  FROM documents
+),
+per AS (
+  SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(chars) AS BIGINT) AS sum_chars
+  FROM s GROUP BY shard_id
+),
+tot AS (
+  SELECT CAST(sum(sum_chars) AS BIGINT) AS tot_chars,
+         CAST(count(*) AS BIGINT) AS n_shards
+  FROM per
+)
+SELECT per.shard_id, per.n_docs, per.sum_chars,
+       CASE WHEN tot.tot_chars = 0 THEN NULL
+            ELSE {d.trunc6('CAST(per.sum_chars AS DOUBLE) * tot.n_shards / tot.tot_chars')}
+       END AS load_ratio
+FROM per CROSS JOIN tot
+ORDER BY per.shard_id
+""".strip()

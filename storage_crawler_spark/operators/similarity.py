@@ -583,3 +583,61 @@ GROUP BY embedding
 HAVING count(*) > 1
 ORDER BY keeper_vec_id
 """.strip()
+
+
+def gen_hybrid_rrf(
+    d: Dialect,
+    query_terms: tuple[str, ...] = ("spark", "query", "merge"),
+    query_vec_id: int = 0,
+    k_each: int = 20,
+    k: int = 15,
+    rrf_k: int = 60,
+) -> str:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+    ranking (operators/text.py chain, identical scoring by construction)
+    and the exact-cosine vector ranking against ``query_vec_id``'s
+    embedding, fused as sum of 1/(rrf_k + rank) over each list's top
+    ``k_each`` — the standard two-tower retrieval merge (RRF needs no
+    score normalization, which is what makes it cross-engine stable:
+    only integer RANKS cross the fusion boundary, never raw scores).
+
+    Engine parity: both rank lists order on (engine-stable score, id);
+    the fused score is a pure function of small-integer ranks, so float
+    drift cannot reorder the output.  100 TB shape: the lexical side
+    scores only docs hitting the term IN-list; the vector side's global
+    rank is the exact tier — swap the vsr CTE for the IVF/RP-LSH bucketed
+    variant when the store outgrows one sort (same fusion SQL); final
+    top-k fuses into TakeOrderedAndProject.
+    """
+    from storage_crawler_spark.operators.text import bm25_scored_ctes
+
+    k1 = "(12 / 1.0e1)"
+    b = "(75 / 1.0e2)"
+    parts, scored = bm25_scored_ctes(d, query_terms, k1, b, None)
+    cos = f"({d.dot('e.ev', 'q.ev')}) / (e.nrm * q.nrm)"
+    parts.append(
+        f"bmr AS (\n  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_text\n"
+        f"  FROM (\n  {scored}\n  ) sb\n)"
+    )
+    parts.append(_norm_cte(d))
+    parts.append(f"q AS (SELECT ev, nrm FROM v WHERE vec_id = {query_vec_id})")
+    parts.append(
+        f"vsr AS (\n  SELECT e.vec_id AS doc_id,\n"
+        f"         row_number() OVER (ORDER BY {cos} DESC, e.vec_id) AS r_vec\n"
+        f"  FROM v e CROSS JOIN q\n  WHERE e.vec_id <> {query_vec_id}\n)"
+    )
+    rrf = (
+        f"coalesce(1.0e0 / ({rrf_k} + bl.r_text), 0.0e0) + "
+        f"coalesce(1.0e0 / ({rrf_k} + vl.r_vec), 0.0e0)"
+    )
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT coalesce(bl.doc_id, vl.doc_id) AS doc_id,
+       CAST(bl.r_text AS BIGINT) AS text_rank,
+       CAST(vl.r_vec AS BIGINT) AS vec_rank,
+       {d.trunc6(rrf)} AS rrf_score
+FROM (SELECT * FROM bmr WHERE r_text <= {k_each}) bl
+FULL JOIN (SELECT * FROM vsr WHERE r_vec <= {k_each}) vl ON bl.doc_id = vl.doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT {k}
+""".strip()

@@ -226,3 +226,81 @@ SELECT a.event_id, a.user_id, {ea} AS left_ts_s,
 FROM events a
 WHERE a.event_type = '{left_type}'
 """.strip()
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_s: int,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """As-of join with a staleness bound (pandas ``merge_asof(tolerance=)``
+    / kdb ``wj`` semantics): every left row annotated with the greatest
+    ``right_ts`` in ``[left_ts - tolerance_s, left_ts]`` and the count of
+    right rows in that window — matches older than the tolerance are NULL,
+    not silently stale.
+
+    Same union-tag shape as :func:`asof_join`, but the running window is a
+    RANGE frame (``tolerance_s PRECEDING .. CURRENT ROW`` over the epoch-
+    second order), so expiry needs no second pass: one shuffle on ``key``,
+    one per-partition sort.  Equal-instant right rows are inside the frame
+    by RANGE semantics (value-inclusive bounds), keeping the match
+    inclusive like the unbounded variant.
+    """
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_payload"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tagged.schema["_payload"].dataType).alias("_payload"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts")
+        .rangeBetween(-int(tolerance_s), Window.currentRow)
+    )
+    right_ts_or_null = F.when(F.col("_side") == 0, F.col("_ts"))
+    annotated = u.select(
+        "_side",
+        "_payload",
+        F.max(right_ts_or_null).over(w).alias(f"{prefix}ts"),
+        F.count(right_ts_or_null).over(w).alias(f"{prefix}n"),
+    ).filter(F.col("_side") == 1)
+    return annotated.select(
+        *[F.col(f"_payload.{c}").alias(c) for c in lcols],
+        f"{prefix}ts",
+        f"{prefix}n",
+    )
+
+
+def gen_asof_tolerance_oracle(
+    d: Dialect,
+    tolerance_s: int,
+    left_type: str = "click",
+    right_type: str = "purchase",
+) -> str:
+    """Naive correlated-subquery formulation of the tolerance as-of —
+    independently derived, so the RANGE-frame plan is checked against the
+    predicate it claims to implement."""
+    ea = d.epoch_s_events("a.ts")
+    eb = d.epoch_s_events("b.ts")
+    bounds = f"{eb} <= {ea} AND {eb} >= {ea} - {tolerance_s}"
+    return f"""
+SELECT a.event_id, a.user_id, {ea} AS left_ts_s,
+  (SELECT max({eb}) FROM events b
+   WHERE b.user_id = a.user_id AND b.event_type = '{right_type}' AND {bounds}) AS asof_ts,
+  (SELECT count(*) FROM events b
+   WHERE b.user_id = a.user_id AND b.event_type = '{right_type}' AND {bounds}) AS asof_n
+FROM events a
+WHERE a.event_type = '{left_type}'
+""".strip()

@@ -1172,6 +1172,30 @@ def gen_bm25_topk(
     # the quality-classifier logit hit at sf0.1
     k1 = f"({k1_x10} / 1.0e1)"
     b = f"({b_x100} / 1.0e2)"
+    parts, scored = bm25_scored_ctes(d, query_terms, k1, b, tok_rel)
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT doc_id, bm25, n_terms_hit
+FROM (
+  {scored}
+) s
+ORDER BY bm25 DESC, doc_id
+LIMIT {k}
+""".strip()
+
+
+def bm25_scored_ctes(
+    d: Dialect,
+    query_terms: tuple[str, ...],
+    k1: str,
+    b: str,
+    tok_rel: str | None = None,
+) -> tuple[list[str], str]:
+    """The BM25 scoring chain as (CTE list, scored-select) — shared by
+    :func:`gen_bm25_topk` and the hybrid RRF fusion in
+    operators/similarity.py, so the two retrieval tiers score identically
+    by construction.  ``k1``/``b`` arrive pre-rendered (E-notation double
+    literals, see gen_bm25_topk)."""
     terms = ", ".join(f"('{t}')" for t in query_terms)
     parts = []
     if tok_rel:
@@ -1193,11 +1217,7 @@ df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP B
     )
     idf = "ln((adl.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)"
     tfn = f"tf.tf * ({k1} + 1) / (tf.tf + {k1} * (1 - {b} + {b} * dl.dlen / adl.avgdl))"
-    ctes = ",\n".join(parts)
-    return f"""WITH {ctes}
-SELECT doc_id, bm25, n_terms_hit
-FROM (
-  SELECT doc_id, {d.trunc6('score')} AS bm25, n_terms_hit
+    scored = f"""SELECT doc_id, {d.trunc6('score')} AS bm25, n_terms_hit
   FROM (
     SELECT tf.doc_id AS doc_id,
            sum({idf} * {tfn}) AS score,
@@ -1207,11 +1227,8 @@ FROM (
     JOIN dl ON tf.doc_id = dl.doc_id
     CROSS JOIN adl
     GROUP BY tf.doc_id
-  ) s0
-) s
-ORDER BY bm25 DESC, doc_id
-LIMIT {k}
-""".strip()
+  ) s0"""
+    return parts, scored
 
 
 def gen_quality_by_source(d: Dialect) -> str:

@@ -2560,6 +2560,54 @@ FROM files f
         "C(T,2) per user",
     )
 
+    b, o = _sql_pair(similarity.gen_hybrid_rrf, ("documents", "embeddings"))
+    add(
+        "sim_hybrid_rrf",
+        b,
+        o,
+        tags=("similarity", "text", "retrieval"),
+        doc="hybrid retrieval: BM25 lexical + exact-cosine vector rankings "
+        "fused by reciprocal-rank (only integer ranks cross the fusion, so "
+        "no score-normalization drift)",
+    )
+
+    def _b_asof_tolerance(spark, sf_dir):
+        from storage_crawler_spark.operators.temporal import asof_join_tolerance
+
+        V.register_base_tables(spark, sf_dir, ("events",))
+        ev = spark.table("events").withColumn("ts_s", F.unix_seconds("ts"))
+        left = ev.filter("event_type = 'click'").select(
+            "event_id", "user_id", F.col("ts_s").alias("left_ts_s")
+        )
+        right = ev.filter("event_type = 'purchase'").select("user_id", "ts_s")
+        return asof_join_tolerance(
+            left, right, key="user_id", left_ts="left_ts_s", right_ts="ts_s",
+            tolerance_s=86400,
+        )
+
+    from storage_crawler_spark.operators.temporal import gen_asof_tolerance_oracle
+
+    add(
+        "join_asof_tolerance_events",
+        _b_asof_tolerance,
+        gen_asof_tolerance_oracle(DUCK, tolerance_s=86400),
+        tags=("join", "temporal"),
+        doc="as-of join with a 24h staleness bound via RANGE-frame running "
+        "window (matches older than the tolerance are NULL, not stale); "
+        "oracle = correlated subquery with both bounds",
+    )
+
+    b, o = _sql_pair(sampling.gen_shard_balance, ("documents",))
+    add(
+        "pipeline_shard_balance",
+        b,
+        o,
+        tags=("pipeline", "sampling"),
+        doc="per-shard docs/chars/load-ratio audit of the frozen md5 shard "
+        "plan (same key expression, same seed); empty corpus yields NULL "
+        "ratios",
+    )
+
     b, o = _sql_pair(text.gen_length_robust, ("documents",))
     add(
         "text_length_robust",

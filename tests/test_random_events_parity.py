@@ -37,6 +37,9 @@ EVENT_ENTRIES = [
     "join_asof_events",
     # forward direction: same-instant inclusivity on pooled ties, mirrored
     "join_asof_forward_events",
+    # RANGE-frame expiry: pooled instants land right rows exactly at the
+    # tolerance lower bound (value-inclusive in both engines)
+    "join_asof_tolerance_events",
     "events_interarrival_quantiles",
     "join_range_events",
     "streaming_window_counts",

@@ -336,6 +336,9 @@ DOC_ENTRIES = [
     # multi-byte words: substr/length are char-based in both engines;
     # single-char and empty tokens excluded identically
     "text_bpe_merge_pairs",
+    # md5 shard keys on random doc_ids; NULL n_chars coalesce; the
+    # all-empty-corpus NULL-ratio guard
+    "pipeline_shard_balance",
 ]
 
 

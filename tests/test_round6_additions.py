@@ -167,3 +167,123 @@ def test_bpe_pairs_single_char_words_excluded():
     )
     got = _duck(text.gen_bpe_merge_pairs(DUCK), documents=docs)
     assert list(zip(got["sym_l"], got["sym_r"])) == [("a", "b")]
+
+
+# ---------------------------------------------------------------------------
+# join_asof_tolerance_events (Spark builder vs hand-known window)
+# ---------------------------------------------------------------------------
+
+
+def test_asof_tolerance_expires_old_matches(spark):
+    from storage_crawler_spark.operators.temporal import asof_join_tolerance
+
+    left = spark.createDataFrame(
+        [(1, 10, 1000), (2, 20, 1000)], "event_id LONG, user_id LONG, left_ts_s LONG"
+    )
+    right = spark.createDataFrame(
+        [(10, 900), (10, 100), (20, 100)], "user_id LONG, ts_s LONG"
+    )
+    out = {
+        r.event_id: (r.asof_ts, r.asof_n)
+        for r in asof_join_tolerance(
+            left, right, key="user_id", left_ts="left_ts_s", right_ts="ts_s",
+            tolerance_s=200,
+        ).collect()
+    }
+    # user 10: purchase at 900 is inside [800, 1000]; 100 is expired
+    assert out[1] == (900, 1)
+    # user 20: only purchase is at 100 -> expired -> NULL match, count 0
+    assert out[2] == (None, 0)
+
+
+def test_asof_tolerance_same_instant_inclusive(spark):
+    from storage_crawler_spark.operators.temporal import asof_join_tolerance
+
+    left = spark.createDataFrame([(1, 10, 500)], "event_id LONG, user_id LONG, left_ts_s LONG")
+    right = spark.createDataFrame([(10, 500), (10, 300)], "user_id LONG, ts_s LONG")
+    row = asof_join_tolerance(
+        left, right, key="user_id", left_ts="left_ts_s", right_ts="ts_s", tolerance_s=200
+    ).collect()[0]
+    # same-instant right row matches; 300 is exactly at the lower bound (inclusive)
+    assert (row.asof_ts, row.asof_n) == (500, 2)
+
+
+# ---------------------------------------------------------------------------
+# sim_hybrid_rrf
+# ---------------------------------------------------------------------------
+
+
+def test_hybrid_rrf_fuses_ranks_and_keeps_single_list_hits():
+    from storage_crawler_spark.operators import similarity
+
+    # doc 1 hits the query terms hard (text rank 1); doc 2 has no terms but
+    # is the nearest vector; doc 3 hits both lists.
+    docs = pd.DataFrame(
+        [
+            (1, "spark query merge spark query", "en", "s", 29),
+            (2, "nothing relevant here", "en", "s", 21),
+            (3, "spark stuff", "en", "s", 11),
+        ],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    emb = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [[1.0, 0.0], [0.0, 1.0], [1.0, 0.1], [0.5, 0.9]],
+            "label": [0, 0, 0, 0],
+        }
+    )
+    got = _duck(similarity.gen_hybrid_rrf(DUCK), documents=docs, embeddings=emb)
+    rows = {
+        d: (t, v, s)
+        for d, t, v, s in zip(
+            got["doc_id"], got["text_rank"], got["vec_rank"], got["rrf_score"]
+        )
+    }
+    # text ranks: doc 1 (two distinct terms, higher tf) then doc 3
+    assert rows[1][0] == 1 and rows[3][0] == 2
+    # vec ranks vs query vec 0: cosine(2)≈0.995 > cosine(3)≈0.486 > cosine(1)=0
+    assert rows[2][1] == 1 and rows[3][1] == 2 and rows[1][1] == 3
+    # doc 2 never hits a query term -> lexical side NULL, still present
+    assert rows[2][0] is None
+    import math
+
+    exp3 = 1 / 62 + 1 / 62
+    assert abs(rows[3][2] - math.floor(exp3 * 1e6) / 1e6) < 1e-9
+    # fused order: doc 1 edges doc 3 by convexity (1/61 + 1/63 > 2/62)
+    assert got["doc_id"][:2] == [1, 3]
+
+
+# ---------------------------------------------------------------------------
+# pipeline_shard_balance
+# ---------------------------------------------------------------------------
+
+
+def test_shard_balance_totals_and_ratio():
+    from storage_crawler_spark.operators import sampling
+
+    docs = pd.DataFrame(
+        [(i, "x", "en", "s", 100) for i in range(50)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = _duck(sampling.gen_shard_balance(DUCK), documents=docs)
+    assert sum(got["n_docs"]) == 50
+    assert sum(got["sum_chars"]) == 5000
+    # uniform doc sizes: ratio is exactly (docs-in-shard / ideal)
+    ideal = 5000 / len(got["shard_id"])
+    for n, r in zip(got["sum_chars"], got["load_ratio"]):
+        import math
+
+        assert abs(r - math.floor(n / ideal * 1e6) / 1e6) < 1e-9
+
+
+def test_shard_balance_empty_corpus_yields_null_ratio():
+    from storage_crawler_spark.operators import sampling
+
+    docs = pd.DataFrame(
+        [(0, "", "en", "s", 0), (1, "", "en", "s", 0)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = _duck(sampling.gen_shard_balance(DUCK), documents=docs)
+    assert all(r is None for r in got["load_ratio"])
+    assert sum(got["n_docs"]) == 2
