@@ -480,3 +480,42 @@ SELECT m.doc_id, CAST(m.n AS BIGINT) AS payload_bytes,
        e.byte_entropy AS byte_entropy
 FROM m LEFT JOIN e ON m.doc_id = e.doc_id
 """.strip()
+
+
+# Shared aggregate text for the dimension audit: the Spark side runs it over
+# the media_info() mapInPandas relation, the oracle over the closed-form
+# synth params — so a parser regression that corrupts widths/heights breaks
+# the aggregate hash exactly like it breaks the row-level entry.
+_DIM_AUDIT_AGG = """
+SELECT format,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(min(width) AS BIGINT) AS min_width,
+       CAST(max(width) AS BIGINT) AS max_width,
+       CAST(min(height) AS BIGINT) AS min_height,
+       CAST(max(height) AS BIGINT) AS max_height,
+       CAST(sum(CASE WHEN width IS NOT NULL AND height IS NOT NULL
+                      AND (width > 4 * height OR height > 4 * width)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme_aspect,
+       CAST(sum(CASE WHEN width IS NULL AND channels IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed
+FROM {rel}
+GROUP BY format
+ORDER BY format
+""".strip()
+
+
+def dimension_audit(info: DataFrame) -> DataFrame:
+    """Per-format dimension audit over a :func:`media_info` relation: size
+    bounds, extreme-aspect-ratio counts (>4:1 either way — the
+    crop/letterbox review queue), and unparsed-container counts.  The
+    go/no-go gate before spending codec time on a 100 TB media corpus:
+    one partial-combining aggregate on the tiny format key."""
+    info.createOrReplaceTempView("_scs_media_info")
+    return info.sparkSession.sql(_DIM_AUDIT_AGG.format(rel="_scs_media_info"))
+
+
+def gen_dimension_audit_oracle(d: Dialect) -> str:
+    """Oracle: the identical aggregate over the closed-form synth params."""
+    return f"WITH mi AS (\n{gen_media_info_oracle(d)}\n)\n" + _DIM_AUDIT_AGG.format(
+        rel="mi"
+    )

@@ -641,3 +641,43 @@ FULL JOIN (SELECT * FROM vsr WHERE r_vec <= {k_each}) vl ON bl.doc_id = vl.doc_i
 ORDER BY rrf_score DESC, doc_id
 LIMIT {k}
 """.strip()
+
+
+def gen_dim_stats(d: Dialect) -> str:
+    """Per-DIMENSION embedding-store audit: count, min/max/mean, second
+    moment, and exact-zero counts for every coordinate — the dead-dimension
+    / wrong-scale detector that the per-label audit (gen_embedding_stats)
+    cannot see (a dimension stuck at 0 or 100× the others' scale poisons
+    cosine and PCA alike, while every label-level stat stays plausible).
+
+    100 TB shape: map-only lateral explode to (dim, x) with partial
+    aggregation onto the tiny dim key (combiner shrinks each task's output
+    to n_dims rows before the shuffle).  Mean/moment are trunc6-ed doubles
+    (same accepted ulp posture as gen_embedding_stats' avg(nrm)); zero
+    counts and n are exact BIGINTs.  Empty arrays are filtered before the
+    sequence (Spark's sequence() counts DOWN on inverted bounds).
+    """
+    ev = d.cast_double_arr("embedding")
+    lat = d.lateral_seq("1", d.size("ev"), "i")
+    x = d.elem("ev", "i")
+    return f"""
+WITH v0 AS (
+  SELECT {ev} AS ev FROM embeddings
+  WHERE embedding IS NOT NULL AND {d.size(d.cast_double_arr('embedding'))} >= 1
+),
+dims AS (
+  SELECT i AS dim, {x} AS x
+  FROM v0
+  {lat}
+)
+SELECT dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       {d.trunc6('min(x)')} AS min_x,
+       {d.trunc6('max(x)')} AS max_x,
+       {d.trunc6('avg(x)')} AS mean_x,
+       {d.trunc6('avg(x * x)')} AS mean_x2,
+       CAST(sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+FROM dims
+GROUP BY dim
+ORDER BY dim
+""".strip()

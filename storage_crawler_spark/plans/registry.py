@@ -2560,6 +2560,51 @@ FROM files f
         "C(T,2) per user",
     )
 
+    def _b_cdc_upsert(spark, sf_dir):
+        from storage_crawler_spark.sources.ingest import gen_cdc_upsert
+
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        return spark.sql(gen_cdc_upsert(SPARK))
+
+    from storage_crawler_spark.sources.ingest import gen_cdc_upsert as _gen_cdc
+
+    add(
+        "ingest_cdc_upsert",
+        _b_cdc_upsert,
+        _gen_cdc(DUCK),
+        tags=("ingest", "pipeline"),
+        doc="CDC/MERGE maintenance: deterministic update/delete/insert batch "
+        "applied with delete-wins merge semantics, gated by the per-source "
+        "fidelity fingerprint",
+    )
+
+    b, o = _sql_pair(similarity.gen_dim_stats, ("embeddings",))
+    add(
+        "embedding_dim_stats",
+        b,
+        o,
+        tags=("embedding", "audit"),
+        doc="per-dimension store audit (dead-dim / wrong-scale detector): "
+        "min/max/mean/second-moment/zero counts per coordinate, map-only "
+        "explode + partial agg on the dim key",
+    )
+
+    def _b_dimension_audit(spark, sf_dir):
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        return multimodal.dimension_audit(
+            multimodal.media_info(multimodal.synth_media(spark.table("documents")))
+        )
+
+    add(
+        "multimodal_dimension_audit",
+        _b_dimension_audit,
+        multimodal.gen_dimension_audit_oracle(DUCK),
+        tags=("multimodal",),
+        doc="per-format dimension audit over sniffed headers: size bounds, "
+        ">4:1 extreme-aspect counts, unparsed containers; oracle = identical "
+        "aggregate over the closed-form synth params",
+    )
+
     b, o = _sql_pair(similarity.gen_hybrid_rrf, ("documents", "embeddings"))
     add(
         "sim_hybrid_rrf",

@@ -300,3 +300,57 @@ def evolution_fingerprint(docs: DataFrame) -> DataFrame:
 
 
 EVOLUTION_ORACLE = gen_evolution_fingerprint(DUCK)
+
+
+def gen_cdc_upsert(d) -> str:
+    """CDC/MERGE maintenance of the documents corpus, relationally: a
+    deterministic change batch derived from the corpus itself — updates
+    (doc_id % 10 = 0: text gains an ' [updated]' suffix), deletes
+    (doc_id % 17 = 3; deletes win over updates), inserts (doc_id % 23 = 5
+    re-landed under doc_id + 1,000,000) — applied with MERGE semantics
+    (delete-wins, update-overrides, insert-appends), gated by the same
+    per-source fidelity fingerprint the ingest plane uses (count + chars +
+    modular text-digest sum), so a wrong/lost/duplicated row anywhere in
+    the merge changes the hash.
+
+    Engine parity: the update transform is concat (never case-mapping,
+    whose locale tables differ); recomputed n_chars is char-based length()
+    in both engines; the digest sum accumulates in DECIMAL(38,0) mod a
+    32-bit prime (overflow-safe, see _modsum_expr).
+
+    100 TB shape: MERGE = two broadcast-or-SMJ anti probes on doc_id plus
+    a union — exactly what ``MERGE INTO`` lowers to on a lake table; the
+    change batch is derived map-only.  Insert ids assume the live corpus
+    stays below the 1M re-landing offset (documented precondition).
+    """
+    return f"""
+WITH upd AS (
+  SELECT doc_id, text || ' [updated]' AS text, lang, source,
+         CAST(length(text || ' [updated]') AS BIGINT) AS n_chars
+  FROM documents
+  WHERE doc_id % 10 = 0 AND doc_id % 17 <> 3 AND text IS NOT NULL
+),
+del AS (SELECT doc_id FROM documents WHERE doc_id % 17 = 3),
+ins AS (
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source,
+         CAST(coalesce(n_chars, 0) AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 23 = 5
+),
+merged AS (
+  SELECT b.doc_id, b.text, b.lang, b.source,
+         CAST(coalesce(b.n_chars, 0) AS BIGINT) AS n_chars
+  FROM documents b
+  LEFT JOIN del ON b.doc_id = del.doc_id
+  LEFT JOIN upd ON b.doc_id = upd.doc_id
+  WHERE del.doc_id IS NULL AND upd.doc_id IS NULL
+  UNION ALL
+  SELECT doc_id, text, lang, source, n_chars FROM upd
+  UNION ALL
+  SELECT doc_id, text, lang, source, n_chars FROM ins
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       {_modsum_expr(_digest_expr(d))} AS text_digest_sum
+FROM merged
+GROUP BY source
+ORDER BY source
+""".strip()

@@ -200,6 +200,9 @@ EMB_QUERIES = [
     ("centroid_confusion", lambda d: similarity.gen_centroid_confusion(d)),
     # the random fixture plants exact-duplicate vectors (kind-2 rows)
     ("embedding_exact_dups", lambda d: similarity.gen_embedding_exact_dups(d)),
+    # per-dimension audit: the all-zero vector contributes a zero in every
+    # dim; antipodes cancel in mean_x but not mean_x2
+    ("dim_stats", lambda d: similarity.gen_dim_stats(d)),
 ]
 
 
@@ -339,6 +342,9 @@ DOC_ENTRIES = [
     # md5 shard keys on random doc_ids; NULL n_chars coalesce; the
     # all-empty-corpus NULL-ratio guard
     "pipeline_shard_balance",
+    # MERGE semantics on random ids: delete-wins overlap rows, NULL-text
+    # update exclusion, digest over the merged state
+    "ingest_cdc_upsert",
 ]
 
 

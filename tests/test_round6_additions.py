@@ -287,3 +287,98 @@ def test_shard_balance_empty_corpus_yields_null_ratio():
     got = _duck(sampling.gen_shard_balance(DUCK), documents=docs)
     assert all(r is None for r in got["load_ratio"])
     assert sum(got["n_docs"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# ingest_cdc_upsert
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_upsert_merge_semantics():
+    import hashlib
+
+    from storage_crawler_spark.sources.ingest import _DIGEST_MOD, gen_cdc_upsert
+
+    n = 26
+    docs = pd.DataFrame(
+        [(i, f"d{i}", "en", "s", len(f"d{i}")) for i in range(n)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = _duck(gen_cdc_upsert(DUCK), documents=docs)
+    # updates: %10==0 minus delete overlap -> {0, 10} (20 % 17 == 3 deleted)
+    # deletes: %17==3 -> {3, 20}; inserts: %23==5 -> {5} as 1000005
+    final = {}
+    for i in range(n):
+        if i % 17 == 3:
+            continue
+        final[i] = f"d{i} [updated]" if i % 10 == 0 else f"d{i}"
+    final[1000005] = "d5"
+    assert got["source"] == ["s"]
+    assert got["n_docs"] == [len(final)] == [25]
+    assert got["sum_chars"] == [sum(len(t) for t in final.values())]
+    dig = sum(
+        int(hashlib.md5(t.encode()).hexdigest()[:12], 16) for t in final.values()
+    )
+    assert got["text_digest_sum"] == [dig % _DIGEST_MOD]
+
+
+def test_cdc_upsert_null_text_not_updated():
+    from storage_crawler_spark.sources.ingest import gen_cdc_upsert
+
+    docs = pd.DataFrame(
+        [(0, None, "en", "s", 0), (1, "x", "en", "s", 1)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = _duck(gen_cdc_upsert(DUCK), documents=docs)
+    # doc 0 matches the update selector but has NULL text: stays as-is
+    assert got["n_docs"] == [2] and got["sum_chars"] == [1]
+
+
+# ---------------------------------------------------------------------------
+# embedding_dim_stats
+# ---------------------------------------------------------------------------
+
+
+def test_dim_stats_per_dimension_moments():
+    emb = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2],
+            "embedding": [[1.0, 2.0], [3.0, 4.0], [0.0, 6.0]],
+            "label": [0, 0, 0],
+        }
+    )
+    from storage_crawler_spark.operators import similarity
+
+    got = _duck(similarity.gen_dim_stats(DUCK), embeddings=emb)
+    assert got["dim"] == [1, 2]
+    d1 = {k: got[k][0] for k in got}
+    assert (d1["n_vecs"], d1["min_x"], d1["max_x"], d1["n_zero"]) == (3, 0.0, 3.0, 1)
+    assert abs(d1["mean_x"] - 1.333333) < 1e-9
+    assert abs(d1["mean_x2"] - 3.333333) < 1e-9
+    d2 = {k: got[k][1] for k in got}
+    assert (d2["mean_x"], d2["n_zero"]) == (4.0, 0)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_dimension_audit (closed-form oracle side)
+# ---------------------------------------------------------------------------
+
+
+def test_dimension_audit_extreme_aspect_and_wav():
+    from storage_crawler_spark.operators import multimodal
+
+    docs = pd.DataFrame(
+        [(i, "x", "en", "s", 1) for i in range(10)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = _duck(multimodal.gen_dimension_audit_oracle(DUCK), documents=docs)
+    by_fmt = {
+        f: (n, ex, un)
+        for f, n, ex, un in zip(
+            got["format"], got["n_files"], got["n_extreme_aspect"], got["n_unparsed"]
+        )
+    }
+    # ids 0,5 -> png: (w,h) = (1,1) and (6,36); 36 > 4*6 -> one extreme
+    assert by_fmt["png"] == (2, 1, 0)
+    # ids 3,8 -> wav: no dims but channels set -> not "unparsed"
+    assert by_fmt["wav"][0] == 2 and by_fmt["wav"][2] == 0
