@@ -116,6 +116,17 @@ NLJ_ALLOWED = {
     # centroid dimension (bounded by distinct labels, broadcast at any
     # scale; the dim-keyed equi-join alternative is the WORSE shape)
     "embedding_centroid_confusion",
+    # type affinity: CROSS JOIN of the 1-row distinct-user total (the lift
+    # normalizer) — scalar shape; the pair join itself is an equi-join
+    "events_type_affinity",
+    # value trend: CROSS JOIN of the 1-row min-day scalar (the OLS x-offset)
+    "events_value_trend",
+    # shard balance: CROSS JOIN of the 1-row corpus-total scalar (the load
+    # denominator)
+    "pipeline_shard_balance",
+    # hybrid RRF: the BM25 chain's 1-row avgdl scalar + the 1-row query
+    # vector — both allowlisted shapes composed
+    "sim_hybrid_rrf",
 }
 
 # Queries that must not plan a Window operator (their aggregates are
