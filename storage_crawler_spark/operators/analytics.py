@@ -439,3 +439,94 @@ FROM m
 WHERE n * sxx - sx * sx <> 0
 ORDER BY event_type
 """.strip()
+
+
+def gen_session_stats(d: Dialect, gap_s: int = 1800) -> str:
+    """Corpus-level session-length distribution: sessionize every user's
+    event stream by a ``gap_s`` inactivity gap (the batch twin of the
+    streaming session_window plane), then report session counts and exact
+    duration / events-per-session quantiles in ONE summary row — the
+    engagement-shape readout behind session-window sizing itself.
+
+    All-integer pipeline (epoch-second gaps, lag + running-sum islands on
+    the same (user, ts, id) sort order — ONE shuffle serves both windows),
+    exact percentile_cont over integer durations.  100 TB: per-user
+    windows shuffle on user_id; the final aggregate is a 1-row reduce.
+    """
+    es = d.epoch_s_events("ts")
+    pc = "percentile_cont({q}) WITHIN GROUP (ORDER BY {col})"
+    return f"""
+WITH e0 AS (
+  SELECT user_id, event_id, {es} AS es
+  FROM events WHERE user_id IS NOT NULL
+),
+marked AS (
+  SELECT user_id, event_id, es,
+         CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
+                   > {gap_s}
+              OR lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM e0
+),
+sess AS (
+  SELECT user_id, es,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+  FROM marked
+),
+per_sess AS (
+  SELECT user_id, sess_no,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(es) - min(es) AS BIGINT) AS duration_s
+  FROM sess GROUP BY user_id, sess_no
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       {d.trunc6(pc.format(q='0.5', col='duration_s'))} AS p50_duration_s,
+       {d.trunc6(pc.format(q='0.9', col='duration_s'))} AS p90_duration_s,
+       CAST(max(duration_s) AS BIGINT) AS max_duration_s,
+       {d.trunc6(pc.format(q='0.5', col='n_events'))} AS p50_events,
+       CAST(max(n_events) AS BIGINT) AS max_events,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce
+FROM per_sess
+""".strip()
+
+
+def gen_basket_brands(d: Dialect, top_k: int = 25) -> str:
+    """Market-basket affinity over the TPC-H fact table: for every
+    unordered pair of part BRANDS co-purchased in one order, the co-order
+    count, lift, and support — the retail twin of the events-plane type
+    affinity, exercised here against the big lineitem relation (the scale
+    stress is the point: the pair generator must stay bounded on a
+    100 TB fact table).
+
+    100 TB shape: broadcast the part dimension onto lineitem, DISTINCT to
+    (order, brand) with partial aggregation (the stream shrinks to at most
+    lines-per-order distinct brands), self equi-join on the order key —
+    per-order fanout bounded by C(brands-in-order, 2), never a cross join
+    — then one partial agg on the tiny brand-pair key.  All counts BIGINT
+    before the final double arithmetic.
+    """
+    return f"""
+WITH lp AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+bc AS (SELECT brand, CAST(count(*) AS BIGINT) AS n FROM lp GROUP BY brand),
+tot AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM lp),
+co AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM lp a JOIN lp b ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY a.brand, b.brand
+)
+SELECT co.brand_a, co.brand_b, co.n_both, ca.n AS n_a, cb.n AS n_b,
+       {d.trunc6('CAST(co.n_both AS DOUBLE) * tot.n_orders / (ca.n * cb.n)')} AS lift,
+       {d.trunc6('CAST(co.n_both AS DOUBLE) / tot.n_orders')} AS support
+FROM co
+JOIN bc ca ON co.brand_a = ca.brand
+JOIN bc cb ON co.brand_b = cb.brand
+CROSS JOIN tot
+ORDER BY co.n_both DESC, co.brand_a, co.brand_b
+LIMIT {top_k}
+""".strip()

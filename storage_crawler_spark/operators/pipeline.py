@@ -611,3 +611,50 @@ FROM evaldocs
 GROUP BY split
 ORDER BY split
 """.strip()
+
+
+def gen_quality_budget_curve(d) -> str:
+    """Token-budget vs quality-cutoff curve: if the corpus is filtered to
+    its top decile / top two deciles / ... by the quality-classifier
+    logit, how many documents and tokens survive?  The keep-rate decision
+    table behind "filter at quality X or at token budget Y" — computed
+    without ever sorting the corpus globally.
+
+    Deciles come from exact percentile THRESHOLDS (one reduce over the
+    logit relation, the perplexity-tertile pattern) applied map-side as
+    nine CASE comparisons — not ntile(), whose global sort is the
+    100 TB anti-shape.  Ties at a threshold fall into the better decile
+    in both engines (same comparison on identical trunc6-ed logits).
+    The cumulative column runs over the 10-row decile relation only.
+    """
+    from storage_crawler_spark.operators.text import gen_quality_classifier
+
+    qc = gen_quality_classifier(d)
+    pc = ", ".join(
+        f"percentile_cont({(10 - i) / 10}) WITHIN GROUP (ORDER BY quality_logit) AS t{i}"
+        for i in range(1, 10)
+    )
+    bucket = "1 + " + " + ".join(
+        f"(CASE WHEN quality_logit < t{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
+    )
+    return f"""
+WITH qc AS (
+{qc}
+),
+th AS (SELECT {pc} FROM qc),
+b AS (
+  SELECT CAST(({bucket}) AS INT) AS decile, n_tokens
+  FROM qc CROSS JOIN th
+),
+per AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+  FROM b GROUP BY decile
+)
+SELECT decile, n_docs, sum_tokens,
+       CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+       CAST(sum(sum_tokens) OVER w AS BIGINT) AS cum_tokens
+FROM per
+WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY decile
+""".strip()

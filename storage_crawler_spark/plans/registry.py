@@ -2560,6 +2560,41 @@ FROM files f
         "C(T,2) per user",
     )
 
+    b, o = _sql_pair(analytics.gen_session_stats, ("events",))
+    add(
+        "events_session_stats",
+        b,
+        o,
+        tags=("events", "analytics", "session"),
+        doc="corpus session-length distribution (30min-gap sessionization, "
+        "batch twin of the streaming session plane): counts, exact duration "
+        "and events-per-session quantiles, bounce count in one row",
+    )
+
+    b, o = _sql_pair(
+        analytics.gen_basket_brands, ("lineitem", "part")
+    )
+    add(
+        "tpch_basket_brands",
+        b,
+        o,
+        tags=("tpch", "analytics"),
+        doc="market-basket brand affinity on the fact table: distinct "
+        "(order, brand) partial agg, bounded self equi-join on the order "
+        "key, lift/support per brand pair",
+    )
+
+    b, o = _sql_pair(pipeline_ops.gen_quality_budget_curve, ("documents",))
+    add(
+        "pipeline_quality_budget_curve",
+        b,
+        o,
+        tags=("pipeline", "quality"),
+        doc="token budget vs quality cutoff: docs/tokens surviving each "
+        "logit decile with cumulative totals; decile thresholds from one "
+        "percentile reduce (no global sort), bucketing map-side",
+    )
+
     def _b_cdc_upsert(spark, sf_dir):
         from storage_crawler_spark.sources.ingest import gen_cdc_upsert
 

@@ -73,6 +73,9 @@ EVENT_ENTRIES = [
     # exact-moment OLS: NULL values floor to 0 on the 1/8 lattice; pooled
     # instants create multi-event days the daily pre-agg must sum exactly
     "events_value_trend",
+    # sessionization islands on pooled instants (zero-gap events share a
+    # session; same-second tie order pinned by event_id)
+    "events_session_stats",
     # streaming_event_deltas is rows-only (stateful applyInPandasWithState,
     # no SQL oracle) — covered by tests/test_streaming.py instead
 ]

@@ -345,6 +345,9 @@ DOC_ENTRIES = [
     # MERGE semantics on random ids: delete-wins overlap rows, NULL-text
     # update exclusion, digest over the merged state
     "ingest_cdc_upsert",
+    # decile thresholds over heavily-tied logits (duplicate docs): the
+    # map-side CASE bucketing must agree on every tie
+    "pipeline_quality_budget_curve",
 ]
 
 

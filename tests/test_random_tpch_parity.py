@@ -35,6 +35,9 @@ RELATIONAL_ENTRIES = [n for n in registry.QUERIES if n.startswith("tpch_q")] + [
     "window_rank_functions",
     "join_anti_customers_without_orders",
     "skew_salted_agg",  # orders-only; oracle = plain GROUP BY equality
+    # brand-pair affinity: bootstrap remaps l_partkey, so dangling part FKs
+    # drop lines in the broadcast join identically in both engines
+    "tpch_basket_brands",
     # window_moving_avg is events-plane — swept by test_random_events_parity
 ]
 

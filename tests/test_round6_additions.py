@@ -382,3 +382,92 @@ def test_dimension_audit_extreme_aspect_and_wav():
     assert by_fmt["png"] == (2, 1, 0)
     # ids 3,8 -> wav: no dims but channels set -> not "unparsed"
     assert by_fmt["wav"][0] == 2 and by_fmt["wav"][2] == 0
+
+
+# ---------------------------------------------------------------------------
+# events_session_stats
+# ---------------------------------------------------------------------------
+
+
+def test_session_stats_islands_and_bounces():
+    base = 1_700_000_000
+    rows = [
+        # user 0: one 2-event session (gap 100s) then a bounce 5000s later
+        (0, base, 0, "a", 1.0, "{}"),
+        (1, base + 100, 0, "a", 1.0, "{}"),
+        (2, base + 5000, 0, "a", 1.0, "{}"),
+        # user 1: single bounce
+        (3, base, 1, "a", 1.0, "{}"),
+    ]
+    got = _duck(analytics.gen_session_stats(DUCK), events=_events(rows))
+    assert got["n_sessions"] == [3] and got["n_users"] == [2]
+    assert got["n_bounce"] == [2]
+    assert got["max_events"] == [2] and got["max_duration_s"] == [100]
+    # durations [100, 0, 0] -> p50 = 0; events [2, 1, 1] -> p50 = 1
+    assert got["p50_duration_s"] == [0.0] and got["p50_events"] == [1.0]
+
+
+def test_session_stats_gap_boundary_inclusive():
+    base = 1_700_000_000
+    # exactly 1800s gap: NOT a new session (only gaps > 1800 split)
+    rows = [(0, base, 0, "a", 1.0, "{}"), (1, base + 1800, 0, "a", 1.0, "{}")]
+    got = _duck(analytics.gen_session_stats(DUCK), events=_events(rows))
+    assert got["n_sessions"] == [1] and got["max_duration_s"] == [1800]
+
+
+# ---------------------------------------------------------------------------
+# tpch_basket_brands
+# ---------------------------------------------------------------------------
+
+
+def test_basket_brands_lift_and_support():
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 1, 2, 2, 3],
+            "l_partkey": [10, 11, 20, 10, 30, 10],
+        }
+    )
+    part = pd.DataFrame(
+        {"p_partkey": [10, 11, 20, 30], "p_brand": ["A", "A", "B", "C"]}
+    )
+    got = _duck(analytics.gen_basket_brands(DUCK), lineitem=lineitem, part=part)
+    by_pair = {
+        (a, b): (nb, l, s)
+        for a, b, nb, l, s in zip(
+            got["brand_a"], got["brand_b"], got["n_both"], got["lift"], got["support"]
+        )
+    }
+    # order 1: {A, B}; order 2: {A, C}; order 3: {A} -> pairs (A,B), (A,C)
+    assert set(by_pair) == {("A", "B"), ("A", "C")}
+    nb, lift, sup = by_pair[("A", "B")]
+    # n_orders=3, n_A=3, n_B=1: lift = 1*3/(3*1) = 1.0, support = 1/3
+    assert nb == 1 and lift == 1.0 and abs(sup - 1 / 3) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# pipeline_quality_budget_curve
+# ---------------------------------------------------------------------------
+
+
+def test_quality_budget_curve_cumulative_closure():
+    from storage_crawler_spark.operators import pipeline as pipeline_ops
+
+    # 20 docs of strictly increasing token counts -> strictly increasing
+    # logits (length term monotone below 100 tokens, ratios constant)
+    docs = pd.DataFrame(
+        [
+            (i, " ".join(f"w{j}" for j in range(2 + 4 * i)), "en", "s", 0)
+            for i in range(20)
+        ],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = _duck(pipeline_ops.gen_quality_budget_curve(DUCK), documents=docs)
+    assert got["decile"] == list(range(1, 11))
+    assert got["n_docs"] == [2] * 10
+    assert got["cum_docs"][-1] == 20
+    total_tokens = sum(2 + 4 * i for i in range(20))
+    assert got["cum_tokens"][-1] == total_tokens
+    # decile 1 holds the two LONGEST docs
+    assert got["sum_tokens"][0] == (2 + 4 * 18) + (2 + 4 * 19)
+    # cumulative columns are monotone
+    assert got["cum_tokens"] == sorted(got["cum_tokens"])

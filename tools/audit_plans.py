@@ -127,6 +127,10 @@ NLJ_ALLOWED = {
     # hybrid RRF: the BM25 chain's 1-row avgdl scalar + the 1-row query
     # vector — both allowlisted shapes composed
     "sim_hybrid_rrf",
+    # basket affinity: CROSS JOIN of the 1-row distinct-order total
+    "tpch_basket_brands",
+    # budget curve: CROSS JOIN of the 1-row decile-threshold relation
+    "pipeline_quality_budget_curve",
 }
 
 # Queries that must not plan a Window operator (their aggregates are
