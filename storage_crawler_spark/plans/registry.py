@@ -2203,6 +2203,15 @@ FROM files f
         "no join, no window",
     )
     add(
+        "report_permission_audit",
+        _usage_builder(usage_reports.gen_permission_audit),
+        V.with_files_cte(usage_reports.gen_permission_audit(DUCK)),
+        tags=("report", "usage"),
+        doc="per-owner mode-bit security sweep (world/group-writable, "
+        "setuid counts + world-writable bytes): bitwise classification "
+        "map-side, one partial agg on the uid key",
+    )
+    add(
         "report_extension_usage",
         _usage_builder(usage_reports.gen_extension_usage),
         V.with_files_cte(usage_reports.gen_extension_usage(DUCK)),
@@ -2558,6 +2567,23 @@ FROM files f
         doc="event-type co-occurrence lift + user-set Jaccard per unordered "
         "type pair; distinct (user, type) first, self equi-join bounded by "
         "C(T,2) per user",
+    )
+
+    def _b_quality_learned(spark, sf_dir):
+        from storage_crawler_spark.operators.logreg import quality_learned_report
+
+        return quality_learned_report(spark, sf_dir)
+
+    add(
+        "text_quality_learned",
+        _b_quality_learned,
+        None,
+        tags=("text", "quality", "ml"),
+        doc="LEARNED quality classifier: distributed full-batch logistic "
+        "regression over the rule features (one aggregate per iteration, "
+        "driver holds 4 floats); per-source model-vs-rule agreement report; "
+        "rows-only — iterative fit is not SQL-expressible (pytest pins loss "
+        "monotonicity, determinism, rule agreement)",
     )
 
     b, o = _sql_pair(analytics.gen_session_stats, ("events",))

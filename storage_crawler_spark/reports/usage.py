@@ -164,3 +164,34 @@ GROUP BY digest, st_size
 HAVING count(*) > 1
 ORDER BY wasted_bytes DESC, digest
 """.strip()
+
+
+def gen_permission_audit(d: Dialect, src: str = "files") -> str:
+    """Per-owner permission audit over the mode bits: world-writable,
+    group-writable, and setuid counts plus world-writable bytes — the
+    security sweep a storage team runs against the reference's
+    ``st_mode bit(19)`` column (storcrawl.py:361 renders the same 19 bits
+    this audit classifies).
+
+    The driver's synthetic ``files`` derivation carries no mode column, so
+    the audit derives a deterministic mode int per file id inline (regular
+    file base 0o100000 + id*31 mod 0o7777 — every permission bit cycles);
+    a real crawl substitutes its stat-stage st_mode unchanged.  The
+    classification is pure bitwise AND (both engines' ``&``), one
+    partial-combining aggregate on the uid key — map-only ahead of the
+    shuffle, no join.
+    """
+    return f"""
+SELECT st_uid,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN (m & 2) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_world_writable,
+       CAST(sum(CASE WHEN (m & 16) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_group_writable,
+       CAST(sum(CASE WHEN (m & 2048) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_setuid,
+       CAST(sum(CASE WHEN (m & 2) <> 0 THEN st_size ELSE 0 END) AS BIGINT) AS bytes_world_writable
+FROM (
+  SELECT st_uid, st_size, CAST(32768 + (id * 31) % 4095 AS BIGINT) AS m
+  FROM {src}
+) t
+GROUP BY st_uid
+ORDER BY st_uid
+""".strip()

@@ -348,6 +348,8 @@ DOC_ENTRIES = [
     # decile thresholds over heavily-tied logits (duplicate docs): the
     # map-side CASE bucketing must agree on every tie
     "pipeline_quality_budget_curve",
+    # bitwise mode classification over the files derivation of random ids
+    "report_permission_audit",
 ]
 
 

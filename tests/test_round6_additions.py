@@ -471,3 +471,83 @@ def test_quality_budget_curve_cumulative_closure():
     assert got["sum_tokens"][0] == (2 + 4 * 18) + (2 + 4 * 19)
     # cumulative columns are monotone
     assert got["cum_tokens"] == sorted(got["cum_tokens"])
+
+
+# ---------------------------------------------------------------------------
+# report_permission_audit
+# ---------------------------------------------------------------------------
+
+
+def test_permission_audit_bit_classification():
+    from storage_crawler_spark.plans import views as V
+    from storage_crawler_spark.reports import usage
+
+    # two files, hand-derivable modes: m = 32768 + (id * 31) % 4095
+    docs = pd.DataFrame(
+        [(i, "x", "en", "s", 10) for i in range(20)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = _duck(
+        V.with_files_cte(usage.gen_permission_audit(DUCK)), documents=docs
+    )
+    # recompute expected per uid (uid = id % 10) in python
+    exp = {}
+    for i in range(20):
+        m = 32768 + (i * 31) % 4095
+        uid = i % 10
+        e = exp.setdefault(uid, [0, 0, 0, 0, 0])
+        e[0] += 1
+        e[1] += 1 if m & 2 else 0
+        e[2] += 1 if m & 16 else 0
+        e[3] += 1 if m & 2048 else 0
+        e[4] += 10 * 4096 if m & 2 else 0
+    for uid, n, ww, gw, su, bw in zip(
+        got["st_uid"], got["n_files"], got["n_world_writable"],
+        got["n_group_writable"], got["n_setuid"], got["bytes_world_writable"],
+    ):
+        assert exp[uid] == [n, ww, gw, su, bw]
+
+
+# ---------------------------------------------------------------------------
+# text_quality_learned (iterative fit: loss monotone, deterministic,
+# better than majority class)
+# ---------------------------------------------------------------------------
+
+
+def test_logreg_loss_monotone_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from storage_crawler_spark.operators.logreg import (
+        _score_col,
+        feature_frame,
+        log_loss,
+        logreg_fit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    feats = feature_frame(spark, sf).persist()
+    try:
+        losses = [log_loss(feats, logreg_fit(feats, iters=i)) for i in (0, 5, 15, 30)]
+        assert all(a >= b - 1e-12 for a, b in zip(losses, losses[1:])), losses
+        # determinism: two fits, same weights
+        assert logreg_fit(feats, iters=10) == logreg_fit(feats, iters=10)
+        # beats the majority-class baseline on the rule labels
+        w = logreg_fit(feats, iters=30)
+        acc = feats.agg(
+            F.avg(((_score_col(w) >= 0).cast("int") == F.col("label")).cast("double"))
+        ).collect()[0][0]
+        pos = feats.agg(F.avg("label")).collect()[0][0]
+        assert acc >= max(pos, 1 - pos) - 1e-9
+    finally:
+        feats.unpersist()
+
+
+def test_quality_learned_report_consistency(spark):
+    from storage_crawler_spark.operators.logreg import quality_learned_report
+
+    rep = quality_learned_report(spark, "/root/testdata/sf0.001", iters=10).collect()
+    assert len(rep) > 0
+    for r in rep:
+        assert 0 <= r.n_agree <= r.n_docs
+        assert 0 <= r.n_keep_learned <= r.n_docs
+        assert 0 <= r.n_keep_rule <= r.n_docs
