@@ -240,7 +240,11 @@ def gen_shard_balance(d: Dialect, n_shards: int = 16, seed: str = "shard") -> st
     it audits the real layout, not a restatement.  One partial-combining
     aggregate on shard_id (the n_shards-row relation), one 1-row total
     broadcast; the all-empty-corpus edge (total 0 chars) yields NULL
-    ratios rather than a divide-by-zero (Spark ANSI would throw).
+    ratios rather than a divide-by-zero (Spark ANSI would throw).  The
+    load_ratio denominator is the CONFIGURED ``n_shards`` (the uniform
+    ideal over the full layout), not the count of populated shards —
+    empty shards on a tiny corpus correctly inflate the survivors'
+    ratios above 1.
     """
     key = d.md5_key48("doc_id", seed)
     return f"""
@@ -256,7 +260,7 @@ per AS (
 ),
 tot AS (
   SELECT CAST(sum(sum_chars) AS BIGINT) AS tot_chars,
-         CAST(count(*) AS BIGINT) AS n_shards
+         CAST({n_shards} AS BIGINT) AS n_shards
   FROM per
 )
 SELECT per.shard_id, per.n_docs, per.sum_chars,

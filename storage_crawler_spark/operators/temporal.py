@@ -53,8 +53,13 @@ def asof_join(
     One shuffle (on ``key``), one per-partition sort — no inequality join.
     A pathological single hot key serializes into one partition's sort, as
     any keyed window does; pre-salt the key and merge if that bites.
+
+    NULL-key right rows are dropped (SQL-equality semantics: NULL never
+    matches), so NULL-key left rows pass through unmatched rather than
+    matching each other inside the NULL window partition.
     """
     lcols = [c for c in left.columns]
+    right = right.filter(F.col(key).isNotNull())
     l_tagged = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
@@ -176,9 +181,11 @@ def asof_join_forward(
     row at the SAME instant sorts after them and lands in the
     CURRENT..FOLLOWING frame (inclusive match), and the running aggregate
     is a min/count over the following rows.  Same cost: one shuffle on
-    the key, one per-partition sort.
+    the key, one per-partition sort.  NULL-key right rows are dropped
+    (SQL-equality semantics), as in :func:`asof_join`.
     """
     lcols = [c for c in left.columns]
+    right = right.filter(F.col(key).isNotNull())
     l_tagged = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
@@ -249,8 +256,15 @@ def asof_join_tolerance(
     one per-partition sort.  Equal-instant right rows are inside the frame
     by RANGE semantics (value-inclusive bounds), keeping the match
     inclusive like the unbounded variant.
+
+    NULL join keys use SQL-equality semantics: ``Window.partitionBy``
+    groups NULLs into one partition (which would let NULL-key left rows
+    match NULL-key right rows), so NULL-key right rows are dropped and
+    NULL-key left rows pass through unmatched — exactly what an equality
+    join predicate produces.
     """
     lcols = [c for c in left.columns]
+    right = right.filter(F.col(key).isNotNull())
     l_tagged = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),

@@ -2779,23 +2779,60 @@ FROM files f
 # coverage, int8 audit, forget audit, char entropy, normalized dedup,
 # threshold histogram, label cohesion) carry local + randomized-battery
 # evidence and rotate in next round.
-# text_pack_bins stays to prove the r4 HUGEINT fix; dedup_jaccard_pairs and
-# dedup_minhash_lsh stay so the perf-watched plans keep earning
-# current-round stamps; report_status_full stays as the report-plane
-# sentinel (r3 FAIL, fixed r4).  Everything rotated out remains in the
-# registry, the bench, and tools/check_oracle.py's full sweep.  The honest
-# rows-only floor is 4: iterative k-means/PQ fits and the fsmeta scan.
+# Round-7 rotation.  Both the r5 and r6 driver gates recorded nothing
+# (r5 skipped, r6 crashed on the truncated-registry SyntaxError), so 91
+# oracle-gated entries have NEVER been externally stamped.  Priority per
+# the r6 verdict: (1) the 14 oracle-gated round-6 operators (zero external
+# evidence), (2) the r5 third-pass set the r5 window comment deferred
+# (cohort/funnel/stickiness/transition, vocab coverage ×2, int8 audit,
+# forget audit, char entropy, normalized dedup, threshold histogram,
+# label cohesion), (3) the highest-risk remainder of the never-stamped
+# pool (ingest fidelity, containment prefix-filter, schema evolution,
+# LSH recall, hygiene audits).  dedup_jaccard_pairs and dedup_minhash_lsh
+# stay so the perf-watched plans keep earning current-round stamps;
+# report_status_full stays as the report-plane sentinel (r3 FAIL, fixed
+# r4).  Everything rotated out remains in the registry, the bench, and
+# tools/check_oracle.py's full sweep.  The honest rows-only floor is 5:
+# iterative k-means/PQ/logreg fits and the fsmeta scan.
 _DRIVER_WINDOW_FIRST = (
     # report-plane sentinel (r3 FAIL -> r4 green)
     "report_status_full",
-    # round-5 planes, first driver stamps
-    "weighted_sample",
-    "sim_rp_lsh_topk",
-    "sim_rp_lsh_recall",
     # headline bench queries (perf-watched plans keep earning stamps)
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
-    # round-5 corpus-hygiene / audit planes, first driver stamps
+    # round-6 operators, first driver stamps (newest code meets the gate)
+    "join_asof_tolerance_events",
+    "sim_hybrid_rrf",
+    "pipeline_shard_balance",
+    "events_type_affinity",
+    "events_value_trend",
+    "text_length_robust",
+    "text_bpe_merge_pairs",
+    "ingest_cdc_upsert",
+    "embedding_dim_stats",
+    "multimodal_dimension_audit",
+    "events_session_stats",
+    "tpch_basket_brands",
+    "pipeline_quality_budget_curve",
+    "report_permission_audit",
+    # r5 third-pass set deferred by the r5 window comment, first stamps
+    "events_cohort_retention",
+    "events_funnel_conversion",
+    "events_stickiness",
+    "events_transition_matrix",
+    "text_vocab_coverage",
+    "text_vocab_coverage_curve",
+    "embedding_int8_audit",
+    "pipeline_forget_audit",
+    "text_char_entropy",
+    "dedup_normalized_exact",
+    "dedup_threshold_histogram",
+    "embedding_label_cohesion",
+    # never-stamped remainder, highest-risk planes first (these were queued
+    # in the r5 window whose stamp never ran)
+    "weighted_sample",
+    "sim_rp_lsh_topk",
+    "sim_rp_lsh_recall",
     "corpus_card",
     "source_overlap_matrix",
     "split_vocab_divergence",
@@ -2803,8 +2840,6 @@ _DRIVER_WINDOW_FIRST = (
     "text_boilerplate_ngrams",
     "pipeline_ngram_contamination",
     "pipeline_domain_mixture",
-    # r4 HUGEINT-fix proof
-    "text_pack_bins",
     "text_length_quantiles",
     "text_gopher_rules",
     "text_zipf_audit",
@@ -2812,41 +2847,10 @@ _DRIVER_WINDOW_FIRST = (
     "embedding_label_outliers",
     "pipeline_shard_plan",
     "pipeline_mixture_quota",
-    # round-5 third-pass riskiest additions (r4 ADVICE: newest code should
-    # meet the external gate) — in place of owner_prefix_join /
-    # join_asof_events, both driver-green in r4 under unchanged oracles
     "dedup_containment_pairs",
     "ingest_schema_evolution",
-    # round-4 additions, first driver stamps
     "dedup_substring_spans",
     "text_dup_span_ratio",
-    "dedup_minhash_incremental",
-    "text_tfidf_topterms",
-    "text_unigram_surprisal",
-    "ingest_jsonl_fidelity",
-    "ingest_csv_fidelity",
-    "ingest_orc_fidelity",
-    "pipeline_training_corpus",
-    "pipeline_split_contamination",
-    # rows-only -> oracle upgrades (late r4 / r5), first stamps of the oracle
-    "text_pack_greedy",
-    "dedup_simhash_pairs",
-    "streaming_event_deltas",
-    "streaming_rate_anomaly",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "sketch_distinct_users",
-    "sketch_value_quantiles",
-    # brand-new round-5 operators, first driver stamps
-    "dedup_embedding_incremental",
-    "text_langid_confusion",
-    "text_pack_render",
-    "text_bigram_nll",
-    "dedup_paragraphs",
-    "text_inverted_index",
-    "sim_hard_negatives",
-    "dedup_semantic_clusters",
 )
 
 

@@ -572,6 +572,36 @@ def test_asof_join_micro(spark):
     assert out[4] == (None, 0)  # no right rows for u3
 
 
+def test_asof_null_keys_never_match(spark):
+    """SQL-equality semantics on NULL keys: a NULL-key left row must NOT
+    match NULL-key right rows (Window.partitionBy would group them into one
+    NULL partition otherwise — r6 ADVICE item, temporal.py)."""
+    from storage_crawler_spark.operators.temporal import (
+        asof_join,
+        asof_join_forward,
+        asof_join_tolerance,
+    )
+
+    left = spark.createDataFrame(
+        [(1, None, 100), (2, "u1", 100)], "id LONG, k STRING, ts LONG"
+    )
+    right = spark.createDataFrame(
+        [(None, 50), (None, 150), ("u1", 50)], "k STRING, ts LONG"
+    )
+    back = {r.id: (r.asof_ts, r.asof_n) for r in
+            asof_join(left, right, key="k", left_ts="ts", right_ts="ts").collect()}
+    assert back[1] == (None, 0)   # NULL key: unmatched, not paired with NULL rights
+    assert back[2] == (50, 1)
+    fwd = {r.id: (r.next_ts, r.next_n) for r in
+           asof_join_forward(left, right, key="k", left_ts="ts", right_ts="ts").collect()}
+    assert fwd[1] == (None, 0)
+    tol = {r.id: (r.asof_ts, r.asof_n) for r in
+           asof_join_tolerance(left, right, key="k", left_ts="ts", right_ts="ts",
+                               tolerance_s=1000).collect()}
+    assert tol[1] == (None, 0)
+    assert tol[2] == (50, 1)
+
+
 def test_range_join_micro(spark):
     from storage_crawler_spark.operators.temporal import range_join
     from pyspark.sql import functions as F

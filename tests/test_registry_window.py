@@ -42,4 +42,8 @@ def test_oracle_coverage_floor():
         "sim_pq_topk",
         "sim_pq_recall",
         "fsmeta_scan",
+        # iterative full-batch logistic-regression fit: 60 sequential
+        # gradient steps (each a partial-combining aggregate) cannot be
+        # expressed as one ANSI-SQL statement; honest rows-only entry.
+        "text_quality_learned",
     }, f"unexpected rows-only entries: {sorted(rows_only)}"
