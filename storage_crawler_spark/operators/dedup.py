@@ -787,3 +787,60 @@ FROM (
 GROUP BY {bin_id}
 ORDER BY bin_lo_pct
 """.strip()
+
+
+def gen_winnow_pairs(
+    d: Dialect,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 25,
+    df_cap: int = 50,
+) -> str:
+    """Near-duplicate CANDIDATE pairs from winnowed fingerprints: documents
+    sharing >= ``min_shared`` selected k-gram fingerprints, with the shared
+    count and each side's fingerprint count (enough for a downstream
+    containment/overlap score).  The winnowing guarantee makes this the
+    scalable substring-overlap prefilter: any common substring of length
+    >= k + w - 1 forces a shared fingerprint, so recall on long overlaps is
+    structural, not probabilistic.
+
+    100 TB shape: pair generation is a fingerprint-keyed equi-join, bounded
+    by the ``df_cap`` document-frequency filter (a fingerprint present in
+    more than df_cap docs is corpus boilerplate, useless as a dedup signal,
+    and quadratic in the join — the same cap discipline as the Jaccard
+    blocker).  No CartesianProduct anywhere: explode -> df filter ->
+    self-equi-join -> pair aggregate, all partial-combining.
+    """
+    from storage_crawler_spark.operators.text import winnow_fps_cte
+
+    lat = d.lateral_explode("fps", "fp")
+    return f"""
+WITH {winnow_fps_cte(d, k, w)},
+fp_rel AS (
+  SELECT doc_id, fp
+  FROM winnow
+  {lat}
+),
+kept AS (
+  SELECT fp FROM fp_rel GROUP BY fp HAVING count(*) <= {df_cap}
+),
+fk AS (
+  SELECT f.doc_id, f.fp FROM fp_rel f JOIN kept ON f.fp = kept.fp
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared_fps
+  FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {min_shared}
+),
+sizes AS (
+  SELECT doc_id, CAST({d.size('fps')} AS BIGINT) AS n_fps FROM winnow
+)
+SELECT p.doc_a, p.doc_b, p.shared_fps,
+       sa.n_fps AS fps_a, sb.n_fps AS fps_b,
+       {d.trunc6('CAST(p.shared_fps AS DOUBLE) / CAST(least(sa.n_fps, sb.n_fps) AS DOUBLE)')} AS containment
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+ORDER BY p.shared_fps DESC, p.doc_a, p.doc_b
+""".strip()

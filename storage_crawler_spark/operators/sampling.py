@@ -270,3 +270,75 @@ SELECT per.shard_id, per.n_docs, per.sum_chars,
 FROM per CROSS JOIN tot
 ORDER BY per.shard_id
 """.strip()
+
+
+def gen_bootstrap_ci(d: Dialect, n_reps: int = 32, seed: str = "boot") -> str:
+    """Poisson-bootstrap uncertainty for the corpus mean document length:
+    ``n_reps`` resample replicas, each re-weighting every document by a
+    Poisson(1) draw, yielding a standard error and a min/max replica band
+    around the point estimate — the production bootstrap (Poisson weights
+    need no global resample index, so each replica is one weighted
+    aggregate over the same scan; the canonical trick for resampling at
+    100 TB where a true multinomial resample would need a global shuffle).
+
+    Determinism: the Poisson draw is the inverse CDF applied to the frozen
+    md5-uniform of (seed, replica, doc_id) — a pure function, identical in
+    both engines, so the 'randomness' is rerun- and engine-stable.  The
+    per-replica means are folded in replica order (agg_arr_by) so the
+    float summation order is pinned; draws are capped at 6
+    (P(X>6|lambda=1) < 1e-4).
+
+    One lateral fan-out (x n_reps) feeding ONE partial-combining aggregate
+    on the replica id, then a 1-row fold — no shuffle grows with the
+    corpus.
+    """
+    lat = d.lateral_seq("0", str(n_reps - 1), "b")
+    u_key = d.md5_key48(
+        "concat(CAST(b AS STRING), '|', CAST(doc_id AS STRING))", seed
+    )
+    # 2^48 as a DOUBLE divisor; u is uniform on [0, 1)
+    u = f"(CAST({u_key} AS DOUBLE) / 281474976710656.0e0)"
+    pois = f"""(CASE
+      WHEN {u} < 0.3678794411714423e0 THEN 0
+      WHEN {u} < 0.7357588823428846e0 THEN 1
+      WHEN {u} < 0.9196986029286058e0 THEN 2
+      WHEN {u} < 0.9810118431238462e0 THEN 3
+      WHEN {u} < 0.9963401531726563e0 THEN 4
+      WHEN {u} < 0.9994058151824183e0 THEN 5
+      ELSE 6 END)"""
+    means_arr = d.agg_arr_by("b", "m")
+    dev = d.fold_double(d.transform("means", "x", "(x - mbar) * (x - mbar)"))
+    return f"""
+WITH draws AS (
+  SELECT b, CAST({pois} AS BIGINT) AS wgt, CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents
+  {lat}
+),
+reps AS (
+  SELECT b,
+         CAST(sum(wgt * n_chars) AS DOUBLE) / CAST(nullif(sum(wgt), 0) AS DOUBLE) AS m
+  FROM draws
+  GROUP BY b
+),
+folded AS (
+  SELECT {means_arr} AS means, CAST(count(*) AS BIGINT) AS nb
+  FROM reps WHERE m IS NOT NULL
+),
+var_rel AS (
+  SELECT means, nb,
+         {d.fold_double('means')} / CAST(nb AS DOUBLE) AS mbar
+  FROM folded
+),
+point AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_chars
+  FROM documents
+)
+SELECT p.n_docs,
+       {d.trunc6('p.mean_chars')} AS mean_chars,
+       CAST(v.nb AS BIGINT) AS n_replicas,
+       {d.trunc6(f'sqrt(({dev}) / CAST(v.nb - 1 AS DOUBLE))')} AS boot_se,
+       {d.trunc6(d.amin('v.means'))} AS rep_min,
+       {d.trunc6(d.amax('v.means'))} AS rep_max
+FROM point p CROSS JOIN var_rel v
+""".strip()

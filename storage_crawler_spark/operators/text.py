@@ -1405,3 +1405,155 @@ GROUP BY sym_l, sym_r
 ORDER BY pair_count DESC, sym_l, sym_r
 LIMIT {top_k}
 """.strip()
+
+
+def winnow_fps_cte(d: Dialect, k: int = 8, w: int = 4, src: str = "documents") -> str:
+    """(doc_id, n_grams, fps) winnowed-fingerprint relation — the shared
+    base of the per-doc stats entry and the pair-candidate dedup entry.
+
+    Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS
+    fingerprinter): hash every char ``k``-gram, slide a window of ``w``
+    consecutive hashes, keep each window's MINIMUM, and dedupe.  The
+    selected set is position-robust (any shared substring of length
+    >= k + w - 1 guarantees a shared fingerprint) at expected density
+    2/(w+1) — the local-fingerprint contract a full k-gram set cannot give
+    at 100 TB storage cost.
+
+    Hash values CROSS the output (they key the pair join), so the md5
+    48-bit construction is mandatory here — the per-engine xxhash shortcut
+    of token_hash64 would diverge.  Entirely array expressions inside the
+    scan stage (transform over sequence, array_min over slice): no explode,
+    no shuffle until a consumer aggregates.  Docs shorter than k + w - 1
+    chars have no full window and are excluded (consumers LEFT JOIN back
+    if they need every doc).
+    """
+    gram_hash = d.hex12_to_bigint(f"substr({d.md5_utf8(f'substr(text, i, {k})')}, 1, 12)")
+    hashes = d.transform(d.seq("1", f"length(text) - {k} + 1"), "i", gram_hash)
+    mins = d.transform(
+        d.seq("1", f"{d.size('hashes')} - {w} + 1"),
+        "j",
+        d.amin(d.aslice("hashes", "j", str(w))),
+    )
+    return f"""
+winnow AS (
+  SELECT doc_id, {d.size('hashes')} AS n_grams, {d.adistinct(mins)} AS fps
+  FROM (
+    SELECT doc_id, {hashes} AS hashes
+    FROM {src}
+    WHERE text IS NOT NULL AND length(text) >= {k + w - 1}
+  ) g
+)""".strip()
+
+
+def gen_winnow_fingerprints(d: Dialect, k: int = 8, w: int = 4) -> str:
+    """Per-document winnowing stats: k-gram count, selected-fingerprint
+    count, and selection density (distinct fingerprints per window
+    position) — the storage-cost audit for the MOSS-style fingerprint
+    index (expected density ~2/(w+1) before dedup; a density near 1 means
+    pathological hash ties or tiny docs).  Short docs (< k + w - 1 chars)
+    surface with n_fingerprints 0 via the LEFT JOIN, not silently absent."""
+    return f"""
+WITH {winnow_fps_cte(d, k, w)}
+SELECT d.doc_id,
+       CAST(coalesce(w.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce({d.size('w.fps')}, 0) AS BIGINT) AS n_fingerprints,
+       CASE WHEN w.doc_id IS NULL THEN NULL
+            ELSE {d.trunc6(f"CAST({d.size('w.fps')} AS DOUBLE) / CAST(w.n_grams - {w} + 1 AS DOUBLE)")}
+       END AS density
+FROM documents d LEFT JOIN winnow w ON d.doc_id = w.doc_id
+ORDER BY d.doc_id
+""".strip()
+
+
+def gen_readability(d: Dialect) -> str:
+    """Flesch reading-ease profile per (lang, source): word/sentence/
+    syllable counts from portable regex classes, FRE = 206.835 -
+    1.015·(words/sentences) - 84.6·(syllables/words), plus hard/easy
+    shares — the readability cut a curriculum-ordering pipeline buckets
+    on.  Syllables are vowel-group counts (the classic heuristic); vowel
+    groups cannot span words (non-letters break them), so one whole-text
+    regex pass replaces a per-word loop.  All literals are E-notation
+    DOUBLEs and counts are cast before arithmetic (the decimal-literal
+    trap in plans/dialect.py).  One partial-combining aggregate; the
+    regex extraction runs inside the scan stage."""
+    words = d.size(d.regex_tokens("text", "[A-Za-z]+"))
+    sents = d.size(d.regex_tokens("text", "[.!?]+"))
+    syls = d.size(d.regex_tokens("text", "[aeiouyAEIOUY]+"))
+    return f"""
+WITH per_doc AS (
+  SELECT lang, source,
+         CAST({words} AS DOUBLE) AS w,
+         CAST(greatest({sents}, 1) AS DOUBLE) AS s,
+         CAST({syls} AS DOUBLE) AS syl
+  FROM documents
+  WHERE text IS NOT NULL AND {words} >= 1
+),
+scored AS (
+  SELECT lang, source,
+         206.835e0 - 1.015e0 * (w / s) - 84.6e0 * (syl / w) AS fre
+  FROM per_doc
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {d.trunc6('avg(fre)')} AS avg_fre,
+       {d.trunc6('avg(CASE WHEN fre < 30.0e0 THEN 1.0e0 ELSE 0.0e0 END)')} AS hard_share,
+       {d.trunc6('avg(CASE WHEN fre > 70.0e0 THEN 1.0e0 ELSE 0.0e0 END)')} AS easy_share
+FROM scored
+GROUP BY lang, source
+ORDER BY lang, source
+""".strip()
+
+
+def gen_ngram_novelty(d: Dialect, n: int = 3) -> str:
+    """Per-source n-gram novelty: the average share of a document's
+    DISTINCT token n-grams that occur in no other document — near-zero
+    novelty marks templated/boilerplate sources worth down-weighting,
+    near-one marks unique long-tail content.  The corpus-wide document
+    frequency is computed on HASHED n-grams (only the df COUNT reaches the
+    output, so the per-engine set-cardinality hash of token_hash64 is
+    sound — same contract as exact Jaccard).
+
+    100 TB shape: distinct-gram explode (array_distinct inside the scan
+    stage caps the fan-out at the gram count) -> two partial-combining
+    aggregates (df on gram key, novelty on doc key) -> one per-source
+    rollup.  No joins against raw text after the first projection."""
+    grams = d.adistinct(
+        d.transform(
+            d.seq("1", f"{d.size('toks')} - {n} + 1"),
+            "i",
+            d.token_hash64(d.ajoin(d.aslice("toks", "i", str(n)))),
+        )
+    )
+    lat = d.lateral_explode("grams", "g")
+    return f"""
+WITH t0 AS (
+  SELECT doc_id, source, {d.split('text')} AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+gset AS (
+  SELECT doc_id, source, {grams} AS grams
+  FROM t0 WHERE {d.size('toks')} >= {n}
+),
+e AS (
+  SELECT doc_id, source, g
+  FROM gset
+  {lat}
+),
+df AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS doc_freq FROM e GROUP BY g
+),
+nov AS (
+  SELECT e.doc_id, e.source,
+         avg(CASE WHEN df.doc_freq = 1 THEN 1.0e0 ELSE 0.0e0 END) AS novelty
+  FROM e JOIN df ON e.g = df.g
+  GROUP BY e.doc_id, e.source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {d.trunc6('avg(novelty)')} AS avg_novelty,
+       {d.trunc6('min(novelty)')} AS min_novelty,
+       {d.trunc6('max(novelty)')} AS max_novelty
+FROM nov
+GROUP BY source
+ORDER BY source
+""".strip()

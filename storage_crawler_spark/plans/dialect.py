@@ -262,6 +262,20 @@ class Dialect:
             return f"(({a}) ^ ({b}))"
         return f"xor({a}, {b})"
 
+    def shl(self, x: str, n: str) -> str:
+        """Left bit-shift of a BIGINT.  Spark spells it shiftleft();
+        DuckDB uses <<.  Callers keep results under 63 bits (sign-safe)."""
+        if self.name == "spark":
+            return f"shiftleft({x}, CAST({n} AS INT))"
+        return f"(({x}) << ({n}))"
+
+    def shr(self, x: str, n: str) -> str:
+        """Arithmetic right bit-shift of a BIGINT (operands non-negative
+        by caller contract, so arithmetic == logical)."""
+        if self.name == "spark":
+            return f"shiftright({x}, CAST({n} AS INT))"
+        return f"(({x}) >> ({n}))"
+
     def popcount(self, x: str) -> str:
         """Set-bit count of a BIGINT (both engines name it bit_count;
         wrapped so shared source documents the intent and pins the CAST —

@@ -2745,6 +2745,62 @@ FROM files f
         "order)",
     )
 
+    # round 7 ----------------------------------------------------------------
+    b, o = _sql_pair(text.gen_winnow_fingerprints, ("documents",))
+    add(
+        "text_winnow_fingerprints",
+        b,
+        o,
+        tags=("text", "dedup"),
+        doc="MOSS-style winnowed k-gram fingerprints per document (window-min "
+        "selection, expected density ~2/(w+1)); array-expression-only, no "
+        "shuffle before the consumer",
+    )
+
+    b, o = _sql_pair(dedup.gen_winnow_pairs, ("documents",))
+    add(
+        "dedup_winnow_pairs",
+        b,
+        o,
+        tags=("dedup",),
+        doc="substring-overlap candidate pairs via shared winnowed "
+        "fingerprints: fingerprint-keyed equi-join bounded by a document-"
+        "frequency cap; structural recall on overlaps >= k+w-1 chars",
+    )
+
+    b, o = _sql_pair(text.gen_readability, ("documents",))
+    add(
+        "text_readability",
+        b,
+        o,
+        tags=("text", "quality"),
+        doc="Flesch reading-ease profile per (lang, source) from portable "
+        "regex counts (vowel-group syllables); hard/easy shares for "
+        "curriculum bucketing",
+    )
+
+    b, o = _sql_pair(text.gen_ngram_novelty, ("documents",))
+    add(
+        "text_ngram_novelty",
+        b,
+        o,
+        tags=("text", "dedup"),
+        doc="per-source share of distinct token n-grams unique corpus-wide "
+        "(templated-source detector); hashed grams, two partial-combining "
+        "aggregates",
+    )
+
+    b, o = _sql_pair(sampling.gen_bootstrap_ci, ("documents",))
+    add(
+        "sample_bootstrap_ci",
+        b,
+        o,
+        tags=("sampling", "stats"),
+        doc="Poisson-bootstrap SE and replica band for the corpus mean doc "
+        "length: frozen md5-uniform inverse-CDF draws, one fan-out "
+        "aggregate, replica-order-pinned folds",
+    )
+
     return specs
 
 
