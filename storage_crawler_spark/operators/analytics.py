@@ -530,3 +530,101 @@ CROSS JOIN tot
 ORDER BY co.n_both DESC, co.brand_a, co.brand_b
 LIMIT {top_k}
 """.strip()
+
+
+def gen_session_concurrency(d: Dialect, gap_s: int = 1800) -> str:
+    """Time-weighted session-concurrency profile via a sweep line: derive
+    inactivity-gap sessions (same island construction as
+    :func:`gen_session_stats`), emit +1 at each session start and -1 one
+    second after its end (end-inclusive intervals with NO tie rule needed
+    — the +1/-1 never land on the same instant for the same session), and
+    prefix-sum the deltas over time.  Answers the capacity question an
+    interval self-join cannot answer at scale: the overlap-pair relation
+    is Theta(n^2) on dense corpora, while the sweep line is O(n log n)
+    with output linear in CHANGE POINTS.
+
+    100 TB shape: sessionization shuffles on user_id (bounded windows);
+    deltas collapse to distinct seconds via one partial-combining
+    aggregate BEFORE the global prefix sum, so the single-partition window
+    sees only change points, not events.  Past ~1e9 change points, swap
+    the global window for the standard two-phase prefix (per-range partial
+    sums + broadcast offsets) — the delta relation is unchanged.
+
+    All-integer sweep; the one division is cast to DOUBLE then trunc6-ed.
+    """
+    es = d.epoch_s_events("ts")
+    return f"""
+WITH e0 AS (
+  SELECT user_id, event_id, {es} AS es
+  FROM events WHERE user_id IS NOT NULL
+),
+marked AS (
+  SELECT user_id, event_id, es,
+         CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
+                   > {gap_s}
+              OR lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM e0
+),
+sess AS (
+  SELECT user_id, es,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+  FROM marked
+),
+per_sess AS (
+  SELECT user_id, sess_no,
+         CAST(min(es) AS BIGINT) AS t_start,
+         CAST(max(es) AS BIGINT) AS t_end
+  FROM sess GROUP BY user_id, sess_no
+),
+deltas AS (
+  SELECT t_start AS t, 1 AS delta FROM per_sess
+  UNION ALL
+  SELECT t_end + 1 AS t, -1 AS delta FROM per_sess
+),
+change_points AS (
+  SELECT t, CAST(sum(delta) AS BIGINT) AS d FROM deltas GROUP BY t
+),
+running AS (
+  SELECT t,
+         sum(d) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc,
+         lead(t) OVER (ORDER BY t) - t AS dur
+  FROM change_points
+),
+p AS (
+  SELECT CAST(conc AS BIGINT) AS conc, CAST(dur AS BIGINT) AS dur
+  FROM running WHERE dur IS NOT NULL
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM per_sess) AS n_sessions,
+       CAST(max(conc) AS BIGINT) AS max_concurrency,
+       {d.trunc6('CAST(sum(conc * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE)')} AS avg_concurrency,
+       CAST(sum(CASE WHEN conc = 0 THEN dur ELSE 0 END) AS BIGINT) AS idle_seconds,
+       CAST(sum(dur) AS BIGINT) AS span_seconds
+FROM p
+""".strip()
+
+
+def gen_dow_seasonality(d: Dialect) -> str:
+    """Day-of-week seasonality index per event type: each (type, dow)
+    cell's event count against the type's uniform-week expectation
+    (count_total / 7) — the load-shape fingerprint capacity planning and
+    anomaly baselines both start from.  Weekday derivation is pure epoch
+    arithmetic ((days + 4) % 7, day 0 = Thursday), identical in both
+    engines and timezone-free by construction.
+
+    One partial-combining aggregate on (type, dow); the per-type total
+    rides along via a window over the 7-row-per-type aggregate, not a
+    second scan."""
+    dow = f"CAST(({d.idiv(d.epoch_s_events('ts'), '86400')} + 4) % 7 AS INT)"
+    return f"""
+WITH cells AS (
+  SELECT event_type, {dow} AS dow, CAST(count(*) AS BIGINT) AS n
+  FROM events
+  GROUP BY event_type, {dow}
+)
+SELECT event_type, dow, n,
+       {d.trunc6('CAST(n AS DOUBLE) * 7.0e0 / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)')} AS seasonality_idx
+FROM cells
+ORDER BY event_type, dow
+""".strip()

@@ -519,3 +519,91 @@ def gen_dimension_audit_oracle(d: Dialect) -> str:
     return f"WITH mi AS (\n{gen_media_info_oracle(d)}\n)\n" + _DIM_AUDIT_AGG.format(
         rel="mi"
     )
+
+
+def gen_ahash(d: Dialect, n_bits: int = 48) -> str:
+    """Average-hash (aHash) perceptual fingerprint over the binary media
+    carrier: bit i is set iff payload byte i is >= the mean of the first
+    ``n_bits`` bytes.  This is the cheapest perceptual-hash family member
+    — on real decoded images the bytes would be the 8x8 downsampled
+    luma plane (PIL/libav, stubbed in this container); on the text carrier
+    the construction, batching and bit packing are identical, which is the
+    part the engine owns.
+
+    Exactness: the mean comparison is done as ``byte * count >= sum``
+    (integer cross-multiplication — no float mean, no rounding divergence),
+    and the packed hash is a sum of distinct powers of two (order-free,
+    overflow-safe at 48 bits).  Positional byte access via the
+    lower(hex()) round-trip idiom shared with the frame/resize oracles.
+
+    100 TB shape: map-only per-payload arithmetic inside the scan stage
+    (lateral over <= n_bits positions), one partial-combining aggregate
+    keyed by doc_id."""
+    content = d.encode_utf8("text")
+    byte_i = d.hex12_to_bigint("substr(hx, 2 * i - 1, 2)")
+    lat = d.lateral_seq("1", f"least(n, {n_bits})", "i")
+    return f"""
+WITH m AS (
+  SELECT doc_id, octet_length({content}) AS n, lower(hex({content})) AS hx
+  FROM documents WHERE text IS NOT NULL
+),
+bytes_rel AS (
+  SELECT doc_id, i, {byte_i} AS b
+  FROM (SELECT doc_id, n, hx FROM m WHERE n >= 1) m1
+  {lat}
+),
+stats AS (
+  SELECT doc_id, CAST(sum(b) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+  FROM bytes_rel GROUP BY doc_id
+)
+SELECT br.doc_id,
+       st.c AS n_head_bytes,
+       CAST(sum(CASE WHEN br.b * st.c >= st.s
+                     THEN {d.shl('CAST(1 AS BIGINT)', 'i - 1')} ELSE 0 END) AS BIGINT) AS ahash
+FROM bytes_rel br JOIN stats st ON br.doc_id = st.doc_id
+GROUP BY br.doc_id, st.c
+ORDER BY br.doc_id
+""".strip()
+
+
+def gen_ahash_pairs(
+    d: Dialect, n_bits: int = 48, n_bands: int = 4, max_hamming: int = 3
+) -> str:
+    """Near-duplicate MEDIA candidates: pairs of payloads whose aHash
+    fingerprints differ in <= ``max_hamming`` bits, found by LSH banding
+    over the hash (split the 48 bits into ``n_bands`` 12-bit bands; a pair
+    within Hamming distance n_bands-1 must agree on >= one full band —
+    pairs that disagree in every band are unreachable, which is the
+    standard recall trade documented here, not hidden).  The hamming
+    distance itself is exact popcount(xor) on the survivors.
+
+    100 TB shape: band-keyed equi-join only (same discipline as the
+    simhash tier); DISTINCT collapses multi-band hits before the popcount;
+    no cross join."""
+    band_bits = n_bits // n_bands
+    ah = gen_ahash(d, n_bits)
+    band = d.shr("h.ahash", f"b * {band_bits}")
+    ham = d.popcount(d.bxor("a_hash", "b_hash"))
+    lat = d.lateral_seq("0", str(n_bands - 1), "b")
+    return f"""
+WITH hashes AS (
+  {ah.replace(chr(10), chr(10) + '  ')}
+),
+banded AS (
+  SELECT h.doc_id, h.ahash, b AS band_no,
+         CAST(({band}) % {1 << band_bits} AS BIGINT) AS band_val
+  FROM hashes h
+  {lat}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, x.ahash AS a_hash,
+                  y.doc_id AS doc_b, y.ahash AS b_hash
+  FROM banded x JOIN banded y
+    ON x.band_no = y.band_no AND x.band_val = y.band_val
+   AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, {ham} AS hamming
+FROM cand
+WHERE {ham} <= {max_hamming}
+ORDER BY hamming, doc_a, doc_b
+""".strip()

@@ -681,3 +681,70 @@ FROM dims
 GROUP BY dim
 ORDER BY dim
 """.strip()
+
+
+def gen_corr_audit(d: Dialect, top_k: int = 20, q: int = 65536) -> str:
+    """Pairwise dimension-CORRELATION audit of the embedding store: the
+    top-``top_k`` most-correlated coordinate pairs — redundant/entangled
+    dimensions that per-dimension stats (gen_dim_stats) cannot see, and
+    the first thing a PCA/whitening decision needs.  A |corr| near 1 means
+    the store is paying storage and compute for a dimension that carries
+    no new information.
+
+    Determinism: coordinates are quantized to the 1/q integer lattice
+    (floor — identical in both engines), so every moment (Sx, Sxx, Sxy) is
+    an EXACT BIGINT whose cast-to-double and subsequent IEEE ops are
+    reproducible — a raw double sum would drift by summation order across
+    engines (the events_value_trend lattice discipline).  Bounds: |x| < 8
+    keeps xq under 2^19, pair products under 2^38, sums exact up to ~2e7
+    vectors; larger stores shrink q.
+
+    100 TB shape: per-dim moments are a d-row aggregate; the cross moments
+    explode docs x d(d-1)/2 pairs (the Gram matrix — irreducible) but
+    partial-combine map-side onto the tiny (i, j) key space before any
+    shuffle; the final top-k fuses to TakeOrderedAndProject."""
+    ev = d.cast_double_arr("embedding")
+    lat_i = d.lateral_seq("1", d.size("ev"), "i")
+    # outer index stops at d-1: sequence(i+1, d) must keep lo <= hi
+    lat_i_cross = d.lateral_seq("1", f"{d.size('ev')} - 1", "i")
+    lat_j = d.lateral_seq("i + 1", d.size("ev"), "j")
+    xq = f"CAST(floor({d.elem('ev', 'i')} * {q}.0e0) AS BIGINT)"
+    yq = f"CAST(floor({d.elem('ev', 'j')} * {q}.0e0) AS BIGINT)"
+    xi = f"CAST(floor({d.elem('ev', 'i')} * {q}.0e0) AS BIGINT)"
+    return f"""
+WITH v0 AS (
+  SELECT {ev} AS ev FROM embeddings
+  WHERE embedding IS NOT NULL AND {d.size(d.cast_double_arr('embedding'))} >= 2
+),
+dim_m AS (
+  SELECT i AS dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM (SELECT i, {xi} AS x FROM v0 {lat_i}) t
+  GROUP BY i
+),
+cross_m AS (
+  SELECT i AS dim_i, j AS dim_j, CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM (
+    SELECT i, j, {xq} AS x, {yq} AS y
+    FROM v0
+    {lat_i_cross}
+    {lat_j}
+  ) t
+  GROUP BY i, j
+),
+corr AS (
+  SELECT c.dim_i, c.dim_j,
+         (CAST(c.sxy AS DOUBLE) / a.n - (CAST(a.sx AS DOUBLE) / a.n) * (CAST(b.sx AS DOUBLE) / b.n))
+         / sqrt((CAST(a.sxx AS DOUBLE) / a.n - (CAST(a.sx AS DOUBLE) / a.n) * (CAST(a.sx AS DOUBLE) / a.n))
+              * (CAST(b.sxx AS DOUBLE) / b.n - (CAST(b.sx AS DOUBLE) / b.n) * (CAST(b.sx AS DOUBLE) / b.n)))
+         AS r
+  FROM cross_m c
+  JOIN dim_m a ON c.dim_i = a.dim
+  JOIN dim_m b ON c.dim_j = b.dim
+)
+SELECT CAST(dim_i AS INT) AS dim_i, CAST(dim_j AS INT) AS dim_j,
+       {d.trunc6('r')} AS corr, {d.trunc6('abs(r)')} AS abs_corr
+FROM corr
+ORDER BY abs(r) DESC, dim_i, dim_j
+LIMIT {top_k}
+""".strip()

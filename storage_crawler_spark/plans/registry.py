@@ -2801,6 +2801,83 @@ FROM files f
         "aggregate, replica-order-pinned folds",
     )
 
+    from storage_crawler_spark.sources.lake import gen_zorder_layout as _gen_zorder
+
+    b, o = _sql_pair(_gen_zorder, ("events",))
+    add(
+        "lake_zorder_layout",
+        b,
+        o,
+        tags=("lake", "layout"),
+        doc="Morton z-order vs linear file-layout audit: per-layout expected "
+        "files scanned for a single-bucket predicate on each dimension "
+        "(min-max pruning cost, the Iceberg/parquet file-skipping model)",
+    )
+
+    b, o = _sql_pair(analytics.gen_session_concurrency, ("events",))
+    add(
+        "events_session_concurrency",
+        b,
+        o,
+        tags=("events", "analytics", "temporal"),
+        doc="time-weighted concurrent-session profile via +1/-1 sweep line "
+        "over change points (the O(n log n) answer the Theta(n^2) interval "
+        "self-join cannot give); max/avg concurrency, idle share",
+    )
+
+    b, o = _sql_pair(analytics.gen_dow_seasonality, ("events",))
+    add(
+        "events_dow_seasonality",
+        b,
+        o,
+        tags=("events", "analytics"),
+        doc="day-of-week load-shape index per event type (count vs uniform-"
+        "week expectation), timezone-free epoch arithmetic",
+    )
+
+    b, o = _sql_pair(multimodal.gen_ahash, ("documents",))
+    add(
+        "multimodal_ahash",
+        b,
+        o,
+        tags=("multimodal", "dedup"),
+        doc="average-hash perceptual fingerprint over the binary media "
+        "carrier: integer cross-multiplied mean comparison, order-free "
+        "power-of-two bit packing; the pre-decode media dedup key",
+    )
+
+    b, o = _sql_pair(multimodal.gen_ahash_pairs, ("documents",))
+    add(
+        "dedup_media_hamming",
+        b,
+        o,
+        tags=("multimodal", "dedup"),
+        doc="near-duplicate media pairs: LSH banding over the 48-bit aHash "
+        "(band-keyed equi-join only) with exact popcount(xor) hamming on "
+        "the survivors",
+    )
+
+    b, o = _sql_pair(similarity.gen_corr_audit, ("embeddings",))
+    add(
+        "embedding_corr_audit",
+        b,
+        o,
+        tags=("similarity", "embedding"),
+        doc="top-k most-correlated embedding dimension pairs from exact "
+        "integer-lattice moments (redundant-dimension detector; the "
+        "pre-PCA/whitening readout)",
+    )
+
+    add(
+        "report_dir_fanout",
+        _usage_builder(usage_reports.gen_dir_fanout),
+        V.with_files_cte(usage_reports.gen_dir_fanout(DUCK)),
+        tags=("report", "usage"),
+        doc="per-direct-parent fanout profile (widest directories first): "
+        "map-side parent derivation + one aggregate, no explode — the "
+        "flat-million-file-dir pathology detector",
+    )
+
     return specs
 
 

@@ -195,3 +195,31 @@ FROM (
 GROUP BY st_uid
 ORDER BY st_uid
 """.strip()
+
+
+def gen_dir_fanout(d: Dialect, src: str = "files") -> str:
+    """Per-DIRECT-parent fanout profile: children count, bytes, and depth
+    for every immediate parent directory, topped by the widest directories
+    — the million-files-in-one-dir pathology detector (listing such a
+    directory stalls crawlers and NFS alike; the subtree du cannot see it
+    because ancestors absorb the counts).
+
+    Depth here is the parent's component count (root '/x' = depth 1).
+    One map-side parent derivation (drop the last path component) + one
+    partial-combining aggregate — no explode at all, unlike the subtree
+    rollup, because only the DIRECT parent is charged."""
+    toks = d.split("path", "/")
+    parent = d.ajoin(d.aslice("toks", "1", f"{d.size('toks')} - 1"), "/")
+    return f"""
+SELECT parent_dir,
+       CAST(depth AS INT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_children,
+       CAST(sum(st_size) AS BIGINT) AS total_bytes,
+       CAST(max(st_size) AS BIGINT) AS max_child_bytes
+FROM (
+  SELECT {parent} AS parent_dir, {d.size('toks')} - 2 AS depth, st_size
+  FROM (SELECT {toks} AS toks, st_size FROM {src}) f
+) a
+GROUP BY parent_dir, depth
+ORDER BY n_children DESC, parent_dir
+""".strip()

@@ -249,3 +249,72 @@ FROM (
 GROUP BY root, {bin_id}
 ORDER BY root, bin_id
 """.strip()
+
+
+def gen_zorder_layout(d, n_files: int = 64, buckets: int = 256) -> str:
+    """Z-ORDER (Morton-curve) file-layout audit over the events stream:
+    bucket the two query dimensions (user hash, time rank) to 8 bits each,
+    interleave the bits into a Morton z-value, pack events into
+    ``n_files`` files three ways — z-order, time-linear, user-linear —
+    and report each layout's min-max pruning cost: the expected number of
+    files a single-bucket predicate on EACH dimension must scan (the
+    per-file [min,max] interval coverage, i.e. exactly what parquet
+    row-group / Iceberg file pruning sees).
+
+    This is the data-layout decision a 100 TB lake makes once and pays for
+    on every query: a time-linear layout prunes time slices to ~1 file but
+    makes user point-queries scan everything; z-order bounds BOTH at
+    ~sqrt(n_files).  The audit emits the three costs side by side so the
+    trade-off is a number, not folklore.
+
+    Determinism: both bucketings are total-order ntiles keyed by
+    (value, event_id); the interleave is an integer fold (deterministic in
+    both engines).  At 100 TB the global ntile would be replaced by fixed
+    range bounds (or approx-quantile boundaries) — the audit's ntile keeps
+    the oracle exact at test scale; the z-value construction is the part a
+    writer reuses verbatim via ``repartitionByRange(zval)``.
+    """
+    es = d.epoch_s_events("ts")
+    u8 = f"CAST({d.md5_key48('user_id', 'zu')} % {buckets} AS BIGINT)"
+    ubit = d.shl("(" + d.shr("u8", "x") + ") % 2", "2 * x + 1")
+    tbit = d.shl("(" + d.shr("t8", "x") + ") % 2", "2 * x")
+    interleave = d.reduce_bigint(d.seq("0", "7"), f"acc + {ubit} + {tbit}")
+    return f"""
+WITH base AS (
+  SELECT event_id, {u8} AS u8, {es} AS es FROM events
+),
+tb AS (
+  SELECT event_id, u8,
+         CAST(ntile({buckets}) OVER (ORDER BY es, event_id) - 1 AS BIGINT) AS t8
+  FROM base
+),
+z AS (
+  SELECT event_id, u8, t8, {interleave} AS zval FROM tb
+),
+layouts AS (
+  SELECT 'zorder' AS layout, u8, t8,
+         ntile({n_files}) OVER (ORDER BY zval, event_id) AS file_id
+  FROM z
+  UNION ALL
+  SELECT 'time_linear' AS layout, u8, t8,
+         ntile({n_files}) OVER (ORDER BY t8, event_id) AS file_id
+  FROM z
+  UNION ALL
+  SELECT 'user_linear' AS layout, u8, t8,
+         ntile({n_files}) OVER (ORDER BY u8, event_id) AS file_id
+  FROM z
+),
+file_stats AS (
+  SELECT layout, file_id,
+         min(t8) AS tmin, max(t8) AS tmax,
+         min(u8) AS umin, max(u8) AS umax
+  FROM layouts GROUP BY layout, file_id
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       {d.trunc6(f"CAST(sum(tmax - tmin + 1) AS DOUBLE) / {buckets}.0e0")} AS avg_files_per_time_slice,
+       {d.trunc6(f"CAST(sum(umax - umin + 1) AS DOUBLE) / {buckets}.0e0")} AS avg_files_per_user_slice
+FROM file_stats
+GROUP BY layout
+ORDER BY layout
+""".strip()
