@@ -795,6 +795,7 @@ def gen_winnow_pairs(
     w: int = 4,
     min_shared: int = 25,
     df_cap: int = 50,
+    winnow_rel: str | None = None,
 ) -> str:
     """Near-duplicate CANDIDATE pairs from winnowed fingerprints: documents
     sharing >= ``min_shared`` selected k-gram fingerprints, with the shared
@@ -810,12 +811,22 @@ def gen_winnow_pairs(
     and quadratic in the join — the same cap discipline as the Jaccard
     blocker).  No CartesianProduct anywhere: explode -> df filter ->
     self-equi-join -> pair aggregate, all partial-combining.
+
+    ``winnow_rel`` points the query at a pre-materialized winnow relation
+    (the Spark builder persists it — the md5-per-position hashing is the
+    dominant cost and the relation is referenced three times; Spark
+    inlines CTEs, so the un-persisted form would hash the corpus thrice).
+    The oracle path leaves it None and inlines the CTE.
     """
     from storage_crawler_spark.operators.text import winnow_fps_cte
 
     lat = d.lateral_explode("fps", "fp")
+    if winnow_rel is not None:
+        prelude = f"WITH winnow AS (SELECT * FROM {winnow_rel}),"
+    else:
+        prelude = f"WITH {winnow_fps_cte(d, k, w)},"
     return f"""
-WITH {winnow_fps_cte(d, k, w)},
+{prelude}
 fp_rel AS (
   SELECT doc_id, fp
   FROM winnow

@@ -1427,6 +1427,13 @@ def winnow_fps_cte(d: Dialect, k: int = 8, w: int = 4, src: str = "documents") -
     chars have no full window and are excluded (consumers LEFT JOIN back
     if they need every doc).
     """
+    return f"winnow AS (\n{gen_winnow_rel(d, k, w, src)}\n)"
+
+
+def gen_winnow_rel(d: Dialect, k: int = 8, w: int = 4, src: str = "documents") -> str:
+    """Standalone SELECT form of the winnow relation — what the Spark
+    builders persist before the multi-reference pair query (the md5
+    hashing dominates and must run once)."""
     gram_hash = d.hex12_to_bigint(f"substr({d.md5_utf8(f'substr(text, i, {k})')}, 1, 12)")
     hashes = d.transform(d.seq("1", f"length(text) - {k} + 1"), "i", gram_hash)
     mins = d.transform(
@@ -1435,14 +1442,12 @@ def winnow_fps_cte(d: Dialect, k: int = 8, w: int = 4, src: str = "documents") -
         d.amin(d.aslice("hashes", "j", str(w))),
     )
     return f"""
-winnow AS (
   SELECT doc_id, {d.size('hashes')} AS n_grams, {d.adistinct(mins)} AS fps
   FROM (
     SELECT doc_id, {hashes} AS hashes
     FROM {src}
     WHERE text IS NOT NULL AND length(text) >= {k + w - 1}
-  ) g
-)""".strip()
+  ) g""".strip("\n")
 
 
 def gen_winnow_fingerprints(d: Dialect, k: int = 8, w: int = 4) -> str:

@@ -2961,25 +2961,27 @@ _DRIVER_WINDOW_FIRST = (
     "dedup_normalized_exact",
     "dedup_threshold_histogram",
     "embedding_label_cohesion",
-    # never-stamped remainder, highest-risk planes first (these were queued
-    # in the r5 window whose stamp never ran)
+    # round-7 operators, first driver stamps (newest code meets the gate)
+    "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "text_readability",
+    "text_ngram_novelty",
+    "sample_bootstrap_ci",
+    "lake_zorder_layout",
+    "events_session_concurrency",
+    "events_dow_seasonality",
+    "multimodal_ahash",
+    "dedup_media_hamming",
+    "embedding_corr_audit",
+    "report_dir_fanout",
+    # never-stamped remainder, highest-risk planes first (queued in the r5
+    # window whose stamp never ran; the lower-risk hygiene audits rotated
+    # out wait for round 8)
     "weighted_sample",
-    "sim_rp_lsh_topk",
     "sim_rp_lsh_recall",
     "corpus_card",
-    "source_overlap_matrix",
-    "split_vocab_divergence",
     "window_rate_anomaly",
-    "text_boilerplate_ngrams",
     "pipeline_ngram_contamination",
-    "pipeline_domain_mixture",
-    "text_length_quantiles",
-    "text_gopher_rules",
-    "text_zipf_audit",
-    "embedding_stats_audit",
-    "embedding_label_outliers",
-    "pipeline_shard_plan",
-    "pipeline_mixture_quota",
     "dedup_containment_pairs",
     "ingest_schema_evolution",
     "dedup_substring_spans",

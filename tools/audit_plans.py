@@ -131,6 +131,9 @@ NLJ_ALLOWED = {
     "tpch_basket_brands",
     # budget curve: CROSS JOIN of the 1-row decile-threshold relation
     "pipeline_quality_budget_curve",
+    # bootstrap CI: CROSS JOIN of the 1-row point-estimate aggregate with
+    # the 1-row folded-replica relation — both build sides exactly 1 row
+    "sample_bootstrap_ci",
 }
 
 # Queries that must not plan a Window operator (their aggregates are
