@@ -105,6 +105,12 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "shuffles": shuffles,
+                # executed-lineage exchange counts: a persisted relation
+                # referenced N times is counted once per reference here,
+                # but materializes once — PLANS.md's static count is the
+                # executed-shape number (e.g. minhash 21 here vs 10 static).
+                "shuffles_note": "executed-lineage counts; persisted branches "
+                "re-counted per consumer — see PLANS.md for static plan counts",
                 "sf": sf,
             }
         )

@@ -800,7 +800,9 @@ def gen_winnow_pairs(
     """Near-duplicate CANDIDATE pairs from winnowed fingerprints: documents
     sharing >= ``min_shared`` selected k-gram fingerprints, with the shared
     count and each side's fingerprint count (enough for a downstream
-    containment/overlap score).  The winnowing guarantee makes this the
+    containment/overlap score — shared over min side-count, both measured
+    in the df-capped fingerprint space so numerator and denominator agree).
+    The winnowing guarantee makes this the
     scalable substring-overlap prefilter: any common substring of length
     >= k + w - 1 forces a shared fingerprint, so recall on long overlaps is
     structural, not probabilistic.
@@ -845,7 +847,11 @@ pairs AS (
   HAVING count(*) >= {min_shared}
 ),
 sizes AS (
-  SELECT doc_id, CAST({d.size('fps')} AS BIGINT) AS n_fps FROM winnow
+  -- counts over the df-FILTERED relation, matching the numerator's
+  -- fingerprint space: counting ALL fingerprints here would deflate the
+  -- score for boilerplate-heavy docs (r7 ADVICE).  Docs with zero kept
+  -- fps can't appear in pairs, so the inner join loses nothing.
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps FROM fk GROUP BY doc_id
 )
 SELECT p.doc_a, p.doc_b, p.shared_fps,
        sa.n_fps AS fps_a, sb.n_fps AS fps_b,

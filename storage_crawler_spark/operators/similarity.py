@@ -702,7 +702,13 @@ def gen_corr_audit(d: Dialect, top_k: int = 20, q: int = 65536) -> str:
     100 TB shape: per-dim moments are a d-row aggregate; the cross moments
     explode docs x d(d-1)/2 pairs (the Gram matrix — irreducible) but
     partial-combine map-side onto the tiny (i, j) key space before any
-    shuffle; the final top-k fuses to TakeOrderedAndProject."""
+    shuffle; the final top-k fuses to TakeOrderedAndProject.
+
+    Constant (or constant-after-quantization) dimensions have zero
+    variance; the denominator is wrapped in nullif(..., 0) so BOTH engines
+    yield NULL there (Spark's non-ANSI divide nulls on 0, DuckDB would
+    return inf/NaN), and NULL r rows are excluded before the top-k
+    (r7 ADVICE)."""
     ev = d.cast_double_arr("embedding")
     lat_i = d.lateral_seq("1", d.size("ev"), "i")
     # outer index stops at d-1: sequence(i+1, d) must keep lo <= hi
@@ -735,8 +741,8 @@ cross_m AS (
 corr AS (
   SELECT c.dim_i, c.dim_j,
          (CAST(c.sxy AS DOUBLE) / a.n - (CAST(a.sx AS DOUBLE) / a.n) * (CAST(b.sx AS DOUBLE) / b.n))
-         / sqrt((CAST(a.sxx AS DOUBLE) / a.n - (CAST(a.sx AS DOUBLE) / a.n) * (CAST(a.sx AS DOUBLE) / a.n))
-              * (CAST(b.sxx AS DOUBLE) / b.n - (CAST(b.sx AS DOUBLE) / b.n) * (CAST(b.sx AS DOUBLE) / b.n)))
+         / nullif(sqrt((CAST(a.sxx AS DOUBLE) / a.n - (CAST(a.sx AS DOUBLE) / a.n) * (CAST(a.sx AS DOUBLE) / a.n))
+              * (CAST(b.sxx AS DOUBLE) / b.n - (CAST(b.sx AS DOUBLE) / b.n) * (CAST(b.sx AS DOUBLE) / b.n))), 0.0e0)
          AS r
   FROM cross_m c
   JOIN dim_m a ON c.dim_i = a.dim
@@ -745,6 +751,7 @@ corr AS (
 SELECT CAST(dim_i AS INT) AS dim_i, CAST(dim_j AS INT) AS dim_j,
        {d.trunc6('r')} AS corr, {d.trunc6('abs(r)')} AS abs_corr
 FROM corr
+WHERE r IS NOT NULL
 ORDER BY abs(r) DESC, dim_i, dim_j
 LIMIT {top_k}
 """.strip()

@@ -392,6 +392,19 @@ def _b_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(dedup.gen_jaccard_pairs(SPARK, ranked_rel="_jaccard_ranked"))
 
 
+def _b_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow-pair dedup with the fingerprint relation persisted: the
+    md5-per-position k-gram hashing dominates and the relation is
+    referenced three times (explode, df-filter, per-doc sizes); Spark
+    inlines CTEs, so the un-persisted form would hash the corpus thrice."""
+    V.register_base_tables(spark, sf_dir, ("documents",))
+    n = spark.sparkContext.defaultParallelism
+    spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
+    wn = spark.sql(text.gen_winnow_rel(SPARK, src="_documents_rep"))
+    _persist_view(wn, "_winnow_rel")
+    return spark.sql(dedup.gen_winnow_pairs(SPARK, winnow_rel="_winnow_rel"))
+
+
 def _b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     V.register_base_tables(spark, sf_dir, ("documents",))
     n = spark.sparkContext.defaultParallelism
@@ -2757,15 +2770,16 @@ FROM files f
         "shuffle before the consumer",
     )
 
-    b, o = _sql_pair(dedup.gen_winnow_pairs, ("documents",))
     add(
         "dedup_winnow_pairs",
-        b,
-        o,
+        _b_winnow_pairs,
+        dedup.gen_winnow_pairs(DUCK),
         tags=("dedup",),
         doc="substring-overlap candidate pairs via shared winnowed "
         "fingerprints: fingerprint-keyed equi-join bounded by a document-"
-        "frequency cap; structural recall on overlaps >= k+w-1 chars",
+        "frequency cap; structural recall on overlaps >= k+w-1 chars; "
+        "Spark side persists the winnow relation (referenced by explode, "
+        "df-filter AND sizes) so the md5 k-gram hashing runs once",
     )
 
     b, o = _sql_pair(text.gen_readability, ("documents",))
@@ -2927,65 +2941,77 @@ FROM files f
 # r4).  Everything rotated out remains in the registry, the bench, and
 # tools/check_oracle.py's full sweep.  The honest rows-only floor is 5:
 # iterative k-means/PQ/logreg fits and the fsmeta scan.
+# Round-8 rotation, per the r7 verdict's top item: the r7 window stamped
+# its 50 at 50/50 green, leaving 56 oracle-gated entries that have NEVER
+# met the driver (all sweep-green in ORACLE_SWEEP_r07_judge.txt under the
+# exact replica of the driver's check).  This window converts 50 of them
+# into first-ever external stamps.  No already-stamped name keeps a slot —
+# the sentinel/perf-watch habit rests this round exactly as the verdict
+# prescribed; those plans stay in the bench and the full sweep.  Deferred
+# to round 9 (lowest-risk simple aggregates, plus any round-8 additions
+# that land after this rotation): report_subtree_du, report_growth_daily,
+# events_hourly_profile, text_length_quantiles, events_user_value_quantiles,
+# events_interarrival_quantiles — with the 3 honest rows-only entries
+# (sim_pq_topk, sim_pq_recall, text_quality_learned) that never burn a
+# slot, the whole remainder closes in one more rotation.
 _DRIVER_WINDOW_FIRST = (
-    # report-plane sentinel (r3 FAIL -> r4 green)
-    "report_status_full",
-    # headline bench queries (perf-watched plans keep earning stamps)
-    "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
-    # round-6 operators, first driver stamps (newest code meets the gate)
-    "join_asof_tolerance_events",
-    "sim_hybrid_rrf",
-    "pipeline_shard_balance",
-    "events_type_affinity",
-    "events_value_trend",
-    "text_length_robust",
-    "text_bpe_merge_pairs",
-    "ingest_cdc_upsert",
-    "embedding_dim_stats",
-    "multimodal_dimension_audit",
-    "events_session_stats",
-    "tpch_basket_brands",
-    "pipeline_quality_budget_curve",
-    "report_permission_audit",
-    # r5 third-pass set deferred by the r5 window comment, first stamps
-    "events_cohort_retention",
-    "events_funnel_conversion",
-    "events_stickiness",
-    "events_transition_matrix",
-    "text_vocab_coverage",
-    "text_vocab_coverage_curve",
-    "embedding_int8_audit",
-    "pipeline_forget_audit",
-    "text_char_entropy",
-    "dedup_normalized_exact",
-    "dedup_threshold_histogram",
-    "embedding_label_cohesion",
-    # round-7 operators, first driver stamps (newest code meets the gate)
-    "text_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    "text_readability",
-    "text_ngram_novelty",
-    "sample_bootstrap_ci",
-    "lake_zorder_layout",
-    "events_session_concurrency",
-    "events_dow_seasonality",
-    "multimodal_ahash",
-    "dedup_media_hamming",
-    "embedding_corr_audit",
-    "report_dir_fanout",
-    # never-stamped remainder, highest-risk planes first (queued in the r5
-    # window whose stamp never ran; the lower-risk hygiene audits rotated
-    # out wait for round 8)
-    "weighted_sample",
-    "sim_rp_lsh_recall",
-    "corpus_card",
-    "window_rate_anomaly",
-    "pipeline_ngram_contamination",
-    "dedup_containment_pairs",
-    "ingest_schema_evolution",
-    "dedup_substring_spans",
-    "text_dup_span_ratio",
+    # reference report plane (§2 B-surface; find_extension/find_owner ports)
+    "report_extension_usage",
+    "report_owner_usage",
+    "report_age_tiers",
+    "report_duplicate_files",
+    # reference join/window surface
+    "window_rank_functions",
+    "join_asof_forward_events",
+    # dedup plane
+    "dedup_minhash_incremental",
+    "dedup_paragraphs",
+    "dedup_cluster_sizes",
+    "dedup_semantic_clusters",
+    "dedup_embedding_exact",
+    "dedup_embedding_incremental",
+    # similarity / embedding plane
+    "sim_rp_lsh_topk",
+    "sim_hard_negatives",
+    "embedding_stats_audit",
+    "embedding_label_outliers",
+    "embedding_centroid_confusion",
+    # sampling / shard / mixture
+    "sample_neyman_allocation",
+    "pipeline_shard_plan",
+    "pipeline_mixture_quota",
+    "pipeline_mixture_apply",
+    "pipeline_domain_mixture",
+    "pipeline_dedup_funnel",
+    "pipeline_split_contamination",
+    "pipeline_neardup_contamination",
+    "pipeline_training_corpus",
+    # text plane
+    "text_gopher_rules",
+    "text_zipf_audit",
+    "text_tfidf_topterms",
+    "text_unigram_surprisal",
+    "text_inverted_index",
+    "text_langid_confusion",
+    "text_pack_render",
+    "text_bm25_topk",
+    "text_perplexity_tertiles",
+    "text_bigram_nll",
+    "text_boilerplate_ngrams",
+    "text_typo_pairs",
+    "text_quality_classifier",
+    "text_quality_by_source",
+    # ingest / lake / multimodal / streaming / analytics remainder
+    "ingest_jsonl_fidelity",
+    "ingest_csv_fidelity",
+    "ingest_orc_fidelity",
+    "lake_compaction_plan",
+    "multimodal_byte_entropy",
+    "streaming_docs_dedup",
+    "streaming_rate_anomaly",
+    "source_overlap_matrix",
+    "split_vocab_divergence",
+    "events_user_streaks",
 )
 
 

@@ -279,9 +279,14 @@ def gen_zorder_layout(d, n_files: int = 64, buckets: int = 256) -> str:
     ubit = d.shl("(" + d.shr("u8", "x") + ") % 2", "2 * x + 1")
     tbit = d.shl("(" + d.shr("t8", "x") + ") % 2", "2 * x")
     interleave = d.reduce_bigint(d.seq("0", "7"), f"acc + {ubit} + {tbit}")
+    # NULL user_id/ts would yield NULL u8/zval, and the ntile ORDER BY
+    # then diverges between engines (Spark NULLS FIRST, DuckDB NULLS
+    # LAST); a layout audit over unkeyed rows is meaningless anyway, so
+    # drop them at the scan (r7 ADVICE).
     return f"""
 WITH base AS (
   SELECT event_id, {u8} AS u8, {es} AS es FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 tb AS (
   SELECT event_id, u8,
