@@ -116,11 +116,43 @@ def connected_components(
     )
 
 
+# Registry-default dispatch (r5-r7 carry-over item, closed r8): min-label
+# pointer-doubling stays the default BELOW this edge count, the
+# large-star/small-star rewrite takes over above it.  Rationale: the
+# propagation path re-joins the FULL edge list against the label relation
+# every round, so its per-round cost never shrinks — fine while the edge
+# list fits comfortably in the cluster's shuffle budget, and it converges
+# in fewer rounds on the shallow, small graphs a near-dup threshold
+# actually produces.  The star path's edge relation CONTRACTS toward the
+# star forest each round and its round bound depends only on log(n), never
+# on diameter, so it wins exactly when the edge list itself is the cost —
+# big graphs.  10M edges ≈ a few hundred MB symmetrized: well inside one
+# round's shuffle at test/cluster scale either way, so the constant is a
+# conservative crossover, not a tuned one; both paths are pytest-proven
+# label-identical, so the dispatch can never change results.
+_STAR_EDGE_THRESHOLD = 10_000_000
+
+
+def connected_components_auto(
+    edges: DataFrame, nodes: DataFrame, star_threshold: int = _STAR_EDGE_THRESHOLD
+) -> DataFrame:
+    """Size-dispatched connected components: pointer-doubling propagation
+    below ``star_threshold`` edges, alternating large-star/small-star at or
+    above it.  Identical output contract either way (component = min
+    reachable doc_id; singletons included).  The edge relation is
+    checkpointed before counting — both downstream paths re-join it every
+    round, so the count is not a wasted materialization."""
+    edges = edges.localCheckpoint(eager=True)
+    if edges.count() >= star_threshold:
+        return connected_components_star(edges, nodes)
+    return connected_components(edges, nodes)
+
+
 def build_minhash_clusters(spark: SparkSession, d: Dialect, sigs_rel: str) -> DataFrame:
     """Cluster assignment over the minhash-LSH pair graph (Spark path)."""
     pairs = spark.sql(gen_minhash_pairs(d, sigs_rel=sigs_rel))
     nodes = spark.table("documents").select("doc_id")
-    return connected_components(pairs.select("doc_a", "doc_b"), nodes)
+    return connected_components_auto(pairs.select("doc_a", "doc_b"), nodes)
 
 
 def gen_cluster_oracle(d: Dialect) -> str:
@@ -165,7 +197,7 @@ def build_minhash_cluster_keepers(spark: SparkSession, d: Dialect, sigs_rel: str
 
     pairs = spark.sql(gen_minhash_pairs(d, sigs_rel=sigs_rel))
     nodes = spark.table("documents").select("doc_id")
-    cc = connected_components(pairs.select("doc_a", "doc_b"), nodes)
+    cc = connected_components_auto(pairs.select("doc_a", "doc_b"), nodes)
     quality = spark.sql(gen_quality_score(d)).select("doc_id", "quality_score")
     rank = F.struct(F.col("quality_score"), (-F.col("doc_id")).alias("neg_id"))
     return (
@@ -337,7 +369,7 @@ def build_semantic_clusters(spark: SparkSession) -> DataFrame:
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     nodes = spark.table("embeddings").select(F.col("vec_id").alias("doc_id"))
-    return connected_components(pairs, nodes).select(
+    return connected_components_auto(pairs, nodes).select(
         F.col("doc_id").alias("vec_id"), "component", "cluster_size", "is_keeper"
     )
 

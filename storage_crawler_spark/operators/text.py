@@ -1407,6 +1407,201 @@ LIMIT {top_k}
 """.strip()
 
 
+def _bpe_apply(d: Dialect, acc: str, merges_arr: str) -> str:
+    """Fold a ranked merge list over a ``_``-joined symbol string, applying
+    each merge greedily left-to-right — the BPE *encode* step as a pure
+    (nested-lambda) array expression, identical fold order in both engines.
+
+    Inner fold state is ``done-last`` (processed symbols ``_``-joined, the
+    held-out rightmost symbol after ``-``); a merge fires when the held
+    symbol is ``l`` and the next is ``r``, producing symbol ``lr`` which —
+    exactly like greedy tokenizer encoders — cannot re-merge under the SAME
+    rule in this pass.  Symbols are [a-z0-9]+ by vocab contract, so ``_``,
+    ``-`` and `` `` are safe structural characters.
+    """
+
+    def part(s: str, i: int) -> str:
+        return d.elem(d.split(s, "-"), str(i))
+
+    l = d.elem(d.split("mg", " "), "1")
+    r = d.elem(d.split("mg", " "), "2")
+    step = f"""CASE
+      WHEN {part('st', 2)} = {l} AND y = {r} THEN {part('st', 1)} || '-' || {l} || {r}
+      WHEN {part('st', 2)} = '' THEN {part('st', 1)} || '-' || y
+      ELSE (CASE WHEN {part('st', 1)} = '' THEN {part('st', 2)}
+            ELSE {part('st', 1)} || '_' || {part('st', 2)} END) || '-' || y
+    END"""
+    if d.name == "spark":
+        inner = f"aggregate(split(acc, '_'), '-', (st, y) -> {step})"
+    else:
+        inner = f"list_reduce(list_prepend('-', string_split(acc, '_')), (st, y) -> {step})"
+    # state -> final symbol string: done=='' iff everything merged into
+    # last, so replacing the state separator and trimming the leading '_'
+    # closes both cases with ONE reference to the inner fold.
+    fin = f"trim(LEADING '_' FROM replace({inner}, '-', '_'))"
+    if d.name == "spark":
+        return f"aggregate({merges_arr}, {acc}, (acc, mg) -> {fin})"
+    return f"list_reduce(list_prepend({acc}, {merges_arr}), (acc, mg) -> {fin})"
+
+
+def gen_bpe_enc1(d: Dialect, k1: int = 24, max_word_len: int = 24, src: str = "documents") -> str:
+    """Standalone SELECT for the epoch-1 BPE encoding (word, freq, toks):
+    mine the ``k1`` highest-count adjacent CHARACTER pairs over the
+    distinct-word relation and fold them, rank order, over every word.
+    What the Spark builder persists — epoch 2 references it twice (pair
+    re-mining AND re-encoding), and the fold is the dominant cost.
+
+    Vocabulary contract: lowercase whitespace tokens matching
+    ``^[a-z0-9]+$`` and <= ``max_word_len`` chars — the charset keeps the
+    ``_``/``-``/space structural characters of the fold representation
+    collision-free, the cap bounds per-row fold cost.
+
+    100 TB shape: the corpus collapses to (word, freq) in one
+    partial-combining aggregate; everything downstream runs on that
+    compact vocabulary relation.  The merge table is a <= ``k1``-row
+    1-row-array relation (broadcast); the fold is map-side.
+    """
+    rep0 = d.ajoin(d.transform(d.seq("1", "length(word)"), "i", "substr(word, i, 1)"), "_")
+    toks = d.split("lower(text)")
+    lat = d.lateral_explode("toks", "w")
+    seq_i = d.lateral_seq("1", "length(word) - 1", "i")
+    return f"""
+WITH bpe_vocab AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (
+    SELECT w AS word
+    FROM (SELECT {toks} AS toks FROM {src} WHERE text IS NOT NULL) t0
+    {lat}
+  ) t1
+  WHERE {d.re_match('word', '^[a-z0-9]+$')} AND length(word) <= {max_word_len}
+  GROUP BY word
+),
+bpe_pairs1 AS (
+  SELECT substr(word, i, 1) AS sym_l, substr(word, i + 1, 1) AS sym_r,
+         CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM (SELECT word, freq FROM bpe_vocab WHERE length(word) >= 2) v
+  {seq_i}
+  GROUP BY sym_l, sym_r
+),
+bpe_merges1 AS (
+  SELECT sym_l || ' ' || sym_r AS mg,
+         row_number() OVER (ORDER BY pair_count DESC, sym_l, sym_r) AS rnk
+  FROM bpe_pairs1
+  ORDER BY pair_count DESC, sym_l, sym_r
+  LIMIT {k1}
+),
+bpe_m1 AS (
+  SELECT {d.agg_arr_by('rnk', 'mg')} AS marr FROM bpe_merges1
+)
+SELECT word, freq, {_bpe_apply(d, 'rep0', 'marr')} AS toks
+FROM (SELECT word, freq, {rep0} AS rep0 FROM bpe_vocab) w
+CROSS JOIN bpe_m1
+""".strip()
+
+
+def bpe_enc2_cte(
+    d: Dialect,
+    k1: int = 24,
+    k2: int = 16,
+    max_word_len: int = 24,
+    enc1_rel: str | None = None,
+) -> str:
+    """CTE chain ending in ``bpe_enc2`` (word, freq, toks): epoch-2 BPE —
+    re-mine the ``k2`` top adjacent SYMBOL pairs over the epoch-1 encoding
+    (multi-char merges now appear: the mine -> apply -> re-mine -> apply
+    training loop at epoch granularity) and fold them on top.
+
+    ``enc1_rel`` substitutes a persisted epoch-1 relation (Spark builder;
+    epoch 2 references it twice and Spark inlines CTEs); the oracle leaves
+    it None and inlines.
+    """
+    if enc1_rel is not None:
+        enc1 = f"bpe_enc1 AS (SELECT word, freq, toks FROM {enc1_rel})"
+    else:
+        enc1 = f"bpe_enc1 AS (\n{gen_bpe_enc1(d, k1, max_word_len)}\n)"
+    nsyms = d.size(d.split("toks", "_"))
+    seq_i = d.lateral_seq("1", f"{d.size('syms')} - 1", "i")
+    return f"""{enc1},
+bpe_pairs2 AS (
+  SELECT {d.elem('syms', 'i')} AS sym_l, {d.elem('syms', 'i + 1')} AS sym_r,
+         CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM (SELECT freq, {d.split('toks', '_')} AS syms FROM bpe_enc1 WHERE {nsyms} >= 2) s
+  {seq_i}
+  GROUP BY sym_l, sym_r
+),
+bpe_merges2 AS (
+  SELECT sym_l || ' ' || sym_r AS mg,
+         row_number() OVER (ORDER BY pair_count DESC, sym_l, sym_r) AS rnk
+  FROM bpe_pairs2
+  ORDER BY pair_count DESC, sym_l, sym_r
+  LIMIT {k2}
+),
+bpe_m2 AS (
+  SELECT {d.agg_arr_by('rnk', 'mg')} AS marr2 FROM bpe_merges2
+),
+bpe_enc2 AS (
+  SELECT word, freq, {_bpe_apply(d, 'toks', 'marr2')} AS toks
+  FROM bpe_enc1 CROSS JOIN bpe_m2
+)"""
+
+
+def gen_bpe_encode(
+    d: Dialect,
+    k1: int = 24,
+    k2: int = 16,
+    max_word_len: int = 24,
+    top_words: int = 200,
+    enc1_rel: str | None = None,
+) -> str:
+    """Two-epoch BPE ENCODING of the corpus vocabulary: the ``top_words``
+    most frequent words with their merged-symbol tokenization and token
+    count under the learned (k1 char-pair + k2 symbol-pair) merge table.
+    Closes the tokenizer-training loop that gen_bpe_merge_pairs opens:
+    mine -> apply -> re-mine -> apply -> measure.
+
+    Epoch granularity (re-rank after each full application pass, not after
+    every single merge) is the standard scalable approximation of
+    sequential BPE training; the APPLICATION itself is exact greedy
+    encoding under the learned ranked merge list.  Deterministic: exact
+    integer pair counts, total tiebreak ordering, engine-identical fold.
+    """
+    return f"""
+WITH {bpe_enc2_cte(d, k1, k2, max_word_len, enc1_rel)}
+SELECT word, freq, CAST(length(word) AS BIGINT) AS n_chars,
+       CAST({d.size(d.split('toks', '_'))} AS BIGINT) AS n_tokens,
+       toks AS tokens
+FROM bpe_enc2
+ORDER BY freq DESC, word
+LIMIT {top_words}
+""".strip()
+
+
+def gen_bpe_compression(
+    d: Dialect,
+    k1: int = 24,
+    k2: int = 16,
+    max_word_len: int = 24,
+    enc1_rel: str | None = None,
+) -> str:
+    """Corpus-level compression audit of the learned BPE table: frequency-
+    weighted tokens-per-char and tokens-per-word over the whole vocabulary
+    — the number a tokenizer-training run is actually optimizing, measured
+    on the same relation the merges were mined from.  One row.
+    """
+    ratio = "CAST(sum(freq * n_toks) AS DOUBLE) / CAST(sum(freq * length(word)) AS DOUBLE)"
+    tpw = "CAST(sum(freq * n_toks) AS DOUBLE) / CAST(sum(freq) AS DOUBLE)"
+    return f"""
+WITH {bpe_enc2_cte(d, k1, k2, max_word_len, enc1_rel)}
+SELECT CAST(count(*) AS BIGINT) AS n_word_types,
+       CAST(sum(freq) AS BIGINT) AS total_words,
+       CAST(sum(freq * length(word)) AS BIGINT) AS chars_weighted,
+       CAST(sum(freq * n_toks) AS BIGINT) AS bpe_tokens_weighted,
+       {d.trunc6(ratio)} AS tokens_per_char,
+       {d.trunc6(tpw)} AS avg_tokens_per_word
+FROM (SELECT word, freq, {d.size(d.split('toks', '_'))} AS n_toks FROM bpe_enc2) e
+""".strip()
+
+
 def winnow_fps_cte(d: Dialect, k: int = 8, w: int = 4, src: str = "documents") -> str:
     """(doc_id, n_grams, fps) winnowed-fingerprint relation — the shared
     base of the per-doc stats entry and the pair-candidate dedup entry.

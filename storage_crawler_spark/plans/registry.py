@@ -392,6 +392,28 @@ def _b_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(dedup.gen_jaccard_pairs(SPARK, ranked_rel="_jaccard_ranked"))
 
 
+def _b_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode with the epoch-1 encoding persisted: epoch 2 references
+    it twice (symbol-pair re-mining AND re-encoding) and the per-word merge
+    fold is the dominant cost; Spark inlines CTEs, so the un-persisted form
+    would fold epoch 1 twice."""
+    V.register_base_tables(spark, sf_dir, ("documents",))
+    n = spark.sparkContext.defaultParallelism
+    spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
+    enc1 = spark.sql(text.gen_bpe_enc1(SPARK, src="_documents_rep"))
+    _persist_view(enc1, "_bpe_enc1")
+    return spark.sql(text.gen_bpe_encode(SPARK, enc1_rel="_bpe_enc1"))
+
+
+def _b_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    V.register_base_tables(spark, sf_dir, ("documents",))
+    n = spark.sparkContext.defaultParallelism
+    spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
+    enc1 = spark.sql(text.gen_bpe_enc1(SPARK, src="_documents_rep"))
+    _persist_view(enc1, "_bpe_enc1_comp")
+    return spark.sql(text.gen_bpe_compression(SPARK, enc1_rel="_bpe_enc1_comp"))
+
+
 def _b_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnow-pair dedup with the fingerprint relation persisted: the
     md5-per-position k-gram hashing dominates and the relation is
@@ -2892,6 +2914,28 @@ FROM files f
         "flat-million-file-dir pathology detector",
     )
 
+    # round 8 ----------------------------------------------------------------
+    add(
+        "text_bpe_encode",
+        _b_bpe_encode,
+        text.gen_bpe_encode(DUCK),
+        tags=("text", "tokenizer"),
+        doc="two-epoch BPE encoding of the corpus vocabulary (mine char "
+        "pairs -> greedy fold apply -> re-mine symbol pairs -> apply): "
+        "top words with learned tokenization + token count; closes the "
+        "tokenizer loop gen_bpe_merge_pairs opens",
+    )
+
+    add(
+        "text_bpe_compression",
+        _b_bpe_compression,
+        text.gen_bpe_compression(DUCK),
+        tags=("text", "tokenizer"),
+        doc="frequency-weighted tokens-per-char / tokens-per-word of the "
+        "learned BPE merge table over the whole vocabulary — the "
+        "compression number tokenizer training optimizes",
+    )
+
     return specs
 
 
@@ -2955,10 +2999,14 @@ FROM files f
 # (sim_pq_topk, sim_pq_recall, text_quality_learned) that never burn a
 # slot, the whole remainder closes in one more rotation.
 _DRIVER_WINDOW_FIRST = (
+    # round-8 operators, first driver stamps (newest code meets the gate;
+    # they displace report_owner_usage/report_age_tiers to the r9 rotation
+    # — the owner/extension machinery already carries r4/r7 stamps via
+    # owner_prefix_join and report_large_old_files)
+    "text_bpe_encode",
+    "text_bpe_compression",
     # reference report plane (§2 B-surface; find_extension/find_owner ports)
     "report_extension_usage",
-    "report_owner_usage",
-    "report_age_tiers",
     "report_duplicate_files",
     # reference join/window surface
     "window_rank_functions",

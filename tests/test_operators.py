@@ -805,6 +805,23 @@ def test_cc_star_matches_propagation_on_random_graphs(spark):
         assert a == b, f"seed {seed}: star CC diverged from propagation CC"
 
 
+def test_cc_auto_dispatch_paths_agree(spark):
+    """connected_components_auto picks propagation below the threshold and
+    the star path at/above it; both must label identically (the registry
+    default dispatch, closed r8)."""
+    from storage_crawler_spark.operators.cluster import connected_components_auto
+
+    edge_rows = [(i, i + 1) for i in range(10)] + [(20, 21), (21, 22)]
+    edges = spark.createDataFrame(edge_rows, "doc_a LONG, doc_b LONG")
+    nodes = spark.range(25).withColumnRenamed("id", "doc_id")
+    small = {r.doc_id: (r.component, r.cluster_size)
+             for r in connected_components_auto(edges, nodes).collect()}
+    forced_star = {r.doc_id: (r.component, r.cluster_size)
+                   for r in connected_components_auto(edges, nodes, star_threshold=1).collect()}
+    assert small == forced_star
+    assert small[5] == (0, 11) and small[22] == (20, 3) and small[24] == (24, 1)
+
+
 def test_cc_star_long_chain_converges_and_empty_graph(spark):
     from storage_crawler_spark.operators.cluster import connected_components_star
 

@@ -134,6 +134,10 @@ NLJ_ALLOWED = {
     # bootstrap CI: CROSS JOIN of the 1-row point-estimate aggregate with
     # the 1-row folded-replica relation — both build sides exactly 1 row
     "sample_bootstrap_ci",
+    # BPE encode/compression: CROSS JOINs of the 1-row merge-array
+    # relations (epoch-1 and epoch-2 merge tables folded per word)
+    "text_bpe_encode",
+    "text_bpe_compression",
 }
 
 # Queries that must not plan a Window operator (their aggregates are
