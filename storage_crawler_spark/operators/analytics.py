@@ -628,3 +628,196 @@ SELECT event_type, dow, n,
 FROM cells
 ORDER BY event_type, dow
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# event-graph PageRank (fixed-iteration power method, integer lattice)
+# ---------------------------------------------------------------------------
+
+# Scaling constants shared by the Spark builder and the DuckDB oracle.
+# Rank mass is S; per-edge transition probabilities are floored onto the
+# PS lattice; damping alpha = 17/20 (0.85) as an exact rational.  Bounds:
+# per-edge product 17 * r * p_scaled <= 17 * 1e11 * 1e6 = 1.7e18 < 2^63,
+# so every intermediate stays in BIGINT in both engines.
+PR_S = 100_000_000_000
+PR_PS = 1_000_000
+PR_ALPHA_NUM = 17
+PR_ALPHA_DEN = 20
+PR_ITERS = 20
+
+
+def pagerank_cte_base(d: Dialect) -> str:
+    """Shared base CTEs for the PageRank entry: the weighted event-type
+    transition graph (same lead-window construction as
+    :func:`gen_transition_matrix`), the node universe, the node count, and
+    the dangling flag (types with no outgoing transition)."""
+    es = d.epoch_s_events("ts")
+    p_scaled = d.idiv(f"n * {PR_PS}", "n_from")
+    return f"""seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY {es}, event_id) AS next_type
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+t AS (
+  SELECT event_type AS from_type, next_type AS to_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM t GROUP BY from_type),
+e AS (
+  SELECT t.from_type, t.to_type, CAST({p_scaled} AS BIGINT) AS p_scaled
+  FROM t JOIN f ON t.from_type = f.from_type
+),
+nodes AS (SELECT DISTINCT event_type AS node FROM seq),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+nd AS (
+  SELECT nodes.node, CAST(o.from_type IS NULL AS INT) AS is_dangling
+  FROM nodes LEFT JOIN (SELECT DISTINCT from_type FROM e) o ON nodes.node = o.from_type
+)"""
+
+
+def gen_pagerank(d: Dialect, k: int = PR_ITERS) -> str:
+    """Event-type PageRank via ``k`` unrolled power-iteration steps —
+    hub/sink detection on the behavioral transition graph (which event
+    types concentrate flow), the iterative-graph-centrality counterpart of
+    the connected-components family.
+
+    Determinism (the events_value_trend integer-lattice discipline): rank
+    mass is the BIGINT lattice ``PR_S``, probabilities the ``PR_PS``
+    lattice, damping the exact rational 17/20, and every step is
+    per-edge floor-divided THEN summed — identical BIGINT arithmetic in
+    both engines, so the fixed-k result is hash-exact, unlike a
+    float-vector power iteration whose summation order would drift.
+    Update rule per node v:
+
+        r'(v) = (3*S) div (20*N)                          -- teleport
+              + sum_u (17 * r(u) * p(u,v)) div (20*PS)    -- damped flow
+              + (17 * dangling_mass) div (20*N)           -- dangling share
+
+    DuckDB materializes each iteration CTE (referenced twice: next step +
+    dangling sum) — the Spark engine path is the distributed Python loop
+    :func:`pagerank_events`, which checkpoints per iteration instead; this
+    generator is the ORACLE formulation (and a debugging aid on Spark,
+    where the doubled reference is merely wasteful, not wrong).
+
+    100 TB shape (engine path): the heavy work — collapsing the event
+    stream to the (type x type) weighted edge relation — is one window +
+    one partial-combining aggregate, run ONCE and persisted; each of the
+    k iterations then joins/aggregates relations bounded by the TYPE
+    cardinality, with O(1)-row driver state (the dangling-mass scalar),
+    never touching the raw stream again.
+    """
+    mat = " MATERIALIZED" if d.name == "duck" else ""
+    teleport = d.idiv(f"{PR_ALPHA_DEN - PR_ALPHA_NUM} * {PR_S}", f"{PR_ALPHA_DEN} * nn.n")
+    dterm = d.idiv(f"{PR_ALPHA_NUM} * dm", f"{PR_ALPHA_DEN} * nn.n")
+    edge_term = d.idiv(
+        f"{PR_ALPHA_NUM} * r.r * e.p_scaled", f"{PR_ALPHA_DEN} * {PR_PS}"
+    )
+    parts = [pagerank_cte_base(d)]
+    parts.append(
+        f"r0 AS{mat} (\n  SELECT node, CAST({d.idiv(str(PR_S), 'nn.n')} AS BIGINT) AS r"
+        "\n  FROM nodes CROSS JOIN nn\n)"
+    )
+    for i in range(1, k + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f"""dg{i - 1} AS (
+  SELECT CAST(coalesce(sum(p.r), 0) AS BIGINT) AS dm
+  FROM {prev} p JOIN nd ON p.node = nd.node
+  WHERE nd.is_dangling = 1
+)"""
+        )
+        parts.append(
+            f"""r{i} AS{mat} (
+  SELECT nd.node,
+         CAST({teleport} + coalesce(c.contrib, 0) + {dterm} AS BIGINT) AS r
+  FROM nd
+  CROSS JOIN nn
+  CROSS JOIN dg{i - 1}
+  LEFT JOIN (
+    SELECT e.to_type AS node, CAST(sum({edge_term}) AS BIGINT) AS contrib
+    FROM e JOIN {prev} r ON e.from_type = r.node
+    GROUP BY e.to_type
+  ) c ON nd.node = c.node
+)"""
+        )
+    chain = ",\n".join(parts)
+    pr = d.trunc6(f"CAST(r AS DOUBLE) / {PR_S}.0e0")
+    return f"""
+WITH {chain}
+SELECT CAST(row_number() OVER (ORDER BY r DESC, node) AS BIGINT) AS rnk,
+       node AS event_type, r AS rank_scaled, {pr} AS pagerank
+FROM r{k}
+ORDER BY rnk
+""".strip()
+
+
+def pagerank_events(spark, k: int = PR_ITERS):
+    """Spark engine path for :func:`gen_pagerank`: build the weighted
+    edge relation once (distributed window + aggregate over ``events``),
+    persist it, then run ``k`` exact-BIGINT power-iteration steps over
+    type-cardinality-bounded relations, checkpointing each (the
+    connected-components lineage discipline).  Driver state is two
+    scalars per iteration (node count once, dangling mass each step) —
+    O(k) 1-row collects, the k-means/PQ contract.
+    """
+    from pyspark.sql import functions as F
+
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    base = pagerank_cte_base(SPARK)
+    rel = spark.sql(f"WITH {base} SELECT * FROM e")
+    edges = rel.localCheckpoint(eager=True)
+    nd = spark.sql(f"WITH {base} SELECT * FROM nd").localCheckpoint(eager=True)
+    n = nd.count()
+    if n == 0:
+        return spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS rnk, CAST(NULL AS STRING) AS event_type, "
+            "CAST(NULL AS BIGINT) AS rank_scaled, CAST(NULL AS DOUBLE) AS pagerank "
+            "WHERE 1 = 0"
+        )
+    an, ad, S, PS = PR_ALPHA_NUM, PR_ALPHA_DEN, PR_S, PR_PS
+    # the dangling-mass scalar needs a per-iteration job only when dangling
+    # nodes exist at all; most event graphs have none (every type recurs),
+    # so check once and save k jobs
+    has_dangling = not nd.filter("is_dangling = 1").isEmpty()
+    ranks = nd.select("node", F.lit(S // n).cast("long").alias("r"))
+    for _ in range(k):
+        dm = 0
+        if has_dangling:
+            dm = (
+                ranks.join(nd.filter("is_dangling = 1"), "node")
+                .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long"))
+                .collect()[0][0]
+            )
+        base_mass = ((ad - an) * S) // (ad * n) + (an * dm) // (ad * n)
+        contrib = (
+            edges.join(ranks, edges.from_type == ranks.node)
+            .select(
+                F.col("to_type").alias("node"),
+                F.expr(f"({an} * r * p_scaled) div ({ad} * {PS})").alias("term"),
+            )
+            .groupBy("node")
+            .agg(F.sum("term").cast("long").alias("contrib"))
+        )
+        ranks = (
+            nd.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.coalesce(F.col("contrib"), F.lit(0)) + F.lit(base_mass))
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ranks.createOrReplaceTempView("_pagerank_final")
+    pr = SPARK.trunc6(f"CAST(r AS DOUBLE) / {S}.0e0")
+    return spark.sql(
+        f"""
+SELECT CAST(row_number() OVER (ORDER BY r DESC, node) AS BIGINT) AS rnk,
+       node AS event_type, r AS rank_scaled, {pr} AS pagerank
+FROM _pagerank_final
+ORDER BY rnk
+""".strip()
+    )

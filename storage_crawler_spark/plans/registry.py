@@ -392,6 +392,14 @@ def _b_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(dedup.gen_jaccard_pairs(SPARK, ranked_rel="_jaccard_ranked"))
 
 
+def _b_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type PageRank: distributed Python power-iteration loop
+    (checkpoint per step, O(k) scalar driver state); the oracle is the
+    independently-formulated unrolled-CTE chain in gen_pagerank."""
+    V.register_base_tables(spark, sf_dir, ("events",))
+    return analytics.pagerank_events(spark)
+
+
 def _b_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE encode with the epoch-1 encoding persisted: epoch 2 references
     it twice (symbol-pair re-mining AND re-encoding) and the per-word merge
@@ -2936,6 +2944,18 @@ FROM files f
         "compression number tokenizer training optimizes",
     )
 
+    add(
+        "events_pagerank",
+        _b_pagerank,
+        analytics.gen_pagerank(DUCK),
+        tags=("events", "graph"),
+        doc="event-type PageRank (k=20 power iterations, damping 17/20) "
+        "over the behavioral transition graph — hub/sink detection; "
+        "integer-lattice BIGINT arithmetic so the fixed-k result is "
+        "hash-exact across engines; Spark path iterates distributed with "
+        "O(k) scalar driver state, oracle unrolls the chain",
+    )
+
     return specs
 
 
@@ -3000,11 +3020,13 @@ FROM files f
 # slot, the whole remainder closes in one more rotation.
 _DRIVER_WINDOW_FIRST = (
     # round-8 operators, first driver stamps (newest code meets the gate;
-    # they displace report_owner_usage/report_age_tiers to the r9 rotation
-    # — the owner/extension machinery already carries r4/r7 stamps via
-    # owner_prefix_join and report_large_old_files)
+    # they displace report_owner_usage/report_age_tiers/events_user_streaks
+    # to the r9 rotation — the owner/extension machinery already carries
+    # r4/r7 stamps via owner_prefix_join and report_large_old_files, and
+    # the streak/session family via events_session_stats/concurrency r7)
     "text_bpe_encode",
     "text_bpe_compression",
+    "events_pagerank",
     # reference report plane (§2 B-surface; find_extension/find_owner ports)
     "report_extension_usage",
     "report_duplicate_files",
@@ -3059,7 +3081,6 @@ _DRIVER_WINDOW_FIRST = (
     "streaming_rate_anomaly",
     "source_overlap_matrix",
     "split_vocab_divergence",
-    "events_user_streaks",
 )
 
 

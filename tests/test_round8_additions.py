@@ -114,6 +114,101 @@ def test_bpe_compression_accounting_closes():
     assert comp["avg_tokens_per_word"] == [1.0]
 
 
+# ---------------------------------------------------------------------------
+# event-graph PageRank (events_pagerank)
+# ---------------------------------------------------------------------------
+
+
+def _events(rows):
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev["ts"] = pd.to_datetime(ev["ts"], unit="s")
+    return ev
+
+
+def _pr_duck(rows, **kw):
+    from storage_crawler_spark.operators.analytics import gen_pagerank
+
+    got = _duck(gen_pagerank(DUCK, **kw), events=_events(rows))
+    return list(zip(got["rnk"], got["event_type"], got["rank_scaled"], got["pagerank"]))
+
+
+def test_pagerank_planted_hub_dominates():
+    # star graph: every user alternates spoke -> hub, so all flow
+    # concentrates on 'hub'; spokes only get teleport + hub's split-back...
+    # here spokes never receive transitions at all (hub is terminal per
+    # pair), so hub must rank first by a wide margin
+    rows = []
+    eid = 0
+    for u, spoke in enumerate(["a", "b", "c", "d"]):
+        for rep in range(3):
+            rows.append((eid, 1000 + eid, u, spoke, 1.0, None)); eid += 1
+            rows.append((eid, 1000 + eid, u, "hub", 1.0, None)); eid += 1
+    got = _pr_duck(rows)
+    assert got[0][1] == "hub"
+    ranks = {t: p for _, t, _, p in got}
+    assert all(ranks["hub"] > 2 * ranks[s] for s in "abcd")
+
+
+def test_pagerank_mass_conservation_and_uniform_cycle():
+    # 3-cycle a->b->c->a with equal weights: symmetry forces equal ranks;
+    # total scaled mass stays within floor-loss slack of PR_S
+    from storage_crawler_spark.operators.analytics import PR_S
+
+    rows = []
+    eid = 0
+    for rep in range(4):
+        for t in ["a", "b", "c"]:
+            rows.append((eid, 1000 + eid, 7, t, 1.0, None)); eid += 1
+    got = _pr_duck(rows)
+    scaled = [r for _, _, r, _ in got]
+    assert len(got) == 3
+    assert max(scaled) - min(scaled) <= 3  # symmetric up to floor slack
+    assert 0 <= PR_S - sum(scaled) < 1000 * len(got)
+
+
+def test_pagerank_dangling_mass_redistributes():
+    # a -> b and b is terminal for every user: b is dangling; its mass must
+    # recycle (no sink collapse), so both ranks stay strictly positive and
+    # b (receiving all of a's flow) outranks a
+    rows = [(0, 1000, 1, "a", 1.0, None), (1, 1001, 1, "b", 1.0, None),
+            (2, 1002, 2, "a", 1.0, None), (3, 1003, 2, "b", 1.0, None)]
+    got = _pr_duck(rows)
+    ranks = {t: r for _, t, r, _ in got}
+    assert ranks["b"] > ranks["a"] > 0
+
+
+def test_pagerank_empty_and_single_type():
+    assert _pr_duck([(0, 1000, None, "a", 1.0, None)]) == []  # NULL users only
+    got = _pr_duck([(0, 1000, 1, "a", 1.0, None), (1, 1001, 1, "a", 1.0, None)])
+    from storage_crawler_spark.operators.analytics import PR_S
+
+    assert len(got) == 1 and got[0][1] == "a"
+    assert got[0][2] >= PR_S - 100  # self-loop keeps all mass minus floor slack
+
+
+def test_pagerank_spark_duck_parity_on_random_fixture(spark):
+    import random
+
+    from storage_crawler_spark.operators.analytics import gen_pagerank, pagerank_events
+
+    rng = random.Random(42)
+    types = ["a", "b", "c", "d", "e", "sink"]
+    rows = []
+    for eid in range(300):
+        # 'sink' never emits a successor for half the users (dangling-ish)
+        rows.append((eid, 1000 + rng.randrange(5000), rng.randrange(12),
+                     rng.choice(types), 1.0, None))
+    pdf = _events(rows)
+    spark.createDataFrame(pdf).createOrReplaceTempView("events")
+    s = [tuple(r) for r in pagerank_events(spark, k=6).collect()]
+    con = duckdb.connect()
+    con.register("events", pdf)
+    d = con.execute(gen_pagerank(DUCK, k=6)).fetchall()
+    assert s == d
+
+
 def test_bpe_spark_duck_parity_on_mixed_fixture(spark):
     # engine parity on a fixture exercising merges, cascade shapes, and
     # filtered words together (the oracle gate's check, in-miniature)
