@@ -755,3 +755,201 @@ WHERE r IS NOT NULL
 ORDER BY abs(r) DESC, dim_i, dim_j
 LIMIT {top_k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# power-iteration PCA (top principal direction, integer lattice)
+# ---------------------------------------------------------------------------
+
+# Lattice constants shared by the Spark builder and the DuckDB oracle.
+# Coordinates quantize to the 1/PCA_Q lattice (corr_audit discipline);
+# the scatter matrix n*Sxy - Sx*Sy is re-scaled by PCA_CS to keep the
+# matrix-vector products in BIGINT; eigenvector components live on the
+# PCA_VS lattice with max-abs normalization each step.  Bounds: |x| < 8
+# keeps xq under 2^19; n*sxy <= n^2 * 2^38 needs n <= ~3e5 (shrink PCA_Q
+# for bigger stores); |C'| <= n^2*2^38/CS ~ 7e8 at n=3e5, so each product
+# C'*v <= 7e8 * 1e6 * 64 dims ~ 4.5e16 < 2^63.
+PCA_Q = 65536
+PCA_CS = 100_000_000
+PCA_VS = 1_000_000
+PCA_ITERS = 30
+
+
+def _sgn_div(d: Dialect, x: str, m: str) -> str:
+    """Truncating signed division via the non-negative idiv contract:
+    sign(x) * (|x| div m) — identical in both engines regardless of their
+    native negative-division rounding."""
+    return (
+        f"(CASE WHEN ({x}) >= 0 THEN {d.idiv(f'({x})', m)} "
+        f"ELSE -({d.idiv(f'-({x})', m)}) END)"
+    )
+
+
+def pca_cte_base(d: Dialect) -> str:
+    """Shared base CTEs for the PCA entry: integer-lattice first/second
+    moments over every (i, j) dimension pair and the CS-rescaled scatter
+    matrix ``cmat(i, j, c)`` (full symmetric d x d, BIGINT), plus the
+    dimension universe and the matrix trace.
+
+    ``cmat`` is referenced by every one of the k iterations; DuckDB must
+    MATERIALIZE it (and its moment upstreams) or the d^2 x n explode
+    re-runs per iteration — measured 12.5s -> ~1s at the sf0.01 gate.  The
+    Spark engine path checkpoints cmat instead (pca_power_embeddings)."""
+    mat = " MATERIALIZED" if d.name == "duck" else ""
+    ev = d.cast_double_arr("embedding")
+    lat_i = d.lateral_seq("1", d.size("ev"), "i")
+    lat_j = d.lateral_seq("1", d.size("ev"), "j")
+    xq = f"CAST(floor({d.elem('ev', 'i')} * {PCA_Q}.0e0) AS BIGINT)"
+    yq = f"CAST(floor({d.elem('ev', 'j')} * {PCA_Q}.0e0) AS BIGINT)"
+    scatter = "nn.n * m2.sxy - m1a.sx * m1b.sx"
+    return f"""v0 AS{mat} (
+  SELECT {ev} AS ev FROM embeddings
+  WHERE embedding IS NOT NULL AND {d.size(d.cast_double_arr('embedding'))} >= 2
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v0),
+m1 AS{mat} (
+  SELECT i AS dim, CAST(sum(x) AS BIGINT) AS sx
+  FROM (SELECT i, {xq} AS x FROM v0 {lat_i}) t
+  GROUP BY i
+),
+m2 AS{mat} (
+  SELECT i, j, CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM (
+    SELECT i, j, {xq} AS x, {yq} AS y
+    FROM v0
+    {lat_i}
+    {lat_j}
+  ) t
+  GROUP BY i, j
+),
+cmat AS{mat} (
+  SELECT m2.i, m2.j,
+         CAST({_sgn_div(d, scatter, str(PCA_CS))} AS BIGINT) AS c
+  FROM m2
+  JOIN m1 m1a ON m2.i = m1a.dim
+  JOIN m1 m1b ON m2.j = m1b.dim
+  CROSS JOIN nn
+),
+dims AS (SELECT dim FROM m1),
+tr AS (SELECT CAST(sum(c) AS BIGINT) AS trace FROM cmat WHERE i = j)"""
+
+
+def gen_pca_power(d: Dialect, k: int = PCA_ITERS) -> str:
+    """Top principal direction of the embedding store via ``k`` unrolled
+    power-iteration steps on the integer-lattice scatter matrix — the
+    whitening/compression decision readout that gen_corr_audit's pairwise
+    correlations motivate: ONE direction that explains the largest
+    variance share, plus that share.
+
+    Determinism (the events_pagerank discipline): the scatter matrix is
+    exact BIGINT (n*Sxy - Sx*Sy on the PCA_Q lattice, truncating-rescaled
+    by PCA_CS), the iterate lives on the PCA_VS lattice with max-abs
+    normalization (the max component is exactly +/-PCA_VS each step, so
+    the eigenvalue falls out of the normalizer scalar), and every division
+    is the sign-split truncating idiv — hash-exact across engines, where
+    a float power iteration would drift by summation order.
+
+    Output: one row per dimension with the loading (scaled BIGINT and
+    trunc6 double) and the constant top-eigenvalue variance share
+    ``top_eig_share`` = m / (VS * trace).
+
+    DuckDB materializes each iteration CTE; the Spark engine path is
+    :func:`pca_power_embeddings` (distributed python loop, per-step
+    checkpoint).  This generator is the ORACLE formulation.
+
+    100 TB shape (engine path): the moment pass is the only corpus scan —
+    d^2-keyed partial-combining aggregates; each iteration then works on
+    d- and d^2-row relations with one O(1) normalizer scalar on the
+    driver.  The d x (d+1)/2 blowup of the moment explode is the same
+    irreducible Gram cost gen_corr_audit pays.
+    """
+    mat = " MATERIALIZED" if d.name == "duck" else ""
+    parts = [pca_cte_base(d)]
+    parts.append(f"p0 AS{mat} (SELECT dim, CAST({PCA_VS} AS BIGINT) AS v FROM dims)")
+    for it in range(1, k + 1):
+        prev = f"p{it - 1}"
+        parts.append(
+            f"""w{it} AS{mat} (
+  SELECT cmat.i AS dim, CAST(sum(cmat.c * p.v) AS BIGINT) AS w
+  FROM cmat JOIN {prev} p ON cmat.j = p.dim
+  GROUP BY cmat.i
+)"""
+        )
+        parts.append(
+            f"""mx{it} AS (SELECT greatest(CAST(max(abs(w)) AS BIGINT), 1) AS m FROM w{it})"""
+        )
+        parts.append(
+            f"""p{it} AS{mat} (
+  SELECT dim, CAST({_sgn_div(d, f'w * {PCA_VS}', 'mx.m')} AS BIGINT) AS v
+  FROM w{it} CROSS JOIN mx{it} mx
+)"""
+        )
+    chain = ",\n".join(parts)
+    share = d.trunc6(
+        f"CAST(mx.m AS DOUBLE) / {PCA_VS}.0e0 / CAST(greatest(tr.trace, 1) AS DOUBLE)"
+    )
+    loading = d.trunc6(f"CAST(p.v AS DOUBLE) / {PCA_VS}.0e0")
+    return f"""
+WITH {chain}
+SELECT CAST(p.dim AS INT) AS dim, p.v AS loading_scaled,
+       {loading} AS loading, {share} AS top_eig_share
+FROM p{k} p CROSS JOIN mx{k} mx CROSS JOIN tr
+ORDER BY dim
+""".strip()
+
+
+def pca_power_embeddings(spark, k: int = PCA_ITERS):
+    """Spark engine path for :func:`gen_pca_power`: one distributed moment
+    pass builds the BIGINT scatter matrix (persisted), then ``k`` exact
+    integer power-iteration steps over d/d^2-row relations, checkpointing
+    each; driver state is the max-abs normalizer scalar per step (O(k)
+    1-row collects, the k-means/PageRank contract)."""
+    from pyspark.sql import functions as F
+
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    base = pca_cte_base(SPARK)
+    # the CORPUS work — collapsing n vectors to the d^2 BIGINT scatter
+    # matrix — is one distributed moment pass; the matrix itself is
+    # bounded MODEL STATE (d = embedding width, so d^2 rows ~ thousands
+    # regardless of corpus size — the k-means-centroid contract), so the
+    # k power steps run on the driver in exact Python integers (arbitrary
+    # precision ⊇ BIGINT; // on non-negatives == truncating div) instead
+    # of paying 30 tiny-job round-trips.  The oracle's unrolled relational
+    # chain is the shape the loop would take if d ever outgrew the driver.
+    rows = spark.sql(
+        f"WITH {base} SELECT c.i, c.j, c.c, tr.trace FROM cmat c CROSS JOIN tr"
+    ).collect()
+    if not rows:
+        return spark.sql(
+            "SELECT CAST(NULL AS INT) AS dim, CAST(NULL AS BIGINT) AS loading_scaled, "
+            "CAST(NULL AS DOUBLE) AS loading, CAST(NULL AS DOUBLE) AS top_eig_share "
+            "WHERE 1 = 0"
+        )
+    trace = rows[0][3]
+    VS = PCA_VS
+    by_i: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_i.setdefault(int(r[0]), []).append((int(r[1]), int(r[2])))
+    v = {i: VS for i in by_i}
+    m = 1
+    for _ in range(k):
+        w = {i: sum(c * v[j] for j, c in cols) for i, cols in by_i.items()}
+        m = max(max(abs(x) for x in w.values()), 1)
+        v = {
+            dim: (x * VS) // m if x >= 0 else -((-x * VS) // m)
+            for dim, x in w.items()
+        }
+    tr = max(int(trace or 0), 1)
+    out = spark.createDataFrame(sorted(v.items()), "dim BIGINT, v BIGINT")
+    out.createOrReplaceTempView("_pca_final")
+    share = SPARK.trunc6(f"CAST({m} AS DOUBLE) / {VS}.0e0 / CAST({tr} AS DOUBLE)")
+    loading = SPARK.trunc6(f"CAST(v AS DOUBLE) / {VS}.0e0")
+    return spark.sql(
+        f"""
+SELECT CAST(dim AS INT) AS dim, v AS loading_scaled,
+       {loading} AS loading, {share} AS top_eig_share
+FROM _pca_final
+ORDER BY dim
+""".strip()
+    )

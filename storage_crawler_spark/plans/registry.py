@@ -392,6 +392,14 @@ def _b_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(dedup.gen_jaccard_pairs(SPARK, ranked_rel="_jaccard_ranked"))
 
 
+def _b_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-iteration PCA: distributed moment pass + driver-side exact
+    integer steps on the d^2 scatter matrix (bounded model state); oracle
+    is the independently-formulated unrolled chain in gen_pca_power."""
+    V.register_base_tables(spark, sf_dir, ("embeddings",))
+    return similarity.pca_power_embeddings(spark)
+
+
 def _b_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type PageRank: distributed Python power-iteration loop
     (checkpoint per step, O(k) scalar driver state); the oracle is the
@@ -2945,6 +2953,19 @@ FROM files f
     )
 
     add(
+        "embedding_pca_power",
+        _b_pca_power,
+        similarity.gen_pca_power(DUCK),
+        tags=("similarity", "embedding"),
+        doc="top principal direction + variance share of the embedding "
+        "store via k=30 integer-lattice power iterations on the exact "
+        "BIGINT scatter matrix — the whitening/compression readout the "
+        "corr audit motivates; Spark path: one distributed moment pass, "
+        "then driver-side exact-integer steps on the d^2 model state "
+        "(k-means centroid contract); oracle unrolls the chain",
+    )
+
+    add(
         "events_pagerank",
         _b_pagerank,
         analytics.gen_pagerank(DUCK),
@@ -3027,8 +3048,9 @@ _DRIVER_WINDOW_FIRST = (
     "text_bpe_encode",
     "text_bpe_compression",
     "events_pagerank",
-    # reference report plane (§2 B-surface; find_extension/find_owner ports)
-    "report_extension_usage",
+    "embedding_pca_power",
+    # reference report plane (§2 B-surface; find_extension port already
+    # stamped via report_large_old_files r7 — extension_usage defers to r9)
     "report_duplicate_files",
     # reference join/window surface
     "window_rank_functions",

@@ -209,6 +209,83 @@ def test_pagerank_spark_duck_parity_on_random_fixture(spark):
     assert s == d
 
 
+# ---------------------------------------------------------------------------
+# power-iteration PCA (embedding_pca_power)
+# ---------------------------------------------------------------------------
+
+
+def _embeddings(vectors, labels=None):
+    n = len(vectors)
+    return pd.DataFrame(
+        {
+            "vec_id": range(n),
+            "embedding": [list(map(float, v)) if v is not None else None for v in vectors],
+            "label": labels or [0] * n,
+        }
+    )
+
+
+def _pca_duck(vectors, **kw):
+    from storage_crawler_spark.operators.similarity import gen_pca_power
+
+    got = _duck(gen_pca_power(DUCK, **kw), embeddings=_embeddings(vectors))
+    return list(zip(got["dim"], got["loading_scaled"], got["loading"], got["top_eig_share"]))
+
+
+def test_pca_planted_dominant_direction():
+    # dim 1 varies 100x more than the rest: the top direction must be the
+    # dim-1 axis (|loading_1| == 1.0 after max-abs normalization) with the
+    # other loadings near zero, and the variance share near 1
+    import random
+
+    rng = random.Random(3)
+    vecs = [[rng.uniform(-4, 4), rng.uniform(-0.05, 0.05), rng.uniform(-0.05, 0.05)]
+            for _ in range(60)]
+    got = _pca_duck(vecs)
+    loads = {d_: abs(l) for d_, _, l, _ in got}
+    assert loads[1] == 1.0 and loads[2] < 0.1 and loads[3] < 0.1
+    assert got[0][3] > 0.9  # top_eig_share
+
+
+def test_pca_symmetric_two_dim_diagonal():
+    # perfectly correlated pair (x, x): top direction is the diagonal —
+    # equal-magnitude same-sign loadings (up to floor slack on the lattice)
+    vecs = [[x / 10.0, x / 10.0] for x in range(-30, 31)]
+    got = _pca_duck(vecs)
+    (d1, s1, l1, sh), (d2, s2, l2, _) = got
+    assert abs(abs(s1) - abs(s2)) <= 2 and (s1 > 0) == (s2 > 0)
+    assert sh > 0.9
+
+
+def test_pca_empty_and_degenerate():
+    assert _pca_duck([]) == []
+    assert _pca_duck([None, None]) == []
+    # constant vectors: zero scatter everywhere -> m guard keeps the query
+    # total (no div-by-zero); loadings collapse deterministically
+    got = _pca_duck([[1.0, 2.0]] * 5)
+    assert len(got) == 2
+    assert all(r[3] is not None for r in got)
+
+
+def test_pca_spark_duck_parity_on_random_fixture(spark):
+    import random
+
+    from storage_crawler_spark.operators.similarity import (
+        gen_pca_power,
+        pca_power_embeddings,
+    )
+
+    rng = random.Random(11)
+    vecs = [[rng.uniform(-2, 2) for _ in range(8)] for _ in range(80)]
+    pdf = _embeddings(vecs, labels=[i % 3 for i in range(80)])
+    spark.createDataFrame(pdf).createOrReplaceTempView("embeddings")
+    s = [tuple(r) for r in pca_power_embeddings(spark, k=8).collect()]
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    d = con.execute(gen_pca_power(DUCK, k=8)).fetchall()
+    assert s == d
+
+
 def test_bpe_spark_duck_parity_on_mixed_fixture(spark):
     # engine parity on a fixture exercising merges, cascade shapes, and
     # filtered words together (the oracle gate's check, in-miniature)
