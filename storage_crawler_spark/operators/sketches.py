@@ -137,3 +137,77 @@ def heavy_hitter_sketch(df: DataFrame, col: str, eps: float = 0.001, conf: float
     """Count-min sketch of ``col`` (binary, mergeable); the fixed seed keeps
     re-runs byte-identical."""
     return df.agg(F.count_min_sketch(F.col(col), F.lit(eps), F.lit(conf), F.lit(42)).alias("cms"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic count-min heavy hitters (shared-dialect, oracle-gated)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def gen_cms_heavy_hitters(d, top_k: int = 20, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> str:
+    """Heavy-hitter audit via a DETERMINISTIC count-min sketch built in
+    SQL: ``depth`` hash rows of ``width`` counters keyed by the frozen
+    md5-derived 48-bit uniform (plans/dialect.py), so — unlike the binary
+    JVM sketch of :func:`heavy_hitter_sketch`, whose bytes are
+    engine-private — every counter and every estimate is hash-exact across
+    engines and the whole heavy-hitter readout is oracle-gated.
+
+    Output: the ``top_k`` users by ESTIMATED event count, with the exact
+    count, the overcount (collision mass — exactly est - exact, since the
+    sketch structurally never undercounts), and the structural lower-bound
+    boolean.  The exact side makes this the AUDIT form (run on a sample or
+    partition range at 100 TB); production reads the sketch alone — the
+    sketch CTE here is exactly what a streaming/partial pipeline keeps:
+    depth x width counters, partial-combining, mergeable by addition.
+
+    100 TB shape: the sketch is a (depth x width)-keyed partial-combining
+    aggregate over one pruned scan (the lateral depth-expansion happens
+    map-side); the estimate pass joins per-user bucket keys to the tiny
+    sketch (broadcast at any scale) and takes the row-wise min; the final
+    top-k fuses to TakeOrderedAndProject.
+    """
+    lat = d.lateral_seq("1", str(depth), "r")
+    # row index r folds into the md5 INPUT (not a post-hoc multiply, which
+    # would correlate the rows): depth independent hash functions, the CM
+    # independence requirement
+    bucket = (
+        d.md5_key48("concat('cms', CAST(r AS STRING), ':', CAST(user_id AS STRING))")
+        + f" % {width}"
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id FROM events WHERE user_id IS NOT NULL
+),
+hashed AS (
+  SELECT user_id, r, CAST({bucket} AS BIGINT) AS b
+  FROM ev
+  {lat}
+),
+sk AS (
+  SELECT r, b, CAST(count(*) AS BIGINT) AS c
+  FROM hashed
+  GROUP BY r, b
+),
+users AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n FROM ev GROUP BY user_id
+),
+ub AS (
+  SELECT user_id, r, CAST({bucket} AS BIGINT) AS b
+  FROM users
+  {lat}
+),
+est AS (
+  SELECT ub.user_id, CAST(min(sk.c) AS BIGINT) AS est_n
+  FROM ub JOIN sk ON ub.r = sk.r AND ub.b = sk.b
+  GROUP BY ub.user_id
+)
+SELECT u.user_id, u.exact_n, e.est_n,
+       e.est_n - u.exact_n AS overcount,
+       CAST(e.est_n >= u.exact_n AS INT) AS lower_bounded
+FROM users u JOIN est e ON u.user_id = e.user_id
+ORDER BY e.est_n DESC, u.user_id
+LIMIT {top_k}
+""".strip()

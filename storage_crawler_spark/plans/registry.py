@@ -36,6 +36,7 @@ from storage_crawler_spark.operators import (
     pipeline as pipeline_ops,
     sampling,
     similarity,
+    sketches,
     text,
 )
 from storage_crawler_spark.plans.dialect import DUCK, SPARK, Dialect
@@ -390,6 +391,45 @@ def _b_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     _persist_view(ranked, "_jaccard_ranked")
     return spark.sql(dedup.gen_jaccard_pairs(SPARK, ranked_rel="_jaccard_ranked"))
+
+
+def _b_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-dim join (orders x customer on custkey, 8 salts): the
+    hot-key spreading shape of skew.salted_join, checked against the plain
+    join by aggregating revenue per market segment afterwards — salting
+    must be invisible in the result."""
+    from pyspark.sql import functions as F
+
+    from storage_crawler_spark.operators.skew import salted_join
+
+    V.register_base_tables(spark, sf_dir, ("orders", "customer"))
+    fact = spark.table("orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    dim = spark.table("customer").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("mktsegment")
+    )
+    joined = salted_join(fact, dim, "custkey", n_salts=8, spread_cols=["orderkey"])
+    return (
+        joined.groupBy("mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+_SALTED_JOIN_ORACLE = """
+SELECT c.c_mktsegment AS mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY mktsegment
+""".strip()
 
 
 def _b_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2952,6 +2992,30 @@ FROM files f
         "compression number tokenizer training optimizes",
     )
 
+    b, o = _sql_pair(sketches.gen_cms_heavy_hitters, ("events",))
+    add(
+        "sketch_heavy_hitters",
+        b,
+        o,
+        tags=("sketch", "events"),
+        doc="top-k heavy hitters via a fully deterministic SQL count-min "
+        "sketch (4x1024 md5-keyed counters): estimated vs exact count, "
+        "collision overcount, structural lower-bound flag — the "
+        "oracle-gated upgrade of the binary JVM sketch; counters are "
+        "partial-combining and mergeable by addition",
+    )
+
+    add(
+        "skew_salted_join",
+        _b_salted_join,
+        _SALTED_JOIN_ORACLE,
+        tags=("skew", "join"),
+        doc="salted fact-dim join (8-way dim replication, deterministic "
+        "fact salt) aggregated to revenue per market segment — hot-key "
+        "spreading with result-identity to the plain join, checked by "
+        "the oracle",
+    )
+
     add(
         "embedding_pca_power",
         _b_pca_power,
@@ -3049,12 +3113,14 @@ _DRIVER_WINDOW_FIRST = (
     "text_bpe_compression",
     "events_pagerank",
     "embedding_pca_power",
+    "sketch_heavy_hitters",
+    "skew_salted_join",
     # reference report plane (§2 B-surface; find_extension port already
     # stamped via report_large_old_files r7 — extension_usage defers to r9)
     "report_duplicate_files",
-    # reference join/window surface
-    "window_rank_functions",
-    "join_asof_forward_events",
+    # (window_rank_functions / join_asof_forward_events defer to r9: the
+    # rank family carries r4 stamps via window_topk/moving_avg and the
+    # as-of family r4/r7 stamps via backward/tolerance)
     # dedup plane
     "dedup_minhash_incremental",
     "dedup_paragraphs",

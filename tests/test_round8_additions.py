@@ -210,6 +210,51 @@ def test_pagerank_spark_duck_parity_on_random_fixture(spark):
 
 
 # ---------------------------------------------------------------------------
+# deterministic count-min heavy hitters (sketch_heavy_hitters)
+# ---------------------------------------------------------------------------
+
+
+def _cms_duck(rows, **kw):
+    from storage_crawler_spark.operators.sketches import gen_cms_heavy_hitters
+
+    got = _duck(gen_cms_heavy_hitters(DUCK, **kw), events=_events(rows))
+    return list(zip(got["user_id"], got["exact_n"], got["est_n"],
+                    got["overcount"], got["lower_bounded"]))
+
+
+def test_cms_planted_heavy_hitter_tops_and_never_undercounts():
+    rows = []
+    eid = 0
+    for _ in range(50):  # user 7: 50 events — the planted hitter
+        rows.append((eid, 1000 + eid, 7, "click", 1.0, None)); eid += 1
+    for u in range(20, 40):  # 20 background users, 2 events each
+        for _ in range(2):
+            rows.append((eid, 1000 + eid, u, "view", 1.0, None)); eid += 1
+    got = _cms_duck(rows)
+    assert got[0][0] == 7 and got[0][2] >= 50
+    assert all(lb == 1 and est >= exact for _, exact, est, over, lb in got)
+    assert all(over == est - exact for _, exact, est, over, lb in got)
+
+
+def test_cms_exact_when_width_dwarfs_users():
+    # 5 users in a 1024-wide sketch: collisions are overwhelmingly
+    # unlikely under the md5 uniform, so estimates are exact
+    rows = [(i, 1000 + i, i % 5, "click", 1.0, None) for i in range(100)]
+    got = _cms_duck(rows)
+    assert all(over == 0 for _, _, _, over, _ in got)
+    assert sorted(exact for _, exact, _, _, _ in got) == [20] * 5
+
+
+def test_cms_narrow_width_forces_collisions_but_keeps_bound():
+    # width 2: massive collision mass, yet the structural lower bound and
+    # the overcount identity must still hold
+    rows = [(i, 1000 + i, i % 30, "click", 1.0, None) for i in range(300)]
+    got = _cms_duck(rows, width=2)
+    assert all(lb == 1 for *_, lb in got)
+    assert any(over > 0 for _, _, _, over, _ in got)
+
+
+# ---------------------------------------------------------------------------
 # power-iteration PCA (embedding_pca_power)
 # ---------------------------------------------------------------------------
 
