@@ -848,6 +848,65 @@ GROUP BY {big}.doc_id
 """.strip()
 
 
+def gen_kn_bigram_nll(d: Dialect, src: str = "documents", big_rel: str | None = None) -> str:
+    """Per-document mean bigram NLL under the corpus' own INTERPOLATED
+    KNESER-NEY model — the smoothing real LM-perplexity quality filters
+    (KenLM) actually use, one rung above :func:`gen_bigram_nll`'s add-one:
+
+        P_KN(cur|prev) = (c(prev,cur) - D) / c(prev)
+                       + D * N1+(prev,*) / c(prev) * N1+(*,cur) / N1+(*,*)
+
+    with absolute discount D = 0.75 and continuation counts N1+ (distinct
+    right/left extensions) — the continuation distribution is what makes
+    KN rank "francisco" low outside "san francisco" where raw frequency
+    overrates it.  Scoring the corpus' own bigrams means every scored pair
+    has c >= 1, so the discounted term is >= 0.25/c1 and the ln argument
+    is strictly positive without a max() clamp.
+
+    Every model quantity is an exact integer count (c2, c1 = sum of c2,
+    forward/backward continuation counts, total bigram types); the only
+    floats are per-row (no order-dependent sums before the final avg, the
+    same determinism profile the add-one entry has held green since r5).
+
+    100 TB shape: identical to gen_bigram_nll — the bigram stream is
+    persisted once by the Spark builder (``big_rel``), counts
+    partial-aggregate, continuation counts come from the already-reduced
+    bc relation (no extra corpus scan), the type total is a 1-row
+    broadcast scalar.
+    """
+    if big_rel:
+        big = big_rel
+        with_clause = "WITH "
+    else:
+        big = "big"
+        with_clause = f"WITH big AS (\n{gen_bigram_relation(d, src)}\n),\n"
+    p_kn = (
+        "(CAST(bc.c2 AS DOUBLE) - 0.75e0) / CAST(uc.c1 AS DOUBLE)"
+        " + (0.75e0 * CAST(uc.n1p_fwd AS DOUBLE) / CAST(uc.c1 AS DOUBLE))"
+        " * (CAST(cont.n1p_rev AS DOUBLE) / CAST(tot.n_types AS DOUBLE))"
+    )
+    return f"""{with_clause}bc AS (
+  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2 FROM {big} GROUP BY prev, cur
+),
+uc AS (
+  SELECT prev, CAST(sum(c2) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1p_fwd
+  FROM bc GROUP BY prev
+),
+cont AS (
+  SELECT cur, CAST(count(*) AS BIGINT) AS n1p_rev FROM bc GROUP BY cur
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bc)
+SELECT {big}.doc_id, count(*) AS n_bigrams,
+       {d.trunc6(f"avg(-ln({p_kn}))")} AS mean_kn_nll
+FROM {big}
+JOIN bc ON {big}.prev = bc.prev AND {big}.cur = bc.cur
+JOIN uc ON {big}.prev = uc.prev
+JOIN cont ON {big}.cur = cont.cur
+CROSS JOIN tot
+GROUP BY {big}.doc_id
+""".strip()
+
+
 def gen_langid_confusion(d: Dialect) -> str:
     """Language-ID confusion matrix: the per-doc :func:`gen_lang_id`
     predictions rolled up to (labeled lang × predicted lang) counts and

@@ -2109,6 +2109,23 @@ FROM files f
         "one order above unigram surprisal); bigram stream persisted once",
     )
 
+    def _b_kn_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        big = spark.sql(text.gen_bigram_relation(SPARK))
+        _persist_view(big, "_bigram_rel_kn")
+        return spark.sql(text.gen_kn_bigram_nll(SPARK, big_rel="_bigram_rel_kn"))
+
+    add(
+        "text_kn_bigram_nll",
+        _b_kn_bigram_nll,
+        text.gen_kn_bigram_nll(DUCK),
+        tags=("text", "quality"),
+        doc="per-doc mean bigram NLL under interpolated KNESER-NEY smoothing "
+        "(D=0.75, continuation counts from the reduced bigram relation) — "
+        "the KenLM-style smoothing upgrade of text_bigram_nll; all model "
+        "quantities exact integer counts, floats per-row only",
+    )
+
     from storage_crawler_spark.operators.pipeline import (
         gen_split_contamination,
         gen_training_pipeline,
@@ -3115,6 +3132,7 @@ _DRIVER_WINDOW_FIRST = (
     "embedding_pca_power",
     "sketch_heavy_hitters",
     "skew_salted_join",
+    "text_kn_bigram_nll",
     # reference report plane (§2 B-surface; find_extension port already
     # stamped via report_large_old_files r7 — extension_usage defers to r9)
     "report_duplicate_files",
@@ -3158,7 +3176,8 @@ _DRIVER_WINDOW_FIRST = (
     "text_boilerplate_ngrams",
     "text_typo_pairs",
     "text_quality_classifier",
-    "text_quality_by_source",
+    # (text_quality_by_source defers to r9 — same classifier machinery as
+    # text_quality_classifier, which keeps its slot)
     # ingest / lake / multimodal / streaming / analytics remainder
     "ingest_jsonl_fidelity",
     "ingest_csv_fidelity",

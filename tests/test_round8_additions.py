@@ -210,6 +210,45 @@ def test_pagerank_spark_duck_parity_on_random_fixture(spark):
 
 
 # ---------------------------------------------------------------------------
+# Kneser-Ney bigram NLL (text_kn_bigram_nll)
+# ---------------------------------------------------------------------------
+
+
+def test_kn_bigram_hand_computed():
+    import math
+
+    got = _duck(text.gen_kn_bigram_nll(DUCK), documents=_docs(["a b a b a c"]))
+    # bigrams: (a,b)x2 (b,a)x2 (a,c); c1(a)=3 n1+(a,*)=2; c1(b)=2 n1+(b,*)=1;
+    # n1+(*,b)=n1+(*,a)=n1+(*,c)=1; types=3
+    p_ab = (2 - 0.75) / 3 + 0.75 * 2 / 3 * (1 / 3)
+    p_ba = (2 - 0.75) / 2 + 0.75 * 1 / 2 * (1 / 3)
+    p_ac = (1 - 0.75) / 3 + 0.75 * 2 / 3 * (1 / 3)
+    want = -(2 * math.log(p_ab) + 2 * math.log(p_ba) + math.log(p_ac)) / 5
+    assert got["n_bigrams"] == [5]
+    assert abs(got["mean_kn_nll"][0] - want) < 1e-6
+
+
+def test_kn_continuation_beats_raw_frequency():
+    # 'francisco' is the most frequent continuation by raw count but has a
+    # single continuation TYPE; under KN its continuation probability term
+    # equals the once-seen words', so the doc of one-off pairs must NOT be
+    # penalized for lacking the high-frequency token (the classic KN
+    # motivation).  Concretely: P_cont is uniform across all four
+    # continuations here, so ranking depends only on the discounted term.
+    docs = ["san francisco " * 5, "the dog the cat the fox"]
+    got = _duck(text.gen_kn_bigram_nll(DUCK), documents=_docs(docs))
+    nll = dict(zip(got["doc_id"], got["mean_kn_nll"]))
+    assert set(nll) == {0, 1}
+    # the repeated-pair doc is highly predictable -> much lower NLL
+    assert nll[0] < nll[1]
+
+
+def test_kn_single_and_empty_docs_emit_nothing():
+    got = _duck(text.gen_kn_bigram_nll(DUCK), documents=_docs(["solo", None, ""]))
+    assert got["doc_id"] == []
+
+
+# ---------------------------------------------------------------------------
 # deterministic count-min heavy hitters (sketch_heavy_hitters)
 # ---------------------------------------------------------------------------
 

@@ -138,6 +138,10 @@ NLJ_ALLOWED = {
     # relations (epoch-1 and epoch-2 merge tables folded per word)
     "text_bpe_encode",
     "text_bpe_compression",
+    # Kneser-Ney: CROSS JOIN of the 1-row bigram-type total (the
+    # continuation-distribution normalizer) — same scalar shape as the
+    # add-one bigram scorer
+    "text_kn_bigram_nll",
 }
 
 # Queries that must not plan a Window operator (their aggregates are
