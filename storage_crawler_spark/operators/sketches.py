@@ -147,7 +147,13 @@ CMS_DEPTH = 4
 CMS_WIDTH = 1024
 
 
-def gen_cms_heavy_hitters(d, top_k: int = 20, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> str:
+def gen_cms_heavy_hitters(
+    d,
+    top_k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    sk_rel: str | None = None,
+) -> str:
     """Heavy-hitter audit via a DETERMINISTIC count-min sketch built in
     SQL: ``depth`` hash rows of ``width`` counters keyed by the frozen
     md5-derived 48-bit uniform (plans/dialect.py), so — unlike the binary
@@ -177,11 +183,13 @@ def gen_cms_heavy_hitters(d, top_k: int = 20, depth: int = CMS_DEPTH, width: int
         d.md5_key48("concat('cms', CAST(r AS STRING), ':', CAST(user_id AS STRING))")
         + f" % {width}"
     )
-    return f"""
-WITH ev AS (
-  SELECT user_id FROM events WHERE user_id IS NOT NULL
-),
-hashed AS (
+    # sk_rel substitutes pre-built counters (the STREAMING twin hands in
+    # the counter table its micro-batched aggregation produced — counters
+    # are sums, so any batch split yields the identical relation)
+    if sk_rel is not None:
+        sk_cte = f"sk AS (SELECT r, b, c FROM {sk_rel})"
+    else:
+        sk_cte = f"""hashed AS (
   SELECT user_id, r, CAST({bucket} AS BIGINT) AS b
   FROM ev
   {lat}
@@ -190,7 +198,12 @@ sk AS (
   SELECT r, b, CAST(count(*) AS BIGINT) AS c
   FROM hashed
   GROUP BY r, b
+)"""
+    return f"""
+WITH ev AS (
+  SELECT user_id FROM events WHERE user_id IS NOT NULL
 ),
+{sk_cte},
 users AS (
   SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n FROM ev GROUP BY user_id
 ),

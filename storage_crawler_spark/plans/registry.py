@@ -3022,6 +3022,31 @@ FROM files f
         "partial-combining and mergeable by addition",
     )
 
+    def _b_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from storage_crawler_spark.streaming import (
+            cms_counters,
+            read_events_stream,
+            run_to_completion,
+        )
+
+        sk = run_to_completion(cms_counters(read_events_stream(spark, sf_dir)))
+        sk.createOrReplaceTempView("_cms_stream_sk")
+        V.register_base_tables(spark, sf_dir, ("events",))
+        return spark.sql(sketches.gen_cms_heavy_hitters(SPARK, sk_rel="_cms_stream_sk"))
+
+    add(
+        "streaming_cms_hitters",
+        _b_streaming_cms,
+        sketches.gen_cms_heavy_hitters(DUCK),
+        tags=("streaming", "sketch"),
+        doc="streaming twin of sketch_heavy_hitters: the 4x1024 count-min "
+        "counters maintained incrementally over the event file-stream "
+        "(bounded state regardless of volume; counters are sums, so any "
+        "micro-batch split is exact), estimate/top-k finished batch-side; "
+        "oracle is the one-shot batch formulation — a hash-exact "
+        "streaming/batch equivalence gate",
+    )
+
     add(
         "skew_salted_join",
         _b_salted_join,
@@ -3133,6 +3158,7 @@ _DRIVER_WINDOW_FIRST = (
     "sketch_heavy_hitters",
     "skew_salted_join",
     "text_kn_bigram_nll",
+    "streaming_cms_hitters",
     # reference report plane (§2 B-surface; find_extension port already
     # stamped via report_large_old_files r7 — extension_usage defers to r9)
     "report_duplicate_files",
@@ -3156,7 +3182,8 @@ _DRIVER_WINDOW_FIRST = (
     "sample_neyman_allocation",
     "pipeline_shard_plan",
     "pipeline_mixture_quota",
-    "pipeline_mixture_apply",
+    # (pipeline_mixture_apply defers to r9 — third entry of the mixture
+    # family; quota + domain_mixture keep slots)
     "pipeline_domain_mixture",
     "pipeline_dedup_funnel",
     "pipeline_split_contamination",

@@ -18,6 +18,7 @@ This package re-expresses those semantics on Spark Structured Streaming:
 
 from storage_crawler_spark.streaming.events import (
     attribution_join,
+    cms_counters,
     read_events_stream,
     stream_dedup,
     user_sessions,
@@ -31,6 +32,7 @@ from storage_crawler_spark.streaming.stateful import per_key_deltas, rate_anomal
 
 __all__ = [
     "attribution_join",
+    "cms_counters",
     "read_events_stream",
     "stream_dedup",
     "user_sessions",

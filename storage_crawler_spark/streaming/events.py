@@ -229,3 +229,26 @@ def run_to_completion(
     )
     query.awaitTermination()
     return spark.table(qname)
+
+
+def cms_counters(events: DataFrame, depth: int = 4, width: int = 1024) -> DataFrame:
+    """Streaming count-min counters: the (r, b)-keyed counter table of
+    operators/sketches.gen_cms_heavy_hitters, maintained incrementally —
+    the md5 bucket derivation happens map-side per micro-batch and the
+    counts partial-combine into bounded state (depth x width rows TOTAL,
+    regardless of stream volume: the defining property of the sketch).
+    Counters are pure sums, so ANY micro-batch split yields the identical
+    final relation — which is exactly what the oracle gate checks against
+    the one-shot batch formulation."""
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    bucket = (
+        SPARK.md5_key48("concat('cms', CAST(r AS STRING), ':', CAST(user_id AS STRING))")
+        + f" % {width}"
+    )
+    expanded = (
+        events.filter(F.col("user_id").isNotNull())
+        .select("user_id", F.explode(F.array(*[F.lit(r) for r in range(1, depth + 1)])).alias("r"))
+        .select("r", F.expr(f"CAST({bucket} AS BIGINT)").alias("b"))
+    )
+    return expanded.groupBy("r", "b").agg(F.count(F.lit(1)).cast("long").alias("c"))

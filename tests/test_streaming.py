@@ -184,3 +184,36 @@ def test_streaming_rate_anomaly_matches_batch(spark):
                 "trail_mean", "trail_std", "z")
     assert got == batch_rows
     assert len(got) > 0  # the synthetic events do contain anomalies
+
+
+def test_cms_counters_invariant_under_microbatch_split(spark, tmp_path):
+    """Count-min counters are sums, so splitting the input into several
+    micro-batches (one file per trigger) must yield the exact counter
+    relation the one-shot batch aggregation produces."""
+    from storage_crawler_spark.plans.dialect import SPARK
+    from storage_crawler_spark.streaming import cms_counters, run_to_completion
+
+    ev = _batch_events(spark).select("event_id", "ts", "user_id", "event_type", "value")
+    # three files -> three AvailableNow micro-batches with maxFilesPerTrigger=1
+    ev.repartition(3).write.mode("overwrite").parquet(str(tmp_path / "evs"))
+    schema = spark.read.parquet(str(tmp_path / "evs")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "evs"))
+    )
+    stream_sk = run_to_completion(cms_counters(stream))
+
+    ev.filter(F.col("user_id").isNotNull()).createOrReplaceTempView("_cms_ev")
+    bucket = SPARK.md5_key48(
+        "concat('cms', CAST(r AS STRING), ':', CAST(user_id AS STRING))"
+    ) + " % 1024"
+    batch_sk = spark.sql(
+        f"""
+SELECT r, CAST({bucket} AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS c
+FROM _cms_ev LATERAL VIEW explode(sequence(1, 4)) _t AS r
+GROUP BY r, b
+""".strip()
+    )
+    assert _rows(stream_sk, "r", "b", "c") == _rows(batch_sk, "r", "b", "c")
+    assert stream_sk.count() <= 4 * 1024  # bounded state
