@@ -342,3 +342,47 @@ SELECT p.n_docs,
        {d.trunc6(d.amax('v.means'))} AS rep_max
 FROM point p CROSS JOIN var_rel v
 """.strip()
+
+
+def gen_dp_release(d: Dialect, eps: float = 1.0, seed: str = "dp") -> str:
+    """Differentially-private RELEASE AUDIT of the per-source document
+    counts: each count gets Laplace(sensitivity/eps) noise (sensitivity 1
+    for a per-source count under add/remove-one adjacency), and the query
+    emits the released value NEXT TO the exact count, the realized noise,
+    and a flag for the 99th-percentile Laplace band — the
+    privacy/utility readout a data-release pipeline signs off on.
+
+    Determinism (the bootstrap-CI discipline): the Laplace draw is the
+    inverse CDF applied to the frozen md5-uniform of (seed, source) — a
+    pure function, so the 'noise' is rerun- and engine-stable and the
+    whole release is oracle-gated.  A production release would rotate the
+    seed per release epoch; the AUDIT columns (exact, noise) stay behind
+    the trust boundary — only ``released`` ships.
+
+    The inverse-CDF argument is clamped at 1e-12 (u can land exactly on
+    the 2^-48 lattice edge where 1-2|u-1/2| = 0 and ln would be -inf).
+
+    100 TB shape: one pruned scan, one partial-combining aggregate on
+    source, map-side noise derivation — the privacy layer adds zero
+    shuffles."""
+    b = 1.0 / eps
+    u_key = d.md5_key48("source", seed)
+    u = f"(CAST({u_key} AS DOUBLE) / 281474976710656.0e0)"
+    mag = f"greatest(1e-12, 1.0e0 - 2.0e0 * abs({u} - 0.5e0))"
+    sign = f"(CASE WHEN {u} >= 0.5e0 THEN 1.0e0 ELSE -1.0e0 END)"
+    noise = f"(-{b}e0 * {sign} * ln({mag}))"
+    bound_99 = f"{b}e0 * ln(100.0e0)"
+    return f"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS exact_n
+  FROM documents GROUP BY source
+)
+SELECT source, exact_n,
+       {d.trunc6(noise)} AS noise,
+       {d.trunc6(f"CAST(exact_n AS DOUBLE) + {noise}")} AS released,
+       {d.trunc6(f"abs({noise})")} AS abs_err,
+       CAST(abs({noise}) <= {bound_99} AS INT) AS within_p99,
+       {eps}e0 AS epsilon
+FROM counts
+ORDER BY source
+""".strip()

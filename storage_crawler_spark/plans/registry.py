@@ -2747,6 +2747,26 @@ FROM files f
         "fidelity fingerprint",
     )
 
+    def _b_ivm_agg(spark, sf_dir):
+        from storage_crawler_spark.sources.ingest import gen_ivm_agg
+
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        return spark.sql(gen_ivm_agg(SPARK))
+
+    from storage_crawler_spark.sources.ingest import gen_ivm_agg as _gen_ivm
+
+    add(
+        "ingest_ivm_agg",
+        _b_ivm_agg,
+        _gen_ivm(DUCK),
+        tags=("ingest", "lake"),
+        doc="incremental view maintenance of the per-source aggregate under "
+        "the CDC batch: base + O(|changes|) delta next to the full "
+        "post-merge recompute with a per-row consistency flag — the "
+        "delta-vs-recompute lakehouse maintenance decision, checked not "
+        "asserted",
+    )
+
     b, o = _sql_pair(similarity.gen_dim_stats, ("embeddings",))
     add(
         "embedding_dim_stats",
@@ -3058,6 +3078,19 @@ FROM files f
         "the oracle",
     )
 
+    b, o = _sql_pair(sampling.gen_dp_release, ("documents",))
+    add(
+        "pipeline_dp_release",
+        b,
+        o,
+        tags=("pipeline", "privacy", "sampling"),
+        doc="differentially-private release audit of per-source counts: "
+        "frozen-Laplace(1/eps) noise from the md5 uniform (bootstrap-CI "
+        "discipline) with exact count, realized noise, released value, "
+        "and the 99th-percentile band flag side by side; map-side noise, "
+        "zero extra shuffles",
+    )
+
     add(
         "embedding_pca_power",
         _b_pca_power,
@@ -3159,6 +3192,8 @@ _DRIVER_WINDOW_FIRST = (
     "skew_salted_join",
     "text_kn_bigram_nll",
     "streaming_cms_hitters",
+    "ingest_ivm_agg",
+    "pipeline_dp_release",
     # reference report plane (§2 B-surface; find_extension port already
     # stamped via report_large_old_files r7 — extension_usage defers to r9)
     "report_duplicate_files",
@@ -3168,7 +3203,8 @@ _DRIVER_WINDOW_FIRST = (
     # dedup plane
     "dedup_minhash_incremental",
     "dedup_paragraphs",
-    "dedup_cluster_sizes",
+    # (dedup_cluster_sizes defers to r9 — the cluster machinery keeps its
+    # slot via dedup_semantic_clusters + the CC pytest battery)
     "dedup_semantic_clusters",
     "dedup_embedding_exact",
     "dedup_embedding_incremental",
@@ -3176,7 +3212,8 @@ _DRIVER_WINDOW_FIRST = (
     "sim_rp_lsh_topk",
     "sim_hard_negatives",
     "embedding_stats_audit",
-    "embedding_label_outliers",
+    # (embedding_label_outliers defers to r9 — the embedding-audit family
+    # keeps stats_audit + centroid_confusion slots)
     "embedding_centroid_confusion",
     # sampling / shard / mixture
     "sample_neyman_allocation",

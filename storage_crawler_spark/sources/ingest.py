@@ -324,7 +324,20 @@ def gen_cdc_upsert(d) -> str:
     stays below the 1M re-landing offset (documented precondition).
     """
     return f"""
-WITH upd AS (
+WITH {cdc_change_ctes()}
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       {_modsum_expr(_digest_expr(d))} AS text_digest_sum
+FROM merged
+GROUP BY source
+ORDER BY source
+""".strip()
+
+
+def cdc_change_ctes() -> str:
+    """Shared CTE chain (upd/del/ins/merged) of the deterministic CDC
+    batch — the change convention both the MERGE entry and the IVM entry
+    maintain against (dialect-free: pure concat/length/modular SQL)."""
+    return """upd AS (
   SELECT doc_id, text || ' [updated]' AS text, lang, source,
          CAST(length(text || ' [updated]') AS BIGINT) AS n_chars
   FROM documents
@@ -347,10 +360,64 @@ merged AS (
   SELECT doc_id, text, lang, source, n_chars FROM upd
   UNION ALL
   SELECT doc_id, text, lang, source, n_chars FROM ins
+)"""
+
+
+def gen_ivm_agg(d) -> str:
+    """Incremental view maintenance of the per-source (count, chars)
+    aggregate under the SAME deterministic CDC batch gen_cdc_upsert
+    merges: the maintained view is base_agg + delta (updates contribute
+    chars difference, deletes -1/-chars, inserts +1/+chars) — never
+    rescanning the base corpus — and the query emits the incrementally
+    maintained values NEXT TO the full post-merge recompute with a
+    consistency flag, so the IVM identity is checked row-by-row by the
+    oracle gate rather than asserted.
+
+    This is the lakehouse maintenance decision at 100 TB: the delta path
+    touches O(|changes|) rows (three map-side filters + a tiny per-source
+    aggregate folded into the base view), the recompute path O(|corpus|)
+    — the recompute here is the AUDIT side, exactly like the sketch
+    entries carry their exact twin.  A FULL OUTER JOIN keeps sources that
+    exist on only one side (e.g. fully-deleted) visible as inconsistent
+    rather than silently dropped.  The modular text-digest fingerprint is
+    likewise delta-maintainable (add new, subtract old, mod p); count and
+    chars keep this entry's algebra transparent.
+    """
+    return f"""
+WITH {cdc_change_ctes()},
+base_agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS s0
+  FROM documents GROUP BY source
+),
+deltas AS (
+  SELECT upd.source, CAST(0 AS BIGINT) AS dn,
+         CAST(upd.n_chars AS BIGINT) - CAST(coalesce(b.n_chars, 0) AS BIGINT) AS ds
+  FROM upd JOIN documents b ON b.doc_id = upd.doc_id
+  UNION ALL
+  SELECT b.source, CAST(-1 AS BIGINT), -CAST(coalesce(b.n_chars, 0) AS BIGINT)
+  FROM documents b JOIN del ON b.doc_id = del.doc_id
+  UNION ALL
+  SELECT source, CAST(1 AS BIGINT), CAST(n_chars AS BIGINT) FROM ins
+),
+delta_agg AS (
+  SELECT source, CAST(sum(dn) AS BIGINT) AS dn, CAST(sum(ds) AS BIGINT) AS ds
+  FROM deltas GROUP BY source
+),
+ivm AS (
+  SELECT b.source, b.n0 + coalesce(da.dn, 0) AS n_docs_ivm,
+         b.s0 + coalesce(da.ds, 0) AS sum_chars_ivm
+  FROM base_agg b LEFT JOIN delta_agg da ON b.source = da.source
+),
+full_agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_full,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars_full
+  FROM merged GROUP BY source
 )
-SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-       {_modsum_expr(_digest_expr(d))} AS text_digest_sum
-FROM merged
-GROUP BY source
+SELECT coalesce(i.source, f.source) AS source,
+       i.n_docs_ivm, i.sum_chars_ivm, f.n_docs_full, f.sum_chars_full,
+       CAST(i.n_docs_ivm = f.n_docs_full AND i.sum_chars_ivm = f.sum_chars_full AS INT)
+         AS consistent
+FROM ivm i FULL OUTER JOIN full_agg f ON i.source = f.source
 ORDER BY source
 """.strip()

@@ -210,6 +210,89 @@ def test_pagerank_spark_duck_parity_on_random_fixture(spark):
 
 
 # ---------------------------------------------------------------------------
+# incremental view maintenance (ingest_ivm_agg)
+# ---------------------------------------------------------------------------
+
+
+def _docs_ids(rows):
+    # rows: (doc_id, text, source)
+    return pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": [r[2] for r in rows],
+            "n_chars": [len(r[1]) if r[1] is not None else 0 for r in rows],
+        }
+    )
+
+
+def test_ivm_agg_consistent_on_planted_changes():
+    from storage_crawler_spark.sources.ingest import gen_ivm_agg
+
+    # doc 10: updated (%10=0, %17=10); doc 3: deleted (%17=3); doc 5:
+    # re-inserted (%23=5); doc 7 untouched.  (NOT doc 20 — 20%17=3 makes
+    # it a delete-wins case, the trap this fixture originally hit.)
+    rows = [(10, "twenty chars here!", "a"), (3, "deleted", "a"),
+            (5, "insert me", "b"), (7, "plain", "b")]
+    got = _duck(gen_ivm_agg(DUCK), documents=_docs_ids(rows))
+    out = {s: (ni, si, nf, sf, c) for s, ni, si, nf, sf, c
+           in zip(got["source"], got["n_docs_ivm"], got["sum_chars_ivm"],
+                  got["n_docs_full"], got["sum_chars_full"], got["consistent"])}
+    assert all(v[4] == 1 for v in out.values())
+    # source a: doc3 deleted, doc20 updated (+len(' [updated]')=10 chars)
+    assert out["a"][0] == 1 and out["a"][1] == len("twenty chars here!") + 10
+    # source b: doc5 duplicated by the insert
+    assert out["b"][0] == 3 and out["b"][1] == 2 * len("insert me") + len("plain")
+
+
+def test_ivm_agg_fully_deleted_source_stays_visible():
+    from storage_crawler_spark.sources.ingest import gen_ivm_agg
+
+    # source 'gone' holds only doc 3 (deleted): IVM row shows 0 docs, the
+    # recompute side has no row — FULL OUTER JOIN keeps it, flagged
+    # inconsistent (NULL != 0 -> consistent NULL/0, never silently equal)
+    rows = [(3, "bye", "gone"), (7, "stay", "keep")]
+    got = _duck(gen_ivm_agg(DUCK), documents=_docs_ids(rows))
+    out = dict(zip(got["source"], zip(got["n_docs_ivm"], got["n_docs_full"], got["consistent"])))
+    assert out["keep"] == (1, 1, 1)
+    assert out["gone"][0] == 0 and out["gone"][1] is None and out["gone"][2] != 1
+
+
+# ---------------------------------------------------------------------------
+# DP release audit (pipeline_dp_release)
+# ---------------------------------------------------------------------------
+
+
+def test_dp_release_noise_frozen_and_accounted():
+    from storage_crawler_spark.operators.sampling import gen_dp_release
+
+    docs = _docs(["x"] * 6, sources=["s0", "s0", "s0", "s1", "s1", "s2"])
+    a = _duck(gen_dp_release(DUCK), documents=docs)
+    b = _duck(gen_dp_release(DUCK), documents=docs)
+    assert a == b  # frozen noise: rerun-identical
+    for exact, noise, released, abs_err in zip(
+        a["exact_n"], a["noise"], a["released"], a["abs_err"]
+    ):
+        assert abs((exact + noise) - released) < 2e-6
+        assert abs(abs_err - abs(noise)) < 2e-6
+    # different seed -> different noise (same exact counts)
+    c = _duck(gen_dp_release(DUCK, seed="dp2"), documents=docs)
+    assert c["exact_n"] == a["exact_n"] and c["noise"] != a["noise"]
+
+
+def test_dp_release_scale_tracks_epsilon():
+    from storage_crawler_spark.operators.sampling import gen_dp_release
+
+    docs = _docs(["x"] * 4, sources=["s0", "s1", "s2", "s3"])
+    tight = _duck(gen_dp_release(DUCK, eps=10.0), documents=docs)
+    loose = _duck(gen_dp_release(DUCK, eps=0.1), documents=docs)
+    # same uniform, scale b = 1/eps: noise ratio is exactly 100x
+    for t, l in zip(tight["noise"], loose["noise"]):
+        assert abs(l - 100 * t) < 1e-3
+
+
+# ---------------------------------------------------------------------------
 # Kneser-Ney bigram NLL (text_kn_bigram_nll)
 # ---------------------------------------------------------------------------
 
