@@ -821,3 +821,63 @@ FROM _pagerank_final
 ORDER BY rnk
 """.strip()
     )
+
+
+def gen_ab_test(d: Dialect, seed: str = "ab", metric_type: str = "purchase") -> str:
+    """Two-proportion z-test between deterministic A/B cohorts: every
+    event inherits its user's cohort (parity of the frozen md5 uniform —
+    the assignment a real experiment framework would persist) and the
+    compared metric is the ``metric_type`` share of events — pooled-
+    variance z-score with 95%/99% significance flags, the experiment
+    readout every event pipeline ends at.  (Binary per-user conversion is
+    degenerate on streams where every user eventually converts — rate 1.0
+    in both arms, z = 0/0 — which is exactly what the synthetic stream
+    exhibits; the event-share metric stays informative.  A production
+    variant would add a clustered-SE correction for the user-level
+    assignment; the pooled z here is the standard first readout.)
+
+    The split is a pure function of (seed, user_id), so cohort
+    assignment, rates, and the z-score are engine- and rerun-stable; with
+    no planted effect the test should accept H0 (|z| < 1.96) — the null
+    calibration IS the audit.  erf/normal-CDF p-values are deliberately
+    absent (engines disagree on erf availability); the two
+    critical-value flags carry the decision.
+
+    One scan -> 2-group partial-combining aggregate -> 1-row arithmetic.
+    Zero-denominator guards via nullif so an empty cohort yields NULL z,
+    not an engine-divergent division."""
+    u_key = d.md5_key48("CAST(user_id AS STRING)", seed)
+    z_num = "(pa - pb)"
+    z_den = "sqrt(nullif(p_pool * (1.0e0 - p_pool) * (1.0e0 / na + 1.0e0 / nb), 0.0e0))"
+    return f"""
+WITH g AS (
+  SELECT CAST({u_key} % 2 AS INT) AS grp,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(CASE WHEN event_type = '{metric_type}' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_converted
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY grp
+),
+wide AS (
+  SELECT CAST(max(CASE WHEN grp = 0 THEN n_users END) AS DOUBLE) AS na,
+         CAST(max(CASE WHEN grp = 0 THEN n_converted END) AS DOUBLE) AS ca,
+         CAST(max(CASE WHEN grp = 1 THEN n_users END) AS DOUBLE) AS nb,
+         CAST(max(CASE WHEN grp = 1 THEN n_converted END) AS DOUBLE) AS cb
+  FROM g
+),
+rates AS (
+  SELECT na, ca, nb, cb,
+         ca / nullif(na, 0.0e0) AS pa,
+         cb / nullif(nb, 0.0e0) AS pb,
+         (ca + cb) / nullif(na + nb, 0.0e0) AS p_pool
+  FROM wide
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+       CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+       {d.trunc6('pa')} AS rate_a, {d.trunc6('pb')} AS rate_b,
+       {d.trunc6('pa - pb')} AS lift,
+       {d.trunc6(f'{z_num} / {z_den}')} AS z_score,
+       CAST(abs({z_num} / {z_den}) > 1.96e0 AS INT) AS significant_95,
+       CAST(abs({z_num} / {z_den}) > 2.576e0 AS INT) AS significant_99
+FROM rates
+""".strip()

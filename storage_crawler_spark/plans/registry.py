@@ -3078,6 +3078,18 @@ FROM files f
         "the oracle",
     )
 
+    b, o = _sql_pair(analytics.gen_ab_test, ("events",))
+    add(
+        "events_ab_test",
+        b,
+        o,
+        tags=("events", "analytics"),
+        doc="two-proportion z-test between frozen md5-parity A/B cohorts "
+        "on the purchase-share metric: rates, lift, pooled z-score, "
+        "95/99 significance flags — null-calibrated on the unplanted "
+        "stream; one scan, 2-group aggregate, 1-row arithmetic",
+    )
+
     b, o = _sql_pair(sampling.gen_dp_release, ("documents",))
     add(
         "pipeline_dp_release",
@@ -3194,6 +3206,7 @@ _DRIVER_WINDOW_FIRST = (
     "streaming_cms_hitters",
     "ingest_ivm_agg",
     "pipeline_dp_release",
+    "events_ab_test",
     # reference report plane (§2 B-surface; find_extension port already
     # stamped via report_large_old_files r7 — extension_usage defers to r9)
     "report_duplicate_files",
@@ -3207,7 +3220,8 @@ _DRIVER_WINDOW_FIRST = (
     # slot via dedup_semantic_clusters + the CC pytest battery)
     "dedup_semantic_clusters",
     "dedup_embedding_exact",
-    "dedup_embedding_incremental",
+    # (dedup_embedding_incremental defers to r9 — the incremental-probe
+    # shape keeps its slot via dedup_minhash_incremental)
     # similarity / embedding plane
     "sim_rp_lsh_topk",
     "sim_hard_negatives",

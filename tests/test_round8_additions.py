@@ -293,6 +293,63 @@ def test_dp_release_scale_tracks_epsilon():
 
 
 # ---------------------------------------------------------------------------
+# A/B proportion test (events_ab_test)
+# ---------------------------------------------------------------------------
+
+
+def test_ab_test_planted_effect_detected_and_null_accepted():
+    import math
+
+    from storage_crawler_spark.operators.analytics import gen_ab_test
+
+    # find users on each side of the md5-parity split, then plant a huge
+    # purchase-share difference between the arms
+    from storage_crawler_spark.plans.dialect import DUCK as D
+    import duckdb as dk
+
+    con = dk.connect()
+    grp_of = {}
+    for u in range(40):
+        key = D.md5_key48(f"CAST({u} AS STRING)", "ab")
+        grp_of[u] = con.execute(f"SELECT CAST({key} % 2 AS INT)").fetchone()[0]
+    a_users = [u for u, g in grp_of.items() if g == 0][:5]
+    b_users = [u for u, g in grp_of.items() if g == 1][:5]
+    rows, eid = [], 0
+    for u in a_users:  # arm A: 80% purchases
+        for i in range(50):
+            t = "purchase" if i % 5 != 0 else "view"
+            rows.append((eid, 1000 + eid, u, t, 1.0, None)); eid += 1
+    for u in b_users:  # arm B: 20% purchases
+        for i in range(50):
+            t = "purchase" if i % 5 == 0 else "view"
+            rows.append((eid, 1000 + eid, u, t, 1.0, None)); eid += 1
+    got = _duck(gen_ab_test(DUCK), events=_events(rows))
+    assert got["n_a"] == [250] and got["n_b"] == [250]
+    assert got["significant_99"] == [1]
+    # hand-check the pooled z
+    pa, pb, pp = 0.8, 0.2, 0.5
+    z = (pa - pb) / math.sqrt(pp * 0.5 * (1 / 250 + 1 / 250))
+    assert abs(got["z_score"][0] - z) < 1e-4
+
+    # null: identical behavior in both arms -> |z| small, not significant.
+    # moduli 7 and 40 are coprime, so every user gets the same 1/7
+    # purchase share (i % 5 with 40 users would give users = 0 mod 5 ALL
+    # the purchases — a planted effect by accident)
+    null_rows = [(i, 1000 + i, i % 40, "purchase" if i % 7 == 0 else "view", 1.0, None)
+                 for i in range(2000)]
+    got0 = _duck(gen_ab_test(DUCK), events=_events(null_rows))
+    assert got0["significant_95"] == [0]
+
+
+def test_ab_test_empty_cohort_yields_null_not_error():
+    from storage_crawler_spark.operators.analytics import gen_ab_test
+
+    rows = [(0, 1000, 2, "view", 1.0, None)]  # single user -> one arm empty
+    got = _duck(gen_ab_test(DUCK), events=_events(rows))
+    assert got["z_score"] == [None]
+
+
+# ---------------------------------------------------------------------------
 # Kneser-Ney bigram NLL (text_kn_bigram_nll)
 # ---------------------------------------------------------------------------
 
