@@ -834,6 +834,34 @@ dims AS (SELECT dim FROM m1),
 tr AS (SELECT CAST(sum(c) AS BIGINT) AS trace FROM cmat WHERE i = j)"""
 
 
+def _pca_chain(d: Dialect, k: int = PCA_ITERS) -> str:
+    """Unrolled power-iteration CTE chain ending in p{k} (dim, v) and
+    mx{k} (the final normalizer scalar) — shared by the fit readout
+    (gen_pca_power) and the projection (gen_pca_project)."""
+    mat = " MATERIALIZED" if d.name == "duck" else ""
+    parts = [pca_cte_base(d)]
+    parts.append(f"p0 AS{mat} (SELECT dim, CAST({PCA_VS} AS BIGINT) AS v FROM dims)")
+    for it in range(1, k + 1):
+        prev = f"p{it - 1}"
+        parts.append(
+            f"""w{it} AS{mat} (
+  SELECT cmat.i AS dim, CAST(sum(cmat.c * p.v) AS BIGINT) AS w
+  FROM cmat JOIN {prev} p ON cmat.j = p.dim
+  GROUP BY cmat.i
+)"""
+        )
+        parts.append(
+            f"""mx{it} AS (SELECT greatest(CAST(max(abs(w)) AS BIGINT), 1) AS m FROM w{it})"""
+        )
+        parts.append(
+            f"""p{it} AS{mat} (
+  SELECT dim, CAST({_sgn_div(d, f'w * {PCA_VS}', 'mx.m')} AS BIGINT) AS v
+  FROM w{it} CROSS JOIN mx{it} mx
+)"""
+        )
+    return ",\n".join(parts)
+
+
 def gen_pca_power(d: Dialect, k: int = PCA_ITERS) -> str:
     """Top principal direction of the embedding store via ``k`` unrolled
     power-iteration steps on the integer-lattice scatter matrix — the
@@ -863,28 +891,7 @@ def gen_pca_power(d: Dialect, k: int = PCA_ITERS) -> str:
     driver.  The d x (d+1)/2 blowup of the moment explode is the same
     irreducible Gram cost gen_corr_audit pays.
     """
-    mat = " MATERIALIZED" if d.name == "duck" else ""
-    parts = [pca_cte_base(d)]
-    parts.append(f"p0 AS{mat} (SELECT dim, CAST({PCA_VS} AS BIGINT) AS v FROM dims)")
-    for it in range(1, k + 1):
-        prev = f"p{it - 1}"
-        parts.append(
-            f"""w{it} AS{mat} (
-  SELECT cmat.i AS dim, CAST(sum(cmat.c * p.v) AS BIGINT) AS w
-  FROM cmat JOIN {prev} p ON cmat.j = p.dim
-  GROUP BY cmat.i
-)"""
-        )
-        parts.append(
-            f"""mx{it} AS (SELECT greatest(CAST(max(abs(w)) AS BIGINT), 1) AS m FROM w{it})"""
-        )
-        parts.append(
-            f"""p{it} AS{mat} (
-  SELECT dim, CAST({_sgn_div(d, f'w * {PCA_VS}', 'mx.m')} AS BIGINT) AS v
-  FROM w{it} CROSS JOIN mx{it} mx
-)"""
-        )
-    chain = ",\n".join(parts)
+    chain = _pca_chain(d, k)
     share = d.trunc6(
         f"CAST(mx.m AS DOUBLE) / {PCA_VS}.0e0 / CAST(greatest(tr.trace, 1) AS DOUBLE)"
     )
@@ -898,34 +905,24 @@ ORDER BY dim
 """.strip()
 
 
-def pca_power_embeddings(spark, k: int = PCA_ITERS):
-    """Spark engine path for :func:`gen_pca_power`: one distributed moment
-    pass builds the BIGINT scatter matrix (persisted), then ``k`` exact
-    integer power-iteration steps over d/d^2-row relations, checkpointing
-    each; driver state is the max-abs normalizer scalar per step (O(k)
-    1-row collects, the k-means/PageRank contract)."""
-    from pyspark.sql import functions as F
-
+def _pca_fit(spark, k: int = PCA_ITERS):
+    """Shared fit loop for the PCA entries: one distributed moment pass
+    builds the d^2 BIGINT scatter matrix — bounded MODEL STATE (d =
+    embedding width) regardless of corpus size, the k-means-centroid
+    contract — then the k power steps run on the driver in exact Python
+    integers (arbitrary precision ⊇ BIGINT; // on non-negatives ==
+    truncating div) instead of paying k tiny-job round-trips.  The
+    oracle's unrolled relational chain is the shape this loop would take
+    if d ever outgrew the driver.  Returns (v: dim->scaled loading, m:
+    final normalizer, trace) or None on an empty store."""
     from storage_crawler_spark.plans.dialect import SPARK
 
     base = pca_cte_base(SPARK)
-    # the CORPUS work — collapsing n vectors to the d^2 BIGINT scatter
-    # matrix — is one distributed moment pass; the matrix itself is
-    # bounded MODEL STATE (d = embedding width, so d^2 rows ~ thousands
-    # regardless of corpus size — the k-means-centroid contract), so the
-    # k power steps run on the driver in exact Python integers (arbitrary
-    # precision ⊇ BIGINT; // on non-negatives == truncating div) instead
-    # of paying 30 tiny-job round-trips.  The oracle's unrolled relational
-    # chain is the shape the loop would take if d ever outgrew the driver.
     rows = spark.sql(
         f"WITH {base} SELECT c.i, c.j, c.c, tr.trace FROM cmat c CROSS JOIN tr"
     ).collect()
     if not rows:
-        return spark.sql(
-            "SELECT CAST(NULL AS INT) AS dim, CAST(NULL AS BIGINT) AS loading_scaled, "
-            "CAST(NULL AS DOUBLE) AS loading, CAST(NULL AS DOUBLE) AS top_eig_share "
-            "WHERE 1 = 0"
-        )
+        return None
     trace = rows[0][3]
     VS = PCA_VS
     by_i: dict[int, list[tuple[int, int]]] = {}
@@ -940,6 +937,28 @@ def pca_power_embeddings(spark, k: int = PCA_ITERS):
             dim: (x * VS) // m if x >= 0 else -((-x * VS) // m)
             for dim, x in w.items()
         }
+    return v, m, trace
+
+
+def pca_power_embeddings(spark, k: int = PCA_ITERS):
+    """Spark engine path for :func:`gen_pca_power`: one distributed moment
+    pass builds the BIGINT scatter matrix (persisted), then ``k`` exact
+    integer power-iteration steps over d/d^2-row relations, checkpointing
+    each; driver state is the max-abs normalizer scalar per step (O(k)
+    1-row collects, the k-means/PageRank contract)."""
+    from pyspark.sql import functions as F
+
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    fit = _pca_fit(spark, k)
+    if fit is None:
+        return spark.sql(
+            "SELECT CAST(NULL AS INT) AS dim, CAST(NULL AS BIGINT) AS loading_scaled, "
+            "CAST(NULL AS DOUBLE) AS loading, CAST(NULL AS DOUBLE) AS top_eig_share "
+            "WHERE 1 = 0"
+        )
+    v, m, trace = fit
+    VS = PCA_VS
     tr = max(int(trace or 0), 1)
     out = spark.createDataFrame(sorted(v.items()), "dim BIGINT, v BIGINT")
     out.createOrReplaceTempView("_pca_final")
@@ -951,5 +970,103 @@ SELECT CAST(dim AS INT) AS dim, v AS loading_scaled,
        {loading} AS loading, {share} AS top_eig_share
 FROM _pca_final
 ORDER BY dim
+""".strip()
+    )
+
+
+def gen_pca_project(d: Dialect, k: int = PCA_ITERS) -> str:
+    """APPLY step of the PCA entry: project every embedding onto the
+    learned top principal direction and report per-label score
+    statistics — does the dominant variance direction separate the
+    labels?  (The readout that decides whether 1-D PCA compression keeps
+    the label structure, closing fit -> apply the way text_bpe_encode
+    closes it for the tokenizer.)
+
+    Scores are EXACT BIGINTs: sum_j floor(x_j * Q) * v_j with the
+    integer loading vector — per-vector products bounded by
+    d * 2^19 * VS ~ 3.4e13 at d=64, far inside BIGINT — so per-label
+    sum/min/max are exact and the normalized doubles divide exact
+    integers by constants (no order-dependent float sums).
+
+    Oracle formulation: the unrolled fit chain feeds a relational
+    projection (explode -> equi-join on dim -> per-vector sum, all
+    partial-combining).  The Spark engine path inlines the fitted vector
+    as a literal array so projection is a pure map over the scan —
+    see :func:`pca_project_embeddings`.
+    """
+    chain = _pca_chain(d, k)
+    ev = d.cast_double_arr("embedding")
+    lat_i = d.lateral_seq("1", d.size("ev"), "i")
+    xq = f"CAST(floor({d.elem('ev', 'i')} * {PCA_Q}.0e0) AS BIGINT)"
+    denom = f"({PCA_Q}.0e0 * {PCA_VS}.0e0)"
+    return f"""
+WITH {chain},
+vlab AS (
+  SELECT vec_id, label, {ev} AS ev FROM embeddings
+  WHERE embedding IS NOT NULL AND {d.size(d.cast_double_arr('embedding'))} >= 2
+),
+comps AS (
+  SELECT vec_id, label, i, {xq} AS xq FROM vlab {lat_i}
+),
+scores AS (
+  SELECT c.vec_id, c.label, CAST(sum(c.xq * p.v) AS BIGINT) AS s
+  FROM comps c JOIN p{k} p ON c.i = p.dim
+  GROUP BY c.vec_id, c.label
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       {d.trunc6(f"CAST(sum(s) AS DOUBLE) / count(*) / {denom}")} AS mean_score,
+       {d.trunc6(f"CAST(min(s) AS DOUBLE) / {denom}")} AS min_score,
+       {d.trunc6(f"CAST(max(s) AS DOUBLE) / {denom}")} AS max_score
+FROM scores
+GROUP BY label
+ORDER BY label
+""".strip()
+
+
+def pca_project_embeddings(spark, k: int = PCA_ITERS):
+    """Spark engine path for :func:`gen_pca_project`: fit via the shared
+    driver loop, then inline the d-element integer loading vector as a
+    LITERAL SQL array so the projection is a single map-side fold inside
+    the scan stage — no join, no explode; one partial-combining per-label
+    aggregate is the only shuffle.  The apply pass never touches the
+    scatter matrix again: exactly how a 100 TB store would score
+    embeddings against a trained direction shipped with the job."""
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    fit = _pca_fit(spark, k)
+    if fit is None:
+        return spark.sql(
+            "SELECT CAST(NULL AS INT) AS label, CAST(NULL AS BIGINT) AS n_vecs, "
+            "CAST(NULL AS DOUBLE) AS mean_score, CAST(NULL AS DOUBLE) AS min_score, "
+            "CAST(NULL AS DOUBLE) AS max_score WHERE 1 = 0"
+        )
+    v, _, _ = fit
+    varr = "array(" + ", ".join(f"CAST({v[i]} AS BIGINT)" for i in sorted(v)) + ")"
+    d = SPARK
+    ev = d.cast_double_arr("embedding")
+    xq = f"CAST(floor({d.elem('ev', 'i')} * {PCA_Q}.0e0) AS BIGINT)"
+    # fold bound = min(vector length, direction length): a ragged vector's
+    # extra dims drop, matching the oracle's inner join on dim
+    score = (
+        f"aggregate(sequence(1, least({d.size('ev')}, {len(v)})), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc + {xq} * element_at(vload, i))"
+    )
+    denom = f"({PCA_Q}.0e0 * {PCA_VS}.0e0)"
+    return spark.sql(
+        f"""
+WITH vlab AS (
+  SELECT label, {ev} AS ev, {varr} AS vload FROM embeddings
+  WHERE embedding IS NOT NULL AND {d.size(d.cast_double_arr('embedding'))} >= 2
+),
+scores AS (
+  SELECT label, CAST({score} AS BIGINT) AS s FROM vlab
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       {d.trunc6(f"CAST(sum(s) AS DOUBLE) / count(*) / {denom}")} AS mean_score,
+       {d.trunc6(f"CAST(min(s) AS DOUBLE) / {denom}")} AS min_score,
+       {d.trunc6(f"CAST(max(s) AS DOUBLE) / {denom}")} AS max_score
+FROM scores
+GROUP BY label
+ORDER BY label
 """.strip()
     )

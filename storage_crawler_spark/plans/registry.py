@@ -432,6 +432,12 @@ ORDER BY mktsegment
 """.strip()
 
 
+def _b_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA apply: shared driver fit, then literal-vector map-side scoring."""
+    V.register_base_tables(spark, sf_dir, ("embeddings",))
+    return similarity.pca_project_embeddings(spark)
+
+
 def _b_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-iteration PCA: distributed moment pass + driver-side exact
     integer steps on the d^2 scatter matrix (bounded model state); oracle
@@ -3117,6 +3123,18 @@ FROM files f
     )
 
     add(
+        "embedding_pca_project",
+        _b_pca_project,
+        similarity.gen_pca_project(DUCK),
+        tags=("similarity", "embedding"),
+        doc="APPLY step of the PCA fit: every embedding projected onto the "
+        "learned top direction (exact BIGINT lattice scores), per-label "
+        "mean/min/max — the does-1D-compression-keep-label-structure "
+        "readout; Spark path inlines the fitted vector as a literal "
+        "array, so projection is a pure map inside the scan",
+    )
+
+    add(
         "events_pagerank",
         _b_pagerank,
         analytics.gen_pagerank(DUCK),
@@ -3207,6 +3225,7 @@ _DRIVER_WINDOW_FIRST = (
     "ingest_ivm_agg",
     "pipeline_dp_release",
     "events_ab_test",
+    "embedding_pca_project",
     # reference report plane (§2 B-surface; find_extension port already
     # stamped via report_large_old_files r7 — extension_usage defers to r9)
     "report_duplicate_files",
@@ -3233,9 +3252,8 @@ _DRIVER_WINDOW_FIRST = (
     "sample_neyman_allocation",
     "pipeline_shard_plan",
     "pipeline_mixture_quota",
-    # (pipeline_mixture_apply defers to r9 — third entry of the mixture
-    # family; quota + domain_mixture keep slots)
-    "pipeline_domain_mixture",
+    # (pipeline_mixture_apply and pipeline_domain_mixture defer to r9 —
+    # the mixture family keeps the quota slot)
     "pipeline_dedup_funnel",
     "pipeline_split_contamination",
     "pipeline_neardup_contamination",

@@ -491,6 +491,37 @@ def test_pca_empty_and_degenerate():
     assert all(r[3] is not None for r in got)
 
 
+def test_pca_project_separates_planted_clusters(spark):
+    # two label clusters displaced along dim 1 (the dominant variance
+    # axis): projected score ranges must not overlap, and the Spark
+    # literal-array path must match the oracle's relational projection
+    import random
+
+    from storage_crawler_spark.operators.similarity import (
+        gen_pca_project,
+        pca_project_embeddings,
+    )
+
+    rng = random.Random(5)
+    vecs, labels = [], []
+    for i in range(60):
+        base = 3.0 if i % 2 == 0 else -3.0
+        vecs.append([base + rng.uniform(-0.2, 0.2),
+                     rng.uniform(-0.1, 0.1), rng.uniform(-0.1, 0.1)])
+        labels.append(i % 2)
+    pdf = _embeddings(vecs, labels=labels)
+    spark.createDataFrame(pdf).createOrReplaceTempView("embeddings")
+    s = [tuple(r) for r in pca_project_embeddings(spark, k=10).collect()]
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    d = con.execute(gen_pca_project(DUCK, k=10)).fetchall()
+    assert s == d
+    by_label = {r[0]: r for r in s}
+    lo0, hi0 = by_label[0][3], by_label[0][4]
+    lo1, hi1 = by_label[1][3], by_label[1][4]
+    assert hi1 < lo0 or hi0 < lo1  # disjoint score ranges
+
+
 def test_pca_spark_duck_parity_on_random_fixture(spark):
     import random
 
