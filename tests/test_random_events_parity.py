@@ -76,6 +76,19 @@ EVENT_ENTRIES = [
     # sessionization islands on pooled instants (zero-gap events share a
     # session; same-second tie order pinned by event_id)
     "events_session_stats",
+    # round-8 additions
+    # fixed-k lattice PageRank: pooled instants stress lead() tie order in
+    # the edge construction; NULL users/types drop identically
+    "events_pagerank",
+    # frozen-parity cohorts on random users; NULL values don't reach the
+    # proportion; arm emptiness yields NULL z in both engines
+    "events_ab_test",
+    # deterministic count-min: random user multisets must give identical
+    # counters and min-estimates; ties at est_n break by user_id
+    "sketch_heavy_hitters",
+    # streaming twin of the sketch: micro-batched counters vs the one-shot
+    # oracle on random streams
+    "streaming_cms_hitters",
     # streaming_event_deltas is rows-only (stateful applyInPandasWithState,
     # no SQL oracle) — covered by tests/test_streaming.py instead
 ]

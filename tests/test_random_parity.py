@@ -350,6 +350,21 @@ DOC_ENTRIES = [
     "pipeline_quality_budget_curve",
     # bitwise mode classification over the files derivation of random ids
     "report_permission_audit",
+    # round-8 additions
+    # two-epoch BPE on adversarial vocab: multi-byte words are excluded by
+    # the [a-z0-9] charset contract identically; greedy fold ties on equal
+    # pair counts break lexically in both engines
+    "text_bpe_encode",
+    "text_bpe_compression",
+    # Kneser-Ney: continuation counts on corpora with single-context words
+    # and repeated bigrams; every scored pair has c>=1 by construction
+    "text_kn_bigram_nll",
+    # IVM vs recompute on random ids: the delete-wins/update/insert rules
+    # hit arbitrary id residues; consistency flag must be 1 everywhere a
+    # source survives
+    "ingest_ivm_agg",
+    # frozen Laplace on random source sets; clamp at the uniform edge
+    "pipeline_dp_release",
 ]
 
 

@@ -38,6 +38,9 @@ RELATIONAL_ENTRIES = [n for n in registry.QUERIES if n.startswith("tpch_q")] + [
     # brand-pair affinity: bootstrap remaps l_partkey, so dangling part FKs
     # drop lines in the broadcast join identically in both engines
     "tpch_basket_brands",
+    # salted fact-dim join: bootstrap remaps o_custkey, so dangling
+    # customer FKs drop identically under salting and the plain oracle
+    "skew_salted_join",
     # window_moving_avg is events-plane — swept by test_random_events_parity
 ]
 
