@@ -1661,6 +1661,60 @@ FROM (SELECT word, freq, {d.size(d.split('toks', '_'))} AS n_toks FROM bpe_enc2)
 """.strip()
 
 
+def gen_bpe_doc_tokens(
+    d: Dialect,
+    k1: int = 24,
+    k2: int = 16,
+    max_word_len: int = 24,
+    enc1_rel: str | None = None,
+) -> str:
+    """Per-document token counts under the LEARNED BPE tokenizer — the
+    corpus-level apply step (token-budget planning, shard sizing, packing
+    inputs all consume this number, not whitespace counts).  Each corpus
+    word joins the vocabulary's encoded token count; words outside the
+    vocabulary contract (charset/length) fall back to one token per
+    character — the byte-fallback convention of production BPE
+    tokenizers, stated in SQL instead of assumed.
+
+    100 TB shape: the (word -> n_tokens) map is vocabulary-sized
+    (broadcast); the corpus stream is exploded map-side and the per-doc
+    sum partial-combines — ONE shuffle on doc_id beyond the vocab
+    pipeline.  The Spark builder persists the epoch-1 encoding via
+    ``enc1_rel`` exactly like the encode entry.
+    """
+    toks = d.split("lower(text)")
+    lat = d.lateral_explode("toks", "w")
+    ratio = d.trunc6("CAST(sum(n_toks) AS DOUBLE) / CAST(sum(length(word)) AS DOUBLE)")
+    return f"""
+WITH {bpe_enc2_cte(d, k1, k2, max_word_len, enc1_rel)},
+wt AS (
+  SELECT word, CAST({d.size(d.split('toks', '_'))} AS BIGINT) AS n_tokens
+  FROM bpe_enc2
+),
+wstream AS (
+  -- 'stream' is a STREAM-TVF keyword in Spark 4 (FROM STREAM s parses s
+  -- as the table) — the CTE must not use that name
+  SELECT doc_id, w AS word
+  FROM (SELECT doc_id, {toks} AS toks FROM documents WHERE text IS NOT NULL) t0
+  {lat}
+),
+scored AS (
+  SELECT ws.doc_id, ws.word,
+         coalesce(wt.n_tokens, CAST(length(ws.word) AS BIGINT)) AS n_toks
+  FROM wstream ws LEFT JOIN wt ON ws.word = wt.word
+  WHERE ws.word <> ''
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(length(word)) AS BIGINT) AS n_word_chars,
+       {ratio} AS tokens_per_char
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+""".strip()
+
+
 def winnow_fps_cte(d: Dialect, k: int = 8, w: int = 4, src: str = "documents") -> str:
     """(doc_id, n_grams, fps) winnowed-fingerprint relation — the shared
     base of the per-doc stats entry and the pair-candidate dedup entry.

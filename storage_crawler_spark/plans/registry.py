@@ -467,6 +467,15 @@ def _b_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(text.gen_bpe_encode(SPARK, enc1_rel="_bpe_enc1"))
 
 
+def _b_bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    V.register_base_tables(spark, sf_dir, ("documents",))
+    n = spark.sparkContext.defaultParallelism
+    spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
+    enc1 = spark.sql(text.gen_bpe_enc1(SPARK, src="_documents_rep"))
+    _persist_view(enc1, "_bpe_enc1_doc")
+    return spark.sql(text.gen_bpe_doc_tokens(SPARK, enc1_rel="_bpe_enc1_doc"))
+
+
 def _b_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     V.register_base_tables(spark, sf_dir, ("documents",))
     n = spark.sparkContext.defaultParallelism
@@ -3135,6 +3144,17 @@ FROM files f
     )
 
     add(
+        "text_bpe_doc_tokens",
+        _b_bpe_doc_tokens,
+        text.gen_bpe_doc_tokens(DUCK),
+        tags=("text", "tokenizer"),
+        doc="per-document token counts under the learned BPE tokenizer "
+        "(the budget-planning apply: vocabulary-sized broadcast map onto "
+        "the exploded corpus stream, char-level fallback for OOV words); "
+        "one shuffle on doc_id beyond the vocab pipeline",
+    )
+
+    add(
         "events_pagerank",
         _b_pagerank,
         analytics.gen_pagerank(DUCK),
@@ -3226,6 +3246,7 @@ _DRIVER_WINDOW_FIRST = (
     "pipeline_dp_release",
     "events_ab_test",
     "embedding_pca_project",
+    "text_bpe_doc_tokens",
     # reference report plane (§2 B-surface; find_extension port already
     # stamped via report_large_old_files r7 — extension_usage defers to r9)
     "report_duplicate_files",
@@ -3261,7 +3282,8 @@ _DRIVER_WINDOW_FIRST = (
     # text plane
     "text_gopher_rules",
     "text_zipf_audit",
-    "text_tfidf_topterms",
+    # (text_tfidf_topterms defers to r9 — the idf machinery keeps a slot
+    # via text_bm25_topk)
     "text_unigram_surprisal",
     "text_inverted_index",
     "text_langid_confusion",

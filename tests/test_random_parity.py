@@ -365,6 +365,9 @@ DOC_ENTRIES = [
     "ingest_ivm_agg",
     # frozen Laplace on random source sets; clamp at the uniform edge
     "pipeline_dp_release",
+    # corpus-level BPE apply: OOV char-fallback on multibyte/punctuated
+    # words; vocab join on adversarial token sets
+    "text_bpe_doc_tokens",
 ]
 
 

@@ -93,6 +93,23 @@ def test_bpe_vocab_contract_filters_and_caps():
     assert "longerthansix" not in words
 
 
+def test_bpe_doc_tokens_vocab_and_fallback_accounting():
+    # doc: 'ab ab Zq xyz!' -> vocab words: ab(freq2), xyz?? no: 'xyz!' has
+    # '!' -> OOV; 'Zq' lowercases to 'zq' (in charset).  With k1 merges,
+    # 'ab' encodes to 1 token, 'zq' to <=2; OOV 'xyz!' falls back to 4
+    # (char-level), so totals close exactly
+    got = _duck(text.gen_bpe_doc_tokens(DUCK), documents=_docs(["ab ab Zq xyz!"]))
+    assert got["doc_id"] == [0]
+    assert got["n_words"] == [4]
+    # ab ab -> 1+1; zq -> 'z_q' unless (z,q) mined (freq 1 -> it IS a
+    # candidate; with default k1=24 it gets merged) -> 1; fallback 4
+    assert got["n_bpe_tokens"][0] in (7, 8)
+    assert got["n_word_chars"] == [2 + 2 + 2 + 4]
+    # every word OOV -> pure char fallback: tokens == chars
+    got2 = _duck(text.gen_bpe_doc_tokens(DUCK), documents=_docs(["!! ?? ##"]))
+    assert got2["n_bpe_tokens"] == got2["n_word_chars"]
+
+
 def test_bpe_no_vocab_yields_empty_encode_and_null_compression():
     got = _duck(text.gen_bpe_encode(DUCK), documents=_docs(["!!! ---", None]))
     assert len(got["word"]) == 0
