@@ -881,3 +881,136 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
        CAST(abs({z_num} / {z_den}) > 2.576e0 AS INT) AS significant_99
 FROM rates
 """.strip()
+
+
+def gen_hits(d: Dialect, k: int = PR_ITERS) -> str:
+    """HITS hubs & authorities on the event-type transition graph — the
+    bipartite companion of :func:`gen_pagerank`: authority = types that
+    FLOW CONCENTRATES INTO (weighted in-links from good hubs), hub =
+    types whose outgoing transitions POINT AT good authorities.  PageRank
+    finds global stationarity; HITS separates the two roles a type can
+    play, which is the drill-down a funnel designer actually wants.
+
+    Same integer-lattice discipline: edge weights are the PR_PS-scaled
+    transition probabilities from the shared base, scores live on the
+    PR_PS lattice with max normalization each half-step (authorities
+    update from hubs, THEN hubs from the new authorities — the classic
+    ordering), every quantity non-negative BIGINT, per-edge
+    multiply-then-sum exact.  Bounds: p <= 1e6, score <= 1e6, so a
+    half-step term is <= 1e12 x type-cardinality — BIGINT-safe to a
+    million types.
+
+    DuckDB materializes each half-step CTE; the Spark engine path
+    (:func:`hits_events`) iterates on the driver over the collected
+    (type x type) edge relation — bounded MODEL STATE for a
+    type-cardinality graph (the PCA d^2 contract); for graphs whose node
+    set outgrows the driver, the distributed per-step shape is exactly
+    gen_pagerank's loop with two aggregates per round.
+    """
+    mat = " MATERIALIZED" if d.name == "duck" else ""
+    VS = PR_PS
+    parts = [pagerank_cte_base(d)]
+    parts.append(
+        f"hn0 AS{mat} (SELECT node, CAST({VS} AS BIGINT) AS h FROM nodes)"
+    )
+    for i in range(1, k + 1):
+        prev_h = f"hn{i - 1}"
+        parts.append(
+            f"""ar{i} AS{mat} (
+  SELECT nd.node, CAST(coalesce(c.s, 0) AS BIGINT) AS a
+  FROM nd LEFT JOIN (
+    SELECT e.to_type AS node, CAST(sum(e.p_scaled * h.h) AS BIGINT) AS s
+    FROM e JOIN {prev_h} h ON e.from_type = h.node
+    GROUP BY e.to_type
+  ) c ON nd.node = c.node
+)"""
+        )
+        parts.append(
+            f"ma{i} AS (SELECT greatest(CAST(max(a) AS BIGINT), 1) AS m FROM ar{i})"
+        )
+        parts.append(
+            f"""an{i} AS{mat} (
+  SELECT node, CAST({d.idiv(f'a * {VS}', 'mx.m')} AS BIGINT) AS a
+  FROM ar{i} CROSS JOIN ma{i} mx
+)"""
+        )
+        parts.append(
+            f"""hr{i} AS{mat} (
+  SELECT nd.node, CAST(coalesce(c.s, 0) AS BIGINT) AS h
+  FROM nd LEFT JOIN (
+    SELECT e.from_type AS node, CAST(sum(e.p_scaled * a.a) AS BIGINT) AS s
+    FROM e JOIN an{i} a ON e.to_type = a.node
+    GROUP BY e.from_type
+  ) c ON nd.node = c.node
+)"""
+        )
+        parts.append(
+            f"mh{i} AS (SELECT greatest(CAST(max(h) AS BIGINT), 1) AS m FROM hr{i})"
+        )
+        parts.append(
+            f"""hn{i} AS{mat} (
+  SELECT node, CAST({d.idiv(f'h * {VS}', 'mx.m')} AS BIGINT) AS h
+  FROM hr{i} CROSS JOIN mh{i} mx
+)"""
+        )
+    chain = ",\n".join(parts)
+    return f"""
+WITH {chain}
+SELECT a.node AS event_type,
+       a.a AS authority_scaled, h.h AS hub_scaled,
+       {d.trunc6(f'CAST(a.a AS DOUBLE) / {VS}.0e0')} AS authority,
+       {d.trunc6(f'CAST(h.h AS DOUBLE) / {VS}.0e0')} AS hub
+FROM an{k} a JOIN hn{k} h ON a.node = h.node
+ORDER BY event_type
+""".strip()
+
+
+def hits_events(spark, k: int = PR_ITERS):
+    """Spark engine path for :func:`gen_hits`: the weighted (type x type)
+    edge relation is built distributed ONCE (the corpus-scan cost), then
+    collected as bounded model state and iterated in exact Python
+    integers — see gen_hits for the contract and the big-node-set
+    alternative."""
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    base = pagerank_cte_base(SPARK)
+    edges = spark.sql(
+        f"WITH {base} SELECT e.from_type, e.to_type, e.p_scaled FROM e"
+    ).collect()
+    nodes = [r[0] for r in spark.sql(f"WITH {base} SELECT node FROM nodes").collect()]
+    if not nodes:
+        return spark.sql(
+            "SELECT CAST(NULL AS STRING) AS event_type, "
+            "CAST(NULL AS BIGINT) AS authority_scaled, CAST(NULL AS BIGINT) AS hub_scaled, "
+            "CAST(NULL AS DOUBLE) AS authority, CAST(NULL AS DOUBLE) AS hub WHERE 1 = 0"
+        )
+    VS = PR_PS
+    out_edges: dict[str, list[tuple[str, int]]] = {}
+    in_edges: dict[str, list[tuple[str, int]]] = {}
+    for f_, t_, p in edges:
+        out_edges.setdefault(f_, []).append((t_, int(p)))
+        in_edges.setdefault(t_, []).append((f_, int(p)))
+    h = {n: VS for n in nodes}
+    a = {n: 0 for n in nodes}
+    for _ in range(k):
+        ar = {n: sum(p * h[u] for u, p in in_edges.get(n, [])) for n in nodes}
+        ma = max(max(ar.values()), 1)
+        a = {n: (x * VS) // ma for n, x in ar.items()}
+        hr = {n: sum(p * a[t] for t, p in out_edges.get(n, [])) for n in nodes}
+        mh = max(max(hr.values()), 1)
+        h = {n: (x * VS) // mh for n, x in hr.items()}
+    rows = [(n, a[n], h[n]) for n in sorted(nodes)]
+    df = spark.createDataFrame(
+        rows, "event_type STRING, authority_scaled BIGINT, hub_scaled BIGINT"
+    )
+    df.createOrReplaceTempView("_hits_final")
+    auth = SPARK.trunc6(f"CAST(authority_scaled AS DOUBLE) / {VS}.0e0")
+    hub = SPARK.trunc6(f"CAST(hub_scaled AS DOUBLE) / {VS}.0e0")
+    return spark.sql(
+        f"""
+SELECT event_type, authority_scaled, hub_scaled,
+       {auth} AS authority, {hub} AS hub
+FROM _hits_final
+ORDER BY event_type
+""".strip()
+    )

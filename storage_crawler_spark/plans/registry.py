@@ -446,6 +446,13 @@ def _b_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pca_power_embeddings(spark)
 
 
+def _b_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities: distributed edge build, driver-side exact
+    integer half-steps on the bounded (type x type) model state."""
+    V.register_base_tables(spark, sf_dir, ("events",))
+    return analytics.hits_events(spark)
+
+
 def _b_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type PageRank: distributed Python power-iteration loop
     (checkpoint per step, O(k) scalar driver state); the oracle is the
@@ -3119,6 +3126,18 @@ FROM files f
     )
 
     add(
+        "events_hits",
+        _b_hits,
+        analytics.gen_hits(DUCK),
+        tags=("events", "graph"),
+        doc="HITS hubs & authorities on the transition graph (k=20 "
+        "alternating half-steps, probability-weighted, integer lattice) "
+        "— separates flow-sink authority from router-hub roles that "
+        "PageRank's single stationary score conflates; same "
+        "engine-exactness discipline as events_pagerank",
+    )
+
+    add(
         "embedding_pca_power",
         _b_pca_power,
         similarity.gen_pca_power(DUCK),
@@ -3247,6 +3266,7 @@ _DRIVER_WINDOW_FIRST = (
     "events_ab_test",
     "embedding_pca_project",
     "text_bpe_doc_tokens",
+    "events_hits",
     # reference report plane (§2 B-surface; find_extension port already
     # stamped via report_large_old_files r7 — extension_usage defers to r9)
     "report_duplicate_files",
@@ -3270,7 +3290,8 @@ _DRIVER_WINDOW_FIRST = (
     # keeps stats_audit + centroid_confusion slots)
     "embedding_centroid_confusion",
     # sampling / shard / mixture
-    "sample_neyman_allocation",
+    # (sample_neyman_allocation defers to r9 — the sampling plane keeps
+    # its stamped weighted/bootstrap cousins plus shard_plan's slot)
     "pipeline_shard_plan",
     "pipeline_mixture_quota",
     # (pipeline_mixture_apply and pipeline_domain_mixture defer to r9 —

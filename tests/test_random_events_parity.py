@@ -89,6 +89,9 @@ EVENT_ENTRIES = [
     # streaming twin of the sketch: micro-batched counters vs the one-shot
     # oracle on random streams
     "streaming_cms_hitters",
+    # HITS half-steps on random graphs: dangling/sourceless types hit the
+    # coalesce-0 paths; normalization guard on all-zero rounds
+    "events_hits",
     # streaming_event_deltas is rows-only (stateful applyInPandasWithState,
     # no SQL oracle) — covered by tests/test_streaming.py instead
 ]

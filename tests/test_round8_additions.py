@@ -205,6 +205,45 @@ def test_pagerank_empty_and_single_type():
     assert got[0][2] >= PR_S - 100  # self-loop keeps all mass minus floor slack
 
 
+def test_hits_separates_hub_and_authority_roles():
+    from storage_crawler_spark.operators.analytics import gen_hits
+
+    # pure bipartite flow: 'start' always transitions to 'end' and nothing
+    # flows anywhere else -> 'start' is the pure hub (authority 0), 'end'
+    # the pure authority (hub 0)
+    rows = []
+    eid = 0
+    for u in range(6):
+        rows.append((eid, 1000 + eid, u, "start", 1.0, None)); eid += 1
+        rows.append((eid, 1000 + eid, u, "end", 1.0, None)); eid += 1
+    got = _duck(gen_hits(DUCK), events=_events(rows))
+    out = {t: (a, h) for t, a, h, _, _ in zip(
+        got["event_type"], got["authority_scaled"], got["hub_scaled"],
+        got["authority"], got["hub"])}
+    from storage_crawler_spark.operators.analytics import PR_PS
+
+    assert out["start"] == (0, PR_PS)
+    assert out["end"] == (PR_PS, 0)
+
+
+def test_hits_spark_duck_parity_on_random_fixture(spark):
+    import random
+
+    from storage_crawler_spark.operators.analytics import gen_hits, hits_events
+
+    rng = random.Random(99)
+    types = ["a", "b", "c", "d", "hubby"]
+    rows = [(eid, 1000 + rng.randrange(4000), rng.randrange(10),
+             rng.choice(types), 1.0, None) for eid in range(250)]
+    pdf = _events(rows)
+    spark.createDataFrame(pdf).createOrReplaceTempView("events")
+    s = [tuple(r) for r in hits_events(spark, k=7).collect()]
+    con = duckdb.connect()
+    con.register("events", pdf)
+    d = con.execute(gen_hits(DUCK, k=7)).fetchall()
+    assert s == d
+
+
 def test_pagerank_spark_duck_parity_on_random_fixture(spark):
     import random
 
