@@ -1870,3 +1870,95 @@ FROM nov
 GROUP BY source
 ORDER BY source
 """.strip()
+
+
+def gen_phrase_search(d: Dialect, phrase: str = "hash join", top_k: int = 50) -> str:
+    """Positional-index PHRASE matching: documents containing the exact
+    consecutive token sequence ``phrase``, with per-doc occurrence counts
+    — the IR tier above BM25's bag-of-words (which cannot distinguish
+    "hash join" from "join ... hash").  The relational form of a
+    positional inverted index probe: each phrase term selects its posting
+    rows, and consecutive terms must meet at pos + 1 — equi-joins on
+    (doc_id, position arithmetic), never a string scan per candidate.
+
+    100 TB shape: the positional explode is map-side; each term's posting
+    relation is FILTERED AT THE SCAN (the phrase terms are query
+    constants, so predicate pushdown keeps only matching tokens — the
+    selectivity an index would give); the chain of (doc_id, pos)
+    equi-joins partial-combines into per-doc counts; fused top-k.
+    """
+    terms = phrase.split(" ")
+    toks = d.split("lower(text)")
+    lat = d.lateral_seq("1", d.size("toks"), "i")
+    joins = []
+    for n, term in enumerate(terms):
+        cond = f"t{n}.token = '{term}'"
+        if n == 0:
+            joins.append(f"(SELECT doc_id, pos FROM pidx t0 WHERE {cond}) t0")
+        else:
+            joins.append(
+                f"JOIN (SELECT doc_id, pos FROM pidx t{n} WHERE {cond}) t{n}\n"
+                f"  ON t{n}.doc_id = t0.doc_id AND t{n}.pos = t0.pos + {n}"
+            )
+    chain = "\n".join(joins)
+    return f"""
+WITH pidx AS (
+  SELECT doc_id, {d.elem('toks', 'i')} AS token, i AS pos
+  FROM (SELECT doc_id, {toks} AS toks FROM documents WHERE text IS NOT NULL) t
+  {lat}
+)
+SELECT t0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM {chain}
+GROUP BY t0.doc_id
+ORDER BY n_matches DESC, t0.doc_id
+LIMIT {top_k}
+""".strip()
+
+
+def gen_license_scan(d: Dialect) -> str:
+    """Training-data COMPLIANCE scan: per-source counts of documents
+    whose text carries license/copyright markers — the filter a corpus
+    builder runs before anything ships (copyleft text in a permissive
+    corpus is a legal defect, not a quality one).  Marker battery:
+    copyright lines, GPL/AGPL phrases, 'all rights reserved',
+    permissive-license names; each its OWN flag column so marginal rates
+    fall out of one aggregate (the Gopher-battery shape).
+
+    Patterns are portable ASCII classes (Java regex ∩ RE2, the re_match
+    contract); matching is case-insensitive via lower() in the scan.
+    One pruned scan, map-side flags, one partial-combining aggregate.
+    """
+    flags = {
+        "copyright": "copyright (\\(c\\) )?[0-9]{4}",
+        "gpl": "(gnu (general|lesser|affero) public license|gpl-?[23])",
+        "all_rights": "all rights reserved",
+        "permissive": "(mit license|apache license|bsd license)",
+    }
+    flag_cols = ",\n         ".join(
+        f"CAST({d.re_match('lower(text)', pat)} AS INT) AS f_{name}"
+        for name, pat in flags.items()
+    )
+    sums = ",\n       ".join(
+        f"CAST(sum(f_{name}) AS BIGINT) AS n_{name}" for name in flags
+    )
+    any_flag = " + ".join(f"f_{name}" for name in flags)
+    share = d.trunc6(
+        "CAST(sum(CASE WHEN any_hit > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)"
+    )
+    return f"""
+WITH scanned AS (
+  SELECT source,
+         {flag_cols}
+  FROM documents WHERE text IS NOT NULL
+),
+with_any AS (
+  SELECT scanned.*, {any_flag} AS any_hit FROM scanned
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       {sums},
+       CAST(sum(CASE WHEN any_hit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       {share} AS flagged_share
+FROM with_any
+GROUP BY source
+ORDER BY source
+""".strip()

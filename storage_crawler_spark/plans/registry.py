@@ -3173,6 +3173,30 @@ FROM files f
         "one shuffle on doc_id beyond the vocab pipeline",
     )
 
+    b, o = _sql_pair(text.gen_phrase_search, ("documents",))
+    add(
+        "text_phrase_search",
+        b,
+        o,
+        tags=("text", "search"),
+        doc="positional-index phrase matching ('hash join'): per-term "
+        "posting relations filtered at the scan, consecutive terms meet "
+        "at pos+1 equi-joins — the exact-phrase tier above BM25's "
+        "bag-of-words; per-doc occurrence counts, fused top-k",
+    )
+
+    b, o = _sql_pair(text.gen_license_scan, ("documents",))
+    add(
+        "text_license_scan",
+        b,
+        o,
+        tags=("text", "compliance"),
+        doc="license/copyright marker scan per source (copyright lines, "
+        "GPL/AGPL phrases, all-rights-reserved, permissive names — each "
+        "its own flag column, Gopher-battery shape); the compliance "
+        "filter a corpus builder runs before shipping",
+    )
+
     add(
         "events_pagerank",
         _b_pagerank,
@@ -3267,6 +3291,8 @@ _DRIVER_WINDOW_FIRST = (
     "embedding_pca_project",
     "text_bpe_doc_tokens",
     "events_hits",
+    "text_phrase_search",
+    "text_license_scan",
     # reference report plane (§2 B-surface; find_extension port already
     # stamped via report_large_old_files r7 — extension_usage defers to r9)
     "report_duplicate_files",
@@ -3305,7 +3331,8 @@ _DRIVER_WINDOW_FIRST = (
     "text_zipf_audit",
     # (text_tfidf_topterms defers to r9 — the idf machinery keeps a slot
     # via text_bm25_topk)
-    "text_unigram_surprisal",
+    # (text_unigram_surprisal defers to r9 — the LM-scoring family keeps
+    # bigram_nll/kn/perplexity slots)
     "text_inverted_index",
     "text_langid_confusion",
     "text_pack_render",
@@ -3320,7 +3347,7 @@ _DRIVER_WINDOW_FIRST = (
     # ingest / lake / multimodal / streaming / analytics remainder
     "ingest_jsonl_fidelity",
     "ingest_csv_fidelity",
-    "ingest_orc_fidelity",
+    # (ingest_orc_fidelity defers to r9 — the fidelity trio keeps 2 slots)
     "lake_compaction_plan",
     "multimodal_byte_entropy",
     "streaming_docs_dedup",

@@ -368,6 +368,11 @@ DOC_ENTRIES = [
     # corpus-level BPE apply: OOV char-fallback on multibyte/punctuated
     # words; vocab join on adversarial token sets
     "text_bpe_doc_tokens",
+    # positional phrase chain on random corpora: repeated/overlapping
+    # occurrences, phrase terms missing entirely
+    "text_phrase_search",
+    # regex marker battery on adversarial text (multibyte, empty docs)
+    "text_license_scan",
 ]
 
 

@@ -266,6 +266,49 @@ def test_pagerank_spark_duck_parity_on_random_fixture(spark):
 
 
 # ---------------------------------------------------------------------------
+# phrase search + license scan (text_phrase_search / text_license_scan)
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_search_consecutive_only_with_counts():
+    docs = [
+        "the hash join wins",                  # 1 match
+        "hash join here hash join there",      # 2 matches
+        "join hash reversed",                  # 0 — order matters
+        "hash x join",                         # 0 — not consecutive
+        "HASH JOIN upper",                     # 1 — lower() in the index
+        None,
+    ]
+    got = _duck(text.gen_phrase_search(DUCK), documents=_docs(docs))
+    out = dict(zip(got["doc_id"], got["n_matches"]))
+    assert out == {0: 1, 1: 2, 4: 1}
+
+
+def test_phrase_search_three_term_chain():
+    docs = ["a b c a b", "b c a", "a b b c"]
+    got = _duck(text.gen_phrase_search(DUCK, phrase="a b c"), documents=_docs(docs))
+    assert dict(zip(got["doc_id"], got["n_matches"])) == {0: 1}
+
+
+def test_license_scan_marker_battery():
+    docs = [
+        "Copyright (c) 2024 Someone. All rights reserved.",   # copyright + all_rights
+        "licensed under the GNU General Public License v3",   # gpl
+        "released under the MIT License",                     # permissive
+        "plain text, no markers",
+        "see GPL-3 for terms",                                # gpl
+    ]
+    got = _duck(text.gen_license_scan(DUCK), documents=_docs(docs))
+    assert got["n_docs"] == [5]
+    assert got["n_copyright"] == [1]
+    assert got["n_gpl"] == [2]
+    assert got["n_all_rights"] == [1]
+    assert got["n_permissive"] == [1]
+    assert got["n_flagged"] == [4]
+    assert abs(got["flagged_share"][0] - 0.8) < 1e-6
+
+
+# ---------------------------------------------------------------------------
 # incremental view maintenance (ingest_ivm_agg)
 # ---------------------------------------------------------------------------
 
