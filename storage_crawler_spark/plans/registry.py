@@ -3259,18 +3259,19 @@ FROM files f
 # tools/check_oracle.py's full sweep.  The honest rows-only floor is 5:
 # iterative k-means/PQ/logreg fits and the fsmeta scan.
 # Round-8 rotation, per the r7 verdict's top item: the r7 window stamped
-# its 50 at 50/50 green, leaving 56 oracle-gated entries that have NEVER
-# met the driver (all sweep-green in ORACLE_SWEEP_r07_judge.txt under the
-# exact replica of the driver's check).  This window converts 50 of them
-# into first-ever external stamps.  No already-stamped name keeps a slot —
-# the sentinel/perf-watch habit rests this round exactly as the verdict
-# prescribed; those plans stay in the bench and the full sweep.  Deferred
-# to round 9 (lowest-risk simple aggregates, plus any round-8 additions
-# that land after this rotation): report_subtree_du, report_growth_daily,
-# events_hourly_profile, text_length_quantiles, events_user_value_quantiles,
-# events_interarrival_quantiles — with the 3 honest rows-only entries
-# (sim_pq_topk, sim_pq_recall, text_quality_learned) that never burn a
-# slot, the whole remainder closes in one more rotation.
+# its 50 at 50/50 green, leaving 56 oracle-gated entries that had NEVER
+# met the driver (all sweep-green under the exact replica of the driver's
+# check — ORACLE_SWEEP_r07_judge.txt, re-proven at r8 HEAD in
+# ORACLE_SWEEP_r08.txt).  This window holds 50 first-ever stamps: the 16
+# round-8 operators (newest code meets the gate, the standing priority)
+# plus 34 of the 56.  No already-stamped name keeps a slot — the
+# sentinel/perf-watch habit rests this round exactly as the verdict
+# prescribed; those plans stay in the bench and the full sweep.
+# Deferred to round 9 (every one a family whose machinery holds an
+# in-window or already-stamped slot; per-name rationales inline below):
+# 22 oracle-gated + the 3 honest rows-only entries (sim_pq_topk,
+# sim_pq_recall, text_quality_learned) that never burn a slot — the
+# whole remainder closes in ONE more rotation.
 _DRIVER_WINDOW_FIRST = (
     # round-8 operators, first driver stamps (newest code meets the gate;
     # they displace report_owner_usage/report_age_tiers/events_user_streaks
