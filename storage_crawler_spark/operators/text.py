@@ -1881,11 +1881,16 @@ def gen_phrase_search(d: Dialect, phrase: str = "hash join", top_k: int = 50) ->
     rows, and consecutive terms must meet at pos + 1 — equi-joins on
     (doc_id, position arithmetic), never a string scan per candidate.
 
-    100 TB shape: the positional explode is map-side; each term's posting
-    relation is FILTERED AT THE SCAN (the phrase terms are query
-    constants, so predicate pushdown keeps only matching tokens — the
-    selectivity an index would give); the chain of (doc_id, pos)
-    equi-joins partial-combines into per-doc counts; fused top-k.
+    100 TB shape: one positional explode per phrase term, each with the
+    term filter applied IMMEDIATELY after the explode (map-side, inside
+    the same stage — nothing wide ever materializes; the parquet scan
+    itself stays the pruned text column).  n-term phrases cost n explode
+    passes, which beats materializing the full positional index: the
+    index is corpus-sized, the filtered posting relations are
+    term-frequency-sized and become the (doc_id, pos) equi-join inputs.
+    A dedicated-index deployment would persist pidx bucketed by token —
+    the query below is unchanged, only the CTE source swaps.  The join
+    chain partial-combines into per-doc counts; fused top-k.
     """
     terms = phrase.split(" ")
     toks = d.split("lower(text)")
