@@ -92,6 +92,13 @@ EVENT_ENTRIES = [
     # HITS half-steps on random graphs: dangling/sourceless types hit the
     # coalesce-0 paths; normalization guard on all-zero rounds
     "events_hits",
+    # round-7 events entries that predate this battery: sweep-line
+    # concurrency on pooled-instant interval edges; dow indexes on
+    # partial final weeks; zorder ntile ties on pooled instants (NULL
+    # users dropped identically per the r7 ADVICE fix)
+    "events_session_concurrency",
+    "events_dow_seasonality",
+    "lake_zorder_layout",
     # streaming_event_deltas is rows-only (stateful applyInPandasWithState,
     # no SQL oracle) — covered by tests/test_streaming.py instead
 ]
@@ -109,7 +116,10 @@ def _random_events(seed: int, n: int = 300) -> "pd.DataFrame":  # noqa: F821
     # below still create the same-second ties the join planes stress
     ts_pool = [base + rng.randrange(0, 35 * 86_400) for _ in range(n // 3)]
     for event_id in range(n):
-        user_id = rng.randrange(12)
+        # ~5% NULL users: the schema allows them, and the r7 zorder ADVICE
+        # showed NULL-key ordering is exactly where engines diverge —
+        # every entry must either filter or handle them identically
+        user_id = None if rng.random() < 0.05 else rng.randrange(12)
         event_type = rng.choice(types)
         # a third of events reuse pooled instants → same-user same-ts ties,
         # duplicate purchase instants (as-of tie break), shared window edges
@@ -117,9 +127,14 @@ def _random_events(seed: int, n: int = 300) -> "pd.DataFrame":  # noqa: F821
         value = None if rng.random() < 0.1 else rng.randrange(0, 8000) / 8
         props = json.dumps({"k": rng.randrange(0, 1000)}) if rng.random() < 0.9 else json.dumps({})
         rows.append((event_id, pd.Timestamp(ts_s, unit="s"), user_id, event_type, value, props))
-    return pd.DataFrame(
+    pdf = pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
     )
+    # nullable Int64: plain int64 silently coerces to float64 under None,
+    # writing NaN DOUBLES (not NULLs!) to parquet — the NULL-user rows
+    # would then pass IS NOT NULL filters as real NaN keys
+    pdf["user_id"] = pd.array(pdf["user_id"], dtype="Int64")
+    return pdf
 
 
 @pytest.fixture(scope="module", params=[3, 19])
