@@ -115,8 +115,15 @@ def gen_fingerprint(d: Dialect) -> str:
     # fold over a pre-transformed BIGINT array: per-token value first
     # (length*131 + first-char), then the order-sensitive 31-poly fold —
     # keeps the fold input homogeneous for both engines' reduce primitives
+    # coalesce: a NULL text must fingerprint exactly like the empty text
+    # (Spark folds a NULL array to NULL while DuckDB's list_prepend seeds
+    # the fold anyway — an engine divergence the NULL-planted random
+    # battery caught; the fixed testdata ships no NULL texts, so the
+    # oracle gate alone never sees this path)
     tokvals = d.transform(
-        d.split("text"), "x", f"CAST(length(x) AS BIGINT) * 131 + {d.ascii_safe('x')}"
+        d.split("coalesce(text, '')"),
+        "x",
+        f"CAST(length(x) AS BIGINT) * 131 + {d.ascii_safe('x')}",
     )
     return f"""
 SELECT doc_id, {d.reduce_bigint(tokvals, "(acc * 31 + x) % 1000000007")} AS fingerprint
@@ -331,7 +338,10 @@ FROM (
          {d.size(d.adistinct('grams'))} AS n_distinct_grams
   FROM (
     SELECT doc_id, {grams} AS grams
-    FROM (SELECT doc_id, text, {d.split('text')} AS toks FROM documents) t0
+    -- NULL ≡ '' at the scan: array_distinct([NULL]) keeps the NULL in
+    -- Spark but drops it in DuckDB (battery-caught divergence)
+    FROM (SELECT doc_id, coalesce(text, '') AS text, {d.split("coalesce(text, '')")} AS toks
+          FROM documents) t0
   ) t1
 ) t2
 """.strip()
@@ -391,7 +401,9 @@ FROM (
          1.0 - CAST({d.size(d.adistinct('grams'))} AS DOUBLE) / {d.size('grams')} AS dup_ratio{pt}
   FROM (
     SELECT doc_id, text, toks, {grams} AS grams{pt_inner}
-    FROM (SELECT doc_id, text, {d.split('text')} AS toks{pt_inner} FROM documents) t00
+    FROM (SELECT doc_id, coalesce(text, '') AS text,
+                 {d.split("coalesce(text, '')")} AS toks{pt_inner}
+          FROM documents) t00
   ) t1
 ) t2
 """.strip()

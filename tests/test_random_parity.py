@@ -40,8 +40,14 @@ def _random_corpus(seed: int, n_docs: int = 60) -> list[tuple]:
     rows = []
     shared_run = " ".join(rng.choice(VOCAB) for _ in range(12))
     for doc_id in range(n_docs):
-        kind = rng.randrange(8)
-        if kind == 0:
+        kind = rng.randrange(9)
+        if kind == 8:
+            # NULL text: the schema allows it but the fixed testdata never
+            # ships one — the exact blind-spot class the r7 zorder ADVICE
+            # exposed for NULL keys; every entry must filter or propagate
+            # NULLs identically in both engines
+            body = None
+        elif kind == 0:
             body = ""  # empty text
         elif kind == 1:
             body = rng.choice(VOCAB)  # single token
@@ -55,7 +61,7 @@ def _random_corpus(seed: int, n_docs: int = 60) -> list[tuple]:
         else:
             body = " ".join(rng.choice(VOCAB) for _ in range(rng.randrange(1, 40)))
         lang = rng.choice(["en", "fr", "de", None])
-        rows.append((doc_id, body, lang, f"src{doc_id % 3}", len(body)))
+        rows.append((doc_id, body, lang, f"src{doc_id % 3}", len(body) if body is not None else 0))
     return rows
 
 
