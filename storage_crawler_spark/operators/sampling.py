@@ -366,7 +366,11 @@ def gen_dp_release(d: Dialect, eps: float = 1.0, seed: str = "dp") -> str:
     source, map-side noise derivation — the privacy layer adds zero
     shuffles."""
     b = 1.0 / eps
-    u_key = d.md5_key48("source", seed)
+    # coalesce the key input: concat('seed', NULL) is NULL in Spark but
+    # DuckDB's concat SKIPS NULLs (hashing the bare seed) — the NULL-key
+    # battery caught the divergence.  A NULL source draws the ''-keyed
+    # noise, deterministically in both engines.
+    u_key = d.md5_key48("coalesce(source, '')", seed)
     u = f"(CAST({u_key} AS DOUBLE) / 281474976710656.0e0)"
     mag = f"greatest(1e-12, 1.0e0 - 2.0e0 * abs({u} - 0.5e0))"
     sign = f"(CASE WHEN {u} >= 0.5e0 THEN 1.0e0 ELSE -1.0e0 END)"

@@ -56,9 +56,13 @@ def status_brief(status: DataFrame) -> DataFrame:
     IN-(SELECT MAX(id) GROUP BY status) shape (report.py:153-159) — kept as
     a semi-join so the engine exercises that operator; the inner aggregate
     is tiny and broadcasts."""
-    latest = status.groupBy("status").agg(F.max("id").alias("id"))
+    # semi-join on id ALONE — the reference's `id IN (SELECT MAX(id) ...
+    # GROUP BY status)` is id-membership, which keeps the NULL-status
+    # group's latest row; a (status, id) join key would drop it (NULL
+    # never equi-matches — NULL-key battery catch)
+    latest = status.groupBy("status").agg(F.max("id").alias("id")).select("id")
     return (
-        status.join(F.broadcast(latest), on=["status", "id"], how="left_semi")
+        status.join(F.broadcast(latest), on="id", how="left_semi")
         .select(F.date_trunc("second", "time").alias("time"), "status", "value", "units")
         .orderBy("time")
     )

@@ -179,7 +179,13 @@ def user_sessions(events: DataFrame, gap_s: int = 120) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.max((F.col("event_type") == "purchase").cast("int")).alias("converted"),
+            # when/otherwise, not a bare comparison cast: a NULL event_type
+            # compares to NULL, and a session of only NULL-type events
+            # would yield max(NULL) = NULL where the batch oracle's CASE
+            # gives 0 (NULL-key battery catch)
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "converted"
+            ),
         )
         .select(
             F.col("user_id"),

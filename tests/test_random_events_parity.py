@@ -120,7 +120,8 @@ def _random_events(seed: int, n: int = 300) -> "pd.DataFrame":  # noqa: F821
         # showed NULL-key ordering is exactly where engines diverge —
         # every entry must either filter or handle them identically
         user_id = None if rng.random() < 0.05 else rng.randrange(12)
-        event_type = rng.choice(types)
+        # ~3% NULL event_type: same NULL-key class as user_id
+        event_type = None if rng.random() < 0.03 else rng.choice(types)
         # a third of events reuse pooled instants → same-user same-ts ties,
         # duplicate purchase instants (as-of tie break), shared window edges
         ts_s = rng.choice(ts_pool) if rng.random() < 0.33 else base + rng.randrange(0, 35 * 86_400)

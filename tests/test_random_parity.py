@@ -61,7 +61,9 @@ def _random_corpus(seed: int, n_docs: int = 60) -> list[tuple]:
         else:
             body = " ".join(rng.choice(VOCAB) for _ in range(rng.randrange(1, 40)))
         lang = rng.choice(["en", "fr", "de", None])
-        rows.append((doc_id, body, lang, f"src{doc_id % 3}", len(body) if body is not None else 0))
+        # ~5% NULL source: grouping keys the schema allows to be NULL
+        source = None if rng.random() < 0.05 else f"src{doc_id % 3}"
+        rows.append((doc_id, body, lang, source, len(body) if body is not None else 0))
     return rows
 
 
