@@ -155,7 +155,9 @@ def _random_embeddings(seed: int, n: int = 40, dim: int = 8) -> list[tuple]:
     rows = []
     for vec_id in range(n):
         kind = rng.randrange(8)
-        if vec_id == n // 2:
+        if vec_id == n // 3:
+            vec = None  # NULL embedding: allowed by schema, filtered by every op
+        elif vec_id == n // 2:
             vec = [0.0] * dim  # the failed-embedding row
         elif kind == 0 and rows:
             vec = list(rows[rng.randrange(len(rows))][1])  # exact duplicate
@@ -165,7 +167,9 @@ def _random_embeddings(seed: int, n: int = 40, dim: int = 8) -> list[tuple]:
             vec = [rng.randrange(-16, 17) / 8 for _ in range(dim)]
             if kind == 2:
                 vec[rng.randrange(dim)] = 0.0  # sign-boundary component
-        rows.append((vec_id, vec, vec_id % 4))
+        # ~10% NULL labels: the grouping-key NULL class
+        label = None if rng.random() < 0.1 else vec_id % 4
+        rows.append((vec_id, vec, label))
     return rows
 
 
@@ -211,6 +215,13 @@ EMB_QUERIES = [
     # per-dimension audit: the all-zero vector contributes a zero in every
     # dim; antipodes cancel in mean_x but not mean_x2
     ("dim_stats", lambda d: similarity.gen_dim_stats(d)),
+    # round-8 additions: integer-lattice moments and power iterations must
+    # agree on NULL/zero/duplicate/antipode vectors; the SPARK rendering of
+    # the unrolled chains is valid (if slower) SQL, so gen-level parity
+    # covers the oracle formulation on adversarial stores
+    ("corr_audit", lambda d: similarity.gen_corr_audit(d)),
+    ("pca_power", lambda d: similarity.gen_pca_power(d, k=6)),
+    ("pca_project", lambda d: similarity.gen_pca_project(d, k=6)),
 ]
 
 
@@ -226,9 +237,11 @@ def embeddings_parquet(request, tmp_path_factory, spark):
         {
             "vec_id": pa.array([r[0] for r in rows], pa.int64()),
             "embedding": pa.array(
-                [np.array(r[1], dtype=np.float32) for r in rows], pa.list_(pa.float32())
+                [np.array(r[1], dtype=np.float32) if r[1] is not None else None
+                 for r in rows],
+                pa.list_(pa.float32()),
             ),
-            "label": pa.array([r[2] for r in rows], pa.int32()),
+            "label": pa.array([r[2] for r in rows], pa.int32()),  # None -> NULL
         }
     )
     path = str(tmp_path_factory.mktemp("remb") / f"embeddings_{request.param}.parquet")
