@@ -118,7 +118,9 @@ def gen_funnel_conversion(
         f"SELECT {i + 1} AS step_no, '{step}' AS step, CAST(count(*) AS BIGINT) AS users FROM u{i + 1}"
         for i, step in enumerate(steps)
     )
-    rate = d.trunc6("CAST(f.users AS DOUBLE) / s1.users")
+    # nullif: an empty stream makes step-1 users 0 — Spark's ANSI divide
+    # would CRASH where DuckDB yields a value (empty-input battery catch)
+    rate = d.trunc6("CAST(f.users AS DOUBLE) / CAST(nullif(s1.users, 0) AS DOUBLE)")
     ctes = ",\n".join(parts)
     return f"""WITH {ctes},
 f AS (

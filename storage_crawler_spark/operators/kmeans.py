@@ -102,6 +102,11 @@ def kmeans_fit(
     else:
         init_rows = vectors.orderBy("vec_id").limit(k).select("ev").collect()
         centroids = [list(r.ev) for r in init_rows]
+    if not centroids:
+        # an empty store must fail LOUDLY here, not as an unresolvable
+        # array_position over a zero-arm distance array three calls later
+        # (empty-input battery catch); same contract as the farthest init
+        raise ValueError("cannot fit k-means on an empty vector set")
     for _ in range(iters):
         assigned = assign_clusters(vectors, centroids)
         means = (

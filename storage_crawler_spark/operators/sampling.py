@@ -326,18 +326,18 @@ folded AS (
 ),
 var_rel AS (
   SELECT means, nb,
-         {d.fold_double('means')} / CAST(nb AS DOUBLE) AS mbar
+         {d.fold_double('means')} / CAST(nullif(nb, 0) AS DOUBLE) AS mbar
   FROM folded
 ),
 point AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_chars
+         CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) / CAST(nullif(count(*), 0) AS DOUBLE) AS mean_chars
   FROM documents
 )
 SELECT p.n_docs,
        {d.trunc6('p.mean_chars')} AS mean_chars,
        CAST(v.nb AS BIGINT) AS n_replicas,
-       {d.trunc6(f'sqrt(({dev}) / CAST(v.nb - 1 AS DOUBLE))')} AS boot_se,
+       {d.trunc6(f'sqrt(({dev}) / CAST(nullif(greatest(v.nb - 1, 0), 0) AS DOUBLE))')} AS boot_se,
        {d.trunc6(d.amin('v.means'))} AS rep_min,
        {d.trunc6(d.amax('v.means'))} AS rep_max
 FROM point p CROSS JOIN var_rel v
