@@ -1016,3 +1016,97 @@ FROM _hits_final
 ORDER BY event_type
 """.strip()
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential smoothing (per-type load forecast)
+# ---------------------------------------------------------------------------
+
+HOLT_S = 1_000_000  # level/trend lattice
+
+
+def _holt_tdiv(d: Dialect, x: str, m: str) -> str:
+    """Truncating division via the dialect's INTEGER div with a sign
+    split (engine-safe for negative trends — the PCA-iterate pattern).
+    Float '/' + CAST would lose exactness: doubles carry 53 bits and the
+    scaled level products reach ~2^52 already at modest volumes."""
+    return (
+        f"(CASE WHEN ({x}) >= 0 THEN {d.idiv(f'({x})', f'({m})')} "
+        f"ELSE -({d.idiv(f'(-({x}))', f'({m})')}) END)"
+    )
+
+
+def gen_holt_trend(d: Dialect, alpha_4th: int = 1, beta_4th: int = 1) -> str:
+    """Per-event-type HOLT double-exponential smoothing over the daily
+    count series — the forecasting readout the trend/seasonality entries
+    stop short of: smoothed level, per-day trend, next-day and 7-day
+    forecasts, and the in-sample one-step SSE (the model-quality number
+    that says whether the forecast is worth reading).
+
+    Exact-integer discipline: level/trend live on the HOLT_S lattice,
+    alpha = beta = 1/4 as exact rationals, every step a
+    multiply-then-truncating-divide on BIGINTs folded in pinned day order
+    (state string 'level:trend:sse', the BPE fold pattern) — hash-exact
+    across engines where a float EWMA would drift.  The series is the
+    OBSERVED days in order (no zero-fill spine; each fold step is one
+    observed day, which is the standard irregular-series reading).
+
+    100 TB shape: the stream collapses to (type, day, count) in one
+    partial-combining aggregate; the per-type ordered array is bounded by
+    CALENDAR DAYS, not corpus size, so the fold is a per-type scalar
+    expression over a tiny relation.
+    """
+    day = d.idiv(d.epoch_s_events("ts"), "86400")
+    arr = d.agg_arr_by("day", "CAST(cnt AS STRING)")
+    an, ad = alpha_4th, 4
+    bn, bd = beta_4th, 4
+
+    def part(i: int) -> str:
+        return d.elem(d.split("st", ":"), str(i))
+
+    L = f"CAST({part(1)} AS BIGINT)"
+    T = f"CAST({part(2)} AS BIGINT)"
+    E = f"CAST({part(3)} AS BIGINT)"
+    C = "CAST(x AS BIGINT)"
+    pred = f"({L} + {T})"
+    err = f"({_holt_tdiv(d, pred, str(HOLT_S))} - {C})"
+    nl = _holt_tdiv(d, f"{an} * {C} * {HOLT_S} + {ad - an} * {pred}", str(ad))
+    nt = _holt_tdiv(d, f"{bn} * ({nl} - {L}) + {bd - bn} * {T}", str(bd))
+    step = (
+        f"CASE WHEN st = 'I' THEN CAST({C} * {HOLT_S} AS STRING) || ':0:0' "
+        f"ELSE CAST({nl} AS STRING) || ':' || CAST({nt} AS STRING) || ':' "
+        f"|| CAST({E} + {err} * {err} AS STRING) END"
+    )
+    if d.name == "spark":
+        fold = f"aggregate(darr, 'I', (st, x) -> {step})"
+    else:
+        fold = f"list_reduce(list_prepend('I', darr), (st, x) -> {step})"
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day, CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY event_type, {day}
+),
+series AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, {arr} AS darr
+  FROM daily GROUP BY event_type
+),
+fitted AS (
+  SELECT event_type, n_days, {fold} AS hstate FROM series
+),
+parsed AS (
+  SELECT event_type, n_days,
+         CAST({d.elem(d.split('hstate', ':'), '1')} AS BIGINT) AS lvl,
+         CAST({d.elem(d.split('hstate', ':'), '2')} AS BIGINT) AS trd,
+         CAST({d.elem(d.split('hstate', ':'), '3')} AS BIGINT) AS sse
+  FROM fitted
+)
+SELECT event_type, n_days,
+       {d.trunc6(f'CAST(lvl AS DOUBLE) / {HOLT_S}.0e0')} AS level,
+       {d.trunc6(f'CAST(trd AS DOUBLE) / {HOLT_S}.0e0')} AS trend_per_day,
+       {_holt_tdiv(d, 'lvl + trd', str(HOLT_S))} AS forecast_next,
+       {_holt_tdiv(d, 'lvl + 7 * trd', str(HOLT_S))} AS forecast_7d,
+       sse AS one_step_sse
+FROM parsed
+ORDER BY event_type
+""".strip()

@@ -3100,6 +3100,20 @@ FROM files f
         "the oracle",
     )
 
+    b, o = _sql_pair(analytics.gen_holt_trend, ("events",))
+    add(
+        "events_holt_trend",
+        b,
+        o,
+        tags=("events", "forecast"),
+        doc="per-type Holt double-exponential smoothing over the daily "
+        "count series (alpha=beta=1/4 exact rationals, BIGINT lattice "
+        "fold in pinned day order): level, per-day trend, next/7-day "
+        "forecasts, one-step SSE — the forecasting readout above the "
+        "OLS trend and seasonality audits; per-type arrays bounded by "
+        "calendar days, one partial-combining aggregate",
+    )
+
     b, o = _sql_pair(analytics.gen_ab_test, ("events",))
     add(
         "events_ab_test",
@@ -3294,6 +3308,7 @@ _DRIVER_WINDOW_FIRST = (
     "events_hits",
     "text_phrase_search",
     "text_license_scan",
+    "events_holt_trend",
     # reference report plane (§2 B-surface; find_extension port already
     # stamped via report_large_old_files r7 — extension_usage defers to r9)
     "report_duplicate_files",
@@ -3349,7 +3364,8 @@ _DRIVER_WINDOW_FIRST = (
     "ingest_jsonl_fidelity",
     "ingest_csv_fidelity",
     # (ingest_orc_fidelity defers to r9 — the fidelity trio keeps 2 slots)
-    "lake_compaction_plan",
+    # (lake_compaction_plan defers to r9 — the lake plane keeps zorder's
+    # r7 stamp + snapshot-diff's r4 stamp)
     "multimodal_byte_entropy",
     "streaming_docs_dedup",
     "streaming_rate_anomaly",

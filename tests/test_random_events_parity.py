@@ -97,6 +97,9 @@ EVENT_ENTRIES = [
     # partial final weeks; zorder ntile ties on pooled instants (NULL
     # users dropped identically per the r7 ADVICE fix)
     "events_session_concurrency",
+    # Holt fold: pooled instants collapse to same-day counts; single-day
+    # types, NULL-type exclusion, negative-trend sign-split divisions
+    "events_holt_trend",
     "events_dow_seasonality",
     "lake_zorder_layout",
     # streaming_event_deltas is rows-only (stateful applyInPandasWithState,

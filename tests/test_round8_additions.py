@@ -392,6 +392,59 @@ def test_dp_release_scale_tracks_epsilon():
 
 
 # ---------------------------------------------------------------------------
+# Holt forecast (events_holt_trend)
+# ---------------------------------------------------------------------------
+
+
+def _holt_py(counts, S=1_000_000):
+    def tdiv(x, m):
+        return x // m if x >= 0 else -((-x) // m)
+
+    level, trend, sse = counts[0] * S, 0, 0
+    for c in counts[1:]:
+        err = tdiv(level + trend, S) - c
+        sse += err * err
+        nl = tdiv(c * S + 3 * (level + trend), 4)
+        trend = tdiv(nl - level + 3 * trend, 4)
+        level = nl
+    return level, trend, sse
+
+
+def test_holt_matches_reference_fold_and_directions():
+    from storage_crawler_spark.operators.analytics import HOLT_S, gen_holt_trend
+
+    # type 'up': 10,12,...,28 rising daily counts; 'flat': constant 5
+    rows, eid = [], 0
+    for day, cnt in enumerate(range(10, 30, 2)):
+        for _ in range(cnt):
+            rows.append((eid, day * 86400 + 100 + eid % 50, 1, "up", 1.0, None)); eid += 1
+    for day in range(10):
+        for _ in range(5):
+            rows.append((eid, day * 86400 + 100 + eid % 50, 2, "flat", 1.0, None)); eid += 1
+    got = _duck(gen_holt_trend(DUCK), events=_events(rows))
+    out = {t: (lv, tr, fn, f7, sse) for t, _, lv, tr, fn, f7, sse in zip(
+        got["event_type"], got["n_days"], got["level"], got["trend_per_day"],
+        got["forecast_next"], got["forecast_7d"], got["one_step_sse"])}
+    lvl, trd, sse = _holt_py(list(range(10, 30, 2)))
+    import math
+
+    assert abs(out["up"][0] - math.floor(lvl / HOLT_S * 1e6) / 1e6) < 2e-6
+    assert out["up"][1] > 0 and out["up"][3] > out["up"][2]  # rising forecast
+    assert out["up"][4] == sse
+    assert out["flat"] == (5.0, 0.0, 5, 5, 0)  # flat: exact level, no error
+
+
+def test_holt_single_day_type_is_degenerate():
+    from storage_crawler_spark.operators.analytics import gen_holt_trend
+
+    rows = [(0, 1000, 1, "once", 1.0, None), (1, 1001, 1, "once", 1.0, None)]
+    got = _duck(gen_holt_trend(DUCK), events=_events(rows))
+    assert got["n_days"] == [1]
+    assert got["level"] == [2.0] and got["trend_per_day"] == [0.0]
+    assert got["one_step_sse"] == [0]
+
+
+# ---------------------------------------------------------------------------
 # A/B proportion test (events_ab_test)
 # ---------------------------------------------------------------------------
 
