@@ -919,10 +919,23 @@ def _pca_fit(spark, k: int = PCA_ITERS):
 
     base = pca_cte_base(SPARK)
     rows = spark.sql(
-        f"WITH {base} SELECT c.i, c.j, c.c, tr.trace FROM cmat c CROSS JOIN tr"
+        f"WITH {base} SELECT c.i, c.j, c.c, tr.trace, nn.n "
+        f"FROM cmat c CROSS JOIN tr CROSS JOIN nn"
     ).collect()
     if not rows:
         return None
+    # Runtime guard for the documented BIGINT-overflow precondition (see the
+    # lattice-constant comment above PCA_Q): beyond ~3e5 rows at PCA_Q=65536
+    # the n*sxy scatter term can silently wrap in BOTH the Spark builder and
+    # the oracle, producing wrong loadings with no error.  Fail loudly
+    # instead; bigger stores shrink PCA_Q.
+    n_rows = int(rows[0][4])
+    if n_rows > 300_000:
+        raise ValueError(
+            f"PCA lattice overflow precondition violated: {n_rows} embedding "
+            f"rows > 300000 supported at PCA_Q={PCA_Q}; shrink PCA_Q "
+            f"(scatter term n*sxy no longer fits BIGINT)"
+        )
     trace = rows[0][3]
     VS = PCA_VS
     by_i: dict[int, list[tuple[int, int]]] = {}

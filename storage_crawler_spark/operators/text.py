@@ -780,11 +780,13 @@ def gen_inverted_index(
     the global rank, same trick as the jaccard rank blocks; df itself
     partial-aggregates and never skews.
 
-    Output: term, n_docs (full document frequency), postings_head (sorted
-    BIGINT array, ≤ ``postings_cap`` ids).
+    Output: term, n_docs (full document frequency), postings_head (the
+    sorted posting head rendered as a comma-joined string, ≤
+    ``postings_cap`` ids — flat so every driver/canonicalizer downstream
+    can hash the cell; the array form only ever fed this projection).
     """
     toks = d.regex_tokens("lower(text)", "[a-z0-9]+")
-    postings = d.agg_arr_by("doc_id", "doc_id")
+    postings = d.ajoin(d.agg_arr_by("doc_id", "CAST(doc_id AS STRING)"), ",")
     return f"""
 WITH td AS (
   SELECT DISTINCT doc_id, tok AS term
@@ -1904,7 +1906,18 @@ def gen_phrase_search(d: Dialect, phrase: str = "hash join", top_k: int = 50) ->
     the query below is unchanged, only the CTE source swaps.  The join
     chain partial-combines into per-doc counts; fused top-k.
     """
-    terms = phrase.split(" ")
+    # Terms are spliced into single-quoted SQL literals: enforce the same
+    # [a-z0-9]+ vocab contract the tokenizer plane uses, so no quote (or any
+    # other metacharacter) can reach the literal and runs of spaces can't
+    # produce empty '' terms.
+    import re as _re
+
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one term")
+    for t in terms:
+        if not _re.fullmatch(r"[a-z0-9]+", t):
+            raise ValueError(f"phrase term {t!r} violates the [a-z0-9]+ vocab contract")
     toks = d.split("lower(text)")
     lat = d.lateral_seq("1", d.size("toks"), "i")
     joins = []
@@ -1946,7 +1959,7 @@ def gen_license_scan(d: Dialect) -> str:
     One pruned scan, map-side flags, one partial-combining aggregate.
     """
     flags = {
-        "copyright": "copyright (\\(c\\) )?[0-9]{4}",
+        "copyright": "copyright ([(]c[)] )?[0-9]{4}",
         "gpl": "(gnu (general|lesser|affero) public license|gpl-?[23])",
         "all_rights": "all rights reserved",
         "permissive": "(mit license|apache license|bsd license)",

@@ -405,9 +405,13 @@ delta_agg AS (
   FROM deltas GROUP BY source
 ),
 ivm AS (
-  SELECT b.source, b.n0 + coalesce(da.dn, 0) AS n_docs_ivm,
-         b.s0 + coalesce(da.ds, 0) AS sum_chars_ivm
-  FROM base_agg b LEFT JOIN delta_agg da ON b.source = da.source
+  -- FULL OUTER: a source introduced solely by inserts has no base_agg row
+  -- (coalesce n0/s0 to 0); a fully-deleted source keeps its base row and
+  -- nets to zero.  LEFT JOIN here would drop delta-only sources entirely.
+  SELECT coalesce(b.source, da.source) AS source,
+         coalesce(b.n0, 0) + coalesce(da.dn, 0) AS n_docs_ivm,
+         coalesce(b.s0, 0) + coalesce(da.ds, 0) AS sum_chars_ivm
+  FROM base_agg b FULL OUTER JOIN delta_agg da ON b.source = da.source
 ),
 full_agg AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs_full,
@@ -416,7 +420,8 @@ full_agg AS (
 )
 SELECT coalesce(i.source, f.source) AS source,
        i.n_docs_ivm, i.sum_chars_ivm, f.n_docs_full, f.sum_chars_full,
-       CAST(i.n_docs_ivm = f.n_docs_full AND i.sum_chars_ivm = f.sum_chars_full AS INT)
+       coalesce(CAST(i.n_docs_ivm = f.n_docs_full
+                     AND i.sum_chars_ivm = f.sum_chars_full AS INT), 0)
          AS consistent
 FROM ivm i FULL OUTER JOIN full_agg f ON i.source = f.source
 ORDER BY source

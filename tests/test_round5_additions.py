@@ -105,8 +105,8 @@ def test_inverted_index_df_postings_and_min_df(spark):
     )
     idx = _index(spark)
     assert set(idx) == {"apple", "banana"}  # cherry pruned at min_df=2
-    assert idx["apple"].n_docs == 3 and idx["apple"].postings_head == [1, 2, 3]
-    assert idx["banana"].n_docs == 2 and idx["banana"].postings_head == [2, 3]
+    assert idx["apple"].n_docs == 3 and idx["apple"].postings_head == "1,2,3"
+    assert idx["banana"].n_docs == 2 and idx["banana"].postings_head == "2,3"
 
 
 def test_inverted_index_cap_bounds_postings_not_df(spark):
@@ -114,7 +114,7 @@ def test_inverted_index_cap_bounds_postings_not_df(spark):
     idx = _index(spark, postings_cap=5)
     r = idx["common"]
     assert r.n_docs == 30                       # df counts ALL docs
-    assert r.postings_head == [0, 1, 2, 3, 4]   # head capped and sorted
+    assert r.postings_head == "0,1,2,3,4"       # head capped and sorted
 
 
 def test_inverted_index_tokenization_case_and_punct(spark):
@@ -122,7 +122,7 @@ def test_inverted_index_tokenization_case_and_punct(spark):
     _docs_view(spark, [(1, "Spark-SQL rocks"), (2, "spark sql ROCKS")])
     idx = _index(spark)
     assert set(idx) == {"spark", "sql", "rocks"}
-    assert all(r.n_docs == 2 and r.postings_head == [1, 2] for r in idx.values())
+    assert all(r.n_docs == 2 and r.postings_head == "1,2" for r in idx.values())
 
 
 # ---------------------------------------------------------------------------
