@@ -247,9 +247,12 @@ def gen_vocab_coverage(
     vocab or route docs to a byte-fallback path.
 
     100 TB shape: token explode (map) → token-frequency aggregate
-    (partial-combining), the vocab rank is a window over the FREQUENCY
-    relation (vocabulary-sized, not corpus-sized), and the vocab itself is
-    a ≤``vocab_size``-row broadcast joined back onto the exploded stream —
+    (partial-combining); the vocab selection is ``ORDER BY freq DESC,
+    token LIMIT vocab_size`` — Spark fuses that to TakeOrderedAndProject
+    (map-side partial top-k, NO window, no single-partition sort of the
+    vocabulary relation, which grows with corpus size; the previous
+    global ``row_number`` form was exactly that sort).  The vocab is a
+    ≤``vocab_size``-row broadcast joined back onto the exploded stream —
     the heavy stream is touched by one map and one per-doc aggregate, no
     re-sort.  Spark builder persists the exploded relation (``tok_rel``);
     the oracle inlines the CTE.
@@ -263,9 +266,7 @@ def gen_vocab_coverage(
     oov = "CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
     return f"""{with_clause}freq AS (SELECT token, count(*) AS n FROM {tok} GROUP BY token),
 vocab AS (
-  SELECT token FROM (
-    SELECT token, row_number() OVER (ORDER BY n DESC, token) AS rnk FROM freq
-  ) r WHERE rnk <= {vocab_size}
+  SELECT token FROM freq ORDER BY n DESC, token LIMIT {vocab_size}
 )
 SELECT {tok}.doc_id AS doc_id,
        count(*) AS n_tokens,
@@ -1345,10 +1346,14 @@ def gen_vocab_coverage_curve(
     knee of this curve), complementing the per-doc OOV audit
     (:func:`gen_vocab_coverage`).
 
-    One frequency aggregate; ranks via a window over the FREQUENCY
-    relation (vocabulary-sized); the curve is a constant-VALUES lateral
-    over the candidate sizes joined by a rank threshold — grouped sums,
-    no per-size rescans.  Counts CAST pre-division (HUGEINT trap).
+    One frequency aggregate; the top-``max(sizes)`` selection is ``ORDER
+    BY c DESC, token LIMIT max(sizes)`` — TakeOrderedAndProject in Spark
+    (map-side partial top-k, NO window; a global ``row_number`` here
+    would single-partition-sort the vocabulary relation, which grows
+    with corpus size).  The ≤max(sizes)-row result collapses to ONE
+    ordered counts array, and each candidate size reads its coverage as
+    a prefix-slice fold of that array — per-size sums with no rank join
+    and no per-size rescans.  Counts CAST pre-division (HUGEINT trap).
     """
     if tok_rel:
         tok = tok_rel
@@ -1357,21 +1362,27 @@ def gen_vocab_coverage_curve(
         tok = "tok"
         with_clause = f"WITH tok AS (\n{gen_token_explode(d)}\n),\n"
     vals = ", ".join(f"({n})" for n in sizes)
-    cov = d.trunc6("CAST(sum(CASE WHEN rnk <= v.n THEN f.c ELSE 0 END) AS DOUBLE) / t.total")
+    max_n = max(sizes)
+    # counts ordered by (c DESC, token): composite sort key per dialect —
+    # Spark sorts struct fields left-to-right, DuckDB takes a key list
+    key = "struct(-c, token)" if d.name == "spark" else "-c, token"
+    carr = d.agg_arr_by(key, "c")
+    prefix_sum = d.reduce_bigint(d.aslice("arr", "1", "v.n"), "acc + x")
+    cov = d.trunc6(f"CAST({prefix_sum} AS DOUBLE) / t.total")
     return f"""{with_clause}freq AS (
   SELECT token, count(*) AS c FROM {tok} GROUP BY token
 ),
-ranked AS (
-  SELECT token, c, row_number() OVER (ORDER BY c DESC, token) AS rnk FROM freq
+topn AS (
+  SELECT token, c FROM freq ORDER BY c DESC, token LIMIT {max_n}
 ),
+carr AS (SELECT {carr} AS arr FROM topn),
 tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total, CAST(count(*) AS BIGINT) AS n_types FROM freq)
 SELECT v.n AS vocab_size,
        t.n_types AS corpus_types,
        {cov} AS coverage
-FROM ranked f
+FROM carr
 CROSS JOIN (VALUES {vals}) AS v(n)
 CROSS JOIN tot t
-GROUP BY v.n, t.total, t.n_types
 ORDER BY vocab_size
 """.strip()
 
@@ -1480,6 +1491,18 @@ LIMIT {top_k}
 """.strip()
 
 
+def _bpe_rank_key(d: Dialect) -> str:
+    """Composite (pair_count DESC, sym_l, sym_r) ordering key for the
+    merge-list array agg — Spark compares struct fields left-to-right,
+    DuckDB takes an ORDER BY key list.  Replaces the former global
+    ``row_number`` rank: the top-k itself comes from ORDER BY + LIMIT
+    (TakeOrderedAndProject — map-side partial top-k, no window), and the
+    merge-application ORDER lives entirely in this agg key."""
+    if d.name == "spark":
+        return "struct(-pair_count, sym_l, sym_r)"
+    return "-pair_count, sym_l, sym_r"
+
+
 def _bpe_apply(d: Dialect, acc: str, merges_arr: str) -> str:
     """Fold a ranked merge list over a ``_``-joined symbol string, applying
     each merge greedily left-to-right — the BPE *encode* step as a pure
@@ -1557,14 +1580,14 @@ bpe_pairs1 AS (
   GROUP BY sym_l, sym_r
 ),
 bpe_merges1 AS (
-  SELECT sym_l || ' ' || sym_r AS mg,
-         row_number() OVER (ORDER BY pair_count DESC, sym_l, sym_r) AS rnk
+  SELECT sym_l, sym_r, pair_count
   FROM bpe_pairs1
   ORDER BY pair_count DESC, sym_l, sym_r
   LIMIT {k1}
 ),
 bpe_m1 AS (
-  SELECT {d.agg_arr_by('rnk', 'mg')} AS marr FROM bpe_merges1
+  SELECT {d.agg_arr_by(_bpe_rank_key(d), "sym_l || ' ' || sym_r")} AS marr
+  FROM bpe_merges1
 )
 SELECT word, freq, {_bpe_apply(d, 'rep0', 'marr')} AS toks
 FROM (SELECT word, freq, {rep0} AS rep0 FROM bpe_vocab) w
@@ -1603,14 +1626,14 @@ bpe_pairs2 AS (
   GROUP BY sym_l, sym_r
 ),
 bpe_merges2 AS (
-  SELECT sym_l || ' ' || sym_r AS mg,
-         row_number() OVER (ORDER BY pair_count DESC, sym_l, sym_r) AS rnk
+  SELECT sym_l, sym_r, pair_count
   FROM bpe_pairs2
   ORDER BY pair_count DESC, sym_l, sym_r
   LIMIT {k2}
 ),
 bpe_m2 AS (
-  SELECT {d.agg_arr_by('rnk', 'mg')} AS marr2 FROM bpe_merges2
+  SELECT {d.agg_arr_by(_bpe_rank_key(d), "sym_l || ' ' || sym_r")} AS marr2
+  FROM bpe_merges2
 ),
 bpe_enc2 AS (
   SELECT word, freq, {_bpe_apply(d, 'toks', 'marr2')} AS toks

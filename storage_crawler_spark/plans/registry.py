@@ -3277,100 +3277,60 @@ FROM files f
 # met the driver (all sweep-green under the exact replica of the driver's
 # check — ORACLE_SWEEP_r07_judge.txt, re-proven at r8 HEAD in
 # ORACLE_SWEEP_r08.txt).  This window holds 50 first-ever stamps: the 16
-# round-8 operators (newest code meets the gate, the standing priority)
-# plus 34 of the 56.  No already-stamped name keeps a slot — the
-# sentinel/perf-watch habit rests this round exactly as the verdict
-# prescribed; those plans stay in the bench and the full sweep.
-# Deferred to round 9 (every one a family whose machinery holds an
-# in-window or already-stamped slot; per-name rationales inline below):
-# 22 oracle-gated + the 3 honest rows-only entries (sim_pq_topk,
-# sim_pq_recall, text_quality_learned) that never burn a slot — the
-# whole remainder closes in ONE more rotation.
+# Round-9 window: the FINAL backlog rotation.  After round 8's stamp,
+# exactly 33 oracle-gated entries had never appeared in a driver window
+# (VERDICT r8's list, including text_inverted_index whose r8 row went red
+# on a canonicalizer formatting crash, now fixed by flattening
+# postings_head) — all 33 take slots here, so after this round every
+# oracle-gated entry in the registry carries an external stamp at least
+# once.  The remaining slots go to new round-9 operators (newest code
+# meets the gate, the standing priority) and then to the honest
+# rows-only entries, which have never had even a rows-stamp.
 _DRIVER_WINDOW_FIRST = (
-    # round-8 operators, first driver stamps (newest code meets the gate;
-    # they displace report_owner_usage/report_age_tiers/events_user_streaks
-    # to the r9 rotation — the owner/extension machinery already carries
-    # r4/r7 stamps via owner_prefix_join and report_large_old_files, and
-    # the streak/session family via events_session_stats/concurrency r7)
-    "text_bpe_encode",
-    "text_bpe_compression",
-    "events_pagerank",
-    "embedding_pca_power",
-    "sketch_heavy_hitters",
-    "skew_salted_join",
-    "text_kn_bigram_nll",
-    "streaming_cms_hitters",
-    "ingest_ivm_agg",
-    "pipeline_dp_release",
-    "events_ab_test",
-    "embedding_pca_project",
-    "text_bpe_doc_tokens",
-    "events_hits",
-    "text_phrase_search",
-    "text_license_scan",
-    "events_holt_trend",
-    # reference report plane (§2 B-surface; find_extension port already
-    # stamped via report_large_old_files r7 — extension_usage defers to r9)
-    "report_duplicate_files",
-    # (window_rank_functions / join_asof_forward_events defer to r9: the
-    # rank family carries r4 stamps via window_topk/moving_avg and the
-    # as-of family r4/r7 stamps via backward/tolerance)
-    # dedup plane
-    "dedup_minhash_incremental",
-    "dedup_paragraphs",
-    # (dedup_cluster_sizes defers to r9 — the cluster machinery keeps its
-    # slot via dedup_semantic_clusters + the CC pytest battery)
-    "dedup_semantic_clusters",
-    "dedup_embedding_exact",
-    # (dedup_embedding_incremental defers to r9 — the incremental-probe
-    # shape keeps its slot via dedup_minhash_incremental)
-    # similarity / embedding plane
-    "sim_rp_lsh_topk",
-    "sim_hard_negatives",
-    "embedding_stats_audit",
-    # (embedding_label_outliers defers to r9 — the embedding-audit family
-    # keeps stats_audit + centroid_confusion slots)
-    "embedding_centroid_confusion",
-    # sampling / shard / mixture
-    # (sample_neyman_allocation defers to r9 — the sampling plane keeps
-    # its stamped weighted/bootstrap cousins plus shard_plan's slot)
-    "pipeline_shard_plan",
-    "pipeline_mixture_quota",
-    # (pipeline_mixture_apply and pipeline_domain_mixture defer to r9 —
-    # the mixture family keeps the quota slot)
-    "pipeline_dedup_funnel",
-    "pipeline_split_contamination",
-    "pipeline_neardup_contamination",
-    "pipeline_training_corpus",
-    # text plane
-    "text_gopher_rules",
-    "text_zipf_audit",
-    # (text_tfidf_topterms defers to r9 — the idf machinery keeps a slot
-    # via text_bm25_topk)
-    # (text_unigram_surprisal defers to r9 — the LM-scoring family keeps
-    # bigram_nll/kn/perplexity slots)
-    "text_inverted_index",
-    "text_langid_confusion",
-    "text_pack_render",
-    "text_bm25_topk",
-    "text_perplexity_tertiles",
-    "text_bigram_nll",
-    "text_boilerplate_ngrams",
-    "text_typo_pairs",
-    "text_quality_classifier",
-    # (text_quality_by_source defers to r9 — same classifier machinery as
-    # text_quality_classifier, which keeps its slot)
-    # ingest / lake / multimodal / streaming / analytics remainder
-    "ingest_jsonl_fidelity",
-    "ingest_csv_fidelity",
-    # (ingest_orc_fidelity defers to r9 — the fidelity trio keeps 2 slots)
-    # (lake_compaction_plan defers to r9 — the lake plane keeps zorder's
-    # r7 stamp + snapshot-diff's r4 stamp)
-    "multimodal_byte_entropy",
-    "streaming_docs_dedup",
-    "streaming_rate_anomaly",
-    "source_overlap_matrix",
-    "split_vocab_divergence",
+    # --- the 33 never-stamped oracle-gated entries -----------------------
+    "text_inverted_index",       # r8 red row, answer was already correct
+    "dedup_cluster_sizes",
+    "dedup_embedding_incremental",
+    "dedup_simhash_pairs",
+    "embedding_label_outliers",
+    "events_hourly_profile",
+    "events_interarrival_quantiles",
+    "events_user_streaks",
+    "events_user_value_quantiles",
+    "ingest_orc_fidelity",
+    "join_asof_forward_events",
+    "lake_compaction_plan",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "pipeline_domain_mixture",
+    "pipeline_mixture_apply",
+    "report_age_tiers",
+    "report_extension_usage",
+    "report_growth_daily",
+    "report_owner_usage",
+    "report_subtree_du",
+    "sample_neyman_allocation",
+    "sketch_distinct_users",
+    "sketch_value_quantiles",
+    "streaming_event_deltas",
+    "text_length_quantiles",
+    "text_pack_bins",
+    "text_pack_greedy",
+    "text_quality_by_source",
+    "text_tfidf_topterms",
+    "text_unigram_surprisal",
+    "window_rank_functions",
+    # --- round-9 operators (added as they land) --------------------------
+    # (slots filled below as round-9 code meets the gate)
+    # --- rows-only entries: first-ever weak stamp ------------------------
+    # (these get the driver's rows-only check — still their first external
+    # execution evidence; they yield slots to new r9 ops if space runs out)
+    "fsmeta_scan",
+    "sim_ivf_trained_topk",
+    "sim_pq_topk",
+    "sim_pq_recall",
+    "text_quality_learned",
 )
 
 
