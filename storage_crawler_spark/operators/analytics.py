@@ -547,10 +547,15 @@ def gen_session_concurrency(d: Dialect, gap_s: int = 1800) -> str:
 
     100 TB shape: sessionization shuffles on user_id (bounded windows);
     deltas collapse to distinct seconds via one partial-combining
-    aggregate BEFORE the global prefix sum, so the single-partition window
-    sees only change points, not events.  Past ~1e9 change points, swap
-    the global window for the standard two-phase prefix (per-range partial
-    sums + broadcast offsets) — the delta relation is unchanged.
+    aggregate, then the prefix sum runs as the standard TWO-PASS
+    partitioned form: change points range-bucket on time (32 equal-width
+    buckets from one min/max probe), each bucket computes its running sum
+    under a PARTITIONED window, and the cross-bucket carry-in is the sum
+    of lower buckets' totals — a ≤32-row theta-join aggregate, broadcast
+    back onto the rows.  The inter-change-point duration likewise reads
+    intra-bucket ``lead`` with the next non-empty bucket's min time as the
+    boundary fallback.  No unpartitioned window anywhere: the sweep
+    scales to arbitrarily many change points by raising the bucket count.
 
     All-integer sweep; the one division is cast to DOUBLE then trunc6-ed.
     """
@@ -588,11 +593,39 @@ deltas AS (
 change_points AS (
   SELECT t, CAST(sum(delta) AS BIGINT) AS d FROM deltas GROUP BY t
 ),
-running AS (
-  SELECT t,
-         sum(d) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc,
-         lead(t) OVER (ORDER BY t) - t AS dur
+bounds AS (
+  SELECT CAST(min(t) AS BIGINT) AS tmin,
+         ({d.idiv('(max(t) - min(t))', '32')} + 1) AS w
   FROM change_points
+),
+cp AS (
+  SELECT t, d, {d.idiv('(t - b.tmin)', 'b.w')} AS pk
+  FROM change_points CROSS JOIN bounds b
+),
+btot AS (
+  SELECT pk, CAST(sum(d) AS BIGINT) AS tot, CAST(min(t) AS BIGINT) AS bt_min
+  FROM cp GROUP BY pk
+),
+carry AS (
+  SELECT a.pk, CAST(coalesce(sum(b.tot), 0) AS BIGINT) AS carry_in
+  FROM btot a LEFT JOIN btot b ON b.pk < a.pk
+  GROUP BY a.pk
+),
+nxt AS (
+  SELECT a.pk, CAST(min(b.bt_min) AS BIGINT) AS next_min
+  FROM btot a LEFT JOIN btot b ON b.pk > a.pk
+  GROUP BY a.pk
+),
+running AS (
+  SELECT cp.t,
+         sum(cp.d) OVER (PARTITION BY cp.pk ORDER BY cp.t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           + c.carry_in AS conc,
+         coalesce(lead(cp.t) OVER (PARTITION BY cp.pk ORDER BY cp.t),
+                  n.next_min) - cp.t AS dur
+  FROM cp
+  JOIN carry c ON cp.pk = c.pk
+  JOIN nxt n ON cp.pk = n.pk
 ),
 p AS (
   SELECT CAST(conc AS BIGINT) AS conc, CAST(dur AS BIGINT) AS dur

@@ -604,28 +604,58 @@ def gen_hybrid_rrf(
     Engine parity: both rank lists order on (engine-stable score, id);
     the fused score is a pure function of small-integer ranks, so float
     drift cannot reorder the output.  100 TB shape: the lexical side
-    scores only docs hitting the term IN-list; the vector side's global
-    rank is the exact tier — swap the vsr CTE for the IVF/RP-LSH bucketed
-    variant when the store outgrows one sort (same fusion SQL); final
-    top-k fuses into TakeOrderedAndProject.
+    scores only docs hitting the term IN-list; the VECTOR side is the
+    RP-LSH multi-probe tier (md5-deterministic hyperplane signatures,
+    Hamming-``radius`` bucket filter — identical SQL in both dialects, so
+    the approximation is itself oracle-checked), NOT an exact global
+    rank.  Each side's top-``k_each`` comes from ORDER BY + LIMIT
+    (TakeOrderedAndProject — map-side partial top-k); rank NUMBERS are
+    then read off a positional explode of ONE ordered ≤``k_each``-element
+    array per side — no unpartitioned window anywhere in the plan.  Final
+    fused top-k fuses into TakeOrderedAndProject.
     """
     from storage_crawler_spark.operators.text import bm25_scored_ctes
 
+    n_planes, radius = 8, 1
     k1 = "(12 / 1.0e1)"
     b = "(75 / 1.0e2)"
     parts, scored = bm25_scored_ctes(d, query_terms, k1, b, None)
     cos = f"({d.dot('e.ev', 'q.ev')}) / (e.nrm * q.nrm)"
+
+    def _rank_ctes(src: str, order: str, arr_name: str, out: str, rank_col: str) -> str:
+        # ORDER BY + LIMIT bounds src to k_each rows; the ordered id array
+        # then yields rank = 1-based position (lateral over the sequence),
+        # replacing the former global row_number.
+        key = f"struct({order})" if d.name == "spark" else order
+        return (
+            f"{arr_name} AS (SELECT {d.agg_arr_by(key, 'doc_id')} AS arr FROM {src}),\n"
+            f"{out} AS (\n"
+            f"  SELECT {d.elem('arr', 'i')} AS doc_id, CAST(i AS BIGINT) AS {rank_col}\n"
+            f"  FROM (SELECT arr FROM {arr_name} WHERE {d.size('arr')} >= 1) a\n"
+            f"  {d.lateral_seq('1', d.size('arr'), 'i')}\n)"
+        )
+
     parts.append(
-        f"bmr AS (\n  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_text\n"
-        f"  FROM (\n  {scored}\n  ) sb\n)"
+        f"bmt AS (\n  SELECT doc_id, bm25 FROM (\n  {scored}\n  ) sb\n"
+        f"  ORDER BY bm25 DESC, doc_id LIMIT {k_each}\n)"
     )
+    parts.append(_rank_ctes("bmt", "-bm25, doc_id", "bmarr", "bmr", "r_text"))
     parts.append(_norm_cte(d))
-    parts.append(f"q AS (SELECT ev, nrm FROM v WHERE vec_id = {query_vec_id})")
-    parts.append(
-        f"vsr AS (\n  SELECT e.vec_id AS doc_id,\n"
-        f"         row_number() OVER (ORDER BY {cos} DESC, e.vec_id) AS r_vec\n"
-        f"  FROM v e CROSS JOIN q\n  WHERE e.vec_id <> {query_vec_id}\n)"
+    parts.append(_rp_planes_cte(d, n_planes))
+    bit = (
+        f"CASE WHEN {d.dot('ev', d.elem('planes', 'j'))} > 0 "
+        f"THEN CAST(power(2, j - 1) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     )
+    bucket = d.reduce_bigint(d.transform(d.seq("1", str(n_planes)), "j", bit), "acc + x")
+    parts.append(f"sig AS (SELECT vec_id, ev, nrm, {bucket} AS bucket FROM v CROSS JOIN p)")
+    parts.append(f"q AS (SELECT ev, nrm, bucket FROM sig WHERE vec_id = {query_vec_id})")
+    parts.append(
+        f"vst AS (\n  SELECT e.vec_id AS doc_id, {cos} AS cosv\n"
+        f"  FROM sig e CROSS JOIN q\n  WHERE e.vec_id <> {query_vec_id}\n"
+        f"    AND {d.popcount(d.bxor('e.bucket', 'q.bucket'))} <= {radius}\n"
+        f"  ORDER BY cosv DESC, doc_id LIMIT {k_each}\n)"
+    )
+    parts.append(_rank_ctes("vst", "-cosv, doc_id", "vsarr", "vsr", "r_vec"))
     rrf = (
         f"coalesce(1.0e0 / ({rrf_k} + bl.r_text), 0.0e0) + "
         f"coalesce(1.0e0 / ({rrf_k} + vl.r_vec), 0.0e0)"
@@ -636,8 +666,8 @@ SELECT coalesce(bl.doc_id, vl.doc_id) AS doc_id,
        CAST(bl.r_text AS BIGINT) AS text_rank,
        CAST(vl.r_vec AS BIGINT) AS vec_rank,
        {d.trunc6(rrf)} AS rrf_score
-FROM (SELECT * FROM bmr WHERE r_text <= {k_each}) bl
-FULL JOIN (SELECT * FROM vsr WHERE r_vec <= {k_each}) vl ON bl.doc_id = vl.doc_id
+FROM bmr bl
+FULL JOIN vsr vl ON bl.doc_id = vl.doc_id
 ORDER BY rrf_score DESC, doc_id
 LIMIT {k}
 """.strip()

@@ -581,7 +581,7 @@ def _b_status_events(spark, sf_dir):
     from storage_crawler_spark.reports.queries import status_events
 
     out = status_events(_status_df(spark, sf_dir))
-    return out.select(F.col("time").cast("long").alias("time_s"), "status", "value", "units")
+    return out.select(F.col("time").cast("long").alias("time_s"), "status")
 
 
 def _b_status_averages(spark, sf_dir):
@@ -866,10 +866,10 @@ def _specs() -> list[QuerySpec]:
         "report_status_events",
         _b_status_events,
         V.with_status_cte(
-            f"SELECT {_DUCK_EPOCH} AS time_s, status, value, units FROM status WHERE units = 'event'"
+            f"SELECT {_DUCK_EPOCH} AS time_s, status FROM status WHERE units = 'event'"
         ),
         tags=("report",),
-        doc="report.py:128-131 'events' action (filter)",
+        doc="report.py:128-131 'events' action (filter; projects exactly (time, status))",
     )
     add(
         "report_status_averages",

@@ -31,11 +31,13 @@ def status_full(status: DataFrame) -> DataFrame:
 
 
 def status_events(status: DataFrame) -> DataFrame:
-    """'events' action: only event rows (units = 'event'), time-ordered
-    (report.py:128-131)."""
+    """'events' action: only event rows (units = 'event'), time-ordered,
+    projecting exactly (time, status) as the reference does
+    (report.py:128-131 — the 'full' action carries value/units; 'events'
+    deliberately does not)."""
     return (
         status.filter(F.col("units") == "event")
-        .select(F.date_trunc("second", "time").alias("time"), "status", "value", "units")
+        .select(F.date_trunc("second", "time").alias("time"), "status")
         .orderBy("time")
     )
 
