@@ -1143,3 +1143,230 @@ SELECT event_type, n_days,
 FROM parsed
 ORDER BY event_type
 """.strip()
+
+
+def gen_funnel_steps(
+    d: Dialect,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    max_lag_s: int = 86400,
+) -> str:
+    """Ordered conversion funnel: how many users performed step 1, then
+    step 2 within ``max_lag_s`` seconds AFTER their first step 1, then
+    step 3 within the window after that — the product-analytics primitive
+    every event warehouse ships (strict temporal ordering plus a
+    conversion window, neither expressible as a plain GROUP BY).
+
+    Semantics: t1 = user's earliest step-1 event; t_{i+1} = earliest
+    step-(i+1) event with t_i < time <= t_i + max_lag_s (the canonical
+    "first qualifying event" funnel — re-entries don't help, earlier
+    out-of-order events don't count, late conversions fall outside the
+    window).  Conversion rates are NULL-guarded for empty stages.
+
+    100 TB shape: each stage is a per-user aggregate over a
+    type-pruned scan (the event_type filter pushes down), chained by
+    equi-joins on user_id — stage relations shrink monotonically, every
+    aggregate partial-combines, and no window functions at all.  The
+    final readout is three 1-row scalars.
+    """
+    assert len(steps) == 3
+    es = d.epoch_s_events("ts")
+    rate = lambda a, b: d.trunc6(f"CAST({a} AS DOUBLE) / nullif({b}, 0)")  # noqa: E731
+    return f"""
+WITH e0 AS (
+  SELECT user_id, event_type, {es} AS es
+  FROM events WHERE user_id IS NOT NULL
+),
+s1 AS (
+  SELECT user_id, CAST(min(es) AS BIGINT) AS t1
+  FROM e0 WHERE event_type = '{steps[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, CAST(min(e.es) AS BIGINT) AS t2
+  FROM e0 e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = '{steps[1]}' AND e.es > s1.t1 AND e.es <= s1.t1 + {max_lag_s}
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, CAST(min(e.es) AS BIGINT) AS t3
+  FROM e0 e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = '{steps[2]}' AND e.es > s2.t2 AND e.es <= s2.t2 + {max_lag_s}
+  GROUP BY e.user_id
+),
+c AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+         (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+         (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n3
+)
+SELECT n1 AS n_step1, n2 AS n_step2, n3 AS n_step3,
+       {rate('n2', 'n1')} AS conv_1_2,
+       {rate('n3', 'n2')} AS conv_2_3,
+       {rate('n3', 'n1')} AS conv_overall
+FROM c
+""".strip()
+
+
+def gen_type_triangles(d: Dialect, min_users: int = 3) -> str:
+    """Triangle enumeration on the event-type co-occurrence graph: nodes
+    are event types, an edge joins two types sharing at least
+    ``min_users`` distinct users, and every triangle is listed with its
+    three edge supports — the smallest interesting graph-motif operator,
+    and the node-iterator join formulation is exactly how a distributed
+    engine counts triangles at scale (E ⋈ E ⋈ E with a total node order
+    so each triangle materializes ONCE, never 6 ways).
+
+    100 TB shape: the distinct (user, type) relation partial-combines;
+    the per-user type fanout is bounded by the type-dimension cardinality
+    (each user contributes ≤ C(types, 2) pairs map-side); the edge
+    relation is at most types² rows — a broadcast — so the two triangle
+    joins never shuffle anything corpus-sized.
+    """
+    return f"""
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+pe AS (
+  SELECT a.event_type AS t1, b.event_type AS t2,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+),
+ed AS (SELECT t1, t2, n_users FROM pe WHERE n_users >= {min_users})
+SELECT e1.t1 AS node_a, e1.t2 AS node_b, e2.t2 AS node_c,
+       e1.n_users AS support_ab, e2.n_users AS support_bc, e3.n_users AS support_ac
+FROM ed e1
+JOIN ed e2 ON e2.t1 = e1.t2
+JOIN ed e3 ON e3.t1 = e1.t1 AND e3.t2 = e2.t2
+ORDER BY node_a, node_b, node_c
+""".strip()
+
+
+def gen_benford_audit(d: Dialect) -> str:
+    """Benford leading-digit audit of the event value distribution:
+    observed share of each leading digit 1-9 against the Benford
+    expectation log10(1 + 1/digit) — the fabricated-/synthetic-data
+    smoke test auditors run on numeric columns (organically-generated
+    magnitudes follow Benford; uniform or hand-made ones don't).
+
+    Engine parity: the leading digit is extracted INTEGER-side —
+    value*10^6 floored to BIGINT (one exactly-rounded multiply, identical
+    doubles both engines), then the first character of the BIGINT's
+    decimal rendering — never via log10/pow on floats, whose ulp drift
+    could flip a digit at magnitude boundaries.  Values below 10^-6 (and
+    zero/negative/NULL) are excluded: the integer rendering cannot reach
+    their first significant digit (documented magnitude floor).  Expected
+    shares are trunc6 of ln-ratio constants.
+
+    100 TB shape: map-only digit projection, one 9-group aggregate —
+    partial-combining, no joins, no windows.
+    """
+    ld = "CAST(substr(CAST(v100 AS STRING), 1, 1) AS BIGINT)"
+    obs = d.trunc6("CAST(count(*) AS DOUBLE) / max(tot)")
+    exp_ = d.trunc6("ln(1.0e0 + 1.0e0 / max(ld)) / ln(10.0e0)")
+    dev = d.trunc6(
+        "abs(CAST(count(*) AS DOUBLE) / max(tot) - ln(1.0e0 + 1.0e0 / max(ld)) / ln(10.0e0))"
+    )
+    return f"""
+WITH v AS (
+  SELECT CAST(floor(value * 1000000) AS BIGINT) AS v100
+  FROM events WHERE value IS NOT NULL AND value >= 1.0e-6 AND value < 1.0e12
+),
+dig AS (
+  SELECT {ld} AS ld FROM v
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM v)
+SELECT ld AS digit,
+       CAST(count(*) AS BIGINT) AS n,
+       {obs} AS obs_share,
+       {exp_} AS benford_share,
+       {dev} AS abs_dev
+FROM dig CROSS JOIN tot
+GROUP BY ld
+ORDER BY ld
+""".strip()
+
+
+def gen_burst_windows(d: Dialect, z_hi: float = 2.0) -> str:
+    """Rate-burst detection per event type: hourly buckets whose count
+    exceeds the type's mean by more than ``z_hi`` standard deviations —
+    the incident-window readout an ops dashboard derives from the event
+    stream (and the batch twin of the streaming rate-anomaly entry).
+
+    Engine parity: bucket counts are exact BIGINTs; mean and variance
+    come from exact integer sums (n, Σc, Σc²) divided late, and σ is one
+    correctly-rounded sqrt — so the z threshold compares IDENTICAL
+    doubles in both engines.  Baseline is over OBSERVED buckets (an hour
+    with zero events contributes no bucket — documented, matching the
+    streaming twin's frame).
+
+    100 TB shape: one partial-combining (type, hour) count, one tiny
+    per-type moment aggregate broadcast back — no windows, no self-join
+    over the bucket relation.
+    """
+    es = d.epoch_s_events("ts")
+    mu = "(CAST(s1 AS DOUBLE) / nb)"
+    var = f"(CAST(s2 AS DOUBLE) / nb - {mu} * {mu})"
+    sigma = f"sqrt(CASE WHEN {var} < 0 THEN 0 ELSE {var} END)"
+    z = f"(CAST(n AS DOUBLE) - {mu}) / nullif({sigma}, 0)"
+    return f"""
+WITH e0 AS (
+  SELECT event_type, {d.idiv(f'({es})', '3600')} AS hb
+  FROM events WHERE event_type IS NOT NULL
+),
+hc AS (
+  SELECT event_type, hb, CAST(count(*) AS BIGINT) AS n
+  FROM e0 GROUP BY event_type, hb
+),
+st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+  FROM hc GROUP BY event_type
+)
+SELECT h.event_type, CAST(h.hb * 3600 AS BIGINT) AS bucket_start_s, h.n,
+       {d.trunc6(z)} AS zscore
+FROM hc h JOIN st s ON h.event_type = s.event_type
+WHERE {z} > {z_hi}
+ORDER BY h.event_type, bucket_start_s
+""".strip()
+
+
+def gen_retention_cohorts(d: Dialect) -> str:
+    """Weekly cohort retention matrix: users cohorted by the week of their
+    first signup event; each (cohort week, weeks-since) cell counts the
+    distinct cohort members active in that week — the canonical
+    warehouse retention triangle (offset 0 is the signup week itself, so
+    its retention is 1 by construction; later offsets decay).
+
+    Week indexes are absolute epoch-week integers (epoch seconds div
+    604800) — no calendar/timezone surface at all, identical in both
+    engines.  100 TB shape: cohort assignment is one per-user aggregate
+    over the signup-pruned scan; activity dedups to distinct (user,
+    week) via partial-combining DISTINCT; the join keys on user_id and
+    the matrix aggregate is tiny.  No windows.
+    """
+    es = d.epoch_s_events("ts")
+    wk = d.idiv(f"({es})", "604800")
+    ret = d.trunc6("CAST(count(*) AS DOUBLE) / max(s.n_cohort)")
+    return f"""
+WITH e0 AS (
+  SELECT user_id, event_type, {wk} AS wk
+  FROM events WHERE user_id IS NOT NULL
+),
+coh AS (
+  SELECT user_id, CAST(min(wk) AS BIGINT) AS cwk
+  FROM e0 WHERE event_type = 'signup' GROUP BY user_id
+),
+sz AS (SELECT cwk, CAST(count(*) AS BIGINT) AS n_cohort FROM coh GROUP BY cwk),
+act AS (
+  SELECT DISTINCT e0.user_id, coh.cwk, e0.wk - coh.cwk AS wo
+  FROM e0 JOIN coh ON e0.user_id = coh.user_id
+  WHERE e0.wk >= coh.cwk
+)
+SELECT a.cwk AS cohort_week, CAST(a.wo AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(max(s.n_cohort) AS BIGINT) AS n_cohort,
+       {ret} AS retention
+FROM act a JOIN sz s ON a.cwk = s.cwk
+GROUP BY a.cwk, a.wo
+ORDER BY cohort_week, week_offset
+""".strip()

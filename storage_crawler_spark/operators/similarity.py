@@ -1113,3 +1113,169 @@ GROUP BY label
 ORDER BY label
 """.strip()
     )
+
+
+def gen_crosslingual_dups(d: Dialect, threshold: float = 0.35) -> str:
+    """Cross-lingual near-duplicate matrix: embedding near-dup pairs
+    (cosine >= ``threshold``, sign-bucket candidates) joined back to the
+    documents' languages, aggregated per unordered language pair — the
+    translated-mirror detector (the same article crawled in two languages
+    defeats every text-level dedup but sits adjacent in a multilingual
+    embedding space; the diagonal cells are ordinary same-language dups
+    for contrast).
+
+    Engine parity: the pair mean cosine goes through the integer lattice
+    (floor(cos*1e6) summed as exact BIGINTs, divided once at the end) —
+    avg() over floats is partial-sum-order dependent in Spark and would
+    drift.  100 TB shape: sign-bucket LSH bounds the pair join exactly as
+    the dedup tier (no all-pairs); the lang lookup is two broadcastable
+    equi-joins on doc id; the final matrix is a tiny aggregate.
+    """
+    cos = f"({d.dot('a.ev', 'b.ev')}) / (a.nrm * b.nrm)"
+    avg6 = d.trunc6("CAST(sum(ci) AS DOUBLE) / count(*) / 1000000.0e0")
+    return f"""
+WITH {_norm_cte(d, with_bucket=True)},
+pr AS (
+  SELECT a.vec_id AS ai, b.vec_id AS bi,
+         CAST(floor(({cos}) * 1000000) AS BIGINT) AS ci
+  FROM v a JOIN v b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+  WHERE ({cos}) >= {threshold}
+),
+lp AS (
+  SELECT LEAST(da.lang, db.lang) AS lang_a,
+         GREATEST(da.lang, db.lang) AS lang_b,
+         pr.ci
+  FROM pr
+  JOIN documents da ON pr.ai = da.doc_id
+  JOIN documents db ON pr.bi = db.doc_id
+  WHERE da.lang IS NOT NULL AND db.lang IS NOT NULL
+)
+SELECT lang_a, lang_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       {avg6} AS mean_cosine
+FROM lp
+GROUP BY lang_a, lang_b
+ORDER BY lang_a, lang_b
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# batched exact kNN via integer-lattice GEMM (Arrow/numpy hot path)
+# ---------------------------------------------------------------------------
+
+KNN_Q = 65536  # quantization lattice: xq = floor(x * 2^16), exact in int64
+
+
+def _knn_lattice_sql(d: Dialect) -> str:
+    """(vec_id, qarr BIGINT-array) lattice projection of the embedding
+    store — the shared input of the GEMM builder and its SQL oracle."""
+    ev = d.cast_double_arr("embedding")
+    q = d.transform("ev", "x", f"CAST(floor(x * {KNN_Q}.0e0) AS BIGINT)")
+    return (
+        f"SELECT vec_id, {q} AS qarr FROM "
+        f"(SELECT vec_id, {ev} AS ev FROM embeddings WHERE embedding IS NOT NULL) t"
+    )
+
+
+def gen_batch_knn_oracle(d: Dialect, query_ids: tuple[int, ...] = (0, 1, 2, 3), k: int = 5) -> str:
+    """Oracle form of the batched kNN: per query id, the top-``k`` OTHER
+    vectors by exact integer-lattice dot product (floor-quantized to the
+    1/2^16 lattice; |x| < 8 keeps every product sum under 2^44 — exact in
+    BIGINT and in the builder's int64 GEMM alike), ties on vec_id.  The
+    per-query rank window partitions on qid (bounded |Q| partitions)."""
+    ids = ", ".join(f"({i})" for i in query_ids)
+    dot = d.reduce_bigint(d.zip_mul("e.qarr", "q.qarr"), "acc + CAST(x AS BIGINT)")
+    return f"""
+WITH base AS ({_knn_lattice_sql(d)}),
+qrel AS (
+  SELECT base.vec_id AS qid, base.qarr
+  FROM base JOIN (VALUES {ids}) AS qv(qid) ON base.vec_id = qv.qid
+),
+dots AS (
+  SELECT q.qid, e.vec_id, CAST({dot} AS BIGINT) AS dot
+  FROM base e CROSS JOIN qrel q
+  WHERE e.vec_id <> q.qid
+)
+SELECT qid, vec_id, dot, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT qid, vec_id, dot,
+         row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rn
+  FROM dots
+) r
+WHERE rn <= {k}
+ORDER BY qid, rank
+""".strip()
+
+
+def batch_knn_gemm(spark, query_ids: tuple[int, ...] = (0, 1, 2, 3), k: int = 5):
+    """Spark engine path: batched exact kNN as an Arrow-vectorized integer
+    GEMM — the way brute-force similarity actually runs at scale (one
+    BLAS-shaped matmul per Arrow batch against the broadcast query block,
+    NOT one SQL fold per pair).
+
+    Stages: (1) lattice-quantize in SQL (map-only); (2) collect the |Q|
+    query rows — bounded MODEL state, the k-means-centroid contract;
+    (3) ``mapInPandas``: per Arrow batch, an int64 ``numpy`` matmul
+    (batch × dim) @ (dim × |Q|) — exact integer arithmetic, so the result
+    is bit-identical to the oracle's per-pair folds regardless of
+    summation order — followed by a per-batch top-``k`` per query
+    (lexsort on (-dot, vec_id)), emitting ≤ |Q|·k candidate rows per
+    batch; (4) a per-qid rank window over the ≤ |Q|·k·n_batches candidate
+    relation picks the global top-``k`` (partitioned window, bounded
+    input).  Total shuffle: the candidate relation only.
+
+    Reference parity anchor: the reference engine has no vector tier at
+    all; this is the beyond-reference similarity-search plane
+    (SURVEY.md §2.9b) exercising the Arrow/pandas hot path.
+    """
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    base = spark.sql(_knn_lattice_sql(SPARK))
+    qrows = (
+        base.filter(F.col("vec_id").isin(*[int(i) for i in query_ids]))
+        .orderBy("vec_id")
+        .collect()
+    )
+    if not qrows:
+        return spark.createDataFrame([], "qid long, vec_id long, dot long, rank long")
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r.qarr) for r in qrows], dtype=np.int64)  # |Q| x D
+
+    def topk_per_batch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(pdf["qarr"].tolist(), dtype=np.int64)  # n x D
+            dots = mat @ qmat.T  # n x |Q| exact int64
+            out_q, out_v, out_d = [], [], []
+            for qi in range(len(qids)):
+                col = dots[:, qi]
+                mask = vids != qids[qi]  # never match a query to itself
+                mv, mc = vids[mask], col[mask]
+                if mv.size == 0:
+                    continue
+                take = min(k, mv.size)
+                # ties on dot break by vec_id ASC — same order as the oracle
+                idx = np.lexsort((mv, -mc))[:take]
+                out_q.extend([qids[qi]] * take)
+                out_v.extend(mv[idx])
+                out_d.extend(mc[idx])
+            yield pd.DataFrame({"qid": out_q, "vec_id": out_v, "dot": out_d})
+
+    cand = base.mapInPandas(topk_per_batch, "qid long, vec_id long, dot long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "dot", F.col("rank").cast("long").alias("rank"))
+        .orderBy("qid", "rank")
+    )

@@ -224,3 +224,83 @@ FROM users u JOIN est e ON u.user_id = e.user_id
 ORDER BY e.est_n DESC, u.user_id
 LIMIT {top_k}
 """.strip()
+
+
+def gen_bloom_semijoin(
+    d, m_bits: int = 32768, n_hashes: int = 3, seed: str = "bf"
+) -> str:
+    """Bloom-filter semi-join pruning, measured end to end: build a
+    deterministic ``m_bits``-bit Bloom filter over the urgent-order keys,
+    probe every lineitem row against it, and report the false-positive
+    rate against the exact semi-join — the runtime-filter structure every
+    distributed engine uses to prune a big probe side before the shuffle
+    (Spark's own runtime bloom filters are this, opaque; this entry makes
+    the mechanism itself an oracle-checked relational artifact).
+
+    Determinism: bit positions are md5-derived (``seed || j || '_' ||
+    key``), the filter is 32-bit words combined with ``bit_or`` (sign-safe
+    in BIGINT), and the dense word array is order-pinned — identical bits
+    in both engines, so n_bloom_pass is exact, not statistical.  No false
+    negatives by construction (every true key set its own bits).
+
+    100 TB shape: the build side partial-combines into ≤ m_bits/32 words
+    and collapses to ONE array row (a broadcast of a few KB — exactly how
+    a runtime filter ships); the probe is a map-only cross join against
+    that row with ``n_hashes`` inline bit tests — no lateral, no shuffle,
+    no per-row join.  The exact semi-join (the audit side) is one
+    broadcastable equi-join.
+    """
+    words = m_bits // 32
+    h = lambda side: d.md5_key48(f"concat('{seed}', j, '_', CAST({side} AS STRING))")  # noqa: E731
+    lat = d.lateral_seq("1", str(n_hashes), "j")
+    # probe-side bit tests: n_hashes inline expressions (no lateral)
+    tests = []
+    for j in range(1, n_hashes + 1):
+        hexpr = d.md5_key48(f"concat('{seed}', {j}, '_', CAST(l_orderkey AS STRING))")
+        pj = f"({hexpr} % {m_bits})"
+        # Spark's element_at demands an INT index (BIGINT arithmetic rejects)
+        word = f"{d.elem('barr', f'CAST({d.idiv(pj, str(32))} + 1 AS INT)')}"
+        tests.append(f"(({word} & {d.shl('CAST(1 AS BIGINT)', f'{pj} % 32')}) <> 0)")
+    all_pass = " AND ".join(tests)
+    fp = d.trunc6(
+        "CAST(n_bloom_pass - n_exact AS DOUBLE) / nullif(n_probe - n_exact, 0)"
+    )
+    return f"""
+WITH bkeys AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+pos AS (
+  SELECT {h('k')} % {m_bits} AS p FROM bkeys {lat}
+),
+wrd AS (
+  SELECT {d.idiv('p', '32')} AS w,
+         CAST(bit_or({d.shl('CAST(1 AS BIGINT)', 'p % 32')}) AS BIGINT) AS bits
+  FROM pos GROUP BY {d.idiv('p', '32')}
+),
+dense AS (
+  SELECT ws.w, coalesce(wrd.bits, CAST(0 AS BIGINT)) AS bits
+  FROM (SELECT i - 1 AS w FROM (SELECT 1 AS one) o {d.lateral_seq('1', str(words), 'i')}) ws
+  LEFT JOIN wrd ON ws.w = wrd.w
+),
+blm AS (SELECT {d.agg_arr_by('w', 'bits')} AS barr FROM dense),
+probe AS (
+  SELECT CASE WHEN {all_pass} THEN 1 ELSE 0 END AS bloom_pass,
+         CASE WHEN bk.k IS NOT NULL THEN 1 ELSE 0 END AS is_true
+  FROM lineitem CROSS JOIN blm
+  LEFT JOIN bkeys bk ON lineitem.l_orderkey = bk.k
+),
+agg AS (
+  SELECT CAST((SELECT count(*) FROM bkeys) AS BIGINT) AS n_build,
+         CAST((SELECT sum({d.popcount('bits')}) FROM dense) AS BIGINT) AS bits_set,
+         CAST(count(*) AS BIGINT) AS n_probe,
+         CAST(sum(is_true) AS BIGINT) AS n_exact,
+         CAST(sum(bloom_pass) AS BIGINT) AS n_bloom_pass,
+         CAST(sum(CASE WHEN bloom_pass = 1 AND is_true = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_pos
+  FROM probe
+)
+SELECT {m_bits} AS m_bits, {n_hashes} AS n_hashes, n_build, bits_set,
+       n_probe, n_exact, n_bloom_pass, n_false_pos,
+       {fp} AS fp_rate
+FROM agg
+""".strip()

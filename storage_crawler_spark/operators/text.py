@@ -2015,3 +2015,132 @@ FROM with_any
 GROUP BY source
 ORDER BY source
 """.strip()
+
+
+def gen_chunk_dedup(
+    d: Dialect, width: int = 40, stride: int = 40, src: str = "documents"
+) -> str:
+    """Exact-substring chunk dedup signal (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" fixed-window
+    variant, relationally): slice every document into fixed ``width``-char
+    chunks at ``stride`` offsets, hash each chunk, and report per document
+    what fraction of its chunks also occur in OTHER documents — the
+    cross-document boilerplate/quotation mass a paragraph- or
+    document-level dedup cannot see.
+
+    100 TB shape: the chunk explode is map-side (one lateral over
+    ``(n - width) / stride + 1`` positions, ~1 row per ``stride`` corpus
+    chars at stride = width); chunks immediately collapse to 48-bit md5
+    keys, so the shuffled relation is (doc_id, BIGINT) — never chunk
+    text; the chunk-frequency aggregate partial-combines (hot boilerplate
+    chunks collapse map-side) and the per-doc share is one more
+    partial-combining aggregate after an equi-join on the hash key.
+    Documents shorter than ``width`` emit no chunks and are absent.
+    """
+    npos = f"{d.idiv(f'(n - {width})', str(stride))} + 1"
+    lat = d.lateral_seq("1", npos, "i")
+    chunk = f"substr(text, (i - 1) * {stride} + 1, {width})"
+    share = d.trunc6(
+        "CAST(sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)"
+    )
+    return f"""
+WITH ch AS (
+  SELECT doc_id, {chunk} AS chunk
+  FROM (SELECT doc_id, text, length(text) AS n FROM {src}
+        WHERE text IS NOT NULL AND length(text) >= {width}) t
+  {lat}
+),
+chh AS (SELECT doc_id, {d.md5_key48('chunk')} AS h FROM ch),
+hstat AS (SELECT h, count(DISTINCT doc_id) AS nd FROM chh GROUP BY h)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       {share} AS dup_share
+FROM chh c JOIN hstat s ON c.h = s.h
+GROUP BY c.doc_id
+ORDER BY doc_id
+""".strip()
+
+
+def gen_head_tail_overlap(d: Dialect, k: int = 3, max_df: int = 20) -> str:
+    """Chunking-artifact detector: document pairs where one document's
+    LAST ``k`` tokens exactly equal another's FIRST ``k`` tokens — the
+    signature of a long source text split into overlapping training chunks
+    (each chunk repeats the previous chunk's tail as its head).  Corpus
+    builders run this to re-assemble or down-weight split series that
+    per-document dedup treats as distinct.
+
+    100 TB shape: head/tail grams are a map-only array slice per document
+    (docs shorter than ``2k`` tokens emit none — head and tail would
+    overlap in-document); the pair relation is ONE equi-join on the gram
+    string whose per-key fanout is capped by ``max_df`` on the head side
+    (grams heading more than ``max_df`` docs are template boilerplate, not
+    chain links, and are exactly the join-explosion keys).  No all-pairs
+    anywhere.
+    """
+    toks = d.split("text")
+    head = d.ajoin(d.aslice("toks", "1", str(k)), " ")
+    tail = d.ajoin(d.aslice("toks", f"{d.size('toks')} - {k} + 1", str(k)), " ")
+    return f"""
+WITH g AS (
+  SELECT doc_id, {head} AS head_gram, {tail} AS tail_gram
+  FROM (SELECT doc_id, {toks} AS toks FROM documents WHERE text IS NOT NULL) t
+  WHERE {d.size('toks')} >= {2 * k}
+),
+hd AS (SELECT head_gram, count(*) AS df FROM g GROUP BY head_gram)
+SELECT a.doc_id AS tail_doc, b.doc_id AS head_doc, a.tail_gram AS gram
+FROM g a
+JOIN (
+  SELECT g.doc_id, g.head_gram
+  FROM g JOIN hd ON g.head_gram = hd.head_gram
+  WHERE hd.df <= {max_df}
+) b ON a.tail_gram = b.head_gram AND a.doc_id <> b.doc_id
+ORDER BY tail_doc, head_doc
+""".strip()
+
+
+def gen_pmi_pairs(
+    d: Dialect, min_count: int = 5, top_k: int = 40, big_rel: str | None = None
+) -> str:
+    """Top collocations by pointwise mutual information over adjacent token
+    pairs: PMI = ln(c_xy * N / (c_x * c_y)) — the classic collocation /
+    multi-word-expression miner (Church & Hanks 1990), and the signal a
+    tokenizer-vocab or phrase-mining pass ranks candidates by.
+
+    Engine parity: the ranking key is the raw ratio c_xy * N / (c_x * c_y)
+    — every factor is an exact BIGINT and the products stay under 2^53 for
+    corpora up to ~10^8 bigrams, so the ordering doubles are identical in
+    both engines (ln is applied only to the EMITTED trunc6 column, never
+    the sort key); ties pin on (prev, cur).  ``min_count`` floors noise
+    pairs (PMI's known low-frequency pathology).
+
+    100 TB shape: the bigram stream is shared with the LM plane
+    (:func:`gen_bigram_relation`; the Spark builder persists it via
+    ``big_rel`` — it is referenced four times); pair/context counts all
+    partial-combine; the final top-k fuses to TakeOrderedAndProject.
+    Beyond 2^53-scale products the sort key needs the ln form with an
+    accepted ulp posture — documented, not needed at any current gate.
+    """
+    if big_rel:
+        bg = big_rel
+        with_clause = "WITH "
+    else:
+        bg = "bg"
+        with_clause = f"WITH bg AS (\n{gen_bigram_relation(d)}\n),\n"
+    ratio = "(CAST(p.c_xy AS DOUBLE) * nn.n) / (CAST(cx.c_x AS DOUBLE) * cy.c_y)"
+    return f"""{with_clause}pc AS (
+  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c_xy FROM {bg} GROUP BY prev, cur
+),
+cx AS (SELECT prev, CAST(count(*) AS BIGINT) AS c_x FROM {bg} GROUP BY prev),
+cy AS (SELECT cur, CAST(count(*) AS BIGINT) AS c_y FROM {bg} GROUP BY cur),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {bg})
+SELECT p.prev, p.cur, p.c_xy, cx.c_x, cy.c_y,
+       {d.trunc6(f'ln({ratio})')} AS pmi
+FROM pc p
+JOIN cx ON p.prev = cx.prev
+JOIN cy ON p.cur = cy.cur
+CROSS JOIN nn
+WHERE p.c_xy >= {min_count}
+ORDER BY {ratio} DESC, p.prev, p.cur
+LIMIT {top_k}
+""".strip()

@@ -3223,6 +3223,167 @@ FROM files f
         "O(k) scalar driver state, oracle unrolls the chain",
     )
 
+    # ---- round-9 additions ------------------------------------------------
+
+    b, o = _sql_pair(text.gen_chunk_dedup, ("documents",))
+    add(
+        "text_chunk_dedup",
+        b,
+        o,
+        tags=("text", "dedup"),
+        doc="exact-substring chunk dedup signal (Lee et al. 2022 fixed-"
+        "window variant): per-doc share of 40-char chunks that also occur "
+        "in OTHER documents — cross-doc boilerplate mass below the "
+        "paragraph granularity; chunks collapse to 48-bit md5 keys "
+        "map-side so only (doc_id, BIGINT) ever shuffles",
+    )
+
+    b, o = _sql_pair(text.gen_head_tail_overlap, ("documents",))
+    add(
+        "text_head_tail_overlap",
+        b,
+        o,
+        tags=("text", "dedup"),
+        doc="chunking-artifact detector: doc pairs where one's last k "
+        "tokens equal another's first k (split-series signature); one "
+        "equi-join on the gram string, head-side fanout capped at "
+        "max_df=20 — template grams are exactly the join-explosion keys",
+    )
+
+    b, o = _sql_pair(analytics.gen_funnel_steps, ("events",))
+    add(
+        "events_funnel_steps",
+        b,
+        o,
+        tags=("events",),
+        doc="ordered view->click->purchase conversion funnel with a 24 h "
+        "conversion window (first qualifying event per stage, strict "
+        "temporal chaining) — per-stage user counts + NULL-guarded "
+        "rates; each stage a type-pruned per-user aggregate chained by "
+        "equi-joins, no windows",
+    )
+
+    b, o = _sql_pair(analytics.gen_type_triangles, ("events",))
+    add(
+        "events_type_triangles",
+        b,
+        o,
+        tags=("events", "graph"),
+        doc="triangle enumeration on the event-type co-occurrence graph "
+        "(edge = >= 3 shared users) via the node-iterator E3 join with a "
+        "total node order — each triangle materializes once with its "
+        "three edge supports; per-user pair fanout bounded by the type "
+        "dimension",
+    )
+
+    b, o = _sql_pair(analytics.gen_benford_audit, ("events",))
+    add(
+        "events_benford_audit",
+        b,
+        o,
+        tags=("events", "quality"),
+        doc="Benford leading-digit audit of event values (fabricated-data "
+        "smoke test): digit extracted integer-side (floor(value*100) -> "
+        "BIGINT -> first decimal char), never via float log10; observed "
+        "vs ln-ratio expected shares, map-only + one 9-group aggregate",
+    )
+
+    b, o = _sql_pair(analytics.gen_burst_windows, ("events",))
+    add(
+        "events_burst_windows",
+        b,
+        o,
+        tags=("events",),
+        doc="hourly rate-burst windows per event type (z > 2 against the "
+        "type's own bucket-count baseline; batch twin of the streaming "
+        "rate anomaly): exact integer moments divided late + one "
+        "correctly-rounded sqrt so the threshold compares identical "
+        "doubles; no windows, no self-joins",
+    )
+
+    b, o = _sql_pair(analytics.gen_retention_cohorts, ("events",))
+    add(
+        "events_retention_cohorts",
+        b,
+        o,
+        tags=("events",),
+        doc="weekly cohort retention triangle (first-signup-week cohorts x "
+        "weeks-since-activity, epoch-week integers — zero calendar/"
+        "timezone surface); per-user aggregates + distinct (user, week) "
+        "activity, no windows",
+    )
+
+    b, o = _sql_pair(sketches.gen_bloom_semijoin, ("orders", "lineitem"))
+    add(
+        "sketch_bloom_semijoin",
+        b,
+        o,
+        tags=("sketch", "join"),
+        doc="deterministic Bloom-filter semi-join pruning measured end to "
+        "end: md5-positioned 32k-bit filter over urgent-order keys "
+        "collapses to ONE broadcast array row, lineitem probes it with 3 "
+        "inline bit tests (map-only), false-positive rate reported "
+        "against the exact semi-join — the runtime-filter structure as "
+        "an oracle-checked artifact",
+    )
+
+    add(
+        "report_depth_profile",
+        _usage_builder(usage_reports.gen_depth_profile),
+        V.with_files_cte(usage_reports.gen_depth_profile(DUCK)),
+        tags=("report", "usage"),
+        doc="filesystem-shape profile: entries/bytes/size bounds per "
+        "(top-level dir, path depth) — the tree-topology readout that "
+        "sizes crawl fan-out; depth via separator count (no explode), "
+        "one aggregate on a tiny key",
+    )
+
+    b, o = _sql_pair(similarity.gen_crosslingual_dups, ("documents", "embeddings"))
+    add(
+        "sim_crosslingual_dups",
+        b,
+        o,
+        tags=("similarity", "dedup"),
+        doc="cross-lingual near-dup matrix: sign-bucket embedding pairs "
+        "(cosine >= 0.35) joined to document languages, per unordered "
+        "lang pair with lattice-exact mean cosine — the translated-mirror "
+        "detector text-level dedup cannot see",
+    )
+
+    def _b_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("embeddings",))
+        return similarity.batch_knn_gemm(spark)
+
+    add(
+        "sim_batch_knn_gemm",
+        _b_batch_knn,
+        similarity.gen_batch_knn_oracle(DUCK),
+        tags=("similarity", "udf"),
+        doc="batched exact kNN as an Arrow/numpy int64 GEMM inside "
+        "mapInPandas (per-batch matmul against the broadcast query block "
+        "+ per-batch top-k), candidates globally ranked per query — "
+        "integer-lattice dots make the BLAS path bit-identical to the "
+        "oracle's per-pair SQL folds; the brute-force tier done the way "
+        "it actually runs at scale",
+    )
+
+    def _b_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        big = spark.sql(text.gen_bigram_relation(SPARK))
+        _persist_view(big, "_bigram_rel_pmi")
+        return spark.sql(text.gen_pmi_pairs(SPARK, big_rel="_bigram_rel_pmi"))
+
+    add(
+        "text_pmi_pairs",
+        _b_pmi_pairs,
+        text.gen_pmi_pairs(DUCK),
+        tags=("text",),
+        doc="top collocations by PMI over adjacent token pairs (Church & "
+        "Hanks 1990) with min-count floor; ranking key is the exact-"
+        "BIGINT-products ratio (ln only on the emitted column) so order "
+        "is engine-identical; bigram stream shared with the LM plane",
+    )
+
     return specs
 
 
@@ -3322,7 +3483,18 @@ _DRIVER_WINDOW_FIRST = (
     "text_unigram_surprisal",
     "window_rank_functions",
     # --- round-9 operators (added as they land) --------------------------
-    # (slots filled below as round-9 code meets the gate)
+    "text_chunk_dedup",
+    "text_head_tail_overlap",
+    "text_pmi_pairs",
+    "events_funnel_steps",
+    "events_type_triangles",
+    "events_benford_audit",
+    "events_burst_windows",
+    "sim_crosslingual_dups",
+    "sim_batch_knn_gemm",
+    "events_retention_cohorts",
+    "sketch_bloom_semijoin",
+    "report_depth_profile",
     # --- rows-only entries: first-ever weak stamp ------------------------
     # (these get the driver's rows-only check — still their first external
     # execution evidence; they yield slots to new r9 ops if space runs out)

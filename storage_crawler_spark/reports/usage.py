@@ -223,3 +223,32 @@ FROM (
 GROUP BY parent_dir, depth
 ORDER BY n_children DESC, parent_dir
 """.strip()
+
+
+def gen_depth_profile(d: Dialect, src: str = "files") -> str:
+    """Filesystem-shape profile: entry counts, byte mass, and size bounds
+    per (top-level directory, path depth) — the tree-topology readout a
+    storage team reads before choosing crawl partitioning (a wide shallow
+    tree and a deep spine need different walker fan-outs; the reference
+    hardcodes its fan-out, storcrawl.py:41).
+
+    Depth is the path's separator count (computed via length difference —
+    no regex, no explode); the top-level segment comes from one array
+    element.  Map-only projection plus one partial-combining aggregate on
+    a tiny (top, depth) key — no join, no window, one shuffle.
+    """
+    depth = "length(path) - length(replace(path, '/', ''))"
+    top = d.elem(d.split("path", "/"), "2")
+    return f"""
+SELECT top_dir, depth,
+       CAST(count(*) AS BIGINT) AS n_entries,
+       CAST(sum(st_size) AS BIGINT) AS total_bytes,
+       CAST(min(st_size) AS BIGINT) AS min_bytes,
+       CAST(max(st_size) AS BIGINT) AS max_bytes
+FROM (
+  SELECT {top} AS top_dir, CAST({depth} AS BIGINT) AS depth, st_size
+  FROM {src}
+) p
+GROUP BY top_dir, depth
+ORDER BY top_dir, depth
+""".strip()

@@ -102,6 +102,17 @@ EVENT_ENTRIES = [
     "events_holt_trend",
     "events_dow_seasonality",
     "lake_zorder_layout",
+    # round-9 additions: windowed funnel chaining on pooled-instant ties
+    # (es > t1 strictness), triangle joins on NULL-pruned type pairs,
+    # Benford's integer-side digit on NULL/zero/negative values, burst
+    # z-threshold on exact moments over sparse random buckets
+    "events_funnel_steps",
+    "events_type_triangles",
+    "events_benford_audit",
+    "events_burst_windows",
+    # epoch-week cohorts: users with no signup event are uncohorted; pooled
+    # instants collapse to shared weeks; offset-0 cells must be complete
+    "events_retention_cohorts",
     # streaming_event_deltas is rows-only (stateful applyInPandasWithState,
     # no SQL oracle) — covered by tests/test_streaming.py instead
 ]

@@ -128,6 +128,11 @@ QUERIES = [
     ("bigram_nll", lambda d: text.gen_bigram_nll(d)),
     ("langid_confusion", lambda d: text.gen_langid_confusion(d)),
     ("pack_render", lambda d: text.gen_pack_render(d, token_budget=40, chunk_tokens=8, stride=6)),
+    # round-9 additions: small widths/k so 1-40-token random docs hit the
+    # multi-chunk and head/tail paths; min_count=1 so collocations appear
+    ("chunk_dedup", lambda d: text.gen_chunk_dedup(d, width=8, stride=8)),
+    ("head_tail_overlap", lambda d: text.gen_head_tail_overlap(d, k=2, max_df=10)),
+    ("pmi_pairs", lambda d: text.gen_pmi_pairs(d, min_count=1, top_k=20)),
 ]
 
 
@@ -222,6 +227,11 @@ EMB_QUERIES = [
     ("corr_audit", lambda d: similarity.gen_corr_audit(d)),
     ("pca_power", lambda d: similarity.gen_pca_power(d, k=6)),
     ("pca_project", lambda d: similarity.gen_pca_project(d, k=6)),
+    # round-9: integer-lattice batched-kNN oracle form — duplicate vectors
+    # give exact dot ties (vec_id break), NULL embeddings excluded; the
+    # GEMM builder's bit-parity to this form is pinned at the gate and in
+    # test_round9_additions
+    ("batch_knn_oracle", lambda d: similarity.gen_batch_knn_oracle(d, (0, 1), k=3)),
 ]
 
 
@@ -256,6 +266,51 @@ def test_random_embeddings_parity(spark, embeddings_parquet, name, gen):
     assert_parity(
         spark.sql(gen(SPARK)), gen(DUCK), {"embeddings": embeddings_parquet}, name
     )
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_random_crosslingual_dups_parity(spark, tmp_path, seed):
+    """round-9 cross-lingual near-dup matrix: needs BOTH random tables —
+    duplicate/antipode vectors create cos=1/-1 pairs whose lang lookups hit
+    NULL-lang docs (excluded identically in both engines)."""
+    import pandas as pd
+
+    from storage_crawler_spark.operators import similarity as sim
+
+    doc_rows = _random_corpus(seed, n_docs=40)
+    emb_rows = _random_embeddings(seed)
+    dpath, epath = str(tmp_path / "documents.parquet"), str(tmp_path / "embeddings.parquet")
+    pd.DataFrame(doc_rows, columns=["doc_id", "text", "lang", "source", "n_chars"]).to_parquet(dpath, index=False)
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in emb_rows], pa.int64()),
+                "embedding": pa.array(
+                    [np.array(r[1], dtype=np.float32) if r[1] is not None else None
+                     for r in emb_rows],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([r[2] for r in emb_rows], pa.int32()),
+            }
+        ),
+        epath,
+    )
+    spark.read.parquet(dpath).createOrReplaceTempView("documents")
+    spark.read.parquet(epath).createOrReplaceTempView("embeddings")
+    try:
+        assert_parity(
+            spark.sql(sim.gen_crosslingual_dups(SPARK)),
+            sim.gen_crosslingual_dups(DUCK),
+            {"documents": dpath, "embeddings": epath},
+            f"crosslingual_dups[{seed}]",
+        )
+    finally:
+        spark.catalog.dropTempView("documents")
+        spark.catalog.dropTempView("embeddings")
 
 
 # Registry ENTRIES (builder + committed oracle) that need only a documents
@@ -394,6 +449,11 @@ DOC_ENTRIES = [
     "text_phrase_search",
     # regex marker battery on adversarial text (multibyte, empty docs)
     "text_license_scan",
+    # round-9 additions over the derived files view / documents table
+    "report_depth_profile",
+    "text_chunk_dedup",
+    "text_head_tail_overlap",
+    "text_pmi_pairs",
 ]
 
 

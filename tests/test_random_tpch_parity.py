@@ -41,6 +41,10 @@ RELATIONAL_ENTRIES = [n for n in registry.QUERIES if n.startswith("tpch_q")] + [
     # salted fact-dim join: bootstrap remaps o_custkey, so dangling
     # customer FKs drop identically under salting and the plain oracle
     "skew_salted_join",
+    # round-9 bloom-filter semi-join: bootstrap remaps o_orderkey, so the
+    # urgent-key build set and the probe's hit mass reshuffle per seed; the
+    # md5 bit positions and the fp accounting must agree exactly
+    "sketch_bloom_semijoin",
     # window_moving_avg is events-plane — swept by test_random_events_parity
 ]
 

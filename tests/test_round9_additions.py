@@ -115,3 +115,328 @@ def test_ivm_delta_only_source_not_dropped():
     assert None not in got["consistent"]
     assert all(c == 1 for c in got["consistent"])  # IVM identity holds
     assert set(got["source"]) >= set(docs["source"])
+
+
+# ---------------------------------------------------------------------------
+# round-9 operators: hand-computed semantic fixtures (DuckDB side; the
+# registry sweep + oracle gate pin Spark to the same generated SQL)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_dedup_cross_doc_only_and_short_docs_absent():
+    docs = _docs(
+        [
+            "AAAABBBBCCCC",      # chunks (w=4,s=4): AAAA BBBB CCCC
+            "BBBBXXXXAAAA",      # chunks: BBBB XXXX AAAA -> 2 of 3 shared
+            "AAAAAAAA",          # AAAA AAAA: within-doc repeat, cross-doc dup
+            "tiny",              # len 4 == width -> one chunk, unique
+            "abc",               # shorter than width -> absent
+            None,
+        ]
+    )
+    got = _duck(text.gen_chunk_dedup(DUCK, width=4, stride=4), documents=docs)
+    rows = {d: (n, nd, s) for d, n, nd, s in zip(
+        got["doc_id"], got["n_chunks"], got["n_dup_chunks"], got["dup_share"])}
+    assert rows[0] == (3, 2, 0.666666)   # AAAA+BBBB shared, CCCC not
+    assert rows[1] == (3, 2, 0.666666)
+    assert rows[2] == (2, 2, 1.0)        # both AAAA chunks cross-doc dup
+    assert rows[3] == (1, 0, 0.0)
+    assert 4 not in rows and 5 not in rows
+
+
+def test_chunk_dedup_within_doc_repeat_is_not_cross_doc():
+    got = _duck(text.gen_chunk_dedup(DUCK, width=4, stride=4),
+                documents=_docs(["ZZZZZZZZZZZZ"]))  # 3 x ZZZZ, one doc only
+    assert got["n_dup_chunks"] == [0]
+
+
+def test_head_tail_overlap_direction_and_df_cap():
+    docs = _docs(
+        [
+            "a b c d e f",       # tail 'd e f'
+            "d e f g h i",       # head 'd e f' -> (0 -> 1)
+            "x y z d e f",       # tail 'd e f' too -> (2 -> 1)
+            "q r s t u v",
+        ]
+    )
+    got = _duck(text.gen_head_tail_overlap(DUCK, k=3), documents=docs)
+    pairs = set(zip(got["tail_doc"], got["head_doc"]))
+    assert pairs == {(0, 1), (2, 1)}     # direction: tail_doc chains INTO head_doc
+    # df cap: make 'd e f' head 21 docs -> all pruned
+    many = _docs(["a b c d e f"] + ["d e f g h i"] * 21)
+    got2 = _duck(text.gen_head_tail_overlap(DUCK, k=3, max_df=20), documents=many)
+    assert got2["tail_doc"] == []
+
+
+def test_head_tail_short_docs_emit_nothing():
+    # 5 tokens < 2k=6: head/tail would overlap in-doc; excluded
+    got = _duck(text.gen_head_tail_overlap(DUCK, k=3),
+                documents=_docs(["a b c a b", "a b c x y z"]))
+    assert got["tail_doc"] == []
+
+
+def test_pmi_prefers_exclusive_pairs():
+    import math
+
+    # 'x y' always together (c_xy=4, c_x=c_y=4); 'a b' diluted (a also
+    # precedes c).  N = 16 bigrams total.
+    docs = _docs(["x y a b a c"] * 4)
+    got = _duck(text.gen_pmi_pairs(DUCK, min_count=1, top_k=10), documents=docs)
+    rows = {(p, c): (n, pmi) for p, c, n, _, _, pmi in zip(
+        got["prev"], got["cur"], got["c_xy"], got["c_x"], got["c_y"], got["pmi"])}
+    # PMI(x,y) = ln(4*20 / (4*4)) = ln(5);  20 bigrams: 5 per doc x 4 docs
+    assert rows[("x", "y")][1] == pytest.approx(math.floor(math.log(5) * 1e6) / 1e6)
+    # exclusive pair outranks the diluted one
+    assert got["prev"][0] == "x" and got["cur"][0] == "y"
+    assert rows[("a", "b")][1] < rows[("x", "y")][1]
+
+
+def _events_df(rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
+    pdf["user_id"] = pd.array(pdf["user_id"], dtype="Int64")
+    return pdf
+
+
+def test_funnel_strict_order_and_window():
+    from storage_crawler_spark.operators import analytics
+
+    T = 1_700_000_000
+    rows = [
+        # user 1: full funnel inside windows
+        (0, T + 0, 1, "view", 1.0, "{}"),
+        (1, T + 100, 1, "click", 1.0, "{}"),
+        (2, T + 200, 1, "purchase", 1.0, "{}"),
+        # user 2: click BEFORE first view -> stalls at step 1
+        (3, T + 100, 2, "click", 1.0, "{}"),
+        (4, T + 200, 2, "view", 1.0, "{}"),
+        # user 3: click outside the window
+        (5, T + 0, 3, "view", 1.0, "{}"),
+        (6, T + 5000, 3, "click", 1.0, "{}"),
+        # user 4: purchase only -> not even step 1
+        (7, T + 0, 4, "purchase", 1.0, "{}"),
+    ]
+    got = _duck(
+        analytics.gen_funnel_steps(DUCK, max_lag_s=1000), events=_events_df(rows)
+    )
+    assert (got["n_step1"][0], got["n_step2"][0], got["n_step3"][0]) == (3, 1, 1)
+    assert got["conv_1_2"][0] == pytest.approx(0.333333)
+
+
+def test_funnel_same_instant_does_not_chain():
+    from storage_crawler_spark.operators import analytics
+
+    T = 1_700_000_000
+    rows = [
+        (0, T, 1, "view", 1.0, "{}"),
+        (1, T, 1, "click", 1.0, "{}"),  # same second: es > t1 is strict
+    ]
+    got = _duck(analytics.gen_funnel_steps(DUCK), events=_events_df(rows))
+    assert (got["n_step1"][0], got["n_step2"][0]) == (1, 0)
+
+
+def test_type_triangles_min_support_and_single_materialization():
+    from storage_crawler_spark.operators import analytics
+
+    T = 1_700_000_000
+    rows = []
+    eid = 0
+    # users 1-3 do a+b+c (triangle support 3); user 4 does a+d only
+    for u in (1, 2, 3):
+        for t in ("a", "b", "c"):
+            rows.append((eid, T + eid, u, t, 1.0, "{}")); eid += 1
+    for t in ("a", "d"):
+        rows.append((eid, T + eid, 4, t, 1.0, "{}")); eid += 1
+    got = _duck(
+        analytics.gen_type_triangles(DUCK, min_users=3), events=_events_df(rows)
+    )
+    tris = list(zip(got["node_a"], got["node_b"], got["node_c"]))
+    assert tris == [("a", "b", "c")]     # once, in node order; a-d edge below support
+    assert got["support_ab"] == [3] and got["support_ac"] == [3]
+
+
+def test_benford_digit_extraction_integer_side():
+    from storage_crawler_spark.operators import analytics
+
+    T = 1_700_000_000
+    vals = [1.0, 19.5, 0.02, 925.0, 0.0, -5.0, None, 0.0000001]
+    rows = [(i, T + i, 1, "view", v, "{}") for i, v in enumerate(vals)]
+    got = _duck(analytics.gen_benford_audit(DUCK), events=_events_df(rows))
+    by_digit = dict(zip(got["digit"], got["n"]))
+    # 1.0 and 19.5 -> digit 1; 0.02 -> 2; 925.0 -> 9; zero/negative/NULL and
+    # sub-1e-6 excluded
+    assert by_digit == {1: 2, 2: 1, 9: 1}
+    exp1 = next(e for d, e in zip(got["digit"], got["benford_share"]) if d == 1)
+    assert exp1 == pytest.approx(0.301029)  # trunc6(log10 2)
+
+
+def test_burst_windows_z_threshold_exact_moments():
+    from storage_crawler_spark.operators import analytics
+
+    T = 1_700_000_000 - 1_700_000_000 % 3600  # hour-aligned
+    rows = []
+    eid = 0
+    # type 'a': nine 1-count hours + one 11-count hour
+    for h in range(9):
+        rows.append((eid, T + h * 3600, 1, "a", 1.0, "{}")); eid += 1
+    for _ in range(11):
+        rows.append((eid, T + 9 * 3600, 1, "a", 1.0, "{}")); eid += 1
+    got = _duck(analytics.gen_burst_windows(DUCK, z_hi=2.0), events=_events_df(rows))
+    # mean = 2, var = (9*1 + 121)/10 - 4 = 9, sigma = 3, z(11) = 3 > 2
+    assert got["event_type"] == ["a"]
+    assert got["n"] == [11]
+    assert got["zscore"] == [3.0]
+
+
+def test_retention_cohorts_decay_and_uncohorted_users():
+    from storage_crawler_spark.operators import analytics
+
+    W = 604800
+    rows = [
+        # cohort week 0: users 1,2 sign up; user 1 active weeks 0,1,2;
+        # user 2 active weeks 0,2 only
+        (0, 0 * W + 10, 1, "signup", 1.0, "{}"),
+        (1, 0 * W + 20, 2, "signup", 1.0, "{}"),
+        (2, 1 * W + 10, 1, "view", 1.0, "{}"),
+        (3, 2 * W + 10, 1, "view", 1.0, "{}"),
+        (4, 2 * W + 20, 2, "click", 1.0, "{}"),
+        # user 3 never signs up -> uncohorted, contributes nothing
+        (5, 0 * W + 30, 3, "view", 1.0, "{}"),
+        # user 1 activity BEFORE its signup week cannot exist here (wk >=
+        # cwk filter) — signup defines week 0
+    ]
+    got = _duck(analytics.gen_retention_cohorts(DUCK), events=_events_df(rows))
+    cells = {
+        (c, o): (n, nc, r)
+        for c, o, n, nc, r in zip(
+            got["cohort_week"], got["week_offset"], got["n_active"],
+            got["n_cohort"], got["retention"],
+        )
+    }
+    ks = {k[1] for k in cells}
+    assert ks == {0, 1, 2}
+    (c0,) = {k[0] for k in cells}
+    assert cells[(c0, 0)] == (2, 2, 1.0)   # signup week: everyone active
+    assert cells[(c0, 1)] == (1, 2, 0.5)   # only user 1
+    assert cells[(c0, 2)] == (2, 2, 1.0)   # both return
+
+
+def test_bloom_semijoin_no_false_negatives_and_exact_count():
+    from storage_crawler_spark.operators import sketches
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4, 5],
+            "o_custkey": [1] * 5,
+            "o_orderstatus": ["O"] * 5,
+            "o_totalprice": [1.0] * 5,
+            "o_orderdate": ["1998-01-01"] * 5,
+            "o_orderpriority": ["1-URGENT", "1-URGENT", "3-MEDIUM", "3-MEDIUM", "1-URGENT"],
+        }
+    )
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2, 3, 4, 5, 9, 10],
+            "l_linenumber": [1, 2, 1, 1, 1, 1, 1, 1],
+        }
+    )
+    got = _duck(sketches.gen_bloom_semijoin(DUCK), orders=orders, lineitem=lineitem)
+    row = {k: v[0] for k, v in got.items()}
+    assert row["n_build"] == 3                    # keys 1,2,5
+    assert row["n_probe"] == 8
+    assert row["n_exact"] == 4                    # rows with keys 1,1,2,5
+    # STRUCTURAL contract: a Bloom filter never misses a true key
+    assert row["n_bloom_pass"] >= row["n_exact"]
+    assert row["n_false_pos"] == row["n_bloom_pass"] - row["n_exact"]
+    # 9 bits max set for 3 keys x 3 hashes in 32768 bits -> fp ~ 0
+    assert row["n_false_pos"] == 0
+
+
+def test_depth_profile_counts_and_top_segment():
+    from storage_crawler_spark.reports import usage
+
+    files = pd.DataFrame(
+        {
+            "path": ["/data/a/x.txt", "/data/a/b/y.txt", "/archive/z.dat"],
+            "st_size": [10, 20, 30],
+        }
+    )
+    got = _duck(usage.gen_depth_profile(DUCK), files=files)
+    rows = {
+        (t, d): (n, b)
+        for t, d, n, b in zip(
+            got["top_dir"], got["depth"], got["n_entries"], got["total_bytes"]
+        )
+    }
+    assert rows == {
+        ("archive", 2): (1, 30),
+        ("data", 3): (1, 10),
+        ("data", 4): (1, 20),
+    }
+
+
+def test_crosslingual_dups_unordered_pair_and_null_lang():
+    from storage_crawler_spark.operators import similarity
+
+    # vecs 0/1 identical (cos 1) with langs en/fr; vec 2 orthogonal; vec 3
+    # duplicates vec 0 but its doc has NULL lang -> its pairs are excluded
+    emb = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 0.0]],
+            "label": [0, 0, 0, 0],
+        }
+    )
+    docs = _docs(["a", "b", "c", "d"], langs=["fr", "en", "en", None])
+    got = _duck(similarity.gen_crosslingual_dups(DUCK), embeddings=emb, documents=docs)
+    assert list(zip(got["lang_a"], got["lang_b"], got["n_pairs"])) == [("en", "fr", 1)]
+    assert got["mean_cosine"] == [1.0]   # lattice-exact
+
+
+def test_batch_knn_gemm_matches_oracle_bitwise(spark):
+    """The GEMM builder's int64 matmul path must equal the oracle's
+    per-pair SQL folds EXACTLY (integer lattice — no float tolerance)."""
+    import duckdb as _duck_mod
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from storage_crawler_spark.operators import similarity
+
+    rng = np.random.default_rng(12)
+    n, dim = 60, 8
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs[7] = vecs[0]  # exact duplicate -> dot tie broken by vec_id
+    import tempfile, os as _os
+
+    with tempfile.TemporaryDirectory() as td:
+        path = _os.path.join(td, "embeddings.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+                    "label": pa.array([0] * n, pa.int32()),
+                }
+            ),
+            path,
+        )
+        spark.read.parquet(path).createOrReplaceTempView("embeddings")
+        try:
+            got = [
+                tuple(r)
+                for r in similarity.batch_knn_gemm(spark, query_ids=(0, 3), k=4).collect()
+            ]
+            con = _duck_mod.connect()
+            con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+            want = con.execute(
+                similarity.gen_batch_knn_oracle(DUCK, query_ids=(0, 3), k=4)
+            ).fetchall()
+            assert got == [tuple(r) for r in want]
+        finally:
+            spark.catalog.dropTempView("embeddings")
