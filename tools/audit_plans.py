@@ -142,6 +142,21 @@ NLJ_ALLOWED = {
     # continuation-distribution normalizer) — same scalar shape as the
     # add-one bigram scorer
     "text_kn_bigram_nll",
+    # BPE apply over the doc stream: same 1-row merge-array CROSS JOIN as
+    # text_bpe_encode (the r9 ordered-agg merge tables fold to ONE row)
+    "text_bpe_doc_tokens",
+    # two-pass partitioned prefix sum (r9): the carry-in and next-bucket
+    # theta joins run over the ≤33-row bucket-totals relation — bounded by
+    # the BUCKET COUNT, not the data; the per-row windows stay partitioned
+    "events_session_concurrency",
+    # PMI: CROSS JOIN of the 1-row bigram-total scalar (the ln normalizer)
+    "text_pmi_pairs",
+    # Benford: CROSS JOIN of the 1-row positive-value total (the share
+    # denominator) — scalar-normalizer shape
+    "events_benford_audit",
+    # Bloom semi-join: CROSS JOIN of the ONE-row filter array (this IS the
+    # runtime-filter broadcast) plus 1-row scalar count subqueries
+    "sketch_bloom_semijoin",
 }
 
 # Queries that must not plan a Window operator (their aggregates are
