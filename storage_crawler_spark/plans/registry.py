@@ -2952,13 +2952,28 @@ FROM files f
         "aggregate, replica-order-pinned folds",
     )
 
-    from storage_crawler_spark.sources.lake import gen_zorder_layout as _gen_zorder
+    from storage_crawler_spark.sources.lake import (
+        gen_zorder_base as _gen_zorder_base,
+        gen_zorder_layout as _gen_zorder,
+        gen_zorder_z as _gen_zorder_z,
+    )
 
-    b, o = _sql_pair(_gen_zorder, ("events",))
+    def _b_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("events",))
+        # localCheckpoint, not persist: the three layout chains reference z
+        # six times — persist() reuses the cached BLOCKS but re-plans the
+        # full lineage per reference (~190 stages, 2.7 MB task binaries);
+        # checkpointing truncates the logical plan itself.  base (a cheap
+        # pruned projection) stays inline — a checkpoint there costs more
+        # than the recompute.
+        z = spark.sql(_gen_zorder_z(SPARK)).localCheckpoint()
+        z.createOrReplaceTempView("_zorder_z")
+        return spark.sql(_gen_zorder(SPARK, z_rel="_zorder_z"))
+
     add(
         "lake_zorder_layout",
-        b,
-        o,
+        _b_zorder,
+        _gen_zorder(DUCK),
         tags=("lake", "layout"),
         doc="Morton z-order vs linear file-layout audit: per-layout expected "
         "files scanned for a single-bucket predicate on each dimension "

@@ -251,7 +251,139 @@ ORDER BY root, bin_id
 """.strip()
 
 
-def gen_zorder_layout(d, n_files: int = 64, buckets: int = 256) -> str:
+def _twopass_ntile(
+    d,
+    src: str,
+    cols: str,
+    key: str,
+    n_tiles: int,
+    p: str,
+    nb: int = 64,
+    bounds: tuple[int, int] | None = None,
+    n_rel: str | None = None,
+) -> tuple[str, str]:
+    """CTE chain reproducing ``ntile(n_tiles) OVER (ORDER BY key,
+    event_id)`` EXACTLY — same tile for every row — with no unpartitioned
+    window: rows range-bucket on the key (``nb`` equal-width buckets from
+    one min/max probe), rank under a PARTITIONED window, add the
+    theta-join bucket offsets (≤``nb``+1 rows), and map the global rank to
+    its tile with the closed-form ntile arithmetic (first ``N mod n``
+    tiles get ``ceil(N/n)`` rows, the rest ``floor(N/n)`` — the SQL
+    standard's definition).  Equal keys share a range bucket, so the
+    (key, event_id) tie order is entirely intra-partition.
+
+    Returns (cte_sql, out_name); the out relation carries ``cols`` plus
+    ``tile`` (1-based).  The q=0 small-N case (fewer rows than tiles)
+    takes the first CASE branch for every row; the else-branch divisor is
+    nullif-guarded so no engine evaluates a division by zero eagerly.
+
+    ``bounds`` supplies STATIC key bounds (known domains like a byte
+    bucket or a Morton value) — the min/max probe aggregate and its cross
+    join disappear, saving a full pass per chain.  ``n_rel`` names a
+    shared 1-row ``(n)`` count relation when several chains tile the same
+    source (the count is source-wide, not chain-specific).
+    """
+    ceil1 = d.idiv("(grank + q)", "(q + 1)")
+    ceil2 = d.idiv("(grank - (q + 1) * rem + q - 1)", "nullif(q, 0)")
+    # DuckDB re-explodes multiply-referenced CTEs ({p}_r feeds both the
+    # bucket counts and the rank join) — materialize (pca_cte_base trap)
+    mat = " MATERIALIZED" if d.name == "duck" else ""
+    parts = []
+    if bounds is None:
+        parts.append(
+            f"""{p}_b AS (
+  SELECT CAST(min({key}) AS BIGINT) AS kmin,
+         ({d.idiv(f'(max({key}) - min({key}))', str(nb))} + 1) AS w
+  FROM {src}
+)"""
+        )
+        parts.append(
+            f"""{p}_r AS{mat} (
+  SELECT {cols}, {key} AS k_{p}, {d.idiv(f'({key} - {p}_b.kmin)', f'{p}_b.w')} AS pk
+  FROM {src} CROSS JOIN {p}_b
+)"""
+        )
+    else:
+        lo, hi = bounds
+        w = (hi - lo) // nb + 1
+        parts.append(
+            f"""{p}_r AS{mat} (
+  SELECT {cols}, {key} AS k_{p}, {d.idiv(f'({key} - {lo})', str(w))} AS pk
+  FROM {src}
+)"""
+        )
+    parts.append(f"{p}_c AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM {p}_r GROUP BY pk)")
+    parts.append(
+        f"""{p}_o AS (
+  SELECT a.pk, CAST(coalesce(sum(b.c), 0) AS BIGINT) AS off
+  FROM {p}_c a LEFT JOIN {p}_c b ON b.pk < a.pk
+  GROUP BY a.pk
+)"""
+    )
+    t_rel = n_rel if n_rel else f"{p}_t"
+    if not n_rel:
+        parts.append(f"{p}_t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM {p}_c)")
+    parts.append(
+        f"""{p}_g AS (
+  SELECT r.*, o.off + row_number() OVER (PARTITION BY r.pk
+                                         ORDER BY r.k_{p}, r.event_id) AS grank,
+         {d.idiv('t.n', str(n_tiles))} AS q, t.n % {n_tiles} AS rem
+  FROM {p}_r r JOIN {p}_o o ON r.pk = o.pk CROSS JOIN {t_rel} t
+)"""
+    )
+    parts.append(
+        f"""{p}_out AS (
+  SELECT {cols},
+         CAST(CASE WHEN grank <= (q + 1) * rem THEN {ceil1}
+              ELSE rem + {ceil2} END AS BIGINT) AS tile
+  FROM {p}_g
+)"""
+    )
+    return ",\n".join(parts), f"{p}_out"
+
+
+def gen_zorder_z(d, buckets: int = 256, base_rel: str | None = None) -> str:
+    """Standalone SELECT producing the ``z`` relation (event_id, u8, t8,
+    zval): the Morton inputs of :func:`gen_zorder_layout`.  The Spark
+    builder persists base first (``base_rel``) — the t8 two-pass chain
+    references it three times and Spark inlines CTEs — then persists this
+    relation, which the three layout chains reference twice each."""
+    es = d.epoch_s_events("ts")
+    u8 = f"CAST({d.md5_key48('user_id', 'zu')} % {buckets} AS BIGINT)"
+    ubit = d.shl("(" + d.shr("u8", "x") + ") % 2", "2 * x + 1")
+    tbit = d.shl("(" + d.shr("t8", "x") + ") % 2", "2 * x")
+    interleave = d.reduce_bigint(d.seq("0", "7"), f"acc + {ubit} + {tbit}")
+    mat = " MATERIALIZED" if d.name == "duck" else ""
+    if base_rel:
+        base_cte = f"base AS (SELECT event_id, u8, es FROM {base_rel})"
+    else:
+        base_cte = f"""base AS{mat} (
+  SELECT event_id, {u8} AS u8, {es} AS es FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)"""
+    tcte, tout = _twopass_ntile(d, "base", "event_id, u8", "es", buckets, "nt")
+    return f"""
+WITH {base_cte},
+{tcte},
+tb AS (SELECT event_id, u8, tile - 1 AS t8 FROM {tout})
+SELECT event_id, u8, t8, {interleave} AS zval FROM tb
+""".strip()
+
+
+def gen_zorder_base(d, buckets: int = 256) -> str:
+    """The pruned (event_id, u8, es) projection the Spark builder persists
+    ahead of :func:`gen_zorder_z`."""
+    es = d.epoch_s_events("ts")
+    u8 = f"CAST({d.md5_key48('user_id', 'zu')} % {buckets} AS BIGINT)"
+    return (
+        f"SELECT event_id, {u8} AS u8, {es} AS es FROM events "
+        f"WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+    )
+
+
+def gen_zorder_layout(
+    d, n_files: int = 64, buckets: int = 256, z_rel: str | None = None
+) -> str:
     """Z-ORDER (Morton-curve) file-layout audit over the events stream:
     bucket the two query dimensions (user hash, time rank) to 8 bits each,
     interleave the bits into a Morton z-value, pack events into
@@ -269,45 +401,52 @@ def gen_zorder_layout(d, n_files: int = 64, buckets: int = 256) -> str:
 
     Determinism: both bucketings are total-order ntiles keyed by
     (value, event_id); the interleave is an integer fold (deterministic in
-    both engines).  At 100 TB the global ntile would be replaced by fixed
-    range bounds (or approx-quantile boundaries) — the audit's ntile keeps
-    the oracle exact at test scale; the z-value construction is the part a
-    writer reuses verbatim via ``repartitionByRange(zval)``.
+    both engines).  Every ntile runs as the TWO-PASS partitioned form
+    (:func:`_twopass_ntile` — range buckets, partitioned ranks, theta-join
+    offsets, closed-form tile arithmetic), so no single-partition sort
+    exists at any scale while the tile assignment stays bit-identical to
+    SQL ``ntile``; the z-value construction is the part a writer reuses
+    verbatim via ``repartitionByRange(zval)``.
+
+    NULL user_id/ts rows are dropped at the scan (NULL ordering diverges
+    between engines — Spark NULLS FIRST, DuckDB NULLS LAST — and a layout
+    audit over unkeyed rows is meaningless; r7 ADVICE).  The Spark
+    builder persists base and z via ``z_rel`` (each is referenced by
+    several chains and Spark inlines CTEs — the oracle materializes
+    instead); passing ``z_rel`` swaps the whole derivation for the
+    persisted relation.
     """
-    es = d.epoch_s_events("ts")
-    u8 = f"CAST({d.md5_key48('user_id', 'zu')} % {buckets} AS BIGINT)"
-    ubit = d.shl("(" + d.shr("u8", "x") + ") % 2", "2 * x + 1")
-    tbit = d.shl("(" + d.shr("t8", "x") + ") % 2", "2 * x")
-    interleave = d.reduce_bigint(d.seq("0", "7"), f"acc + {ubit} + {tbit}")
-    # NULL user_id/ts would yield NULL u8/zval, and the ntile ORDER BY
-    # then diverges between engines (Spark NULLS FIRST, DuckDB NULLS
-    # LAST); a layout audit over unkeyed rows is meaningless anyway, so
-    # drop them at the scan (r7 ADVICE).
+    mat = " MATERIALIZED" if d.name == "duck" else ""
+    if z_rel:
+        z_cte = f"z AS (SELECT event_id, u8, t8, zval FROM {z_rel})"
+    else:
+        z_cte = f"z AS{mat} (\n{gen_zorder_z(d, buckets)}\n)"
+    # static domains (byte buckets, Morton range) kill the min/max probes;
+    # the three chains share ONE row count of z
+    zcte, zout = _twopass_ntile(
+        d, "z", "event_id, u8, t8", "zval", n_files, "zf",
+        bounds=(0, buckets * buckets - 1), n_rel="zn",
+    )
+    lcte, lout = _twopass_ntile(
+        d, "z", "event_id, u8, t8", "t8", n_files, "tf",
+        bounds=(0, buckets - 1), n_rel="zn",
+    )
+    ucte, uout = _twopass_ntile(
+        d, "z", "event_id, u8, t8", "u8", n_files, "uf",
+        bounds=(0, buckets - 1), n_rel="zn",
+    )
     return f"""
-WITH base AS (
-  SELECT event_id, {u8} AS u8, {es} AS es FROM events
-  WHERE user_id IS NOT NULL AND ts IS NOT NULL
-),
-tb AS (
-  SELECT event_id, u8,
-         CAST(ntile({buckets}) OVER (ORDER BY es, event_id) - 1 AS BIGINT) AS t8
-  FROM base
-),
-z AS (
-  SELECT event_id, u8, t8, {interleave} AS zval FROM tb
-),
+WITH {z_cte},
+zn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM z),
+{zcte},
+{lcte},
+{ucte},
 layouts AS (
-  SELECT 'zorder' AS layout, u8, t8,
-         ntile({n_files}) OVER (ORDER BY zval, event_id) AS file_id
-  FROM z
+  SELECT 'zorder' AS layout, u8, t8, tile AS file_id FROM {zout}
   UNION ALL
-  SELECT 'time_linear' AS layout, u8, t8,
-         ntile({n_files}) OVER (ORDER BY t8, event_id) AS file_id
-  FROM z
+  SELECT 'time_linear' AS layout, u8, t8, tile AS file_id FROM {lout}
   UNION ALL
-  SELECT 'user_linear' AS layout, u8, t8,
-         ntile({n_files}) OVER (ORDER BY u8, event_id) AS file_id
-  FROM z
+  SELECT 'user_linear' AS layout, u8, t8, tile AS file_id FROM {uout}
 ),
 file_stats AS (
   SELECT layout, file_id,
