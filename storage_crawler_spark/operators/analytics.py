@@ -1286,7 +1286,7 @@ ORDER BY ld
 """.strip()
 
 
-def gen_burst_windows(d: Dialect, z_hi: float = 2.0) -> str:
+def gen_burst_windows(d: Dialect, z_hi: float = 2.0, hc_rel: str | None = None) -> str:
     """Rate-burst detection per event type: hourly buckets whose count
     exceeds the type's mean by more than ``z_hi`` standard deviations —
     the incident-window readout an ops dashboard derives from the event
@@ -1301,22 +1301,29 @@ def gen_burst_windows(d: Dialect, z_hi: float = 2.0) -> str:
 
     100 TB shape: one partial-combining (type, hour) count, one tiny
     per-type moment aggregate broadcast back — no windows, no self-join
-    over the bucket relation.
+    over the bucket relation.  The bucket counters are pure sums, so the
+    relation is micro-batch-splittable — ``hc_rel`` substitutes the
+    incrementally-maintained streaming counter table (the
+    ``streaming_burst_windows`` twin), finish identical.
     """
     es = d.epoch_s_events("ts")
     mu = "(CAST(s1 AS DOUBLE) / nb)"
     var = f"(CAST(s2 AS DOUBLE) / nb - {mu} * {mu})"
     sigma = f"sqrt(CASE WHEN {var} < 0 THEN 0 ELSE {var} END)"
     z = f"(CAST(n AS DOUBLE) - {mu}) / nullif({sigma}, 0)"
-    return f"""
-WITH e0 AS (
+    if hc_rel:
+        hc_cte = f"hc AS (SELECT event_type, hb, n FROM {hc_rel})"
+    else:
+        hc_cte = f"""e0 AS (
   SELECT event_type, {d.idiv(f'({es})', '3600')} AS hb
   FROM events WHERE event_type IS NOT NULL
 ),
 hc AS (
   SELECT event_type, hb, CAST(count(*) AS BIGINT) AS n
   FROM e0 GROUP BY event_type, hb
-),
+)"""
+    return f"""
+WITH {hc_cte},
 st AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS nb,
          CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2

@@ -3104,6 +3104,31 @@ FROM files f
         "streaming/batch equivalence gate",
     )
 
+    def _b_streaming_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from storage_crawler_spark.streaming import (
+            hourly_counters,
+            read_events_stream,
+            run_to_completion,
+        )
+
+        hc = run_to_completion(hourly_counters(read_events_stream(spark, sf_dir)))
+        hc.createOrReplaceTempView("_burst_stream_hc")
+        V.register_base_tables(spark, sf_dir, ("events",))
+        return spark.sql(analytics.gen_burst_windows(SPARK, hc_rel="_burst_stream_hc"))
+
+    add(
+        "streaming_burst_windows",
+        _b_streaming_burst,
+        analytics.gen_burst_windows(DUCK),
+        tags=("streaming", "events"),
+        doc="streaming twin of events_burst_windows: the (type, hour) "
+        "counters maintained incrementally over the event file-stream "
+        "(state bounded by types x observed hours — grows with time, not "
+        "volume; counters are sums, so any micro-batch split is exact), "
+        "moments + z finished batch-side; oracle is the one-shot batch "
+        "formulation — a hash-exact streaming/batch equivalence gate",
+    )
+
     add(
         "skew_salted_join",
         _b_salted_join,
@@ -3510,14 +3535,15 @@ _DRIVER_WINDOW_FIRST = (
     "events_retention_cohorts",
     "sketch_bloom_semijoin",
     "report_depth_profile",
+    "streaming_burst_windows",
     # --- rows-only entries: first-ever weak stamp ------------------------
     # (these get the driver's rows-only check — still their first external
-    # execution evidence; they yield slots to new r9 ops if space runs out)
+    # execution evidence; they yield slots to new r9 ops if space runs out;
+    # text_quality_learned yielded its slot to streaming_burst_windows)
     "fsmeta_scan",
     "sim_ivf_trained_topk",
     "sim_pq_topk",
     "sim_pq_recall",
-    "text_quality_learned",
 )
 
 

@@ -19,6 +19,7 @@ This package re-expresses those semantics on Spark Structured Streaming:
 from storage_crawler_spark.streaming.events import (
     attribution_join,
     cms_counters,
+    hourly_counters,
     read_events_stream,
     stream_dedup,
     user_sessions,
@@ -33,6 +34,7 @@ from storage_crawler_spark.streaming.stateful import per_key_deltas, rate_anomal
 __all__ = [
     "attribution_join",
     "cms_counters",
+    "hourly_counters",
     "read_events_stream",
     "stream_dedup",
     "user_sessions",

@@ -258,3 +258,19 @@ def cms_counters(events: DataFrame, depth: int = 4, width: int = 1024) -> DataFr
         .select("r", F.expr(f"CAST({bucket} AS BIGINT)").alias("b"))
     )
     return expanded.groupBy("r", "b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+
+def hourly_counters(events: DataFrame) -> DataFrame:
+    """Streaming hourly-bucket counters: the (event_type, hour-bucket)
+    count relation of operators/analytics.gen_burst_windows maintained
+    incrementally — bucket derivation map-side per micro-batch, counts
+    partial-combining into state bounded by (types × observed hours),
+    growing with TIME, not volume.  Counters are pure sums, so ANY
+    micro-batch split yields the identical final relation — the property
+    the oracle gate checks against the one-shot batch formulation."""
+    return (
+        events.filter(F.col("event_type").isNotNull())
+        .select("event_type", F.expr("epoch_s div 3600").alias("hb"))
+        .groupBy("event_type", "hb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -217,3 +217,31 @@ GROUP BY r, b
     )
     assert _rows(stream_sk, "r", "b", "c") == _rows(batch_sk, "r", "b", "c")
     assert stream_sk.count() <= 4 * 1024  # bounded state
+
+
+def test_hourly_counters_invariant_under_microbatch_split(spark, tmp_path):
+    """Hourly burst counters are sums: any micro-batch split must yield the
+    exact (event_type, hour, n) relation of the one-shot aggregation, and
+    the state is bounded by types x observed hours."""
+    from storage_crawler_spark.streaming import hourly_counters, run_to_completion
+
+    ev = _batch_events(spark).select("event_id", "ts", "user_id", "event_type", "value")
+    ev.repartition(3).write.mode("overwrite").parquet(str(tmp_path / "evh"))
+    schema = spark.read.parquet(str(tmp_path / "evh")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "evh"))
+        .withColumn("epoch_s", F.unix_seconds(F.col("ts")))
+    )
+    stream_hc = run_to_completion(hourly_counters(stream))
+
+    batch_hc = (
+        ev.filter(F.col("event_type").isNotNull())
+        .select("event_type", F.expr("unix_seconds(ts) div 3600").alias("hb"))
+        .groupBy("event_type", "hb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    assert _rows(stream_hc, "event_type", "hb", "n") == _rows(
+        batch_hc, "event_type", "hb", "n"
+    )
