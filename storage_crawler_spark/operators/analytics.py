@@ -1377,3 +1377,79 @@ FROM act a JOIN sz s ON a.cwk = s.cwk
 GROUP BY a.cwk, a.wo
 ORDER BY cohort_week, week_offset
 """.strip()
+
+
+def gen_attribution_credit(d: Dialect, window_s: int = 86400, n_channels: int = 4) -> str:
+    """Multi-touch attribution matrix: every purchase's value is credited
+    to the click touchpoints in the preceding ``window_s`` seconds, under
+    BOTH standard models side by side — last-touch (full credit to the
+    latest click) and linear (equal split across clicks) — per campaign
+    channel (the ``props.k`` payload field mod ``n_channels``).  The
+    model-choice question every growth team argues about, as one query.
+
+    Exact-integer accounting: purchase value enters as floor(value·10⁶)
+    micro-units; the linear split is floor(vm / n_clicks) per click with
+    the remainder assigned to the latest click, so per-purchase credit
+    sums EXACTLY to vm under both models and every aggregate is a BIGINT
+    sum — no float-order drift anywhere.  The latest click is a two-step
+    argmax (max time per purchase, then max event_id among that instant's
+    ties) — no window over the click stream and no composite-key
+    arithmetic that could overflow BIGINT at real timestamps.
+
+    100 TB shape: the purchase×click pair join is an equi-join on user_id
+    with the time window as a pushed residual (per-user fanout is bounded
+    by user activity; AQE splits hot users); the latest-click selection is
+    a per-purchase max over the pair relation (partial-combining), never a
+    window over the click stream.
+    """
+    es = d.epoch_s_events("ts")
+    chan = f"(CAST({d.json_str('props', '$.k')} AS BIGINT) % {n_channels})"
+    return f"""
+WITH px AS (
+  SELECT event_id AS pid, user_id, {es} AS tp,
+         CAST(floor(value * 1000000) AS BIGINT) AS vm
+  FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND value IS NOT NULL
+),
+cx AS (
+  SELECT event_id AS cid, user_id, {es} AS tc, {chan} AS channel
+  FROM events
+  WHERE event_type = 'click' AND user_id IS NOT NULL AND props IS NOT NULL
+),
+pairs AS (
+  SELECT p.pid, p.vm, c.cid, c.tc, c.channel
+  FROM px p JOIN cx c
+    ON p.user_id = c.user_id
+   AND c.tc < p.tp AND c.tc >= p.tp - {window_s}
+),
+per_purchase AS (
+  SELECT pid, CAST(count(*) AS BIGINT) AS n_clicks,
+         CAST(max(tc) AS BIGINT) AS max_tc
+  FROM pairs GROUP BY pid
+),
+-- latest click argmax without windows or composite-key overflow: max tc
+-- per purchase, then max cid among that instant's ties
+last_pick AS (
+  SELECT pr.pid, CAST(max(pr.cid) AS BIGINT) AS last_cid
+  FROM pairs pr JOIN per_purchase pp ON pr.pid = pp.pid AND pr.tc = pp.max_tc
+  GROUP BY pr.pid
+),
+credited AS (
+  SELECT pr.channel, pr.pid,
+         {d.idiv('pr.vm', 'pp.n_clicks')}
+           + CASE WHEN pr.cid = lp.last_cid THEN pr.vm % pp.n_clicks ELSE 0 END
+           AS linear_micro,
+         CASE WHEN pr.cid = lp.last_cid THEN pr.vm ELSE 0 END AS last_touch_micro
+  FROM pairs pr
+  JOIN per_purchase pp ON pr.pid = pp.pid
+  JOIN last_pick lp ON pr.pid = lp.pid
+)
+SELECT CAST(channel AS BIGINT) AS channel,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases_touched,
+       CAST(sum(linear_micro) AS BIGINT) AS linear_credit_micro,
+       CAST(sum(last_touch_micro) AS BIGINT) AS last_touch_credit_micro
+FROM credited
+GROUP BY channel
+ORDER BY channel
+""".strip()

@@ -607,3 +607,142 @@ FROM cand
 WHERE {ham} <= {max_hamming}
 ORDER BY hamming, doc_a, doc_b
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# audio plane: real PCM parse + integer frame features (round 9)
+# ---------------------------------------------------------------------------
+
+AUDIO_N_SAMPLES = 256
+AUDIO_FRAME_LEN = 64
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_no", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("energy", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("peak_abs", T.LongType(), True),
+    ]
+)
+
+
+def _synth_pcm(doc_id: int, n: int = AUDIO_N_SAMPLES) -> list[int]:
+    """Closed-form int16 sample stream: s_i = ((doc_id*31 + i*17) % 2048)
+    - 1024 — bounded |s| <= 1024 so frame energies stay far inside BIGINT,
+    and the formula is replicable in SQL (the oracle's whole basis)."""
+    return [((doc_id * 31 + i * 17) % 2048) - 1024 for i in range(n)]
+
+
+def synth_audio(docs: DataFrame) -> DataFrame:
+    """doc_id → deterministic WAV blob (RIFF header + real little-endian
+    int16 PCM payload from :func:`_synth_pcm`) — the audio analogue of
+    :func:`synth_media`: the parse path gets REAL container bytes."""
+    import struct
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                pcm = struct.pack(f"<{AUDIO_N_SAMPLES}h", *_synth_pcm(int(doc_id)))
+                fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+                blob = (
+                    b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+                    + b"fmt " + struct.pack("<I", 16) + fmt
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm
+                )
+                rows.append((doc_id, blob, "wav"))
+            yield pd.DataFrame(rows, columns=["doc_id", "content", "media_type"])
+
+    return docs.select("doc_id").mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def audio_features(media: DataFrame, frame_len: int = AUDIO_FRAME_LEN) -> DataFrame:
+    """Frame-level audio features from a WAV binary column: REAL byte-level
+    decode (RIFF data-chunk scan + ``numpy.frombuffer`` int16) and exact
+    INTEGER features per frame — energy (Σ s²), zero crossings (sign
+    changes over the negative/non-negative partition), peak |s|.  Exact
+    integers are the cross-engine contract: a float RMS would drift, the
+    integer moments cannot.
+
+    1 audio row → n_frames rows (the UDTF shape), Arrow-batched via
+    ``mapInPandas``; at 100 TB this is the map-only feature pass a
+    training pipeline runs ahead of filtering/packing, partitioned by
+    whatever the lake already keys media on.
+    """
+    import struct
+
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                # RIFF scan for the data chunk (same contract as sniff_header:
+                # byte-level, no codec libs)
+                if len(blob) < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+                    continue
+                pos, data = 12, None
+                while pos + 8 <= len(blob):
+                    cid, clen = blob[pos:pos + 4], struct.unpack("<I", blob[pos + 4:pos + 8])[0]
+                    if cid == b"data":
+                        data = blob[pos + 8:pos + 8 + clen]
+                        break
+                    pos += 8 + clen + (clen % 2)
+                if not data:
+                    continue
+                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                for f0 in range(0, len(s) - len(s) % frame_len, frame_len):
+                    fr = s[f0:f0 + frame_len]
+                    neg = fr < 0
+                    rows.append(
+                        (
+                            int(doc_id),
+                            f0 // frame_len,
+                            len(fr),
+                            int((fr * fr).sum()),
+                            int((neg[1:] != neg[:-1]).sum()),
+                            int(np.abs(fr).max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)
+
+
+def gen_audio_features_oracle(
+    d: Dialect, n_samples: int = AUDIO_N_SAMPLES, frame_len: int = AUDIO_FRAME_LEN
+) -> str:
+    """Closed-form oracle for synth→parse→features: what
+    :func:`audio_features` MUST recover from :func:`synth_audio`'s PCM —
+    the sample formula re-derived relationally per (doc, frame, sample).
+    A header-scan, byte-order, or framing bug breaks the hash match."""
+    s = "(((doc_id * 31 + (frame_no * {fl} + i - 1) * 17) % 2048) - 1024)".format(
+        fl=frame_len
+    )
+    sp = s.replace("i - 1", "i - 2")  # previous sample (i >= 2)
+    n_frames = n_samples // frame_len
+    lat_f = d.lateral_seq("0", str(n_frames - 1), "frame_no")
+    lat_i = d.lateral_seq("1", str(frame_len), "i")
+    return f"""
+WITH fr AS (
+  SELECT doc_id, frame_no, i, CAST({s} AS BIGINT) AS sv,
+         CASE WHEN i >= 2 THEN CAST({sp} AS BIGINT) END AS pv
+  FROM (SELECT doc_id FROM documents) t
+  {lat_f}
+  {lat_i}
+)
+SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(sv * sv) AS BIGINT) AS energy,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (sv < 0)) THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_crossings,
+       CAST(max(abs(sv)) AS BIGINT) AS peak_abs
+FROM fr
+GROUP BY doc_id, frame_no
+ORDER BY doc_id, frame_no
+""".strip()

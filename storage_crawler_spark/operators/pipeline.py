@@ -658,3 +658,68 @@ FROM per
 WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY decile
 """.strip()
+
+
+def gen_decontaminate_apply(
+    d: Dialect,
+    n: int = 5,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    kd_rel: str | None = None,
+) -> str:
+    """Decontamination APPLY (the GPT-3 appendix-C direction): drop TRAIN
+    documents sharing any token ``n``-gram with the held-out splits, so
+    the benchmark stays clean and the training corpus loses the leaked
+    mass — the action sequel to :func:`gen_ngram_contamination`'s per-doc
+    verdict.  Per-source manifest: train docs, dropped, kept, drop share
+    (the corpus-budget cost of decontamination, per feed).
+
+    Train docs too short to yield an n-gram cannot leak and are kept —
+    membership comes from the split expression on ``documents`` itself,
+    not from the gram relation.  Shape: one distinct (ngram, doc, split)
+    relation (``kd_rel`` persisted by the Spark builder, same convention
+    as the detector), eval keys semi-matched onto train grams via a hash
+    join (AQE-splittable; never a window), one per-doc max, one per-source
+    aggregate.
+    """
+    from storage_crawler_spark.operators.text import gen_token_ngrams
+
+    split = split_case_expr(split_bucket_expr(d), train_pct, val_pct)
+    if kd_rel:
+        with_clause = "WITH "
+        kd = kd_rel
+    else:
+        kd = "kd"
+        with_clause = f"""WITH g AS (
+{gen_token_ngrams(d, n)}
+),
+kd AS (
+  SELECT DISTINCT ngram, doc_id, {split} AS split FROM g
+),
+"""
+    share = d.trunc6("CAST(sum(hit) AS DOUBLE) / count(*)")
+    return f"""{with_clause}evk AS (
+  SELECT DISTINCT ngram FROM {kd} WHERE split <> 'train'
+),
+verdict AS (
+  SELECT k.doc_id,
+         max(CASE WHEN e.ngram IS NOT NULL THEN 1 ELSE 0 END) AS hit
+  FROM {kd} k LEFT JOIN evk e ON k.ngram = e.ngram
+  WHERE k.split = 'train'
+  GROUP BY k.doc_id
+),
+train_docs AS (
+  SELECT doc_id, source FROM documents WHERE {split} = 'train'
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_train,
+       CAST(sum(hit) AS BIGINT) AS n_dropped,
+       CAST(count(*) - sum(hit) AS BIGINT) AS n_kept,
+       {share} AS drop_share
+FROM (
+  SELECT td.source, coalesce(v.hit, 0) AS hit
+  FROM train_docs td LEFT JOIN verdict v ON td.doc_id = v.doc_id
+) t
+GROUP BY t.source
+ORDER BY t.source
+""".strip()

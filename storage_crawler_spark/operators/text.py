@@ -2144,3 +2144,56 @@ WHERE p.c_xy >= {min_count}
 ORDER BY {ratio} DESC, p.prev, p.cur
 LIMIT {top_k}
 """.strip()
+
+
+def gen_lang_mix(d: Dialect, min_markers: int = 3) -> str:
+    """Code-switching / mixed-language detector: per document, marker-word
+    hit counts for each supported language, the Shannon entropy of that
+    distribution, and a mixed flag — single-label language ID
+    (:func:`gen_lang_id`) silently mislabels bilingual documents, and a
+    tokenizer trained on mislabeled mixed text inherits the damage; this
+    is the audit that catches them.
+
+    Determinism: per-language counts are 5 conditional sums over the
+    exploded token stream (no join, no pivot machinery), and the entropy
+    is ONE fixed expression tree over those 5 integer counts — identical
+    evaluation order in both engines, no float-aggregation order anywhere.
+    Docs with fewer than ``min_markers`` total marker hits emit entropy
+    NULL (too little evidence to call mixing).
+
+    100 TB shape: map-side explode + one partial-combining per-doc
+    aggregate; the marker lists are inlined constants.
+    """
+    toks = d.regex_tokens("lower(text)", "[a-z]+")
+    sums = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tok IN {_in_list(ws)} THEN 1 ELSE 0 END) AS BIGINT) AS n_{lang}"
+        for lang, ws in _LANG_MARKERS.items()
+    )
+    langs = list(_LANG_MARKERS)
+    tot = " + ".join(f"n_{l}" for l in langs)
+    pterm = (
+        "(CASE WHEN n_{l} > 0 THEN -(CAST(n_{l} AS DOUBLE) / tot) "
+        "* ln(CAST(n_{l} AS DOUBLE) / tot) ELSE 0.0e0 END)"
+    )
+    ent = " + ".join(pterm.format(l=l) for l in langs)
+    npresent = " + ".join(f"(CASE WHEN n_{l} > 0 THEN 1 ELSE 0 END)" for l in langs)
+    cols = ", ".join(f"n_{l}" for l in langs)
+    return f"""
+WITH hits AS (
+  SELECT doc_id,
+         {sums}
+  FROM (SELECT doc_id, {toks} AS toks FROM documents WHERE text IS NOT NULL) t0
+  {d.lateral_explode('toks', 'tok')}
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, {cols}, {tot} AS tot, {npresent} AS n_langs
+  FROM hits
+)
+SELECT doc_id, {cols}, tot AS n_markers, CAST(n_langs AS BIGINT) AS n_langs,
+       CASE WHEN tot >= {min_markers} THEN {d.trunc6(ent)} END AS lang_entropy,
+       CAST(CASE WHEN tot >= {min_markers} AND n_langs >= 2 THEN 1 ELSE 0 END AS INT)
+         AS mixed
+FROM scored
+ORDER BY doc_id
+""".strip()

@@ -3341,6 +3341,78 @@ FROM files f
         "doubles; no windows, no self-joins",
     )
 
+    b, o = _sql_pair(text.gen_lang_mix, ("documents",))
+    add(
+        "text_lang_mix",
+        b,
+        o,
+        tags=("text", "quality"),
+        doc="code-switching detector: per-doc marker counts for 5 "
+        "languages (conditional sums, no join), Shannon entropy as ONE "
+        "fixed expression tree over the integer counts (no float-agg "
+        "order), mixed flag with a minimum-evidence floor — catches the "
+        "bilingual docs single-label lang-id mislabels",
+    )
+
+    def _b_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from storage_crawler_spark.operators.pipeline import gen_decontaminate_apply
+        from storage_crawler_spark.operators.sampling import (
+            split_bucket_expr,
+            split_case_expr,
+        )
+
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        split = split_case_expr(split_bucket_expr(SPARK))
+        spark.sql(text.gen_token_ngrams(SPARK)).createOrReplaceTempView("_ngram_g_dc")
+        kd = spark.sql(
+            f"SELECT DISTINCT ngram, doc_id, {split} AS split FROM _ngram_g_dc"
+        )
+        _persist_view(kd, "_ngram_kd_dc")
+        return spark.sql(pipeline_ops.gen_decontaminate_apply(SPARK, kd_rel="_ngram_kd_dc"))
+
+    add(
+        "pipeline_decontaminate",
+        _b_decontaminate,
+        pipeline_ops.gen_decontaminate_apply(DUCK),
+        tags=("pipeline", "dedup"),
+        doc="decontamination APPLY (GPT-3 appendix-C direction): drop "
+        "train docs sharing any 5-gram with held-out splits; per-source "
+        "manifest of the corpus-budget cost; eval keys semi-matched via "
+        "hash join (AQE-splittable), short docs kept by construction",
+    )
+
+    b, o = _sql_pair(analytics.gen_attribution_credit, ("events",))
+    add(
+        "events_attribution_credit",
+        b,
+        o,
+        tags=("events",),
+        doc="multi-touch attribution matrix per campaign channel: linear "
+        "vs last-touch credit side by side, exact micro-unit integer "
+        "accounting (floor split + remainder to the latest click, "
+        "two-step argmax — no windows, no composite-key overflow); "
+        "purchase x click pairs equi-join on user with pushed time window",
+    )
+
+    def _b_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        docs = spark.table("documents")
+        return multimodal.audio_features(multimodal.synth_audio(docs)).orderBy(
+            "doc_id", "frame_no"
+        )
+
+    add(
+        "multimodal_audio_features",
+        _b_audio_features,
+        multimodal.gen_audio_features_oracle(DUCK),
+        tags=("multimodal", "udf"),
+        doc="audio frame features from a WAV binary column: REAL RIFF "
+        "data-chunk scan + numpy int16 decode in mapInPandas, exact "
+        "integer energy/zero-crossings/peak per 64-sample frame; oracle "
+        "re-derives the closed-form PCM relationally — a header-scan, "
+        "byte-order, or framing bug breaks the hash",
+    )
+
     b, o = _sql_pair(analytics.gen_retention_cohorts, ("events",))
     add(
         "events_retention_cohorts",
@@ -3536,14 +3608,15 @@ _DRIVER_WINDOW_FIRST = (
     "sketch_bloom_semijoin",
     "report_depth_profile",
     "streaming_burst_windows",
-    # --- rows-only entries: first-ever weak stamp ------------------------
-    # (these get the driver's rows-only check — still their first external
-    # execution evidence; they yield slots to new r9 ops if space runs out;
-    # text_quality_learned yielded its slot to streaming_burst_windows)
-    "fsmeta_scan",
-    "sim_ivf_trained_topk",
-    "sim_pq_topk",
-    "sim_pq_recall",
+    "text_lang_mix",
+    "pipeline_decontaminate",
+    "events_attribution_credit",
+    "multimodal_audio_features",
+    # (the rows-only entries — fsmeta_scan, sim_ivf_trained_topk,
+    # sim_pq_topk, sim_pq_recall, text_quality_learned — yielded their
+    # tail slots to round-9 oracle-gated operators per the window
+    # contract: new code meeting the HARD gate outranks a weak rows-only
+    # stamp; they stay sweep-checked and pytest-covered)
 )
 
 

@@ -113,6 +113,9 @@ EVENT_ENTRIES = [
     # epoch-week cohorts: users with no signup event are uncohorted; pooled
     # instants collapse to shared weeks; offset-0 cells must be complete
     "events_retention_cohorts",
+    # micro-unit attribution: NULL users/values/props, same-instant click
+    # ties (two-step argmax), purchases with no window clicks
+    "events_attribution_credit",
     # streaming_event_deltas is rows-only (stateful applyInPandasWithState,
     # no SQL oracle) — covered by tests/test_streaming.py instead
 ]

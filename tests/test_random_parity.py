@@ -133,6 +133,9 @@ QUERIES = [
     ("chunk_dedup", lambda d: text.gen_chunk_dedup(d, width=8, stride=8)),
     ("head_tail_overlap", lambda d: text.gen_head_tail_overlap(d, k=2, max_df=10)),
     ("pmi_pairs", lambda d: text.gen_pmi_pairs(d, min_count=1, top_k=20)),
+    # mixed-language entropy: NULL/empty texts, multibyte tokens outside
+    # every marker list, en-marker-only vocab -> evidence floor paths
+    ("lang_mix", lambda d: text.gen_lang_mix(d, min_markers=1)),
 ]
 
 
@@ -454,6 +457,10 @@ DOC_ENTRIES = [
     "text_chunk_dedup",
     "text_head_tail_overlap",
     "text_pmi_pairs",
+    # decontamination apply: short-doc keep path, empty train/eval splits
+    "pipeline_decontaminate",
+    # synth->parse->features closed-form audio chain on random doc ids
+    "multimodal_audio_features",
 ]
 
 

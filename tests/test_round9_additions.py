@@ -440,3 +440,132 @@ def test_batch_knn_gemm_matches_oracle_bitwise(spark):
             assert got == [tuple(r) for r in want]
         finally:
             spark.catalog.dropTempView("embeddings")
+
+
+def test_lang_mix_entropy_and_evidence_floor():
+    from storage_crawler_spark.operators import text as t
+
+    import math
+
+    docs = _docs(
+        [
+            "the cat and der hund und die katze",  # en markers: the, and (2); de: der, und, die (3)
+            "the the the of of",                   # pure en, 5 markers
+            "xyz qrs tuv",                         # zero markers -> NULL entropy
+            "the",                                 # 1 marker < floor -> NULL entropy
+        ]
+    )
+    got = _duck(t.gen_lang_mix(DUCK, min_markers=3), documents=docs)
+    rows = {d: r for d, r in zip(got["doc_id"], zip(
+        got["n_markers"], got["n_langs"], got["lang_entropy"], got["mixed"]))}
+    # doc 0: en=2, de=3 -> H = -(2/5)ln(2/5) - (3/5)ln(3/5)
+    h = -(2 / 5) * math.log(2 / 5) - (3 / 5) * math.log(3 / 5)
+    assert rows[0][0] == 5 and rows[0][1] == 2 and rows[0][3] == 1
+    assert rows[0][2] == pytest.approx(math.floor(h * 1e6) / 1e6)
+    assert rows[1] == (5, 1, 0.0, 0)          # pure -> entropy 0, not mixed
+    assert rows[2][2] is None and rows[2][3] == 0
+    assert rows[3][2] is None and rows[3][3] == 0
+
+
+def test_decontaminate_short_train_docs_kept():
+    from storage_crawler_spark.operators import pipeline as pl
+    from storage_crawler_spark.operators.sampling import split_bucket_expr, split_case_expr
+
+    # find doc ids for each split under the real md5 assignment, then plant
+    # a 5-gram leak from one eval doc into one train doc
+    probe = _docs(["x"] * 64)
+    got = _duck(
+        f"SELECT doc_id, {split_case_expr(split_bucket_expr(DUCK))} AS split "
+        f"FROM documents",
+        documents=probe,
+    )
+    by_split = {}
+    for d, s in zip(got["doc_id"], got["split"]):
+        by_split.setdefault(s, []).append(d)
+    tr, ev = by_split["train"][:3], by_split["val"][0]
+    texts = [None] * 64
+    leak = "alpha beta gamma delta epsilon"
+    texts[tr[0]] = leak + " tail words here"       # leaked train doc
+    texts[tr[1]] = "clean train doc with words aplenty ok"  # clean
+    texts[tr[2]] = "tiny"                          # < 5 tokens: cannot leak, kept
+    texts[ev] = leak + " something else"
+    for i in range(64):
+        if texts[i] is None:
+            texts[i] = f"filler{i}"                # 1 token: no grams
+    docs = _docs(texts)
+    got2 = _duck(pl.gen_decontaminate_apply(DUCK), documents=docs)
+    total = {
+        "n_train": sum(got2["n_train"]),
+        "n_dropped": sum(got2["n_dropped"]),
+        "n_kept": sum(got2["n_kept"]),
+    }
+    assert total["n_train"] == len(by_split["train"])
+    assert total["n_dropped"] == 1                 # exactly the planted leak
+    assert total["n_kept"] == total["n_train"] - 1
+
+
+def test_attribution_exact_micro_accounting():
+    from storage_crawler_spark.operators import analytics
+
+    T = 1_700_000_000
+    rows = [
+        # user 1: clicks on channels 0 and 1, then purchase 10.5
+        (0, T + 0, 1, "click", 1.0, '{"k": 0}'),
+        (1, T + 50, 1, "click", 1.0, '{"k": 1}'),   # latest -> last-touch + remainder
+        (2, T + 100, 1, "purchase", 10.5, "{}"),
+        # user 2: purchase with no clicks in window -> unattributed
+        (3, T + 0, 2, "purchase", 5.0, "{}"),
+        # user 3: click AFTER purchase -> not credited
+        (4, T + 10, 3, "purchase", 3.0, "{}"),
+        (5, T + 20, 3, "click", 1.0, '{"k": 2}'),
+    ]
+    got = _duck(analytics.gen_attribution_credit(DUCK), events=_events_df(rows))
+    by_ch = {c: (lt, lin) for c, lt, lin in zip(
+        got["channel"], got["last_touch_credit_micro"], got["linear_credit_micro"])}
+    vm = int(10.5 * 1e6)
+    # linear: floor(vm/2) each, remainder (0) to latest; last-touch: all to ch 1
+    assert by_ch[0] == (0, vm // 2)
+    assert by_ch[1] == (vm, vm - vm // 2)
+    assert 2 not in by_ch                      # post-purchase click never credited
+    # conservation: linear credits sum exactly to the attributed value
+    assert sum(lin for _, lin in by_ch.values()) == vm
+
+
+def test_attribution_remainder_to_latest_click():
+    from storage_crawler_spark.operators import analytics
+
+    T = 1_700_000_000
+    rows = [
+        (0, T + 0, 1, "click", 1.0, '{"k": 0}'),
+        (1, T + 1, 1, "click", 1.0, '{"k": 0}'),
+        (2, T + 2, 1, "click", 1.0, '{"k": 1}'),   # latest
+        (3, T + 9, 1, "purchase", 0.00001, "{}"),  # vm = 10 micro, 10 = 3*3 + 1
+    ]
+    got = _duck(analytics.gen_attribution_credit(DUCK), events=_events_df(rows))
+    by_ch = dict(zip(got["channel"], got["linear_credit_micro"]))
+    assert by_ch == {0: 6, 1: 4}               # 3+3, 3+1 remainder to latest
+
+
+def test_audio_features_spark_decode_matches_closed_form(spark):
+    """The WAV parse (RIFF scan + numpy int16) must recover EXACTLY the
+    closed-form PCM the oracle re-derives relationally."""
+    import duckdb as _ddb
+
+    from storage_crawler_spark.operators import multimodal
+
+    docs = _docs(["x"] * 7)
+    spark.createDataFrame(docs).createOrReplaceTempView("documents")
+    try:
+        got = [
+            tuple(r)
+            for r in multimodal.audio_features(
+                multimodal.synth_audio(spark.table("documents"))
+            ).orderBy("doc_id", "frame_no").collect()
+        ]
+    finally:
+        spark.catalog.dropTempView("documents")
+    con = _ddb.connect()
+    con.register("documents", docs)
+    want = con.execute(multimodal.gen_audio_features_oracle(DUCK)).fetchall()
+    assert got == [tuple(r) for r in want]
+    assert len(got) == 7 * 4                   # 256 samples / 64-frame = 4 frames

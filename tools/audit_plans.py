@@ -157,6 +157,10 @@ NLJ_ALLOWED = {
     # Bloom semi-join: CROSS JOIN of the ONE-row filter array (this IS the
     # runtime-filter broadcast) plus 1-row scalar count subqueries
     "sketch_bloom_semijoin",
+    # two-pass ntile (r9): the cross-bucket offset theta joins run over the
+    # ≤65-row bucket-totals relations — bounded by the BUCKET COUNT; the
+    # per-row windows are partitioned (same contract as session_concurrency)
+    "lake_zorder_layout",
 }
 
 # Queries that must not plan a Window operator (their aggregates are
