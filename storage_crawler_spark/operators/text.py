@@ -443,29 +443,71 @@ def gen_pack_bins(d: Dialect, token_budget: int = 256, chunk_tokens: int = 64, s
     deterministic (doc_id, chunk_no) order.
 
     This is the window-function formulation of greedy packing: one running
-    sum per ordered stream, no per-bin state machine, so it scales as a
-    plain window (and at 100 TB the stream is split per worker with the
-    same two-phase offset trick as the jaccard rank).  Bins are filled to
-    the budget ± one chunk (a chunk never splits); the exact-greedy
-    variant (reset at the boundary) trades that overflow for sequential
-    state — documented, not hidden.
+    sum per ordered stream, no per-bin state machine — and the running sum
+    itself is the TWO-PASS partitioned form (:func:`_pack_cum_ctes`:
+    doc-id range buckets, per-bucket partitioned cumsums, theta-join
+    carry-in over the ≤33-row bucket totals), so no single-partition
+    window exists at any scale.  Bins are filled to the budget ± one chunk
+    (a chunk never splits); the exact-greedy variant (reset at the
+    boundary) trades that overflow for sequential state — documented, not
+    hidden.
 
     ``bin_id`` is CAST to BIGINT because DuckDB's window ``sum(BIGINT)``
     returns HUGEINT and ``//`` keeps that width, which Arrow renders as
     decimal128(38,0) against Spark's int64 (driver r4 hash mismatch).
     """
-    return f"""
+    ctes = _pack_cum_ctes(d, chunk_tokens, stride, with_text=False)
+    return f"""WITH {ctes}
 SELECT doc_id, chunk_no, n_chunk_tokens,
        CAST({d.idiv("cum_before", str(token_budget))} AS BIGINT) AS bin_id
-FROM (
-  SELECT doc_id, chunk_no, n_chunk_tokens,
-         sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_no
-                                   ROWS UNBOUNDED PRECEDING) - n_chunk_tokens AS cum_before
+FROM pk_cum
+""".strip()
+
+
+def _pack_cum_ctes(d: Dialect, chunk_tokens: int, stride: int, with_text: bool) -> str:
+    """CTE chain ending in ``pk_cum``: the chunk stream with its exact
+    running-token-offset ``cum_before`` over (doc_id, chunk_no) order,
+    computed as the two-pass partitioned prefix sum (the
+    events_session_concurrency pattern): chunks range-bucket on doc_id
+    (32 equal-width buckets from one min/max probe — a bucket boundary
+    never splits a document, so the (doc_id, chunk_no) tie order is
+    entirely intra-partition), each bucket runs a PARTITIONED cumsum, and
+    the cross-bucket carry is a theta-join aggregate over the ≤33-row
+    bucket totals."""
+    text_col = ", chunk_text" if with_text else ""
+    return f"""pk_ch AS (
+  SELECT doc_id, chunk_no{text_col}, n_chunk_tokens
   FROM (
 {gen_chunk_split(d, chunk_tokens, stride)}
-  ) chunks
-) t
-""".strip()
+  ) chunks0
+),
+pk_b AS (
+  SELECT CAST(min(doc_id) AS BIGINT) AS kmin,
+         ({d.idiv('(max(doc_id) - min(doc_id))', '32')} + 1) AS w
+  FROM pk_ch
+),
+pk_r AS (
+  SELECT pk_ch.*, {d.idiv('(doc_id - pk_b.kmin)', 'pk_b.w')} AS pk
+  FROM pk_ch CROSS JOIN pk_b
+),
+pk_t AS (
+  SELECT pk, CAST(sum(n_chunk_tokens) AS BIGINT) AS tok FROM pk_r GROUP BY pk
+),
+pk_o AS (
+  SELECT a.pk, CAST(coalesce(sum(b.tok), 0) AS BIGINT) AS carry
+  FROM pk_t a LEFT JOIN pk_t b ON b.pk < a.pk
+  GROUP BY a.pk
+),
+pk_cum AS (
+  SELECT r.doc_id, r.chunk_no{text_col.replace('chunk_text', 'r.chunk_text')},
+         r.n_chunk_tokens,
+         o.carry
+           + sum(r.n_chunk_tokens) OVER (PARTITION BY r.pk
+                                         ORDER BY r.doc_id, r.chunk_no
+                                         ROWS UNBOUNDED PRECEDING)
+           - r.n_chunk_tokens AS cum_before
+  FROM pk_r r JOIN pk_o o ON r.pk = o.pk
+)"""
 
 
 def gen_token_ngrams(
@@ -959,11 +1001,13 @@ def gen_pack_render(
     The in-bin order key is ``cum_before`` (each chunk's running token
     offset): strictly increasing along the (doc_id, chunk_no) stream, so
     it both orders chunks within a bin and is unique — no composite-key
-    struct needed.  Same single running-sum window as pack_bins (two-phase
-    offset split at 100 TB), then one partial-combining aggregate per bin.
+    struct needed.  Same two-pass partitioned running sum as pack_bins
+    (:func:`_pack_cum_ctes`), then one partial-combining aggregate per
+    bin.
     """
     rebuilt = d.ajoin(d.agg_arr_by("cum_before", "chunk_text"))
-    return f"""
+    ctes = _pack_cum_ctes(d, chunk_tokens, stride, with_text=True)
+    return f"""WITH {ctes}
 SELECT bin_id, count(*) AS n_chunks,
        CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
        CAST(length({rebuilt}) AS BIGINT) AS packed_len,
@@ -971,14 +1015,7 @@ SELECT bin_id, count(*) AS n_chunks,
 FROM (
   SELECT CAST({d.idiv('cum_before', str(token_budget))} AS BIGINT) AS bin_id,
          chunk_text, n_chunk_tokens, cum_before
-  FROM (
-    SELECT doc_id, chunk_no, chunk_text, n_chunk_tokens,
-           sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_no
-                                     ROWS UNBOUNDED PRECEDING) - n_chunk_tokens AS cum_before
-    FROM (
-{gen_chunk_split(d, chunk_tokens, stride)}
-    ) chunks
-  ) offs
+  FROM pk_cum
 ) binned
 GROUP BY bin_id
 """.strip()
