@@ -196,3 +196,288 @@ def ivf_trained_topk(spark, sf_dir: str, query_vec_id: int = 0, k_neighbours: in
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(k_neighbours)
     )
+
+
+# ---------------------------------------------------------------------------
+# integer-lattice k-means: the oracle-gated fit (round 9)
+# ---------------------------------------------------------------------------
+#
+# The float Lloyd's fit above stays the pragmatic engine path; this lattice
+# variant trades float means for exact BIGINT arithmetic so the WHOLE
+# iterative fit is oracle-checkable — the PageRank/PCA discipline applied to
+# clustering: coordinates quantize to the 1/2^16 lattice (|x| < 8 keeps
+# |xq| < 2^19; squared diffs < 2^40, x 64 dims < 2^46 — far inside BIGINT),
+# centroid updates are truncating signed division of exact coordinate sums,
+# init is the k lowest vec_ids, argmin ties break to the lowest cluster id,
+# and the iteration count is fixed.  Same input => same model, in BOTH
+# engines, bit for bit.
+
+KM_Q = 65536
+KM_K = 8
+KM_ITERS = 4
+
+
+def _km_sgn_div_py(x: int, n: int) -> int:
+    """Truncating signed integer division (matches similarity._sgn_div)."""
+    return -((-x) // n) if x < 0 else x // n
+
+
+def _km_lattice_sql(d) -> str:
+    """(vec_id, label, qarr BIGINT-array) lattice projection of the
+    embedding store — the shared input of the lattice fit, the oracle
+    chain, and the trained-IVF probe."""
+    ev = "transform(embedding, x -> CAST(x AS DOUBLE))" if d.name == "spark" \
+        else "CAST(embedding AS DOUBLE[])"
+    q = d.transform("ev", "x", f"CAST(floor(x * {KM_Q}.0e0) AS BIGINT)")
+    return (
+        f"SELECT vec_id, label, {q} AS qarr FROM "
+        f"(SELECT vec_id, label, {ev} AS ev FROM embeddings "
+        f" WHERE embedding IS NOT NULL AND {d.size(d.cast_double_arr('embedding'))} >= 1) t"
+    )
+
+
+def kmeans_lattice_ctes(d, k: int = KM_K, iters: int = KM_ITERS) -> tuple[str, str, str]:
+    """Unrolled CTE chain for the lattice fit: returns (ctes, final
+    centroid relation ``km{iters}`` with (cid, carr), final assignment
+    relation ``a{iters}`` with (vec_id, label, qarr, cid)).
+
+    Per iteration: distances are exact integer folds against the previous
+    centroid relation (k-row cross join — a broadcast at any scale), the
+    argmin is a PARTITION-BY-vec window over k rows per vector, coordinate
+    sums partial-combine per (cid, dim), and the update divides ONCE
+    (truncating signed div).  Empty clusters keep their previous centroid
+    (Lloyd's fallback, relationally a LEFT JOIN coalesce).  DuckDB
+    materializes the multiply-referenced relations (pca_cte_base trap);
+    the Spark engine path is the distributed loop
+    :func:`kmeans_fit_lattice` — this chain is the ORACLE formulation.
+    """
+    from storage_crawler_spark.operators.similarity import _sgn_div
+
+    mat = " MATERIALIZED" if d.name == "duck" else ""
+    dist = d.reduce_bigint(d.zip_sub_sq("v.qarr", "c.carr"), "acc + CAST(x AS BIGINT)")
+    parts = [f"v AS{mat} (\n{_km_lattice_sql(d)}\n)"]
+    # init: the k lowest vec_ids, cid = position in that order (ordered-
+    # array + positional explode — no unpartitioned window)
+    parts.append(f"i0 AS (SELECT vec_id, qarr FROM v ORDER BY vec_id LIMIT {k})")
+    parts.append(f"ia AS (SELECT {d.agg_arr_by('vec_id', 'vec_id')} AS ids FROM i0)")
+    parts.append(
+        f"""km0 AS (
+  SELECT CAST(x.i - 1 AS BIGINT) AS cid, i0.qarr AS carr
+  FROM (
+    SELECT i, {d.elem('ids', 'i')} AS vid
+    FROM (SELECT ids FROM ia WHERE {d.size('ids')} >= 1) y
+    {d.lateral_seq('1', d.size('ids'), 'i')}
+  ) x
+  JOIN i0 ON i0.vec_id = x.vid
+)"""
+    )
+    lat_dim = d.lateral_seq("1", d.size("qarr"), "i")
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(
+            f"""a{t} AS{mat} (
+  SELECT vec_id, label, qarr, cid FROM (
+    SELECT v.vec_id, v.label, v.qarr, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cid) AS rnk
+    FROM v CROSS JOIN km{p} c
+  ) r WHERE rnk = 1
+)"""
+        )
+        parts.append(
+            f"n{t} AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM a{t} GROUP BY cid)"
+        )
+        parts.append(
+            f"""s{t} AS (
+  SELECT cid, i AS dim, CAST(sum({d.elem('qarr', 'i')}) AS BIGINT) AS s
+  FROM a{t}
+  {lat_dim}
+  GROUP BY cid, i
+)"""
+        )
+        parts.append(
+            f"""nc{t} AS (
+  SELECT s.cid, {d.agg_arr_by('s.dim', _sgn_div(d, 's.s', 'n.n'))} AS carr
+  FROM s{t} s JOIN n{t} n ON s.cid = n.cid
+  GROUP BY s.cid
+)"""
+        )
+        parts.append(
+            f"""km{t} AS{mat} (
+  SELECT p.cid, coalesce(nc.carr, p.carr) AS carr
+  FROM km{p} p LEFT JOIN nc{t} nc ON p.cid = nc.cid
+)"""
+        )
+    return ",\n".join(parts), f"km{iters}", f"a{iters}"
+
+
+def gen_kmeans_lattice(d, k: int = KM_K, iters: int = KM_ITERS) -> str:
+    """Oracle-gated k-means fit artifact: the final lattice centroids,
+    one row per (cluster, dimension) with the coordinate value plus the
+    cluster's size in the last update — the ENTIRE Lloyd's iteration
+    verified across engines, not just asserted (the first iterative
+    CLUSTERING fit in the registry with a full oracle; PageRank/PCA/Holt
+    established the unrolled-chain pattern for graph/spectral/forecast
+    fits)."""
+    ctes, km, a = kmeans_lattice_ctes(d, k, iters)
+    return f"""
+WITH {ctes}
+SELECT e.cid, e.dim, e.c, coalesce(n.n, 0) AS n_assigned
+FROM (
+  SELECT km.cid, CAST(i AS BIGINT) AS dim, {d.elem('km.carr', 'i')} AS c
+  FROM {km} km
+  {d.lateral_seq('1', d.size('km.carr'), 'i')}
+) e
+LEFT JOIN (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM {a} GROUP BY cid) n
+  ON e.cid = n.cid
+ORDER BY e.cid, e.dim
+""".strip()
+
+
+def kmeans_fit_lattice(spark, k: int = KM_K, iters: int = KM_ITERS):
+    """Spark ENGINE path of the lattice fit: the distributed Lloyd's loop
+    with exact-integer arithmetic — assignment is a map against literal
+    BIGINT centroid arrays, coordinate sums partial-combine (BIGINT sums
+    are order-free, unlike the float fit's avg), and the k×dim model
+    state collects to the driver per round (the k-means contract).
+    Bit-identical to :func:`kmeans_lattice_ctes`'s unrolled chain by
+    construction.  Returns (centroids: list[list[int]], sizes: dict)."""
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    v = spark.sql(_km_lattice_sql(SPARK)).localCheckpoint()
+    v.createOrReplaceTempView("_km_lat_v")
+    init = v.orderBy("vec_id").limit(k).select("qarr").collect()
+    if not init:
+        raise ValueError("cannot fit k-means on an empty vector set")
+    centroids = [list(r.qarr) for r in init]
+    sizes: dict[int, int] = {}
+    for _ in range(iters):
+        arrs = [
+            "array(" + ", ".join(f"CAST({c} AS BIGINT)" for c in cent) + ")"
+            for cent in centroids
+        ]
+        dists = "array(" + ", ".join(
+            f"aggregate(zip_with(qarr, {a}, (u, v) -> (u - v) * (u - v)), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            for a in arrs
+        ) + ")"
+        assigned = v.withColumn("__d", F.expr(dists)).withColumn(
+            "cid", (F.expr("array_position(__d, array_min(__d))") - 1).cast("long")
+        ).drop("__d")
+        stats = (
+            assigned.select("cid", F.posexplode("qarr").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_c.setdefault(int(r.cid), {})[int(r.pos)] = (int(r.s), int(r.n))
+        new = [list(c) for c in centroids]
+        sizes = {}
+        for cid, poses in by_c.items():
+            new[cid] = [
+                _km_sgn_div_py(poses[i][0], poses[i][1]) for i in range(len(poses))
+            ]
+            sizes[cid] = poses[0][1]
+        centroids = new
+    return centroids, sizes
+
+
+def kmeans_lattice_artifact(spark, k: int = KM_K, iters: int = KM_ITERS) -> DataFrame:
+    """Engine-path builder for the ``sim_kmeans_lattice`` entry: run the
+    distributed lattice fit, then emit the same flat (cid, dim, c,
+    n_assigned) relation the oracle chain produces."""
+    centroids, sizes = kmeans_fit_lattice(spark, k, iters)
+    rows = [
+        (cid, dim + 1, int(c), int(sizes.get(cid, 0)))
+        for cid, cent in enumerate(centroids)
+        for dim, c in enumerate(cent)
+    ]
+    return spark.createDataFrame(
+        rows, "cid long, dim long, c long, n_assigned long"
+    ).orderBy("cid", "dim")
+
+
+def gen_ivf_lattice_topk(
+    d, query_vec_id: int = 0, k_neighbours: int = 10, nprobe: int = 2,
+    k: int = KM_K, iters: int = KM_ITERS,
+) -> str:
+    """Trained-IVF top-k, fully oracle-gated: probe the ``nprobe``
+    clusters whose LATTICE centroids are nearest the query (exact integer
+    distances; probes picked by ORDER BY + LIMIT — no window), then rank
+    the probed cells' members by exact integer dot product with the query
+    (the batch-kNN lattice contract), fused top-k.  The entire path —
+    Lloyd's fit, assignment, probe selection, ranking — is now verified
+    across engines, upgrading the float-IVF entry's rows-only posture."""
+    ctes, km, a = kmeans_lattice_ctes(d, k, iters)
+    distq = d.reduce_bigint(d.zip_sub_sq("c.carr", "q.qarr"), "acc + CAST(x AS BIGINT)")
+    dot = d.reduce_bigint(d.zip_mul("a.qarr", "q.qarr"), "acc + CAST(x AS BIGINT)")
+    return f"""
+WITH {ctes},
+q AS (SELECT qarr FROM v WHERE vec_id = {query_vec_id}),
+pr AS (
+  SELECT c.cid FROM {km} c CROSS JOIN q
+  ORDER BY {distq}, c.cid
+  LIMIT {nprobe}
+)
+SELECT a.vec_id, CAST(a.label AS INT) AS label, CAST({dot} AS BIGINT) AS dot
+FROM {a} a
+JOIN pr ON a.cid = pr.cid
+CROSS JOIN q
+WHERE a.vec_id <> {query_vec_id}
+ORDER BY {dot} DESC, a.vec_id
+LIMIT {k_neighbours}
+""".strip()
+
+
+def ivf_lattice_topk(
+    spark, query_vec_id: int = 0, k_neighbours: int = 10, nprobe: int = 2,
+    k: int = KM_K, iters: int = KM_ITERS,
+) -> DataFrame:
+    """Spark ENGINE path of :func:`gen_ivf_lattice_topk`: distributed
+    lattice fit (k×dim driver model state), assignment as a map against
+    literal BIGINT centroids, probe selection a driver-side argsort over k
+    integer scalars reaching the plan as a pushed ``cid IN (...)`` filter,
+    integer-dot ranking fused into TakeOrderedAndProject."""
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    centroids, _ = kmeans_fit_lattice(spark, k, iters)
+    v = spark.table("_km_lat_v")  # checkpointed by the fit
+    arrs = [
+        "array(" + ", ".join(f"CAST({c} AS BIGINT)" for c in cent) + ")"
+        for cent in centroids
+    ]
+    dists = "array(" + ", ".join(
+        f"aggregate(zip_with(qarr, {arr}, (u, v) -> (u - v) * (u - v)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        for arr in arrs
+    ) + ")"
+    assigned = v.withColumn("__d", F.expr(dists)).withColumn(
+        "cid", (F.expr("array_position(__d, array_min(__d))") - 1).cast("long")
+    ).drop("__d")
+    q_row = v.filter(F.col("vec_id") == query_vec_id).select("qarr").collect()
+    if not q_row:
+        raise ValueError(f"query_vec_id={query_vec_id} not found")
+    qarr = [int(x) for x in q_row[0].qarr]
+    pd2 = sorted(
+        (sum((u - v) * (u - v) for u, v in zip(qarr, cent)), cid)
+        for cid, cent in enumerate(centroids)
+    )
+    probes = [cid for _, cid in pd2[: max(1, min(nprobe, len(centroids)))]]
+    qlit = "array(" + ", ".join(f"CAST({x} AS BIGINT)" for x in qarr) + ")"
+    dot = (
+        f"aggregate(zip_with(qarr, {qlit}, (u, v) -> u * v), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return (
+        assigned.filter(F.col("cid").isin(probes))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            F.expr(dot).cast("long").alias("dot"),
+        )
+        .orderBy(F.col("dot").desc(), "vec_id")
+        .limit(k_neighbours)
+    )

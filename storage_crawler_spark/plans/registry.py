@@ -1363,19 +1363,51 @@ def _specs() -> list[QuerySpec]:
         "cosine near-dup pairs, keeper = min vec_id (iterative min-label "
         "propagation; oracle = recursive-CTE closure)",
     )
-    def _b_ivf_trained(spark, sf_dir):
-        from storage_crawler_spark.operators.kmeans import ivf_trained_topk
+    from storage_crawler_spark.operators.kmeans import (
+        gen_ivf_lattice_topk as _gen_ivf_lattice,
+        gen_kmeans_lattice as _gen_kmeans_lattice,
+    )
 
-        return ivf_trained_topk(spark, sf_dir)
+    def _b_ivf_lattice(spark, sf_dir):
+        from storage_crawler_spark.operators.kmeans import ivf_lattice_topk
+
+        V.register_base_tables(spark, sf_dir, ("embeddings",))
+        return ivf_lattice_topk(spark)
 
     add(
         "sim_ivf_trained_topk",
-        _b_ivf_trained,
-        None,
+        _b_ivf_lattice,
+        _gen_ivf_lattice(DUCK),
         tags=("similarity",),
-        doc="IVF top-k with TRAINED k-means centroids (distributed Lloyd's fit; "
-        "deterministic init; multi-probe nprobe=2 — nprobe=k degenerates to exact, "
-        "pytest-pinned); rows-only — iterative fit is not SQL-expressible",
+        doc="IVF top-k with TRAINED k-means centroids, fully ORACLE-GATED "
+        "(r9 lattice upgrade of the float rows-only form): integer-lattice "
+        "Lloyd's fit (exact BIGINT sums + truncating-div updates, fixed "
+        "iters, lowest-vec-id init), probe selection by exact centroid "
+        "distance (ORDER BY + LIMIT, no window), integer-dot ranking in "
+        "the probed cells; oracle unrolls the whole iteration chain — "
+        "fit, assignment, probe, rank all verified across engines; the "
+        "float engine path stays as ivf_trained_topk for pytest recall "
+        "properties",
+    )
+
+    def _b_kmeans_lattice(spark, sf_dir):
+        from storage_crawler_spark.operators.kmeans import kmeans_lattice_artifact
+
+        V.register_base_tables(spark, sf_dir, ("embeddings",))
+        return kmeans_lattice_artifact(spark)
+
+    add(
+        "sim_kmeans_lattice",
+        _b_kmeans_lattice,
+        _gen_kmeans_lattice(DUCK),
+        tags=("similarity", "embedding"),
+        doc="the k-means FIT itself as an oracle-gated artifact: final "
+        "lattice centroids per (cluster, dim) + last-update sizes — the "
+        "first iterative CLUSTERING fit in the registry with a full "
+        "oracle (unrolled per-iteration CTE chain: partitioned argmin "
+        "windows, partial-combining coordinate sums, LEFT-JOIN empty-"
+        "cluster retention); Spark path is the distributed loop with "
+        "k x dim driver model state",
     )
 
     def _b_pq_topk(spark, sf_dir):
@@ -3602,21 +3634,28 @@ _DRIVER_WINDOW_FIRST = (
     "events_type_triangles",
     "events_benford_audit",
     "events_burst_windows",
-    "sim_crosslingual_dups",
     "sim_batch_knn_gemm",
     "events_retention_cohorts",
     "sketch_bloom_semijoin",
-    "report_depth_profile",
     "streaming_burst_windows",
     "text_lang_mix",
     "pipeline_decontaminate",
     "events_attribution_credit",
     "multimodal_audio_features",
-    # (the rows-only entries — fsmeta_scan, sim_ivf_trained_topk,
-    # sim_pq_topk, sim_pq_recall, text_quality_learned — yielded their
-    # tail slots to round-9 oracle-gated operators per the window
-    # contract: new code meeting the HARD gate outranks a weak rows-only
-    # stamp; they stay sweep-checked and pytest-covered)
+    # the lattice k-means plane: the fit artifact and the rows-only ->
+    # oracle-gated upgrade of the trained-IVF entry (first driver stamp
+    # of its new formulation)
+    "sim_kmeans_lattice",
+    "sim_ivf_trained_topk",
+    # (deferred to r10 with machinery represented in-window this round:
+    # sim_crosslingual_dups — the sign-bucket pair machinery holds slots
+    # via dedup_embedding_incremental + dedup_simhash_pairs;
+    # report_depth_profile — the usage-report plane holds three slots via
+    # report_subtree_du/extension_usage/owner_usage.  The rows-only
+    # entries — fsmeta_scan, sim_pq_topk, sim_pq_recall,
+    # text_quality_learned — yielded their tail slots to oracle-gated
+    # operators per the window contract; all stay sweep-checked and
+    # pytest-covered.)
 )
 
 

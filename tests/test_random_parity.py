@@ -235,7 +235,19 @@ EMB_QUERIES = [
     # GEMM builder's bit-parity to this form is pinned at the gate and in
     # test_round9_additions
     ("batch_knn_oracle", lambda d: similarity.gen_batch_knn_oracle(d, (0, 1), k=3)),
+    # round-9 lattice k-means: the unrolled iteration chain must agree on
+    # adversarial stores — duplicate/antipode/zero vectors create argmin
+    # ties (cid break), NULL embeddings drop, < k distinct points shrink
+    # the init; small k/iters keep the chain light
+    ("kmeans_lattice", lambda d: _km().gen_kmeans_lattice(d, k=4, iters=2)),
+    ("ivf_lattice_topk", lambda d: _km().gen_ivf_lattice_topk(d, 0, 5, nprobe=2, k=4, iters=2)),
 ]
+
+
+def _km():
+    from storage_crawler_spark.operators import kmeans
+
+    return kmeans
 
 
 @pytest.fixture(scope="module", params=[5, 17])

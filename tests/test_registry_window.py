@@ -17,7 +17,9 @@ from __future__ import annotations
 from storage_crawler_spark.plans import registry
 
 _ROWS_ONLY_ALLOWED = {
-    "sim_ivf_trained_topk",
+    # (sim_ivf_trained_topk graduated to oracle-gated in r9 via the
+    # integer-lattice fit; the PQ pair still trains per-subspace float
+    # codebooks)
     "sim_pq_topk",
     "sim_pq_recall",
     "fsmeta_scan",

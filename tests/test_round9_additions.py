@@ -569,3 +569,100 @@ def test_audio_features_spark_decode_matches_closed_form(spark):
     want = con.execute(multimodal.gen_audio_features_oracle(DUCK)).fetchall()
     assert got == [tuple(r) for r in want]
     assert len(got) == 7 * 4                   # 256 samples / 64-frame = 4 frames
+
+
+# ---------------------------------------------------------------------------
+# lattice k-means: hand-computed fit semantics (the oracle-gated iteration)
+# ---------------------------------------------------------------------------
+
+
+def _emb(vecs, labels=None):
+    return pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": vecs,
+            "label": labels or [0] * len(vecs),
+        }
+    )
+
+
+def test_kmeans_lattice_two_planted_clusters():
+    from storage_crawler_spark.operators import kmeans as km
+
+    Q = km.KM_Q
+    # two tight 1-D clusters around 1.0 and 3.0; k=2 init = vecs 0,1 (one
+    # in each cluster), so one iteration already lands the exact means
+    vecs = [[1.0], [3.0], [1.5], [3.5], [1.25], [3.25]]
+    got = _duck(km.gen_kmeans_lattice(DUCK, k=2, iters=2), embeddings=_emb(vecs))
+    rows = {(c, d): (v, n) for c, d, v, n in zip(
+        got["cid"], got["dim"], got["c"], got["n_assigned"])}
+    # cluster 0 <- {1.0, 1.5, 1.25}: mean lattice = (sum of floors) // 3
+    c0 = (int(1.0 * Q) + int(1.5 * Q) + int(1.25 * Q)) // 3
+    c1 = (int(3.0 * Q) + int(3.5 * Q) + int(3.25 * Q)) // 3
+    assert rows[(0, 1)] == (c0, 3)
+    assert rows[(1, 1)] == (c1, 3)
+
+
+def test_kmeans_lattice_empty_cluster_keeps_previous_centroid():
+    from storage_crawler_spark.operators import kmeans as km
+
+    # vec 1's init centroid is immediately orphaned (every point nearer
+    # vec 0's): cluster 1 must keep its INIT centroid, not vanish
+    vecs = [[0.0], [10.0], [0.1], [0.2]]
+    # all points are nearer 0 than 10 except vec 1 itself... vec 1 IS at
+    # 10 so it stays its own cluster; use a truly orphaned seed instead:
+    vecs = [[0.0], [0.4], [0.1], [0.2]]
+    # init c0=0.0, c1=0.4; iter1: 0.0,0.1,0.2 -> c0; 0.4 -> c1 (not
+    # orphaned either).  Orphan properly: duplicate seeds.
+    vecs = [[0.0], [0.0], [1.0], [2.0]]
+    # init c0=c1=0.0; ties break to cid 0, so in ITERATION 1 cluster 1
+    # gets NOTHING and must retain its init centroid (lattice 0)
+    got = _duck(km.gen_kmeans_lattice(DUCK, k=2, iters=1), embeddings=_emb(vecs))
+    rows = {(c, d): (v, n) for c, d, v, n in zip(
+        got["cid"], got["dim"], got["c"], got["n_assigned"])}
+    assert rows[(1, 1)] == (0, 0)        # kept, size 0
+    assert rows[(0, 1)][1] == 4          # everything went to cluster 0
+    # a SECOND iteration then re-captures the two zero vectors with the
+    # retained centroid (c0 moved to 0.75): retention is what keeps the
+    # cluster alive to do so
+    got2 = _duck(km.gen_kmeans_lattice(DUCK, k=2, iters=2), embeddings=_emb(vecs))
+    rows2 = {(c, d): (v, n) for c, d, v, n in zip(
+        got2["cid"], got2["dim"], got2["c"], got2["n_assigned"])}
+    assert rows2[(1, 1)] == (0, 2)
+
+
+def test_kmeans_lattice_spark_loop_matches_oracle(spark):
+    import duckdb as _ddb
+
+    from storage_crawler_spark.operators import kmeans as km
+
+    vecs = [[float(i % 5), float((i * 3) % 7)] for i in range(30)]
+    emb = _emb(vecs)
+    spark.createDataFrame(emb).createOrReplaceTempView("embeddings")
+    try:
+        got = [tuple(r) for r in km.kmeans_lattice_artifact(spark, k=4, iters=3).collect()]
+    finally:
+        spark.catalog.dropTempView("embeddings")
+    con = _ddb.connect()
+    con.register("embeddings", emb)
+    want = con.execute(km.gen_kmeans_lattice(DUCK, k=4, iters=3)).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+def test_ivf_lattice_nprobe_full_is_exact_bruteforce():
+    from storage_crawler_spark.operators import kmeans as km
+
+    vecs = [[float(i), float(10 - i)] for i in range(12)]
+    emb = _emb(vecs)
+    got = _duck(
+        km.gen_ivf_lattice_topk(DUCK, 0, 5, nprobe=4, k=4, iters=2), embeddings=emb
+    )
+    # nprobe = k probes every cell: result must equal the exact integer-dot
+    # brute force over all other vectors
+    Q = km.KM_Q
+    qs = [int(v * Q) for v in vecs[0]]
+    dots = sorted(
+        (-(sum(int(u * Q) * w for u, w in zip(v, qs))), i)
+        for i, v in enumerate(vecs) if i != 0
+    )[:5]
+    assert list(got["vec_id"]) == [i for _, i in dots]

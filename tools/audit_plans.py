@@ -161,6 +161,9 @@ NLJ_ALLOWED = {
     # ≤65-row bucket-totals relations — bounded by the BUCKET COUNT; the
     # per-row windows are partitioned (same contract as session_concurrency)
     "lake_zorder_layout",
+    # two-pass packing prefix sum (r9): same ≤33-row carry theta join
+    "text_pack_bins",
+    "text_pack_render",
 }
 
 # Queries that must not plan a Window operator (their aggregates are
