@@ -308,7 +308,21 @@ def kmeans_lattice_ctes(d, k: int = KM_K, iters: int = KM_ITERS) -> tuple[str, s
   FROM km{p} p LEFT JOIN nc{t} nc ON p.cid = nc.cid
 )"""
         )
-    return ",\n".join(parts), f"km{iters}", f"a{iters}"
+    # final assignment against the FINAL centroids (a{iters} is the last
+    # UPDATE's input, one centroid set behind — consumers that read
+    # cluster membership must see the partition the trained model induces,
+    # which is also what the engine paths compute)
+    parts.append(
+        f"""a_fin AS{mat} (
+  SELECT vec_id, label, qarr, cid FROM (
+    SELECT v.vec_id, v.label, v.qarr, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cid) AS rnk
+    FROM v CROSS JOIN km{iters} c
+  ) r WHERE rnk = 1
+)"""
+    )
+    return ",\n".join(parts), f"km{iters}", "a_fin"
 
 
 def gen_kmeans_lattice(d, k: int = KM_K, iters: int = KM_ITERS) -> str:
@@ -381,6 +395,25 @@ def kmeans_fit_lattice(spark, k: int = KM_K, iters: int = KM_ITERS):
             ]
             sizes[cid] = poses[0][1]
         centroids = new
+    # final sizes = the partition the TRAINED model induces (one more
+    # distributed assignment count — mirrors the oracle chain's a_fin)
+    arrs = [
+        "array(" + ", ".join(f"CAST({c} AS BIGINT)" for c in cent) + ")"
+        for cent in centroids
+    ]
+    dists = "array(" + ", ".join(
+        f"aggregate(zip_with(qarr, {a}, (u, v) -> (u - v) * (u - v)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        for a in arrs
+    ) + ")"
+    fin = (
+        v.withColumn("__d", F.expr(dists))
+        .withColumn("cid", (F.expr("array_position(__d, array_min(__d))") - 1).cast("long"))
+        .groupBy("cid")
+        .count()
+        .collect()
+    )
+    sizes = {int(r.cid): int(r["count"]) for r in fin}
     return centroids, sizes
 
 

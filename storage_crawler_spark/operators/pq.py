@@ -192,3 +192,373 @@ def pq_recall(
     return spark.createDataFrame(
         [(k, hits, round(hits / k, 6))], "k int, n_hits int, recall double"
     )
+
+
+# ---------------------------------------------------------------------------
+# integer-lattice PQ: the oracle-gated compressed tier (round 9)
+# ---------------------------------------------------------------------------
+#
+# Same upgrade as the trained-IVF entry: coordinates quantize to the 1/2^16
+# lattice, every subspace codebook trains with exact BIGINT arithmetic
+# (sums + truncating-div updates), codes and the ADC estimate are pure
+# integers — so the ENTIRE compressed tier (train -> encode -> ADC rank ->
+# recall) is verified across engines by one unrolled CTE chain.  All m
+# subspaces train in ONE chain keyed by ``sub`` (the per-subspace relations
+# are the same CTEs with one extra key column); the init ids are the global
+# ksub lowest vec_ids, shared across subspaces (every subspace sees every
+# vector, so the per-subspace "k lowest" sets coincide by construction).
+
+PQ_Q = 65536
+PQ_M = 8
+PQ_KSUB = 16
+PQ_ITERS = 3
+
+
+def _pq_sgn_div_py(x: int, n: int) -> int:
+    return -((-x) // n) if x < 0 else x // n
+
+
+def pq_lattice_ctes(
+    d, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = PQ_ITERS
+) -> tuple[str, str, str, str]:
+    """Unrolled chain for the subspace-keyed lattice PQ fit: returns
+    (ctes, final codebook relation ``pkm{iters}`` (sub, cid, carr), final
+    code relation ``pa{iters}`` (sub, vec_id, cid), the sliced vector
+    relation ``vs`` (vec_id, label, sub, sarr)).  Vectors whose dimension
+    is not the store maximum or not divisible by ``m`` are excluded (a
+    PQ codebook is only defined on a uniform layout; the engine path
+    raises on the same condition)."""
+    from storage_crawler_spark.operators.similarity import _sgn_div
+
+    mat = " MATERIALIZED" if d.name == "duck" else ""
+    ev = "transform(embedding, x -> CAST(x AS DOUBLE))" if d.name == "spark" \
+        else "CAST(embedding AS DOUBLE[])"
+    q = d.transform("ev", "x", f"CAST(floor(x * {PQ_Q}.0e0) AS BIGINT)")
+    dist = d.reduce_bigint(d.zip_sub_sq("vs.sarr", "c.carr"), "acc + CAST(x AS BIGINT)")
+    parts = [
+        f"""pv0 AS (
+  SELECT vec_id, label, {q} AS qarr FROM
+  (SELECT vec_id, label, {ev} AS ev FROM embeddings
+   WHERE embedding IS NOT NULL AND {d.size(d.cast_double_arr('embedding'))} >= 1) t
+)""",
+        f"psz AS (SELECT max({d.size('qarr')}) AS mx FROM pv0)",
+        f"""pv AS{mat} (
+  SELECT pv0.* FROM pv0 CROSS JOIN psz
+  WHERE {d.size('qarr')} = psz.mx AND psz.mx % {m} = 0
+)""",
+        # one row per (vector, subspace) with the dsub-dim slice
+        f"""vs AS{mat} (
+  SELECT vec_id, label, CAST(sub AS BIGINT) AS sub,
+         {d.aslice('qarr', f"sub * {d.idiv('n', str(m))} + 1", d.idiv('n', str(m)))} AS sarr
+  FROM (SELECT vec_id, label, qarr, {d.size('qarr')} AS n FROM pv) b
+  {d.lateral_seq('0', str(m - 1), 'sub')}
+)""",
+        f"pi0 AS (SELECT vec_id FROM pv ORDER BY vec_id LIMIT {ksub})",
+        f"pia AS (SELECT {d.agg_arr_by('vec_id', 'vec_id')} AS ids FROM pi0)",
+        f"""pkm0 AS (
+  SELECT vs.sub, CAST(x.i - 1 AS BIGINT) AS cid, vs.sarr AS carr
+  FROM (
+    SELECT i, {d.elem('ids', 'i')} AS vid
+    FROM (SELECT ids FROM pia WHERE {d.size('ids')} >= 1) y
+    {d.lateral_seq('1', d.size('ids'), 'i')}
+  ) x
+  JOIN vs ON vs.vec_id = x.vid
+)""",
+    ]
+    lat_dim = d.lateral_seq("1", d.size("sarr"), "i")
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(
+            f"""pa{t} AS{mat} (
+  SELECT sub, vec_id, sarr, cid FROM (
+    SELECT vs.sub, vs.vec_id, vs.sarr, c.cid,
+           row_number() OVER (PARTITION BY vs.sub, vs.vec_id
+                              ORDER BY {dist}, c.cid) AS rnk
+    FROM vs JOIN pkm{p} c ON vs.sub = c.sub
+  ) r WHERE rnk = 1
+)"""
+        )
+        parts.append(
+            f"pn{t} AS (SELECT sub, cid, CAST(count(*) AS BIGINT) AS n "
+            f"FROM pa{t} GROUP BY sub, cid)"
+        )
+        parts.append(
+            f"""ps{t} AS (
+  SELECT sub, cid, i AS dim, CAST(sum({d.elem('sarr', 'i')}) AS BIGINT) AS s
+  FROM pa{t}
+  {lat_dim}
+  GROUP BY sub, cid, i
+)"""
+        )
+        parts.append(
+            f"""pc{t} AS (
+  SELECT s.sub, s.cid, {d.agg_arr_by('s.dim', _sgn_div(d, 's.s', 'n.n'))} AS carr
+  FROM ps{t} s JOIN pn{t} n ON s.sub = n.sub AND s.cid = n.cid
+  GROUP BY s.sub, s.cid
+)"""
+        )
+        parts.append(
+            f"""pkm{t} AS{mat} (
+  SELECT p.sub, p.cid, coalesce(nc.carr, p.carr) AS carr
+  FROM pkm{p} p LEFT JOIN pc{t} nc ON p.sub = nc.sub AND p.cid = nc.cid
+)"""
+        )
+    # the CODES are the encode against the FINAL codebook (one more argmin
+    # pass — pa{iters} is the last UPDATE's input assignment, one codebook
+    # behind; the engine path encodes against the trained books, so the
+    # oracle must too)
+    parts.append(
+        f"""pa_fin AS{mat} (
+  SELECT sub, vec_id, sarr, cid FROM (
+    SELECT vs.sub, vs.vec_id, vs.sarr, c.cid,
+           row_number() OVER (PARTITION BY vs.sub, vs.vec_id
+                              ORDER BY {dist}, c.cid) AS rnk
+    FROM vs JOIN pkm{iters} c ON vs.sub = c.sub
+  ) r WHERE rnk = 1
+)"""
+    )
+    return ",\n".join(parts), f"pkm{iters}", "pa_fin", "vs"
+
+
+def gen_pq_lattice_topk(
+    d, query_vec_id: int = 0, k: int = 10,
+    m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = PQ_ITERS,
+) -> str:
+    """Oracle-gated PQ/ADC top-k: (vec_id, label, est_d2) ranked by the
+    exact-integer ADC estimate — LUT = per-(subspace, code) squared
+    distance from the UN-quantized (lattice) query subvector to the
+    trained centroid, estimate = the sum of each vector's m LUT cells.
+    Codes are the final assignment relation; the rank fuses to
+    TakeOrderedAndProject (no window)."""
+    ctes, km, a, vs = pq_lattice_ctes(d, m, ksub, iters)
+    ld = d.reduce_bigint(d.zip_sub_sq("c.carr", "q.sarr"), "acc + CAST(x AS BIGINT)")
+    return f"""
+WITH {ctes},
+q AS (SELECT sub, sarr FROM {vs} WHERE vec_id = {query_vec_id}),
+lut AS (
+  SELECT c.sub, c.cid, CAST({ld} AS BIGINT) AS ld
+  FROM {km} c JOIN q ON c.sub = q.sub
+),
+est AS (
+  SELECT a.vec_id, CAST(sum(l.ld) AS BIGINT) AS est_d2
+  FROM {a} a JOIN lut l ON a.sub = l.sub AND a.cid = l.cid
+  WHERE a.vec_id <> {query_vec_id}
+  GROUP BY a.vec_id
+)
+SELECT e.vec_id, CAST(lb.label AS INT) AS label, e.est_d2
+FROM est e
+JOIN (SELECT DISTINCT vec_id, label FROM pv) lb ON e.vec_id = lb.vec_id
+ORDER BY e.est_d2, e.vec_id
+LIMIT {k}
+""".strip()
+
+
+def gen_pq_lattice_recall(
+    d, query_vec_id: int = 0, k: int = 10,
+    m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = PQ_ITERS,
+) -> str:
+    """Recall@k of the lattice PQ/ADC ranking against the exact integer
+    squared-L2 top-k — the measured-accuracy contract, now itself
+    oracle-gated (both the approximate AND the exact tier are integer-
+    deterministic, so n_hits is a hash-exact scalar)."""
+    approx = gen_pq_lattice_topk(d, query_vec_id, k, m, ksub, iters)
+    exd = d.reduce_bigint(d.zip_sub_sq("pv.qarr", "qq.qarr"), "acc + CAST(x AS BIGINT)")
+    # the exact tier re-derives the lattice store (standalone statement)
+    ev = "transform(embedding, x -> CAST(x AS DOUBLE))" if d.name == "spark" \
+        else "CAST(embedding AS DOUBLE[])"
+    qz = d.transform("ev", "x", f"CAST(floor(x * {PQ_Q}.0e0) AS BIGINT)")
+    return f"""
+WITH ax AS (
+{approx}
+),
+xv AS (
+  SELECT vec_id, {qz} AS qarr FROM
+  (SELECT vec_id, {ev} AS ev FROM embeddings WHERE embedding IS NOT NULL) t
+),
+ex AS (
+  SELECT pv.vec_id
+  FROM xv pv CROSS JOIN (SELECT qarr FROM xv WHERE vec_id = {query_vec_id}) qq
+  WHERE pv.vec_id <> {query_vec_id}
+  ORDER BY {exd}, pv.vec_id
+  LIMIT {k}
+)
+SELECT {k} AS k, CAST(count(*) AS BIGINT) AS n_hits,
+       {d.trunc6(f"CAST(count(*) AS DOUBLE) / {k}")} AS recall
+FROM ax JOIN ex ON ax.vec_id = ex.vec_id
+""".strip()
+
+
+def _pq_lattice_vs(spark, m: int):
+    """(vec_id, label, sub, sarr) lattice slice relation + the uniform
+    dimension (raises on a non-uniform or non-divisible store — the
+    engine-side loud twin of the chain's exclusion filter)."""
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    ev = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    qz = SPARK.transform("ev", "x", f"CAST(floor(x * {PQ_Q}.0e0) AS BIGINT)")
+    pv = spark.sql(
+        f"SELECT vec_id, label, {qz} AS qarr FROM "
+        f"(SELECT vec_id, label, {ev} AS ev FROM embeddings "
+        f" WHERE embedding IS NOT NULL AND size(embedding) >= 1) t"
+    )
+    dims = [r.d for r in pv.select(F.size("qarr").alias("d")).distinct().collect()]
+    if not dims:
+        raise ValueError("cannot fit PQ on an empty vector set")
+    dim = max(dims)
+    _subspace_dims(dim, m)
+    pv = pv.filter(F.size("qarr") == dim).localCheckpoint()
+    dsub = dim // m
+    vs = pv.select(
+        "vec_id",
+        "label",
+        F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("sub"),
+        "qarr",
+    ).select(
+        "vec_id",
+        "label",
+        F.col("sub").cast("long").alias("sub"),
+        F.expr(f"slice(qarr, sub * {dsub} + 1, {dsub})").alias("sarr"),
+    ).localCheckpoint()
+    return pv, vs, dim
+
+
+def pq_fit_lattice(spark, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = PQ_ITERS):
+    """Spark ENGINE path of the lattice PQ fit: ONE distributed loop over
+    the (vector × subspace) slice relation — assignment joins the m·ksub
+    codebook rows (a broadcast), coordinate sums partial-combine per
+    (sub, cid, dim), updates divide once on the driver.  Bit-identical to
+    :func:`pq_lattice_ctes` by construction.  Returns (pv, vs,
+    codebooks[s][c] = int list)."""
+    pv, vs, dim = _pq_lattice_vs(spark, m)
+    init = pv.orderBy("vec_id").limit(ksub).select("vec_id").collect()
+    init_ids = [r.vec_id for r in init]
+    seed = {
+        (r.sub, init_ids.index(r.vec_id)): [int(x) for x in r.sarr]
+        for r in vs.filter(F.col("vec_id").isin(init_ids)).collect()
+    }
+    books = [
+        [seed[(s, c)] for c in range(len(init_ids))] for s in range(m)
+    ]
+    for _ in range(iters):
+        rows = []
+        for s, book in enumerate(books):
+            for c, cent in enumerate(book):
+                rows.append((s, c, cent))
+        bdf = spark.createDataFrame(rows, "sub long, cid long, carr array<bigint>")
+        dist = (
+            "aggregate(zip_with(sarr, carr, (u, v) -> (u - v) * (u - v)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("sub", "vec_id").orderBy(F.expr(dist), "cid")
+        assigned = (
+            vs.join(F.broadcast(bdf), "sub")
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("sub", "vec_id", "sarr", "cid")
+        )
+        stats = (
+            assigned.select("sub", "cid", F.posexplode("sarr").alias("pos", "val"))
+            .groupBy("sub", "cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_key: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_key.setdefault((int(r.sub), int(r.cid)), {})[int(r.pos)] = (
+                int(r.s), int(r.n),
+            )
+        for (s, c), poses in by_key.items():
+            books[s][c] = [
+                _pq_sgn_div_py(poses[i][0], poses[i][1]) for i in range(len(poses))
+            ]
+    return pv, vs, books
+
+
+def pq_lattice_topk(
+    spark, query_vec_id: int = 0, k: int = 10,
+    m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = PQ_ITERS,
+) -> DataFrame:
+    """Engine path of :func:`gen_pq_lattice_topk`: encode via a map-only
+    argmin against literal integer codebooks, ADC via a literal integer
+    LUT fold over the codes column — the compressed-scan hot loop —
+    fused top-k."""
+    pv, vs, books = pq_fit_lattice(spark, m, ksub, iters)
+    q_rows = {
+        int(r.sub): [int(x) for x in r.sarr]
+        for r in vs.filter(F.col("vec_id") == query_vec_id).collect()
+    }
+    if not q_rows:
+        raise ValueError(f"query_vec_id={query_vec_id} not found")
+    dsub = len(books[0][0])
+
+    def arr(ints):
+        return "array(" + ", ".join(f"CAST({x} AS BIGINT)" for x in ints) + ")"
+
+    code_exprs = []
+    for s in range(m):
+        sub = f"slice(qarr, {s * dsub + 1}, {dsub})"
+        dists = "array(" + ", ".join(
+            f"aggregate(zip_with({sub}, {arr(c)}, (u, v) -> (u - v) * (u - v)), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            for c in books[s]
+        ) + ")"
+        code_exprs.append(f"array_position({dists}, array_min({dists})) - 1")
+    codes = "array(" + ", ".join(f"CAST({e} AS INT)" for e in code_exprs) + ")"
+    lut = [
+        [sum((u - v) * (u - v) for u, v in zip(q_rows[s], c)) for c in books[s]]
+        for s in range(m)
+    ]
+    lut_lit = "array(" + ", ".join(arr(row) for row in lut) + ")"
+    est = (
+        f"aggregate(sequence(1, {m}), CAST(0 AS BIGINT), (acc, s) -> "
+        f"acc + element_at(element_at({lut_lit}, s), element_at(codes, s) + 1))"
+    )
+    return (
+        pv.select("vec_id", "label", F.expr(codes).alias("codes"))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            F.expr(est).cast("long").alias("est_d2"),
+        )
+        .orderBy("est_d2", "vec_id")
+        .limit(k)
+    )
+
+
+def pq_lattice_recall(
+    spark, query_vec_id: int = 0, k: int = 10,
+    m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = PQ_ITERS,
+) -> DataFrame:
+    """Engine path of :func:`gen_pq_lattice_recall`: integer-exact top-k
+    vs the lattice ADC ranking, one scalar row."""
+    approx = pq_lattice_topk(spark, query_vec_id, k, m, ksub, iters)
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    ev = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    qz = SPARK.transform("ev", "x", f"CAST(floor(x * {PQ_Q}.0e0) AS BIGINT)")
+    xv = spark.sql(
+        f"SELECT vec_id, {qz} AS qarr FROM "
+        f"(SELECT vec_id, {ev} AS ev FROM embeddings WHERE embedding IS NOT NULL) t"
+    )
+    q_row = xv.filter(F.col("vec_id") == query_vec_id).select("qarr").collect()
+    if not q_row:
+        raise ValueError(f"query_vec_id={query_vec_id} not found")
+    qlit = "array(" + ", ".join(f"CAST({int(x)} AS BIGINT)" for x in q_row[0].qarr) + ")"
+    exd = (
+        f"aggregate(zip_with(qarr, {qlit}, (u, v) -> (u - v) * (u - v)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    exact = (
+        xv.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", F.expr(exd).alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(k)
+    )
+    hits = exact.join(approx, "vec_id").count()
+    return spark.createDataFrame(
+        [(k, hits, __import__("math").floor(hits / k * 1e6) / 1e6)],
+        "k int, n_hits long, recall double",
+    )

@@ -1410,34 +1410,47 @@ def _specs() -> list[QuerySpec]:
         "k x dim driver model state",
     )
 
-    def _b_pq_topk(spark, sf_dir):
-        from storage_crawler_spark.operators.pq import pq_adc_topk
+    from storage_crawler_spark.operators.pq import (
+        gen_pq_lattice_recall as _gen_pq_recall,
+        gen_pq_lattice_topk as _gen_pq_topk,
+    )
 
-        return pq_adc_topk(spark, sf_dir)
+    def _b_pq_topk(spark, sf_dir):
+        from storage_crawler_spark.operators.pq import pq_lattice_topk
+
+        V.register_base_tables(spark, sf_dir, ("embeddings",))
+        return pq_lattice_topk(spark)
 
     add(
         "sim_pq_topk",
         _b_pq_topk,
-        None,
+        _gen_pq_topk(DUCK),
         tags=("similarity",),
-        doc="product-quantization ADC top-k: m=8 per-subspace codebooks (distributed "
-        "Lloyd's), codes-only scan + literal LUT fold (32x memory compression at "
-        "dim=64/float32); rows-only — iterative fit; recall pinned by clustered-corpus "
-        "pytest + sim_pq_recall",
+        doc="product-quantization ADC top-k, fully ORACLE-GATED (r9 "
+        "lattice upgrade): m=8 per-subspace integer-lattice codebooks "
+        "trained in ONE subspace-keyed chain (exact BIGINT sums + "
+        "truncating-div updates), encode against the FINAL books, ADC "
+        "estimate an exact-integer LUT fold over the codes-only scan "
+        "(32x compression at dim=64/float32); train/encode/rank all "
+        "verified across engines — the float path stays as pq_adc_topk "
+        "for the clustered-corpus pytests",
     )
 
     def _b_pq_recall(spark, sf_dir):
-        from storage_crawler_spark.operators.pq import pq_recall
+        from storage_crawler_spark.operators.pq import pq_lattice_recall
 
-        return pq_recall(spark, sf_dir)
+        V.register_base_tables(spark, sf_dir, ("embeddings",))
+        return pq_lattice_recall(spark)
 
     add(
         "sim_pq_recall",
         _b_pq_recall,
-        None,
+        _gen_pq_recall(DUCK),
         tags=("similarity", "quality"),
-        doc="recall@k of the PQ/ADC compressed tier vs exact squared-L2 top-k, as a "
-        "measured query; rows-only",
+        doc="recall@k of the lattice PQ/ADC tier vs the exact integer "
+        "squared-L2 top-k — the measured-accuracy contract, itself now "
+        "oracle-gated (both tiers integer-deterministic, so n_hits is a "
+        "hash-exact scalar)",
     )
     b, o = _sql_pair(multimodal.gen_binary_meta, ("documents",))
     add("multimodal_binary_meta", b, o, tags=("multimodal",), doc="binary payload metadata (length/digest)")
@@ -3637,24 +3650,27 @@ _DRIVER_WINDOW_FIRST = (
     "sim_batch_knn_gemm",
     "events_retention_cohorts",
     "sketch_bloom_semijoin",
-    "streaming_burst_windows",
     "text_lang_mix",
     "pipeline_decontaminate",
     "events_attribution_credit",
-    "multimodal_audio_features",
-    # the lattice k-means plane: the fit artifact and the rows-only ->
-    # oracle-gated upgrade of the trained-IVF entry (first driver stamp
-    # of its new formulation)
+    # the lattice plane: the k-means fit artifact plus the three
+    # rows-only -> oracle-gated upgrades (trained IVF, PQ top-k, PQ
+    # recall) — each formulation's first driver stamp
     "sim_kmeans_lattice",
     "sim_ivf_trained_topk",
+    "sim_pq_topk",
+    "sim_pq_recall",
     # (deferred to r10 with machinery represented in-window this round:
     # sim_crosslingual_dups — the sign-bucket pair machinery holds slots
     # via dedup_embedding_incremental + dedup_simhash_pairs;
     # report_depth_profile — the usage-report plane holds three slots via
-    # report_subtree_du/extension_usage/owner_usage.  The rows-only
-    # entries — fsmeta_scan, sim_pq_topk, sim_pq_recall,
-    # text_quality_learned — yielded their tail slots to oracle-gated
-    # operators per the window contract; all stay sweep-checked and
+    # report_subtree_du/extension_usage/owner_usage;
+    # streaming_burst_windows — the streaming plane holds the
+    # streaming_event_deltas slot and the twins' r8 stamps;
+    # multimodal_audio_features — the multimodal plane holds the
+    # features/frame_sample/resize slots.  The remaining rows-only
+    # entries — fsmeta_scan, text_quality_learned — yielded their tail
+    # slots per the window contract; all stay sweep-checked and
     # pytest-covered.)
 )
 

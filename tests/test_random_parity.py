@@ -241,7 +241,17 @@ EMB_QUERIES = [
     # the init; small k/iters keep the chain light
     ("kmeans_lattice", lambda d: _km().gen_kmeans_lattice(d, k=4, iters=2)),
     ("ivf_lattice_topk", lambda d: _km().gen_ivf_lattice_topk(d, 0, 5, nprobe=2, k=4, iters=2)),
+    # lattice PQ: subspace-keyed chain on 8-dim stores (m=4 -> dsub 2),
+    # duplicate/zero vectors create code ties; NULL embeddings drop
+    ("pq_lattice_topk", lambda d: _pq().gen_pq_lattice_topk(d, 0, 5, m=4, ksub=4, iters=2)),
+    ("pq_lattice_recall", lambda d: _pq().gen_pq_lattice_recall(d, 0, 5, m=4, ksub=4, iters=2)),
 ]
+
+
+def _pq():
+    from storage_crawler_spark.operators import pq
+
+    return pq
 
 
 def _km():

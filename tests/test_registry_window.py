@@ -17,11 +17,9 @@ from __future__ import annotations
 from storage_crawler_spark.plans import registry
 
 _ROWS_ONLY_ALLOWED = {
-    # (sim_ivf_trained_topk graduated to oracle-gated in r9 via the
-    # integer-lattice fit; the PQ pair still trains per-subspace float
-    # codebooks)
-    "sim_pq_topk",
-    "sim_pq_recall",
+    # (sim_ivf_trained_topk, sim_pq_topk and sim_pq_recall all graduated
+    # to oracle-gated in r9 via the integer-lattice fits)
+    # live-filesystem scan: no parquet table for DuckDB to see
     "fsmeta_scan",
     # iterative full-batch logistic-regression fit: 60 sequential
     # gradient steps (each a partial-combining aggregate) cannot be

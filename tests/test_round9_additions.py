@@ -615,20 +615,17 @@ def test_kmeans_lattice_empty_cluster_keeps_previous_centroid():
     # init c0=0.0, c1=0.4; iter1: 0.0,0.1,0.2 -> c0; 0.4 -> c1 (not
     # orphaned either).  Orphan properly: duplicate seeds.
     vecs = [[0.0], [0.0], [1.0], [2.0]]
-    # init c0=c1=0.0; ties break to cid 0, so in ITERATION 1 cluster 1
-    # gets NOTHING and must retain its init centroid (lattice 0)
+    # init c0=c1=0.0; ties break to cid 0, so the iteration-1 UPDATE sees
+    # nothing in cluster 1 and must RETAIN its init centroid (lattice 0) —
+    # without retention the cluster would vanish.  n_assigned reports the
+    # partition the TRAINED model induces (the a_fin re-assignment): c0
+    # moved to the global mean 0.75, so the two zero vectors now fall to
+    # the retained c1 — retention is precisely what lets them.
     got = _duck(km.gen_kmeans_lattice(DUCK, k=2, iters=1), embeddings=_emb(vecs))
     rows = {(c, d): (v, n) for c, d, v, n in zip(
         got["cid"], got["dim"], got["c"], got["n_assigned"])}
-    assert rows[(1, 1)] == (0, 0)        # kept, size 0
-    assert rows[(0, 1)][1] == 4          # everything went to cluster 0
-    # a SECOND iteration then re-captures the two zero vectors with the
-    # retained centroid (c0 moved to 0.75): retention is what keeps the
-    # cluster alive to do so
-    got2 = _duck(km.gen_kmeans_lattice(DUCK, k=2, iters=2), embeddings=_emb(vecs))
-    rows2 = {(c, d): (v, n) for c, d, v, n in zip(
-        got2["cid"], got2["dim"], got2["c"], got2["n_assigned"])}
-    assert rows2[(1, 1)] == (0, 2)
+    assert rows[(1, 1)] == (0, 2)        # centroid kept at 0; re-captures zeros
+    assert rows[(0, 1)] == ((0 + 0 + 65536 + 131072) // 4, 2)
 
 
 def test_kmeans_lattice_spark_loop_matches_oracle(spark):
@@ -666,3 +663,61 @@ def test_ivf_lattice_nprobe_full_is_exact_bruteforce():
         for i, v in enumerate(vecs) if i != 0
     )[:5]
     assert list(got["vec_id"]) == [i for _, i in dots]
+
+
+# ---------------------------------------------------------------------------
+# lattice PQ: compressed-tier semantics (oracle-gated train/encode/ADC)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_lattice_perfect_recall_when_codebook_covers_points():
+    from storage_crawler_spark.operators import pq
+
+    # m=2 (dsub=1), ksub=4, and the four SEED vectors carry four DISTINCT
+    # coordinates in each subspace: every coordinate in the store sits
+    # exactly on a centroid (the 5th vector reuses seed coordinates), so
+    # codes reproduce vectors exactly and the ADC ranking equals the
+    # exact ranking (recall 1.0)
+    vecs = [[0.0, 3.0], [1.0, 2.0], [2.0, 1.0], [3.0, 0.0], [1.0, 1.0]]
+    emb = pd.DataFrame(
+        {"vec_id": range(5), "embedding": vecs, "label": [0] * 5}
+    )
+    got = _duck(
+        pq.gen_pq_lattice_recall(DUCK, 0, 3, m=2, ksub=4, iters=3), embeddings=emb
+    )
+    assert got["n_hits"] == [3] and got["recall"] == [1.0]
+
+
+def test_pq_lattice_spark_matches_oracle_bitwise(spark):
+    import duckdb as _ddb
+
+    from storage_crawler_spark.operators import pq
+
+    vecs = [[float((i * 3) % 7), float(i % 5), float((i * 2) % 3), float(i % 4)]
+            for i in range(24)]
+    emb = pd.DataFrame({"vec_id": range(24), "embedding": vecs, "label": [0] * 24})
+    spark.createDataFrame(emb).createOrReplaceTempView("embeddings")
+    try:
+        got = [
+            tuple(r)
+            for r in pq.pq_lattice_topk(spark, 0, 6, m=2, ksub=4, iters=2).collect()
+        ]
+    finally:
+        spark.catalog.dropTempView("embeddings")
+    con = _ddb.connect()
+    con.register("embeddings", emb)
+    want = con.execute(pq.gen_pq_lattice_topk(DUCK, 0, 6, m=2, ksub=4, iters=2)).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+def test_pq_lattice_estimate_is_sum_of_subspace_cells():
+    from storage_crawler_spark.operators import pq
+
+    # with ksub=1 every vector gets code 0 in both subspaces: est_d2 for
+    # every vector = dist(q_sub, centroid_sub) summed — one shared value
+    vecs = [[0.0, 0.0], [1.0, 1.0], [2.0, 2.0]]
+    emb = pd.DataFrame({"vec_id": range(3), "embedding": vecs, "label": [0] * 3})
+    got = _duck(
+        pq.gen_pq_lattice_topk(DUCK, 0, 3, m=2, ksub=1, iters=1), embeddings=emb
+    )
+    assert len(set(got["est_d2"])) == 1   # all collapse to the same cell sum
