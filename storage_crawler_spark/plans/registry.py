@@ -2723,12 +2723,25 @@ FROM files f
             .orderBy("name")
         )
 
+    # The oracle reads the SAME live directory through DuckDB's own
+    # filesystem functions (read_blob lists name + byte size) — so even the
+    # live-FS source entry is now cross-engine checked: two independent
+    # filesystem walkers must agree on the listing.  The driver gate runs
+    # at sf0.01 (task contract), hence the literal path; the local sweep
+    # follows the same convention.  Excluded from the empty-input battery
+    # (the oracle reads the REAL directory regardless of the empty views).
     add(
         "fsmeta_scan",
         _fsmeta_builder,
-        None,
+        "SELECT parse_filename(filename) AS name, CAST(size AS BIGINT) AS st_size\n"
+        "FROM read_blob('/root/testdata/sf0.01/*')\n"
+        "WHERE size > 0\n"
+        "ORDER BY name",
         tags=("source",),
-        doc="Python DataSource filesystem-metadata scan with stat-column filter pushdown (rows-only)",
+        doc="Python DataSource filesystem-metadata scan with stat-column "
+        "filter pushdown; oracle = DuckDB's own read_blob listing of the "
+        "same directory (name + size) — two independent FS walkers "
+        "cross-checked",
     )
 
     # ---- round-6 additions ------------------------------------------------

@@ -51,9 +51,15 @@ LOUD_ON_EMPTY = {
     "sim_kmeans_lattice",
 }
 
+# live-FS entry: its oracle reads the REAL testdata directory through
+# DuckDB's own filesystem functions, so the empty-view fixture cannot
+# empty it — structurally out of this battery's scope
+LIVE_FS = {"fsmeta_scan"}
+
 ENTRIES = sorted(
     n for n in registry.oracle_map()
     if n not in KNOWN_EMPTY_DIVERGENT and n not in LOUD_ON_EMPTY
+    and n not in LIVE_FS
 )
 
 

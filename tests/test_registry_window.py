@@ -17,13 +17,12 @@ from __future__ import annotations
 from storage_crawler_spark.plans import registry
 
 _ROWS_ONLY_ALLOWED = {
-    # (sim_ivf_trained_topk, sim_pq_topk and sim_pq_recall all graduated
-    # to oracle-gated in r9 via the integer-lattice fits)
-    # live-filesystem scan: no parquet table for DuckDB to see
-    "fsmeta_scan",
+    # (sim_ivf_trained_topk, sim_pq_topk, sim_pq_recall graduated to
+    # oracle-gated in r9 via the integer-lattice fits; fsmeta_scan via
+    # DuckDB's own read_blob filesystem listing)
     # iterative full-batch logistic-regression fit: 60 sequential
     # gradient steps (each a partial-combining aggregate) cannot be
-    # expressed as one ANSI-SQL statement; honest rows-only entry.
+    # expressed as one ANSI-SQL statement; the ONE honest rows-only entry.
     "text_quality_learned",
 }
 
