@@ -2758,20 +2758,30 @@ FROM files f
     )
 
     def _b_quality_learned(spark, sf_dir):
-        from storage_crawler_spark.operators.logreg import quality_learned_report
+        from storage_crawler_spark.operators.logreg import (
+            quality_learned_lattice_report,
+        )
 
-        return quality_learned_report(spark, sf_dir)
+        return quality_learned_lattice_report(spark, sf_dir)
+
+    from storage_crawler_spark.operators.logreg import (
+        gen_quality_learned_lattice as _gen_lrl,
+    )
 
     add(
         "text_quality_learned",
         _b_quality_learned,
-        None,
+        _gen_lrl(DUCK),
         tags=("text", "quality", "ml"),
-        doc="LEARNED quality classifier: distributed full-batch logistic "
-        "regression over the rule features (one aggregate per iteration, "
-        "driver holds 4 floats); per-source model-vs-rule agreement report; "
-        "rows-only — iterative fit is not SQL-expressible (pytest pins loss "
-        "monotonicity, determinism, rule agreement)",
+        doc="LEARNED quality classifier, fully ORACLE-GATED (r9 lattice "
+        "upgrade of the float rows-only form — the registry's LAST "
+        "rows-only entry retired): integer-lattice full-batch logistic "
+        "regression over clamped rule-margin features with a hard-sigmoid "
+        "link and 1/t step decay — exact BIGINT gradients, truncating-div "
+        "updates, fixed 12 steps; per-source model-vs-rule agreement report "
+        "+ the fitted weights; oracle unrolls the whole training loop as "
+        "1-row weight CTEs; the float fit stays as logreg.quality_learned_"
+        "report for pytest loss-monotonicity properties",
     )
 
     b, o = _sql_pair(analytics.gen_session_stats, ("events",))

@@ -483,6 +483,10 @@ DOC_ENTRIES = [
     "pipeline_decontaminate",
     # synth->parse->features closed-form audio chain on random doc ids
     "multimodal_audio_features",
+    # r9 lattice logreg: the full 12-step integer fit must stay
+    # bit-identical on adversarial corpora (empty texts, multi-byte
+    # tokens, exact duplicates shift every gradient sum)
+    "text_quality_learned",
 ]
 
 

@@ -16,15 +16,12 @@ from __future__ import annotations
 
 from storage_crawler_spark.plans import registry
 
-_ROWS_ONLY_ALLOWED = {
-    # (sim_ivf_trained_topk, sim_pq_topk, sim_pq_recall graduated to
-    # oracle-gated in r9 via the integer-lattice fits; fsmeta_scan via
-    # DuckDB's own read_blob filesystem listing)
-    # iterative full-batch logistic-regression fit: 60 sequential
-    # gradient steps (each a partial-combining aggregate) cannot be
-    # expressed as one ANSI-SQL statement; the ONE honest rows-only entry.
-    "text_quality_learned",
-}
+_ROWS_ONLY_ALLOWED: set[str] = set()
+# (empty since r9: sim_ivf_trained_topk, sim_pq_topk, sim_pq_recall
+# graduated via the integer-lattice k-means/PQ fits; fsmeta_scan via
+# DuckDB's own read_blob filesystem listing; text_quality_learned via the
+# integer-lattice logistic-regression fit with an unrolled 12-step weight
+# chain — EVERY registry entry now carries a full value-hash oracle.)
 
 
 def test_window_fits_the_driver_sample_and_is_unique():

@@ -721,3 +721,92 @@ def test_pq_lattice_estimate_is_sum_of_subspace_cells():
         pq.gen_pq_lattice_topk(DUCK, 0, 3, m=2, ksub=1, iters=1), embeddings=emb
     )
     assert len(set(got["est_d2"])) == 1   # all collapse to the same cell sum
+
+
+# ---------------------------------------------------------------------------
+# lattice logistic regression (the last rows-only entry, retired): the
+# 12-step integer fit is bit-identical across engines, the conjunction
+# margin reproduces the rule exactly, and the learned model beats the
+# majority class on the real corpus
+# ---------------------------------------------------------------------------
+
+
+def test_lrl_conjunction_margin_equals_rule():
+    """y = 1 ⟺ mm >= 0 by construction — the feature that makes the
+    conjunctive rule linearly separable; verified on docs straddling each
+    clause boundary (stop-ratio, distinct-ratio, both band edges)."""
+    from storage_crawler_spark.operators import logreg as lr
+
+    texts = [
+        "the " * 50,                       # stops high, distinct ~0 -> drop
+        " ".join(f"w{i}" for i in range(50)),   # no stopwords -> drop
+        ("the and of " + " ".join(f"w{i}" for i in range(20))),  # keep
+        "short doc",                        # n=2 < 10 -> drop (band)
+        ("the of " + " ".join(f"w{i}" for i in range(300))),     # n>200 -> drop
+    ]
+    got = _duck(
+        "WITH x AS (" + lr.lrl_feature_sql(DUCK) + ") SELECT doc_id, mm, y FROM x ORDER BY doc_id",
+        documents=_docs(texts),
+    )
+    for mm, y in zip(got["mm"], got["y"]):
+        assert (mm >= 0) == (y == 1)
+    assert got["y"] == [0, 0, 1, 0, 0]
+
+
+def test_lrl_spark_loop_matches_oracle_bitwise(spark):
+    from storage_crawler_spark.operators import logreg as lr
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in lr.quality_learned_lattice_report(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(lr.gen_quality_learned_lattice(DUCK)).fetchall()
+    assert got == [tuple(r) for r in want]
+    assert len(got) > 0
+
+
+def test_lrl_agreement_beats_majority_class():
+    from storage_crawler_spark.operators import logreg as lr
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    rows = con.execute(lr.gen_quality_learned_lattice(DUCK)).fetchall()
+    n = sum(r[1] for r in rows)
+    rule_keep = sum(r[3] for r in rows)
+    agree = sum(r[4] for r in rows)
+    majority = max(rule_keep, n - rule_keep)
+    assert agree >= majority, (agree, majority, n)
+
+
+def test_lrl_weight_columns_constant_and_fit_deterministic():
+    from storage_crawler_spark.operators import logreg as lr
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    a = con.execute(lr.gen_quality_learned_lattice(DUCK)).fetchall()
+    b = con.execute(lr.gen_quality_learned_lattice(DUCK)).fetchall()
+    assert a == b
+    # the five weight columns are the same fit artifact on every row
+    for col in range(6, 11):
+        assert len({r[col] for r in a}) == 1
+
+
+def test_lrl_empty_corpus_zero_weights_empty_report():
+    from storage_crawler_spark.operators import logreg as lr
+
+    got = _duck(
+        lr.gen_quality_learned_lattice(DUCK),
+        documents=_docs([]).astype(
+            {"doc_id": "int64", "text": "object", "lang": "object",
+             "source": "object", "n_chars": "int64"}
+        ),
+    )
+    assert got["source"] == []
