@@ -514,3 +514,93 @@ def ivf_lattice_topk(
         .orderBy(F.col("dot").desc(), "vec_id")
         .limit(k_neighbours)
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup) on the lattice quantizer (round 9)
+# ---------------------------------------------------------------------------
+#
+# SemDeDup (Abbas et al. 2023): cluster the embedding store with a coarse
+# quantizer, then search for near-identical pairs ONLY within each cluster
+# — the all-pairs O(n²) cosine scan collapses to Σ|cell|², which is the
+# entire reason semantic dedup runs at corpus scale.  Re-expressed here on
+# the integer lattice so the WHOLE path — the Lloyd's fit, the assignment,
+# and the pair scan — is oracle-checkable: a pair is a duplicate when its
+# exact integer squared L2 distance on the 1/2^16 lattice is at most
+# ``SEM_T`` (chosen from the measured pair-distance distribution of the
+# synthetic store: ~0.1% of all pairs qualify, so the within-cell scan
+# yields a bounded manifest at every SF).
+#
+# 100 TB posture: the only quadratic term is per-cell; k is the knob — a
+# coarse quantizer targets |cell| ≈ n/k rows, so k grows with the corpus
+# (k ≈ n/10⁴ keeps cells constant-sized) and the per-cell scan is a
+# shuffle-free hash-join on cid.  Nothing all-pairs ever executes.
+
+SEM_T = 5_300_000_000
+
+
+def gen_semantic_dedup(d, k: int = KM_K, iters: int = KM_ITERS,
+                       thr: int = SEM_T) -> str:
+    """Oracle-gated SemDeDup manifest: within-cluster pairs of the trained
+    lattice partition whose exact integer d² is ≤ ``thr``; the lower
+    vec_id is the keeper (SemDeDup keeps one representative per duplicate
+    group).  Composes :func:`kmeans_lattice_ctes` — the fit itself is
+    re-verified by every pair the scan emits."""
+    ctes, _, a = kmeans_lattice_ctes(d, k, iters)
+    d2 = d.reduce_bigint(d.zip_sub_sq("a.qarr", "b.qarr"), "acc + CAST(x AS BIGINT)")
+    return f"""
+WITH {ctes}
+SELECT a.vec_id AS keep_id, b.vec_id AS drop_id, a.cid,
+       CAST({d2} AS BIGINT) AS d2,
+       CAST(CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS BIGINT) AS same_label
+FROM {a} a JOIN {a} b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE {d2} <= {thr}
+ORDER BY keep_id, drop_id
+""".strip()
+
+
+def semantic_dedup(spark, sf_dir: str, k: int = KM_K, iters: int = KM_ITERS,
+                   thr: int = SEM_T) -> DataFrame:
+    """Spark ENGINE path of :func:`gen_semantic_dedup`: distributed lattice
+    fit (k×dim BIGINT driver state), assignment as a map against literal
+    centroids, then ONE shuffle on cid co-locating each cell for the
+    self-join; the d² fold and threshold run inside the join — no
+    candidate pair ever leaves its cell's partition."""
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    centroids, _ = kmeans_fit_lattice(spark, k, iters)
+    v = spark.table("_km_lat_v")  # checkpointed by the fit
+    arrs = [
+        "array(" + ", ".join(f"CAST({c} AS BIGINT)" for c in cent) + ")"
+        for cent in centroids
+    ]
+    dists = "array(" + ", ".join(
+        f"aggregate(zip_with(qarr, {arr}, (u, v) -> (u - v) * (u - v)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        for arr in arrs
+    ) + ")"
+    assigned = v.withColumn("__d", F.expr(dists)).withColumn(
+        "cid", (F.expr("array_position(__d, array_min(__d))") - 1).cast("long")
+    ).drop("__d")
+    a = assigned.select(
+        F.col("vec_id").alias("keep_id"), F.col("label").alias("label_a"),
+        F.col("qarr").alias("qa"), "cid",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("drop_id"), F.col("label").alias("label_b"),
+        F.col("qarr").alias("qb"), F.col("cid").alias("cid_b"),
+    )
+    d2 = (
+        "aggregate(zip_with(qa, qb, (u, v) -> (u - v) * (u - v)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return (
+        a.join(b, (F.col("cid") == F.col("cid_b")) & (F.col("keep_id") < F.col("drop_id")))
+        .withColumn("d2", F.expr(d2).cast("long"))
+        .filter(F.col("d2") <= thr)
+        .select(
+            "keep_id", "drop_id", "cid", "d2",
+            (F.col("label_a") == F.col("label_b")).cast("long").alias("same_label"),
+        )
+        .orderBy("keep_id", "drop_id")
+    )

@@ -723,3 +723,67 @@ FROM (
 GROUP BY t.source
 ORDER BY t.source
 """.strip()
+
+
+def gen_dsir_weights(d: Dialect, buckets: int = 256, target_lang: str = "en") -> str:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every RAW
+    document by the mean log-likelihood ratio of its tokens under two
+    hashed-unigram language models — one fit on the TARGET distribution
+    (here the ``target_lang`` slice, standing in for the curated corpus),
+    one on the raw remainder.  High-weight raw documents "look like" the
+    target and are what importance resampling keeps.
+
+    Relational shape: one token explode (the corpus is touched once),
+    md5-hashed into ``buckets`` LM cells (the DSIR hashing trick — the
+    LM state is O(buckets), not O(vocab)), two ≤``buckets``-row count
+    relations, then the scoring join — both LMs broadcast in Spark, so
+    the only shuffle is the per-doc combine.  Add-one smoothing keeps
+    every bucket finite; the log ratio is ONE ln() per token over a
+    deterministic integer-derived rational (trunc6 discipline).
+
+    Output: every raw doc's (n_toks, mean_llr), doc_id-ordered — no
+    float ranking crosses engines (the BM25 last-ulp lesson); consumers
+    resample by thresholding mean_llr themselves.
+    """
+    toks = d.split("text")
+    lat = d.lateral_explode("toks", "token")
+    bucket = f"({d.md5_key48('token', 'dsir')} % {buckets})"
+    # P_target(b) / P_raw(b) with add-one smoothing, as one rational:
+    # ((tc+1) / (T+B)) / ((rc+1) / (R+B)) — every operand an exact
+    # integer cast to DOUBLE, so the rational is bit-identical across
+    # engines and the single ln() lands inside the trunc6 floor
+    ratio = (
+        f"(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE) / CAST(tot.t + {buckets} AS DOUBLE)) "
+        f"/ (CAST(coalesce(rc.c, 0) + 1 AS DOUBLE) / CAST(tot.r + {buckets} AS DOUBLE))"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, lang, {bucket} AS b
+  FROM (SELECT doc_id, source, lang, {toks} AS toks
+        FROM documents WHERE text IS NOT NULL) t0
+  {lat}
+),
+tcnt AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c FROM tok
+  WHERE lang = '{target_lang}' GROUP BY b
+),
+rcnt AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c FROM tok
+  WHERE lang <> '{target_lang}' OR lang IS NULL GROUP BY b
+),
+tot AS (
+  SELECT (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM tcnt) AS t,
+         (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM rcnt) AS r
+)
+SELECT tok.doc_id, tok.source,
+       CAST(count(*) AS BIGINT) AS n_toks,
+       {d.trunc6(f'avg(ln({ratio}))')} AS mean_llr
+FROM tok
+LEFT JOIN tcnt tc ON tok.b = tc.b
+LEFT JOIN rcnt rc ON tok.b = rc.b
+CROSS JOIN tot
+WHERE tok.lang <> '{target_lang}' OR tok.lang IS NULL
+GROUP BY tok.doc_id, tok.source
+ORDER BY tok.doc_id
+""".strip()

@@ -2234,3 +2234,57 @@ SELECT doc_id, {cols}, tot AS n_markers, CAST(n_langs AS BIGINT) AS n_langs,
 FROM scored
 ORDER BY doc_id
 """.strip()
+
+
+def gen_pii_scan(d: Dialect) -> str:
+    """Training-data PII scrub audit: per-source counts of email /
+    dashed-phone / IPv4 / SSN-shaped spans plus the total characters a
+    redaction pass would rewrite — the scrub manifest an LLM corpus runs
+    before release (the compliance twin of gen_license_scan, which covers
+    licensing).
+
+    Span counting is ``regex_tokens`` (regexp_extract_all) so MULTIPLE
+    hits per document all count, unlike the license scan's boolean flags;
+    redact_chars folds the matched spans' lengths with the shared
+    left-to-right reduce contract.  Patterns are portable ASCII classes
+    with no backslash escapes (the re_match contract — Java regex ∩ RE2);
+    SSN is checked before phone can match inside it structurally because
+    the two shapes ({3}-{2}-{4} vs {3}-{3}-{4}) are mutually exclusive.
+
+    One pruned scan, map-side extract_all, one partial-combining
+    aggregate — no shuffle beyond the per-source combine.
+    """
+    pats = {
+        "email": "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}",
+        "phone": "[0-9]{3}[-][0-9]{3}[-][0-9]{4}",
+        "ipv4": "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+        "ssn": "[0-9]{3}[-][0-9]{2}[-][0-9]{4}",
+    }
+    hit_cols = ",\n         ".join(
+        f"CAST({d.size(d.regex_tokens('text', pat))} AS BIGINT) AS c_{name}"
+        for name, pat in pats.items()
+    )
+    redact = " + ".join(
+        d.reduce_bigint(
+            d.transform(d.regex_tokens("text", pat), "x", "length(x)"),
+            "acc + CAST(x AS BIGINT)",
+        )
+        for pat in pats.values()
+    )
+    sums = ",\n       ".join(f"CAST(sum(c_{n}) AS BIGINT) AS n_{n}" for n in pats)
+    any_hit = " + ".join(f"c_{n}" for n in pats)
+    return f"""
+WITH scanned AS (
+  SELECT source,
+         {hit_cols},
+         CAST({redact} AS BIGINT) AS redact_chars
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       {sums},
+       CAST(sum(CASE WHEN {any_hit} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(sum(redact_chars) AS BIGINT) AS redact_chars
+FROM scanned
+GROUP BY source
+ORDER BY source
+""".strip()

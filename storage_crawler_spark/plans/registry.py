@@ -1410,6 +1410,61 @@ def _specs() -> list[QuerySpec]:
         "k x dim driver model state",
     )
 
+    from storage_crawler_spark.operators.kmeans import (
+        gen_semantic_dedup as _gen_semdedup,
+    )
+
+    def _b_semantic_dedup(spark, sf_dir):
+        from storage_crawler_spark.operators.kmeans import semantic_dedup
+
+        V.register_base_tables(spark, sf_dir, ("embeddings",))
+        return semantic_dedup(spark, sf_dir)
+
+    add(
+        "dedup_semantic",
+        _b_semantic_dedup,
+        _gen_semdedup(DUCK),
+        tags=("dedup", "embedding", "similarity"),
+        doc="SemDeDup (Abbas et al. 2023) on the lattice quantizer: "
+        "near-identical pairs found ONLY within trained k-means cells "
+        "(exact integer d2 <= threshold; lower vec_id keeps) — the "
+        "all-pairs scan collapses to sum(|cell|^2) with k as the scale "
+        "knob; composes the oracle-gated lattice fit so clustering, "
+        "assignment, and the pair scan are all verified; one shuffle on "
+        "cid, pairs never leave their cell's partition",
+    )
+
+    b, o = _sql_pair(text.gen_pii_scan, ("documents",))
+    add(
+        "text_pii_scan",
+        b,
+        o,
+        tags=("text", "compliance"),
+        doc="PII scrub audit: per-source email/phone/IPv4/SSN span COUNTS "
+        "(regexp_extract_all — multiple hits per doc all count, unlike the "
+        "license scan's boolean flags) + chars a redaction pass would "
+        "rewrite; portable no-backslash patterns (re_match contract); one "
+        "pruned scan, map-side extracts, one partial-combining aggregate",
+    )
+
+    from storage_crawler_spark.operators.pipeline import (
+        gen_dsir_weights as _gen_dsir,
+    )
+
+    b, o = _sql_pair(_gen_dsir, ("documents",))
+    add(
+        "pipeline_dsir_weights",
+        b,
+        o,
+        tags=("pipeline", "text", "ml"),
+        doc="DSIR importance weights (Xie et al. 2023): mean hashed-unigram "
+        "log-likelihood ratio of every raw doc under target-vs-raw LMs "
+        "(256 md5 buckets — O(buckets) LM state, the DSIR hashing trick); "
+        "one token explode, two broadcast-sized count relations, per-doc "
+        "combine; doc_id-ordered output so no float ranking crosses "
+        "engines (BM25 last-ulp lesson)",
+    )
+
     from storage_crawler_spark.operators.pq import (
         gen_pq_lattice_recall as _gen_pq_recall,
         gen_pq_lattice_topk as _gen_pq_topk,

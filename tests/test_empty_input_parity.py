@@ -49,6 +49,7 @@ LOUD_ON_EMPTY = {
     "sim_pq_recall",
     "sim_ivf_trained_topk",
     "sim_kmeans_lattice",
+    "dedup_semantic",
 }
 
 # live-FS entry: its oracle reads the REAL testdata directory through

@@ -245,6 +245,9 @@ EMB_QUERIES = [
     # duplicate/zero vectors create code ties; NULL embeddings drop
     ("pq_lattice_topk", lambda d: _pq().gen_pq_lattice_topk(d, 0, 5, m=4, ksub=4, iters=2)),
     ("pq_lattice_recall", lambda d: _pq().gen_pq_lattice_recall(d, 0, 5, m=4, ksub=4, iters=2)),
+    # round-9 SemDeDup: duplicate vectors are d2=0 pairs in whatever cell
+    # they land in; antipodes split cells; NULL embeddings drop
+    ("semantic_dedup", lambda d: _km().gen_semantic_dedup(d, k=4, iters=2)),
 ]
 
 
@@ -487,6 +490,13 @@ DOC_ENTRIES = [
     # bit-identical on adversarial corpora (empty texts, multi-byte
     # tokens, exact duplicates shift every gradient sum)
     "text_quality_learned",
+    # r9 compliance + importance-resampling planes: random corpora have
+    # no real PII (the planted-span positive path is pinned in
+    # test_round9_additions — the license-scan blind-spot lesson) but
+    # exercise the zero-hit aggregate; DSIR's hashed LMs shift with every
+    # token so the trunc6'd per-doc means sweep the ln() boundary
+    "text_pii_scan",
+    "pipeline_dsir_weights",
 ]
 
 

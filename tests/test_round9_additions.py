@@ -810,3 +810,127 @@ def test_lrl_empty_corpus_zero_weights_empty_report():
         ),
     )
     assert got["source"] == []
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup on the lattice quantizer: planted duplicates surface, distant
+# vectors don't, and the keeper convention holds
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_planted_duplicates():
+    from storage_crawler_spark.operators import kmeans as km
+
+    # two tight duplicate groups far apart + one isolated vector
+    vecs = [
+        [0.0, 0.0], [0.001, 0.0], [0.0, 0.001],      # group A (ids 0,1,2)
+        [5.0, 5.0], [5.001, 5.0],                     # group B (ids 3,4)
+        [-6.0, 7.0],                                  # isolated (id 5)
+    ]
+    emb = pd.DataFrame({"vec_id": range(6), "embedding": vecs, "label": [0, 0, 1, 2, 2, 3]})
+    got = _duck(km.gen_semantic_dedup(DUCK, k=3, iters=2, thr=100_000), embeddings=emb)
+    pairs = set(zip(got["keep_id"], got["drop_id"]))
+    assert pairs == {(0, 1), (0, 2), (1, 2), (3, 4)}
+    # keeper is always the lower id; same_label marks the (0,1) and (3,4) pairs
+    assert all(a < b for a, b in pairs)
+    by_pair = dict(zip(zip(got["keep_id"], got["drop_id"]), got["same_label"]))
+    assert by_pair[(0, 1)] == 1 and by_pair[(0, 2)] == 0 and by_pair[(3, 4)] == 1
+
+
+def test_semantic_dedup_spark_matches_oracle_bitwise(spark):
+    from storage_crawler_spark.plans import views as V
+    from storage_crawler_spark.operators import kmeans as km
+
+    sf = "/root/testdata/sf0.001"
+    V.register_base_tables(spark, sf, ("embeddings",))
+    got = [tuple(r) for r in km.semantic_dedup(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = con.execute(km.gen_semantic_dedup(DUCK)).fetchall()
+    assert got == [tuple(r) for r in want]
+    assert len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# PII scan: every pattern's positive path (random corpora carry no PII —
+# the license-scan '(c)' blind-spot lesson applies to spans too)
+# ---------------------------------------------------------------------------
+
+_PII_DOCS = [
+    "contact me at jane.doe+spam@example.co.uk or 555-867-5309",
+    "server at 10.0.0.1 and 192.168.001.200 responded",
+    "ssn 123-45-6789 leaked with phone 800-555-1234",
+    "clean document with no sensitive spans at all",
+    None,
+    "double email a@b.io c@d.net",
+]
+_PII_SRC = ["s0", "s0", "s1", "s1", "s1", "s2"]
+
+
+def test_pii_scan_span_counts_and_redaction_budget():
+    got = _duck(
+        text.gen_pii_scan(DUCK), documents=_docs(_PII_DOCS, sources=_PII_SRC)
+    )
+    rows = {
+        s: (e, p, i4, ssn, fl, rc)
+        for s, e, p, i4, ssn, fl, rc in zip(
+            got["source"], got["n_email"], got["n_phone"], got["n_ipv4"],
+            got["n_ssn"], got["n_flagged"], got["redact_chars"],
+        )
+    }
+    assert rows["s0"] == (1, 1, 2, 0, 2, 62)
+    # SSN shape must NOT also count as a phone; the dashed phone beside it does
+    assert rows["s1"] == (0, 1, 0, 1, 1, 23)
+    # multiple emails in one doc all count; redact budget = 6 + 7 chars
+    assert rows["s2"] == (2, 0, 0, 0, 1, 13)
+
+
+def test_pii_scan_planted_spans_cross_engine(spark):
+    docs = _docs(_PII_DOCS, sources=_PII_SRC)
+    spark.createDataFrame(docs).createOrReplaceTempView("documents")
+    try:
+        got = [tuple(r) for r in spark.sql(text.gen_pii_scan(SPARK)).collect()]
+    finally:
+        spark.catalog.dropTempView("documents")
+    want = _duck(text.gen_pii_scan(DUCK), documents=docs)
+    want_rows = list(zip(*[want[c] for c in want]))
+    assert sorted(got) == sorted(want_rows)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights: targetlike raw docs score higher, LM state is
+# bucket-bounded, and the no-target degenerate case stays finite
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_targetlike_docs_outweigh_divergent_docs():
+    from storage_crawler_spark.operators.pipeline import gen_dsir_weights
+
+    target = ["alpha beta gamma delta"] * 6           # the target LM
+    raw_like = ["alpha beta gamma delta"] * 2         # raw, looks like target
+    raw_far = ["zeta eta theta iota"] * 2             # raw, disjoint vocab
+    docs = _docs(
+        target + raw_like + raw_far,
+        langs=["en"] * 6 + ["de"] * 4,
+        sources=["t"] * 6 + ["like"] * 2 + ["far"] * 2,
+    )
+    got = _duck(gen_dsir_weights(DUCK), documents=docs)
+    w = dict(zip(got["doc_id"], got["mean_llr"]))
+    by_src = dict(zip(got["doc_id"], got["source"]))
+    likes = [w[i] for i in w if by_src[i] == "like"]
+    fars = [w[i] for i in w if by_src[i] == "far"]
+    assert len(likes) == 2 and len(fars) == 2
+    assert min(likes) > max(fars)
+    # only RAW docs appear (the 6 target docs are the LM, not the corpus)
+    assert len(w) == 4
+
+
+def test_dsir_no_target_slice_stays_finite():
+    from storage_crawler_spark.operators.pipeline import gen_dsir_weights
+
+    docs = _docs(["some words here"] * 3, langs=["de", "fr", None])
+    got = _duck(gen_dsir_weights(DUCK), documents=docs)
+    assert len(got["doc_id"]) == 3
+    assert all(v is not None for v in got["mean_llr"])
