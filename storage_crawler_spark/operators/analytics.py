@@ -1453,3 +1453,90 @@ FROM credited
 GROUP BY channel
 ORDER BY channel
 """.strip()
+
+
+def gen_lpa_communities(d: Dialect, sweeps: int = 1) -> str:
+    """Community detection by WEIGHTED LABEL PROPAGATION over the
+    user x event-type bipartite graph (edge weight = event count per
+    pair) — the graph-community plane beside PageRank/HITS (centrality)
+    and connected components (reachability).
+
+    Synchronous LPA oscillates on bipartite graphs (two-coloring flip —
+    measured: the one-shot update collapses every node into one of two
+    alternating labels by round 5), so the schedule is the bipartite-safe
+    ALTERNATING sweep: users adopt their weighted-dominant type label,
+    THEN types adopt their weighted-dominant user-community label — one
+    full sweep = both half-rounds; updates never feed a node's own side.
+    Ties break to the smallest label (argmax by sum DESC, lbl ASC);
+    labels are md5_key48 node keys, so the whole fixed-``sweeps`` chain
+    is deterministic and oracle-checkable.  One sweep is the interesting
+    fixed point on dense graphs (dominant-type clustering); more sweeps
+    merge clusters, the documented LPA coarsening behavior.
+
+    Scale shape: each half-round is an equi-join of the edge relation
+    with a label relation on the node key, a partial-combining (node,
+    label) weight aggregate, and a PARTITION-BY-node rank — no global
+    window, no driver state at all (unlike PageRank's bounded-model
+    collect, the label relation stays distributed).  Output is community
+    roll-ups: member counts per side + internal edge weight.
+    """
+    uk = d.md5_key48("CAST(user_id AS STRING)", "lpau:")
+    tk = d.md5_key48("event_type", "lpat:")
+    parts = [
+        f"""e AS{' MATERIALIZED' if d.name == 'duck' else ''} (
+  SELECT {uk} AS u, {tk} AS t, CAST(count(*) AS BIGINT) AS w
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY {uk}, {tk}
+)""",
+        "un0 AS (SELECT u AS id, u AS lbl FROM e GROUP BY u)",
+        "tn0 AS (SELECT t AS id, t AS lbl FROM e GROUP BY t)",
+    ]
+    r = 0
+    for _ in range(sweeps):
+        r += 1
+        parts.append(
+            f"""un{r} AS (
+  SELECT v AS id, lbl FROM (
+    SELECT e.u AS v, l.lbl,
+           row_number() OVER (PARTITION BY e.u
+                              ORDER BY sum(e.w) DESC, l.lbl) AS rn
+    FROM e JOIN tn{r - 1} l ON l.id = e.t
+    GROUP BY e.u, l.lbl
+  ) x WHERE rn = 1
+)"""
+        )
+        r += 1
+        parts.append(f"un{r} AS (SELECT id, lbl FROM un{r - 1})")
+        parts.append(
+            f"""tn{r} AS (
+  SELECT v AS id, lbl FROM (
+    SELECT e.t AS v, l.lbl,
+           row_number() OVER (PARTITION BY e.t
+                              ORDER BY sum(e.w) DESC, l.lbl) AS rn
+    FROM e JOIN un{r - 1} l ON l.id = e.u
+    GROUP BY e.t, l.lbl
+  ) x WHERE rn = 1
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT m.lbl AS community,
+       CAST(sum(m.is_user) AS BIGINT) AS n_users,
+       CAST(sum(1 - m.is_user) AS BIGINT) AS n_types,
+       CAST(coalesce(iw.w_internal, 0) AS BIGINT) AS w_internal
+FROM (
+  SELECT lbl, 1 AS is_user FROM un{r}
+  UNION ALL
+  SELECT lbl, 0 AS is_user FROM tn{r}
+) m
+LEFT JOIN (
+  SELECT ul.lbl, CAST(sum(e.w) AS BIGINT) AS w_internal
+  FROM e
+  JOIN un{r} ul ON ul.id = e.u
+  JOIN tn{r} tl ON tl.id = e.t AND tl.lbl = ul.lbl
+  GROUP BY ul.lbl
+) iw ON iw.lbl = m.lbl
+GROUP BY m.lbl, iw.w_internal
+ORDER BY n_users DESC, community
+""".strip()

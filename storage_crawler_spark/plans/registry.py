@@ -3504,6 +3504,22 @@ FROM files f
         "hash join (AQE-splittable), short docs kept by construction",
     )
 
+    b, o = _sql_pair(analytics.gen_lpa_communities, ("events",))
+    add(
+        "events_lpa_communities",
+        b,
+        o,
+        tags=("events", "analytics", "graph"),
+        doc="weighted label-propagation communities over the user x "
+        "event-type bipartite graph: ALTERNATING side sweeps (synchronous "
+        "LPA two-colour-oscillates on bipartite graphs — measured), "
+        "argmax ties to smallest md5 label, fixed sweep count; each "
+        "half-round is an equi-join + partial agg + PARTITION-BY-node "
+        "rank — no global window, no driver state (the label relation "
+        "stays distributed, unlike PageRank's bounded-model collect); "
+        "community roll-up with per-side member counts + internal weight",
+    )
+
     b, o = _sql_pair(analytics.gen_attribution_credit, ("events",))
     add(
         "events_attribution_credit",

@@ -116,6 +116,10 @@ EVENT_ENTRIES = [
     # micro-unit attribution: NULL users/values/props, same-instant click
     # ties (two-step argmax), purchases with no window clicks
     "events_attribution_credit",
+    # r9 bipartite LPA: random graphs stress weighted-argmax ties on
+    # equal edge counts (smallest-md5-label break) and NULL user/type
+    # exclusion; the whole alternating chain must agree bit for bit
+    "events_lpa_communities",
     # streaming_event_deltas is rows-only (stateful applyInPandasWithState,
     # no SQL oracle) — covered by tests/test_streaming.py instead
 ]

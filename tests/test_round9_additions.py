@@ -934,3 +934,66 @@ def test_dsir_no_target_slice_stays_finite():
     got = _duck(gen_dsir_weights(DUCK), documents=docs)
     assert len(got["doc_id"]) == 3
     assert all(v is not None for v in got["mean_llr"])
+
+
+# ---------------------------------------------------------------------------
+# bipartite label propagation: planted blocks recover, alternating
+# schedule is oscillation-free, NULL endpoints drop
+# ---------------------------------------------------------------------------
+
+
+def _events_df(rows):
+    import pandas as pd
+
+    return pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).astype({"ts": "datetime64[us]"})
+
+
+def test_lpa_planted_blocks_recover_two_communities():
+    from storage_crawler_spark.operators.analytics import gen_lpa_communities
+
+    # block A: users 1-3 hit only types a1/a2; block B: users 4-6 only b1/b2
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        for t in ("a1", "a2"):
+            for _ in range(3):
+                rows.append((eid, pd.Timestamp("2024-01-01"), u, t, 1.0, None)); eid += 1
+    for u in (4, 5, 6):
+        for t in ("b1", "b2"):
+            for _ in range(3):
+                rows.append((eid, pd.Timestamp("2024-01-01"), u, t, 1.0, None)); eid += 1
+    # NULL endpoints must be excluded, not crash or form a community
+    rows.append((eid, pd.Timestamp("2024-01-01"), None, "a1", 1.0, None)); eid += 1
+    rows.append((eid, pd.Timestamp("2024-01-01"), 1, None, 1.0, None))
+    got = _duck(gen_lpa_communities(DUCK), events=_events_df(rows))
+    # exactly two communities, each 3 users + 2 types, disjoint blocks
+    assert len(got["community"]) == 2
+    assert sorted(zip(got["n_users"], got["n_types"])) == [(3, 2), (3, 2)]
+    # internal weight = all 18 events of the block (6 pairs x 3 events)
+    assert sorted(got["w_internal"]) == [18, 18]
+
+
+def test_lpa_more_sweeps_deterministic_and_coarsening_bounded():
+    from storage_crawler_spark.operators.analytics import gen_lpa_communities
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    for u in range(1, 7):
+        for t in ("x", "y", "z"):
+            for _ in range((u + len(t)) % 3 + 1):
+                rows.append((eid, pd.Timestamp("2024-01-01"), u, t, 1.0, None)); eid += 1
+    ev = _events_df(rows)
+    one = _duck(gen_lpa_communities(DUCK, sweeps=1), events=ev)
+    two = _duck(gen_lpa_communities(DUCK, sweeps=2), events=ev)
+    again = _duck(gen_lpa_communities(DUCK, sweeps=2), events=ev)
+    assert two == again  # fixed-sweep chain is deterministic
+    # every node appears exactly once at any sweep depth
+    assert sum(one["n_users"]) == 6 and sum(one["n_types"]) == 3
+    assert sum(two["n_users"]) == 6 and sum(two["n_types"]) == 3
+    # coarsening only merges: community count never increases with depth
+    assert len(two["community"]) <= len(one["community"])
