@@ -1455,7 +1455,23 @@ ORDER BY channel
 """.strip()
 
 
-def gen_lpa_communities(d: Dialect, sweeps: int = 1) -> str:
+def gen_lpa_edges(d: Dialect) -> str:
+    """(u, t, w) weighted bipartite edge relation — the one events
+    aggregate every LPA round reads.  Factored out so the Spark builder
+    persists it (Spark inlines CTEs: the un-persisted form re-scanned
+    events four times — plan-audit catch); the oracle materializes it."""
+    uk = d.md5_key48("CAST(user_id AS STRING)", "lpau:")
+    tk = d.md5_key48("event_type", "lpat:")
+    return f"""
+SELECT {uk} AS u, {tk} AS t, CAST(count(*) AS BIGINT) AS w
+FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+GROUP BY {uk}, {tk}
+""".strip()
+
+
+def gen_lpa_communities(
+    d: Dialect, sweeps: int = 1, edges_rel: str | None = None
+) -> str:
     """Community detection by WEIGHTED LABEL PROPAGATION over the
     user x event-type bipartite graph (edge weight = event count per
     pair) — the graph-community plane beside PageRank/HITS (centrality)
@@ -1480,14 +1496,14 @@ def gen_lpa_communities(d: Dialect, sweeps: int = 1) -> str:
     collect, the label relation stays distributed).  Output is community
     roll-ups: member counts per side + internal edge weight.
     """
-    uk = d.md5_key48("CAST(user_id AS STRING)", "lpau:")
-    tk = d.md5_key48("event_type", "lpat:")
+    mat = " MATERIALIZED" if d.name == "duck" else ""
+    e_cte = (
+        f"e AS (SELECT u, t, w FROM {edges_rel})"
+        if edges_rel
+        else f"e AS{mat} (\n{gen_lpa_edges(d)}\n)"
+    )
     parts = [
-        f"""e AS{' MATERIALIZED' if d.name == 'duck' else ''} (
-  SELECT {uk} AS u, {tk} AS t, CAST(count(*) AS BIGINT) AS w
-  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-  GROUP BY {uk}, {tk}
-)""",
+        e_cte,
         "un0 AS (SELECT u AS id, u AS lbl FROM e GROUP BY u)",
         "tn0 AS (SELECT t AS id, t AS lbl FROM e GROUP BY t)",
     ]

@@ -725,7 +725,29 @@ ORDER BY t.source
 """.strip()
 
 
-def gen_dsir_weights(d: Dialect, buckets: int = 256, target_lang: str = "en") -> str:
+def gen_dsir_tok(d: Dialect, buckets: int = 256) -> str:
+    """(doc_id, source, lang, b) hashed-token relation — the ONE corpus
+    explode every DSIR stage reads.  Factored out so the Spark builder
+    can persist it (Spark inlines CTEs: the un-persisted form re-scanned
+    documents five times — plan-audit catch); the DuckDB oracle keeps it
+    as a MATERIALIZED CTE."""
+    toks = d.split("text")
+    lat = d.lateral_explode("toks", "token")
+    bucket = f"({d.md5_key48('token', 'dsir')} % {buckets})"
+    return f"""
+SELECT doc_id, source, lang, {bucket} AS b
+FROM (SELECT doc_id, source, lang, {toks} AS toks
+      FROM documents WHERE text IS NOT NULL) t0
+{lat}
+""".strip()
+
+
+def gen_dsir_weights(
+    d: Dialect,
+    buckets: int = 256,
+    target_lang: str = "en",
+    tok_rel: str | None = None,
+) -> str:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): score every RAW
     document by the mean log-likelihood ratio of its tokens under two
@@ -746,9 +768,15 @@ def gen_dsir_weights(d: Dialect, buckets: int = 256, target_lang: str = "en") ->
     float ranking crosses engines (the BM25 last-ulp lesson); consumers
     resample by thresholding mean_llr themselves.
     """
-    toks = d.split("text")
-    lat = d.lateral_explode("toks", "token")
-    bucket = f"({d.md5_key48('token', 'dsir')} % {buckets})"
+    # target_lang is spliced into SQL literals: enforce the lang-code
+    # contract instead of escaping (the phrase-search lesson — validated
+    # inputs beat quoting games)
+    if not target_lang.isascii() or not target_lang.isalnum() or not (
+        1 <= len(target_lang) <= 8
+    ):
+        raise ValueError(f"target_lang must be a short alnum code: {target_lang!r}")
+    if not 2 <= buckets <= 1_048_576:
+        raise ValueError(f"buckets out of range: {buckets}")
     # P_target(b) / P_raw(b) with add-one smoothing, as one rational:
     # ((tc+1) / (T+B)) / ((rc+1) / (R+B)) — every operand an exact
     # integer cast to DOUBLE, so the rational is bit-identical across
@@ -757,13 +785,14 @@ def gen_dsir_weights(d: Dialect, buckets: int = 256, target_lang: str = "en") ->
         f"(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE) / CAST(tot.t + {buckets} AS DOUBLE)) "
         f"/ (CAST(coalesce(rc.c, 0) + 1 AS DOUBLE) / CAST(tot.r + {buckets} AS DOUBLE))"
     )
+    mat = " MATERIALIZED" if d.name == "duck" else ""
+    tok_cte = (
+        f"tok AS (SELECT doc_id, source, lang, b FROM {tok_rel})"
+        if tok_rel
+        else f"tok AS{mat} (\n{gen_dsir_tok(d, buckets)}\n)"
+    )
     return f"""
-WITH tok AS (
-  SELECT doc_id, source, lang, {bucket} AS b
-  FROM (SELECT doc_id, source, lang, {toks} AS toks
-        FROM documents WHERE text IS NOT NULL) t0
-  {lat}
-),
+WITH {tok_cte},
 tcnt AS (
   SELECT b, CAST(count(*) AS BIGINT) AS c FROM tok
   WHERE lang = '{target_lang}' GROUP BY b

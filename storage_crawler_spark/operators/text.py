@@ -2250,6 +2250,9 @@ def gen_pii_scan(d: Dialect) -> str:
     with no backslash escapes (the re_match contract — Java regex ∩ RE2);
     SSN is checked before phone can match inside it structurally because
     the two shapes ({3}-{2}-{4} vs {3}-{3}-{4}) are mutually exclusive.
+    A span can still hit TWO families (a phone-shaped digit run inside an
+    email's local part counts as both) — redact_chars is therefore an
+    UPPER bound on the rewrite, the safe direction for a scrub budget.
 
     One pruned scan, map-side extract_all, one partial-combining
     aggregate — no shuffle beyond the per-source combine.

@@ -1451,11 +1451,20 @@ def _specs() -> list[QuerySpec]:
         gen_dsir_weights as _gen_dsir,
     )
 
-    b, o = _sql_pair(_gen_dsir, ("documents",))
+    def _b_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # one persisted relation: the hashed-token explode (read by both
+        # LM counts and the scoring pass — un-persisted it re-scanned
+        # documents 5x; plan-audit catch)
+        from storage_crawler_spark.operators.pipeline import gen_dsir_tok
+
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        _persist_view(spark.sql(gen_dsir_tok(SPARK)), "_dsir_tok")
+        return spark.sql(_gen_dsir(SPARK, tok_rel="_dsir_tok"))
+
     add(
         "pipeline_dsir_weights",
-        b,
-        o,
+        _b_dsir,
+        _gen_dsir(DUCK),
         tags=("pipeline", "text", "ml"),
         doc="DSIR importance weights (Xie et al. 2023): mean hashed-unigram "
         "log-likelihood ratio of every raw doc under target-vs-raw LMs "
@@ -3504,11 +3513,20 @@ FROM files f
         "hash join (AQE-splittable), short docs kept by construction",
     )
 
-    b, o = _sql_pair(analytics.gen_lpa_communities, ("events",))
+    def _b_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # one persisted relation: the weighted edge aggregate (referenced
+        # by init, both half-rounds, and the internal-weight roll-up —
+        # un-persisted it re-scans events 4x; plan-audit catch)
+        V.register_base_tables(spark, sf_dir, ("events",))
+        _persist_view(spark.sql(analytics.gen_lpa_edges(SPARK)), "_lpa_edges")
+        return spark.sql(
+            analytics.gen_lpa_communities(SPARK, edges_rel="_lpa_edges")
+        )
+
     add(
         "events_lpa_communities",
-        b,
-        o,
+        _b_lpa,
+        analytics.gen_lpa_communities(DUCK),
         tags=("events", "analytics", "graph"),
         doc="weighted label-propagation communities over the user x "
         "event-type bipartite graph: ALTERNATING side sweeps (synchronous "
@@ -3762,10 +3780,13 @@ _DRIVER_WINDOW_FIRST = (
     # streaming_burst_windows — the streaming plane holds the
     # streaming_event_deltas slot and the twins' r8 stamps;
     # multimodal_audio_features — the multimodal plane holds the
-    # features/frame_sample/resize slots.  The remaining rows-only
-    # entries — fsmeta_scan, text_quality_learned — yielded their tail
-    # slots per the window contract; all stay sweep-checked and
-    # pytest-covered.)
+    # features/frame_sample/resize slots.  Also queued for r10, landed
+    # after the 50 slots filled: the late-r9 oracle-gate upgrades
+    # (fsmeta_scan via read_blob, text_quality_learned via the lattice
+    # logreg — both previously rows-only, so a first stamp needs r10
+    # anyway) and the late-r9 operators dedup_semantic, text_pii_scan,
+    # pipeline_dsir_weights, events_lpa_communities.  All stay
+    # sweep-checked and pytest-covered.)
 )
 
 

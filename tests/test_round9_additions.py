@@ -997,3 +997,13 @@ def test_lpa_more_sweeps_deterministic_and_coarsening_bounded():
     assert sum(two["n_users"]) == 6 and sum(two["n_types"]) == 3
     # coarsening only merges: community count never increases with depth
     assert len(two["community"]) <= len(one["community"])
+
+
+def test_dsir_rejects_injection_shaped_target_lang():
+    from storage_crawler_spark.operators.pipeline import gen_dsir_weights
+
+    for bad in ("en' OR '1'='1", "", "a b", "x" * 9):
+        with pytest.raises(ValueError):
+            gen_dsir_weights(DUCK, target_lang=bad)
+    with pytest.raises(ValueError):
+        gen_dsir_weights(DUCK, buckets=1)

@@ -164,6 +164,10 @@ NLJ_ALLOWED = {
     # two-pass packing prefix sum (r9): same ≤33-row carry theta join
     "text_pack_bins",
     "text_pack_render",
+    # DSIR: CROSS JOIN of the 1-row target/raw token-total aggregate (the
+    # smoothing denominators) — same scalar-normalizer shape as the
+    # unigram surprisal scorer
+    "pipeline_dsir_weights",
 }
 
 # Queries that must not plan a Window operator (their aggregates are
