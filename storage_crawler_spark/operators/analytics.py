@@ -1556,3 +1556,63 @@ LEFT JOIN (
 GROUP BY m.lbl, iw.w_internal
 ORDER BY n_users DESC, community
 """.strip()
+
+
+def gen_scd2_history(d: Dialect) -> str:
+    """Slowly-changing-dimension type-2 history of each user's *current
+    event_type state*: consecutive same-type events collapse into one
+    validity interval ``[valid_from_s, valid_to_s)``, the last interval per
+    user is open (``valid_to_s`` NULL, ``is_current`` 1).  This is the
+    warehouse-side dual of the reference's status tracking (storcrawl
+    report.py keeps only the latest status row; SCD2 keeps the full
+    dimension history a 100 TB lakehouse needs for as-of queries).
+
+    Gaps-and-islands: a change flag per event (lag over the per-user
+    timeline, tie-broken by event_id), a per-user prefix sum of flags as
+    the run id, one aggregate per run, then lead() for the closing edge.
+
+    100 TB shape: every window is PARTITION BY user_id (shuffle on
+    user_id, no global sort until the bounded final ORDER BY); aggregates
+    are partial-combining.  Runs ≤ events, so no operator state exceeds
+    the per-user event list Spark already sorts within the shuffle.
+    """
+    es = d.epoch_s_events("ts")
+    return f"""
+WITH e0 AS (
+  SELECT user_id, event_type, {es} AS ts_s, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+flg AS (
+  SELECT user_id, event_type, ts_s, event_id,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts_s, event_id)
+                   IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM e0
+),
+runs AS (
+  SELECT user_id, event_type, ts_s, event_id,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flg
+),
+iv AS (
+  SELECT user_id, run_id,
+         min(event_type)          AS state,
+         CAST(min(ts_s) AS BIGINT) AS valid_from_s,
+         CAST(max(ts_s) AS BIGINT) AS last_seen_s,
+         CAST(count(*) AS BIGINT)  AS n_events
+  FROM runs
+  GROUP BY user_id, run_id
+)
+SELECT user_id, state, valid_from_s,
+       CAST(lead(valid_from_s) OVER (PARTITION BY user_id ORDER BY run_id)
+            AS BIGINT) AS valid_to_s,
+       last_seen_s, n_events,
+       CASE WHEN lead(valid_from_s) OVER (PARTITION BY user_id
+                                          ORDER BY run_id) IS NULL
+            THEN 1 ELSE 0 END AS is_current
+FROM iv
+ORDER BY user_id, valid_from_s, state
+""".strip()

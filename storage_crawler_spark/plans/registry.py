@@ -3653,6 +3653,22 @@ FROM files f
         "is engine-identical; bigram stream shared with the LM plane",
     )
 
+    # round-9 late additions: warehouse-history, anomaly, and
+    # diversity-retrieval planes ------------------------------------------
+    b, o = _sql_pair(analytics.gen_scd2_history, ("events",))
+    add(
+        "events_scd2_history",
+        b,
+        o,
+        tags=("events", "analytics"),
+        doc="SCD type-2 validity intervals of each user's current event-"
+        "type state (gaps-and-islands: lag change flag -> per-user prefix-"
+        "sum run id -> one row per run with lead() closing edge); the "
+        "full-history dual of the reference's latest-status view — every "
+        "window PARTITION BY user_id, no global sort before the bounded "
+        "final ORDER BY",
+    )
+
     return specs
 
 

@@ -1007,3 +1007,91 @@ def test_dsir_rejects_injection_shaped_target_lang():
             gen_dsir_weights(DUCK, target_lang=bad)
     with pytest.raises(ValueError):
         gen_dsir_weights(DUCK, buckets=1)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history: gaps-and-islands validity intervals over per-user state
+# ---------------------------------------------------------------------------
+
+
+def _events_sec_df(rows):
+    """Events fixture with ts given in epoch SECONDS (the module has two
+    earlier `_events_df` helpers with different ts units; this one is
+    explicit and owned by the SCD2 tests)."""
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
+    pdf["user_id"] = pd.array(pdf["user_id"], dtype="Int64")
+    return pdf
+
+
+def test_scd2_planted_runs():
+    from storage_crawler_spark.operators import analytics
+
+    T = 1_700_000_000
+    rows = [
+        # user 1: A,A,B,A -> three intervals, last open
+        (0, T + 0, 1, "A", 1.0, "{}"),
+        (1, T + 10, 1, "A", 1.0, "{}"),
+        (2, T + 20, 1, "B", 1.0, "{}"),
+        (3, T + 30, 1, "A", 1.0, "{}"),
+        # user 2: single event -> one open interval
+        (4, T + 5, 2, "C", 1.0, "{}"),
+        # NULL user / NULL type rows are excluded entirely
+        (5, T + 6, None, "A", 1.0, "{}"),
+        (6, T + 7, 3, None, 1.0, "{}"),
+    ]
+    got = _duck(analytics.gen_scd2_history(DUCK), events=_events_sec_df(rows))
+    assert got["user_id"] == [1, 1, 1, 2]
+    assert got["state"] == ["A", "B", "A", "C"]
+    assert got["valid_from_s"] == [T + 0, T + 20, T + 30, T + 5]
+    assert got["valid_to_s"] == [T + 20, T + 30, None, None]
+    assert got["last_seen_s"] == [T + 10, T + 20, T + 30, T + 5]
+    assert got["n_events"] == [2, 1, 1, 1]
+    assert got["is_current"] == [0, 0, 1, 1]
+
+
+def test_scd2_intervals_tile_per_user():
+    """valid_to of interval i equals valid_from of interval i+1 (no gaps,
+    no overlaps), and exactly one open interval per user."""
+    from storage_crawler_spark.operators import analytics
+
+    T = 1_700_000_000
+    rows = [
+        (i, T + 37 * i, i % 3, "t" + str((i * 7) % 4), float(i), "{}")
+        for i in range(60)
+    ]
+    got = _duck(analytics.gen_scd2_history(DUCK), events=_events_sec_df(rows))
+    by_user: dict = {}
+    for u, vf, vt, cur in zip(
+        got["user_id"], got["valid_from_s"], got["valid_to_s"], got["is_current"]
+    ):
+        by_user.setdefault(u, []).append((vf, vt, cur))
+    for u, ivs in by_user.items():
+        assert sum(c for _, _, c in ivs) == 1
+        assert ivs[-1][1] is None and ivs[-1][2] == 1
+        for (f1, t1, _), (f2, _, _) in zip(ivs, ivs[1:]):
+            assert t1 == f2 and f1 < f2
+
+
+def test_scd2_spark_matches_oracle_bitwise(spark):
+    from storage_crawler_spark.operators import analytics
+
+    T = 1_700_000_000
+    rows = [
+        (i, T + 13 * i, (i * 5) % 7, "t" + str((i * 11) % 5), float(i), "{}")
+        for i in range(120)
+    ]
+    pdf = _events_sec_df(rows)
+    spark.createDataFrame(pdf).createOrReplaceTempView("events")
+    got = spark.sql(analytics.gen_scd2_history(SPARK)).toPandas()
+    spark.catalog.dropTempView("events")
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = con.execute(analytics.gen_scd2_history(DUCK)).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.astype({"user_id": "int64"}),
+        want.astype({"user_id": "int64"}),
+        check_dtype=False,
+    )
