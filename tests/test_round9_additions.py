@@ -942,7 +942,7 @@ def test_dsir_no_target_slice_stays_finite():
 # ---------------------------------------------------------------------------
 
 
-def _events_df(rows):
+def _events_us_df(rows):
     import pandas as pd
 
     return pd.DataFrame(
@@ -969,7 +969,7 @@ def test_lpa_planted_blocks_recover_two_communities():
     # NULL endpoints must be excluded, not crash or form a community
     rows.append((eid, pd.Timestamp("2024-01-01"), None, "a1", 1.0, None)); eid += 1
     rows.append((eid, pd.Timestamp("2024-01-01"), 1, None, 1.0, None))
-    got = _duck(gen_lpa_communities(DUCK), events=_events_df(rows))
+    got = _duck(gen_lpa_communities(DUCK), events=_events_us_df(rows))
     # exactly two communities, each 3 users + 2 types, disjoint blocks
     assert len(got["community"]) == 2
     assert sorted(zip(got["n_users"], got["n_types"])) == [(3, 2), (3, 2)]
@@ -987,7 +987,7 @@ def test_lpa_more_sweeps_deterministic_and_coarsening_bounded():
         for t in ("x", "y", "z"):
             for _ in range((u + len(t)) % 3 + 1):
                 rows.append((eid, pd.Timestamp("2024-01-01"), u, t, 1.0, None)); eid += 1
-    ev = _events_df(rows)
+    ev = _events_us_df(rows)
     one = _duck(gen_lpa_communities(DUCK, sweeps=1), events=ev)
     two = _duck(gen_lpa_communities(DUCK, sweeps=2), events=ev)
     again = _duck(gen_lpa_communities(DUCK, sweeps=2), events=ev)
