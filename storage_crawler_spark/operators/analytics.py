@@ -1616,3 +1616,75 @@ SELECT user_id, state, valid_from_s,
 FROM iv
 ORDER BY user_id, valid_from_s, state
 """.strip()
+
+
+def gen_cusum_changepoint(
+    d: Dialect, h: float = 5.0, slack_pct: int = 10
+) -> str:
+    """CUSUM level-shift detection per event type: hourly buckets where
+    the one-sided cumulative sum of (count - mean - slack) exceeds
+    ``h`` standard deviations — the SUSTAINED-shift detector that
+    complements :func:`gen_burst_windows`' point-anomaly z-score (a 1.5σ
+    step that never spikes past z_hi is invisible to the z test but
+    accumulates linearly in the CUSUM; Page 1954).
+
+    The recursive form S_i = max(0, S_{i-1} + dev_i) is not relational,
+    but its closed form is: S_i = P_i - min(0, min_{j<=i} P_j) where P
+    is the prefix sum of deviations — two PARTITION-BY-type running
+    windows, no recursion.  Deviations are kept on an exact BIGINT
+    lattice (dev_i = 100*nb*n_i - (100 + slack_pct)*total, i.e. scaled
+    by 100*nb) so the prefix sum, running min, and their difference are
+    engine-exact; only the final division and the one correctly-rounded
+    sqrt produce doubles, so the alarm threshold compares IDENTICAL
+    doubles in both engines (same posture as gen_burst_windows).
+    Slack is ``slack_pct`` percent OF THE MEAN per step (relative
+    CUSUM) — rational, hence exact on the lattice; classic k*sigma
+    slack would put an irrational inside the prefix sum.
+
+    100 TB shape: one partial-combining (type, hour) count, a tiny
+    per-type moment aggregate broadcast back, and the two running
+    windows PARTITION BY event_type (shuffle on the type key, never a
+    global sort).  Baseline is over OBSERVED buckets, matching the
+    burst detector's frame.
+    """
+    es = d.epoch_s_events("ts")
+    # dev on the 100*nb lattice; P and runmin inherit it
+    dev = f"(100 * nb * n - (100 + {slack_pct}) * total)"
+    var = "(CAST(nb AS DOUBLE) * ssq - CAST(total AS DOUBLE) * total)"
+    sigma = f"(sqrt(CASE WHEN {var} < 0 THEN 0 ELSE {var} END) / nb)"
+    cus = "(CAST(p - LEAST(0, mn) AS DOUBLE) / (100.0e0 * nb))"
+    ratio = f"({cus} / nullif({sigma}, 0))"
+    return f"""
+WITH e0 AS (
+  SELECT event_type, {d.idiv(f'({es})', '3600')} AS hb
+  FROM events WHERE event_type IS NOT NULL
+),
+hc AS (
+  SELECT event_type, hb, CAST(count(*) AS BIGINT) AS n
+  FROM e0 GROUP BY event_type, hb
+),
+st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(n) AS BIGINT) AS total,
+         CAST(sum(n * n) AS BIGINT) AS ssq
+  FROM hc GROUP BY event_type
+),
+pf AS (
+  SELECT h.event_type, h.hb, h.n, s.nb, s.total, s.ssq,
+         sum({dev}) OVER (PARTITION BY h.event_type ORDER BY h.hb
+                          ROWS UNBOUNDED PRECEDING) AS p
+  FROM hc h JOIN st s ON h.event_type = s.event_type
+),
+cs AS (
+  SELECT event_type, hb, n, nb, total, ssq, p,
+         min(p) OVER (PARTITION BY event_type ORDER BY hb
+                      ROWS UNBOUNDED PRECEDING) AS mn
+  FROM pf
+)
+SELECT event_type, CAST(hb * 3600 AS BIGINT) AS bucket_start_s, n,
+       {d.trunc6(cus)} AS cusum,
+       {d.trunc6(ratio)} AS cusum_sigmas
+FROM cs
+WHERE {ratio} > {h}
+ORDER BY event_type, bucket_start_s
+""".strip()

@@ -3669,6 +3669,20 @@ FROM files f
         "final ORDER BY",
     )
 
+    b, o = _sql_pair(analytics.gen_cusum_changepoint, ("events",))
+    add(
+        "events_cusum_changepoint",
+        b,
+        o,
+        tags=("events", "analytics"),
+        doc="CUSUM sustained-shift alarms per event type (Page 1954) via "
+        "the relational closed form S_i = P_i - min(0, running-min P): "
+        "deviations on an exact 100*nb BIGINT lattice with relative "
+        "(percent-of-mean) slack, two PARTITION BY event_type running "
+        "windows, alarm threshold compared on identical doubles — the "
+        "level-shift complement of events_burst_windows' point z-score",
+    )
+
     return specs
 
 

@@ -1095,3 +1095,92 @@ def test_scd2_spark_matches_oracle_bitwise(spark):
         want.astype({"user_id": "int64"}),
         check_dtype=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint: sustained level-shift alarms per event type
+# ---------------------------------------------------------------------------
+
+
+def _hourly_events(counts_by_type, T=1_700_000_000 // 3600 * 3600):
+    """Events with exactly counts_by_type[t][b] rows in hour-bucket b."""
+    rows, eid = [], 0
+    for t, counts in counts_by_type.items():
+        for b, n in enumerate(counts):
+            for j in range(n):
+                rows.append((eid, T + b * 3600 + j * 7, 1, t, 1.0, "{}"))
+                eid += 1
+    return _events_sec_df(rows), T
+
+
+def test_cusum_flat_series_never_alarms():
+    """Zero variance -> sigma 0 -> nullif guard -> no alarm rows (and no
+    divide-by-zero crash on either engine)."""
+    from storage_crawler_spark.operators import analytics
+
+    ev, _ = _hourly_events({"A": [10] * 24})
+    got = _duck(analytics.gen_cusum_changepoint(DUCK), events=ev)
+    assert got["event_type"] == []
+
+
+def test_cusum_detects_planted_shift_not_preshift():
+    from storage_crawler_spark.operators import analytics
+
+    # 30 hours at ~10/h (small alternation so sigma > 0), then 30 at 16/h
+    pre = [10, 11] * 15
+    post = [16] * 30
+    ev, T = _hourly_events({"A": pre + post, "B": [10, 11] * 30})
+    got = _duck(analytics.gen_cusum_changepoint(DUCK), events=ev)
+    assert set(got["event_type"]) == {"A"}
+    shift_s = T + 30 * 3600
+    assert all(b >= shift_s for b in got["bucket_start_s"])
+    assert len(got["bucket_start_s"]) >= 5
+    # cusum is the one-sided statistic: non-negative, and the sigma ratio
+    # strictly exceeds the default threshold on every emitted row
+    assert all(c >= 0 for c in got["cusum"])
+    assert all(r > 5.0 for r in got["cusum_sigmas"])
+
+
+def test_cusum_closed_form_matches_recursion():
+    """P_i - min(0, running-min P) == the textbook max(0, S+dev) recursion,
+    on the exact lattice, for a pseudorandom series."""
+    from storage_crawler_spark.operators import analytics
+
+    counts = [((i * 2654435761) >> 7) % 9 + 1 for i in range(50)]
+    ev, T = _hourly_events({"A": counts})
+    got = _duck(analytics.gen_cusum_changepoint(DUCK, h=0.5), events=ev)
+    nb, total = len(counts), sum(counts)
+    ssq = sum(c * c for c in counts)
+    var = (nb * ssq - total * total) / (nb * nb)
+    sigma = var**0.5
+    s, want = 0, {}
+    for b, n in enumerate(counts):
+        s = max(0, s + (100 * nb * n - 110 * total))
+        cus = s / (100.0 * nb)
+        if sigma and cus / sigma > 0.5:
+            want[T + b * 3600] = cus
+    assert dict(zip(got["bucket_start_s"], got["cusum"])) == {
+        k: _trunc6(v) for k, v in want.items()
+    }
+
+
+def _trunc6(x: float) -> float:
+    import math
+
+    return math.floor(x * 1_000_000) / 1_000_000
+
+
+def test_cusum_spark_matches_oracle_bitwise(spark):
+    from storage_crawler_spark.operators import analytics
+
+    counts = {"A": [((i * 97) % 13) + 3 for i in range(40)],
+              "B": [5, 6] * 10 + [12] * 20}
+    ev, _ = _hourly_events(counts)
+    spark.createDataFrame(ev).createOrReplaceTempView("events")
+    got = spark.sql(analytics.gen_cusum_changepoint(SPARK, h=1.0)).toPandas()
+    spark.catalog.dropTempView("events")
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute(analytics.gen_cusum_changepoint(DUCK, h=1.0)).fetchdf()
+    assert len(got) >= 1
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
