@@ -1279,3 +1279,208 @@ def batch_knn_gemm(spark, query_ids: tuple[int, ...] = (0, 1, 2, 3), k: int = 5)
         .select("qid", "vec_id", "dot", F.col("rank").cast("long").alias("rank"))
         .orderBy("qid", "rank")
     )
+
+
+MMR_Q = 1_000_000  # cosine lattice: floor(cos * Q) spans ~[-Q, Q], exact BIGINT
+
+
+def _mmr_prep_ctes(d: Dialect, query_vec_id: int, pool_n: int) -> list[str]:
+    """CTE parts for the MMR prep relations: ``pool`` (the top-``pool_n``
+    cosine candidates with relevance on the floor(cos·MMR_Q) BIGINT
+    lattice, plus ev/nrm for pair math) and ``pairs`` (all ordered
+    candidate pairs with the lattice pairwise similarity — ≤ pool_n²
+    rows).  Only the pool build touches the store: one map-only cosine
+    scan into ORDER BY/LIMIT (TakeOrderedAndProject — partial top-k per
+    partition, no window); pairs is a self-join of the ``pool_n``-row
+    relation."""
+    mat = " MATERIALIZED" if d.name == "duck" else ""
+    cos_q = f"({d.dot('e.ev', 'q.ev')}) / (e.nrm * q.nrm)"
+    cos_ab = f"({d.dot('a.ev', 'b.ev')}) / (a.nrm * b.nrm)"
+    return [
+        _norm_cte(d),
+        f"q AS (SELECT ev, nrm FROM v WHERE vec_id = {query_vec_id})",
+        f"""pool AS{mat} (
+  SELECT e.vec_id, e.ev, e.nrm,
+         CAST(floor(({cos_q}) * {MMR_Q}.0e0) AS BIGINT) AS relq
+  FROM v e CROSS JOIN q
+  WHERE e.vec_id <> {query_vec_id}
+  ORDER BY {cos_q} DESC, e.vec_id LIMIT {pool_n}
+)""",
+        f"""pairs AS{mat} (
+  SELECT a.vec_id AS ai, b.vec_id AS bi,
+         CAST(floor(({cos_ab}) * {MMR_Q}.0e0) AS BIGINT) AS simq
+  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+)""",
+    ]
+
+
+def _mmr_check(pool_n: int, k: int, lam_tenths: int) -> None:
+    if not 0 <= lam_tenths <= 10:
+        raise ValueError("lam_tenths must be in [0, 10]")
+    if k < 1 or pool_n < k:
+        raise ValueError("need 1 <= k <= pool_n")
+
+
+def gen_mmr_rerank(
+    d: Dialect,
+    query_vec_id: int = 0,
+    pool_n: int = 20,
+    k: int = 8,
+    lam_tenths: int = 7,
+) -> str:
+    """Maximal-Marginal-Relevance diversity re-rank (Carbonell & Goldstein
+    1998): from the top-``pool_n`` cosine candidates of ``query_vec_id``,
+    greedily pick ``k`` docs maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s)
+    — the de-duplicating retrieval stage a RAG / training-data sampler
+    runs so the selected set isn't ``k`` near-copies of the best hit.
+
+    Every selection compares on an exact BIGINT lattice — rel and
+    pairwise sims quantized to floor(cos·MMR_Q), λ as ``lam_tenths``/10
+    so the marginal is the exact integer lam·relq − (10−lam)·msq — ties
+    broken by vec_id, so the pick sequence is engine-identical even
+    where raw cosines tie to the last ulp.  Rank-1's marginal is the
+    pure relevance term (empty selected set).  Short pools degrade
+    gracefully: the output is min(k, |pool|) rows, ranks consecutive.
+
+    This chain is the ORACLE formulation (kmeans_lattice_ctes
+    discipline): the greedy recursion unrolls into k selection CTEs,
+    each referencing the previous selected-set relation three times —
+    DuckDB MATERIALIZED hints keep that linear, but Spark inlines CTEs,
+    so the analyzed plan would grow 3^k-fold (observed: analysis-time
+    OOM at k=8).  The Spark engine path is :func:`mmr_rerank`, which
+    runs the SAME prep SQL and the SAME integer recursion over the
+    collected ≤ pool_n-row model state.
+    """
+    _mmr_check(pool_n, k, lam_tenths)
+    lam, mu = lam_tenths, 10 - lam_tenths
+    mat = " MATERIALIZED" if d.name == "duck" else ""
+    parts = _mmr_prep_ctes(d, query_vec_id, pool_n)
+    parts.append(
+        f"""s1 AS{mat} (
+  SELECT vec_id, relq, CAST(1 AS BIGINT) AS rank,
+         CAST({lam} * relq AS BIGINT) AS marg
+  FROM pool ORDER BY relq DESC, vec_id LIMIT 1
+)"""
+    )
+    for t in range(2, k + 1):
+        p = t - 1
+        parts.append(
+            f"""c{t} AS (
+  SELECT c.vec_id, c.relq, max(p.simq) AS msq
+  FROM pool c
+  JOIN pairs p ON p.ai = c.vec_id
+  JOIN s{p} sl ON p.bi = sl.vec_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM s{p})
+  GROUP BY c.vec_id, c.relq
+)"""
+        )
+        parts.append(
+            f"""pk{t} AS (
+  SELECT vec_id, relq, CAST({t} AS BIGINT) AS rank,
+         CAST({lam} * relq - {mu} * msq AS BIGINT) AS marg
+  FROM c{t} ORDER BY {lam} * relq - {mu} * msq DESC, vec_id LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""s{t} AS{mat} (
+  SELECT vec_id, relq, rank, marg FROM s{p}
+  UNION ALL
+  SELECT vec_id, relq, rank, marg FROM pk{t}
+)"""
+        )
+    ctes = ",\n".join(parts)
+    rel = f"(CAST(relq AS DOUBLE) / {MMR_Q})"
+    score = f"(CAST(marg AS DOUBLE) / ({MMR_Q}.0e0 * 10))"
+    return f"""WITH {ctes}
+SELECT rank, vec_id AS doc_id, {d.trunc6(rel)} AS relevance,
+       {d.trunc6(score)} AS mmr_score
+FROM s{k}
+ORDER BY rank
+""".strip()
+
+
+def mmr_greedy(
+    pool: list[tuple[int, int]],
+    pairs: dict[tuple[int, int], int],
+    k: int,
+    lam_tenths: int,
+) -> list[tuple[int, int, int, int]]:
+    """The exact-integer greedy over collected (vec_id, relq) pool rows
+    and {(ai, bi): simq} pair sims — the recursion the oracle chain
+    unrolls, shared so the engine path and any test reference agree by
+    construction.  Returns [(rank, vec_id, relq, marg)]."""
+    lam, mu = lam_tenths, 10 - lam_tenths
+    if not pool:
+        return []
+    first = max(pool, key=lambda r: (r[1], -r[0]))
+    out = [(1, first[0], first[1], lam * first[1])]
+    sel = {first[0]}
+    for t in range(2, k + 1):
+        best = None
+        for vid, relq in pool:
+            if vid in sel:
+                continue
+            msq = max(pairs[(vid, s)] for s in sel)
+            marg = lam * relq - mu * msq
+            key = (-marg, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, relq, marg)
+        if best is None:
+            break
+        out.append((t, best[1], best[2], best[3]))
+        sel.add(best[1])
+    return out
+
+
+def mmr_rerank(
+    spark,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    pool_n: int = 20,
+    k: int = 8,
+    lam_tenths: int = 7,
+):
+    """Engine path for the MMR re-rank: Spark executes the prep SQL (the
+    cosine top-``pool_n`` scan and the pool self-join — everything that
+    touches the embedding store), the driver collects the ≤ pool_n-row
+    lattice relations (bounded MODEL state, kmeans_fit_lattice
+    discipline — never corpus-scale), and :func:`mmr_greedy` runs the
+    exact integer recursion.  Bit-identical to :func:`gen_mmr_rerank`'s
+    unrolled chain because both consume the same lattice ints."""
+    from storage_crawler_spark.plans import views as V
+    from storage_crawler_spark.plans.dialect import SPARK as _SP
+
+    _mmr_check(pool_n, k, lam_tenths)
+    V.register_base_tables(spark, sf_dir, ("embeddings",))
+    ctes = ",\n".join(_mmr_prep_ctes(_SP, query_vec_id, pool_n))
+    prep = spark.sql(
+        f"""WITH {ctes},
+pr AS (SELECT ai, bi, simq FROM pairs)
+SELECT p.vec_id, p.relq, pr.bi, pr.simq
+FROM pool p LEFT JOIN pr ON pr.ai = p.vec_id"""
+    ).collect()
+    pool_rows = sorted({(r["vec_id"], r["relq"]) for r in prep})
+    pair_sims = {
+        (r["vec_id"], r["bi"]): r["simq"] for r in prep if r["bi"] is not None
+    }
+    picks = mmr_greedy(pool_rows, pair_sims, k, lam_tenths)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("relevance", T.DoubleType()),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]
+    )
+    import math
+
+    def tr6(x: float) -> float:
+        return math.floor(x * 1_000_000) / 1_000_000
+
+    rows = [
+        (rank, vid, tr6(relq / MMR_Q), tr6(marg / (MMR_Q * 10)))
+        for rank, vid, relq, marg in picks
+    ]
+    return spark.createDataFrame(rows, schema)

@@ -3683,6 +3683,25 @@ FROM files f
         "level-shift complement of events_burst_windows' point z-score",
     )
 
+    def _b_mmr(spark, sf_dir):
+        from storage_crawler_spark.operators.similarity import mmr_rerank
+
+        return mmr_rerank(spark, sf_dir)
+
+    add(
+        "sim_mmr_rerank",
+        _b_mmr,
+        similarity.gen_mmr_rerank(DUCK),
+        tags=("similarity", "embedding"),
+        doc="Maximal-Marginal-Relevance diversity re-rank (Carbonell & "
+        "Goldstein 1998) of the cosine top-pool: greedy picks on the "
+        "exact floor(cos*1e6) lattice with integer-tenths lambda so the "
+        "pick sequence is engine-identical; oracle is the unrolled "
+        "selection-CTE chain, Spark path collects the bounded pool "
+        "(model state, kmeans discipline) and runs the same integer "
+        "recursion",
+    )
+
     return specs
 
 

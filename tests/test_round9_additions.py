@@ -1184,3 +1184,132 @@ def test_cusum_spark_matches_oracle_bitwise(spark):
     want = con.execute(analytics.gen_cusum_changepoint(DUCK, h=1.0)).fetchdf()
     assert len(got) >= 1
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-rank: greedy lattice selection over the cosine top-pool
+# ---------------------------------------------------------------------------
+
+
+def _emb_df(vecs):
+    return pd.DataFrame(
+        {
+            "vec_id": list(range(len(vecs))),
+            "embedding": [None if v is None else [float(x) for x in v] for v in vecs],
+            "label": [0] * len(vecs),
+        }
+    )
+
+
+def test_mmr_demotes_near_duplicate():
+    """A duplicate of the top hit outranks the diverse doc on pure
+    relevance but is demoted below it by the MMR marginal."""
+    from storage_crawler_spark.operators import similarity
+
+    vecs = [
+        [1.0, 0.0],  # 0: query
+        [1.0, 0.0],  # 1: top hit (rel 1.0)
+        [1.0, 0.0],  # 2: exact duplicate of the top hit (rel 1.0)
+        [0.8, 0.6],  # 3: diverse (rel 0.8, sim-to-1 0.8)
+    ]
+    got = _duck(
+        similarity.gen_mmr_rerank(DUCK, pool_n=3, k=3, lam_tenths=4),
+        embeddings=_emb_df(vecs),
+    )
+    # lam=0.4: dup marginal .4*1-.6*1=-0.2 < diverse .4*.8-.6*.8=-0.16
+    assert list(zip(got["rank"], got["doc_id"])) == [(1, 1), (2, 3), (3, 2)]
+    assert got["relevance"][0] == 1.0 and abs(got["relevance"][1] - 0.8) < 1e-6
+
+
+def test_mmr_short_pool_and_validation():
+    from storage_crawler_spark.operators import similarity
+
+    # pool smaller than k: graceful min(k, |pool|) rows, consecutive ranks
+    vecs = [[1.0, 0.0], [0.9, 0.1], [0.5, 0.5]]
+    got = _duck(
+        similarity.gen_mmr_rerank(DUCK, pool_n=5, k=5, lam_tenths=7),
+        embeddings=_emb_df(vecs),
+    )
+    assert got["rank"] == [1, 2]
+    with pytest.raises(ValueError):
+        similarity.gen_mmr_rerank(DUCK, lam_tenths=11)
+    with pytest.raises(ValueError):
+        similarity.gen_mmr_rerank(DUCK, pool_n=4, k=5)
+    # zero-norm and NULL embeddings are dropped by the norm guard, not fatal
+    got2 = _duck(
+        similarity.gen_mmr_rerank(DUCK, pool_n=2, k=2),
+        embeddings=_emb_df([[1.0, 0.0], [0.0, 0.0], None, [0.6, 0.8]]),
+    )
+    assert got2["doc_id"] == [3]
+
+
+def test_mmr_oracle_chain_equals_shared_greedy():
+    """The unrolled selection CTEs reproduce mmr_greedy (the recursion the
+    Spark engine path runs) pick-for-pick on a pseudorandom store."""
+    import math
+
+    from storage_crawler_spark.operators import similarity
+
+    vecs = [
+        [((i * j * 2654435761) >> 9) % 1000 / 1000.0 - 0.5 for j in range(1, 9)]
+        for i in range(40)
+    ]
+    pdf = _emb_df(vecs)
+    sql = similarity.gen_mmr_rerank(DUCK, pool_n=12, k=6, lam_tenths=7)
+    got = _duck(sql, embeddings=pdf)
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    f32 = {i: [float(pd.Series([x], dtype="float32")[0]) for x in v]
+           for i, v in enumerate(vecs)}
+    nrm = {i: math.sqrt(dot(v, v)) for i, v in f32.items()}
+    q, qn = f32[0], nrm[0]
+    cos = {i: dot(v, q) / (nrm[i] * qn) for i, v in f32.items() if i != 0 and nrm[i] > 0}
+    pool = sorted(cos, key=lambda i: (-cos[i], i))[:12]
+    relq = [(i, math.floor(cos[i] * similarity.MMR_Q)) for i in pool]
+    pairs = {
+        (a, b): math.floor(dot(f32[a], f32[b]) / (nrm[a] * nrm[b]) * similarity.MMR_Q)
+        for a in pool
+        for b in pool
+        if a != b
+    }
+    picks = similarity.mmr_greedy(relq, pairs, k=6, lam_tenths=7)
+    assert [(r, v) for r, v, _, _ in picks] == list(zip(got["rank"], got["doc_id"]))
+
+
+def test_mmr_spark_engine_path_matches_oracle(spark, tmp_path):
+    from storage_crawler_spark.operators import similarity
+
+    vecs = [
+        [((i + 3) * (j + 7) * 40503) % 997 / 997.0 - 0.5 for j in range(6)]
+        for i in range(30)
+    ]
+    pdf = _emb_df(vecs)
+    pdf["embedding"] = pdf["embedding"].map(
+        lambda v: None if v is None else pd.Series(v, dtype="float32").tolist()
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(pdf["vec_id"], type=pa.int64()),
+            "embedding": pa.array(pdf["embedding"], type=pa.list_(pa.float32())),
+            "label": pa.array(pdf["label"], type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    got = similarity.mmr_rerank(spark, str(tmp_path), pool_n=10, k=5).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    want = con.execute(
+        similarity.gen_mmr_rerank(DUCK, pool_n=10, k=5)
+    ).fetchdf()
+    assert len(got) == 5
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
