@@ -424,3 +424,115 @@ FROM (
 GROUP BY cluster_size
 ORDER BY cluster_size
 """.strip()
+
+
+KNN_Q = 1_000_000  # cosine lattice for the kNN-graph edge ranking
+
+
+def gen_knn_edges(d: Dialect, m: int = 6) -> str:
+    """MUTUAL-kNN similarity graph over the embedding store: each
+    vector's top-``m`` cosine neighbours WITHIN ITS SIGN BUCKET (the
+    coarse quantizer similarity._bucket — candidate generation is
+    bucket-local, never all-pairs), kept only where BOTH endpoints list
+    each other (the mutual construction standard in density clustering:
+    it prunes asymmetric hub links, which is what gives the graph a
+    non-flat degree spectrum for the k-core to bite on — the union
+    variant floors every degree at m and the peel either keeps all or
+    cascades to empty, measured).  Both directions are emitted, so
+    degree is ``count(*) GROUP BY a``.
+
+    Ranking compares on the exact floor(cos·KNN_Q) BIGINT lattice with a
+    dst tie-break, so the edge set is engine-identical.  100 TB shape:
+    the candidate join keys on the bucket (shuffle on bkt; fan-out
+    bounded by bucket population), the top-m is a PARTITION BY src
+    window, and the mutual filter is one exchange on the edge key
+    (INTERSECT of the two orientations).
+    """
+    from storage_crawler_spark.operators.similarity import _norm_cte
+
+    simq = f"CAST(floor((({d.dot('a.ev', 'b.ev')}) / (a.nrm * b.nrm)) * {KNN_Q}.0e0) AS BIGINT)"
+    return f"""
+WITH {_norm_cte(d, with_bucket=True)},
+cand AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {simq} AS simq
+  FROM v a JOIN v b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
+),
+topm AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY simq DESC, dst) AS rn
+    FROM cand
+  ) r WHERE rn <= {m}
+)
+SELECT src AS a, dst AS b FROM topm
+INTERSECT
+SELECT dst AS a, src AS b FROM topm
+""".strip()
+
+
+def gen_knn_kcore(
+    d: Dialect,
+    kcore: int = 4,
+    rounds: int = 6,
+    m: int = 8,
+    edges_rel: str | None = None,
+) -> str:
+    """k-core of the kNN similarity graph: the maximal subgraph where
+    every member keeps >= ``kcore`` neighbours AFTER everyone below the
+    bar is removed — the density filter that separates vectors sitting
+    in genuinely dense semantic regions from hub-adjacent stragglers
+    (SemDeDup keeps one per near-dup cluster; the k-core keeps the
+    regions worth sampling MORE from).
+
+    Peeling is ``rounds`` unrolled batch rounds (fixed-sweep discipline,
+    like the LPA communities): each round recomputes degrees over the
+    surviving edge set and drops nodes under the bar; a converged round
+    is a no-op, so extra rounds never change a converged answer.
+    ``converged`` reports whether the LAST round was such a no-op — 1
+    means the output IS the true k-core, 0 means raise ``rounds``.
+
+    100 TB shape: every round is one partial-combining degree aggregate
+    plus two semi-joins on the node key (shuffle on a/b, no windows, no
+    driver state); the edge relation is persisted once by the Spark
+    builder (``edges_rel``) — un-persisted, Spark would re-derive the
+    bucket join 2^rounds times (CTE inlining).
+    """
+    from storage_crawler_spark.operators.similarity import _norm_cte  # noqa: F401
+
+    mat = " MATERIALIZED" if d.name == "duck" else ""
+    if edges_rel:
+        parts = [f"e0 AS (SELECT a, b FROM {edges_rel})"]
+    else:
+        parts = [f"e0 AS{mat} (\n{gen_knn_edges(d, m=m)}\n)"]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        # single reference of e{p} per round (two PARTITION-BY degree
+        # windows instead of a degree agg + two semi-joins): the analyzed
+        # plan grows LINEARLY in rounds where the join form doubles per
+        # round (Spark inlines CTEs — 2^rounds subtree copies, measured
+        # as an analysis-time blowup on the MMR chain)
+        parts.append(
+            f"""e{t} AS{mat} (
+  SELECT a, b FROM (
+    SELECT a, b,
+           count(*) OVER (PARTITION BY a) AS da,
+           count(*) OVER (PARTITION BY b) AS db
+    FROM e{p}
+  ) x WHERE da >= {kcore} AND db >= {kcore}
+)"""
+        )
+    parts.append(
+        f"""chk AS (
+  SELECT CASE WHEN (SELECT count(*) FROM e{rounds})
+            = (SELECT count(*) FROM e{rounds - 1})
+         THEN 1 ELSE 0 END AS converged
+)"""
+    )
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT e.a AS vec_id, CAST(count(*) AS BIGINT) AS degree,
+       CAST(max(chk.converged) AS BIGINT) AS converged
+FROM e{rounds} e CROSS JOIN chk
+GROUP BY e.a
+ORDER BY vec_id
+""".strip()

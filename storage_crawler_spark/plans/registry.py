@@ -3702,6 +3702,34 @@ FROM files f
         "recursion",
     )
 
+    def _b_kcore(spark, sf_dir):
+        from storage_crawler_spark.operators.cluster import (
+            gen_knn_edges,
+            gen_knn_kcore,
+        )
+
+        V.register_base_tables(spark, sf_dir, ("embeddings",))
+        _persist_view(spark.sql(gen_knn_edges(SPARK, m=8)), "_kcore_edges")
+        return spark.sql(gen_knn_kcore(SPARK, edges_rel="_kcore_edges"))
+
+    from storage_crawler_spark.operators.cluster import (
+        gen_knn_kcore as _gen_knn_kcore,
+    )
+
+    add(
+        "sim_knn_kcore",
+        _b_kcore,
+        _gen_knn_kcore(DUCK),
+        tags=("similarity", "embedding", "graph"),
+        doc="k-core of the mutual-kNN similarity graph (bucket-local "
+        "candidates, lattice-ranked top-m, INTERSECT mutual filter): "
+        "fixed-round peel where each round is ONE pass with two "
+        "PARTITION-BY degree windows (linear plan growth — the join "
+        "form doubles per round under CTE inlining); converged flag "
+        "reports whether the last round was a no-op, i.e. the output "
+        "is the true k-core; the density filter dual of SemDeDup",
+    )
+
     return specs
 
 

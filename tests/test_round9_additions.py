@@ -1313,3 +1313,105 @@ def test_mmr_spark_engine_path_matches_oracle(spark, tmp_path):
     ).fetchdf()
     assert len(got) == 5
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph k-core: mutual-kNN edges + fixed-round degree peel
+# ---------------------------------------------------------------------------
+
+
+def _sym_edges(pairs):
+    """Both-direction edge relation from undirected {a,b} pairs."""
+    rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return pd.DataFrame(rows, columns=["a", "b"])
+
+
+def test_kcore_clique_survives_chain_peels():
+    from storage_crawler_spark.operators import cluster
+
+    clique = [(i, j) for i in range(1, 6) for j in range(i + 1, 6)]
+    chain = [(5, 6), (6, 7), (7, 8)]
+    got = _duck(
+        cluster.gen_knn_kcore(DUCK, kcore=3, rounds=4, edges_rel="pe"),
+        pe=_sym_edges(clique + chain),
+    )
+    assert got["vec_id"] == [1, 2, 3, 4, 5]
+    assert got["degree"] == [4, 4, 4, 4, 4]
+    assert got["converged"] == [1] * 5
+
+
+def test_kcore_converged_flag_honest_on_short_peel():
+    """A long pendant chain peels one edge-layer per round: too few rounds
+    -> converged 0 and interior chain nodes still present; enough rounds
+    -> converged 1 and only the triangle remains."""
+    from storage_crawler_spark.operators import cluster
+
+    tri = [(1, 2), (2, 3), (1, 3)]
+    chain = [(3, 10), (10, 11), (11, 12), (12, 13), (13, 14), (14, 15)]
+    ed = _sym_edges(tri + chain)
+    sql_short = cluster.gen_knn_kcore(DUCK, kcore=2, rounds=2, edges_rel="pe")
+    short = _duck(sql_short, pe=ed)
+    assert short["converged"] == [0] * len(short["vec_id"])
+    assert 11 in short["vec_id"]  # interior of the chain not yet peeled
+    sql_full = cluster.gen_knn_kcore(DUCK, kcore=2, rounds=7, edges_rel="pe")
+    full = _duck(sql_full, pe=ed)
+    assert full["vec_id"] == [1, 2, 3]
+    assert full["converged"] == [1, 1, 1]
+
+
+def test_knn_edges_mutual_filter_prunes_one_way_links():
+    from storage_crawler_spark.operators import cluster
+
+    # same sign bucket (all positive leads); with m=1: 0<->1 mutual,
+    # 2 -> 1 unreciprocated (1 prefers 0), so only edge {0,1} survives
+    vecs = [
+        [1.0, 0.02, 0.02, 0.02],
+        [0.99, 0.14, 0.02, 0.02],
+        [0.90, 0.43, 0.02, 0.02],
+    ]
+    got = _duck(
+        "SELECT a, b FROM (" + cluster.gen_knn_edges(DUCK, m=1) + ") x ORDER BY a, b",
+        embeddings=_emb_df(vecs),
+    )
+    assert list(zip(got["a"], got["b"])) == [(0, 1), (1, 0)]
+
+
+def test_kcore_spark_builder_matches_oracle(spark, tmp_path):
+    from storage_crawler_spark.operators import cluster
+    from storage_crawler_spark.plans import views as V
+
+    vecs = [
+        [((i + 5) * (j + 3) * 48611) % 883 / 883.0 - 0.5 for j in range(8)]
+        for i in range(60)
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(60), type=pa.int64()),
+            "embedding": pa.array(
+                [[float(pd.Series([x], dtype="float32")[0]) for x in v] for v in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * 60, type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    V.register_base_tables(spark, str(tmp_path), ("embeddings",))
+    edges = spark.sql(cluster.gen_knn_edges(SPARK, m=4))
+    edges.persist()
+    edges.createOrReplaceTempView("_kcore_edges_t")
+    got = spark.sql(
+        cluster.gen_knn_kcore(SPARK, kcore=3, rounds=5, edges_rel="_kcore_edges_t")
+    ).toPandas()
+    edges.unpersist()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    want = con.execute(
+        cluster.gen_knn_kcore(DUCK, kcore=3, rounds=5, m=4)
+    ).fetchdf()
+    assert len(got) >= 1
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
