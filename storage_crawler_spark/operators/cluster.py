@@ -470,35 +470,19 @@ SELECT dst AS a, src AS b FROM topm
 """.strip()
 
 
-def gen_knn_kcore(
+def gen_kcore_peeled(
     d: Dialect,
     kcore: int = 4,
     rounds: int = 6,
     m: int = 8,
     edges_rel: str | None = None,
 ) -> str:
-    """k-core of the kNN similarity graph: the maximal subgraph where
-    every member keeps >= ``kcore`` neighbours AFTER everyone below the
-    bar is removed — the density filter that separates vectors sitting
-    in genuinely dense semantic regions from hub-adjacent stragglers
-    (SemDeDup keeps one per near-dup cluster; the k-core keeps the
-    regions worth sampling MORE from).
-
-    Peeling is ``rounds`` unrolled batch rounds (fixed-sweep discipline,
-    like the LPA communities): each round recomputes degrees over the
-    surviving edge set and drops nodes under the bar; a converged round
-    is a no-op, so extra rounds never change a converged answer.
-    ``converged`` reports whether the LAST round was such a no-op — 1
-    means the output IS the true k-core, 0 means raise ``rounds``.
-
-    100 TB shape: every round is one partial-combining degree aggregate
-    plus two semi-joins on the node key (shuffle on a/b, no windows, no
-    driver state); the edge relation is persisted once by the Spark
-    builder (``edges_rel``) — un-persisted, Spark would re-derive the
-    bucket join 2^rounds times (CTE inlining).
-    """
-    from storage_crawler_spark.operators.similarity import _norm_cte  # noqa: F401
-
+    """The peel chain alone: surviving (a, b) edges after ``rounds``
+    degree-peel rounds over the mutual-kNN graph (see
+    :func:`gen_knn_kcore` for semantics).  Split out so the Spark
+    builder can persist the peeled relation ONCE — the final projection
+    references it twice (degree rows + the 1-row convergence min), and
+    an un-persisted chain would run twice under CTE inlining."""
     mat = " MATERIALIZED" if d.name == "duck" else ""
     if edges_rel:
         parts = [f"e0 AS (SELECT a, b FROM {edges_rel})"]
@@ -521,18 +505,60 @@ def gen_knn_kcore(
   ) x WHERE da >= {kcore} AND db >= {kcore}
 )"""
         )
-    parts.append(
-        f"""chk AS (
-  SELECT CASE WHEN (SELECT count(*) FROM e{rounds})
-            = (SELECT count(*) FROM e{rounds - 1})
-         THEN 1 ELSE 0 END AS converged
-)"""
-    )
     ctes = ",\n".join(parts)
-    return f"""WITH {ctes}
-SELECT e.a AS vec_id, CAST(count(*) AS BIGINT) AS degree,
-       CAST(max(chk.converged) AS BIGINT) AS converged
-FROM e{rounds} e CROSS JOIN chk
-GROUP BY e.a
+    return f"WITH {ctes}\nSELECT a, b FROM e{rounds}"
+
+
+def gen_knn_kcore(
+    d: Dialect,
+    kcore: int = 4,
+    rounds: int = 6,
+    m: int = 8,
+    edges_rel: str | None = None,
+    peeled_rel: str | None = None,
+) -> str:
+    """k-core of the kNN similarity graph: the maximal subgraph where
+    every member keeps >= ``kcore`` neighbours AFTER everyone below the
+    bar is removed — the density filter that separates vectors sitting
+    in genuinely dense semantic regions from hub-adjacent stragglers
+    (SemDeDup keeps one per near-dup cluster; the k-core keeps the
+    regions worth sampling MORE from).
+
+    Peeling is ``rounds`` unrolled batch rounds (fixed-sweep discipline,
+    like the LPA communities): each round recomputes degrees over the
+    surviving edge set and drops nodes under the bar; a converged round
+    is a no-op, so extra rounds never change a converged answer.
+    ``converged`` = 1 iff the NEXT round would be a no-op — i.e. every
+    surviving degree is already >= ``kcore``, so the output IS the true
+    k-core (0 means raise ``rounds``).  That test reads the SAME final
+    degree aggregate the output emits (one 1-row min cross-joined back),
+    so the convergence check adds zero extra passes — the count-compare
+    alternative references the peel chain twice and doubles the whole
+    plan under CTE inlining (measured: 34 -> 17 shuffles in the audit).
+
+    100 TB shape: every round is one pass with two PARTITION-BY degree
+    windows (shuffle on a then b, no global sort, no driver state); the
+    edge relation is persisted once by the Spark builder (``edges_rel``).
+    """
+    mat = " MATERIALIZED" if d.name == "duck" else ""
+    if peeled_rel:
+        peeled = f"pl AS (SELECT a, b FROM {peeled_rel})"
+    else:
+        peeled = (
+            f"pl AS{mat} (\n"
+            + gen_kcore_peeled(d, kcore=kcore, rounds=rounds, m=m, edges_rel=edges_rel)
+            + "\n)"
+        )
+    return f"""WITH {peeled},
+deg AS{mat} (
+  SELECT a AS vec_id, CAST(count(*) AS BIGINT) AS degree
+  FROM pl GROUP BY a
+),
+cv AS (
+  SELECT CASE WHEN min(degree) >= {kcore} THEN 1 ELSE 0 END AS converged
+  FROM deg
+)
+SELECT d.vec_id, d.degree, CAST(cv.converged AS BIGINT) AS converged
+FROM deg d CROSS JOIN cv
 ORDER BY vec_id
 """.strip()

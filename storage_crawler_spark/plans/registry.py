@@ -3704,13 +3704,17 @@ FROM files f
 
     def _b_kcore(spark, sf_dir):
         from storage_crawler_spark.operators.cluster import (
-            gen_knn_edges,
+            gen_kcore_peeled,
             gen_knn_kcore,
         )
 
         V.register_base_tables(spark, sf_dir, ("embeddings",))
-        _persist_view(spark.sql(gen_knn_edges(SPARK, m=8)), "_kcore_edges")
-        return spark.sql(gen_knn_kcore(SPARK, edges_rel="_kcore_edges"))
+        # one persisted relation: the peeled edge set (the final
+        # projection reads it twice — degree rows + the 1-row convergence
+        # min — and the whole 6-round window chain would run twice
+        # un-persisted; plan-audit catch)
+        _persist_view(spark.sql(gen_kcore_peeled(SPARK)), "_kcore_peeled")
+        return spark.sql(gen_knn_kcore(SPARK, peeled_rel="_kcore_peeled"))
 
     from storage_crawler_spark.operators.cluster import (
         gen_knn_kcore as _gen_knn_kcore,
@@ -3862,7 +3866,8 @@ _DRIVER_WINDOW_FIRST = (
     # (fsmeta_scan via read_blob, text_quality_learned via the lattice
     # logreg — both previously rows-only, so a first stamp needs r10
     # anyway) and the late-r9 operators dedup_semantic, text_pii_scan,
-    # pipeline_dsir_weights, events_lpa_communities.  All stay
+    # pipeline_dsir_weights, events_lpa_communities, events_scd2_history,
+    # events_cusum_changepoint, sim_mmr_rerank, sim_knn_kcore.  All stay
     # sweep-checked and pytest-covered.)
 )
 

@@ -1399,13 +1399,13 @@ def test_kcore_spark_builder_matches_oracle(spark, tmp_path):
     )
     pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
     V.register_base_tables(spark, str(tmp_path), ("embeddings",))
-    edges = spark.sql(cluster.gen_knn_edges(SPARK, m=4))
-    edges.persist()
-    edges.createOrReplaceTempView("_kcore_edges_t")
+    peeled = spark.sql(cluster.gen_kcore_peeled(SPARK, kcore=3, rounds=5, m=4))
+    peeled.persist()
+    peeled.createOrReplaceTempView("_kcore_peeled_t")
     got = spark.sql(
-        cluster.gen_knn_kcore(SPARK, kcore=3, rounds=5, edges_rel="_kcore_edges_t")
+        cluster.gen_knn_kcore(SPARK, kcore=3, peeled_rel="_kcore_peeled_t")
     ).toPandas()
-    edges.unpersist()
+    peeled.unpersist()
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"

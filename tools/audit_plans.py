@@ -119,6 +119,10 @@ NLJ_ALLOWED = {
     # type affinity: CROSS JOIN of the 1-row distinct-user total (the lift
     # normalizer) — scalar shape; the pair join itself is an equi-join
     "events_type_affinity",
+    # k-core: CROSS JOIN of the 1-row convergence flag (two scalar-subquery
+    # edge counts compared) — scalar shape; peel rounds are windows, the
+    # edge build is a bucket equi-join
+    "sim_knn_kcore",
     # value trend: CROSS JOIN of the 1-row min-day scalar (the OLS x-offset)
     "events_value_trend",
     # shard balance: CROSS JOIN of the 1-row corpus-total scalar (the load
