@@ -1619,7 +1619,7 @@ ORDER BY user_id, valid_from_s, state
 
 
 def gen_cusum_changepoint(
-    d: Dialect, h: float = 5.0, slack_pct: int = 10
+    d: Dialect, h: float = 5.0, slack_pct: int = 10, hc_rel: str | None = None
 ) -> str:
     """CUSUM level-shift detection per event type: hourly buckets where
     the one-sided cumulative sum of (count - mean - slack) exceeds
@@ -1645,7 +1645,10 @@ def gen_cusum_changepoint(
     per-type moment aggregate broadcast back, and the two running
     windows PARTITION BY event_type (shuffle on the type key, never a
     global sort).  Baseline is over OBSERVED buckets, matching the
-    burst detector's frame.
+    burst detector's frame.  The bucket counters are pure sums, so the
+    relation is micro-batch-splittable — ``hc_rel`` substitutes the
+    incrementally-maintained streaming counter table (the
+    ``streaming_cusum_changepoint`` twin), finish identical.
     """
     es = d.epoch_s_events("ts")
     # dev on the 100*nb lattice; P and runmin inherit it
@@ -1654,15 +1657,19 @@ def gen_cusum_changepoint(
     sigma = f"(sqrt(CASE WHEN {var} < 0 THEN 0 ELSE {var} END) / nb)"
     cus = "(CAST(p - LEAST(0, mn) AS DOUBLE) / (100.0e0 * nb))"
     ratio = f"({cus} / nullif({sigma}, 0))"
-    return f"""
-WITH e0 AS (
+    if hc_rel:
+        hc_cte = f"hc AS (SELECT event_type, hb, n FROM {hc_rel})"
+    else:
+        hc_cte = f"""e0 AS (
   SELECT event_type, {d.idiv(f'({es})', '3600')} AS hb
   FROM events WHERE event_type IS NOT NULL
 ),
 hc AS (
   SELECT event_type, hb, CAST(count(*) AS BIGINT) AS n
   FROM e0 GROUP BY event_type, hb
-),
+)"""
+    return f"""
+WITH {hc_cte},
 st AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS nb,
          CAST(sum(n) AS BIGINT) AS total,

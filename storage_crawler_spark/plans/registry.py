@@ -3683,6 +3683,32 @@ FROM files f
         "level-shift complement of events_burst_windows' point z-score",
     )
 
+    def _b_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from storage_crawler_spark.streaming import (
+            hourly_counters,
+            read_events_stream,
+            run_to_completion,
+        )
+
+        hc = run_to_completion(hourly_counters(read_events_stream(spark, sf_dir)))
+        hc.createOrReplaceTempView("_cusum_stream_hc")
+        V.register_base_tables(spark, sf_dir, ("events",))
+        return spark.sql(
+            analytics.gen_cusum_changepoint(SPARK, hc_rel="_cusum_stream_hc")
+        )
+
+    add(
+        "streaming_cusum_changepoint",
+        _b_streaming_cusum,
+        analytics.gen_cusum_changepoint(DUCK),
+        tags=("streaming", "events"),
+        doc="streaming twin of events_cusum_changepoint: the same "
+        "incrementally-maintained (type, hour) counters the burst twin "
+        "rides (pure sums — exact under any micro-batch split), prefix-"
+        "sum CUSUM finished batch-side; oracle is the one-shot batch "
+        "formulation — a hash-exact streaming/batch equivalence gate",
+    )
+
     def _b_mmr(spark, sf_dir):
         from storage_crawler_spark.operators.similarity import mmr_rerank
 

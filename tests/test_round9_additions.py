@@ -1415,3 +1415,26 @@ def test_kcore_spark_builder_matches_oracle(spark, tmp_path):
     ).fetchdf()
     assert len(got) >= 1
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_cusum_hc_rel_finish_identical():
+    """The hc_rel substitution (streaming twin's finish) is plan-identical
+    to the inline bucket aggregation: same alarms from pre-aggregated
+    counters as from the raw events."""
+    from storage_crawler_spark.operators import analytics
+
+    counts = {"A": [4, 5] * 12 + [11] * 12, "B": [3] * 30}
+    ev, T = _hourly_events(counts)
+    inline = _duck(analytics.gen_cusum_changepoint(DUCK, h=2.0), events=ev)
+    hc = pd.DataFrame(
+        [
+            (t, T // 3600 + b, n)
+            for t, cs in counts.items()
+            for b, n in enumerate(cs)
+        ],
+        columns=["event_type", "hb", "n"],
+    )
+    via_rel = _duck(
+        analytics.gen_cusum_changepoint(DUCK, h=2.0, hc_rel="hcv"), hcv=hc
+    )
+    assert inline == via_rel and len(inline["event_type"]) >= 1
