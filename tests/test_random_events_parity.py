@@ -120,6 +120,15 @@ EVENT_ENTRIES = [
     # equal edge counts (smallest-md5-label break) and NULL user/type
     # exclusion; the whole alternating chain must agree bit for bit
     "events_lpa_communities",
+    # SCD2 gaps-and-islands: pooled instants force the lag/lead tie-break
+    # on event_id; single-event users; NULL user/type exclusion
+    "events_scd2_history",
+    # CUSUM closed form on random sparse buckets: zero-variance types hit
+    # the nullif sigma guard; exact-lattice prefix sums must agree
+    "events_cusum_changepoint",
+    # its streaming twin rides the micro-batched counters against the
+    # same one-shot oracle
+    "streaming_cusum_changepoint",
     # streaming_event_deltas is rows-only (stateful applyInPandasWithState,
     # no SQL oracle) — covered by tests/test_streaming.py instead
 ]

@@ -248,7 +248,21 @@ EMB_QUERIES = [
     # round-9 SemDeDup: duplicate vectors are d2=0 pairs in whatever cell
     # they land in; antipodes split cells; NULL embeddings drop
     ("semantic_dedup", lambda d: _km().gen_semantic_dedup(d, k=4, iters=2)),
+    # round-9 MMR: duplicate vectors give simq ties (vec_id break), the
+    # antipode lands last on relevance, zero/NULL vectors drop at the norm
+    # guard; SMALL k keeps the unrolled chain's 3^k Spark inlining benign
+    # (the registry's Spark path is the collected-pool greedy)
+    ("mmr_rerank", lambda d: similarity.gen_mmr_rerank(d, pool_n=6, k=3)),
+    # round-9 k-core: duplicate vectors are mutual-top-1 pairs; the peel
+    # must agree on adversarial degree ties in both engines
+    ("knn_kcore", lambda d: _cl().gen_knn_kcore(d, kcore=2, rounds=3, m=3)),
 ]
+
+
+def _cl():
+    from storage_crawler_spark.operators import cluster
+
+    return cluster
 
 
 def _pq():
