@@ -1695,3 +1695,50 @@ FROM cs
 WHERE {ratio} > {h}
 ORDER BY event_type, bucket_start_s
 """.strip()
+
+
+def gen_mad_outliers(d: Dialect, z_cut: float = 3.5) -> str:
+    """Robust per-type value outliers via the modified z-score (Iglewicz &
+    Hoaglin 1993): 0.6745·(value − median)/MAD, flagged beyond ``z_cut``
+    — the robust complement of mean/σ detectors (burst z, CUSUM): one
+    real whale inflates a mean-based σ enough to hide the NEXT whale,
+    while median/MAD don't move.
+
+    Exactness: event values are multiples of 1/8 (exactly representable),
+    so percentile_cont's interpolation arithmetic is exact and the
+    median/MAD are bit-identical across engines (the
+    gen_user_value_quantiles convention); the final ratio is the same
+    double expression in both engines.  MAD = 0 types (constant values)
+    emit nothing via the nullif guard — the standard MAD caveat,
+    documented rather than patched.
+
+    100 TB shape: two partial-combining per-type aggregates (median, then
+    MAD over the broadcast-joined deviations) and one filtered scan —
+    no windows, no global sort before the bounded final ORDER BY.
+    """
+    med = "percentile_cont(0.5) WITHIN GROUP (ORDER BY value)"
+    madp = "percentile_cont(0.5) WITHIN GROUP (ORDER BY ad)"
+    mz = "(0.6745e0 * (e.value - m.med) / nullif(md.mad, 0))"
+    return f"""
+WITH ev AS (
+  SELECT event_id, event_type, value FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+m AS (
+  SELECT event_type, {med} AS med FROM ev GROUP BY event_type
+),
+ad0 AS (
+  SELECT e.event_type, abs(e.value - m.med) AS ad
+  FROM ev e JOIN m ON e.event_type = m.event_type
+),
+md AS (
+  SELECT event_type, {madp} AS mad FROM ad0 GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, {d.trunc6('e.value')} AS value,
+       {d.trunc6(mz)} AS robust_z
+FROM ev e
+JOIN m ON e.event_type = m.event_type
+JOIN md ON e.event_type = md.event_type
+WHERE abs({mz}) > {z_cut}
+ORDER BY e.event_type, e.event_id
+""".strip()

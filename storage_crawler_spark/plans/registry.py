@@ -3683,6 +3683,20 @@ FROM files f
         "level-shift complement of events_burst_windows' point z-score",
     )
 
+    b, o = _sql_pair(analytics.gen_mad_outliers, ("events",))
+    add(
+        "events_mad_outliers",
+        b,
+        o,
+        tags=("events", "analytics"),
+        doc="robust per-type value outliers via the modified z-score "
+        "(Iglewicz & Hoaglin 1993, 0.6745*(x-median)/MAD > 3.5): exact "
+        "percentile_cont on the 1/8-lattice values so median/MAD are "
+        "bit-identical across engines; MAD=0 types emit nothing (nullif "
+        "guard, documented caveat) — the robust complement of the "
+        "mean/sigma detectors (burst z, CUSUM)",
+    )
+
     def _b_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         from storage_crawler_spark.streaming import (
             hourly_counters,

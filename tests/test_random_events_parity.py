@@ -129,6 +129,9 @@ EVENT_ENTRIES = [
     # its streaming twin rides the micro-batched counters against the
     # same one-shot oracle
     "streaming_cusum_changepoint",
+    # MAD modified z: random 1/8-lattice values with NULLs; constant-value
+    # types hit the MAD=0 nullif guard in both engines
+    "events_mad_outliers",
     # streaming_event_deltas is rows-only (stateful applyInPandasWithState,
     # no SQL oracle) — covered by tests/test_streaming.py instead
 ]

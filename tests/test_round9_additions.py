@@ -1438,3 +1438,52 @@ def test_cusum_hc_rel_finish_identical():
         analytics.gen_cusum_changepoint(DUCK, h=2.0, hc_rel="hcv"), hcv=hc
     )
     assert inline == via_rel and len(inline["event_type"]) >= 1
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outliers: modified z-score per event type
+# ---------------------------------------------------------------------------
+
+
+def test_mad_planted_whale_flagged_mean_robust():
+    """One extreme whale is flagged; the median/MAD baseline ignores it
+    (unlike mean/sigma, where the whale inflates sigma)."""
+    from storage_crawler_spark.operators import analytics
+
+    T = 1_700_000_000
+    vals = [10.0, 10.125, 10.25, 10.0, 10.125, 10.25, 10.0, 10.125, 1000.0]
+    rows = [(i, T + i, 1, "A", v, "{}") for i, v in enumerate(vals)]
+    got = _duck(analytics.gen_mad_outliers(DUCK), events=_events_sec_df(rows))
+    assert got["event_id"] == [8]
+    assert got["robust_z"][0] > 1000
+
+
+def test_mad_zero_mad_and_null_guards():
+    from storage_crawler_spark.operators import analytics
+
+    T = 1_700_000_000
+    rows = [(i, T + i, 1, "C", 5.0, "{}") for i in range(10)]  # constant: MAD 0
+    rows += [(20, T, 1, None, 99999.0, "{}"), (21, T, 1, "C", None, "{}")]
+    got = _duck(analytics.gen_mad_outliers(DUCK), events=_events_sec_df(rows))
+    assert got["event_id"] == []
+
+
+def test_mad_spark_matches_oracle_bitwise(spark):
+    from storage_crawler_spark.operators import analytics
+
+    T = 1_700_000_000
+    rows = [
+        (i, T + 7 * i, (i * 3) % 5, "t" + str(i % 3),
+         (((i * 2654435761) >> 5) % 64) / 8.0 + (200.0 if i % 37 == 0 else 0.0),
+         "{}")
+        for i in range(200)
+    ]
+    pdf = _events_sec_df(rows)
+    spark.createDataFrame(pdf).createOrReplaceTempView("events")
+    got = spark.sql(analytics.gen_mad_outliers(SPARK)).toPandas()
+    spark.catalog.dropTempView("events")
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = con.execute(analytics.gen_mad_outliers(DUCK)).fetchdf()
+    assert len(got) >= 1
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
