@@ -2291,3 +2291,91 @@ FROM scanned
 GROUP BY source
 ORDER BY source
 """.strip()
+
+
+def gen_rake_keywords(
+    d: Dialect,
+    src: str = "documents",
+    n_stop: int = 8,
+    max_len: int = 4,
+    top_k: int = 40,
+) -> str:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs, each scored by the sum of its
+    member words' degree/frequency ratios — degree rewards words that
+    co-occur in longer phrases, frequency discounts ubiquitous ones.
+    The corpus has no fixed stopword list, so the stopword set is the
+    corpus' own top-``n_stop`` tokens by frequency (deterministic, and
+    the right analogue: RAKE's published lists are exactly the highest-
+    frequency function words of English).
+
+    Exactness: word scores live on the idiv lattice floor(1e6·deg/freq)
+    — BIGINT end to end, so phrase scores and the final ranking are
+    engine-exact with a phrase-text tie-break (no float ever enters the
+    ordering; the emitted rake_score is presentation only).
+
+    100 TB shape: positional explode is map-only; the stopword set is a
+    TakeOrderedAndProject top-N broadcast back as an anti-join; phrase
+    islands come from a PARTITION BY doc_id window (pos − row_number);
+    word stats and phrase scores are partial-combining aggregates over
+    (doc, island)-keyed equi-joins; final top-k fuses.  Phrases longer
+    than ``max_len`` are dropped (the cap bounds phrase-string width —
+    documented RAKE variant).
+    """
+    toks = d.regex_tokens("lower(text)", "[a-z0-9]+")
+    tok_i = d.elem("toks", "i")
+    lat = d.lateral_seq("1", d.size("toks"), "i")
+    phrase = d.ajoin(d.agg_arr_by("pos", "token"), " ")
+    ws = d.idiv("(1000000 * deg)", "freq")
+    return f"""
+WITH tp AS (
+  SELECT doc_id, i AS pos, {tok_i} AS token
+  FROM (
+    SELECT doc_id, toks
+    FROM (SELECT doc_id, {toks} AS toks FROM {src} WHERE text IS NOT NULL) t0
+    WHERE {d.size('toks')} >= 1
+  ) t1
+  {lat}
+),
+stop AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS n FROM tp GROUP BY token
+    ORDER BY n DESC, token LIMIT {n_stop}
+  ) s
+),
+cand AS (
+  SELECT doc_id, pos, token,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM tp WHERE token NOT IN (SELECT token FROM stop)
+),
+ph AS (
+  SELECT doc_id, isl, {phrase} AS phrase,
+         CAST(count(*) AS BIGINT) AS n_words
+  FROM cand GROUP BY doc_id, isl
+  HAVING count(*) <= {max_len}
+),
+wstat AS (
+  SELECT c.token, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(p.n_words) AS BIGINT) AS deg
+  FROM cand c JOIN ph p ON c.doc_id = p.doc_id AND c.isl = p.isl
+  GROUP BY c.token
+),
+wsc AS (
+  SELECT token, CAST({ws} AS BIGINT) AS ws FROM wstat
+),
+psc AS (
+  SELECT p.doc_id, p.isl, p.phrase, p.n_words,
+         CAST(sum(w.ws) AS BIGINT) AS score
+  FROM ph p
+  JOIN cand c ON c.doc_id = p.doc_id AND c.isl = p.isl
+  JOIN wsc w ON w.token = c.token
+  GROUP BY p.doc_id, p.isl, p.phrase, p.n_words
+)
+SELECT phrase, max(n_words) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       {d.trunc6('(CAST(max(score) AS DOUBLE) / 1000000)')} AS rake_score
+FROM psc
+GROUP BY phrase
+ORDER BY max(score) DESC, phrase
+LIMIT {top_k}
+""".strip()

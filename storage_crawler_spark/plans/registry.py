@@ -3683,6 +3683,20 @@ FROM files f
         "level-shift complement of events_burst_windows' point z-score",
     )
 
+    b, o = _sql_pair(text.gen_rake_keywords, ("documents",))
+    add(
+        "text_rake_keywords",
+        b,
+        o,
+        tags=("text",),
+        doc="RAKE keyword extraction (Rose et al. 2010): stopword-free "
+        "token runs scored by summed word degree/frequency ratios on the "
+        "exact idiv lattice (BIGINT end to end, phrase tie-break — no "
+        "float in the ranking); stopwords are the corpus' own top-N "
+        "tokens (broadcast anti-join), islands from a PARTITION BY "
+        "doc_id window, final top-k fused",
+    )
+
     b, o = _sql_pair(analytics.gen_mad_outliers, ("events",))
     add(
         "events_mad_outliers",

@@ -481,6 +481,10 @@ DOC_ENTRIES = [
     # hit arbitrary id residues; consistency flag must be 1 everywhere a
     # source survives
     "ingest_ivm_agg",
+    # RAKE: random short docs make the corpus-derived stopword set and the
+    # idiv-lattice ranking agree or fail loudly; phrase-text tie-breaks on
+    # repeated runs are the adversarial surface
+    "text_rake_keywords",
     # frozen Laplace on random source sets; clamp at the uniform edge
     "pipeline_dp_release",
     # corpus-level BPE apply: OOV char-fallback on multibyte/punctuated

@@ -1487,3 +1487,65 @@ def test_mad_spark_matches_oracle_bitwise(spark):
     want = con.execute(analytics.gen_mad_outliers(DUCK)).fetchdf()
     assert len(got) >= 1
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# RAKE keywords: stopword-split phrase runs scored by degree/frequency
+# ---------------------------------------------------------------------------
+
+
+def _docs_df(texts):
+    return pd.DataFrame(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) if t else 0 for t in texts],
+        }
+    )
+
+
+def test_rake_hand_computed_scores():
+    from storage_crawler_spark.operators import text as t
+
+    docs = _docs_df(["x alpha beta x gamma x", "x alpha beta x delta gamma x"])
+    got = _duck(t.gen_rake_keywords(DUCK, n_stop=1, top_k=10), documents=docs)
+    # stop = {x}; freq: alpha 2, beta 2, gamma 2, delta 1
+    # deg: alpha 4, beta 4, gamma 3 (singleton + pair), delta 2
+    # scores: alpha beta = 2+2, delta gamma = 2+1.5, gamma = 1.5
+    assert got["phrase"] == ["alpha beta", "delta gamma", "gamma"]
+    assert got["rake_score"] == [4.0, 3.5, 1.5]
+    assert got["n_occurrences"] == [2, 1, 1]
+    assert all("x" not in p.split() for p in got["phrase"])
+
+
+def test_rake_max_len_cap_and_empty_docs():
+    from storage_crawler_spark.operators import text as t
+
+    docs = _docs_df(["stop a b c d e stop", None, ""])
+    # 'stop' is the most frequent token; the 5-word run exceeds max_len=4
+    # and is dropped entirely (documented cap), leaving nothing
+    got = _duck(t.gen_rake_keywords(DUCK, n_stop=1, max_len=4), documents=docs)
+    assert got["phrase"] == []
+    got5 = _duck(t.gen_rake_keywords(DUCK, n_stop=1, max_len=5), documents=docs)
+    assert got5["phrase"] == ["a b c d e"]
+
+
+def test_rake_spark_matches_oracle_bitwise(spark):
+    from storage_crawler_spark.operators import text as t
+
+    words = ["spark", "query", "merge", "join", "scan", "the", "of", "fast"]
+    texts = [
+        " ".join(words[((i * 7 + j * 3) % len(words))] for j in range(14))
+        for i in range(40)
+    ]
+    pdf = _docs_df(texts)
+    spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+    got = spark.sql(t.gen_rake_keywords(SPARK, n_stop=2, top_k=25)).toPandas()
+    spark.catalog.dropTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(t.gen_rake_keywords(DUCK, n_stop=2, top_k=25)).fetchdf()
+    assert len(got) >= 5
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
