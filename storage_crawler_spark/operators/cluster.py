@@ -562,3 +562,52 @@ SELECT d.vec_id, d.degree, CAST(cv.converged AS BIGINT) AS converged
 FROM deg d CROSS JOIN cv
 ORDER BY vec_id
 """.strip()
+
+
+def gen_knn_clustering_coeff(
+    d: Dialect, m: int = 8, edges_rel: str | None = None
+) -> str:
+    """Local clustering coefficient over the mutual-kNN graph: per node,
+    the fraction of its neighbour pairs that are themselves connected
+    (triangles / wedges) — the manifold-density audit that separates
+    vectors on a coherent local patch (cc → 1) from bridge points whose
+    neighbours disagree with each other (cc → 0); with the k-core it
+    completes the similarity-graph plane (SemDeDup prunes copies, the
+    k-core keeps dense regions, cc grades HOW internally consistent a
+    region is).
+
+    Counting: the edge relation is symmetric, so triangles at node v are
+    pairs of neighbours (b, c) with b < c and edge {b, c} present — one
+    two-hop equi-join plus an edge-membership semi-join, each shuffle
+    keyed on a node id.  Degree is bounded by the mutual-kNN ``m``, so
+    the wedge relation is O(n·m²) — never quadratic in n.  All counts
+    exact BIGINTs; cc is one late division, trunc6 for display, and the
+    output ordering is on vec_id alone (no float in the order).
+    """
+    if edges_rel:
+        e0 = f"e0 AS (SELECT a, b FROM {edges_rel})"
+    else:
+        mat = " MATERIALIZED" if d.name == "duck" else ""
+        e0 = f"e0 AS{mat} (\n{gen_knn_edges(d, m=m)}\n)"
+    return f"""
+WITH {e0},
+deg AS (
+  SELECT a AS v, CAST(count(*) AS BIGINT) AS degree FROM e0 GROUP BY a
+),
+wedge AS (
+  SELECT x.a AS v, x.b AS nb, y.b AS nc
+  FROM e0 x JOIN e0 y ON x.a = y.a AND x.b < y.b
+),
+tri AS (
+  SELECT w.v, CAST(count(*) AS BIGINT) AS n_tri
+  FROM wedge w JOIN e0 e ON w.nb = e.a AND w.nc = e.b
+  GROUP BY w.v
+)
+SELECT d0.v AS vec_id, d0.degree,
+       CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+       {d.trunc6('CASE WHEN d0.degree >= 2 THEN '
+                  'CAST(2 * coalesce(t.n_tri, 0) AS DOUBLE) '
+                  '/ (d0.degree * (d0.degree - 1)) ELSE 0.0e0 END')} AS clustering_coeff
+FROM deg d0 LEFT JOIN tri t ON d0.v = t.v
+ORDER BY vec_id
+""".strip()

@@ -3683,6 +3683,36 @@ FROM files f
         "level-shift complement of events_burst_windows' point z-score",
     )
 
+    def _b_cc(spark, sf_dir):
+        from storage_crawler_spark.operators.cluster import (
+            gen_knn_clustering_coeff,
+            gen_knn_edges,
+        )
+
+        V.register_base_tables(spark, sf_dir, ("embeddings",))
+        # the edge relation is referenced four times (degree, wedge x2,
+        # triangle membership) — persist once
+        _persist_view(spark.sql(gen_knn_edges(SPARK, m=8)), "_cc_edges")
+        return spark.sql(gen_knn_clustering_coeff(SPARK, edges_rel="_cc_edges"))
+
+    from storage_crawler_spark.operators.cluster import (
+        gen_knn_clustering_coeff as _gen_knn_cc,
+    )
+
+    add(
+        "sim_knn_clustering_coeff",
+        _b_cc,
+        _gen_knn_cc(DUCK),
+        tags=("similarity", "embedding", "graph"),
+        doc="local clustering coefficient over the mutual-kNN graph: "
+        "triangles per node via one two-hop equi-join + edge-membership "
+        "semi-join on the symmetric bounded-degree (<= m) edge relation "
+        "— O(n*m^2) wedges, never quadratic in n; exact BIGINT counts, "
+        "one late division; grades how internally consistent each "
+        "vector's local region is (the cc ~ 1 patches are the "
+        "redundancy SemDeDup prunes, cc ~ 0 nodes are bridges)",
+    )
+
     b, o = _sql_pair(text.gen_rake_keywords, ("documents",))
     add(
         "text_rake_keywords",

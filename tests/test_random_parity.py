@@ -256,6 +256,9 @@ EMB_QUERIES = [
     # round-9 k-core: duplicate vectors are mutual-top-1 pairs; the peel
     # must agree on adversarial degree ties in both engines
     ("knn_kcore", lambda d: _cl().gen_knn_kcore(d, kcore=2, rounds=3, m=3)),
+    # round-9 clustering coefficient: duplicate/antipode vectors create
+    # mutual pairs and degenerate wedges; exact triangle counts must agree
+    ("knn_clustering_coeff", lambda d: _cl().gen_knn_clustering_coeff(d, m=3)),
 ]
 
 

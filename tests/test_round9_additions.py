@@ -1549,3 +1549,59 @@ def test_rake_spark_matches_oracle_bitwise(spark):
     want = con.execute(t.gen_rake_keywords(DUCK, n_stop=2, top_k=25)).fetchdf()
     assert len(got) >= 5
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_clustering_coeff_triangle_vs_star():
+    """Triangle nodes have cc 1; a star center has cc 0 (no neighbour
+    pair connected); leaves (degree 1) get the degree<2 zero."""
+    from storage_crawler_spark.operators import cluster
+
+    tri = [(1, 2), (2, 3), (1, 3)]
+    star = [(10, 11), (10, 12), (10, 13)]
+    got = _duck(
+        cluster.gen_knn_clustering_coeff(DUCK, edges_rel="pe"),
+        pe=_sym_edges(tri + star),
+    )
+    cc = dict(zip(got["vec_id"], got["clustering_coeff"]))
+    ntri = dict(zip(got["vec_id"], got["n_triangles"]))
+    assert cc[1] == cc[2] == cc[3] == 1.0 and ntri[1] == 1
+    assert cc[10] == 0.0 and ntri[10] == 0
+    assert cc[11] == cc[12] == cc[13] == 0.0  # degree-1 leaves
+
+
+def test_clustering_coeff_spark_matches_oracle(spark, tmp_path):
+    from storage_crawler_spark.operators import cluster
+    from storage_crawler_spark.plans import views as V
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vecs = [
+        [((i + 11) * (j + 2) * 104729) % 769 / 769.0 - 0.5 for j in range(8)]
+        for i in range(50)
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(50), type=pa.int64()),
+            "embedding": pa.array(
+                [[float(pd.Series([x], dtype="float32")[0]) for x in v] for v in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * 50, type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    V.register_base_tables(spark, str(tmp_path), ("embeddings",))
+    edges = spark.sql(cluster.gen_knn_edges(SPARK, m=4))
+    edges.persist()
+    edges.createOrReplaceTempView("_cc_edges_t")
+    got = spark.sql(
+        cluster.gen_knn_clustering_coeff(SPARK, edges_rel="_cc_edges_t")
+    ).toPandas()
+    edges.unpersist()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    want = con.execute(cluster.gen_knn_clustering_coeff(DUCK, m=4)).fetchdf()
+    assert len(got) >= 10
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
