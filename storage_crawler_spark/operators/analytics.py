@@ -1742,3 +1742,66 @@ JOIN md ON e.event_type = md.event_type
 WHERE abs({mz}) > {z_cut}
 ORDER BY e.event_type, e.event_id
 """.strip()
+
+
+def gen_periodicity_acf(
+    d: Dialect, lags: tuple[int, ...] = (24, 168), min_pairs: int = 24
+) -> str:
+    """Seasonality audit per event type: the lag-``k`` autocorrelation of
+    the hourly count series at the daily (24) and weekly (168) lags — a
+    feed with acf24 near 1 has a strong diurnal rhythm, near 0 is
+    memoryless, negative alternates; the spectral complement of the
+    dow-seasonality table (which asks WHICH day, this asks whether the
+    period exists at all).
+
+    ACF here is the Pearson correlation of paired observed buckets
+    (n(t), n(t+k)) — buckets missing on either side of the lag simply
+    form no pair ('pairwise-complete', documented; an absent hour is
+    unobserved, not zero, matching the burst/CUSUM frame).  Exactness:
+    counts are BIGINT, the correlation is assembled from exact integer
+    sums (n, Σx, Σy, Σxy, Σx², Σy²) with one late division and one
+    correctly-rounded sqrt per side — identical doubles in both engines
+    (corr_audit discipline), nullif-guarded for constant series.
+
+    100 TB shape: one partial-combining (type, hour) count, then a
+    self-equi-join on (type, hb+k) per lag over the tiny bucket
+    relation, and a per-(type, lag) moment aggregate.  No windows.
+    """
+    es = d.epoch_s_events("ts")
+    num = "(CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    vx = "(CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    vy = "(CAST(np AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+    acf = (
+        f"({num} / nullif(sqrt(CASE WHEN {vx} < 0 THEN 0 ELSE {vx} END) * "
+        f"sqrt(CASE WHEN {vy} < 0 THEN 0 ELSE {vy} END), 0))"
+    )
+    blocks = []
+    for k in lags:
+        blocks.append(
+            f"""SELECT x.event_type, CAST({k} AS BIGINT) AS lag_h,
+       CAST(count(*) AS BIGINT) AS np,
+       CAST(sum(x.n) AS BIGINT) AS sx, CAST(sum(y.n) AS BIGINT) AS sy,
+       CAST(sum(x.n * y.n) AS BIGINT) AS sxy,
+       CAST(sum(x.n * x.n) AS BIGINT) AS sxx,
+       CAST(sum(y.n * y.n) AS BIGINT) AS syy
+FROM hc x JOIN hc y ON x.event_type = y.event_type AND y.hb = x.hb + {k}
+GROUP BY x.event_type"""
+        )
+    unioned = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH e0 AS (
+  SELECT event_type, {d.idiv(f'({es})', '3600')} AS hb
+  FROM events WHERE event_type IS NOT NULL
+),
+hc AS (
+  SELECT event_type, hb, CAST(count(*) AS BIGINT) AS n
+  FROM e0 GROUP BY event_type, hb
+),
+mom AS (
+{unioned}
+)
+SELECT event_type, lag_h, np AS n_pairs, {d.trunc6(acf)} AS acf
+FROM mom
+WHERE np >= {min_pairs}
+ORDER BY event_type, lag_h
+""".strip()

@@ -3683,6 +3683,20 @@ FROM files f
         "level-shift complement of events_burst_windows' point z-score",
     )
 
+    b, o = _sql_pair(analytics.gen_periodicity_acf, ("events",))
+    add(
+        "events_periodicity_acf",
+        b,
+        o,
+        tags=("events", "analytics"),
+        doc="seasonality audit: lag-24/-168 autocorrelation of the hourly "
+        "count series per event type (pairwise-complete over observed "
+        "buckets); Pearson assembled from exact integer sums with one "
+        "late division + correctly-rounded sqrts (corr_audit "
+        "discipline), nullif-guarded constant series — the spectral "
+        "complement of events_dow_seasonality",
+    )
+
     def _b_cc(spark, sf_dir):
         from storage_crawler_spark.operators.cluster import (
             gen_knn_clustering_coeff,

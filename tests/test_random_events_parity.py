@@ -132,6 +132,9 @@ EVENT_ENTRIES = [
     # MAD modified z: random 1/8-lattice values with NULLs; constant-value
     # types hit the MAD=0 nullif guard in both engines
     "events_mad_outliers",
+    # ACF: random sparse buckets -> ragged lag pairing; constant and
+    # near-constant types hit the zero-variance NULL guard identically
+    "events_periodicity_acf",
     # streaming_event_deltas is rows-only (stateful applyInPandasWithState,
     # no SQL oracle) — covered by tests/test_streaming.py instead
 ]

@@ -1605,3 +1605,67 @@ def test_clustering_coeff_spark_matches_oracle(spark, tmp_path):
     want = con.execute(cluster.gen_knn_clustering_coeff(DUCK, m=4)).fetchdf()
     assert len(got) >= 10
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# Periodicity ACF: lag-24/168 autocorrelation of the hourly count series
+# ---------------------------------------------------------------------------
+
+
+def test_acf_planted_daily_rhythm_near_one():
+    """A perfectly 24-periodic series has acf24 = 1 exactly (the paired
+    sums are identical); a constant series keeps its row with the
+    nullif-guarded NULL acf (zero variance — correlation undefined)."""
+    from storage_crawler_spark.operators import analytics
+
+    daily = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3, 2, 3, 8, 4, 6, 2, 6, 4]
+    counts = {"A": daily * 6, "B": [7] * 144}
+    ev, _ = _hourly_events(counts)
+    got = _duck(analytics.gen_periodicity_acf(DUCK, lags=(24,)), events=ev)
+    assert got["event_type"] == ["A", "B"]
+    assert got["acf"][0] == 1.0 and got["acf"][1] is None
+
+
+def test_acf_pairwise_complete_on_gaps():
+    """Buckets missing on either side of the lag form no pair: a series
+    observed only on even hours has zero lag-1... but full lag-2 pairs."""
+    from storage_crawler_spark.operators import analytics
+
+    # hours 0,2,4,...,58 observed; lag 2 pairs = 29, lag 1 pairs = 0
+    counts = {"A": [1] * 60}
+    ev, T = _hourly_events(counts)
+    pdf = ev[(ev["ts"].astype("int64") // 10**9 - T) // 3600 % 2 == 0].reset_index(drop=True)
+    # vary values so variance > 0: bump every 4th hour
+    vals = ((pdf["ts"].astype("int64") // 10**9 - T) // 3600 % 4 == 0)
+    pdf = pd.concat([pdf, pdf[vals]]).reset_index(drop=True)
+    pdf["event_id"] = range(len(pdf))
+    got1 = _duck(
+        analytics.gen_periodicity_acf(DUCK, lags=(1,), min_pairs=1), events=pdf
+    )
+    got2 = _duck(
+        analytics.gen_periodicity_acf(DUCK, lags=(2,), min_pairs=1), events=pdf
+    )
+    assert got1["event_type"] == []  # no adjacent observed hours
+    assert got2["n_pairs"] == [29]
+
+
+def test_acf_spark_matches_oracle_bitwise(spark):
+    from storage_crawler_spark.operators import analytics
+
+    counts = {
+        "A": [((i * 31) % 7) + ((i % 24) // 6) for i in range(120)],
+        "B": [((i * 17) % 5) + 1 for i in range(80)],
+    }
+    ev, _ = _hourly_events(counts)
+    spark.createDataFrame(ev).createOrReplaceTempView("events")
+    got = spark.sql(
+        analytics.gen_periodicity_acf(SPARK, lags=(6, 24), min_pairs=10)
+    ).toPandas()
+    spark.catalog.dropTempView("events")
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute(
+        analytics.gen_periodicity_acf(DUCK, lags=(6, 24), min_pairs=10)
+    ).fetchdf()
+    assert len(got) >= 3
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
