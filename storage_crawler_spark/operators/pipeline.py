@@ -816,3 +816,49 @@ WHERE tok.lang <> '{target_lang}' OR tok.lang IS NULL
 GROUP BY tok.doc_id, tok.source
 ORDER BY tok.doc_id
 """.strip()
+
+
+def gen_embedding_coverage(d: Dialect) -> str:
+    """Referential-integrity audit between the document corpus and its
+    embedding store: per source, how many documents have a vector, how
+    many are missing one, and how many matched vectors are unusable
+    (NULL or empty embedding, or zero norm — the rows every similarity
+    entry's norm guard silently drops).  Orphan vectors (no matching
+    document) roll up under the ``__orphan_vector__`` label, NULL-source
+    documents under ``__null_source__`` — a FULL OUTER JOIN so neither
+    side's strays can hide.  This is the audit a pipeline runs BEFORE
+    trusting any ANN/dedup result: a 30%-unembedded source silently
+    vanishes from semantic dedup without ever failing a query.
+
+    All columns are exact BIGINT counts (no float anywhere).  100 TB
+    shape: one id-keyed shuffle join + a partial-combining aggregate on
+    the tiny source key; the zero-norm probe reuses the fold the norm
+    CTE pays everywhere else.
+    """
+    ev = d.cast_double_arr("e.embedding")
+    bad = (
+        f"(e.embedding IS NULL OR {d.size(ev)} = 0 "
+        f"OR {d.dot(ev, ev)} = 0)"
+    )
+    src = (
+        "CASE WHEN dd.doc_id IS NULL THEN '__orphan_vector__' "
+        "ELSE coalesce(dd.source, '__null_source__') END"
+    )
+    return f"""
+WITH dd AS (SELECT doc_id, source FROM documents),
+j AS (
+  SELECT dd.doc_id, dd.source, e.vec_id,
+         CASE WHEN e.vec_id IS NOT NULL AND {bad} THEN 1 ELSE 0 END AS is_bad,
+         {src} AS bucket
+  FROM dd FULL OUTER JOIN embeddings e ON dd.doc_id = e.vec_id
+)
+SELECT bucket AS source,
+       CAST(count(doc_id) AS BIGINT) AS n_docs,
+       CAST(count(vec_id) AS BIGINT) AS n_vectors,
+       CAST(count(doc_id) - count(CASE WHEN vec_id IS NOT NULL
+                                       THEN doc_id END) AS BIGINT) AS n_missing_vector,
+       CAST(sum(is_bad) AS BIGINT) AS n_unusable_vector
+FROM j
+GROUP BY bucket
+ORDER BY source
+""".strip()

@@ -3683,6 +3683,22 @@ FROM files f
         "level-shift complement of events_burst_windows' point z-score",
     )
 
+    b, o = _sql_pair(
+        pipeline_ops.gen_embedding_coverage, ("documents", "embeddings")
+    )
+    add(
+        "pipeline_embedding_coverage",
+        b,
+        o,
+        tags=("pipeline", "embedding"),
+        doc="referential-integrity audit between corpus and embedding "
+        "store: per-source docs-with-vector / missing / unusable (NULL, "
+        "empty, zero-norm) counts via one FULL OUTER JOIN, orphan "
+        "vectors and NULL sources as explicit buckets — the pre-flight "
+        "for every ANN/semantic-dedup entry (their norm guards DROP "
+        "these rows silently); exact BIGINT counts only",
+    )
+
     b, o = _sql_pair(analytics.gen_periodicity_acf, ("events",))
     add(
         "events_periodicity_acf",

@@ -1669,3 +1669,53 @@ def test_acf_spark_matches_oracle_bitwise(spark):
     ).fetchdf()
     assert len(got) >= 3
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_embedding_coverage_strays_and_unusables():
+    from storage_crawler_spark.operators import pipeline
+
+    docs = _docs_df(["a", "b", "c", "d"])          # doc_ids 0..3
+    docs.loc[3, "source"] = None                   # NULL-source doc
+    emb = _emb_df([[1.0, 0.0], [0.0, 0.0], [0.5, 0.5]])  # ids 0..2; id1 zero-norm
+    # orphan vector id 9
+    emb = pd.concat(
+        [emb, pd.DataFrame({"vec_id": [9], "embedding": [[1.0, 1.0]], "label": [0]})],
+        ignore_index=True,
+    )
+    got = _duck(
+        pipeline.gen_embedding_coverage(DUCK), documents=docs, embeddings=emb
+    )
+    by = {
+        s: (d0, v, m, u)
+        for s, d0, v, m, u in zip(
+            got["source"], got["n_docs"], got["n_vectors"],
+            got["n_missing_vector"], got["n_unusable_vector"],
+        )
+    }
+    # docs 0,1,2 have source 's': vectors 0,1,2 matched, one zero-norm
+    assert by["s"] == (3, 3, 0, 1)
+    # doc 3 (NULL source) has no vector
+    assert by["__null_source__"] == (1, 0, 1, 0)
+    # vector 9 has no doc
+    assert by["__orphan_vector__"] == (0, 1, 0, 0)
+
+
+def test_embedding_coverage_spark_matches_oracle(spark):
+    from storage_crawler_spark.operators import pipeline
+
+    docs = _docs_df(["x y"] * 30)
+    docs.loc[7, "source"] = None
+    vecs = [[float(i % 5) + 0.5, 1.0] for i in range(25)]
+    emb = _emb_df(vecs)
+    emb.at[3, "embedding"] = None
+    emb.at[4, "vec_id"] = 99  # orphan
+    spark.createDataFrame(docs).createOrReplaceTempView("documents")
+    spark.createDataFrame(emb).createOrReplaceTempView("embeddings")
+    got = spark.sql(pipeline.gen_embedding_coverage(SPARK)).toPandas()
+    spark.catalog.dropTempView("documents")
+    spark.catalog.dropTempView("embeddings")
+    con = duckdb.connect()
+    con.register("documents", docs)
+    con.register("embeddings", emb)
+    want = con.execute(pipeline.gen_embedding_coverage(DUCK)).fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
