@@ -2301,6 +2301,32 @@ FROM files f
         "against the parquet oracle",
     )
 
+    def _ingest_pqmix_builder(spark, sf_dir):
+        from storage_crawler_spark.sources.ingest import (
+            evolution_fingerprint,
+            read_documents_pqmix,
+        )
+
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        return evolution_fingerprint(read_documents_pqmix(spark, sf_dir))
+
+    from storage_crawler_spark.sources.ingest import (
+        gen_evolution_fingerprint as _gen_evo_fp,
+    )
+
+    add(
+        "ingest_schema_evolution",
+        _ingest_pqmix_builder,
+        _gen_evo_fp(DUCK),
+        tags=("source",),
+        doc="mergeSchema ingestion over a mixed-version landing directory "
+        "(two parquet file groups with disjoint column subsets, split by "
+        "doc_id parity): the merged union-schema read is gated byte-"
+        "faithful against a CASE-masked scan of the original parquet — "
+        "per-lang counts, per-generation non-NULL counts, and the "
+        "modular text-digest sum all must survive the NULL fill",
+    )
+
     # round-5 additions: n-gram plane (boilerplate detection, per-doc eval
     # contamination) + domain-mixture weights
     from storage_crawler_spark.operators.pipeline import (

@@ -426,3 +426,93 @@ SELECT coalesce(i.source, f.source) AS source,
 FROM ivm i FULL OUTER JOIN full_agg f ON i.source = f.source
 ORDER BY source
 """.strip()
+
+
+# --- schema-evolution ingestion (mergeSchema) -------------------------------
+#
+# A lake's landing zone accumulates files written by DIFFERENT pipeline
+# versions: early writers shipped (doc_id, text, lang), a later revision
+# added source/n_chars and stopped carrying text for media rows.  Spark's
+# mergeSchema read is the native answer — the union schema with NULL fill
+# per file group.  The derived fixture splits documents by doc_id parity
+# into two parquet file groups with DISJOINT column subsets appended into
+# ONE directory; the fidelity gate proves the merged read reconstructs
+# exactly what a CASE-masked scan of the original says it should.
+
+
+def _ensure_pqmix(spark: SparkSession, sf_dir: str) -> str:
+    out = _derived_dir(sf_dir, "pqmix")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        tmp_out = f"{out}.tmp.{os.getpid()}"
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        old = src.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang")
+        new = src.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        old.write.mode("overwrite").parquet(tmp_out)
+        new.write.mode("append").parquet(tmp_out)
+        try:
+            os.rename(tmp_out, out)
+            _prune_stale_derived(out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp_out, ignore_errors=True)
+    return out
+
+
+def read_documents_pqmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-schema read over the mixed-version landing directory: the
+    union schema (doc_id, text, lang, source, n_chars) with NULLs where a
+    file group lacks the column.  mergeSchema costs one footer pass per
+    file group at planning time — at 100 TB you pin the union schema in a
+    table definition instead; the semantics under test are identical."""
+    path = _ensure_pqmix(spark, sf_dir)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
+def gen_evolution_fingerprint(d) -> str:
+    """Oracle: the fidelity fingerprint over the ORIGINAL parquet with each
+    column masked by the parity rule the writers used — byte-equality
+    through the merged read is the schema-evolution claim.  Adds per-lang
+    non-NULL counts of the generation-specific columns so a swapped or
+    dropped file group cannot cancel out in the sums."""
+    text = "CASE WHEN doc_id % 2 = 0 THEN text END"
+    nchars = "CASE WHEN doc_id % 2 = 1 THEN n_chars END"
+    source = "CASE WHEN doc_id % 2 = 1 THEN source END"
+    digest = (
+        f"CASE WHEN ({text}) IS NULL THEN CAST(-1 AS BIGINT) ELSE "
+        + d.hex12_to_bigint(f"substr({d.md5_utf8(f'({text})')}, 1, 12)")
+        + " END"
+    )
+    return f"""
+SELECT lang, count(*) AS n_docs,
+       CAST(count({text}) AS BIGINT) AS n_text,
+       CAST(count({source}) AS BIGINT) AS n_source,
+       CAST(sum({nchars}) AS BIGINT) AS sum_chars,
+       {_modsum_expr(digest)} AS text_digest_sum
+FROM documents
+GROUP BY lang
+""".strip()
+
+
+def evolution_fingerprint(docs: DataFrame) -> DataFrame:
+    """Spark-side fingerprint over the merged-schema relation (columns
+    already NULL-masked by the file groups themselves)."""
+    digest = _digest_expr(SPARK)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("text").cast("long").alias("n_text"),
+            F.count("source").cast("long").alias("n_source"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.expr(_modsum_expr(digest)).alias("text_digest_sum"),
+        )
+        .select("lang", "n_docs", "n_text", "n_source", "sum_chars", "text_digest_sum")
+    )

@@ -1719,3 +1719,32 @@ def test_embedding_coverage_spark_matches_oracle(spark):
     con.register("embeddings", emb)
     want = con.execute(pipeline.gen_embedding_coverage(DUCK)).fetchdf()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_schema_evolution_merged_read_fidelity(spark, tmp_path):
+    """mergeSchema over two disjoint-column file groups reconstructs the
+    CASE-masked original exactly — including NULL fill for each group's
+    missing columns and the digest over surviving text bytes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from storage_crawler_spark.plans.dialect import DUCK
+    from storage_crawler_spark.sources import ingest
+
+    docs = _docs_df(["alpha", None, "gamma docs", "", "epsilon five"])
+    docs.loc[2, "lang"] = None
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+    merged = ingest.read_documents_pqmix(spark, str(tmp_path))
+    # union schema present, NULLs where the file group lacks the column
+    assert set(merged.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
+    rows = {r["doc_id"]: r for r in merged.collect()}
+    assert rows[0]["text"] == "alpha" and rows[0]["source"] is None
+    assert rows[1]["text"] is None  # even row, originally NULL
+    assert rows[3]["source"] == "s" and rows[3]["text"] is None  # odd group
+    got = ingest.evolution_fingerprint(merged).toPandas()
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(ingest.gen_evolution_fingerprint(DUCK)).fetchdf()
+    got = got.sort_values("lang", na_position="first").reset_index(drop=True)
+    want = want.sort_values("lang", na_position="first").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
