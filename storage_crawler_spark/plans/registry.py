@@ -2303,28 +2303,29 @@ FROM files f
 
     def _ingest_pqmix_builder(spark, sf_dir):
         from storage_crawler_spark.sources.ingest import (
-            evolution_fingerprint,
+            generation_fingerprint,
             read_documents_pqmix,
         )
 
         V.register_base_tables(spark, sf_dir, ("documents",))
-        return evolution_fingerprint(read_documents_pqmix(spark, sf_dir))
+        return generation_fingerprint(read_documents_pqmix(spark, sf_dir))
 
     from storage_crawler_spark.sources.ingest import (
-        gen_evolution_fingerprint as _gen_evo_fp,
+        gen_generation_fingerprint as _gen_gen_fp,
     )
 
     add(
-        "ingest_schema_evolution",
+        "ingest_disjoint_generations",
         _ingest_pqmix_builder,
-        _gen_evo_fp(DUCK),
+        _gen_gen_fp(DUCK),
         tags=("source",),
-        doc="mergeSchema ingestion over a mixed-version landing directory "
-        "(two parquet file groups with disjoint column subsets, split by "
-        "doc_id parity): the merged union-schema read is gated byte-"
-        "faithful against a CASE-masked scan of the original parquet — "
-        "per-lang counts, per-generation non-NULL counts, and the "
-        "modular text-digest sum all must survive the NULL fill",
+        doc="mergeSchema ingestion over a landing directory whose file "
+        "groups have DISJOINT column subsets (old writers carried text, "
+        "new ones source/n_chars — NULL fill needed in BOTH directions, "
+        "the case ingest_schema_evolution's forward-only license "
+        "widening cannot hit): gated byte-faithful against a CASE-masked "
+        "scan of the original parquet via per-lang counts, per-"
+        "generation non-NULL counts, and the modular text-digest sum",
     )
 
     # round-5 additions: n-gram plane (boilerplate detection, per-doc eval

@@ -476,7 +476,7 @@ def read_documents_pqmix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def gen_evolution_fingerprint(d) -> str:
+def gen_generation_fingerprint(d) -> str:
     """Oracle: the fidelity fingerprint over the ORIGINAL parquet with each
     column masked by the parity rule the writers used — byte-equality
     through the merged read is the schema-evolution claim.  Adds per-lang
@@ -501,7 +501,7 @@ GROUP BY lang
 """.strip()
 
 
-def evolution_fingerprint(docs: DataFrame) -> DataFrame:
+def generation_fingerprint(docs: DataFrame) -> DataFrame:
     """Spark-side fingerprint over the merged-schema relation (columns
     already NULL-masked by the file groups themselves)."""
     digest = _digest_expr(SPARK)

@@ -387,6 +387,9 @@ DOC_ENTRIES = [
     "ingest_csv_fidelity",
     "ingest_orc_fidelity",
     "ingest_schema_evolution",
+    # disjoint-generation mergeSchema twin: NULL fill in BOTH directions
+    # over random corpora (NULL texts land in either parity class)
+    "ingest_disjoint_generations",
     # round-5 additions
     "text_boilerplate_ngrams",
     "pipeline_ngram_contamination",

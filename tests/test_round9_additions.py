@@ -1741,10 +1741,10 @@ def test_schema_evolution_merged_read_fidelity(spark, tmp_path):
     assert rows[0]["text"] == "alpha" and rows[0]["source"] is None
     assert rows[1]["text"] is None  # even row, originally NULL
     assert rows[3]["source"] == "s" and rows[3]["text"] is None  # odd group
-    got = ingest.evolution_fingerprint(merged).toPandas()
+    got = ingest.generation_fingerprint(merged).toPandas()
     con = duckdb.connect()
     con.register("documents", docs)
-    want = con.execute(ingest.gen_evolution_fingerprint(DUCK)).fetchdf()
+    want = con.execute(ingest.gen_generation_fingerprint(DUCK)).fetchdf()
     got = got.sort_values("lang", na_position="first").reset_index(drop=True)
     want = want.sort_values("lang", na_position="first").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
