@@ -851,7 +851,15 @@ GROUP BY event_type, island
 def _specs() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
 
+    seen: set[str] = set()
+
     def add(name, builder, oracle, headline=False, tags=(), doc=""):
+        # a duplicate name would silently REPLACE the earlier entry when the
+        # spec list folds into the QUERIES dict (found the hard way: a second
+        # 'ingest_schema_evolution' shadowed the license-widening gate)
+        if name in seen:
+            raise ValueError(f"duplicate registry entry name: {name!r}")
+        seen.add(name)
         specs.append(QuerySpec(name, builder, oracle, headline, tuple(tags), doc))
 
     # report plane ---------------------------------------------------------
