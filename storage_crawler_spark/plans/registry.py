@@ -4016,8 +4016,11 @@ _DRIVER_WINDOW_FIRST = (
     # logreg — both previously rows-only, so a first stamp needs r10
     # anyway) and the late-r9 operators dedup_semantic, text_pii_scan,
     # pipeline_dsir_weights, events_lpa_communities, events_scd2_history,
-    # events_cusum_changepoint, sim_mmr_rerank, sim_knn_kcore.  All stay
-    # sweep-checked and pytest-covered.)
+    # events_cusum_changepoint, streaming_cusum_changepoint, sim_mmr_rerank,
+    # sim_knn_kcore, sim_knn_clustering_coeff, events_mad_outliers,
+    # events_periodicity_acf, text_rake_keywords, pipeline_embedding_coverage,
+    # ingest_disjoint_generations.  All stay sweep-checked and
+    # pytest-covered.)
 )
 
 
