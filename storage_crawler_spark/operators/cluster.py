@@ -429,7 +429,7 @@ ORDER BY cluster_size
 KNN_Q = 1_000_000  # cosine lattice for the kNN-graph edge ranking
 
 
-def gen_knn_edges(d: Dialect, m: int = 6) -> str:
+def gen_knn_edges(d: Dialect, m: int = 8) -> str:
     """MUTUAL-kNN similarity graph over the embedding store: each
     vector's top-``m`` cosine neighbours WITHIN ITS SIGN BUCKET (the
     coarse quantizer similarity._bucket — candidate generation is

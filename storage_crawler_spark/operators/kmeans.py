@@ -565,9 +565,14 @@ def semantic_dedup(spark, sf_dir: str, k: int = KM_K, iters: int = KM_ITERS,
     fit (k×dim BIGINT driver state), assignment as a map against literal
     centroids, then ONE shuffle on cid co-locating each cell for the
     self-join; the d² fold and threshold run inside the join — no
-    candidate pair ever leaves its cell's partition."""
+    candidate pair ever leaves its cell's partition.
+
+    Registers its own ``embeddings`` base table (like the sibling engine
+    paths), so it is callable outside the registry builder."""
+    from storage_crawler_spark.plans import views as V
     from storage_crawler_spark.plans.dialect import SPARK
 
+    V.register_base_tables(spark, sf_dir, ("embeddings",))
     centroids, _ = kmeans_fit_lattice(spark, k, iters)
     v = spark.table("_km_lat_v")  # checkpointed by the fit
     arrs = [
@@ -600,7 +605,14 @@ def semantic_dedup(spark, sf_dir: str, k: int = KM_K, iters: int = KM_ITERS,
         .filter(F.col("d2") <= thr)
         .select(
             "keep_id", "drop_id", "cid", "d2",
-            (F.col("label_a") == F.col("label_b")).cast("long").alias("same_label"),
+            # CASE-WHEN semantics, not boolean-cast: the oracle's
+            # `CASE WHEN a.label = b.label THEN 1 ELSE 0` yields 0 when
+            # either label is NULL, while (a == b).cast('long') would
+            # yield NULL — the embeddings schema allows NULL labels.
+            F.when(F.col("label_a") == F.col("label_b"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("same_label"),
         )
         .orderBy("keep_id", "drop_id")
     )
