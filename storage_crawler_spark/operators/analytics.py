@@ -1379,7 +1379,93 @@ ORDER BY cohort_week, week_offset
 """.strip()
 
 
-def gen_attribution_credit(d: Dialect, window_s: int = 86400, n_channels: int = 4) -> str:
+def gen_attribution_pairs(d: Dialect, window_s: int = 86400, n_channels: int = 4) -> str:
+    """(pid, vm, cid, tc, channel) purchase×click touchpoint pair relation
+    — the one expensive join of the attribution matrix, factored out so
+    the Spark builder persists it.  Un-persisted, Spark's CTE inlining
+    re-ran the purchase×click equi-join 3× and scanned events 7×
+    (per_purchase / last_pick / credited each re-derive it — the r9
+    plan-audit catch); the oracle materializes it instead."""
+    es = d.epoch_s_events("ts")
+    chan = f"(CAST({d.json_str('props', '$.k')} AS BIGINT) % {n_channels})"
+    return f"""
+WITH px AS (
+  SELECT event_id AS pid, user_id, {es} AS tp,
+         CAST(floor(value * 1000000) AS BIGINT) AS vm
+  FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND value IS NOT NULL
+),
+cx AS (
+  SELECT event_id AS cid, user_id, {es} AS tc, {chan} AS channel
+  FROM events
+  WHERE event_type = 'click' AND user_id IS NOT NULL AND props IS NOT NULL
+)
+SELECT p.pid, p.vm, c.cid, c.tc, c.channel
+FROM px p JOIN cx c
+  ON p.user_id = c.user_id
+ AND c.tc < p.tp AND c.tc >= p.tp - {window_s}
+""".strip()
+
+
+def gen_attribution_per_purchase(d: Dialect, pairs_rel: str = "pairs") -> str:
+    """(pid, n_clicks, max_tc) per-purchase touch roll-up over the pair
+    relation — factored so the Spark builder can stage it as a plain
+    relation (cache replacement does not descend into WITH/CTE
+    definitions on Spark 4.x; see tools/audit_cache.py)."""
+    return (
+        "SELECT pid, CAST(count(*) AS BIGINT) AS n_clicks,\n"
+        "       CAST(max(tc) AS BIGINT) AS max_tc\n"
+        f"FROM {pairs_rel} GROUP BY pid"
+    )
+
+
+def gen_attribution_last_pick(
+    d: Dialect, pairs_rel: str = "pairs", pp_rel: str = "per_purchase"
+) -> str:
+    """Latest-click argmax without windows or composite-key overflow: max
+    tc per purchase (already in ``pp_rel``), then max cid among that
+    instant's ties."""
+    return (
+        "SELECT pr.pid, CAST(max(pr.cid) AS BIGINT) AS last_cid\n"
+        f"FROM {pairs_rel} pr JOIN {pp_rel} pp ON pr.pid = pp.pid AND pr.tc = pp.max_tc\n"
+        "GROUP BY pr.pid"
+    )
+
+
+def gen_attribution_rollup(
+    d: Dialect,
+    pairs_rel: str = "pairs",
+    pp_rel: str = "per_purchase",
+    lp_rel: str = "last_pick",
+) -> str:
+    """Final channel roll-up of the credited touches (see
+    :func:`gen_attribution_credit` for the accounting contract)."""
+    return f"""
+SELECT CAST(channel AS BIGINT) AS channel,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases_touched,
+       CAST(sum(linear_micro) AS BIGINT) AS linear_credit_micro,
+       CAST(sum(last_touch_micro) AS BIGINT) AS last_touch_credit_micro
+FROM (
+  SELECT pr.channel, pr.pid,
+         {d.idiv('pr.vm', 'pp.n_clicks')}
+           + CASE WHEN pr.cid = lp.last_cid THEN pr.vm % pp.n_clicks ELSE 0 END
+           AS linear_micro,
+         CASE WHEN pr.cid = lp.last_cid THEN pr.vm ELSE 0 END AS last_touch_micro
+  FROM {pairs_rel} pr
+  JOIN {pp_rel} pp ON pr.pid = pp.pid
+  JOIN {lp_rel} lp ON pr.pid = lp.pid
+) credited
+GROUP BY channel
+ORDER BY channel
+""".strip()
+
+
+def gen_attribution_credit(
+    d: Dialect,
+    window_s: int = 86400,
+    n_channels: int = 4,
+) -> str:
     """Multi-touch attribution matrix: every purchase's value is credited
     to the click touchpoints in the preceding ``window_s`` seconds, under
     BOTH standard models side by side — last-touch (full credit to the
@@ -1400,58 +1486,28 @@ def gen_attribution_credit(d: Dialect, window_s: int = 86400, n_channels: int = 
     with the time window as a pushed residual (per-user fanout is bounded
     by user activity; AQE splits hot users); the latest-click selection is
     a per-purchase max over the pair relation (partial-combining), never a
-    window over the click stream.
+    window over the click stream.  The pair relation is consumed by THREE
+    downstream relations; this inline form (the DuckDB oracle) MATERIALIZES
+    it as a CTE, while the Spark builder stages the factored fragments
+    (:func:`gen_attribution_pairs` persisted, then per_purchase /
+    last_pick / rollup as plain-FROM temp views) because Spark's cache
+    replacement does not descend into WITH definitions.
     """
-    es = d.epoch_s_events("ts")
-    chan = f"(CAST({d.json_str('props', '$.k')} AS BIGINT) % {n_channels})"
+    # hoist the px/cx CTEs of the factored pair SQL into this WITH and
+    # wrap its SELECT as the (oracle-MATERIALIZED) pairs CTE
+    mat = " MATERIALIZED" if d.name == "duck" else ""
+    inner = gen_attribution_pairs(d, window_s, n_channels)
+    head, select = inner.split("\nSELECT", 1)
+    pairs_cte = head[len("WITH "):] + f",\npairs AS{mat} (\nSELECT" + select + "\n)"
     return f"""
-WITH px AS (
-  SELECT event_id AS pid, user_id, {es} AS tp,
-         CAST(floor(value * 1000000) AS BIGINT) AS vm
-  FROM events
-  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND value IS NOT NULL
-),
-cx AS (
-  SELECT event_id AS cid, user_id, {es} AS tc, {chan} AS channel
-  FROM events
-  WHERE event_type = 'click' AND user_id IS NOT NULL AND props IS NOT NULL
-),
-pairs AS (
-  SELECT p.pid, p.vm, c.cid, c.tc, c.channel
-  FROM px p JOIN cx c
-    ON p.user_id = c.user_id
-   AND c.tc < p.tp AND c.tc >= p.tp - {window_s}
-),
+WITH {pairs_cte},
 per_purchase AS (
-  SELECT pid, CAST(count(*) AS BIGINT) AS n_clicks,
-         CAST(max(tc) AS BIGINT) AS max_tc
-  FROM pairs GROUP BY pid
+{gen_attribution_per_purchase(d)}
 ),
--- latest click argmax without windows or composite-key overflow: max tc
--- per purchase, then max cid among that instant's ties
 last_pick AS (
-  SELECT pr.pid, CAST(max(pr.cid) AS BIGINT) AS last_cid
-  FROM pairs pr JOIN per_purchase pp ON pr.pid = pp.pid AND pr.tc = pp.max_tc
-  GROUP BY pr.pid
-),
-credited AS (
-  SELECT pr.channel, pr.pid,
-         {d.idiv('pr.vm', 'pp.n_clicks')}
-           + CASE WHEN pr.cid = lp.last_cid THEN pr.vm % pp.n_clicks ELSE 0 END
-           AS linear_micro,
-         CASE WHEN pr.cid = lp.last_cid THEN pr.vm ELSE 0 END AS last_touch_micro
-  FROM pairs pr
-  JOIN per_purchase pp ON pr.pid = pp.pid
-  JOIN last_pick lp ON pr.pid = lp.pid
+{gen_attribution_last_pick(d)}
 )
-SELECT CAST(channel AS BIGINT) AS channel,
-       CAST(count(*) AS BIGINT) AS n_touches,
-       CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases_touched,
-       CAST(sum(linear_micro) AS BIGINT) AS linear_credit_micro,
-       CAST(sum(last_touch_micro) AS BIGINT) AS last_touch_credit_micro
-FROM credited
-GROUP BY channel
-ORDER BY channel
+{gen_attribution_rollup(d)}
 """.strip()
 
 

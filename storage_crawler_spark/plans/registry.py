@@ -56,9 +56,33 @@ class QuerySpec:
 def _persist_view(df: DataFrame, name: str) -> None:
     """Persist a relation and register it as a temp view — the pattern every
     builder with a multiply-referenced subplan uses (Spark inlines CTEs, so
-    an un-persisted relation would recompute per reference)."""
+    an un-persisted relation would recompute per reference).
+
+    CACHE-REACHABILITY caveat (measured, Spark 4.1.2): if the persisted
+    relation's own plan contains a WITH (most dialect generators do) AND a
+    downstream query references the view from inside another WITH, the
+    analyzer's CTE-id renumbering breaks the canonicalized plan match and
+    the relation silently recomputes per reference.  Plain FROM/subquery
+    references always hit.  tools/audit_cache.py audits every entry; for
+    the trapped shape use :func:`_checkpoint_view` instead."""
     df.persist()
     df.createOrReplaceTempView(name)
+
+
+def _checkpoint_view(df: DataFrame, name: str) -> DataFrame:
+    """localCheckpoint + temp view — for CTE-bearing relations consumed
+    inside WITH definitions, where cache replacement cannot reach (see
+    :func:`_persist_view` caveat).  The checkpoint
+    rewrites the logical plan to a scan of the materialized partitions, so
+    every reference — CTE or plain — reads the same blocks, and iterative
+    consumers (k-core peel, CC pointer-doubling) also get lineage
+    truncation for free.  Tradeoffs vs persist: eager (runs a job at build
+    time) and not lineage-recoverable on executor loss; on a production
+    cluster prefer reliable checkpoint() to a cluster-visible dir for
+    multi-hour jobs."""
+    ck = df.localCheckpoint()
+    ck.createOrReplaceTempView(name)
+    return ck
 
 
 def _sql_pair(gen: Callable[[Dialect], str], tables: tuple[str, ...]):
@@ -470,7 +494,7 @@ def _b_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = spark.sparkContext.defaultParallelism
     spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
     enc1 = spark.sql(text.gen_bpe_enc1(SPARK, src="_documents_rep"))
-    _persist_view(enc1, "_bpe_enc1")
+    _checkpoint_view(enc1, "_bpe_enc1")
     return spark.sql(text.gen_bpe_encode(SPARK, enc1_rel="_bpe_enc1"))
 
 
@@ -479,7 +503,7 @@ def _b_bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = spark.sparkContext.defaultParallelism
     spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
     enc1 = spark.sql(text.gen_bpe_enc1(SPARK, src="_documents_rep"))
-    _persist_view(enc1, "_bpe_enc1_doc")
+    _checkpoint_view(enc1, "_bpe_enc1_doc")
     return spark.sql(text.gen_bpe_doc_tokens(SPARK, enc1_rel="_bpe_enc1_doc"))
 
 
@@ -488,7 +512,7 @@ def _b_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = spark.sparkContext.defaultParallelism
     spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
     enc1 = spark.sql(text.gen_bpe_enc1(SPARK, src="_documents_rep"))
-    _persist_view(enc1, "_bpe_enc1_comp")
+    _checkpoint_view(enc1, "_bpe_enc1_comp")
     return spark.sql(text.gen_bpe_compression(SPARK, enc1_rel="_bpe_enc1_comp"))
 
 
@@ -539,7 +563,7 @@ def _b_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = spark.sparkContext.defaultParallelism
     spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
     sigs = spark.sql(dedup.gen_minhash_sigs(SPARK, src="_documents_rep"))
-    _persist_view(sigs, "_minhash_sigs_cc")
+    _checkpoint_view(sigs, "_minhash_sigs_cc")
     return cluster.build_minhash_clusters(spark, SPARK, sigs_rel="_minhash_sigs_cc")
 
 
@@ -548,7 +572,7 @@ def _b_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = spark.sparkContext.defaultParallelism
     spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
     sigs = spark.sql(dedup.gen_minhash_sigs(SPARK, src="_documents_rep"))
-    _persist_view(sigs, "_minhash_sigs_ck")
+    _checkpoint_view(sigs, "_minhash_sigs_ck")
     return cluster.build_minhash_cluster_keepers(spark, SPARK, sigs_rel="_minhash_sigs_ck")
 
 
@@ -3573,17 +3597,41 @@ FROM files f
         "community roll-up with per-side member counts + internal weight",
     )
 
-    b, o = _sql_pair(analytics.gen_attribution_credit, ("events",))
+    def _b_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("events",))
+        # the pair join feeds per_purchase, last_pick AND the credited
+        # roll-up — persist it once, and stage the downstream relations as
+        # plain-FROM temp views (NOT a WITH chain: Spark's cache replacement
+        # does not descend into CTE definitions — tools/audit_cache.py)
+        _persist_view(
+            spark.sql(analytics.gen_attribution_pairs(SPARK)), "_attr_pairs"
+        )
+        _persist_view(
+            spark.sql(
+                analytics.gen_attribution_per_purchase(SPARK, "_attr_pairs")
+            ),
+            "_attr_pp",
+        )
+        spark.sql(
+            analytics.gen_attribution_last_pick(SPARK, "_attr_pairs", "_attr_pp")
+        ).createOrReplaceTempView("_attr_lp")
+        return spark.sql(
+            analytics.gen_attribution_rollup(
+                SPARK, "_attr_pairs", "_attr_pp", "_attr_lp"
+            )
+        )
+
     add(
         "events_attribution_credit",
-        b,
-        o,
+        _b_attribution,
+        analytics.gen_attribution_credit(DUCK),
         tags=("events",),
         doc="multi-touch attribution matrix per campaign channel: linear "
         "vs last-touch credit side by side, exact micro-unit integer "
         "accounting (floor split + remainder to the latest click, "
         "two-step argmax — no windows, no composite-key overflow); "
-        "purchase x click pairs equi-join on user with pushed time window",
+        "purchase x click pairs equi-join on user with pushed time window, "
+        "persisted once for its three downstream consumers",
     )
 
     def _b_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3756,8 +3804,9 @@ FROM files f
 
         V.register_base_tables(spark, sf_dir, ("embeddings",))
         # the edge relation is referenced four times (degree, wedge x2,
-        # triangle membership) — persist once
-        _persist_view(spark.sql(gen_knn_edges(SPARK, m=8)), "_cc_edges")
+        # triangle membership) from INSIDE the downstream WITH chain, so
+        # persist can't reach it — checkpoint instead (audit_cache.py)
+        _checkpoint_view(spark.sql(gen_knn_edges(SPARK, m=8)), "_cc_edges")
         return spark.sql(gen_knn_clustering_coeff(SPARK, edges_rel="_cc_edges"))
 
     from storage_crawler_spark.operators.cluster import (
@@ -3858,11 +3907,11 @@ FROM files f
         )
 
         V.register_base_tables(spark, sf_dir, ("embeddings",))
-        # one persisted relation: the peeled edge set (the final
+        # one checkpointed relation: the peeled edge set (the final
         # projection reads it twice — degree rows + the 1-row convergence
-        # min — and the whole 6-round window chain would run twice
-        # un-persisted; plan-audit catch)
-        _persist_view(spark.sql(gen_kcore_peeled(SPARK)), "_kcore_peeled")
+        # min — from INSIDE a WITH chain, so persist can't reach it); the
+        # checkpoint also truncates the 6-round unrolled peel lineage
+        _checkpoint_view(spark.sql(gen_kcore_peeled(SPARK)), "_kcore_peeled")
         return spark.sql(gen_knn_kcore(SPARK, peeled_rel="_kcore_peeled"))
 
     from storage_crawler_spark.operators.cluster import (
@@ -3946,81 +3995,55 @@ FROM files f
 # once.  The remaining slots go to new round-9 operators (newest code
 # meets the gate, the standing priority) and then to the honest
 # rows-only entries, which have never had even a rows-stamp.
+# Round-10 window: stamp-the-current-formulation rotation.  Round 9 went
+# 50/50 green, leaving two debts: (a) the 21 late-r9 entries that landed
+# after the 50 slots filled (the r9 deferral queue) and (b) 12 entries
+# whose stamps predate a round-9 rework of their plan or semantics (vocab
+# ranks -> fused top-k, BPE merge-list rebuild x3, hybrid-RRF vector tier
+# -> RP-LSH multi-probe, session-concurrency / z-order two-pass rebuilds,
+# status-events projection narrowed to (time, status), license/phrase/IVM
+# ADVICE fixes).  All 33 take slots so every entry's CURRENT formulation
+# carries an external stamp; the remaining slots go to new round-10
+# operators as they land (newest code meets the gate, the standing
+# priority).  Everything rotated out remains in the registry, the bench,
+# and tools/check_oracle.py's full sweep.
 _DRIVER_WINDOW_FIRST = (
-    # --- the 33 never-stamped oracle-gated entries -----------------------
-    "text_inverted_index",       # r8 red row, answer was already correct
-    "dedup_cluster_sizes",
-    "dedup_embedding_incremental",
-    "dedup_simhash_pairs",
-    "embedding_label_outliers",
-    "events_hourly_profile",
-    "events_interarrival_quantiles",
-    "events_user_streaks",
-    "events_user_value_quantiles",
-    "ingest_orc_fidelity",
-    "join_asof_forward_events",
-    "lake_compaction_plan",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "pipeline_domain_mixture",
-    "pipeline_mixture_apply",
-    "report_age_tiers",
-    "report_extension_usage",
-    "report_growth_daily",
-    "report_owner_usage",
-    "report_subtree_du",
-    "sample_neyman_allocation",
-    "sketch_distinct_users",
-    "sketch_value_quantiles",
-    "streaming_event_deltas",
-    "text_length_quantiles",
-    "text_pack_bins",
-    "text_pack_greedy",
-    "text_quality_by_source",
-    "text_tfidf_topterms",
-    "text_unigram_surprisal",
-    "window_rank_functions",
-    # --- round-9 operators (added as they land) --------------------------
-    "text_chunk_dedup",
-    "text_head_tail_overlap",
-    "text_pmi_pairs",
-    "events_funnel_steps",
-    "events_type_triangles",
-    "events_benford_audit",
-    "events_burst_windows",
-    "sim_batch_knn_gemm",
-    "events_retention_cohorts",
-    "sketch_bloom_semijoin",
-    "text_lang_mix",
-    "pipeline_decontaminate",
-    "events_attribution_credit",
-    # the lattice plane: the k-means fit artifact plus the three
-    # rows-only -> oracle-gated upgrades (trained IVF, PQ top-k, PQ
-    # recall) — each formulation's first driver stamp
-    "sim_kmeans_lattice",
-    "sim_ivf_trained_topk",
-    "sim_pq_topk",
-    "sim_pq_recall",
-    # (deferred to r10 with machinery represented in-window this round:
-    # sim_crosslingual_dups — the sign-bucket pair machinery holds slots
-    # via dedup_embedding_incremental + dedup_simhash_pairs;
-    # report_depth_profile — the usage-report plane holds three slots via
-    # report_subtree_du/extension_usage/owner_usage;
-    # streaming_burst_windows — the streaming plane holds the
-    # streaming_event_deltas slot and the twins' r8 stamps;
-    # multimodal_audio_features — the multimodal plane holds the
-    # features/frame_sample/resize slots.  Also queued for r10, landed
-    # after the 50 slots filled: the late-r9 oracle-gate upgrades
-    # (fsmeta_scan via read_blob, text_quality_learned via the lattice
-    # logreg — both previously rows-only, so a first stamp needs r10
-    # anyway) and the late-r9 operators dedup_semantic, text_pii_scan,
-    # pipeline_dsir_weights, events_lpa_communities, events_scd2_history,
-    # events_cusum_changepoint, streaming_cusum_changepoint, sim_mmr_rerank,
-    # sim_knn_kcore, sim_knn_clustering_coeff, events_mad_outliers,
-    # events_periodicity_acf, text_rake_keywords, pipeline_embedding_coverage,
-    # ingest_disjoint_generations.  All stay sweep-checked and
-    # pytest-covered.)
+    # --- the 21 never-stamped late-r9 entries -----------------------------
+    "dedup_semantic",
+    "text_pii_scan",
+    "pipeline_dsir_weights",
+    "ingest_disjoint_generations",
+    "fsmeta_scan",
+    "text_quality_learned",
+    "streaming_burst_windows",
+    "events_lpa_communities",
+    "multimodal_audio_features",
+    "report_depth_profile",
+    "sim_crosslingual_dups",
+    "events_scd2_history",
+    "events_cusum_changepoint",
+    "pipeline_embedding_coverage",
+    "events_periodicity_acf",
+    "sim_knn_clustering_coeff",
+    "text_rake_keywords",
+    "events_mad_outliers",
+    "streaming_cusum_changepoint",
+    "sim_mmr_rerank",
+    "sim_knn_kcore",
+    # --- the 12 reworked-since-stamp entries ------------------------------
+    "text_vocab_coverage",
+    "text_vocab_coverage_curve",
+    "text_bpe_encode",
+    "text_bpe_compression",
+    "text_bpe_doc_tokens",
+    "sim_hybrid_rrf",
+    "events_session_concurrency",
+    "lake_zorder_layout",
+    "report_status_events",
+    "text_license_scan",
+    "text_phrase_search",
+    "ingest_ivm_agg",
+    # --- round-10 operators (added as they land) --------------------------
 )
 
 

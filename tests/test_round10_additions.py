@@ -98,3 +98,139 @@ def test_knn_edges_default_m_matches_downstream():
     sig = inspect.signature(cluster.gen_knn_edges)
     assert sig.parameters["m"].default == 8
     assert cluster.gen_knn_edges(DUCK) == cluster.gen_knn_edges(DUCK, m=8)
+
+# ---------------------------------------------------------------------------
+# Cache-reachability audit (VERDICT r9 item 2 + the bug class it uncovered):
+# Spark's cache replacement does not descend into WITH/CTE definitions, so a
+# persist()'d view referenced from inside a downstream WITH silently
+# recomputes per reference.  Builders with that shape must checkpoint
+# (registry._checkpoint_view) instead; these guards pin the executed-plan
+# evidence for the representative of each fixed family.
+# ---------------------------------------------------------------------------
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_attribution_consumes_pairs_from_cache(spark, sf_dir):
+    from storage_crawler_spark.plans.registry import QUERIES
+
+    spark.catalog.clearCache()
+    df = QUERIES["events_attribution_credit"].builder(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert plan.count("InMemoryTableScan") >= 3, (
+        "pairs/per_purchase must be read from cache, not re-joined per consumer"
+    )
+    spark.catalog.clearCache()
+
+
+def test_kcore_consumes_peeled_relation_from_checkpoint(spark, sf_dir):
+    from storage_crawler_spark.plans.registry import QUERIES
+
+    spark.catalog.clearCache()
+    df = QUERIES["sim_knn_kcore"].builder(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert plan.count("Scan ExistingRDD") >= 2, (
+        "the peeled edge set must be a checkpointed scan (WITH refs can't "
+        "hit the cache), so the 6-round peel chain runs once, not twice"
+    )
+    spark.catalog.clearCache()
+
+
+def test_bpe_enc1_checkpoint_reaches_both_epoch2_consumers(spark, sf_dir):
+    from storage_crawler_spark.plans.registry import QUERIES
+
+    spark.catalog.clearCache()
+    df = QUERIES["text_bpe_encode"].builder(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert plan.count("Scan ExistingRDD") >= 2
+    spark.catalog.clearCache()
+
+
+def test_cached_cte_view_inside_outer_with_is_not_replaced_probe(spark):
+    """The behavioral probe the audit rests on, in its precise form: a
+    cached relation whose OWN plan contains a WITH fails cache lookup when
+    referenced from inside another WITH (CTE-id renumbering breaks the
+    canonicalized match), while plain FROM/subquery references — and
+    CTE-free cached plans — match everywhere.  If a Spark upgrade makes
+    the last assertion fail, cache replacement reaches merged CTEs and the
+    _checkpoint_view call sites can be downgraded to _persist_view."""
+    cte_df = spark.sql(
+        "WITH t AS (SELECT id, id * 3 AS y FROM range(8)) SELECT * FROM t"
+    )
+    cte_df.persist()
+    cte_df.createOrReplaceTempView("_cte_cache_probe")
+    flat_df = spark.range(8).selectExpr("id", "id * 2 AS y")
+    flat_df.persist()
+    flat_df.createOrReplaceTempView("_flat_cache_probe")
+    try:
+        hits = lambda sql: _executed_plan(spark.sql(sql)).count(  # noqa: E731
+            "InMemoryTableScan"
+        )
+        assert hits("SELECT sum(y) FROM _flat_cache_probe") == 1
+        assert hits("WITH x AS (SELECT y FROM _flat_cache_probe) SELECT sum(y) FROM x") == 1
+        assert hits("SELECT sum(y) FROM _cte_cache_probe") == 1
+        assert hits("SELECT sum(y) FROM (SELECT y FROM _cte_cache_probe) s") == 1
+        assert hits("WITH x AS (SELECT y FROM _cte_cache_probe) SELECT sum(y) FROM x") == 0, (
+            "cache replacement now reaches CTE-bearing plans under an outer "
+            "WITH — _checkpoint_view call sites can revert to _persist_view"
+        )
+    finally:
+        cte_df.unpersist()
+        flat_df.unpersist()
+        spark.catalog.dropTempView("_cte_cache_probe")
+        spark.catalog.dropTempView("_flat_cache_probe")
+
+
+# ---------------------------------------------------------------------------
+# Deep-iteration guard (VERDICT r9 item 3): the unrolled peel chain must
+# stay analyzable at production iteration depths — linear plan growth, no
+# 3^k analysis blowup (the MMR OOM lesson).
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_peel_chain_survives_depth_8(spark, sf_dir):
+    import time
+
+    from storage_crawler_spark.operators import cluster
+    from storage_crawler_spark.plans import views as V
+
+    V.register_base_tables(spark, sf_dir, ("embeddings",))
+    t0 = time.time()
+    df8 = spark.sql(cluster.gen_kcore_peeled(SPARK, rounds=8))
+    _ = df8.schema  # forces full analysis of the unrolled chain
+    analysis_s = time.time() - t0
+    assert analysis_s < 60, f"rounds=8 peel analysis took {analysis_s:.1f}s"
+    # growth must be ~linear in rounds: the 8-round optimized plan stays
+    # within 4x the 4-round one (a doubling-per-round form would be ~16x)
+    p4 = spark.sql(cluster.gen_kcore_peeled(SPARK, rounds=4))
+    s8 = len(df8._jdf.queryExecution().optimizedPlan().toString())
+    s4 = len(p4._jdf.queryExecution().optimizedPlan().toString())
+    assert s8 < 4 * s4, f"plan size blew up: rounds=4 -> {s4}, rounds=8 -> {s8}"
+
+
+def test_kcore_peel_depth_8_matches_duck_oracle(spark, sf_dir):
+    from storage_crawler_spark.operators import cluster
+    from storage_crawler_spark.plans import views as V
+
+    V.register_base_tables(spark, sf_dir, ("embeddings",))
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            "SELECT a, b FROM ("
+            + cluster.gen_kcore_peeled(SPARK, rounds=8)
+            + ") x ORDER BY a, b"
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = con.execute(
+        "SELECT a, b FROM ("
+        + cluster.gen_kcore_peeled(DUCK, rounds=8)
+        + ") x ORDER BY a, b"
+    ).fetchall()
+    assert got == [tuple(r) for r in want]

@@ -70,10 +70,12 @@ def test_events_ts_epoch_is_session_tz_independent(spark, sf_dir):
         spark.conf.set("spark.sql.session.timeZone", prev)
 
 
-def test_driver_window_is_exactly_fifty():
+def test_driver_window_leads_query_order():
     """The driver samples the first 50 entries of queries() order; the
-    explicit window list must stay exactly 50 and be a permutation prefix
-    of the registry."""
+    explicit window list must fit that sample and be the exact prefix of
+    the registry order (r10: 33 rotation slots + new operators as they
+    land, so <= 50 rather than exactly 50 mid-round)."""
     names = list(registry.QUERIES)
-    assert len(registry._DRIVER_WINDOW_FIRST) == 50
-    assert names[:50] == list(registry._DRIVER_WINDOW_FIRST)
+    w = list(registry._DRIVER_WINDOW_FIRST)
+    assert len(w) <= 50
+    assert names[: len(w)] == w
