@@ -25,6 +25,28 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Tier-2: the heaviest registry entries (iterative fits, graph rounds, IR /
+# packing planes) timed ONCE per round at the target SF — wall-time tracking
+# for the plane where 100x-scale surprises would hide.  Annotates the
+# headline series (metric/value/queries keys unchanged since r1); never
+# reshapes it.  Selection: top sweep-cost entries covering each plane
+# (ORACLE_SWEEP_r09 ranking) + the r9-verdict watchlist (k-core, LPA, RAKE,
+# inverted index, pack_greedy, simhash, attribution).
+TIER2_QUERIES = (
+    "text_quality_learned",      # lattice logreg fit (12-step chain)
+    "sim_kmeans_lattice",        # distributed Lloyd's, driver model state
+    "sim_pq_topk",               # PQ/ADC over trained codebooks
+    "sim_knn_kcore",             # 6-round peel + checkpointed edge set
+    "events_lpa_communities",    # alternating bipartite sweeps
+    "dedup_cluster_sizes",       # minhash LSH -> connected components
+    "dedup_winnow_pairs",        # MOSS winnowing fingerprints
+    "dedup_simhash_pairs",       # simhash banding
+    "text_pack_greedy",          # two-pass prefix-sum packing
+    "text_inverted_index",       # posting-capped IR index
+    "text_rake_keywords",        # RAKE phrase mining
+    "events_attribution_credit", # staged pair join (r10 cache fix)
+)
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -96,6 +118,29 @@ def main() -> int:
             file=sys.stderr,
         )
 
+    # Tier-2: one full execution each (no min-of-N — these are trend lines,
+    # not the headline series; a rep costs minutes at sf0.1)
+    tier2: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_TIER2", "1") != "0":
+        for name in TIER2_QUERIES:
+            if name not in QUERIES:
+                continue
+            spark.catalog.clearCache()
+            t0 = time.time()
+            try:
+                df = QUERIES[name].builder(spark, sf_dir)
+                n = df.count()
+                _ = df.limit(10).collect()
+                tier2[name] = round(time.time() - t0, 3)
+            except Exception as exc:  # noqa: BLE001
+                tier2[name] = -1.0
+                print(f"# tier2 {name} FAILED: {exc}", file=sys.stderr)
+                continue
+            print(
+                f"# tier2 {name}: {tier2[name]:.3f}s ({n} rows, 1 rep)",
+                file=sys.stderr,
+            )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -111,6 +156,9 @@ def main() -> int:
                 # executed-shape number (e.g. minhash 21 here vs 10 static).
                 "shuffles_note": "executed-lineage counts; persisted branches "
                 "re-counted per consumer — see PLANS.md for static plan counts",
+                "tier2": tier2,
+                "tier2_note": "heavy iterative/graph/IR entries, 1 rep each "
+                "(trend line, not part of the headline total)",
                 "sf": sf,
             }
         )
