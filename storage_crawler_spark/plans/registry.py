@@ -3320,6 +3320,84 @@ FROM files f
         "formulation — a hash-exact streaming/batch equivalence gate",
     )
 
+    def _b_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from storage_crawler_spark.streaming import (
+            funnel_stages_stream,
+            read_events_stream,
+            run_to_completion,
+        )
+
+        stages = run_to_completion(
+            funnel_stages_stream(read_events_stream(spark, sf_dir)),
+            output_mode="update",
+        )
+        stages.createOrReplaceTempView("_stream_funnel_stages")
+        tr = SPARK.trunc6
+        return spark.sql(f"""
+SELECT n1 AS n_step1, n2 AS n_step2, n3 AS n_step3,
+       {tr('CAST(n2 AS DOUBLE) / nullif(n1, 0)')} AS conv_1_2,
+       {tr('CAST(n3 AS DOUBLE) / nullif(n2, 0)')} AS conv_2_3,
+       {tr('CAST(n3 AS DOUBLE) / nullif(n1, 0)')} AS conv_overall
+FROM (
+  SELECT CAST(sum(CASE WHEN stage = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN stage = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN stage = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  FROM _stream_funnel_stages
+) c
+""".strip())
+
+    add(
+        "streaming_funnel_steps",
+        _b_streaming_funnel,
+        analytics.gen_funnel_steps(DUCK),
+        tags=("streaming", "events"),
+        doc="streaming twin of events_funnel_steps: per-user "
+        "applyInPandasWithState with three-BIGINT state (first qualifying "
+        "time per stage — O(1) per user forever); each stage emits at most "
+        "once per user, so the count roll-up over the update-mode output "
+        "equals the batch s1/s2/s3 memberships; oracle is the one-shot "
+        "batch formulation — exact under per-user in-order arrival "
+        "(out-of-order replay is the batch path, stated not hidden)",
+    )
+
+    def _b_streaming_attr_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from storage_crawler_spark.streaming import (
+            attribution_credit_stream,
+            read_events_stream,
+            run_to_completion,
+        )
+
+        credited = run_to_completion(
+            attribution_credit_stream(read_events_stream(spark, sf_dir)),
+            output_mode="update",
+        )
+        credited.createOrReplaceTempView("_stream_attr_credited")
+        return spark.sql("""
+SELECT CAST(channel AS BIGINT) AS channel,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases_touched,
+       CAST(sum(linear_micro) AS BIGINT) AS linear_credit_micro,
+       CAST(sum(last_touch_micro) AS BIGINT) AS last_touch_credit_micro
+FROM _stream_attr_credited
+GROUP BY channel
+ORDER BY channel
+""".strip())
+
+    add(
+        "streaming_attribution_credit",
+        _b_streaming_attr_credit,
+        analytics.gen_attribution_credit(DUCK),
+        tags=("streaming", "events"),
+        doc="streaming twin of events_attribution_credit: per-user click "
+        "ring in the state store (evicted as the user clock passes "
+        "window_s — state is O(clicks in window), never the history); "
+        "each purchase credits the remembered touchpoints with the "
+        "batch's exact integer accounting (floor split, remainder to the "
+        "latest click, two-step argmax); channel roll-up batch-side; "
+        "oracle is the one-shot batch matrix — exact under per-user "
+        "in-order arrival",
+    )
+
     add(
         "skew_salted_join",
         _b_salted_join,
@@ -4044,6 +4122,8 @@ _DRIVER_WINDOW_FIRST = (
     "text_phrase_search",
     "ingest_ivm_agg",
     # --- round-10 operators (added as they land) --------------------------
+    "streaming_funnel_steps",
+    "streaming_attribution_credit",
 )
 
 

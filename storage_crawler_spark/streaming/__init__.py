@@ -29,7 +29,12 @@ from storage_crawler_spark.streaming.events import (
 )
 from storage_crawler_spark.streaming.incremental import incremental_crawl, read_path_stream
 from storage_crawler_spark.streaming.listener import StatusMetricsListener
-from storage_crawler_spark.streaming.stateful import per_key_deltas, rate_anomaly_stream
+from storage_crawler_spark.streaming.stateful import (
+    attribution_credit_stream,
+    funnel_stages_stream,
+    per_key_deltas,
+    rate_anomaly_stream,
+)
 
 __all__ = [
     "attribution_join",
@@ -43,6 +48,8 @@ __all__ = [
     "windowed_counts",
     "per_key_deltas",
     "rate_anomaly_stream",
+    "funnel_stages_stream",
+    "attribution_credit_stream",
     "StatusMetricsListener",
     "incremental_crawl",
     "read_path_stream",

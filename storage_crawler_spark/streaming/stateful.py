@@ -21,6 +21,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "event_id BIGINT, event_type STRING, epoch_s BIGINT, delta_s BIGINT"
@@ -176,4 +177,199 @@ def rate_anomaly_stream(
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of the batch conversion funnel (analytics.gen_funnel_steps)
+# ---------------------------------------------------------------------------
+
+FUNNEL_OUTPUT_SCHEMA = "user_id BIGINT, stage INT, t BIGINT"
+# first qualifying time per stage; 0 = not reached (epochs here are
+# positive, so 0 is a safe sentinel the state schema can hold NOT NULL)
+FUNNEL_STATE_SCHEMA = "t1 BIGINT, t2 BIGINT, t3 BIGINT"
+
+
+def _funnel_fn_factory(steps: tuple, max_lag_s: int):
+    s1, s2, s3 = steps
+
+    def fn(key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState):
+        (user_id,) = key
+        t1, t2, t3 = state.get if state.exists else (0, 0, 0)
+        out = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            # the funnel is order-sensitive: replay each user's arrivals in
+            # event-time order (ties by event_id, the batch convention)
+            pdf = pdf.sort_values(["epoch_s", "event_id"])
+            for et, es in zip(pdf["event_type"], pdf["epoch_s"].astype("int64")):
+                es = int(es)
+                # first-qualifying-event semantics, exactly the batch CTEs:
+                # re-entries don't help, late conversions fall outside the lag
+                if t1 == 0 and et == s1:
+                    t1 = es
+                    out.append((user_id, 1, es))
+                elif t1 and t2 == 0 and et == s2 and t1 < es <= t1 + max_lag_s:
+                    t2 = es
+                    out.append((user_id, 2, es))
+                elif t2 and t3 == 0 and et == s3 and t2 < es <= t2 + max_lag_s:
+                    t3 = es
+                    out.append((user_id, 3, es))
+        state.update((t1, t2, t3))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "stage", "t"])
+
+    return fn
+
+
+def funnel_stages_stream(
+    events: DataFrame,
+    steps: tuple = ("view", "click", "purchase"),
+    max_lag_s: int = 86400,
+) -> DataFrame:
+    """Streaming twin of the batch funnel: per-user stage-completion
+    events.  State per user is three BIGINTs (the first qualifying time of
+    each stage) — O(1) forever; each stage emits AT MOST ONCE per user, so
+    the downstream roll-up (count stage>=k) over the update-mode output
+    equals the batch s1/s2/s3 memberships exactly.
+
+    Exactness contract: per-user event-time order must hold across
+    micro-batches (single-file sources / ordered arrival — the house
+    caveat shared by per_key_deltas); an out-of-order step-1 arriving
+    after a step-2 was evaluated is dropped here, while the batch replay
+    is the late-data-correct path.
+    """
+    return (
+        events.filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_id", "event_type", "epoch_s")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn_factory(steps, max_lag_s),
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of the batch multi-touch attribution matrix
+# (analytics.gen_attribution_credit)
+# ---------------------------------------------------------------------------
+
+ATTR_OUTPUT_SCHEMA = (
+    "pid BIGINT, channel BIGINT, linear_micro BIGINT, last_touch_micro BIGINT"
+)
+# ring of live clicks (older than window_s behind the clock are evicted);
+# channel NULL is encoded as the sentinel below because state arrays are
+# exchanged positionally
+ATTR_STATE_SCHEMA = (
+    "cids ARRAY<BIGINT>, tcs ARRAY<BIGINT>, chans ARRAY<BIGINT>, clock BIGINT"
+)
+_ATTR_NULL_CHAN = -(1 << 62)
+
+
+def _attr_fn_factory(window_s: int):
+    def fn(key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState):
+        cids, tcs, chans, clock = (
+            state.get if state.exists else ([], [], [], 0)
+        )
+        cids, tcs, chans = list(cids), list(tcs), list(chans)
+        out = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["epoch_s", "event_id"])
+            for eid, et, es, vm, chan in zip(
+                pdf["event_id"].astype("int64"),
+                pdf["event_type"],
+                pdf["epoch_s"].astype("int64"),
+                pdf["vm"],
+                pdf["channel"],
+            ):
+                es = int(es)
+                clock = max(clock, es)
+                if et == "click":
+                    cids.append(int(eid))
+                    tcs.append(es)
+                    chans.append(
+                        _ATTR_NULL_CHAN if pd.isna(chan) else int(chan)
+                    )
+                    continue
+                # purchase: credit the remembered clicks in (tp-window, tp)
+                tp, pvm = es, int(vm)
+                touch = [
+                    i for i, tc in enumerate(tcs)
+                    if tc < tp and tc >= tp - window_s
+                ]
+                if not touch:
+                    continue
+                n_clicks = len(touch)
+                max_tc = max(tcs[i] for i in touch)
+                last_cid = max(cids[i] for i in touch if tcs[i] == max_tc)
+                for i in touch:
+                    is_last = cids[i] == last_cid
+                    out.append((
+                        int(eid),
+                        None if chans[i] == _ATTR_NULL_CHAN else chans[i],
+                        pvm // n_clicks + (pvm % n_clicks if is_last else 0),
+                        pvm if is_last else 0,
+                    ))
+            # evict clicks that can never touch a future purchase (future
+            # tp >= clock under the in-order contract, and the window needs
+            # tc >= tp - window_s) — state stays O(user activity in window)
+            live = [i for i, tc in enumerate(tcs) if tc >= clock - window_s]
+            cids = [cids[i] for i in live]
+            tcs = [tcs[i] for i in live]
+            chans = [chans[i] for i in live]
+        state.update((cids, tcs, chans, clock))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["pid", "channel", "linear_micro", "last_touch_micro"],
+            )
+
+    return fn
+
+
+def attribution_credit_stream(
+    events: DataFrame, window_s: int = 86400, n_channels: int = 4
+) -> DataFrame:
+    """Streaming twin of the batch attribution matrix: per-user state is
+    the ring of clicks still inside the look-back window (evicted as the
+    per-user clock advances, so the state store holds O(clicks within
+    window_s) per user, never the history); each arriving purchase credits
+    the remembered touchpoints under BOTH models with the batch's exact
+    integer accounting (floor split, remainder to the latest click,
+    two-step argmax with event_id ties).
+
+    Emits one credited row per (purchase, touching click); the channel
+    roll-up over the update-mode output equals the batch matrix exactly
+    under the per-user in-order arrival contract (see
+    :func:`funnel_stages_stream`)."""
+    prepped = (
+        events.filter(F.col("user_id").isNotNull())
+        .filter(
+            ((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+            | ((F.col("event_type") == "click") & F.col("props").isNotNull())
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "epoch_s",
+            F.floor(F.col("value") * 1_000_000).cast("long").alias("vm"),
+            (
+                F.get_json_object("props", "$.k").cast("long") % n_channels
+            ).alias("channel"),
+        )
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _attr_fn_factory(window_s),
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

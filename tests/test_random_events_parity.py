@@ -137,6 +137,12 @@ EVENT_ENTRIES = [
     "events_periodicity_acf",
     # streaming_event_deltas is rows-only (stateful applyInPandasWithState,
     # no SQL oracle) — covered by tests/test_streaming.py instead
+    # r10 stateful twins: per-user funnel stage state and the click-ring
+    # attribution credit replayed over random streams (pooled instants,
+    # NULL users/values/props, same-instant click ties) against the
+    # one-shot batch oracles
+    "streaming_funnel_steps",
+    "streaming_attribution_credit",
 ]
 
 

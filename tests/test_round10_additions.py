@@ -234,3 +234,98 @@ def test_kcore_peel_depth_8_matches_duck_oracle(spark, sf_dir):
         + ") x ORDER BY a, b"
     ).fetchall()
     assert got == [tuple(r) for r in want]
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel / attribution twins (VERDICT r9 item 5): planted stream
+# == batch parity on the semantics edges (window edges, re-entries, linear
+# remainder, same-instant click ties), beyond the randomized battery draws.
+# ---------------------------------------------------------------------------
+
+
+def _planted_events_sf(tmp_path) -> str:
+    import json as _json
+
+    base = 1_704_000_000
+    rows = [
+        # (event_id, ts_s, user_id, event_type, value, props)
+        # user 1: clean full funnel + 3-click attribution with remainder
+        (1, base + 100, 1, "view", None, None),
+        (2, base + 200, 1, "click", None, _json.dumps({"k": 0})),
+        (3, base + 210, 1, "click", None, _json.dumps({"k": 1})),
+        # same-instant click tie: higher event_id wins last-touch
+        (4, base + 210, 1, "click", None, _json.dumps({"k": 2})),
+        (5, base + 300, 1, "purchase", 1.000001, None),
+        # user 2: click BEFORE the first view — credits attribution,
+        # never advances the funnel
+        (6, base + 100, 2, "click", None, _json.dumps({"k": 3})),
+        (7, base + 150, 2, "view", None, None),
+        (8, base + 200, 2, "purchase", 2.0, None),
+        # user 3: lag-edge cases — same-instant step (strict >) fails,
+        # exactly t1 + lag qualifies
+        (9, base, 3, "view", None, None),
+        (10, base, 3, "click", None, _json.dumps({"k": 0})),
+        (11, base + 86400, 3, "click", None, _json.dumps({"k": 1})),
+        (12, base + 86400 + 86400, 3, "purchase", 4.0, None),
+        # window edge: click exactly window_s before the purchase counts
+        # (tc >= tp - window_s), one second older does not
+        (13, base + 200000 - 86400, 4, "click", None, _json.dumps({"k": 2})),
+        (14, base + 200000 - 86401, 4, "click", None, _json.dumps({"k": 3})),
+        (15, base + 200000, 4, "purchase", 8.0, None),
+        # NULL hygiene: NULL-user rows, NULL-value purchase, NULL-props click
+        (16, base + 50, None, "view", None, None),
+        (17, base + 60, 5, "purchase", None, None),
+        (18, base + 55, 5, "click", None, None),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
+    pdf["user_id"] = pd.array(pdf["user_id"], dtype="Int64")
+    d = tmp_path / "planted_events"
+    d.mkdir()
+    pdf.to_parquet(str(d / "events.parquet"), index=False)
+    return str(d)
+
+
+def test_streaming_funnel_matches_batch_oracle_planted(spark, tmp_path):
+    from parity_util import assert_parity
+
+    from storage_crawler_spark.plans import registry
+
+    sf = _planted_events_sf(tmp_path)
+    spec = registry.get_query("streaming_funnel_steps")
+    df = spec.builder(spark, sf)
+    row = df.collect()[0]
+    # users 1,2,3 have views; only user 1 chains click+purchase strictly
+    # inside the lag windows; user 3's same-instant click fails es > t1 but
+    # its t1+lag click qualifies — purchase then falls at t2+lag exactly
+    assert (row.n_step1, row.n_step2, row.n_step3) == (3, 2, 2)
+    assert_parity(df, spec.oracle, {"events": f"{sf}/events.parquet"},
+                  "streaming_funnel_steps planted")
+
+
+def test_streaming_attribution_matches_batch_oracle_planted(spark, tmp_path):
+    from parity_util import assert_parity
+
+    from storage_crawler_spark.plans import registry
+
+    sf = _planted_events_sf(tmp_path)
+    spec = registry.get_query("streaming_attribution_credit")
+    df = spec.builder(spark, sf)
+    rows = {r.channel: r for r in df.collect()}
+    # user 1: vm = floor(1.000001 * 1e6) = 1_000_000 (the IEEE product is
+    # 1000000.99999…, and BOTH engines floor the same double) over 3
+    # clicks -> 333333 each + remainder 1 to the same-instant tie winner
+    # (event_id 4, channel 2) which also takes last-touch; user 3's
+    # window-edge click (exactly tp - window_s) is channel 1; user 4's
+    # in-window click is channel 2; user 2's is 3
+    assert rows[0].linear_credit_micro == 333333
+    assert rows[1].linear_credit_micro == 333333 + 4_000_000
+    assert rows[2].linear_credit_micro == 333334 + 8_000_000
+    assert rows[3].linear_credit_micro == 2_000_000
+    assert rows[2].last_touch_credit_micro == 1_000_000 + 8_000_000
+    # the one-second-too-old click (event 14) credits nothing
+    assert rows[3].n_touches == 1
+    assert_parity(df, spec.oracle, {"events": f"{sf}/events.parquet"},
+                  "streaming_attribution_credit planted")
