@@ -1,0 +1,301 @@
+"""URL / domain ingest tier: canonicalization, URL-level dedup, domain
+quality tiers, robots.txt filtering, and domain/keyword blocklists.
+
+The one standard LLM-ingest stage that had no entry (r9 VERDICT item 8):
+every web-scale corpus (C4, CCNet, RefinedWeb) dedups at the URL level and
+filters by robots rules and blocklists BEFORE any content-based tier runs
+— a URL pass costs a scan, a content pass costs the corpus.
+
+The ``documents`` table carries no URL column, so — like the ``files``
+view derived from documents (plans/views.py) — a deterministic ``urls``
+relation is derived in the common dialect, with every canonicalization
+edge planted: scheme variants (http/https), host case, ``www.`` prefixes,
+default ports (:443/:80), trailing slashes, tracking query parameters
+(``utm_*``) beside real ones, and fragments.  The canonicalizer is pure
+common-dialect string/array algebra (no regex: the r8 license-scan
+portability lesson), so one generator serves both engines and the oracle
+gate proves the whole parse → normalize → fold pipeline, not just counts.
+
+100 TB shape: every operator here is scan → map-side string algebra →
+one partial-combining aggregate (or one broadcast join against a
+constant rule set).  Nothing shuffles anything wider than (key, counts).
+"""
+
+from __future__ import annotations
+
+from storage_crawler_spark.plans.dialect import Dialect
+
+# deterministic dup-group width: docs sharing (source, lang, page group)
+# collapse to one canonical URL.  The group is doc_id/20 mod GROUPS (not a
+# doc_id residue: the testdata's source IS a doc_id residue, so residue
+# groups would never collide within a source)
+GROUPS = 12
+
+
+def _url_synth(d: Dialect) -> str:
+    """Raw URL synthesis (one deterministic URL per document) with planted
+    canonicalization variance.  NULL source/lang rows are excluded — a
+    landing zone row without provenance has no URL."""
+    return f"""
+SELECT doc_id, source,
+       (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+       || '://'
+       || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+       || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+       || (CASE WHEN doc_id % 3 = 1 THEN '.Example.com' ELSE '.example.com' END)
+       || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+       || '/docs/' || lang || '/' || CAST({d.idiv('doc_id', '20')} % {GROUPS} AS STRING)
+       || (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END)
+       || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_medium=rss'
+                WHEN doc_id % 4 = 1 THEN '?page=2&utm_campaign=x'
+                WHEN doc_id % 4 = 2 THEN '?page=2'
+                ELSE '' END)
+       || (CASE WHEN doc_id % 13 = 0 THEN '#section-1' ELSE '' END)
+       AS url
+FROM documents
+WHERE source IS NOT NULL AND lang IS NOT NULL
+""".strip()
+
+
+def gen_url_rel(d: Dialect) -> str:
+    """(doc_id, source, url, curl, domain, cpath) — the shared URL relation
+    every operator in this tier reads (one documents scan, map-only).
+
+    Canonicalization steps, each a COLUMN of its own subquery layer —
+    never one nested expression: every step references its inputs 2-3
+    times, so textual nesting grows the expression tree ~3^depth (the
+    single-expression form hit ~10 levels and Catalyst's expression
+    canonicalization churned for minutes on 500 rows).  Layered columns
+    keep the tree linear; Catalyst's CollapseProject declines to merge
+    projections that would duplicate non-trivial expressions, so the
+    layers survive optimization:
+
+    1. drop the fragment,
+    2. fold the scheme to https (URL-dedup convention: http/https serve
+       the same document),
+    3. lowercase the host, strip a leading ``www.`` and the default
+       ports ``:443``/``:80``,
+    4. strip ONE trailing slash from a non-root path,
+    5. drop ``utm_*`` tracking parameters, keeping survivors in their
+       original order (no re-sorting: parameter order can be semantic).
+    """
+    kept = d.ajoin(
+        d.afilter(d.split("query", "&"), "p", "p NOT LIKE 'utm_%' AND p <> ''"),
+        "&",
+    )
+    return f"""
+SELECT doc_id, source, url, curl,
+       CASE WHEN instr(substr(curl, 9), '/') > 0
+            THEN substr(substr(curl, 9), 1, instr(substr(curl, 9), '/') - 1)
+            ELSE substr(curl, 9) END AS domain,
+       CASE WHEN instr(substr(curl, 9), '/') > 0
+            THEN substr(substr(curl, 9), instr(substr(curl, 9), '/'))
+            ELSE '/' END AS cpath
+FROM (
+  SELECT doc_id, source, url,
+         'https://' || host || path
+         || (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) AS curl
+  FROM (
+    SELECT doc_id, source, url, host,
+           CASE WHEN length(path0) > 1 AND substr(path0, length(path0), 1) = '/'
+                THEN substr(path0, 1, length(path0) - 1) ELSE path0 END AS path,
+           {kept} AS kept
+    FROM (
+      SELECT doc_id, source, url,
+             CASE WHEN h2 LIKE 'www.%' THEN substr(h2, 5) ELSE h2 END AS host,
+             CASE WHEN instr(pathq, '?') > 0
+                  THEN substr(pathq, 1, instr(pathq, '?') - 1)
+                  ELSE pathq END AS path0,
+             CASE WHEN instr(pathq, '?') > 0
+                  THEN substr(pathq, instr(pathq, '?') + 1)
+                  ELSE '' END AS query
+      FROM (
+        SELECT doc_id, source, url, pathq,
+               CASE WHEN h1 LIKE '%:443' THEN substr(h1, 1, length(h1) - 4)
+                    WHEN h1 LIKE '%:80' THEN substr(h1, 1, length(h1) - 3)
+                    ELSE h1 END AS h2
+        FROM (
+          SELECT doc_id, source, url,
+                 lower(CASE WHEN instr(rest, '/') > 0
+                            THEN substr(rest, 1, instr(rest, '/') - 1)
+                            ELSE rest END) AS h1,
+                 CASE WHEN instr(rest, '/') > 0
+                      THEN substr(rest, instr(rest, '/'))
+                      ELSE '/' END AS pathq
+          FROM (
+            SELECT doc_id, source, url, substr(ufrag, instr(ufrag, '://') + 3) AS rest
+            FROM (
+              SELECT doc_id, source, url,
+                     CASE WHEN instr(url, '#') > 0
+                          THEN substr(url, 1, instr(url, '#') - 1)
+                          ELSE url END AS ufrag
+              FROM (
+{_url_synth(d)}
+              ) raw
+            ) l1
+          ) l2
+        ) l3
+      ) l4
+    ) l5
+  ) l6
+) l7
+""".strip()
+
+
+def gen_url_dedup(d: Dialect) -> str:
+    """URL-level dedup manifest: every canonical URL hit by 2+ documents,
+    with the keeper (min doc_id — the C4/CCNet first-seen convention) and
+    the casualty count.  The planted variants make http/HTTPS, Www/case,
+    :443, trailing-slash, utm-param and fragment twins all fold here —
+    the oracle equality proves each canonicalization step.
+
+    100 TB shape: one scan, map-side string algebra, ONE shuffle on curl
+    (partial-combining min/count); no joins."""
+    return f"""
+WITH u AS (
+{gen_url_rel(d)}
+)
+SELECT curl, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM u
+GROUP BY curl
+HAVING count(*) >= 2
+ORDER BY curl, keep_id
+""".strip()
+
+
+def gen_domain_tiers(d: Dialect) -> str:
+    """Per-domain ingest quality tier from URL-duplication structure: the
+    domain-reputation pass web pipelines run before fetching content —
+    heavy URL duplication (tracking-param spam, mirror paths) marks a
+    domain for aggressive URL-only dedup or exclusion.
+
+    dup_ratio = 1 - distinct_canonical/docs, truncated to 6 decimals ONCE
+    on emission (exactness discipline); tiers on fixed thresholds.
+    100 TB shape: one scan, one partial-combining aggregate on domain."""
+    ratio = d.trunc6(
+        "1.0e0 - CAST(count(DISTINCT curl) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+    )
+    return f"""
+WITH u AS (
+{gen_url_rel(d)}
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical,
+       {ratio} AS dup_ratio,
+       CASE WHEN {ratio} >= 0.2 THEN 'heavy'
+            WHEN count(DISTINCT curl) < count(*) THEN 'moderate'
+            ELSE 'clean' END AS tier
+FROM u
+GROUP BY domain
+ORDER BY domain
+""".strip()
+
+
+# robots.txt rule set: wildcard-domain defaults plus one fully-blocked
+# domain; '/docs/en/1' is the longest-prefix ALLOW override inside the
+# '/docs/en' disallow (the Googlebot most-specific-rule semantics)
+_ROBOTS_RULES = (
+    ("*", "/docs/en", "disallow"),
+    ("*", "/docs/en/1", "allow"),
+    ("*", "/docs/zh", "disallow"),
+    ("src0.example.com", "/", "disallow"),
+)
+
+
+def robots_rules_values(d: Dialect) -> str:
+    rows = ", ".join(f"('{dom}', '{p}', '{k}')" for dom, p, k in _ROBOTS_RULES)
+    return f"(VALUES {rows}) AS r(rdomain, prefix, kind)"
+
+
+def gen_robots_filter(d: Dialect, url_rel: str | None = None) -> str:
+    """robots.txt filtering with the standard longest-match semantics:
+    among the rules whose prefix matches the URL path (domain-specific or
+    wildcard), the LONGEST prefix decides; allow wins length ties (the
+    Googlebot tie-break); no matching rule means allowed.  Output is the
+    per-domain crawl budget: how many URLs survive.
+
+    100 TB shape: the rule set is constant and tiny — the join is a
+    broadcast nested-loop against a 4-row VALUES relation (allowlisted
+    BNLJ shape), the per-URL candidate fan-out is <= |rules|, and the
+    longest-match argmax is a PARTITION BY doc_id window over those few
+    candidate rows, never over the corpus.  The Spark builder passes a
+    CHECKPOINTED ``url_rel``: the url relation is referenced twice AND
+    its computed columns land in the join condition, so predicate
+    pushdown would otherwise substitute the whole canonicalization chain
+    per reference (measured: a 3 MB optimized plan from a 3 KB one)."""
+    u_cte = (
+        f"u AS (\n{gen_url_rel(d)}\n),"
+        if url_rel is None
+        else f"u AS (SELECT * FROM {url_rel}),"
+    )
+    return f"""
+WITH {u_cte}
+hits AS (
+  SELECT u.doc_id, u.domain, r.kind,
+         row_number() OVER (
+           PARTITION BY u.doc_id
+           ORDER BY length(r.prefix) DESC,
+                    CASE WHEN r.kind = 'allow' THEN 0 ELSE 1 END,
+                    r.prefix
+         ) AS rnk
+  FROM u
+  JOIN {robots_rules_values(d)}
+    ON (r.rdomain = u.domain OR r.rdomain = '*')
+   AND substr(u.cpath, 1, length(r.prefix)) = r.prefix
+),
+verdicts AS (
+  SELECT u.doc_id, u.domain,
+         CASE WHEN h.kind IS NULL OR h.kind = 'allow' THEN 1 ELSE 0 END AS allowed
+  FROM u
+  LEFT JOIN (SELECT doc_id, kind FROM hits WHERE rnk = 1) h
+    ON u.doc_id = h.doc_id
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(allowed) AS BIGINT) AS n_allowed,
+       CAST(sum(1 - allowed) AS BIGINT) AS n_blocked
+FROM verdicts
+GROUP BY domain
+ORDER BY domain
+""".strip()
+
+
+# domain + URL-substring blocklist (the manual exclusion list every web
+# pipeline maintains beside robots): domain block wins over keyword block
+_BLOCKED_DOMAINS = ("src1.example.com", "src7.example.com")
+# '/docs/fr/' varies WITHIN every source (lang is not a doc_id residue),
+# so keyword blocks are per-document, not all-or-nothing per source
+_BLOCKED_KEYWORDS = ("/docs/fr/", "page=2")
+
+
+def gen_blocklist_filter(d: Dialect) -> str:
+    """Domain/keyword blocklist manifest per source: URLs dropped by a
+    blocked domain, dropped by a URL-substring keyword (checked only if
+    the domain passed — first-match-wins priority, stated), or kept.
+
+    100 TB shape: pure map-side predicates (IN over a constant list,
+    instr over constant keywords) + one partial-combining aggregate on
+    source; no joins at all."""
+    dom_in = ", ".join(f"'{x}'" for x in _BLOCKED_DOMAINS)
+    kw_hit = " OR ".join(f"instr(curl, '{k}') > 0" for k in _BLOCKED_KEYWORDS)
+    return f"""
+WITH u AS (
+{gen_url_rel(d)}
+),
+flags AS (
+  SELECT source,
+         CASE WHEN domain IN ({dom_in}) THEN 1 ELSE 0 END AS dom_block,
+         CASE WHEN domain IN ({dom_in}) THEN 0
+              WHEN {kw_hit} THEN 1 ELSE 0 END AS kw_block
+  FROM u
+)
+SELECT source,
+       CAST(sum(1 - dom_block - kw_block) AS BIGINT) AS n_kept,
+       CAST(sum(dom_block) AS BIGINT) AS n_blocked_domain,
+       CAST(sum(kw_block) AS BIGINT) AS n_blocked_keyword
+FROM flags
+GROUP BY source
+ORDER BY source
+""".strip()

@@ -3398,6 +3398,71 @@ ORDER BY channel
         "in-order arrival",
     )
 
+    # ------------------------------------------------------------------
+    # URL / domain ingest tier (r10): the pre-content web-pipeline pass
+    # ------------------------------------------------------------------
+    from storage_crawler_spark.operators import urls as url_ops
+
+    b, o = _sql_pair(url_ops.gen_url_dedup, ("documents",))
+    add(
+        "ingest_url_dedup",
+        b,
+        o,
+        tags=("ingest", "dedup", "url"),
+        doc="URL-level dedup manifest (C4/CCNet first-seen keeper): "
+        "canonicalization in pure common-dialect string algebra — "
+        "fragment strip, https fold, host lowercase + www./default-port "
+        "strip, trailing-slash norm, utm_* param removal with surviving "
+        "param order kept — then min-doc_id per canonical URL; one scan, "
+        "one partial-combining shuffle on curl, zero joins",
+    )
+
+    b, o = _sql_pair(url_ops.gen_domain_tiers, ("documents",))
+    add(
+        "ingest_domain_tiers",
+        b,
+        o,
+        tags=("ingest", "url"),
+        doc="per-domain ingest quality tier from URL-duplication "
+        "structure (heavy/moderate/clean on the canonical-URL dup "
+        "ratio, trunc6 once on emission) — the domain-reputation pass "
+        "before any content fetch; one scan, one aggregate on domain",
+    )
+
+    def _b_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        # checkpoint, not persist: the url relation is consumed twice from
+        # inside WITH defs AND its computed columns reach the rule-join
+        # condition, where pushdown would re-substitute the whole
+        # canonicalization chain (3 MB optimized plan measured inline)
+        _checkpoint_view(spark.sql(url_ops.gen_url_rel(SPARK)), "_url_rel_robots")
+        return spark.sql(url_ops.gen_robots_filter(SPARK, url_rel="_url_rel_robots"))
+
+    add(
+        "ingest_robots_filter",
+        _b_robots,
+        url_ops.gen_robots_filter(DUCK),
+        tags=("ingest", "url"),
+        doc="robots.txt longest-match filtering (allow wins length ties, "
+        "the Googlebot tie-break; wildcard-domain defaults + per-domain "
+        "rules in one pool, most specific wins): constant 4-row VALUES "
+        "rule set joined by prefix match (allowlisted BNLJ build side), "
+        "per-URL argmax over <= |rules| candidate rows, per-domain "
+        "crawl-budget roll-up",
+    )
+
+    b, o = _sql_pair(url_ops.gen_blocklist_filter, ("documents",))
+    add(
+        "ingest_blocklist_filter",
+        b,
+        o,
+        tags=("ingest", "url"),
+        doc="domain + URL-substring blocklist manifest per source "
+        "(domain block wins over keyword block, first-match priority "
+        "stated): pure map-side predicates over constant lists, one "
+        "partial-combining aggregate, zero joins",
+    )
+
     add(
         "skew_salted_join",
         _b_salted_join,
@@ -4124,6 +4189,10 @@ _DRIVER_WINDOW_FIRST = (
     # --- round-10 operators (added as they land) --------------------------
     "streaming_funnel_steps",
     "streaming_attribution_credit",
+    "ingest_url_dedup",
+    "ingest_domain_tiers",
+    "ingest_robots_filter",
+    "ingest_blocklist_filter",
 )
 
 

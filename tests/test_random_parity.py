@@ -521,6 +521,14 @@ DOC_ENTRIES = [
     # token so the trunc6'd per-doc means sweep the ln() boundary
     "text_pii_scan",
     "pipeline_dsir_weights",
+    # r10 URL tier: canonicalization string algebra over synthesized URLs
+    # (NULL source/lang rows excluded identically), first-seen keeper ties,
+    # longest-prefix robots argmax, constant blocklists — all on random
+    # corpora whose doc_id/source/lang interplay differs from the testdata
+    "ingest_url_dedup",
+    "ingest_domain_tiers",
+    "ingest_robots_filter",
+    "ingest_blocklist_filter",
 ]
 
 

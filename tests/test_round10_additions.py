@@ -329,3 +329,121 @@ def test_streaming_attribution_matches_batch_oracle_planted(spark, tmp_path):
     assert rows[3].n_touches == 1
     assert_parity(df, spec.oracle, {"events": f"{sf}/events.parquet"},
                   "streaming_attribution_credit planted")
+
+
+# ---------------------------------------------------------------------------
+# URL / domain ingest tier (r10): every canonicalization step verified on a
+# planted corpus where the expected canonical strings are hand-derivable.
+# ---------------------------------------------------------------------------
+
+
+def _url_docs() -> pd.DataFrame:
+    # doc_ids chosen so the synthesized variants cover: https/http, www,
+    # host case, :443, trailing slash, utm-only query, page+utm query,
+    # bare query, fragment — and so ids {0,3} and {1,2} collide after
+    # canonicalization (same source, lang, page group, query class)
+    ids = [0, 1, 2, 3, 20, 23]
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(ids, dtype="int64"),
+            "text": ["w"] * len(ids),
+            "lang": ["en"] * len(ids),
+            "source": ["alpha", "alpha", "alpha", "alpha", "src0", "src0"],
+            "n_chars": [1] * len(ids),
+        }
+    )
+
+
+def test_url_canonicalization_planted_strings():
+    from storage_crawler_spark.operators import urls
+
+    got = _duck(
+        "SELECT doc_id, url, curl FROM (" + urls.gen_url_rel(DUCK) + ") u ORDER BY doc_id",
+        documents=_url_docs(),
+    )
+    by_id = dict(zip(got["doc_id"], zip(got["url"], got["curl"])))
+    # id 0: every variant at once — www, upper host, :443, trailing slash,
+    # utm-only query, fragment — all fold away
+    assert by_id[0][0] == (
+        "https://www.ALPHA.example.com:443/docs/en/0/"
+        "?utm_source=feed&utm_medium=rss#section-1"
+    )
+    assert by_id[0][1] == "https://alpha.example.com/docs/en/0"
+    # id 1: http folds to https, mixed-case host lowers, utm_campaign
+    # dropped but page=2 kept
+    assert by_id[1][0] == "http://alpha.Example.com/docs/en/0?page=2&utm_campaign=x"
+    assert by_id[1][1] == "https://alpha.example.com/docs/en/0?page=2"
+    # id 2 collides with 1; id 3 collides with 0
+    assert by_id[2][1] == by_id[1][1]
+    assert by_id[3][1] == by_id[0][1]
+    # id 20/23: group (20 div 20) % 12 = 1 -> the robots allow-override
+    # path; 20 (utm-only query) and 23 (no query) canonicalize identically
+    assert by_id[20][1] == "https://src0.example.com/docs/en/1"
+    assert by_id[23][1] == by_id[20][1]
+
+
+def test_url_dedup_first_seen_keepers_planted():
+    from storage_crawler_spark.operators import urls
+
+    got = _duck(urls.gen_url_dedup(DUCK), documents=_url_docs())
+    groups = dict(zip(got["curl"], zip(got["keep_id"], got["n_dups"])))
+    assert groups == {
+        "https://alpha.example.com/docs/en/0": (0, 2),
+        "https://alpha.example.com/docs/en/0?page=2": (1, 2),
+        "https://src0.example.com/docs/en/1": (20, 2),
+    }
+
+
+def test_robots_longest_match_and_full_block_planted():
+    from storage_crawler_spark.operators import urls
+
+    got = _duck(urls.gen_robots_filter(DUCK), documents=_url_docs())
+    rows = dict(zip(got["domain"], zip(got["n_allowed"], got["n_blocked"])))
+    # alpha.example.com: path /docs/en/0 -> '/docs/en' disallow wins
+    assert rows["alpha.example.com"] == (0, 4)
+    # src0.example.com: fully disallowed at '/', BUT the wildcard
+    # '/docs/en/1' allow is LONGER — most-specific-rule wins, so the
+    # group-1 paths stay crawlable even on the blocked domain
+    assert rows["src0.example.com"] == (2, 0)
+
+
+def test_blocklist_priority_planted():
+    from storage_crawler_spark.operators import urls
+
+    docs = _url_docs()
+    # move one alpha doc onto a blocked domain and one onto a French path
+    docs.loc[docs.doc_id == 2, "source"] = "src1"   # domain-blocked
+    docs.loc[docs.doc_id == 3, "lang"] = "fr"       # keyword-blocked
+    got = _duck(urls.gen_blocklist_filter(DUCK), documents=docs)
+    rows = {
+        s: (k, bd, bk)
+        for s, k, bd, bk in zip(
+            got["source"], got["n_kept"], got["n_blocked_domain"],
+            got["n_blocked_keyword"],
+        )
+    }
+    # id 1 carries page=2 and id 3 is now French -> keyword-blocked;
+    # id 0 has utm-only -> kept
+    assert rows["alpha"] == (1, 0, 2)
+    # domain block wins (and is counted) even though id 2 also has page=2
+    assert rows["src1"] == (0, 1, 0)
+    assert rows["src0"] == (2, 0, 0)
+
+
+def test_url_rel_spark_matches_duck_bitwise(spark, tmp_path):
+    from storage_crawler_spark.operators import urls
+    from storage_crawler_spark.plans import views as V
+
+    sf = str(tmp_path / "urldocs")
+    os.makedirs(sf, exist_ok=True)
+    _url_docs().to_parquet(f"{sf}/documents.parquet", index=False)
+    V.register_base_tables(spark, sf, ("documents",))
+    got = sorted(
+        tuple(r) for r in spark.sql(urls.gen_url_rel(SPARK)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(urls.gen_url_rel(DUCK)).fetchall())
+    assert got == want and len(got) == 6

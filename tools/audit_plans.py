@@ -93,6 +93,10 @@ NLJ_ALLOWED = {
     # split-hygiene KL: CROSS JOINs of 1-row aggregates (totals; the final
     # pivot row) and the 2-row constant-VALUES eval-split relation
     "split_vocab_divergence",
+    # robots.txt filtering: the 4-row constant-VALUES rule set is the
+    # build side of the prefix-match join (disjunctive domain condition
+    # -> BNLJ by construction; per-probe fan-out <= |rules|)
+    "ingest_robots_filter",
     # corpus card: 1-row corpus aggregate × 9-row constant-VALUES metric
     # relation — the pivot that keeps the card to ONE corpus scan
     "corpus_card",
