@@ -862,3 +862,47 @@ FROM j
 GROUP BY bucket
 ORDER BY source
 """.strip()
+
+
+def gen_forget_apply(d: Dialect, modulus: int = 53, shard_size: int = 64,
+                     rewrite_frac_micro: int = 250_000, bulk_shard: int = 5) -> str:
+    """Right-to-be-forgotten APPLY on the embedding store — the maintenance
+    step after :func:`gen_forget_audit`'s compliance report: per shard
+    (``vec_id div shard_size``, the physical file grain), decide between a
+    full shard REWRITE (deleted fraction >= threshold — reclaim the space)
+    and a DELETION VECTOR (the Delta/Iceberg merge-on-read artifact: keep
+    the file, mask the positions), and emit the referential proof that the
+    applied store holds exactly the kept vectors (count + exact vec_id sum
+    per shard — any dropped keeper or surviving tombstone breaks it).
+
+    The tombstone set is the audit's deterministic predicate (vec_id ≡ 0
+    mod ``modulus``) PLUS one planted bulk-account range (every vector of
+    shard ``bulk_shard`` — real forget requests cluster: deleting an
+    account tombstones its whole history, which is exactly what pushes a
+    shard over the rewrite threshold), so audit → apply is an end-to-end
+    checkable path AND both actions are exercised on real data.  Threshold compares on the integer micro-lattice
+    (floor(frac·10⁶) vs ``rewrite_frac_micro``) — no float in a decision.
+
+    100 TB shape: ONE scan of the store projecting (shard, tombstone
+    flag) — the embedding arrays never move — and one partial-combining
+    aggregate on shard; the real rewrite would then touch only the
+    'rewrite' shards (listed here), which is the point of the manifest.
+    """
+    shard = d.idiv("vec_id", str(shard_size))
+    tomb = f"(vec_id % {modulus} = 0 OR {shard} = {bulk_shard})"
+    n_del = f"CAST(sum(CASE WHEN {tomb} THEN 1 ELSE 0 END) AS BIGINT)"
+    frac_micro = d.idiv(f"{n_del} * 1000000", "count(*)")
+    return f"""
+SELECT CAST({shard} AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN {tomb} THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       CAST({frac_micro} AS BIGINT) AS deleted_frac_micro,
+       CASE WHEN {frac_micro} >= {rewrite_frac_micro} THEN 'rewrite'
+            WHEN sum(CASE WHEN {tomb} THEN 1 ELSE 0 END) > 0 THEN 'deletion_vector'
+            ELSE 'untouched' END AS action,
+       CAST(sum(CASE WHEN {tomb} THEN 0 ELSE 1 END) AS BIGINT) AS kept_count,
+       CAST(sum(CASE WHEN {tomb} THEN 0 ELSE vec_id END) AS BIGINT) AS kept_id_sum
+FROM embeddings
+GROUP BY {shard}
+ORDER BY shard
+""".strip()

@@ -2828,6 +2828,21 @@ FROM files f
         "chunk counts aggregated on doc_id before the join",
     )
 
+    b, o = _sql_pair(pipeline_ops.gen_forget_apply, ("embeddings",))
+    add(
+        "pipeline_forget_apply",
+        b,
+        o,
+        tags=("pipeline", "embedding", "lake"),
+        doc="right-to-be-forgotten APPLY on the embedding store: per shard "
+        "(vec_id div 64, the file grain) choose full REWRITE (deleted "
+        "fraction >= threshold, integer micro-lattice compare) or a "
+        "DELETION VECTOR (merge-on-read mask), with kept-count + exact "
+        "kept-id-sum as the referential proof; tombstones = the audit's "
+        "modulus set + one planted bulk-account shard (forget requests "
+        "cluster) so both actions fire; one scan, one aggregate on shard",
+    )
+
     def _fsmeta_builder(spark, sf_dir):
         from pyspark.sql import functions as F
 
@@ -4193,6 +4208,7 @@ _DRIVER_WINDOW_FIRST = (
     "ingest_domain_tiers",
     "ingest_robots_filter",
     "ingest_blocklist_filter",
+    "pipeline_forget_apply",
 )
 
 

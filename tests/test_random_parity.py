@@ -183,6 +183,9 @@ def _random_embeddings(seed: int, n: int = 40, dim: int = 8) -> list[tuple]:
 
 EMB_QUERIES = [
     ("cosine_topk", lambda d: similarity.gen_cosine_topk(d, 0, 10)),
+    # r10 forget-apply: random stores exercise ragged final shards, shard
+    # boundaries, and the integer micro-lattice rewrite threshold
+    ("forget_apply", lambda d: pipeline.gen_forget_apply(d)),
     ("ivf_topk", lambda d: similarity.gen_ivf_topk(d, 0, 10)),
     ("embedding_near_dup", lambda d: similarity.gen_embedding_near_dup(d)),
     ("knn_join", lambda d: similarity.gen_knn_join(d, k=3)),

@@ -447,3 +447,66 @@ def test_url_rel_spark_matches_duck_bitwise(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in con.execute(urls.gen_url_rel(DUCK)).fetchall())
     assert got == want and len(got) == 6
+
+
+# ---------------------------------------------------------------------------
+# Forget-apply (r10): the right-to-be-forgotten maintenance step — all three
+# shard actions, the exact threshold boundary, and the referential proof.
+# ---------------------------------------------------------------------------
+
+
+def test_forget_apply_planted_actions_and_conservation():
+    from storage_crawler_spark.operators import pipeline as pl
+
+    # shard_size=4: shard 0 untouched (ids 1,2,3 + none ≡ 0 mod 53 except
+    # 0 — excluded from the store), shard 1 (ids 4..7) one tombstone via
+    # bulk range? no — use modulus 5: ids 5 in shard 1 -> deletion_vector;
+    # shard 2 = bulk -> rewrite; boundary shard 3 has exactly 1/4 deleted
+    # (ids 12..15, 15 ≡ 0 mod 5) = 250000 micro == threshold -> rewrite
+    emb = pd.DataFrame(
+        {
+            "vec_id": pd.array(range(1, 16 + 1), dtype="int64"),
+            "embedding": [[0.0, 1.0]] * 16,
+            "label": pd.array([0] * 16, dtype="Int32"),
+        }
+    )
+    got = _duck(
+        pl.gen_forget_apply(DUCK, modulus=5, shard_size=4, bulk_shard=2),
+        embeddings=emb,
+    )
+    rows = {
+        s: (nd, fm, a, kc, ks)
+        for s, n, nd, fm, a, kc, ks in zip(
+            got["shard"], got["n_vectors"], got["n_deleted"],
+            got["deleted_frac_micro"], got["action"], got["kept_count"],
+            got["kept_id_sum"],
+        )
+    }
+    assert rows[0] == (0, 0, "untouched", 3, 6)          # ids 1,2,3
+    assert rows[1] == (1, 250000, "rewrite", 3, 4 + 6 + 7)  # id 5 out — AT threshold
+    assert rows[2] == (4, 1000000, "rewrite", 0, 0)      # bulk shard 8..11
+    assert rows[3] == (1, 250000, "rewrite", 3, 12 + 13 + 14)  # id 15 out
+    # conservation: kept + deleted == total per shard
+    assert all(
+        n == nd + kc
+        for n, nd, kc in zip(got["n_vectors"], got["n_deleted"], got["kept_count"])
+    )
+
+
+def test_forget_apply_below_threshold_is_deletion_vector():
+    from storage_crawler_spark.operators import pipeline as pl
+
+    # one tombstone in a 5-vector shard: 200000 micro < 250000 threshold
+    emb = pd.DataFrame(
+        {
+            "vec_id": pd.array(range(5, 10), dtype="int64"),
+            "embedding": [[1.0, 0.0]] * 5,
+            "label": pd.array([0] * 5, dtype="Int32"),
+        }
+    )
+    got = _duck(
+        pl.gen_forget_apply(DUCK, modulus=5, shard_size=16, bulk_shard=9),
+        embeddings=emb,
+    )
+    assert got["action"] == ["deletion_vector"]
+    assert got["deleted_frac_micro"] == [200000]
