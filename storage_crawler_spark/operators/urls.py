@@ -299,3 +299,52 @@ FROM flags
 GROUP BY source
 ORDER BY source
 """.strip()
+
+
+def gen_url_revisions(d: Dialect, url_rel: str | None = None) -> str:
+    """Content-revision detection per canonical URL: among URL-duplicate
+    groups, how many carry DIFFERENT document texts — the recrawl-drift
+    signal (same page fetched twice with changed content) that decides
+    between keep-first (static pages) and keep-latest (news/wikis) dedup
+    policies.  Output: per canonical URL with 2+ docs, the fetch count,
+    the distinct-content count (md5 fingerprints — never the text), and
+    whether the keeper's content is the majority version.
+
+    100 TB shape: one scan projecting (curl, md5(text), doc_id), one
+    partial-combining aggregate per (curl, fp) then per curl; the text
+    column never leaves the first projection.  The Spark builder passes a
+    CHECKPOINTED ``url_rel``: curl is a join/group key computed through
+    the layered canonicalizer, and per_version is referenced twice, so the
+    inline form re-substitutes the chain per reference (robots lesson)."""
+    fp = d.md5_utf8("coalesce(text, '')")
+    u_cte = (
+        f"u AS (\n{gen_url_rel(d)}\n),"
+        if url_rel is None
+        else f"u AS (SELECT * FROM {url_rel}),"
+    )
+    return f"""
+WITH {u_cte}
+fetches AS (
+  SELECT u.curl, u.doc_id, {fp} AS fp
+  FROM u JOIN documents doc ON u.doc_id = doc.doc_id
+),
+per_version AS (
+  SELECT curl, fp, CAST(count(*) AS BIGINT) AS n_fetches,
+         CAST(min(doc_id) AS BIGINT) AS first_id
+  FROM fetches GROUP BY curl, fp
+)
+SELECT curl,
+       CAST(sum(n_fetches) AS BIGINT) AS n_fetches,
+       CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(min(first_id) AS BIGINT) AS keep_id,
+       CASE WHEN max(CASE WHEN first_id = keeper.kid THEN n_fetches ELSE 0 END)
+                 * 2 >= sum(n_fetches) THEN 1 ELSE 0 END AS keeper_is_majority
+FROM per_version
+JOIN (
+  SELECT curl AS kcurl, CAST(min(first_id) AS BIGINT) AS kid
+  FROM per_version GROUP BY curl
+) keeper ON per_version.curl = keeper.kcurl
+GROUP BY curl
+HAVING sum(n_fetches) >= 2
+ORDER BY curl
+""".strip()

@@ -3466,6 +3466,27 @@ ORDER BY channel
         "crawl-budget roll-up",
     )
 
+    def _b_url_revisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        # curl is a join/group key computed through the layered
+        # canonicalizer and per_version is referenced twice — checkpoint
+        # the url relation so neither reference re-substitutes the chain
+        _checkpoint_view(spark.sql(url_ops.gen_url_rel(SPARK)), "_url_rel_rev")
+        return spark.sql(url_ops.gen_url_revisions(SPARK, url_rel="_url_rel_rev"))
+
+    add(
+        "ingest_url_revisions",
+        _b_url_revisions,
+        url_ops.gen_url_revisions(DUCK),
+        tags=("ingest", "url", "dedup"),
+        doc="content-revision detection per canonical URL (recrawl "
+        "drift): fetch count, distinct-content count (md5 fingerprints, "
+        "text never leaves the first projection), first-seen keeper, and "
+        "whether the keeper's version is the majority — the signal that "
+        "decides keep-first vs keep-latest dedup policy; one scan + two "
+        "partial-combining aggregates",
+    )
+
     b, o = _sql_pair(url_ops.gen_blocklist_filter, ("documents",))
     add(
         "ingest_blocklist_filter",
@@ -4209,6 +4230,7 @@ _DRIVER_WINDOW_FIRST = (
     "ingest_robots_filter",
     "ingest_blocklist_filter",
     "pipeline_forget_apply",
+    "ingest_url_revisions",
 )
 
 

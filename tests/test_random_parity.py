@@ -532,6 +532,9 @@ DOC_ENTRIES = [
     "ingest_domain_tiers",
     "ingest_robots_filter",
     "ingest_blocklist_filter",
+    # random texts give per-URL version multisets the md5 grouping must
+    # reproduce; NULL texts coalesce to '' identically
+    "ingest_url_revisions",
 ]
 
 

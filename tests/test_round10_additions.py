@@ -510,3 +510,44 @@ def test_forget_apply_below_threshold_is_deletion_vector():
     )
     assert got["action"] == ["deletion_vector"]
     assert got["deleted_frac_micro"] == [200000]
+
+
+def test_url_revisions_planted_drift_and_majority():
+    from storage_crawler_spark.operators import urls
+
+    docs = _url_docs()
+    # ids {0,3} share a canonical URL: give them DIFFERENT texts (a true
+    # revision); ids {1,2} share one: give them the SAME text (a pure
+    # refetch).  Majority: add nothing else, so the keeper version of
+    # {0,3} holds 1 of 2 fetches (ties count as majority: 1*2 >= 2).
+    docs.loc[docs.doc_id == 0, "text"] = "old content"
+    docs.loc[docs.doc_id == 3, "text"] = "new content"
+    docs.loc[docs.doc_id == 1, "text"] = "same"
+    docs.loc[docs.doc_id == 2, "text"] = "same"
+    got = _duck(urls.gen_url_revisions(DUCK), documents=docs)
+    rows = {
+        c: (nf, nv, k, m)
+        for c, nf, nv, k, m in zip(
+            got["curl"], got["n_fetches"], got["n_versions"],
+            got["keep_id"], got["keeper_is_majority"],
+        )
+    }
+    assert rows["https://alpha.example.com/docs/en/0"] == (2, 2, 0, 1)
+    assert rows["https://alpha.example.com/docs/en/0?page=2"] == (2, 1, 1, 1)
+
+
+def test_url_revisions_spark_matches_duck_planted(spark, tmp_path):
+    from storage_crawler_spark.plans import registry
+
+    from parity_util import assert_parity
+
+    docs = _url_docs()
+    docs.loc[docs.doc_id == 3, "text"] = "changed"
+    sf = str(tmp_path / "revdocs")
+    os.makedirs(sf, exist_ok=True)
+    docs.to_parquet(f"{sf}/documents.parquet", index=False)
+    spec = registry.get_query("ingest_url_revisions")
+    assert_parity(
+        spec.builder(spark, sf), spec.oracle,
+        {"documents": f"{sf}/documents.parquet"}, "ingest_url_revisions planted",
+    )
