@@ -3354,9 +3354,9 @@ SELECT n1 AS n_step1, n2 AS n_step2, n3 AS n_step3,
        {tr('CAST(n3 AS DOUBLE) / nullif(n2, 0)')} AS conv_2_3,
        {tr('CAST(n3 AS DOUBLE) / nullif(n1, 0)')} AS conv_overall
 FROM (
-  SELECT CAST(sum(CASE WHEN stage = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-         CAST(sum(CASE WHEN stage = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-         CAST(sum(CASE WHEN stage = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  SELECT CAST(coalesce(sum(CASE WHEN stage = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n1,
+         CAST(coalesce(sum(CASE WHEN stage = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n2,
+         CAST(coalesce(sum(CASE WHEN stage = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n3
   FROM _stream_funnel_stages
 ) c
 """.strip())
