@@ -2849,9 +2849,16 @@ FROM files f
         from storage_crawler_spark.sources.fsmeta import register_fsmeta
 
         register_fsmeta(spark)
-        # Scan the testdata directory itself (read-only listing): the driver
-        # checks row stability; sizes/names of the parquet files are fixed.
-        df = spark.read.format("fsmeta").option("partitions", "8").load(sf_dir)
+        # Scan a FIXED reference tree (read-only listing), not sf_dir: the
+        # oracle below is a static SQL string and cannot be parameterized
+        # by the harness's sf, and this entry gates the FS-source
+        # machinery, not data scale — scanning sf_dir made the entry
+        # sf0.01-only (the r10 sf0.1 spot check caught the mismatch).
+        df = (
+            spark.read.format("fsmeta")
+            .option("partitions", "8")
+            .load("/root/testdata/sf0.01")
+        )
         return (
             df.filter("NOT is_dir AND st_size > 0")
             .select(
