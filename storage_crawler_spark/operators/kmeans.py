@@ -358,7 +358,16 @@ def kmeans_fit_lattice(spark, k: int = KM_K, iters: int = KM_ITERS):
     construction.  Returns (centroids: list[list[int]], sizes: dict)."""
     from storage_crawler_spark.plans.dialect import SPARK
 
-    v = spark.sql(_km_lattice_sql(SPARK)).localCheckpoint()
+    # repartition BEFORE the checkpoint: one parquet file would pin the
+    # whole store in a single partition, single-threading every Lloyd's
+    # round and the semantic-dedup cell self-join (pq.py lesson).  The
+    # init is ORDER BY vec_id LIMIT k and round aggregates are order-free
+    # BIGINT sums, so the fit is partitioning-independent.
+    v = (
+        spark.sql(_km_lattice_sql(SPARK))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
     v.createOrReplaceTempView("_km_lat_v")
     init = v.orderBy("vec_id").limit(k).select("qarr").collect()
     if not init:

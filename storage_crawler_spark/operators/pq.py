@@ -406,7 +406,14 @@ def _pq_lattice_vs(spark, m: int):
         raise ValueError("cannot fit PQ on an empty vector set")
     dim = max(dims)
     _subspace_dims(dim, m)
-    pv = pv.filter(F.size("qarr") == dim).localCheckpoint()
+    # repartition BEFORE the checkpoint: the store is one parquet file, so
+    # the checkpointed RDD would otherwise pin the whole corpus in ONE
+    # partition and every downstream pass (fit rounds, encode, ADC scan)
+    # would run single-threaded (measured: the sf0.1 ADC scan ran as one
+    # 10 s task).  Map-only downstream + order-free BIGINT aggregates, so
+    # values are partitioning-independent.
+    n = spark.sparkContext.defaultParallelism
+    pv = pv.filter(F.size("qarr") == dim).repartition(n).localCheckpoint()
     dsub = dim // m
     vs = pv.select(
         "vec_id",
