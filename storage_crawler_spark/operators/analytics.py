@@ -1145,6 +1145,52 @@ ORDER BY event_type
 """.strip()
 
 
+def gen_funnel_stage(
+    d: Dialect,
+    step: str,
+    idx: int,
+    prev_rel: str | None = None,
+    max_lag_s: int = 86400,
+) -> str:
+    """Per-user first-qualifying-event time of one funnel stage — factored
+    so the Spark builder can stage s1/s2 as persisted plain-FROM relations
+    (each is read by the next stage AND the final count; inline, CTE
+    inlining re-derived s1 three times and scanned events six times).
+    Semantics identical to the inline chain in :func:`gen_funnel_steps`."""
+    es = d.epoch_s_events("e.ts")
+    if prev_rel is None:
+        return (
+            f"SELECT e.user_id, CAST(min({es}) AS BIGINT) AS t1\n"
+            f"FROM events e\n"
+            f"WHERE e.user_id IS NOT NULL AND e.event_type = '{step}'\n"
+            f"GROUP BY e.user_id"
+        )
+    p = idx - 1
+    return (
+        f"SELECT e.user_id, CAST(min({es}) AS BIGINT) AS t{idx}\n"
+        f"FROM events e JOIN {prev_rel} s ON e.user_id = s.user_id\n"
+        f"WHERE e.user_id IS NOT NULL AND e.event_type = '{step}'\n"
+        f"  AND {es} > s.t{p} AND {es} <= s.t{p} + {max_lag_s}\n"
+        f"GROUP BY e.user_id"
+    )
+
+
+def gen_funnel_readout(d: Dialect, s1_rel: str, s2_rel: str, s3_rel: str) -> str:
+    """Final 1-row funnel readout over staged stage relations: three 1-row
+    count aggregates cross-joined (1-row build sides), NULL-guarded
+    conversion rates."""
+    rate = lambda a, b: d.trunc6(f"CAST({a} AS DOUBLE) / nullif({b}, 0)")  # noqa: E731
+    return f"""
+SELECT n1 AS n_step1, n2 AS n_step2, n3 AS n_step3,
+       {rate('n2', 'n1')} AS conv_1_2,
+       {rate('n3', 'n2')} AS conv_2_3,
+       {rate('n3', 'n1')} AS conv_overall
+FROM (SELECT CAST(count(*) AS BIGINT) AS n1 FROM {s1_rel}) a
+CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n2 FROM {s2_rel}) b
+CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n3 FROM {s3_rel}) c
+""".strip()
+
+
 def gen_funnel_steps(
     d: Dialect,
     steps: tuple[str, ...] = ("view", "click", "purchase"),

@@ -3667,17 +3667,36 @@ ORDER BY channel
         "max_df=20 — template grams are exactly the join-explosion keys",
     )
 
-    b, o = _sql_pair(analytics.gen_funnel_steps, ("events",))
+    def _b_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("events",))
+        # stage s1/s2 as persisted plain-FROM relations: each feeds the
+        # next stage AND its own count — inline, CTE inlining re-derived
+        # s1 three times (six events scans); s3 is read once
+        _persist_view(
+            spark.sql(analytics.gen_funnel_stage(SPARK, "view", 1)), "_fun_s1"
+        )
+        _persist_view(
+            spark.sql(analytics.gen_funnel_stage(SPARK, "click", 2, "_fun_s1")),
+            "_fun_s2",
+        )
+        spark.sql(
+            analytics.gen_funnel_stage(SPARK, "purchase", 3, "_fun_s2")
+        ).createOrReplaceTempView("_fun_s3")
+        return spark.sql(
+            analytics.gen_funnel_readout(SPARK, "_fun_s1", "_fun_s2", "_fun_s3")
+        )
+
     add(
         "events_funnel_steps",
-        b,
-        o,
+        _b_funnel_steps,
+        analytics.gen_funnel_steps(DUCK),
         tags=("events",),
         doc="ordered view->click->purchase conversion funnel with a 24 h "
         "conversion window (first qualifying event per stage, strict "
         "temporal chaining) — per-stage user counts + NULL-guarded "
-        "rates; each stage a type-pruned per-user aggregate chained by "
-        "equi-joins, no windows",
+        "rates; s1/s2 staged as persisted relations (each feeds the next "
+        "stage and its own count), readout = three 1-row counts "
+        "cross-joined; no windows",
     )
 
     b, o = _sql_pair(analytics.gen_type_triangles, ("events",))

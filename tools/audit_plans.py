@@ -97,6 +97,9 @@ NLJ_ALLOWED = {
     # build side of the prefix-match join (disjunctive domain condition
     # -> BNLJ by construction; per-probe fan-out <= |rules|)
     "ingest_robots_filter",
+    # funnel readout: CROSS JOIN of three 1-row count aggregates over the
+    # staged stage relations — 1-row build sides
+    "events_funnel_steps",
     # corpus card: 1-row corpus aggregate × 9-row constant-VALUES metric
     # relation — the pivot that keeps the card to ONE corpus scan
     "corpus_card",
