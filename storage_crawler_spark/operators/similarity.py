@@ -1484,3 +1484,87 @@ FROM pool p LEFT JOIN pr ON pr.ai = p.vec_id"""
         for rank, vid, relq, marg in picks
     ]
     return spark.createDataFrame(rows, schema)
+
+
+MRL_Q = 1_000_000  # matryoshka prefix-distance lattice
+
+
+def gen_matryoshka_audit(
+    d: Dialect, query_vec_id: int = 0, k: int = 10,
+    prefixes: tuple[int, ...] = (8, 16, 32),
+) -> str:
+    """Matryoshka-truncation quality audit (Kusupati et al. 2022: MRL
+    embeddings are served at prefix dimensions to cut memory/latency):
+    for each prefix length, the exact top-``k`` by PREFIX squared
+    distance is compared against the full-dimension ranking — recall@k
+    and top-1 agreement per prefix, the go/no-go table for choosing a
+    serving dimension.
+
+    Exact-integer discipline: distances fold on the floor(x·10⁶) BIGINT
+    lattice with vec_id tie-breaks, so rankings are engine-identical; the
+    single division (recall) is trunc6 on emission.  Vectors are aligned
+    to the QUERY vector's dimension (scalar-subquery filter) so prefix
+    slices never see ragged arrays.
+
+    100 TB shape: one map-only lattice projection per ranking, each fused
+    into TakeOrderedAndProject (k rows out); the per-prefix overlap joins
+    touch k-row relations only.  len(prefixes)+1 corpus scans — at scale
+    the store would be checkpointed once like the PQ path."""
+    ev = "transform(embedding, x -> CAST(x AS DOUBLE))" if d.name == "spark" \
+        else "CAST(embedding AS DOUBLE[])"
+    qz = d.transform("ev", "x", f"CAST(floor(x * {MRL_Q}.0e0) AS BIGINT)")
+    lat = (
+        f"SELECT vec_id, {qz} AS qarr FROM "
+        f"(SELECT vec_id, {ev} AS ev FROM embeddings "
+        f" WHERE embedding IS NOT NULL AND {d.size(d.cast_double_arr('embedding'))} >= 1) t"
+    )
+    fold = lambda a, b: d.reduce_bigint(  # noqa: E731
+        d.zip_sub_sq(a, b), "acc + CAST(x AS BIGINT)"
+    )
+    parts = [
+        f"lat AS (\n{lat}\n)",
+        f"q AS (SELECT qarr FROM lat WHERE vec_id = {query_vec_id})",
+        # dimension alignment: only vectors with the query's dim rank
+        f"v AS (SELECT l.vec_id, l.qarr FROM lat l CROSS JOIN q "
+        f"WHERE l.vec_id <> {query_vec_id} AND {d.size('l.qarr')} = {d.size('q.qarr')})",
+    ]
+    rankings: list[tuple[str, str]] = []
+    for p in prefixes:
+        dist = fold(d.aslice("e.qarr", "1", str(p)), d.aslice("q.qarr", "1", str(p)))
+        rankings.append((f"p{p}", str(p)))
+        parts.append(
+            f"""p{p} AS (
+  SELECT vec_id, row_number() OVER (ORDER BY d2, vec_id) AS rn FROM (
+    SELECT e.vec_id, {dist} AS d2
+    FROM v e CROSS JOIN q
+    ORDER BY d2, e.vec_id LIMIT {k}
+  ) t
+)"""
+        )
+    full = fold("e.qarr", "q.qarr")
+    parts.append(
+        f"""pfull AS (
+  SELECT vec_id, row_number() OVER (ORDER BY d2, vec_id) AS rn FROM (
+    SELECT e.vec_id, {full} AS d2
+    FROM v e CROSS JOIN q
+    ORDER BY d2, e.vec_id LIMIT {k}
+  ) t
+)"""
+    )
+    recall = d.trunc6(f"CAST(count(*) AS DOUBLE) / {k}.0e0")
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT CAST({p} AS BIGINT) AS prefix_dim,
+       CAST(count(*) AS BIGINT) AS overlap_k,
+       {recall} AS recall_at_k,
+       CAST(coalesce(max(CASE WHEN a.rn = 1 AND f.rn = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS top1_agree
+FROM {rel} a JOIN pfull f ON a.vec_id = f.vec_id"""
+        for rel, p in rankings
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT * FROM (
+{unions}
+) audit
+ORDER BY prefix_dim
+""".strip()

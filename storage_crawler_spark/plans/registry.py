@@ -3494,6 +3494,25 @@ ORDER BY channel
         "partial-combining aggregates",
     )
 
+    from storage_crawler_spark.operators.similarity import (
+        gen_matryoshka_audit as _gen_mrl_audit,
+    )
+
+    b, o = _sql_pair(_gen_mrl_audit, ("embeddings",))
+    add(
+        "sim_matryoshka_audit",
+        b,
+        o,
+        tags=("similarity", "embedding"),
+        doc="Matryoshka-truncation audit (Kusupati et al. 2022): exact "
+        "prefix-dimension top-k (8/16/32) vs the full-dimension ranking "
+        "- recall@k + top-1 agreement per prefix, the serving-dimension "
+        "go/no-go table; integer-lattice distances with vec_id "
+        "tie-breaks, per-ranking fused TakeOrderedAndProject, overlap "
+        "joins on k-row relations; query-dim alignment via scalar "
+        "subquery",
+    )
+
     b, o = _sql_pair(url_ops.gen_blocklist_filter, ("documents",))
     add(
         "ingest_blocklist_filter",
@@ -4257,6 +4276,7 @@ _DRIVER_WINDOW_FIRST = (
     "ingest_blocklist_filter",
     "pipeline_forget_apply",
     "ingest_url_revisions",
+    "sim_matryoshka_audit",
 )
 
 

@@ -186,6 +186,9 @@ EMB_QUERIES = [
     # r10 forget-apply: random stores exercise ragged final shards, shard
     # boundaries, and the integer micro-lattice rewrite threshold
     ("forget_apply", lambda d: pipeline.gen_forget_apply(d)),
+    # r10 matryoshka audit: duplicate/antipode/ragged-dim vectors — the
+    # query-dim alignment filter and lattice tie-breaks must agree
+    ("matryoshka_audit", lambda d: similarity.gen_matryoshka_audit(d, prefixes=(2, 4))),
     ("ivf_topk", lambda d: similarity.gen_ivf_topk(d, 0, 10)),
     ("embedding_near_dup", lambda d: similarity.gen_embedding_near_dup(d)),
     ("knn_join", lambda d: similarity.gen_knn_join(d, k=3)),

@@ -551,3 +551,50 @@ def test_url_revisions_spark_matches_duck_planted(spark, tmp_path):
         spec.builder(spark, sf), spec.oracle,
         {"documents": f"{sf}/documents.parquet"}, "ingest_url_revisions planted",
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit (r10): hand-checkable prefix-vs-full rankings.
+# ---------------------------------------------------------------------------
+
+
+def test_matryoshka_audit_planted_rankings():
+    from storage_crawler_spark.operators import similarity as sim
+
+    # query = id 0.  Candidate 1 is NEAR in the first 2 dims but FAR in the
+    # tail; candidate 2 is uniformly mid; candidate 3 uniformly far.
+    emb = pd.DataFrame(
+        {
+            "vec_id": pd.array([0, 1, 2, 3], dtype="int64"),
+            "embedding": [
+                [0.0, 0.0, 0.0, 0.0],
+                [0.01, 0.01, 9.0, 9.0],   # prefix-2 winner, full loser
+                [1.0, 1.0, 1.0, 1.0],     # full winner
+                [5.0, 5.0, 5.0, 5.0],
+            ],
+            "label": pd.array([0, 0, 0, 0], dtype="Int32"),
+        }
+    )
+    got = _duck(
+        sim.gen_matryoshka_audit(DUCK, query_vec_id=0, k=2, prefixes=(2,)),
+        embeddings=emb,
+    )
+    # prefix-2 d2: c1 = 2e8 < c2 = 2e12 < c3 = 5e13 -> prefix top-2 {1, 2}.
+    # full d2: c2 = 4e12 < c3 = 1e14 < c1 = 1.62e14 (the far tail sinks
+    # c1 below c3!) -> full top-2 {2, 3}.  Overlap = {2}, top-1 disagrees.
+    assert got["prefix_dim"] == [2]
+    assert got["overlap_k"] == [1]
+    assert got["recall_at_k"] == [0.5]
+    assert got["top1_agree"] == [0]
+
+
+def test_matryoshka_audit_spark_matches_duck(spark, sf_dir):
+    from parity_util import assert_parity
+
+    from storage_crawler_spark.plans import registry
+
+    spec = registry.get_query("sim_matryoshka_audit")
+    assert_parity(
+        spec.builder(spark, sf_dir), spec.oracle,
+        {"embeddings": f"{sf_dir}/embeddings.parquet"}, "sim_matryoshka_audit",
+    )
