@@ -1489,9 +1489,23 @@ FROM pool p LEFT JOIN pr ON pr.ai = p.vec_id"""
 MRL_Q = 1_000_000  # matryoshka prefix-distance lattice
 
 
+def gen_mrl_lattice(d: Dialect) -> str:
+    """(vec_id, qarr) floor(x*MRL_Q) BIGINT lattice projection of the
+    embedding store — the shared input of every matryoshka ranking."""
+    ev = "transform(embedding, x -> CAST(x AS DOUBLE))" if d.name == "spark" \
+        else "CAST(embedding AS DOUBLE[])"
+    qz = d.transform("ev", "x", f"CAST(floor(x * {MRL_Q}.0e0) AS BIGINT)")
+    return (
+        f"SELECT vec_id, {qz} AS qarr FROM "
+        f"(SELECT vec_id, {ev} AS ev FROM embeddings "
+        f" WHERE embedding IS NOT NULL AND {d.size(d.cast_double_arr('embedding'))} >= 1) t"
+    )
+
+
 def gen_matryoshka_audit(
     d: Dialect, query_vec_id: int = 0, k: int = 10,
     prefixes: tuple[int, ...] = (8, 16, 32),
+    lat_rel: str | None = None,
 ) -> str:
     """Matryoshka-truncation quality audit (Kusupati et al. 2022: MRL
     embeddings are served at prefix dimensions to cut memory/latency):
@@ -1508,21 +1522,15 @@ def gen_matryoshka_audit(
 
     100 TB shape: one map-only lattice projection per ranking, each fused
     into TakeOrderedAndProject (k rows out); the per-prefix overlap joins
-    touch k-row relations only.  len(prefixes)+1 corpus scans — at scale
-    the store would be checkpointed once like the PQ path."""
-    ev = "transform(embedding, x -> CAST(x AS DOUBLE))" if d.name == "spark" \
-        else "CAST(embedding AS DOUBLE[])"
-    qz = d.transform("ev", "x", f"CAST(floor(x * {MRL_Q}.0e0) AS BIGINT)")
-    lat = (
-        f"SELECT vec_id, {qz} AS qarr FROM "
-        f"(SELECT vec_id, {ev} AS ev FROM embeddings "
-        f" WHERE embedding IS NOT NULL AND {d.size(d.cast_double_arr('embedding'))} >= 1) t"
-    )
+    touch k-row relations only.  The Spark builder passes a CHECKPOINTED
+    ``lat_rel`` (PQ-path pattern) so the store is read once, not once per
+    ranking; the inline form (the oracle) scans per ranking."""
+    lat = gen_mrl_lattice(d)
     fold = lambda a, b: d.reduce_bigint(  # noqa: E731
         d.zip_sub_sq(a, b), "acc + CAST(x AS BIGINT)"
     )
     parts = [
-        f"lat AS (\n{lat}\n)",
+        f"lat AS (SELECT * FROM {lat_rel})" if lat_rel else f"lat AS (\n{lat}\n)",
         f"q AS (SELECT qarr FROM lat WHERE vec_id = {query_vec_id})",
         # dimension alignment: only vectors with the query's dim rank
         f"v AS (SELECT l.vec_id, l.qarr FROM lat l CROSS JOIN q "

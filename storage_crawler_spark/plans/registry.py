@@ -3496,13 +3496,25 @@ ORDER BY channel
 
     from storage_crawler_spark.operators.similarity import (
         gen_matryoshka_audit as _gen_mrl_audit,
+        gen_mrl_lattice as _gen_mrl_lat,
     )
 
-    b, o = _sql_pair(_gen_mrl_audit, ("embeddings",))
+    def _b_mrl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("embeddings",))
+        # checkpoint the lattice (repartitioned off the single-file scan,
+        # PQ-path lesson) so the 4 rankings read the store once, not 6x
+        _checkpoint_view(
+            spark.sql(_gen_mrl_lat(SPARK)).repartition(
+                spark.sparkContext.defaultParallelism
+            ),
+            "_mrl_lat",
+        )
+        return spark.sql(_gen_mrl_audit(SPARK, lat_rel="_mrl_lat"))
+
     add(
         "sim_matryoshka_audit",
-        b,
-        o,
+        _b_mrl_audit,
+        _gen_mrl_audit(DUCK),
         tags=("similarity", "embedding"),
         doc="Matryoshka-truncation audit (Kusupati et al. 2022): exact "
         "prefix-dimension top-k (8/16/32) vs the full-dimension ranking "
