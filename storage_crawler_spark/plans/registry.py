@@ -4289,6 +4289,16 @@ _DRIVER_WINDOW_FIRST = (
     "pipeline_forget_apply",
     "ingest_url_revisions",
     "sim_matryoshka_audit",
+    # --- r10-reworked entries whose r9 stamps predate the rework ---------
+    # (staged pair/stage relations; checkpoint switch; lattice repartition)
+    "events_attribution_credit",
+    "events_funnel_steps",
+    "dedup_cluster_assign",
+    "dedup_cluster_keepers",
+    "sim_pq_topk",
+    "sim_pq_recall",
+    "sim_kmeans_lattice",
+    "sim_ivf_trained_topk",
 )
 
 
