@@ -294,16 +294,19 @@ def gen_user_value_quantiles(d: Dialect) -> str:
     (p50/p90/p99/max) — the monetization-skew readout, and the analytics
     twin of the salted-aggregation plane's skew concern.
 
-    Exactness note: event values in this corpus are multiples of 1/8
-    (exactly representable), so per-user double sums are order-independent
-    and the quantile inputs bit-identical across engines; corpora with
-    arbitrary floats would route through DECIMAL sums per the repo's
-    money-sum convention (registry float-parity rules).
+    Exactness: event values are CENT-denominated doubles (2 decimals —
+    NOT binary-exact), so every sum routes through DECIMAL(18,2) per the
+    repo's money-sum convention and converts to DOUBLE exactly once per
+    emitted number (one correctly-rounded op, identical in both engines).
+    The r9 form summed doubles directly on a false "1/8-lattice" premise;
+    it survived the sf0.01 gate by luck and the r10 sf0.1 full sweep
+    caught the trunc6 boundary flip on the corpus-wide sum — the
+    order-dependent float-sum class the DECIMAL convention exists for.
     """
-    pc = "percentile_cont({q}) WITHIN GROUP (ORDER BY total)"
+    pc = "percentile_cont({q}) WITHIN GROUP (ORDER BY CAST(total_dec AS DOUBLE))"
     return f"""
 WITH uv AS (
-  SELECT user_id, sum(coalesce(value, 0)) AS total
+  SELECT user_id, sum(CAST(coalesce(value, 0) AS DECIMAL(18,2))) AS total_dec
   FROM events WHERE user_id IS NOT NULL
   GROUP BY user_id
 )
@@ -311,8 +314,8 @@ SELECT CAST(count(*) AS BIGINT) AS n_users,
        {d.trunc6(pc.format(q='0.5'))} AS p50,
        {d.trunc6(pc.format(q='0.9'))} AS p90,
        {d.trunc6(pc.format(q='0.99'))} AS p99,
-       {d.trunc6('max(total)')} AS max_total,
-       {d.trunc6('sum(total)')} AS sum_total
+       {d.trunc6('CAST(max(total_dec) AS DOUBLE)')} AS max_total,
+       {d.trunc6('CAST(sum(total_dec) AS DOUBLE)')} AS sum_total
 FROM uv
 """.strip()
 

@@ -4296,7 +4296,9 @@ _DRIVER_WINDOW_FIRST = (
     "dedup_cluster_assign",
     "dedup_cluster_keepers",
     "sim_pq_topk",
-    "sim_pq_recall",
+    # (sim_pq_recall's r10 change is plan-only — its r9 value stamp still
+    # attests the output; the slot goes to the value-affecting DECIMAL fix)
+    "events_user_value_quantiles",
     "sim_kmeans_lattice",
     "sim_ivf_trained_topk",
 )
