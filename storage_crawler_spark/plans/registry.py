@@ -1617,6 +1617,27 @@ def _specs() -> list[QuerySpec]:
         "(NULL-bin trap), window sums CAST to BIGINT (HUGEINT trap)",
     )
 
+    def _b_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from storage_crawler_spark.sources.lake import gen_vacuum_plan
+
+        V.files_view(spark, sf_dir).createOrReplaceTempView("files")
+        return spark.sql(gen_vacuum_plan(SPARK))
+
+    from storage_crawler_spark.sources.lake import gen_vacuum_plan as _gen_vacuum
+
+    add(
+        "lake_vacuum_plan",
+        _b_vacuum,
+        V.with_files_cte(_gen_vacuum(DUCK)),
+        tags=("lake", "usage"),
+        doc="VACUUM plan per top-level root: unreferenced files split into "
+        "vacuum-now vs retained-young by the Delta retention contract "
+        "(never delete inside the in-flight-reader window; age vs the "
+        "frozen as-of instant, never NOW()); reclaimable bytes per root; "
+        "one scan + one aggregate on the root key, no joins - completes "
+        "the maintenance triad beside compaction and z-order",
+    )
+
     def _b_streaming_docs_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         from storage_crawler_spark.streaming import run_to_completion
         from storage_crawler_spark.streaming.documents import (
@@ -4279,6 +4300,8 @@ _DRIVER_WINDOW_FIRST = (
     "text_license_scan",
     "text_phrase_search",
     "ingest_ivm_agg",
+    # (r11 deferral queue: lake_vacuum_plan landed after the 50 slots
+    # filled — sweep-checked and pytest-covered until its first stamp.)
     # --- round-10 operators (added as they land) --------------------------
     "streaming_funnel_steps",
     "streaming_attribution_credit",

@@ -462,3 +462,49 @@ FROM file_stats
 GROUP BY layout
 ORDER BY layout
 """.strip()
+
+
+def gen_vacuum_plan(
+    d,
+    as_of_epoch: int = 1_700_500_000,
+    retention_s: int = 400_000,
+    modulus: int = 7,
+) -> str:
+    """VACUUM plan over the ``files`` relation: per top-level root, which
+    unreferenced files a vacuum run may delete NOW and which it must
+    retain — the third leg of the lake-maintenance triad beside the
+    compaction plan and the z-order layout.  Deleting an unreferenced
+    file younger than the retention window breaks in-flight readers (the
+    Delta VACUUM contract: never remove files a snapshot started before
+    the dereference could still be reading), so the plan splits orphans
+    into vacuum-now vs retained-young and the job executes only the
+    former.
+
+    The "no longer referenced" set is a deterministic predicate (every
+    ``id % modulus == 0`` file — the forget-apply stand-in convention for
+    a manifest anti-join; a real lake would anti-join the live snapshot
+    manifest, same plan shape with the manifest broadcast).  The modulus
+    is COPRIME with the path-shape residues (the files view routes ids by
+    mod 3/5), so orphans land in every root — a multiple of 3 would never
+    orphan an /archive file (the URL-tier residue-coupling lesson).  Age compares
+    ``st_mtime`` against the fixture's frozen as-of instant, never NOW()
+    (oracle reproducibility).
+
+    100 TB shape: one scan of the files relation projecting (root, flag,
+    age, size), one partial-combining aggregate on the small root key —
+    the same shape as the blocklist manifest; no joins, no windows.
+    """
+    root = d.elem(d.split("path", "/"), "2")
+    orphan = f"(id % {modulus} = 0)"
+    old = f"(st_mtime <= {as_of_epoch} - {retention_s})"
+    return f"""
+SELECT root,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN {orphan} THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       CAST(sum(CASE WHEN {orphan} AND {old} THEN 1 ELSE 0 END) AS BIGINT) AS n_vacuum_now,
+       CAST(sum(CASE WHEN {orphan} AND NOT {old} THEN 1 ELSE 0 END) AS BIGINT) AS n_retained_young,
+       CAST(sum(CASE WHEN {orphan} AND {old} THEN st_size ELSE 0 END) AS BIGINT) AS bytes_reclaimable
+FROM (SELECT {root} AS root, id, st_mtime, st_size FROM files) f
+GROUP BY root
+ORDER BY root
+""".strip()

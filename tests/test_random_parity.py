@@ -538,6 +538,8 @@ DOC_ENTRIES = [
     # random texts give per-URL version multisets the md5 grouping must
     # reproduce; NULL texts coalesce to '' identically
     "ingest_url_revisions",
+    # r11-queued vacuum plan: random sizes/mtimes sweep the retention edge
+    "lake_vacuum_plan",
 ]
 
 

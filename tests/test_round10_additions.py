@@ -598,3 +598,60 @@ def test_matryoshka_audit_spark_matches_duck(spark, sf_dir):
         spec.builder(spark, sf_dir), spec.oracle,
         {"embeddings": f"{sf_dir}/embeddings.parquet"}, "sim_matryoshka_audit",
     )
+
+
+# ---------------------------------------------------------------------------
+# Vacuum plan (r10, r11-queued): retention-edge and conservation fixtures.
+# ---------------------------------------------------------------------------
+
+
+def _vacuum_docs():
+    # files-view mtime = 1700000000 + (doc_id*7919) % 900000; as-of default
+    # 1700500000, retention 400000 -> vacuum-now iff mtime <= 1700100000,
+    # i.e. (doc_id*7919) % 900000 <= 100000
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([0, 7, 14, 21, 3], dtype="int64"),
+            "text": ["w"] * 5,
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+            "n_chars": [10, 20, 30, 40, 50],
+        }
+    )
+
+
+def test_vacuum_plan_retention_split_and_conservation():
+    from storage_crawler_spark.plans import views as V
+    from storage_crawler_spark.sources import lake
+
+    got = _duck(
+        V.with_files_cte(lake.gen_vacuum_plan(DUCK)), documents=_vacuum_docs()
+    )
+    rows = {r: t for r, *t in zip(
+        got["root"], got["n_files"], got["n_orphans"], got["n_vacuum_now"],
+        got["n_retained_young"], got["bytes_reclaimable"],
+    )}
+    # ids 0,7,14,21 are orphans (id % 7 == 0); id 3 is live.
+    # mtime offset = (id*7919) % 900000; vacuum-now iff offset <= 100000:
+    # id 0 -> 0 (now), id 7 -> 55433 (now), id 14 -> 110866 (young),
+    # id 21 -> 166299 (young) -> two vacuum-now, two retained
+    total = [sum(x) for x in zip(*rows.values())]
+    assert total[0] == 5 and total[1] == 4
+    assert total[2] == 2 and total[3] == 2
+    # reclaimable = sizes of docs 0 and 7 = (10 + 20) * 4096
+    assert total[4] == (10 + 20) * 4096
+    # conservation: orphans = vacuum_now + retained_young in every root
+    for r, (nf, no, nv, nr, b) in rows.items():
+        assert no == nv + nr
+
+
+def test_vacuum_plan_spark_matches_duck(spark, sf_dir):
+    from parity_util import assert_parity
+
+    from storage_crawler_spark.plans import registry
+
+    spec = registry.get_query("lake_vacuum_plan")
+    assert_parity(
+        spec.builder(spark, sf_dir), spec.oracle,
+        {"documents": f"{sf_dir}/documents.parquet"}, "lake_vacuum_plan",
+    )
