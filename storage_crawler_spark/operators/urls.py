@@ -348,3 +348,63 @@ GROUP BY curl
 HAVING sum(n_fetches) >= 2
 ORDER BY curl
 """.strip()
+
+
+def gen_sitemap_coverage(d: Dialect, url_rel: str | None = None) -> str:
+    """Crawl-frontier coverage per domain: the sitemap-declared URL grid
+    (every page group of every observed (domain, language) section —
+    derived by EXPLODING a constant sequence per section row, never a
+    cartesian grid join) LEFT-joined against the canonical URLs actually
+    fetched — declared/fetched/missing counts and the coverage ratio the
+    crawl-ops dashboard pages on.  The referential dual of the robots
+    filter: robots says what we may fetch, this says what we did.
+
+    100 TB shape: fetched keys partial-combine to one row per (domain,
+    lang, group); sections are a tiny distinct; the declared relation is
+    |sections| x GROUPS rows via lateral explode (broadcastable); one
+    LEFT JOIN on the composite key, one roll-up on domain."""
+    u_cte = (
+        f"u AS (\n{gen_url_rel(d)}\n),"
+        if url_rel is None
+        else f"u AS (SELECT * FROM {url_rel}),"
+    )
+    lat = d.lateral_seq("0", str(GROUPS - 1), "grp")
+    return f"""
+WITH {u_cte}
+fetched AS (
+  SELECT DISTINCT domain,
+         {d.elem(d.split('ponly', '/'), '3')} AS lang,
+         {d.elem(d.split('ponly', '/'), '4')} AS grp_s
+  FROM (
+    SELECT domain,
+           CASE WHEN instr(cpath, '?') > 0
+                THEN substr(cpath, 1, instr(cpath, '?') - 1)
+                ELSE cpath END AS ponly
+    FROM u
+  ) p
+),
+sections AS (
+  SELECT DISTINCT domain, lang FROM fetched
+),
+declared AS (
+  SELECT s.domain, s.lang, CAST(grp AS BIGINT) AS grp
+  FROM sections s
+  {lat}
+),
+hits AS (
+  SELECT dec.domain,
+         CASE WHEN f.grp_s IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM declared dec
+  LEFT JOIN fetched f
+    ON dec.domain = f.domain AND dec.lang = f.lang
+   AND CAST(dec.grp AS STRING) = f.grp_s
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_declared,
+       CAST(sum(hit) AS BIGINT) AS n_fetched,
+       CAST(sum(1 - hit) AS BIGINT) AS n_missing,
+       {d.trunc6('CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE)')} AS coverage
+FROM hits
+GROUP BY domain
+ORDER BY domain
+""".strip()

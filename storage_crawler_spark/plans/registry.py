@@ -3546,6 +3546,20 @@ ORDER BY channel
         "subquery",
     )
 
+    b, o = _sql_pair(url_ops.gen_sitemap_coverage, ("documents",))
+    add(
+        "ingest_sitemap_coverage",
+        b,
+        o,
+        tags=("ingest", "url"),
+        doc="crawl-frontier coverage per domain: the sitemap-declared URL "
+        "grid (observed (domain, lang) sections exploded over the page-"
+        "group sequence - lateral explode, never a cartesian grid join) "
+        "LEFT-joined against fetched canonical paths; declared/fetched/"
+        "missing + coverage ratio - the referential dual of the robots "
+        "filter (what we may fetch vs what we did)",
+    )
+
     b, o = _sql_pair(url_ops.gen_blocklist_filter, ("documents",))
     add(
         "ingest_blocklist_filter",
@@ -4300,8 +4314,9 @@ _DRIVER_WINDOW_FIRST = (
     "text_license_scan",
     "text_phrase_search",
     "ingest_ivm_agg",
-    # (r11 deferral queue: lake_vacuum_plan landed after the 50 slots
-    # filled — sweep-checked and pytest-covered until its first stamp.)
+    # (r11 deferral queue: lake_vacuum_plan and ingest_sitemap_coverage
+    # landed after the 50 slots filled — sweep-checked and pytest-covered
+    # until their first stamp.)
     # --- round-10 operators (added as they land) --------------------------
     "streaming_funnel_steps",
     "streaming_attribution_credit",
