@@ -1428,17 +1428,18 @@ ORDER BY cohort_week, week_offset
 """.strip()
 
 
-def gen_attribution_pairs(d: Dialect, window_s: int = 86400, n_channels: int = 4) -> str:
-    """(pid, vm, cid, tc, channel) purchase×click touchpoint pair relation
-    — the one expensive join of the attribution matrix, factored out so
-    the Spark builder persists it.  Un-persisted, Spark's CTE inlining
-    re-ran the purchase×click equi-join 3× and scanned events 7×
-    (per_purchase / last_pick / credited each re-derive it — the r9
-    plan-audit catch); the oracle materializes it instead."""
+def attribution_pair_fragments(
+    d: Dialect, window_s: int = 86400, n_channels: int = 4
+) -> tuple[str, str]:
+    """(px/cx CTE block, final SELECT) of the touchpoint pair relation,
+    exposed separately so :func:`gen_attribution_credit` can hoist the
+    CTEs into its own WITH by COMPOSITION — not by string-splitting the
+    assembled SQL (r10 ADVICE: the split silently depended on the exact
+    'WITH ' prefix and on inner SELECTs never sitting at column 0)."""
     es = d.epoch_s_events("ts")
     chan = f"(CAST({d.json_str('props', '$.k')} AS BIGINT) % {n_channels})"
-    return f"""
-WITH px AS (
+    ctes = f"""
+px AS (
   SELECT event_id AS pid, user_id, {es} AS tp,
          CAST(floor(value * 1000000) AS BIGINT) AS vm
   FROM events
@@ -1449,11 +1450,25 @@ cx AS (
   FROM events
   WHERE event_type = 'click' AND user_id IS NOT NULL AND props IS NOT NULL
 )
+""".strip()
+    select = f"""
 SELECT p.pid, p.vm, c.cid, c.tc, c.channel
 FROM px p JOIN cx c
   ON p.user_id = c.user_id
  AND c.tc < p.tp AND c.tc >= p.tp - {window_s}
 """.strip()
+    return ctes, select
+
+
+def gen_attribution_pairs(d: Dialect, window_s: int = 86400, n_channels: int = 4) -> str:
+    """(pid, vm, cid, tc, channel) purchase×click touchpoint pair relation
+    — the one expensive join of the attribution matrix, factored out so
+    the Spark builder persists it.  Un-persisted, Spark's CTE inlining
+    re-ran the purchase×click equi-join 3× and scanned events 7×
+    (per_purchase / last_pick / credited each re-derive it — the r9
+    plan-audit catch); the oracle materializes it instead."""
+    ctes, select = attribution_pair_fragments(d, window_s, n_channels)
+    return f"WITH {ctes}\n{select}"
 
 
 def gen_attribution_per_purchase(d: Dialect, pairs_rel: str = "pairs") -> str:
@@ -1543,11 +1558,11 @@ def gen_attribution_credit(
     replacement does not descend into WITH definitions.
     """
     # hoist the px/cx CTEs of the factored pair SQL into this WITH and
-    # wrap its SELECT as the (oracle-MATERIALIZED) pairs CTE
+    # wrap its SELECT as the (oracle-MATERIALIZED) pairs CTE — composed
+    # from the exposed fragments, never by splitting assembled SQL
     mat = " MATERIALIZED" if d.name == "duck" else ""
-    inner = gen_attribution_pairs(d, window_s, n_channels)
-    head, select = inner.split("\nSELECT", 1)
-    pairs_cte = head[len("WITH "):] + f",\npairs AS{mat} (\nSELECT" + select + "\n)"
+    ctes, select = attribution_pair_fragments(d, window_s, n_channels)
+    pairs_cte = f"{ctes},\npairs AS{mat} (\n{select}\n)"
     return f"""
 WITH {pairs_cte},
 per_purchase AS (

@@ -32,6 +32,18 @@ from storage_crawler_spark.plans.dialect import Dialect
 GROUPS = 12
 
 
+def kept_params_expr(d: Dialect, col: str = "query") -> str:
+    """Surviving query parameters after tracking-param removal: drop
+    params whose name starts with the LITERAL prefix ``utm_`` (substr
+    test, NOT ``LIKE 'utm_%'`` — LIKE's ``_`` is a single-character
+    wildcard, so the LIKE form also dropped ``utmX=...`` params, r10
+    ADVICE), keep survivors in original order."""
+    return d.ajoin(
+        d.afilter(d.split(col, "&"), "p", "substr(p, 1, 4) <> 'utm_' AND p <> ''"),
+        "&",
+    )
+
+
 def _url_synth(d: Dialect) -> str:
     """Raw URL synthesis (one deterministic URL per document) with planted
     canonicalization variance.  NULL source/lang rows are excluded — a
@@ -79,10 +91,7 @@ def gen_url_rel(d: Dialect) -> str:
     5. drop ``utm_*`` tracking parameters, keeping survivors in their
        original order (no re-sorting: parameter order can be semantic).
     """
-    kept = d.ajoin(
-        d.afilter(d.split("query", "&"), "p", "p NOT LIKE 'utm_%' AND p <> ''"),
-        "&",
-    )
+    kept = kept_params_expr(d)
     return f"""
 SELECT doc_id, source, url, curl,
        CASE WHEN instr(substr(curl, 9), '/') > 0

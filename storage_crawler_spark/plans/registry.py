@@ -22,6 +22,7 @@ Float-parity rules applied throughout (the driver hashes values):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -41,6 +42,14 @@ from storage_crawler_spark.operators import (
 )
 from storage_crawler_spark.plans.dialect import DUCK, SPARK, Dialect
 from storage_crawler_spark.plans import views as V
+
+# Fixed read-only tree the fsmeta_scan entry lists on BOTH engines (its
+# oracle is a static SQL string, so it cannot follow the harness's sf_dir);
+# single-sourced here and env-overridable for hosts without the driver's
+# testdata layout (r10 ADVICE).
+_FSMETA_FIXTURE_DIR = os.environ.get(
+    "SPARK_GRAFT_FSMETA_DIR", "/root/testdata/sf0.01"
+)
 
 
 @dataclass
@@ -2875,10 +2884,12 @@ FROM files f
         # by the harness's sf, and this entry gates the FS-source
         # machinery, not data scale — scanning sf_dir made the entry
         # sf0.01-only (the r10 sf0.1 spot check caught the mismatch).
+        # Builder and oracle share _FSMETA_FIXTURE_DIR (env-overridable),
+        # so the host coupling is explicit and single-sourced (r10 ADVICE).
         df = (
             spark.read.format("fsmeta")
             .option("partitions", "8")
-            .load("/root/testdata/sf0.01")
+            .load(_FSMETA_FIXTURE_DIR)
         )
         return (
             df.filter("NOT is_dir AND st_size > 0")
@@ -2900,7 +2911,7 @@ FROM files f
         "fsmeta_scan",
         _fsmeta_builder,
         "SELECT parse_filename(filename) AS name, CAST(size AS BIGINT) AS st_size\n"
-        "FROM read_blob('/root/testdata/sf0.01/*')\n"
+        f"FROM read_blob('{_FSMETA_FIXTURE_DIR}/*')\n"
         "WHERE size > 0\n"
         "ORDER BY name",
         tags=("source",),
@@ -3546,11 +3557,21 @@ ORDER BY channel
         "subquery",
     )
 
-    b, o = _sql_pair(url_ops.gen_sitemap_coverage, ("documents",))
+    def _b_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        # the url relation feeds fetched -> sections -> declared -> LEFT
+        # JOIN: four references through computed string columns.  The
+        # inline form re-substitutes the whole canonicalization chain per
+        # reference (the documented CTE-inlining trap; broadcast OOM at
+        # 500 rows when registered via plain _sql_pair) — checkpoint it,
+        # exactly the robots/revisions pattern.
+        _checkpoint_view(spark.sql(url_ops.gen_url_rel(SPARK)), "_url_rel_smap")
+        return spark.sql(url_ops.gen_sitemap_coverage(SPARK, url_rel="_url_rel_smap"))
+
     add(
         "ingest_sitemap_coverage",
-        b,
-        o,
+        _b_sitemap,
+        url_ops.gen_sitemap_coverage(DUCK),
         tags=("ingest", "url"),
         doc="crawl-frontier coverage per domain: the sitemap-declared URL "
         "grid (observed (domain, lang) sections exploded over the page-"

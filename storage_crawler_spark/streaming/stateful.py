@@ -185,8 +185,9 @@ def rate_anomaly_stream(
 # ---------------------------------------------------------------------------
 
 FUNNEL_OUTPUT_SCHEMA = "user_id BIGINT, stage INT, t BIGINT"
-# first qualifying time per stage; 0 = not reached (epochs here are
-# positive, so 0 is a safe sentinel the state schema can hold NOT NULL)
+# first qualifying time per stage; -1 = not reached (NOT 0: epoch 0 is a
+# legitimate instant — a 0 sentinel would let a user re-emit stage 1 on a
+# later view and double-count n_step1, r10 ADVICE)
 FUNNEL_STATE_SCHEMA = "t1 BIGINT, t2 BIGINT, t3 BIGINT"
 
 
@@ -195,7 +196,7 @@ def _funnel_fn_factory(steps: tuple, max_lag_s: int):
 
     def fn(key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState):
         (user_id,) = key
-        t1, t2, t3 = state.get if state.exists else (0, 0, 0)
+        t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
         out = []
         for pdf in pdfs:
             if pdf.empty:
@@ -207,13 +208,13 @@ def _funnel_fn_factory(steps: tuple, max_lag_s: int):
                 es = int(es)
                 # first-qualifying-event semantics, exactly the batch CTEs:
                 # re-entries don't help, late conversions fall outside the lag
-                if t1 == 0 and et == s1:
+                if t1 < 0 and et == s1:
                     t1 = es
                     out.append((user_id, 1, es))
-                elif t1 and t2 == 0 and et == s2 and t1 < es <= t1 + max_lag_s:
+                elif t1 >= 0 and t2 < 0 and et == s2 and t1 < es <= t1 + max_lag_s:
                     t2 = es
                     out.append((user_id, 2, es))
-                elif t2 and t3 == 0 and et == s3 and t2 < es <= t2 + max_lag_s:
+                elif t2 >= 0 and t3 < 0 and et == s3 and t2 < es <= t2 + max_lag_s:
                     t3 = es
                     out.append((user_id, 3, es))
         state.update((t1, t2, t3))

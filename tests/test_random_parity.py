@@ -538,6 +538,10 @@ DOC_ENTRIES = [
     # random texts give per-URL version multisets the md5 grouping must
     # reproduce; NULL texts coalesce to '' identically
     "ingest_url_revisions",
+    # r11 fix: the declared grid (sections x GROUPS lateral explode) vs
+    # fetched canonical paths on corpora whose (source, lang, group)
+    # interplay differs from the testdata
+    "ingest_sitemap_coverage",
     # r11-queued vacuum plan: random sizes/mtimes sweep the retention edge
     "lake_vacuum_plan",
 ]

@@ -1,0 +1,229 @@
+"""Round-11 fixtures: regressions for the r10 ADVICE items (utm literal
+prefix, attribution fragment composition, fsmeta fixture-path constant,
+funnel epoch-0 sentinel) plus the planted fixtures for the FIXED
+ingest_sitemap_coverage entry (the r10 CTE-inlining breakage)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from storage_crawler_spark.plans.dialect import DUCK, SPARK
+
+
+def _duck(sql: str, **views: pd.DataFrame):
+    con = duckdb.connect()
+    for name, df in views.items():
+        con.register(name, df)
+    return con.execute(sql).fetch_arrow_table().to_pydict()
+
+
+def _url_docs() -> pd.DataFrame:
+    # same planted corpus as the r10 URL fixtures: ids chosen so the
+    # synthesized variants cover every canonicalization edge and ids
+    # {0,3} / {1,2} collide after canonicalization
+    ids = [0, 1, 2, 3, 20, 23]
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(ids, dtype="int64"),
+            "text": ["w"] * len(ids),
+            "lang": ["en"] * len(ids),
+            "source": ["alpha", "alpha", "alpha", "alpha", "src0", "src0"],
+            "n_chars": [1] * len(ids),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# ingest_sitemap_coverage (fixed r11): planted declared-vs-fetched coverage.
+# The corpus fetches exactly ONE page group per (domain, lang) section, so
+# the declared grid (GROUPS=12 groups per section) is 1/12 covered — the
+# missing-group accounting is hand-derivable.
+# ---------------------------------------------------------------------------
+
+
+def test_sitemap_coverage_planted_single_section():
+    from storage_crawler_spark.operators import urls
+
+    got = _duck(urls.gen_sitemap_coverage(DUCK), documents=_url_docs())
+    rows = {
+        d: (dec, f, m, c)
+        for d, dec, f, m, c in zip(
+            got["domain"], got["n_declared"], got["n_fetched"],
+            got["n_missing"], got["coverage"],
+        )
+    }
+    # alpha fetched only group 0 of section (alpha, en); src0 only group 1
+    assert rows == {
+        "alpha.example.com": (12, 1, 11, 0.083333),
+        "src0.example.com": (12, 1, 11, 0.083333),
+    }
+
+
+def test_sitemap_coverage_planted_multi_lang_grid():
+    from storage_crawler_spark.operators import urls
+
+    docs = _url_docs()
+    # a second language on alpha adds a whole SECTION (12 more declared
+    # groups), not just one URL — the grid is per (domain, lang)
+    docs.loc[docs.doc_id == 3, "lang"] = "zh"
+    got = _duck(urls.gen_sitemap_coverage(DUCK), documents=docs)
+    rows = dict(zip(got["domain"], zip(got["n_declared"], got["n_fetched"])))
+    assert rows["alpha.example.com"] == (24, 2)   # (en,0) and (zh,0) fetched
+    assert rows["src0.example.com"] == (12, 1)
+
+
+def test_sitemap_coverage_spark_builder_checkpoints(spark, tmp_path):
+    """The r10 breakage was plan-time (broadcast OOM at 500 rows through
+    the inlined canonicalization chain); the fixed builder must run the
+    checkpointed path and agree with the DuckDB oracle on the planted
+    corpus."""
+    from storage_crawler_spark.plans import registry
+
+    sf = str(tmp_path / "smapdocs")
+    os.makedirs(sf, exist_ok=True)
+    _url_docs().to_parquet(f"{sf}/documents.parquet", index=False)
+    spec = registry.get_query("ingest_sitemap_coverage")
+    got = sorted(tuple(r) for r in spec.builder(spark, sf).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+    assert got == want and len(got) == 2
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 (urls.py): utm strip must match the LITERAL prefix 'utm_' —
+# LIKE's `_` is a single-char wildcard, so the old form also dropped
+# utmX=... params.
+# ---------------------------------------------------------------------------
+
+
+def test_kept_params_literal_utm_prefix_duck():
+    from storage_crawler_spark.operators.urls import kept_params_expr
+
+    expr = kept_params_expr(DUCK, "q")
+    got = _duck(
+        f"SELECT {expr} AS kept FROM (VALUES "
+        "('utmx=1&utm_source=feed&page=2'), "   # utmx survives, utm_source dies
+        "('utm1=a&utm_medium=rss'), "           # utm1 survives
+        "('utm_campaign=x'), "                  # all dropped
+        "('a=1&b=2')) t(q)",
+    )
+    # DuckDB's array_to_string renders the all-dropped list as NULL (Spark
+    # as ''); gen_url_rel's `kept <> ''` guard treats both as no-query
+    assert got["kept"] == ["utmx=1&page=2", "utm1=a", None, "a=1&b=2"]
+
+
+def test_kept_params_literal_utm_prefix_spark(spark):
+    from storage_crawler_spark.operators.urls import kept_params_expr
+
+    expr = kept_params_expr(SPARK, "q")
+    got = [
+        r["kept"]
+        for r in spark.sql(
+            f"SELECT {expr} AS kept FROM (VALUES "
+            "('utmx=1&utm_source=feed&page=2'), ('utm1=a&utm_medium=rss'), "
+            "('utm_campaign=x'), ('a=1&b=2')) t(q)"
+        ).collect()
+    ]
+    assert got == ["utmx=1&page=2", "utm1=a", "", "a=1&b=2"]
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 (analytics.py): gen_attribution_credit composes the pairs CTE
+# from exposed fragments, never by string-splitting assembled SQL.
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_fragments_compose_exactly():
+    from storage_crawler_spark.operators import analytics as A
+
+    ctes, select = A.attribution_pair_fragments(DUCK)
+    # the standalone pairs SQL is exactly WITH <ctes> <select> — one source
+    assert A.gen_attribution_pairs(DUCK) == f"WITH {ctes}\n{select}"
+    # and the composed credit SQL parses + runs in DuckDB (empty input)
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.array([], dtype="int64"),
+            "ts": pd.array([], dtype="datetime64[us]"),
+            "user_id": pd.array([], dtype="Int64"),
+            "event_type": pd.array([], dtype=object),
+            "value": pd.array([], dtype="float64"),
+            "props": pd.array([], dtype=object),
+        }
+    )
+    got = _duck(A.gen_attribution_credit(DUCK), events=empty)
+    assert got["channel"] == []
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 (registry.py): fsmeta fixture path is single-sourced and
+# env-overridable; builder and oracle must both read it.
+# ---------------------------------------------------------------------------
+
+
+def test_fsmeta_fixture_dir_single_sourced():
+    from storage_crawler_spark.plans import registry
+
+    spec = registry.get_query("fsmeta_scan")
+    assert registry._FSMETA_FIXTURE_DIR in spec.oracle
+    # no other literal testdata path may hide in the oracle
+    assert spec.oracle.count("read_blob") == 1
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 (streaming/stateful.py): epoch 0 is a valid first-qualifying
+# funnel time — the old 0 sentinel let a later view re-emit stage 1.
+# ---------------------------------------------------------------------------
+
+
+class _FakeState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def test_funnel_epoch_zero_not_double_counted():
+    from storage_crawler_spark.streaming.stateful import _funnel_fn_factory
+
+    fn = _funnel_fn_factory(("view", "click", "purchase"), 86400)
+    st = _FakeState()
+    b1 = pd.DataFrame(
+        {
+            "user_id": [7, 7],
+            "event_id": [0, 1],
+            "event_type": ["view", "click"],
+            "epoch_s": [0, 10],
+        }
+    )
+    out1 = pd.concat(list(fn((7,), iter([b1]), st)))
+    assert out1[["stage", "t"]].values.tolist() == [[1, 0], [2, 10]]
+    assert st.get == (0, 10, -1)
+    # a later view must NOT re-emit stage 1 (the 0-sentinel bug); a
+    # purchase inside the lag still completes the funnel
+    b2 = pd.DataFrame(
+        {
+            "user_id": [7, 7],
+            "event_id": [2, 3],
+            "event_type": ["view", "purchase"],
+            "epoch_s": [100, 200],
+        }
+    )
+    out2 = pd.concat(list(fn((7,), iter([b2]), st)))
+    assert out2[["stage", "t"]].values.tolist() == [[3, 200]]
+    assert st.get == (0, 10, 200)
