@@ -4287,79 +4287,75 @@ ORDER BY channel
 # once.  The remaining slots go to new round-9 operators (newest code
 # meets the gate, the standing priority) and then to the honest
 # rows-only entries, which have never had even a rows-stamp.
-# Round-10 window: stamp-the-current-formulation rotation.  Round 9 went
-# 50/50 green, leaving two debts: (a) the 21 late-r9 entries that landed
-# after the 50 slots filled (the r9 deferral queue) and (b) 12 entries
-# whose stamps predate a round-9 rework of their plan or semantics (vocab
-# ranks -> fused top-k, BPE merge-list rebuild x3, hybrid-RRF vector tier
-# -> RP-LSH multi-probe, session-concurrency / z-order two-pass rebuilds,
-# status-events projection narrowed to (time, status), license/phrase/IVM
-# ADVICE fixes).  All 33 take slots so every entry's CURRENT formulation
-# carries an external stamp; the remaining slots go to new round-10
-# operators as they land (newest code meets the gate, the standing
-# priority).  Everything rotated out remains in the registry, the bench,
-# and tools/check_oracle.py's full sweep.
+# Round-11 window: stamp-age rotation.  Round 10 went 50/50 green, so the
+# debts are (a) the two entries that have NEVER carried a driver stamp —
+# lake_vacuum_plan (r10 deferral queue) and ingest_sitemap_coverage (broken
+# at the r10 snapshot, FIXED this round: checkpointed url relation) — plus
+# sim_pq_recall, whose r10 plan-only change the r10 window skipped; (b) the
+# entries REWORKED this round (the whole URL tier rides the utm literal-
+# prefix fix through the shared canonicalizer; the streaming funnel's
+# sentinel moved to -1); and (c) stamp AGE: 33 entries still carry r3-era
+# stamps (TPC-H plane, early text/dedup/setops) and the VERDICT asks that
+# no stamp trail its entry's current formulation by many rounds — they fill
+# the window with the oldest r4 stamps after them.  New r11 operators are
+# inserted after the must-stamp head as they land (newest code meets the
+# gate); overflow past 50 keeps its old stamp and rotates next round.
 _DRIVER_WINDOW_FIRST = (
-    # --- the 21 never-stamped late-r9 entries -----------------------------
-    "dedup_semantic",
-    "text_pii_scan",
-    "pipeline_dsir_weights",
-    "ingest_disjoint_generations",
-    "fsmeta_scan",
-    "text_quality_learned",
-    "streaming_burst_windows",
-    "events_lpa_communities",
-    "multimodal_audio_features",
-    "report_depth_profile",
-    "sim_crosslingual_dups",
-    "events_scd2_history",
-    "events_cusum_changepoint",
-    "pipeline_embedding_coverage",
-    "events_periodicity_acf",
-    "sim_knn_clustering_coeff",
-    "text_rake_keywords",
-    "events_mad_outliers",
-    "streaming_cusum_changepoint",
-    "sim_mmr_rerank",
-    "sim_knn_kcore",
-    # --- the 12 reworked-since-stamp entries ------------------------------
-    "text_vocab_coverage",
-    "text_vocab_coverage_curve",
-    "text_bpe_encode",
-    "text_bpe_compression",
-    "text_bpe_doc_tokens",
-    "sim_hybrid_rrf",
-    "events_session_concurrency",
-    "lake_zorder_layout",
-    "report_status_events",
-    "text_license_scan",
-    "text_phrase_search",
-    "ingest_ivm_agg",
-    # (r11 deferral queue: lake_vacuum_plan and ingest_sitemap_coverage
-    # landed after the 50 slots filled — sweep-checked and pytest-covered
-    # until their first stamp.)
-    # --- round-10 operators (added as they land) --------------------------
+    # --- never-stamped / fixed / reworked this round ----------------------
+    "ingest_sitemap_coverage",
+    "lake_vacuum_plan",
+    "sim_pq_recall",
     "streaming_funnel_steps",
-    "streaming_attribution_credit",
     "ingest_url_dedup",
     "ingest_domain_tiers",
     "ingest_robots_filter",
     "ingest_blocklist_filter",
-    "pipeline_forget_apply",
     "ingest_url_revisions",
-    "sim_matryoshka_audit",
-    # --- r10-reworked entries whose r9 stamps predate the rework ---------
-    # (staged pair/stage relations; checkpoint switch; lattice repartition)
-    "events_attribution_credit",
-    "events_funnel_steps",
-    "dedup_cluster_assign",
-    "dedup_cluster_keepers",
-    "sim_pq_topk",
-    # (sim_pq_recall's r10 change is plan-only — its r9 value stamp still
-    # attests the output; the slot goes to the value-affecting DECIMAL fix)
-    "events_user_value_quantiles",
-    "sim_kmeans_lattice",
-    "sim_ivf_trained_topk",
+    # --- round-11 operators (added as they land) --------------------------
+    # --- the 33 r3-era stamps (oldest in the ledger; q1/q3/q5 are r4 and
+    # q1 is additionally smoke-checked every round as the flagship) -------
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_distinct_suppliers",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_acctbal_prospects",
+    "grouping_sets_orders",
+    "join_anti_customers_without_orders",
+    "setops_customer_cohorts",
+    "window_moving_avg",
+    "split_assign",
+    "split_counts",
+    "text_normalize",
+    "text_pii_redact",
+    "text_quality_filter",
+    "text_repetition",
+    "dedup_jaccard_block_guard",
+    "dedup_minhash_signatures",
+    "report_first_thousand",
+    "report_schema_files",
+    # --- oldest r4 stamps (fill to 50; VERDICT-named first) ---------------
+    "owner_prefix_join",
+    "window_event_deltas",
+    "report_status_averages",
+    "report_status_brief",
+    "dedup_exact",
+    "sim_cosine_topk",
+    "join_asof_events",
+    "join_range_events",
 )
 
 

@@ -5,11 +5,13 @@ dict order; a rotation mistake (wrong length, a name that no longer exists,
 a duplicate) silently costs driver stamps.  These invariants fail the suite
 the moment the tuple drifts from its contract.
 
-Round-10 contract: the window leads with the 21 never-stamped late-r9
-entries, then the 12 entries whose driver stamps predate a round-9 rework
-(vocab/BPE/hybrid-RRF/session-concurrency/z-order/status-events/
-license/phrase/IVM), then round-10 operators as they land.  The registry
-has zero rows-only entries since r9, so the rows-only tail is empty.
+Round-11 contract: the window leads with the never-stamped/fixed/reworked
+head (the FIXED ingest_sitemap_coverage, the never-stamped lake_vacuum_plan,
+sim_pq_recall, the -1-sentinel streaming funnel, and the five URL-tier
+entries riding the utm literal-prefix rework), then round-11 operators as
+they land, then the oldest stamps in the ledger (33 r3-era + 8 r4-era).
+The registry has zero rows-only entries since r9, so the rows-only tail is
+empty.
 """
 
 from __future__ import annotations
@@ -24,38 +26,27 @@ _ROWS_ONLY_ALLOWED: set[str] = set()
 # chain — EVERY registry entry now carries a full value-hash oracle.)
 
 
-_R10_ROTATION = (
-    # 21 never-stamped late-r9 entries
-    "dedup_semantic", "text_pii_scan", "pipeline_dsir_weights",
-    "ingest_disjoint_generations", "fsmeta_scan", "text_quality_learned",
-    "streaming_burst_windows", "events_lpa_communities",
-    "multimodal_audio_features", "report_depth_profile",
-    "sim_crosslingual_dups", "events_scd2_history",
-    "events_cusum_changepoint", "pipeline_embedding_coverage",
-    "events_periodicity_acf", "sim_knn_clustering_coeff",
-    "text_rake_keywords", "events_mad_outliers",
-    "streaming_cusum_changepoint", "sim_mmr_rerank", "sim_knn_kcore",
-    # 12 reworked-since-stamp entries
-    "text_vocab_coverage", "text_vocab_coverage_curve", "text_bpe_encode",
-    "text_bpe_compression", "text_bpe_doc_tokens", "sim_hybrid_rrf",
-    "events_session_concurrency", "lake_zorder_layout",
-    "report_status_events", "text_license_scan", "text_phrase_search",
-    "ingest_ivm_agg",
+_R11_MUST_STAMP = (
+    # never stamped / fixed this round / reworked this round
+    "ingest_sitemap_coverage", "lake_vacuum_plan", "sim_pq_recall",
+    "streaming_funnel_steps",
+    "ingest_url_dedup", "ingest_domain_tiers", "ingest_robots_filter",
+    "ingest_blocklist_filter", "ingest_url_revisions",
 )
 
 
-def test_window_leads_with_the_r10_rotation():
-    """The 33 rotation entries (VERDICT r9 items) must hold the head of
-    the window — a slot they lose is a stamp the round loses."""
+def test_window_leads_with_the_r11_must_stamps():
+    """The never-stamped/fixed/reworked entries must hold the head of the
+    window — a slot they lose is a stamp the round loses."""
     w = registry._DRIVER_WINDOW_FIRST
-    assert w[: len(_R10_ROTATION)] == _R10_ROTATION
+    assert w[: len(_R11_MUST_STAMP)] == _R11_MUST_STAMP
 
 
 def test_window_fits_the_driver_sample_and_is_unique():
     w = registry._DRIVER_WINDOW_FIRST
     assert len(w) <= 50, "window larger than the driver's 50-entry sample"
     assert len(set(w)) == len(w), "duplicate window names"
-    assert len(w) >= 33, "window shrank below the round-10 rotation floor"
+    assert len(w) >= 33, "window shrank below a full rotation"
 
 
 def test_window_names_exist_and_lead_query_order():
