@@ -48,6 +48,43 @@ TIER2_QUERIES = (
 )
 
 
+def _cpu_seconds_by_group(spark) -> dict[str, float]:
+    """Sum of executor task CPU time (seconds) per job group, read from the
+    status REST API after all measured runs.  Stages shared by several jobs
+    of one group count once (set union); SKIPPED stages never executed and
+    carry no CPU.  Returns {} if the UI/REST surface is unavailable — CPU
+    is a companion metric, never a bench failure."""
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+
+        def fetch(path: str):
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app_id}{path}", timeout=30
+            ) as r:
+                return json.loads(r.read())
+
+        cpu_ns = {}
+        for st in fetch("/stages?status=complete&details=false"):
+            key = st["stageId"]
+            # keep the max attempt (retries re-run the work; the surviving
+            # attempt's CPU is the one the query actually consumed)
+            cpu_ns[key] = max(cpu_ns.get(key, 0), st.get("executorCpuTime", 0))
+        groups: dict[str, set] = {}
+        for job in fetch("/jobs"):
+            tag = job.get("jobGroup")
+            if tag and (tag.startswith("bench:") or tag.startswith("tier2:")):
+                groups.setdefault(tag, set()).update(job.get("stageIds", ()))
+        return {
+            tag: sum(cpu_ns.get(s, 0) for s in sids) / 1e9
+            for tag, sids in groups.items()
+        }
+    except Exception:  # noqa: BLE001
+        return {}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -56,7 +93,13 @@ def main() -> int:
     from storage_crawler_spark.plans.registry import QUERIES, headline_queries
     from storage_crawler_spark.session import build_session
 
-    spark = build_session(app_name="bench")
+    # UI on for the bench only: the status REST API behind it is where the
+    # per-stage executor CPU time lives — the load-robust companion metric
+    # (wall time on this shared box drifted ~30% between rounds with
+    # byte-identical plans; CPU-seconds settles whether the CODE moved).
+    spark = build_session(
+        app_name="bench", extra_conf={"spark.ui.enabled": "true"}
+    )
 
     # Warm up: JVM, Arrow, parquet footers — not part of the measurement.
     from storage_crawler_spark.plans.views import register_base_tables
@@ -87,16 +130,19 @@ def main() -> int:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     timings: dict[str, float] = {}
     shuffles: dict[str, int] = {}
+    sc = spark.sparkContext
     for name in headline_queries():
         spec = QUERIES[name]
         best, n = None, 0
-        for _rep in range(reps):
+        for rep in range(reps):
             spark.catalog.clearCache()  # each rep pays its own persists
+            sc.setLocalProperty("spark.jobGroup.id", f"bench:{name}:{rep}")
             t0 = time.time()
             df = spec.builder(spark, sf_dir)
             n = df.count()
             _ = df.limit(10).collect()
             elapsed = time.time() - t0
+            sc.setLocalProperty("spark.jobGroup.id", None)
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
         # plan evidence rides along with the timing (untimed): shuffle count
@@ -126,6 +172,7 @@ def main() -> int:
             if name not in QUERIES:
                 continue
             spark.catalog.clearCache()
+            sc.setLocalProperty("spark.jobGroup.id", f"tier2:{name}:0")
             t0 = time.time()
             try:
                 df = QUERIES[name].builder(spark, sf_dir)
@@ -136,10 +183,25 @@ def main() -> int:
                 tier2[name] = -1.0
                 print(f"# tier2 {name} FAILED: {exc}", file=sys.stderr)
                 continue
+            finally:
+                sc.setLocalProperty("spark.jobGroup.id", None)
             print(
                 f"# tier2 {name}: {tier2[name]:.3f}s ({n} rows, 1 rep)",
                 file=sys.stderr,
             )
+
+    # CPU-seconds companion metric (r10 VERDICT item 3): min over reps of
+    # the per-rep executor-task CPU sum — load-robust where wall time is
+    # not (box drift inflates wall uniformly but leaves task CPU alone).
+    by_group = _cpu_seconds_by_group(spark)
+    cpu_s: dict[str, float] = {}
+    tier2_cpu_s: dict[str, float] = {}
+    for tag, sec in by_group.items():
+        kind, name, _rep = tag.split(":")
+        target = cpu_s if kind == "bench" else tier2_cpu_s
+        target[name] = round(min(target.get(name, sec), sec), 3)
+    for name, v in sorted(cpu_s.items()):
+        print(f"# cpu {name}: {v:.3f} cpu-s (min of {reps})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -149,6 +211,10 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cpu_s": cpu_s,
+                "tier2_cpu_s": tier2_cpu_s,
+                "cpu_note": "executor task CPU seconds per query (status REST "
+                "API; min over reps) — load-robust companion to wall time",
                 "shuffles": shuffles,
                 # executed-lineage exchange counts: a persisted relation
                 # referenced N times is counted once per reference here,
