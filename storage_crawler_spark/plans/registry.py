@@ -1627,10 +1627,24 @@ def _specs() -> list[QuerySpec]:
     )
 
     def _b_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from storage_crawler_spark.sources.lake import gen_vacuum_plan
+        from storage_crawler_spark.sources.lake import (
+            gen_manifest_rel,
+            gen_vacuum_plan,
+        )
 
-        V.files_view(spark, sf_dir).createOrReplaceTempView("files")
-        return spark.sql(gen_vacuum_plan(SPARK))
+        # path is a COMPUTED string column of the files view AND the
+        # anti-join key — checkpoint the listing once and derive the
+        # manifest from the checkpointed relation, so neither join side
+        # re-substitutes the view chain under pushdown (URL-tier lesson)
+        _checkpoint_view(V.files_view(spark, sf_dir), "_files_vacuum")
+        spark.sql(gen_manifest_rel(SPARK, files_rel="_files_vacuum")).createOrReplaceTempView(
+            "_manifest_vacuum"
+        )
+        return spark.sql(
+            gen_vacuum_plan(
+                SPARK, files_rel="_files_vacuum", manifest_rel="_manifest_vacuum"
+            )
+        )
 
     from storage_crawler_spark.sources.lake import gen_vacuum_plan as _gen_vacuum
 
@@ -1639,12 +1653,16 @@ def _specs() -> list[QuerySpec]:
         _b_vacuum,
         V.with_files_cte(_gen_vacuum(DUCK)),
         tags=("lake", "usage"),
-        doc="VACUUM plan per top-level root: unreferenced files split into "
+        doc="VACUUM plan per top-level root: the storage listing LEFT "
+        "anti-joined (NULL probe) against the live-snapshot MANIFEST "
+        "relation on path — the real Delta/Iceberg VACUUM shape (r11; "
+        "was an inline modulus predicate) — then orphans split into "
         "vacuum-now vs retained-young by the Delta retention contract "
         "(never delete inside the in-flight-reader window; age vs the "
         "frozen as-of instant, never NOW()); reclaimable bytes per root; "
-        "one scan + one aggregate on the root key, no joins - completes "
-        "the maintenance triad beside compaction and z-order",
+        "one scan + one path equi-join (broadcast when the manifest "
+        "fits) + one aggregate on the root key - completes the "
+        "maintenance triad beside compaction and z-order",
     )
 
     def _b_streaming_docs_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

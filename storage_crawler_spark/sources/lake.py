@@ -464,11 +464,25 @@ ORDER BY layout
 """.strip()
 
 
+def gen_manifest_rel(d, modulus: int = 7, files_rel: str = "files") -> str:
+    """Live-snapshot MANIFEST relation: the path set the current table
+    version still references (a Delta `_last_checkpoint` / Iceberg
+    manifest-list, re-expressed as a relation).  Deterministic dereference
+    predicate: every ``id % modulus == 0`` file has been dropped from the
+    snapshot.  The modulus is COPRIME with the path-shape residues (the
+    files view routes ids by mod 3/5), so orphans land in every root — a
+    multiple of 3 would never orphan an /archive file (the URL-tier
+    residue-coupling lesson)."""
+    return f"SELECT path FROM {files_rel} WHERE id % {modulus} <> 0"
+
+
 def gen_vacuum_plan(
     d,
     as_of_epoch: int = 1_700_500_000,
     retention_s: int = 400_000,
     modulus: int = 7,
+    files_rel: str = "files",
+    manifest_rel: str | None = None,
 ) -> str:
     """VACUUM plan over the ``files`` relation: per top-level root, which
     unreferenced files a vacuum run may delete NOW and which it must
@@ -480,31 +494,38 @@ def gen_vacuum_plan(
     into vacuum-now vs retained-young and the job executes only the
     former.
 
-    The "no longer referenced" set is a deterministic predicate (every
-    ``id % modulus == 0`` file — the forget-apply stand-in convention for
-    a manifest anti-join; a real lake would anti-join the live snapshot
-    manifest, same plan shape with the manifest broadcast).  The modulus
-    is COPRIME with the path-shape residues (the files view routes ids by
-    mod 3/5), so orphans land in every root — a multiple of 3 would never
-    orphan an /archive file (the URL-tier residue-coupling lesson).  Age compares
-    ``st_mtime`` against the fixture's frozen as-of instant, never NOW()
-    (oracle reproducibility).
+    The "no longer referenced" set is a real MANIFEST ANTI-JOIN (r11 —
+    previously an inline modulus predicate): the storage listing is LEFT-
+    joined against :func:`gen_manifest_rel` on path and a NULL probe marks
+    the orphan, exactly the plan a Delta/Iceberg VACUUM runs against the
+    live snapshot's file list.  Age compares ``st_mtime`` against the
+    fixture's frozen as-of instant, never NOW() (oracle reproducibility).
 
-    100 TB shape: one scan of the files relation projecting (root, flag,
-    age, size), one partial-combining aggregate on the small root key —
-    the same shape as the blocklist manifest; no joins, no windows.
+    100 TB shape: one scan of the storage listing + one equi anti-join on
+    path against the manifest — broadcast when the manifest fits (a Delta
+    checkpoint parquet typically does), AQE picks shuffle otherwise — then
+    one partial-combining aggregate on the small root key.  The Spark
+    builder passes a CHECKPOINTED ``files``/manifest pair: path is a
+    COMPUTED string column of the files view, so the inline join key would
+    re-substitute the whole view chain under pushdown (the URL-tier
+    lesson).
     """
     root = d.elem(d.split("path", "/"), "2")
-    orphan = f"(id % {modulus} = 0)"
+    man = manifest_rel or f"(\n{gen_manifest_rel(d, modulus, files_rel)}\n)"
     old = f"(st_mtime <= {as_of_epoch} - {retention_s})"
     return f"""
 SELECT root,
        CAST(count(*) AS BIGINT) AS n_files,
-       CAST(sum(CASE WHEN {orphan} THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
-       CAST(sum(CASE WHEN {orphan} AND {old} THEN 1 ELSE 0 END) AS BIGINT) AS n_vacuum_now,
-       CAST(sum(CASE WHEN {orphan} AND NOT {old} THEN 1 ELSE 0 END) AS BIGINT) AS n_retained_young,
-       CAST(sum(CASE WHEN {orphan} AND {old} THEN st_size ELSE 0 END) AS BIGINT) AS bytes_reclaimable
-FROM (SELECT {root} AS root, id, st_mtime, st_size FROM files) f
+       CAST(sum(orphan) AS BIGINT) AS n_orphans,
+       CAST(sum(CASE WHEN orphan = 1 AND {old} THEN 1 ELSE 0 END) AS BIGINT) AS n_vacuum_now,
+       CAST(sum(CASE WHEN orphan = 1 AND NOT {old} THEN 1 ELSE 0 END) AS BIGINT) AS n_retained_young,
+       CAST(sum(CASE WHEN orphan = 1 AND {old} THEN st_size ELSE 0 END) AS BIGINT) AS bytes_reclaimable
+FROM (
+  SELECT f.root, f.st_mtime, f.st_size,
+         CASE WHEN m.path IS NULL THEN 1 ELSE 0 END AS orphan
+  FROM (SELECT {root} AS root, path, st_mtime, st_size FROM {files_rel}) f
+  LEFT JOIN {man} m ON f.path = m.path
+) j
 GROUP BY root
 ORDER BY root
 """.strip()

@@ -177,6 +177,47 @@ def test_fsmeta_fixture_dir_single_sourced():
 
 
 # ---------------------------------------------------------------------------
+# Vacuum plan (r11 rework): the orphan set comes from a real manifest
+# ANTI-JOIN on path, not an inline modulus predicate — a custom manifest
+# must change the orphan set.
+# ---------------------------------------------------------------------------
+
+
+def _vacuum_docs():
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([0, 7, 14, 21, 3], dtype="int64"),
+            "text": ["w"] * 5,
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+            "n_chars": [10, 20, 30, 40, 50],
+        }
+    )
+
+
+def test_vacuum_plan_consumes_the_manifest_relation():
+    from storage_crawler_spark.plans import views as V
+    from storage_crawler_spark.sources import lake
+
+    # a manifest that references EVERY file -> zero orphans everywhere,
+    # proving the orphan flag reads the manifest join, not id arithmetic
+    sql = (
+        "WITH files AS (" + V.FILES_WITH_EXT_SQL + "),\n"
+        "full_manifest AS (SELECT path FROM files)\n"
+        + lake.gen_vacuum_plan(DUCK, manifest_rel="full_manifest")
+    )
+    got = _duck(sql, documents=_vacuum_docs())
+    assert sum(got["n_orphans"]) == 0 and sum(got["bytes_reclaimable"]) == 0
+    # and the default manifest reproduces the id % 7 dereference set
+    got2 = _duck(
+        "WITH files AS (" + V.FILES_WITH_EXT_SQL + ")\n"
+        + lake.gen_vacuum_plan(DUCK),
+        documents=_vacuum_docs(),
+    )
+    assert sum(got2["n_orphans"]) == 4  # ids 0, 7, 14, 21
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r10 (streaming/stateful.py): epoch 0 is a valid first-qualifying
 # funnel time — the old 0 sentinel let a later view re-emit stage 1.
 # ---------------------------------------------------------------------------
