@@ -44,10 +44,11 @@ def kept_params_expr(d: Dialect, col: str = "query") -> str:
     )
 
 
-def _url_synth(d: Dialect) -> str:
+def _url_synth(d: Dialect, docs_rel: str = "documents") -> str:
     """Raw URL synthesis (one deterministic URL per document) with planted
     canonicalization variance.  NULL source/lang rows are excluded — a
-    landing zone row without provenance has no URL."""
+    landing zone row without provenance has no URL.  ``docs_rel`` lets the
+    streaming twin aim the same synthesis at a streaming temp view."""
     return f"""
 SELECT doc_id, source,
        (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
@@ -64,12 +65,12 @@ SELECT doc_id, source,
                 ELSE '' END)
        || (CASE WHEN doc_id % 13 = 0 THEN '#section-1' ELSE '' END)
        AS url
-FROM documents
+FROM {docs_rel}
 WHERE source IS NOT NULL AND lang IS NOT NULL
 """.strip()
 
 
-def gen_url_rel(d: Dialect) -> str:
+def gen_url_rel(d: Dialect, docs_rel: str = "documents") -> str:
     """(doc_id, source, url, curl, domain, cpath) — the shared URL relation
     every operator in this tier reads (one documents scan, map-only).
 
@@ -139,7 +140,7 @@ FROM (
                           THEN substr(url, 1, instr(url, '#') - 1)
                           ELSE url END AS ufrag
               FROM (
-{_url_synth(d)}
+{_url_synth(d, docs_rel)}
               ) raw
             ) l1
           ) l2

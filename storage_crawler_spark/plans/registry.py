@@ -1687,6 +1687,36 @@ def _specs() -> list[QuerySpec]:
         "set is emitted, so the batch DISTINCT is the oracle",
     )
 
+    def _b_streaming_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from storage_crawler_spark.streaming import run_to_completion
+        from storage_crawler_spark.streaming.documents import (
+            read_documents_stream,
+            urls_stream_dedup,
+        )
+
+        return run_to_completion(
+            urls_stream_dedup(spark, read_documents_stream(spark, sf_dir)),
+            output_mode="append",
+        )
+
+    from storage_crawler_spark.operators import urls as _url_ops_stream
+
+    add(
+        "streaming_url_dedup",
+        _b_streaming_url_dedup,
+        "WITH u AS (\n"
+        + _url_ops_stream.gen_url_rel(DUCK)
+        + "\n)\nSELECT DISTINCT curl FROM u",
+        tags=("streaming", "ingest", "dedup", "url"),
+        doc="streaming URL-level dedup of the landing feed (r11): the batch "
+        "canonicalizer (gen_url_rel, a stateless layered projection) runs "
+        "per micro-batch over the file stream, dropDuplicates keys state "
+        "on the canonical URL — URL twins die before any content tier "
+        "pays for them (the C4/CCNet ingest-side pass); only the "
+        "deterministic curl key set is emitted, so the batch DISTINCT "
+        "over the same relation is the oracle",
+    )
+
     add(
         "lake_snapshot_diff",
         _snapshot_diff_builder,
@@ -4330,6 +4360,7 @@ _DRIVER_WINDOW_FIRST = (
     "ingest_blocklist_filter",
     "ingest_url_revisions",
     # --- round-11 operators (added as they land) --------------------------
+    "streaming_url_dedup",
     # --- the 33 r3-era stamps (oldest in the ledger; q1/q3/q5 are r4 and
     # q1 is additionally smoke-checked every round as the flagship) -------
     "tpch_q2_min_cost_supplier",
@@ -4373,7 +4404,8 @@ _DRIVER_WINDOW_FIRST = (
     "dedup_exact",
     "sim_cosine_topk",
     "join_asof_events",
-    "join_range_events",
+    # (join_range_events rotated out when streaming_url_dedup landed —
+    # its r4 stamp holds; next round's rotation picks it up.)
 )
 
 

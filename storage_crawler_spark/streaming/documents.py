@@ -42,3 +42,31 @@ def docs_stream_dedup(docs: DataFrame) -> DataFrame:
         .select(F.md5(F.encode(F.col("text"), "utf-8")).alias("fp"))
         .dropDuplicates(["fp"])
     )
+
+
+def urls_stream_dedup(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Streaming URL-level dedup of the landing feed — the ingest-side
+    twin of the batch ``ingest_url_dedup`` manifest, completing the
+    C4/CCNet ingest path: canonicalize ON THE WAY IN and drop URL twins
+    before any content tier pays for them.
+
+    The canonicalizer is the SAME dialect generator the batch tier runs
+    (operators/urls.gen_url_rel — the layered string algebra is a
+    stateless projection, so it streams as-is via a SQL view over the
+    streaming frame); ``dropDuplicates`` on the canonical URL keys the
+    stateful dedup.  WHICH arrival survives is micro-batch-order
+    dependent, so only the deterministic canonical-URL key set is emitted
+    (the docs_stream_dedup convention); the batch oracle is SELECT
+    DISTINCT curl over the same relation.
+
+    100 TB posture: map-side string algebra per micro-batch + state keyed
+    by curl; a perpetual deployment bounds state with
+    ``dropDuplicatesWithinWatermark`` over the file-arrival time, exactly
+    as the events-plane dedup does (streaming/events.py:194-209).
+    """
+    from storage_crawler_spark.operators.urls import gen_url_rel
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    docs.createOrReplaceTempView("_docs_stream_urls")
+    u = spark.sql(gen_url_rel(SPARK, docs_rel="_docs_stream_urls"))
+    return u.select("curl").dropDuplicates(["curl"])

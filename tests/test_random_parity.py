@@ -542,6 +542,9 @@ DOC_ENTRIES = [
     # fetched canonical paths on corpora whose (source, lang, group)
     # interplay differs from the testdata
     "ingest_sitemap_coverage",
+    # r11 streaming twin: the canonicalizer runs per micro-batch and the
+    # curl key set must equal the batch DISTINCT whatever the batch split
+    "streaming_url_dedup",
     # r11-queued vacuum plan: random sizes/mtimes sweep the retention edge
     "lake_vacuum_plan",
 ]

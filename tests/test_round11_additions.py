@@ -177,6 +177,28 @@ def test_fsmeta_fixture_dir_single_sourced():
 
 
 # ---------------------------------------------------------------------------
+# Streaming URL dedup (r11): the canonical-URL key set emitted by the
+# stream must equal the batch DISTINCT — on the planted corpus the three
+# canonicalization collision groups collapse to exactly three curls.
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_url_dedup_planted_key_set(spark, tmp_path):
+    from storage_crawler_spark.plans import registry
+
+    sf = str(tmp_path / "surldocs")
+    os.makedirs(sf, exist_ok=True)
+    _url_docs().to_parquet(f"{sf}/documents.parquet", index=False)
+    spec = registry.get_query("streaming_url_dedup")
+    got = sorted(r["curl"] for r in spec.builder(spark, sf).collect())
+    assert got == [
+        "https://alpha.example.com/docs/en/0",
+        "https://alpha.example.com/docs/en/0?page=2",
+        "https://src0.example.com/docs/en/1",
+    ]
+
+
+# ---------------------------------------------------------------------------
 # Vacuum plan (r11 rework): the orphan set comes from a real manifest
 # ANTI-JOIN on path, not an inline modulus predicate — a custom manifest
 # must change the orphan set.
