@@ -2629,6 +2629,21 @@ FROM files f
     )
 
     add(
+        "report_hardlink_usage",
+        _usage_builder(usage_reports.gen_hardlink_usage),
+        V.with_files_cte(usage_reports.gen_hardlink_usage(DUCK)),
+        tags=("report", "usage", "dedup"),
+        doc="hard-link resolution per device (r11): apparent bytes (every "
+        "path, what naive du reports) vs real bytes (each (st_dev, "
+        "st_ino) inode once) + link-set accounting — the fs-semantics "
+        "report the du family lacked; synthetic files view derives a "
+        "deterministic dev/inode pair (permission-audit convention), "
+        "real crawl output runs the same rollup unchanged via "
+        "hardlink_usage_df (walker stats st_ino/st_dev/st_nlink already); "
+        "one aggregate on (dev, ino) then a tiny dev roll-up, no joins",
+    )
+
+    add(
         "report_growth_daily",
         _usage_builder(usage_reports.gen_growth_daily),
         V.with_files_cte(usage_reports.gen_growth_daily(DUCK)),
@@ -4361,6 +4376,7 @@ _DRIVER_WINDOW_FIRST = (
     "ingest_url_revisions",
     # --- round-11 operators (added as they land) --------------------------
     "streaming_url_dedup",
+    "report_hardlink_usage",
     # --- the 33 r3-era stamps (oldest in the ledger; q1/q3/q5 are r4 and
     # q1 is additionally smoke-checked every round as the flagship) -------
     "tpch_q2_min_cost_supplier",
@@ -4403,9 +4419,9 @@ _DRIVER_WINDOW_FIRST = (
     "report_status_brief",
     "dedup_exact",
     "sim_cosine_topk",
-    "join_asof_events",
-    # (join_range_events rotated out when streaming_url_dedup landed —
-    # its r4 stamp holds; next round's rotation picks it up.)
+    # (join_asof_events / join_range_events rotated out as the r11
+    # operators landed — their r4 stamps hold; the next round's rotation
+    # picks them up.)
 )
 
 

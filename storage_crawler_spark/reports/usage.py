@@ -252,3 +252,79 @@ FROM (
 GROUP BY top_dir, depth
 ORDER BY top_dir, depth
 """.strip()
+
+
+def gen_hardlink_rollup(d: Dialect, paths_rel: str) -> str:
+    """Per-device hard-link resolution over a ``(st_dev, st_ino, st_size)``
+    path listing: apparent bytes (every path counted — what ``du`` without
+    inode tracking reports) vs real bytes (each inode once — what the disk
+    holds), plus link-set accounting.  The one fs-semantics report the du
+    family lacks: a tree full of ``st_nlink > 1`` files double-counts
+    every extra name.
+
+    Devices are the correct accounting unit (hard links cannot cross
+    mount points); the inode's byte size is ``min`` over its paths —
+    identical by definition on a real filesystem (one stat struct), made
+    explicit for the synthetic twin whose per-path sizes differ.
+
+    100 TB shape: one partial-combining aggregate on (st_dev, st_ino) —
+    the natural key the listing is already dense in — then a tiny roll-up
+    on st_dev; no joins, no windows (the duplicate-files plan shape).
+    """
+    return f"""
+SELECT st_dev,
+       CAST(sum(nlink) AS BIGINT) AS n_paths,
+       CAST(count(*) AS BIGINT) AS n_inodes,
+       CAST(sum(CASE WHEN nlink > 1 THEN nlink ELSE 0 END) AS BIGINT) AS n_linked_paths,
+       CAST(sum(CASE WHEN nlink > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_linksets,
+       CAST(sum(path_bytes) AS BIGINT) AS apparent_bytes,
+       CAST(sum(inode_bytes) AS BIGINT) AS real_bytes,
+       CAST(sum(path_bytes) - sum(inode_bytes) AS BIGINT) AS overcount_bytes
+FROM (
+  SELECT st_dev, st_ino,
+         CAST(count(*) AS BIGINT) AS nlink,
+         CAST(min(st_size) AS BIGINT) AS inode_bytes,
+         CAST(sum(st_size) AS BIGINT) AS path_bytes
+  FROM {paths_rel}
+  GROUP BY st_dev, st_ino
+) per_inode
+GROUP BY st_dev
+ORDER BY st_dev
+""".strip()
+
+
+def gen_hardlink_usage(d: Dialect, src: str = "files") -> str:
+    """Hard-link report over the synthetic ``files`` view, which carries no
+    inode columns: a deterministic (st_dev, st_ino) pair is derived inline
+    (the permission-audit convention — a real crawl substitutes its stat
+    columns unchanged, see :func:`hardlink_usage_df`).  Devices are 16-id
+    regions mod 3; within each region the first four ids share one inode
+    (a 4-member link set), the rest self-inode — so every device carries
+    both linked and unlinked files and link sets never straddle devices
+    (hard links cannot cross mounts)."""
+    dev = f"({d.idiv('id', '16')}) % 3"
+    ino = f"CASE WHEN id % 16 < 4 THEN id - (id % 16) ELSE id END"
+    paths = (
+        f"(SELECT CAST({dev} AS BIGINT) AS st_dev, "
+        f"CAST({ino} AS BIGINT) AS st_ino, st_size FROM {src})"
+    )
+    return gen_hardlink_rollup(d, paths)
+
+
+def hardlink_usage_df(files) -> "object":
+    """Hard-link resolution over a REAL crawl ``files`` table (crawl/
+    walker.py and the fsmeta source both stat st_dev/st_ino/st_nlink, the
+    reference's stat projection, storcrawl.py:361-370): regular files
+    only — the S_IFREG type field is ``1000`` at positions 4-7 of the
+    19-bit st_mode string (0o170000 mask = bits 15..12) — then the same
+    rollup the oracle-gated entry runs."""
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    spark = files.sparkSession
+    files.filter(
+        "st_size IS NOT NULL AND st_ino IS NOT NULL "
+        "AND substr(st_mode, 4, 4) = '1000'"
+    ).selectExpr("st_dev", "st_ino", "st_size").createOrReplaceTempView(
+        "_hardlink_paths"
+    )
+    return spark.sql(gen_hardlink_rollup(SPARK, "_hardlink_paths"))

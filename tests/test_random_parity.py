@@ -545,6 +545,9 @@ DOC_ENTRIES = [
     # r11 streaming twin: the canonicalizer runs per micro-batch and the
     # curl key set must equal the batch DISTINCT whatever the batch split
     "streaming_url_dedup",
+    # r11 hard-link resolution: random sizes sweep the min-size inode
+    # accounting; sparse random doc_ids vary link-set membership
+    "report_hardlink_usage",
     # r11-queued vacuum plan: random sizes/mtimes sweep the retention edge
     "lake_vacuum_plan",
 ]

@@ -240,6 +240,77 @@ def test_vacuum_plan_consumes_the_manifest_relation():
 
 
 # ---------------------------------------------------------------------------
+# Hard-link resolution report (r11): apparent vs real bytes per device —
+# planted synthetic values, and the SAME rollup over a REAL crawl of a tree
+# with actual os.link hard links.
+# ---------------------------------------------------------------------------
+
+
+def _hardlink_docs():
+    # dense ids 0..19: dev = (id div 16) % 3 -> ids 0-15 dev 0, 16-19 dev 1;
+    # within each 16-block ids with id % 16 < 4 share one inode
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(range(20), dtype="int64"),
+            "text": ["w"] * 20,
+            "lang": ["en"] * 20,
+            "source": ["s"] * 20,
+            "n_chars": pd.array(range(1, 21), dtype="int64"),
+        }
+    )
+
+
+def test_hardlink_usage_planted_devices():
+    from storage_crawler_spark.plans import views as V
+    from storage_crawler_spark.reports import usage
+
+    got = _duck(
+        V.with_files_cte(usage.gen_hardlink_usage(DUCK)),
+        documents=_hardlink_docs(),
+    )
+    rows = {
+        d: tuple(t)
+        for d, *t in zip(
+            got["st_dev"], got["n_paths"], got["n_inodes"], got["n_linked_paths"],
+            got["n_linksets"], got["apparent_bytes"], got["real_bytes"],
+        )
+    }
+    # dev 0: ids 0-15 -> 16 paths; ids 0-3 one inode + 12 self = 13 inodes.
+    # sizes (id+1)*4096: linked set bytes 1+2+3+4 apparent, min=1 real;
+    # apparent = sum(1..16)*4096, real = (1 + sum(5..16))*4096
+    assert rows[0] == (
+        16, 13, 4, 1, sum(range(1, 17)) * 4096, (1 + sum(range(5, 17))) * 4096,
+    )
+    # dev 1: ids 16-19 all in one link set (id % 16 in 0..3)
+    assert rows[1] == (
+        4, 1, 4, 1, sum(range(17, 21)) * 4096, 17 * 4096,
+    )
+    # conservation: overcount = apparent - real everywhere
+    for a, r, o in zip(got["apparent_bytes"], got["real_bytes"], got["overcount_bytes"]):
+        assert o == a - r
+
+
+def test_hardlink_usage_real_crawl_with_links(spark, tmp_path):
+    from storage_crawler_spark.config import CrawlConfig
+    from storage_crawler_spark.crawl import crawl
+    from storage_crawler_spark.reports.usage import hardlink_usage_df
+
+    root = tmp_path / "tree"
+    root.mkdir()
+    (root / "a.txt").write_bytes(b"x" * 100)
+    (root / "b.txt").write_bytes(b"y" * 50)
+    os.link(root / "a.txt", root / "a_link.txt")  # second name, same inode
+    res = crawl(spark, CrawlConfig(dirs=[str(root)]))
+    out = hardlink_usage_df(res.files).collect()
+    assert len(out) == 1  # one device
+    r = out[0]
+    # three paths, two inodes; the extra name double-counts 100 bytes
+    assert (r.n_paths, r.n_inodes, r.n_linked_paths, r.n_linksets) == (3, 2, 2, 1)
+    assert r.apparent_bytes == 250 and r.real_bytes == 150
+    assert r.overcount_bytes == 100
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r10 (streaming/stateful.py): epoch 0 is a valid first-qualifying
 # funnel time — the old 0 sentinel let a later view re-emit stage 1.
 # ---------------------------------------------------------------------------
