@@ -138,6 +138,10 @@ NLJ_ALLOWED = {
     # hybrid RRF: the BM25 chain's 1-row avgdl scalar + the 1-row query
     # vector — both allowlisted shapes composed
     "sim_hybrid_rrf",
+    # Matryoshka audit: CROSS JOINs of the 1-row query-vector relation
+    # (dim alignment + the per-prefix distance folds) — the sim_cosine_topk
+    # shape; the overlap joins themselves are k-row equi hash joins
+    "sim_matryoshka_audit",
     # basket affinity: CROSS JOIN of the 1-row distinct-order total
     "tpch_basket_brands",
     # budget curve: CROSS JOIN of the 1-row decile-threshold relation
