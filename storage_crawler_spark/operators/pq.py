@@ -37,6 +37,8 @@ trained-IVF precedent (sim_ivf_trained_topk).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -429,13 +431,35 @@ def _pq_lattice_vs(spark, m: int):
     return pv, vs, dim
 
 
+def _d2_unrolled(arr: str, base: int, cent: list[int]) -> str:
+    """Codegen-friendly integer squared distance to a LITERAL centroid:
+    explicit ``element_at`` arithmetic instead of ``aggregate(zip_with(
+    ...))`` higher-order folds, which Catalyst INTERPRETS per element
+    (measured r11, sf0.1: the interpreted encode+ADC was ~6.3s of
+    sim_pq_topk's 9.6s; the unrolled form whole-stage-compiles).  Values
+    are exactly the fold's: same BIGINT terms, same order."""
+    terms = []
+    for i, c in enumerate(cent):
+        t = f"(element_at({arr}, {base + i + 1}) - CAST({int(c)} AS BIGINT))"
+        terms.append(f"{t} * {t}")
+    return "(" + " + ".join(terms) + ")"
+
+
 def pq_fit_lattice(spark, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = PQ_ITERS):
     """Spark ENGINE path of the lattice PQ fit: ONE distributed loop over
     the (vector × subspace) slice relation — assignment joins the m·ksub
     codebook rows (a broadcast), coordinate sums partial-combine per
     (sub, cid, dim), updates divide once on the driver.  Bit-identical to
     :func:`pq_lattice_ctes` by construction.  Returns (pv, vs,
-    codebooks[s][c] = int list)."""
+    codebooks[s][c] = int list).
+
+    r11 note: a map-only literal-argmin rewrite of this loop was measured
+    and REJECTED — planting m·ksub unrolled centroid expressions per
+    iteration ballooned the task binary (janino 64 KB method abort in the
+    fused form; executor heap OOM deserializing the per-sub-branch form).
+    The fit is ~2.7s of sim_pq_topk's 9.6s at sf0.1; the encode/ADC scan
+    was the real hot spot and is unrolled instead (see
+    :func:`_d2_unrolled` / :func:`pq_lattice_topk`)."""
     pv, vs, dim = _pq_lattice_vs(spark, m)
     init = pv.orderBy("vec_id").limit(ksub).select("vec_id").collect()
     init_ids = [r.vec_id for r in init]
@@ -487,10 +511,20 @@ def pq_lattice_topk(
     spark, query_vec_id: int = 0, k: int = 10,
     m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = PQ_ITERS,
 ) -> DataFrame:
-    """Engine path of :func:`gen_pq_lattice_topk`: encode via a map-only
-    argmin against literal integer codebooks, ADC via a literal integer
-    LUT fold over the codes column — the compressed-scan hot loop —
-    fused top-k."""
+    """Engine path of :func:`gen_pq_lattice_topk`: encode + ADC in ONE
+    Arrow-vectorized pandas UDF — per batch, numpy int64 computes every
+    (vector, sub) argmin against the (m, ksub, dsub) codebook tensor and
+    folds the query LUT, bit-identical to the SQL chain (exact integer
+    arithmetic; ``np.argmin`` first-min == the chain's lowest-cid
+    tie-break) — then fused top-k.
+
+    r11 measurement note: this replaced the ``aggregate(zip_with(...))``
+    literal-codebook expression, which Catalyst INTERPRETS per element
+    (~6.3s of the 9.6s sf0.1 wall); a codegen'd unrolled-arithmetic
+    rewrite was ALSO measured and rejected (janino 64 KB abort fused,
+    slower + task-binary bloat split per sub).  The numpy batch form is
+    the vectorized path the house UDF rules prefer when built-ins can't
+    express the op efficiently."""
     pv, vs, books = pq_fit_lattice(spark, m, ksub, iters)
     q_rows = {
         int(r.sub): [int(x) for x in r.sarr]
@@ -499,36 +533,29 @@ def pq_lattice_topk(
     if not q_rows:
         raise ValueError(f"query_vec_id={query_vec_id} not found")
     dsub = len(books[0][0])
-
-    def arr(ints):
-        return "array(" + ", ".join(f"CAST({x} AS BIGINT)" for x in ints) + ")"
-
-    code_exprs = []
-    for s in range(m):
-        sub = f"slice(qarr, {s * dsub + 1}, {dsub})"
-        dists = "array(" + ", ".join(
-            f"aggregate(zip_with({sub}, {arr(c)}, (u, v) -> (u - v) * (u - v)), "
-            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-            for c in books[s]
-        ) + ")"
-        code_exprs.append(f"array_position({dists}, array_min({dists})) - 1")
-    codes = "array(" + ", ".join(f"CAST({e} AS INT)" for e in code_exprs) + ")"
     lut = [
         [sum((u - v) * (u - v) for u, v in zip(q_rows[s], c)) for c in books[s]]
         for s in range(m)
     ]
-    lut_lit = "array(" + ", ".join(arr(row) for row in lut) + ")"
-    est = (
-        f"aggregate(sequence(1, {m}), CAST(0 AS BIGINT), (acc, s) -> "
-        f"acc + element_at(element_at({lut_lit}, s), element_at(codes, s) + 1))"
-    )
+    books_np = np.asarray(books, dtype=np.int64)  # (m, ksub, dsub)
+    lut_np = np.asarray(lut, dtype=np.int64)      # (m, ksub)
+
+    @F.pandas_udf("long")
+    def _adc_est(qarrs: pd.Series) -> pd.Series:
+        x = np.stack(qarrs.to_numpy())  # (n, dim) int64
+        est = np.zeros(len(x), dtype=np.int64)
+        for s in range(m):
+            sl = x[:, s * dsub : (s + 1) * dsub]
+            d = ((sl[:, None, :] - books_np[s][None, :, :]) ** 2).sum(axis=2)
+            est += lut_np[s][np.argmin(d, axis=1)]
+        return pd.Series(est)
+
     return (
-        pv.select("vec_id", "label", F.expr(codes).alias("codes"))
-        .filter(F.col("vec_id") != query_vec_id)
+        pv.filter(F.col("vec_id") != query_vec_id)
         .select(
             "vec_id",
             F.col("label").cast("int").alias("label"),
-            F.expr(est).cast("long").alias("est_d2"),
+            _adc_est(F.col("qarr").cast("array<long>")).alias("est_d2"),
         )
         .orderBy("est_d2", "vec_id")
         .limit(k)
@@ -553,11 +580,7 @@ def pq_lattice_recall(
     q_row = xv.filter(F.col("vec_id") == query_vec_id).select("qarr").collect()
     if not q_row:
         raise ValueError(f"query_vec_id={query_vec_id} not found")
-    qlit = "array(" + ", ".join(f"CAST({int(x)} AS BIGINT)" for x in q_row[0].qarr) + ")"
-    exd = (
-        f"aggregate(zip_with(qarr, {qlit}, (u, v) -> (u - v) * (u - v)), "
-        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-    )
+    exd = _d2_unrolled("qarr", 0, [int(x) for x in q_row[0].qarr])
     exact = (
         xv.filter(F.col("vec_id") != query_vec_id)
         .select("vec_id", F.expr(exd).alias("d2"))
