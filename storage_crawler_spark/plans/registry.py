@@ -4374,9 +4374,10 @@ _DRIVER_WINDOW_FIRST = (
     "ingest_robots_filter",
     "ingest_blocklist_filter",
     "ingest_url_revisions",
-    # --- round-11 operators (added as they land) --------------------------
+    # --- round-11 operators / reworks (added as they land) ----------------
     "streaming_url_dedup",
     "report_hardlink_usage",
+    "sim_pq_topk",  # engine path re-vectorized r11 (numpy ADC)
     # --- the 33 r3-era stamps (oldest in the ledger; q1/q3/q5 are r4 and
     # q1 is additionally smoke-checked every round as the flagship) -------
     "tpch_q2_min_cost_supplier",
@@ -4418,10 +4419,9 @@ _DRIVER_WINDOW_FIRST = (
     "report_status_averages",
     "report_status_brief",
     "dedup_exact",
-    "sim_cosine_topk",
-    # (join_asof_events / join_range_events rotated out as the r11
-    # operators landed — their r4 stamps hold; the next round's rotation
-    # picks them up.)
+    # (sim_cosine_topk / join_asof_events / join_range_events rotated out
+    # as the r11 operators landed — their r4 stamps hold; the next
+    # round's rotation picks them up.)
 )
 
 
