@@ -564,6 +564,82 @@ ORDER BY vec_id
 """.strip()
 
 
+def gen_graph_2hop_topk(
+    d: Dialect,
+    query_vec_id: int = 0,
+    k: int = 10,
+    m: int = 8,
+    edges_rel: str | None = None,
+) -> str:
+    """Graph-ANN serving probe over the mutual-kNN graph — the navigable-
+    neighborhood hop of the NSW/HNSW family (Malkov & Yashunin 2018),
+    restricted to the exact TWO-HOP frontier so the whole search stays
+    relational and oracle-checkable: candidates = the query's graph
+    neighbours plus their neighbours (fan-out bounded by m + m², never a
+    corpus scan), re-ranked EXACTLY on the floor(cos·KNN_Q) BIGINT
+    lattice, top-``k`` with vec_id tie-breaks.  ``exact_rank`` LEFT-joins
+    the brute-force top-k — the audit side a serving deployment skips —
+    so graph-vs-exact agreement (and every miss, as a NULL) is part of
+    the output, the recall evidence for the graph route.
+
+    100 TB shape: the hop expansion is two equi-joins on the edge key of
+    a relation bounded by |V|·m; the rerank joins ≤ m + m² candidate rows
+    back to the vector store on vec_id; the 1-row query relation is the
+    allowlisted broadcast; the only corpus-wide work is the audit-side
+    exact top-k (fused TakeOrderedAndProject).  The Spark builder passes
+    a CHECKPOINTED ``edges_rel`` (the k-core pattern: edge columns are
+    computed through the bucket join and the relation is referenced
+    twice in the hop chain)."""
+    from storage_crawler_spark.operators.similarity import _norm_cte
+
+    mat = " MATERIALIZED" if d.name == "duck" else ""
+    e_cte = (
+        f"e AS (SELECT a, b FROM {edges_rel})"
+        if edges_rel
+        else f"e AS{mat} (\n{gen_knn_edges(d, m=m)}\n)"
+    )
+    simq = (
+        f"CAST(floor((({d.dot('b.ev', 'q.ev')}) / (b.nrm * q.nrm))"
+        f" * {KNN_Q}.0e0) AS BIGINT)"
+    )
+    return f"""
+WITH {e_cte},
+{_norm_cte(d)},
+q AS (SELECT ev, nrm FROM v WHERE vec_id = {query_vec_id}),
+hop1 AS (SELECT b AS vid FROM e WHERE a = {query_vec_id}),
+hop2 AS (
+  SELECT e.b AS vid FROM e JOIN hop1 h ON e.a = h.vid
+  WHERE e.b <> {query_vec_id}
+),
+cand AS (
+  SELECT vid, CAST(min(hop) AS BIGINT) AS hop FROM (
+    SELECT vid, 1 AS hop FROM hop1
+    UNION ALL
+    SELECT vid, 2 AS hop FROM hop2
+  ) u GROUP BY vid
+),
+ranked AS (
+  SELECT vec_id, simq, hop FROM (
+    SELECT b.vec_id, {simq} AS simq, c.hop
+    FROM cand c JOIN v b ON b.vec_id = c.vid CROSS JOIN q
+    ORDER BY simq DESC, vec_id LIMIT {k}
+  ) t
+),
+exact AS (
+  SELECT vec_id, rn FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY simq_x DESC, vec_id) AS rn FROM (
+      SELECT b.vec_id, {simq} AS simq_x
+      FROM v b CROSS JOIN q WHERE b.vec_id <> {query_vec_id}
+      ORDER BY simq_x DESC, vec_id LIMIT {k}
+    ) s
+  ) r
+)
+SELECT r.vec_id, r.simq, r.hop, CAST(x.rn AS BIGINT) AS exact_rank
+FROM ranked r LEFT JOIN exact x ON r.vec_id = x.vec_id
+ORDER BY r.simq DESC, r.vec_id
+""".strip()
+
+
 def gen_knn_clustering_coeff(
     d: Dialect, m: int = 8, edges_rel: str | None = None
 ) -> str:

@@ -4182,6 +4182,38 @@ ORDER BY channel
         "redundancy SemDeDup prunes, cc ~ 0 nodes are bridges)",
     )
 
+    def _b_graph_2hop(spark, sf_dir):
+        from storage_crawler_spark.operators.cluster import (
+            gen_graph_2hop_topk,
+            gen_knn_edges,
+        )
+
+        V.register_base_tables(spark, sf_dir, ("embeddings",))
+        # edge columns are computed through the bucket join and the
+        # relation is referenced twice in the hop chain — checkpoint
+        # (the k-core/cc pattern)
+        _checkpoint_view(spark.sql(gen_knn_edges(SPARK, m=8)), "_gann_edges")
+        return spark.sql(gen_graph_2hop_topk(SPARK, edges_rel="_gann_edges"))
+
+    from storage_crawler_spark.operators.cluster import (
+        gen_graph_2hop_topk as _gen_g2h,
+    )
+
+    add(
+        "sim_graph_2hop_topk",
+        _b_graph_2hop,
+        _gen_g2h(DUCK),
+        tags=("similarity", "embedding", "graph"),
+        doc="graph-ANN two-hop serving probe (NSW/HNSW navigable-"
+        "neighborhood hop, exact relational form): candidates = the "
+        "query's mutual-kNN neighbours + their neighbours (fan-out "
+        "<= m + m^2, never a corpus scan), exact lattice-cosine rerank, "
+        "fused top-k; exact_rank LEFT-joins the brute-force top-k so "
+        "graph-vs-exact agreement (recall evidence, misses as NULLs) is "
+        "part of the output — completes the ANN plane's serving story "
+        "beside IVF/PQ/RP-LSH (index routes) and kNN-GEMM (batch route)",
+    )
+
     b, o = _sql_pair(text.gen_rake_keywords, ("documents",))
     add(
         "text_rake_keywords",
@@ -4378,6 +4410,7 @@ _DRIVER_WINDOW_FIRST = (
     "streaming_url_dedup",
     "report_hardlink_usage",
     "sim_pq_topk",  # engine path re-vectorized r11 (numpy ADC)
+    "sim_graph_2hop_topk",
     # --- the 33 r3-era stamps (oldest in the ledger; q1/q3/q5 are r4 and
     # q1 is additionally smoke-checked every round as the flagship) -------
     "tpch_q2_min_cost_supplier",
@@ -4418,10 +4451,9 @@ _DRIVER_WINDOW_FIRST = (
     "window_event_deltas",
     "report_status_averages",
     "report_status_brief",
-    "dedup_exact",
-    # (sim_cosine_topk / join_asof_events / join_range_events rotated out
-    # as the r11 operators landed — their r4 stamps hold; the next
-    # round's rotation picks them up.)
+    # (dedup_exact / sim_cosine_topk / join_asof_events /
+    # join_range_events rotated out as the r11 operators landed — their
+    # r4 stamps hold; the next round's rotation picks them up.)
 )
 
 

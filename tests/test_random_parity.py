@@ -189,6 +189,10 @@ EMB_QUERIES = [
     # r10 matryoshka audit: duplicate/antipode/ragged-dim vectors — the
     # query-dim alignment filter and lattice tie-breaks must agree
     ("matryoshka_audit", lambda d: similarity.gen_matryoshka_audit(d, prefixes=(2, 4))),
+    # r11 graph-ANN two-hop probe: random stores give ragged bucket
+    # populations, mutual-edge asymmetry, duplicate vectors (lattice
+    # cosine ties -> dst tie-break) — hop frontier + exact_rank must agree
+    ("graph_2hop_topk", lambda d: _cl().gen_graph_2hop_topk(d, 0, 5, m=3)),
     ("ivf_topk", lambda d: similarity.gen_ivf_topk(d, 0, 10)),
     ("embedding_near_dup", lambda d: similarity.gen_embedding_near_dup(d)),
     ("knn_join", lambda d: similarity.gen_knn_join(d, k=3)),

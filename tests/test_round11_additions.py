@@ -311,6 +311,45 @@ def test_hardlink_usage_real_crawl_with_links(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Graph-ANN two-hop probe (r11): a planted chain graph where the two-hop
+# frontier is hand-derivable — hop labels, exact reranking, and the
+# exact_rank audit column (misses surface as NULLs by construction).
+# ---------------------------------------------------------------------------
+
+
+def test_graph_2hop_planted_chain():
+    import math
+
+    from storage_crawler_spark.operators import cluster
+
+    # unit vectors at increasing angles, all in the positive-sign bucket:
+    # with m=2, mutual-kNN forms the chain 0-1-2-3-4 and isolates 5
+    # (4's top-2 are {3, 2}; nobody lists 5 back)
+    angles = [0, 10, 20, 30, 40, 80]
+    emb = pd.DataFrame(
+        {
+            "vec_id": pd.array(range(6), dtype="int64"),
+            "embedding": [
+                [math.cos(math.radians(a)), math.sin(math.radians(a))]
+                for a in angles
+            ],
+            "label": pd.array([0] * 6, dtype="Int32"),
+        }
+    )
+    got = _duck(cluster.gen_graph_2hop_topk(DUCK, 0, k=3, m=2), embeddings=emb)
+    # query 0: hop1 = {1}, hop2 = {2}; candidates rerank to [1, 2];
+    # exact top-3 = [1, 2, 3] -> 3 is the structural two-hop miss
+    assert got["vec_id"] == [1, 2]
+    assert got["hop"] == [1, 2]
+    assert got["exact_rank"] == [1, 2]
+    # lattice cosines: floor(cos(10°)·1e6), floor(cos(20°)·1e6)
+    assert got["simq"] == [
+        math.floor(math.cos(math.radians(10)) * 1e6),
+        math.floor(math.cos(math.radians(20)) * 1e6),
+    ]
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r10 (streaming/stateful.py): epoch 0 is a valid first-qualifying
 # funnel time — the old 0 sentinel let a later view re-emit stage 1.
 # ---------------------------------------------------------------------------

@@ -142,6 +142,10 @@ NLJ_ALLOWED = {
     # (dim alignment + the per-prefix distance folds) — the sim_cosine_topk
     # shape; the overlap joins themselves are k-row equi hash joins
     "sim_matryoshka_audit",
+    # graph-ANN two-hop probe: CROSS JOINs of the 1-row query-vector
+    # relation (candidate rerank + audit-side exact top-k) — same shape;
+    # hop expansion and exact_rank joins are equi hash joins
+    "sim_graph_2hop_topk",
     # basket affinity: CROSS JOIN of the 1-row distinct-order total
     "tpch_basket_brands",
     # budget curve: CROSS JOIN of the 1-row decile-threshold relation
