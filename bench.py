@@ -97,8 +97,16 @@ def main() -> int:
     # per-stage executor CPU time lives — the load-robust companion metric
     # (wall time on this shared box drifted ~30% between rounds with
     # byte-identical plans; CPU-seconds settles whether the CODE moved).
+    # Driver heap is explicit (SPARK_GRAFT_DRIVER_MEM, default 4g): the
+    # 64 MiB broadcast threshold assumes a production-sized heap — the 10x
+    # scale probe OOMed a broadcast build inside Spark's 1g local default,
+    # which a real cluster never runs.
     spark = build_session(
-        app_name="bench", extra_conf={"spark.ui.enabled": "true"}
+        app_name="bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
+        },
     )
 
     # Warm up: JVM, Arrow, parquet footers — not part of the measurement.
