@@ -1576,3 +1576,152 @@ SELECT * FROM (
 ) audit
 ORDER BY prefix_dim
 """.strip()
+
+
+def _sign_words(d: Dialect, arr: str = "ev") -> str:
+    """Sign-bit packing of a double array into 32-bit words carried in
+    BIGINTs — the binary-quantization code (1 bit/dim, 32x smaller than
+    float32; Indyk & Motwani 1998 sign-random-projection family, here the
+    identity-rotation variant: bit_i = (x_i > 0)).
+
+    32 bits per word keeps every shift under the dialect ``shl`` contract
+    (DuckDB raises on ``1 << 63``; a production kernel would use unsigned
+    64-bit blocks — the plan shape is identical).  Zero components quantize
+    to 0, matching the ±1 sign-vector convention used by the audit's
+    sign-cosine (sign(0) = -1 contributes |0| = 0 either way).  Nested
+    lambda: outer word index ``w`` captured inside the 32-bit fold — both
+    engines support capture; fold order is fixed so words are identical
+    bit patterns cross-engine.
+    """
+    dims = d.size(arr)
+    hi = f"CAST({d.idiv(f'({dims} - 1)', '32')} AS INT)"
+    step = (
+        f"CASE WHEN w*32 + x < {dims} AND {d.elem(arr, 'w*32 + x + 1')} > 0 "
+        f"THEN acc + {d.shl('CAST(1 AS BIGINT)', 'x')} ELSE acc END"
+    )
+    return d.transform(d.seq("0", hi), "w", d.reduce_bigint(d.seq("0", "31"), step))
+
+
+def _words_hamming(d: Dialect, wa: str, wb: str) -> str:
+    """Hamming distance between two equal-length packed-word arrays:
+    per-word popcount(xor) folded to a BIGINT (index-zipped — the engines
+    share no generic zip_with; the seq/elem form compiles to the same
+    per-word loop)."""
+    per = f"CAST({d.popcount(d.bxor(d.elem(wa, 'i'), d.elem(wb, 'i')))} AS BIGINT)"
+    return d.reduce_bigint(d.transform(d.seq("1", d.size(wa)), "i", per), "acc + x")
+
+
+def gen_binary_quant_audit(d: Dialect) -> str:
+    """Per-label 1-bit (sign) quantization audit — the go/no-go gate before
+    shipping a binary-code tier of a 100 TB vector store (32x smaller than
+    float32, Hamming distance = SIMD popcount):
+
+    - ``n_codes`` vs ``n_vecs``: code-collision rate.  Binary codes are
+      lossy; distinct vectors collapsing onto one code is THE recall risk,
+      surfaced per label rather than discovered in production.
+    - ``mean_bit_density``: fraction of positive components.  Sign codes
+      carry most information near density 0.5; a strongly biased embedding
+      (all-positive ReLU outputs, say) makes Hamming nearly constant.
+    - ``sign cosine`` = cos(x, sign(x)) = Σ|x_i| / (√dims · ‖x‖): how much
+      of each vector's direction the 1-bit code retains (the binary
+      analogue of int8's reconstruction error; ≈0.798 for Gaussian
+      components by E|X|/√(E X²) = √(2/π)).
+
+    Zero-norm (failed-embedding) rows are dropped by the shared ``nrm > 0``
+    guard — cosine against them is undefined (the battery's all-zero row).
+
+    100 TB shape: packing, popcount and the sign-cosine all fold inside the
+    scan stage (map-only); the shuffle carries (label, code-string, scalars)
+    into one aggregate — count(DISTINCT code) is the only expanding term
+    and it is bounded by the corpus itself.  No joins.
+    """
+    ev = d.cast_double_arr("embedding")
+    sabs = d.fold_double(d.transform("ev", "x", "abs(x)"))
+    popbits = d.reduce_bigint(
+        d.transform("words", "u", f"CAST({d.popcount('u')} AS BIGINT)"), "acc + x"
+    )
+    code = d.ajoin(d.transform("words", "u", "CAST(u AS STRING)"), ",")
+    return f"""
+WITH v0 AS (
+  SELECT vec_id, label, {ev} AS ev FROM embeddings WHERE embedding IS NOT NULL
+),
+v AS (
+  SELECT vec_id, label, ev, sqrt({d.dot('ev', 'ev')}) AS nrm,
+         CAST({d.size('ev')} AS BIGINT) AS dims
+  FROM v0
+),
+p AS (
+  SELECT vec_id, label, dims, nrm, {sabs} AS sum_abs, {_sign_words(d)} AS words
+  FROM v WHERE nrm > 0
+),
+s AS (
+  SELECT label, dims,
+         CAST({popbits} AS DOUBLE) / dims AS bit_density,
+         sum_abs / (sqrt(CAST(dims AS DOUBLE)) * nrm) AS sign_cos,
+         {code} AS code
+  FROM p
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(DISTINCT code) AS BIGINT) AS n_codes,
+       {d.trunc6('avg(bit_density)')} AS mean_bit_density,
+       {d.trunc6('avg(sign_cos)')} AS mean_sign_cos,
+       {d.trunc6('min(sign_cos)')} AS min_sign_cos
+FROM s
+GROUP BY label
+ORDER BY label
+""".strip()
+
+
+def gen_hamming_topk(d: Dialect, query_vec_id: int = 0, k: int = 10) -> str:
+    """Binary-code ANN serving probe: top-``k`` by Hamming distance between
+    sign-bit packed codes (``_sign_words``), with the exact-cosine rerank
+    column and ``exact_rank`` recall evidence inline (LEFT JOIN against the
+    brute-force cosine top-k — misses surface as NULLs), completing the ANN
+    plane's quantized-serving story beside IVF/PQ/RP-LSH.
+
+    RP-LSH (gen_rp_lsh_topk) buckets by a FEW hyperplane bits to prune
+    candidates; this is the other standard binary tier — keep ALL dims as
+    bits, scan every code (popcount is memory-bandwidth speed), rerank the
+    shortlist exactly.  At 100 TB the code column is 32x smaller than the
+    vectors, the scan is map-only over packed BIGINTs ahead of
+    TakeOrderedAndProject (per-partition top-k, tiny driver merge — no
+    corpus shuffle), and only the k survivors touch float math.
+
+    Ties: Hamming is integer-valued, so ties are common — (hamming, vec_id)
+    ordering is deterministic in both engines; exact ranking uses the
+    trunc6 cosine with the same vec_id break.
+    """
+    cos = d.trunc6(f"({d.dot('e.ev', 'q.ev')}) / (e.nrm * q.nrm)")
+    return f"""
+WITH v0 AS (
+  SELECT vec_id, label, {d.cast_double_arr('embedding')} AS ev
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+v1 AS (
+  SELECT vec_id, label, ev, sqrt({d.dot('ev', 'ev')}) AS nrm FROM v0
+),
+v AS (
+  SELECT vec_id, label, ev, nrm, {_sign_words(d)} AS words FROM v1 WHERE nrm > 0
+),
+q AS (SELECT ev, nrm, words FROM v WHERE vec_id = {query_vec_id}),
+cand AS (
+  SELECT e.vec_id, e.label,
+         {_words_hamming(d, 'e.words', 'q.words')} AS hamming,
+         {cos} AS cosine
+  FROM v e CROSS JOIN q
+  WHERE e.vec_id <> {query_vec_id}
+),
+topk AS (
+  SELECT vec_id, label, hamming, cosine FROM cand
+  ORDER BY hamming, vec_id LIMIT {k}
+),
+exact AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS exact_rank
+  FROM (SELECT vec_id, cosine FROM cand ORDER BY cosine DESC, vec_id LIMIT {k}) t
+)
+SELECT t.vec_id, t.label, CAST(t.hamming AS INT) AS hamming, t.cosine,
+       CAST(x.exact_rank AS INT) AS exact_rank
+FROM topk t LEFT JOIN exact x ON t.vec_id = x.vec_id
+ORDER BY t.hamming, t.vec_id
+""".strip()

@@ -4214,6 +4214,38 @@ ORDER BY channel
         "beside IVF/PQ/RP-LSH (index routes) and kNN-GEMM (batch route)",
     )
 
+    b, o = _sql_pair(similarity.gen_binary_quant_audit, ("embeddings",))
+    add(
+        "embedding_binary_audit",
+        b,
+        o,
+        tags=("embedding", "audit"),
+        doc="1-bit (sign) quantization audit per label: code-collision rate "
+        "(distinct packed codes vs vectors — THE binary-tier recall risk), "
+        "bit density (information content of sign codes peaks at 0.5), and "
+        "sign-cosine cos(x, sign(x)) = sum|x|/(sqrt(d)*|x|) — how much "
+        "direction the 1-bit code keeps (~0.798 for Gaussian components, "
+        "observed on the synthetic store); packing/popcount/fold all "
+        "map-side, one aggregate, no joins — the int8 audit's 32x-smaller "
+        "sibling",
+    )
+
+    b, o = _sql_pair(similarity.gen_hamming_topk, ("embeddings",))
+    add(
+        "sim_hamming_topk",
+        b,
+        o,
+        tags=("similarity", "embedding"),
+        doc="binary-code ANN serving probe: top-k by Hamming distance over "
+        "sign-bit packed 32-bit words (popcount(xor) fold — the "
+        "memory-bandwidth scan tier, codes 32x smaller than float32), "
+        "exact-cosine rerank column, and exact_rank recall evidence "
+        "LEFT-joined from the brute-force top-k (misses as NULLs); "
+        "map-only scan ahead of TakeOrderedAndProject, only k survivors "
+        "touch float math — completes the quantized-serving story beside "
+        "RP-LSH (few-bit bucketing) and PQ (table-lookup ADC)",
+    )
+
     b, o = _sql_pair(text.gen_rake_keywords, ("documents",))
     add(
         "text_rake_keywords",
@@ -4411,6 +4443,8 @@ _DRIVER_WINDOW_FIRST = (
     "report_hardlink_usage",
     "sim_pq_topk",  # engine path re-vectorized r11 (numpy ADC)
     "sim_graph_2hop_topk",
+    "embedding_binary_audit",
+    "sim_hamming_topk",
     # --- the 33 r3-era stamps (oldest in the ledger; q1/q3/q5 are r4 and
     # q1 is additionally smoke-checked every round as the flagship) -------
     "tpch_q2_min_cost_supplier",
@@ -4449,11 +4483,10 @@ _DRIVER_WINDOW_FIRST = (
     # --- oldest r4 stamps (fill to 50; VERDICT-named first) ---------------
     "owner_prefix_join",
     "window_event_deltas",
-    "report_status_averages",
-    "report_status_brief",
-    # (dedup_exact / sim_cosine_topk / join_asof_events /
-    # join_range_events rotated out as the r11 operators landed — their
-    # r4 stamps hold; the next round's rotation picks them up.)
+    # (dedup_exact / sim_cosine_topk / join_asof_events / join_range_events
+    # / report_status_averages / report_status_brief rotated out as the
+    # r11 operators landed — their r4/r8 stamps hold; the next round's
+    # rotation picks them up.)
 )
 
 

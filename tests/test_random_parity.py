@@ -223,6 +223,12 @@ EMB_QUERIES = [
     # int8 quantization audit: the all-zero vector takes the scale=0
     # short-circuit, duplicates/antipodes must land in identical error cells
     ("int8_quant_audit", lambda d: similarity.gen_int8_quant_audit(d)),
+    # r11 binary plane: duplicates share one packed code (n_codes <
+    # n_vecs), antipodes complement within the live dims, sign-boundary
+    # zeros quantize to 0-bits, the all-zero row drops at the nrm guard —
+    # packing/popcount folds must agree bit-for-bit cross-engine
+    ("binary_quant_audit", lambda d: similarity.gen_binary_quant_audit(d)),
+    ("hamming_topk", lambda d: similarity.gen_hamming_topk(d, 0, 10)),
     # pair-free cohesion identity: duplicate vectors (cos 1 pairs), the
     # antipode (cos -1), zero-norm exclusion and singleton labels
     ("label_cohesion", lambda d: similarity.gen_label_cohesion(d)),

@@ -400,3 +400,80 @@ def test_funnel_epoch_zero_not_double_counted():
     out2 = pd.concat(list(fn((7,), iter([b2]), st)))
     assert out2[["stage", "t"]].values.tolist() == [[3, 200]]
     assert st.get == (0, 10, 200)
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization plane (r11): sign-bit packing into 32-bit words,
+# per-label audit, Hamming top-k.  dim 34 forces the multi-word path
+# (words = [bits 0-31, bits 32-33]); hamming values pin the packing.
+# ---------------------------------------------------------------------------
+
+
+def _binq_embeddings() -> pd.DataFrame:
+    dim = 34
+    ones = [1.0] * dim
+    flip0 = [-1.0] + [1.0] * (dim - 1)
+    return pd.DataFrame(
+        {
+            "vec_id": pd.array(range(6), dtype="int64"),
+            "embedding": [
+                ones,            # query: all bits set
+                flip0,           # hamming 1 from query
+                [-x for x in ones],  # antipode: all bits clear, hamming 34
+                flip0,           # duplicate of vec 1: code collision
+                [0.0] * dim,     # zero-norm: dropped by the nrm guard
+                None,            # NULL embedding: dropped
+            ],
+            "label": pd.array([0, 1, 0, 1, 0, 1], dtype="Int32"),
+        }
+    )
+
+
+def test_binary_quant_audit_planted():
+    from storage_crawler_spark.operators import similarity
+
+    got = _duck(similarity.gen_binary_quant_audit(DUCK), embeddings=_binq_embeddings())
+    # label 0: vecs {0 all-ones, 2 all-zeros-code}; zero-norm vec 4 dropped.
+    # densities 1.0 and 0.0; sign_cos = sum|x|/(sqrt(34)*sqrt(34)) = 1 both.
+    # label 1: vecs {1, 3} identical -> ONE distinct code; density 33/34.
+    assert got["label"] == [0, 1]
+    assert got["n_vecs"] == [2, 2]
+    assert got["n_codes"] == [2, 1]
+    assert got["mean_bit_density"] == [0.5, 0.970588]
+    assert got["mean_sign_cos"] == [1.0, 1.0]
+    assert got["min_sign_cos"] == [1.0, 1.0]
+
+
+def test_hamming_topk_planted():
+    from storage_crawler_spark.operators import similarity
+
+    got = _duck(similarity.gen_hamming_topk(DUCK, 0, k=3), embeddings=_binq_embeddings())
+    # hamming ties (vecs 1 and 3 at distance 1) break by vec_id; the
+    # antipode is the full-dim distance 34 with cosine -1; exact ranks are
+    # cosine-desc with the same vec_id break
+    assert got["vec_id"] == [1, 3, 2]
+    assert got["hamming"] == [1, 1, 34]
+    assert got["cosine"] == [0.941176, 0.941176, -1.0]
+    assert got["exact_rank"] == [1, 2, 3]
+
+
+def test_hamming_topk_spark_parity_planted(spark, tmp_path):
+    """The multi-word packing path (dim 34 -> 2 words) cross-engine: the
+    sf battery stores are 8/64-dim, so this planted frame is the only
+    word-boundary-straddling case — run BOTH engines on it."""
+    from storage_crawler_spark.operators import similarity
+
+    emb = _binq_embeddings()
+    path = str(tmp_path / "binq.parquet")
+    emb.to_parquet(path, index=False)
+    spark.read.parquet(path).createOrReplaceTempView("embeddings")
+    try:
+        for gen in (similarity.gen_binary_quant_audit,
+                    lambda d: similarity.gen_hamming_topk(d, 0, k=3)):
+            srows = sorted(tuple(r) for r in spark.sql(gen(SPARK)).collect())
+            con = duckdb.connect()
+            con.register("embeddings", emb)
+            drows = sorted(tuple(r) for r in con.execute(gen(DUCK)).fetchall())
+            assert srows == drows
+    finally:
+        spark.catalog.dropTempView("embeddings")

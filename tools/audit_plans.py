@@ -138,6 +138,9 @@ NLJ_ALLOWED = {
     # hybrid RRF: the BM25 chain's 1-row avgdl scalar + the 1-row query
     # vector — both allowlisted shapes composed
     "sim_hybrid_rrf",
+    # Hamming ANN probe: CROSS JOIN of the 1-row packed-code query row —
+    # the sim_cosine_topk shape; the exact_rank join is a k-row equi join
+    "sim_hamming_topk",
     # Matryoshka audit: CROSS JOINs of the 1-row query-vector relation
     # (dim alignment + the per-prefix distance folds) — the sim_cosine_topk
     # shape; the overlap joins themselves are k-row equi hash joins
