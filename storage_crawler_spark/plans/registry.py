@@ -1665,6 +1665,37 @@ def _specs() -> list[QuerySpec]:
         "maintenance triad beside compaction and z-order",
     )
 
+    def _b_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from storage_crawler_spark.sources.lake import (
+            gen_file_skipping,
+            gen_file_tiles,
+        )
+
+        V.register_base_tables(spark, sf_dir, ("events",))
+        # tile is a COMPUTED join column consumed by the stats AND the
+        # ground-truth chains — checkpoint the tiled relation once
+        _checkpoint_view(spark.sql(gen_file_tiles(SPARK)), "_fskip_tiles")
+        return spark.sql(gen_file_skipping(SPARK, tiles_rel="_fskip_tiles"))
+
+    from storage_crawler_spark.sources.lake import gen_file_skipping as _gen_fskip
+
+    add(
+        "lake_file_skipping",
+        _b_file_skipping,
+        _gen_fskip(DUCK),
+        tags=("lake", "usage", "audit"),
+        doc="zone-map data-skipping audit (r11, fourth maintenance leg): "
+        "per-file [min,max] stats (the parquet-footer/Iceberg zone maps) "
+        "of a time-linearly tiled events table probed by a constant "
+        "4-predicate relation (mid-10% and top-1% slices per dimension, "
+        "per-mille-anchored so the audit is scale-invariant) — files "
+        "scanned vs matching, FALSE-POSITIVE scans (zone-map bluntness "
+        "made visible), rows matched, skip ratio; scan decision runs on "
+        "the n_files-row stats relation (the manifest, not the data) + "
+        "one corpus pass for ground truth; exact two-pass ntile tiling, "
+        "no unpartitioned window",
+    )
+
     def _b_streaming_docs_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         from storage_crawler_spark.streaming import run_to_completion
         from storage_crawler_spark.streaming.documents import (
@@ -4445,6 +4476,7 @@ _DRIVER_WINDOW_FIRST = (
     "sim_graph_2hop_topk",
     "embedding_binary_audit",
     "sim_hamming_topk",
+    "lake_file_skipping",
     # --- the 33 r3-era stamps (oldest in the ledger; q1/q3/q5 are r4 and
     # q1 is additionally smoke-checked every round as the flagship) -------
     "tpch_q2_min_cost_supplier",
@@ -4482,7 +4514,6 @@ _DRIVER_WINDOW_FIRST = (
     "report_schema_files",
     # --- oldest r4 stamps (fill to 50; VERDICT-named first) ---------------
     "owner_prefix_join",
-    "window_event_deltas",
     # (dedup_exact / sim_cosine_topk / join_asof_events / join_range_events
     # / report_status_averages / report_status_brief rotated out as the
     # r11 operators landed — their r4/r8 stamps hold; the next round's

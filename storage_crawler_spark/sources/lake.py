@@ -529,3 +529,107 @@ FROM (
 GROUP BY root
 ORDER BY root
 """.strip()
+
+
+def gen_file_tiles(d, n_files: int = 64) -> str:
+    """Time-linear file tiling of the events stream — the write-path
+    relation the skipping audit consumes: (event_id, epoch_s, cents,
+    tile).  Ingest-ordered packing via the exact two-pass ntile (no
+    unpartitioned window); money as DECIMAL-cents BIGINTs."""
+    es = d.epoch_s_events("ts")
+    ncte, nout = _twopass_ntile(
+        d, "e", "event_id, epoch_s, cents", "epoch_s", n_files, "fs"
+    )
+    return f"""
+WITH e AS (
+  SELECT event_id, CAST({es} AS BIGINT) AS epoch_s,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+{ncte}
+SELECT event_id, epoch_s, cents, tile FROM {nout}
+""".strip()
+
+
+def gen_file_skipping(d, n_files: int = 64, tiles_rel: str | None = None) -> str:
+    """Zone-map data-skipping audit — the fourth leg of the lake-
+    maintenance plane: given the per-file [min,max] column statistics a
+    Delta/Iceberg/parquet footer keeps ("zone maps"), how many files does
+    each representative predicate actually skip, and how many scans are
+    FALSE POSITIVES (the zone-map interval overlaps the predicate but the
+    file contains no matching row)?  Skip ratio is the number a 100 TB
+    lake tunes layout against; the false-positive column is the zone-
+    map's bluntness made visible — a time-linear layout prunes time
+    slices near-perfectly and mid-range value slices almost not at all,
+    because every file's value interval spans most of the domain.
+
+    Files come from :func:`gen_file_tiles` (ingest order — the layout a
+    lake gets by default; the z-order entry audits the alternatives).
+    Predicates are a constant VALUES relation of per-mille spans (a mid
+    10% slice and a top 1% slice per dimension) anchored to the corpus
+    min/max by one 1-row scalar aggregate, so the audit is scale-
+    invariant: the same four predicates mean the same thing at sf0.001
+    and at 100 TB.
+
+    Output per predicate: files scanned vs matching, false-positive
+    scans, rows matched, and the skip ratio.  100 TB shape: one tiling
+    pass (the write path a lake already pays), then the scan decision
+    runs on the per-file STATS relation (n_files rows — the manifest,
+    not the data) plus one corpus pass for the ground truth; the
+    constant 4-row predicate relation broadcasts everywhere.  The Spark
+    builder passes ``tiles_rel`` (a CHECKPOINTED tiles relation): the
+    tile id is a computed column consumed by both the stats and the
+    truth chains — the CTE-inlining trap this module documents.
+    """
+    tiles = tiles_rel or f"(\n{gen_file_tiles(d, n_files)}\n)"
+    return f"""
+WITH t AS (SELECT event_id, epoch_s, cents, tile FROM {tiles}),
+fstats AS (
+  SELECT tile AS file_id,
+         min(epoch_s) AS tmin, max(epoch_s) AS tmax,
+         min(cents) AS vmin, max(cents) AS vmax,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM t GROUP BY tile
+),
+span AS (
+  SELECT min(epoch_s) AS t0, max(epoch_s) AS t1,
+         min(cents) AS v0, max(cents) AS v1
+  FROM t
+),
+preds AS (
+  SELECT pv.pred_id, pv.dim,
+         CASE WHEN pv.dim = 'time' THEN s.t0 + {d.idiv('(s.t1 - s.t0) * pv.lo_pm', '1000')}
+              ELSE s.v0 + {d.idiv('(s.v1 - s.v0) * pv.lo_pm', '1000')} END AS lo,
+         CASE WHEN pv.dim = 'time' THEN s.t0 + {d.idiv('(s.t1 - s.t0) * pv.hi_pm', '1000')}
+              ELSE s.v0 + {d.idiv('(s.v1 - s.v0) * pv.hi_pm', '1000')} END AS hi
+  FROM (VALUES (1, 'time', 450, 550), (2, 'time', 990, 1000),
+               (3, 'value', 450, 550), (4, 'value', 990, 1000))
+       AS pv(pred_id, dim, lo_pm, hi_pm)
+  CROSS JOIN span s
+),
+scans AS (
+  SELECT p.pred_id, p.dim,
+         CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(CASE WHEN p.lo <= (CASE WHEN p.dim = 'time' THEN f.tmax ELSE f.vmax END)
+                        AND p.hi >= (CASE WHEN p.dim = 'time' THEN f.tmin ELSE f.vmin END)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned
+  FROM fstats f CROSS JOIN preds p
+  GROUP BY p.pred_id, p.dim
+),
+truth AS (
+  SELECT p.pred_id,
+         CAST(count(*) AS BIGINT) AS rows_matched,
+         CAST(count(DISTINCT r.tile) AS BIGINT) AS files_matching
+  FROM t r CROSS JOIN preds p
+  WHERE (CASE WHEN p.dim = 'time' THEN r.epoch_s ELSE r.cents END)
+        BETWEEN p.lo AND p.hi
+  GROUP BY p.pred_id
+)
+SELECT s.pred_id, s.dim, s.n_files, s.files_scanned,
+       CAST(coalesce(t2.files_matching, 0) AS BIGINT) AS files_matching,
+       CAST(s.files_scanned - coalesce(t2.files_matching, 0) AS BIGINT) AS false_positive_scans,
+       CAST(coalesce(t2.rows_matched, 0) AS BIGINT) AS rows_matched,
+       {d.trunc6('1.0e0 - CAST(s.files_scanned AS DOUBLE) / s.n_files')} AS skip_ratio
+FROM scans s LEFT JOIN truth t2 ON s.pred_id = t2.pred_id
+ORDER BY s.pred_id
+""".strip()

@@ -102,6 +102,10 @@ EVENT_ENTRIES = [
     "events_holt_trend",
     "events_dow_seasonality",
     "lake_zorder_layout",
+    # r11 zone-map skipping audit: pooled-instant epoch ties exercise the
+    # ntile (epoch, event_id) tie order; NULL ts/value rows drop at the
+    # scan; negative/pooled money routes through DECIMAL cents
+    "lake_file_skipping",
     # round-9 additions: windowed funnel chaining on pooled-instant ties
     # (es > t1 strictness), triangle joins on NULL-pruned type pairs,
     # Benford's integer-side digit on NULL/zero/negative values, burst

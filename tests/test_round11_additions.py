@@ -477,3 +477,71 @@ def test_hamming_topk_spark_parity_planted(spark, tmp_path):
             assert srows == drows
     finally:
         spark.catalog.dropTempView("embeddings")
+
+
+# ---------------------------------------------------------------------------
+# lake_file_skipping (r11): planted zone-map audit.  21 rows, epochs at
+# 50 s steps (span 1000), alternating two-value cents — time predicates
+# prune to exactly one file, the mid-value predicate scans EVERY file and
+# matches nothing (7 false positives: zone-map bluntness), the top-value
+# predicate matches in every file (0 skip, honestly).
+# ---------------------------------------------------------------------------
+
+
+def _fskip_events() -> pd.DataFrame:
+    base = 1_700_000_000
+    rows = [
+        (i + 1, base + 50 * i, 1, "view", 10.0 + 5.0 * (i % 2), None)
+        for i in range(21)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
+    return pdf
+
+
+def test_file_skipping_planted():
+    from storage_crawler_spark.sources import lake
+
+    got = _duck(lake.gen_file_skipping(DUCK, n_files=7), events=_fskip_events())
+    rows = list(zip(got["pred_id"], got["dim"], got["n_files"], got["files_scanned"],
+                    got["files_matching"], got["false_positive_scans"],
+                    got["rows_matched"], got["skip_ratio"]))
+    # 7 files x 3 rows; file k holds epochs [150(k-1), 150(k-1)+100].
+    # pred1 time [450,550]: exactly file 4; pred2 time [990,1000]: file 7.
+    # cents alternate {1000, 1500}: pred3 value [1225,1275] overlaps every
+    # file's [1000,1500] zone map but matches NO row; pred4 value
+    # [1495,1500] hits the 10 odd rows spread over all 7 files.
+    assert rows == [
+        (1, "time", 7, 1, 1, 0, 3, 0.857142),
+        (2, "time", 7, 1, 1, 0, 1, 0.857142),
+        (3, "value", 7, 7, 0, 7, 0, 0.0),
+        (4, "value", 7, 7, 7, 0, 10, 0.0),
+    ]
+
+
+def test_file_skipping_spark_builder_checkpoints(spark, tmp_path):
+    """The registry builder must consume the CHECKPOINTED tiles relation
+    (tile is a computed join column read by two chains) and agree with the
+    oracle on the planted frame."""
+    from storage_crawler_spark.plans.registry import QUERIES
+
+    pdf = _fskip_events()
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pdf.to_parquet(str(sf / "events.parquet"), index=False)
+    df = QUERIES["lake_file_skipping"].builder(spark, str(sf))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    srows = sorted(tuple(r) for r in df.collect())
+    # n_files=64 > 21 rows -> every row its own file, 43 empty tiles never
+    # materialize; recompute the oracle at the SAME n_files for parity
+    from storage_crawler_spark.sources import lake
+
+    got = _duck(lake.gen_file_skipping(DUCK, n_files=64), events=pdf)
+    drows = sorted(zip(got["pred_id"], got["dim"], got["n_files"],
+                       got["files_scanned"], got["files_matching"],
+                       got["false_positive_scans"], got["rows_matched"],
+                       got["skip_ratio"]))
+    assert srows == drows

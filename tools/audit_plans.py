@@ -138,6 +138,10 @@ NLJ_ALLOWED = {
     # hybrid RRF: the BM25 chain's 1-row avgdl scalar + the 1-row query
     # vector — both allowlisted shapes composed
     "sim_hybrid_rrf",
+    # zone-map skipping audit: CROSS JOINs of the constant 4-row predicate
+    # VALUES relation and the 1-row corpus-span scalar — both allowlisted
+    # shapes; the stats side is n_files rows
+    "lake_file_skipping",
     # Hamming ANN probe: CROSS JOIN of the 1-row packed-code query row —
     # the sim_cosine_topk shape; the exact_rank join is a k-row equi join
     "sim_hamming_topk",
