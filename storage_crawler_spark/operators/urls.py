@@ -418,3 +418,62 @@ FROM hits
 GROUP BY domain
 ORDER BY domain
 """.strip()
+
+
+def gen_url_frontier(d: Dialect, per_slot: int = 2, url_rel: str | None = None) -> str:
+    """Crawl-frontier schedule under the per-host politeness contract: a
+    fetcher may issue at most ``per_slot`` requests to one host per time
+    slot (the crawl-delay discipline every polite crawler honors), so each
+    host's pending canonical URLs are ranked and packed into consecutive
+    slots.  Rank order is BFS-by-depth (shallow paths first — the frontier
+    prioritization web crawlers default to, since hubs sit near the root)
+    with the canonical URL as the total-order tie-break.  Output is the
+    schedule relation per (domain, slot): how many URLs, the depth range,
+    and the first URL — the relation a fetch fleet executes directly.
+
+    Composes with the rest of the ingest tier: run the robots filter and
+    blocklists first, then schedule survivors (each entry stays
+    independently oracle-checkable; the composition is a WHERE on the
+    shared url relation).
+
+    100 TB shape: one scan, map-side canonicalization, then ONE exchange
+    on domain reused by the DISTINCT, the per-host window, and the final
+    (domain, slot) partial aggregate — politeness is per-host state, so
+    the per-domain sort is exactly the work a frontier shard owns.  A
+    single host's schedule is inherently sequential (that IS the
+    politeness constraint); a host too large for one shard is capped
+    upstream by per-host page budgets, not by splitting the window.
+    """
+    depth = f"CAST({d.size(d.split('cpath', '/'))} - 1 AS BIGINT)"
+    u_cte = (
+        f"u AS (\n{gen_url_rel(d)}\n),"
+        if url_rel is None
+        else f"u AS (SELECT * FROM {url_rel}),"
+    )
+    return f"""
+WITH {u_cte}
+pend AS (
+  SELECT DISTINCT domain, curl, cpath FROM u
+),
+scored AS (
+  SELECT domain, curl, {depth} AS depth FROM pend
+),
+ranked AS (
+  SELECT domain, curl, depth,
+         row_number() OVER (PARTITION BY domain ORDER BY depth, curl) AS rnk
+  FROM scored
+),
+slots AS (
+  SELECT domain, curl, depth,
+         CAST({d.idiv('(rnk - 1)', str(per_slot))} AS BIGINT) AS slot
+  FROM ranked
+)
+SELECT domain, slot,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(min(depth) AS BIGINT) AS min_depth,
+       CAST(max(depth) AS BIGINT) AS max_depth,
+       min(curl) AS first_curl
+FROM slots
+GROUP BY domain, slot
+ORDER BY domain, slot
+""".strip()

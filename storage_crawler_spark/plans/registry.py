@@ -3577,6 +3577,21 @@ ORDER BY channel
         "before any content fetch; one scan, one aggregate on domain",
     )
 
+    b, o = _sql_pair(url_ops.gen_url_frontier, ("documents",))
+    add(
+        "ingest_url_frontier",
+        b,
+        o,
+        tags=("ingest", "url"),
+        doc="crawl-frontier schedule under the per-host politeness "
+        "contract (r11): each host's pending canonical URLs ranked "
+        "BFS-by-depth (shallow hubs first, curl tie-break) and packed "
+        "into slots of at most per_slot fetches — the relation a fetch "
+        "fleet executes; one exchange on domain reused by DISTINCT, the "
+        "per-host window, and the (domain, slot) aggregate; a host's "
+        "schedule is inherently sequential (that IS politeness)",
+    )
+
     def _b_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
         V.register_base_tables(spark, sf_dir, ("documents",))
         # checkpoint, not persist: the url relation is consumed twice from
@@ -4477,6 +4492,7 @@ _DRIVER_WINDOW_FIRST = (
     "embedding_binary_audit",
     "sim_hamming_topk",
     "lake_file_skipping",
+    "ingest_url_frontier",
     # --- the 33 r3-era stamps (oldest in the ledger; q1/q3/q5 are r4 and
     # q1 is additionally smoke-checked every round as the flagship) -------
     "tpch_q2_min_cost_supplier",
@@ -4512,11 +4528,10 @@ _DRIVER_WINDOW_FIRST = (
     "dedup_minhash_signatures",
     "report_first_thousand",
     "report_schema_files",
-    # --- oldest r4 stamps (fill to 50; VERDICT-named first) ---------------
-    "owner_prefix_join",
-    # (dedup_exact / sim_cosine_topk / join_asof_events / join_range_events
-    # / report_status_averages / report_status_brief rotated out as the
-    # r11 operators landed — their r4/r8 stamps hold; the next round's
+    # (oldest-r4 fillers — dedup_exact / sim_cosine_topk / join_asof_events
+    # / join_range_events / report_status_averages / report_status_brief /
+    # owner_prefix_join / window_event_deltas — rotated out as the r11
+    # operators landed — their r4/r8 stamps hold; the next round's
     # rotation picks them up.)
 )
 

@@ -555,6 +555,10 @@ DOC_ENTRIES = [
     # r11 streaming twin: the canonicalizer runs per micro-batch and the
     # curl key set must equal the batch DISTINCT whatever the batch split
     "streaming_url_dedup",
+    # r11 frontier: random (source, lang, group) interplay varies the
+    # per-host DISTINCT set and the slot packing; the curl tie-break on
+    # uniform synthetic depths is the whole ordering
+    "ingest_url_frontier",
     # r11 hard-link resolution: random sizes sweep the min-size inode
     # accounting; sparse random doc_ids vary link-set membership
     "report_hardlink_usage",

@@ -545,3 +545,51 @@ def test_file_skipping_spark_builder_checkpoints(spark, tmp_path):
                        got["false_positive_scans"], got["rows_matched"],
                        got["skip_ratio"]))
     assert srows == drows
+
+
+# ---------------------------------------------------------------------------
+# ingest_url_frontier (r11): politeness-slotted per-host schedule.
+# ---------------------------------------------------------------------------
+
+
+def test_url_frontier_planted_collapse():
+    """Full canonicalization chain: alpha's 4 docs collapse to 2 canonical
+    URLs (one slot of 2 at per_slot=2); src0's 2 docs to 1."""
+    from storage_crawler_spark.operators import urls
+
+    got = _duck(urls.gen_url_frontier(DUCK, per_slot=2), documents=_url_docs())
+    rows = list(zip(got["domain"], got["slot"], got["n_urls"], got["first_curl"]))
+    assert rows == [
+        ("alpha.example.com", 0, 2, "https://alpha.example.com/docs/en/0"),
+        ("src0.example.com", 0, 1, "https://src0.example.com/docs/en/1"),
+    ]
+
+
+def test_url_frontier_planted_depth_priority():
+    """BFS-by-depth packing via the url_rel hook: shallow pages fill the
+    early slots; the curl tie-break orders equal depths."""
+    from storage_crawler_spark.operators import urls
+
+    u = pd.DataFrame(
+        {
+            "domain": ["h.example.com"] * 5 + ["i.example.com"],
+            "curl": [
+                "https://h.example.com/z",       # depth 1 (but curl sorts last among depth-1)
+                "https://h.example.com/a",       # depth 1
+                "https://h.example.com/a/b",     # depth 2
+                "https://h.example.com/a/a",     # depth 2
+                "https://h.example.com/a/b/c",   # depth 3
+                "https://i.example.com/only",
+            ],
+            "cpath": ["/z", "/a", "/a/b", "/a/a", "/a/b/c", "/only"],
+        }
+    )
+    got = _duck(urls.gen_url_frontier(DUCK, per_slot=2, url_rel="myurls"), myurls=u)
+    rows = list(zip(got["domain"], got["slot"], got["n_urls"],
+                    got["min_depth"], got["max_depth"], got["first_curl"]))
+    assert rows == [
+        ("h.example.com", 0, 2, 1, 1, "https://h.example.com/a"),
+        ("h.example.com", 1, 2, 2, 2, "https://h.example.com/a/a"),
+        ("h.example.com", 2, 1, 3, 3, "https://h.example.com/a/b/c"),
+        ("i.example.com", 0, 1, 1, 1, "https://i.example.com/only"),
+    ]
