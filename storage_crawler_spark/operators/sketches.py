@@ -304,3 +304,89 @@ SELECT {m_bits} AS m_bits, {n_hashes} AS n_hashes, n_build, bits_set,
        {fp} AS fp_rate
 FROM agg
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# deterministic HyperLogLog (shared-dialect, oracle-gated)
+# ---------------------------------------------------------------------------
+
+HLL_M = 64          # registers (p = 6 bucket bits)
+HLL_ALPHA = 0.709   # the standard alpha_64 bias constant (Flajolet 2007)
+
+
+def gen_hll_rows(d, m: int = HLL_M, src: str = "events") -> str:
+    """Per-event HLL observation: (event_type, register bucket, rho).
+
+    The 48-bit md5 key (``md5_key48`` — the audited engine-portable
+    uniform) splits into the low 6 bucket bits and a 42-bit remainder;
+    ``rho`` is the 1-based position of the remainder's leading 1 bit read
+    MSB-first (Flajolet et al. 2007), computed by an exact integer fold
+    (42-step bit-length reduce — no float log near power-of-two
+    boundaries).  An all-zero remainder yields the max rho of 43.
+
+    Unlike :func:`distinct_contract` (which audits the ENGINES' native
+    HLL/HLL++ against exact counts), this sketch is deterministic and
+    identical across engines — registers, estimate, everything — so it can
+    be maintained INCREMENTALLY (streaming twin) and still hash-match the
+    one-shot batch oracle.
+    """
+    h = d.md5_key48("CAST(user_id AS STRING)", seed="hll")
+    bitlen_step = f"CASE WHEN {d.shr('rest', 'x')} > 0 THEN x + 1 ELSE acc END"
+    bitlen = d.reduce_bigint(d.seq("0", "41"), bitlen_step)
+    return f"""
+SELECT event_type, bucket, CAST(43 - {bitlen} AS BIGINT) AS rho
+FROM (
+  SELECT event_type, CAST(h % {m} AS BIGINT) AS bucket, {d.shr('h', '6')} AS rest
+  FROM (SELECT event_type, {h} AS h FROM {src} WHERE user_id IS NOT NULL) h0
+) hb
+""".strip()
+
+
+def gen_hll_distinct(d, m: int = HLL_M, regs_rel: str | None = None) -> str:
+    """Distinct users per event type from the deterministic HLL registers:
+    raw estimate ``alpha_m * m^2 / sum(2^-M_j)`` (empty registers
+    contribute 2^0 = 1) with the standard small-range linear-counting
+    branch ``m * ln(m/V)`` when the raw estimate is <= 2.5m and empty
+    registers remain (large-range correction omitted: 48-bit keys keep
+    cardinalities far from 2^42 — documented, not hidden).
+
+    Engine parity is EXACT, not approximate-within-tolerance: every
+    ``2^-rho`` is a single-bit double and the <= 64-term sum stays
+    under 52 mantissa bits, so the harmonic sum is exact and order-free;
+    ln/division are single IEEE ops on identical inputs.
+
+    100 TB shape: the register table is the WHOLE state — m rows per
+    event type, whatever the stream volume (map-side partial max, one
+    tiny shuffle).  ``regs_rel`` lets the streaming twin hand its
+    incrementally-maintained register table to the same estimator.
+    """
+    regs = (
+        f"(SELECT event_type, bucket, max(rho) AS mrho FROM (\n{gen_hll_rows(d, m)}\n) r"
+        f" GROUP BY event_type, bucket)"
+        if regs_rel is None
+        else regs_rel
+    )
+    est = (
+        f"CASE WHEN v > 0 AND raw_est <= 2.5 * {m} "
+        f"THEN {m} * ln(CAST({m} AS DOUBLE) / v) ELSE raw_est END"
+    )
+    return f"""
+WITH regs AS (SELECT event_type, bucket, mrho FROM {regs} rr),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_hit,
+         sum(power(2.0, -mrho)) AS harm_hit
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type, n_hit,
+         {HLL_ALPHA} * {m} * {m} / (harm_hit + ({m} - n_hit)) AS raw_est,
+         CAST({m} - n_hit AS BIGINT) AS v
+  FROM agg
+)
+SELECT event_type,
+       n_hit AS n_registers_hit,
+       {d.trunc6(est)} AS distinct_est
+FROM est
+ORDER BY event_type
+""".strip()

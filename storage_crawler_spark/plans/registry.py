@@ -1665,6 +1665,51 @@ def _specs() -> list[QuerySpec]:
         "maintenance triad beside compaction and z-order",
     )
 
+    b, o = _sql_pair(sketches.gen_hll_distinct, ("events",))
+    add(
+        "sketch_hll_distinct",
+        b,
+        o,
+        tags=("sketch", "events"),
+        doc="deterministic shared-dialect HyperLogLog (r11): md5-derived "
+        "48-bit keys split into 64 registers + 42-bit remainders, rho via "
+        "an exact integer bit-length fold (no float log), the Flajolet "
+        "2007 estimator with the small-range linear-counting branch; "
+        "engine parity is EXACT (every 2^-rho is a single-bit double, the "
+        "<=64-term harmonic sum stays under 52 mantissa bits) — unlike "
+        "sketch_distinct_users, which audits the engines' NATIVE HLLs "
+        "within tolerance; register table = m rows per type, map-side "
+        "partial max, one tiny shuffle",
+    )
+
+    def _b_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from storage_crawler_spark.streaming.events import (
+            hll_registers,
+            read_events_stream,
+            run_to_completion,
+        )
+
+        regs = run_to_completion(
+            hll_registers(spark, read_events_stream(spark, sf_dir))
+        )
+        regs.createOrReplaceTempView("_hll_stream_regs")
+        return spark.sql(sketches.gen_hll_distinct(SPARK, regs_rel="_hll_stream_regs"))
+
+    add(
+        "streaming_hll_distinct",
+        _b_streaming_hll,
+        sketches.gen_hll_distinct(DUCK),
+        tags=("streaming", "sketch", "events"),
+        doc="streaming twin of sketch_hll_distinct: the register table "
+        "maintained as a complete-mode max(rho) aggregate (register "
+        "maxima are the canonical mergeable-sketch update, so any "
+        "micro-batch split yields the identical final relation — the "
+        "cms_counters property, distinct-counting edition); state is m "
+        "registers per event type TOTAL whatever the stream volume; the "
+        "batch estimator reads the streamed registers unchanged and the "
+        "one-shot batch chain is the oracle",
+    )
+
     def _b_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         from storage_crawler_spark.sources.lake import (
             gen_file_skipping,
@@ -4493,6 +4538,8 @@ _DRIVER_WINDOW_FIRST = (
     "sim_hamming_topk",
     "lake_file_skipping",
     "ingest_url_frontier",
+    "sketch_hll_distinct",
+    "streaming_hll_distinct",
     # --- the 33 r3-era stamps (oldest in the ledger; q1/q3/q5 are r4 and
     # q1 is additionally smoke-checked every round as the flagship) -------
     "tpch_q2_min_cost_supplier",
@@ -4526,8 +4573,9 @@ _DRIVER_WINDOW_FIRST = (
     "text_repetition",
     "dedup_jaccard_block_guard",
     "dedup_minhash_signatures",
-    "report_first_thousand",
-    "report_schema_files",
+    # (report_first_thousand / report_schema_files — the two youngest of
+    # the r3-era block — rotated out for the never-stamped r11 HLL pair;
+    # never-stamped beats stamp-refresh, and their r3 stamps hold.)
     # (oldest-r4 fillers — dedup_exact / sim_cosine_topk / join_asof_events
     # / join_range_events / report_status_averages / report_status_brief /
     # owner_prefix_join / window_event_deltas — rotated out as the r11

@@ -274,3 +274,23 @@ def hourly_counters(events: DataFrame) -> DataFrame:
         .groupBy("event_type", "hb")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def hll_registers(spark: SparkSession, events: DataFrame, m: int = 64) -> DataFrame:
+    """Streaming deterministic-HLL register table: the per-event
+    (event_type, bucket, rho) observations of operators/sketches.
+    gen_hll_rows (the md5-derived engine-portable sketch) maintained as a
+    complete-mode ``max(rho)`` aggregate — register maxima are the
+    canonical mergeable-sketch update, so ANY micro-batch split yields
+    the identical final register table, and the batch estimator
+    (gen_hll_distinct, regs_rel=...) reads it unchanged.
+
+    State is the defining sketch bound: m registers per event type TOTAL,
+    whatever the stream volume — the distinct-counting analogue of
+    :func:`cms_counters`."""
+    from storage_crawler_spark.operators.sketches import gen_hll_rows
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    events.createOrReplaceTempView("_events_stream_hll")
+    rows = spark.sql(gen_hll_rows(SPARK, m=m, src="_events_stream_hll"))
+    return rows.groupBy("event_type", "bucket").agg(F.max("rho").alias("mrho"))

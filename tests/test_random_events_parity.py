@@ -106,6 +106,11 @@ EVENT_ENTRIES = [
     # ntile (epoch, event_id) tie order; NULL ts/value rows drop at the
     # scan; negative/pooled money routes through DECIMAL cents
     "lake_file_skipping",
+    # r11 deterministic HLL pair: random user pools sweep both estimator
+    # branches (linear counting vs raw) and NULL users/types; the
+    # streaming twin's register maxima must hash-match the one-shot chain
+    "sketch_hll_distinct",
+    "streaming_hll_distinct",
     # round-9 additions: windowed funnel chaining on pooled-instant ties
     # (es > t1 strictness), triangle joins on NULL-pruned type pairs,
     # Benford's integer-side digit on NULL/zero/negative values, burst

@@ -593,3 +593,53 @@ def test_url_frontier_planted_depth_priority():
         ("h.example.com", 2, 1, 3, 3, "https://h.example.com/a/b/c"),
         ("i.example.com", 0, 1, 1, 1, "https://i.example.com/only"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# sketch_hll_distinct (r11): the deterministic HLL pinned against an
+# independent Python replication of the md5 register derivation and the
+# two-branch Flajolet estimator.
+# ---------------------------------------------------------------------------
+
+
+def _py_hll_estimate(user_ids, m=64, alpha=0.709):
+    import hashlib
+    import math
+
+    regs = {}
+    for uid in user_ids:
+        h = int(hashlib.md5(f"hll{uid}".encode()).hexdigest()[:12], 16)
+        bucket, rest = h % m, h >> 6
+        rho = 43 - rest.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    harm = sum(2.0 ** -r for r in regs.values()) + (m - len(regs))
+    raw = alpha * m * m / harm
+    v = m - len(regs)
+    est = m * math.log(m / v) if (v > 0 and raw <= 2.5 * m) else raw
+    return len(regs), math.floor(est * 1e6) / 1e6
+
+
+def test_hll_distinct_planted_python_replication():
+    from storage_crawler_spark.operators import sketches
+
+    ev = pd.DataFrame(
+        {
+            "event_id": pd.array(range(40), dtype="int64"),
+            "ts": pd.to_datetime([1_700_000_000 + i for i in range(40)], unit="s"),
+            # type A sees users 0..19 (each twice -> duplicates must not
+            # move registers), type B sees users 100..104; one NULL user
+            "user_id": pd.array(
+                [i % 20 for i in range(30)] + [100 + i for i in range(5)]
+                + [None] + [7, 7, 7, 7],
+                dtype="Int64",
+            ),
+            "event_type": ["A"] * 30 + ["B"] * 5 + ["A"] * 5,
+            "value": [1.0] * 40,
+            "props": [None] * 40,
+        }
+    )
+    got = _duck(sketches.gen_hll_distinct(DUCK), events=ev)
+    exp_a = _py_hll_estimate(range(20))   # duplicate arrivals don't move maxima
+    exp_b = _py_hll_estimate(range(100, 105))
+    assert got["event_type"] == ["A", "B"]
+    assert list(zip(got["n_registers_hit"], got["distinct_est"])) == [exp_a, exp_b]

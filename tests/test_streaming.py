@@ -245,3 +245,34 @@ def test_hourly_counters_invariant_under_microbatch_split(spark, tmp_path):
     assert _rows(stream_hc, "event_type", "hb", "n") == _rows(
         batch_hc, "event_type", "hb", "n"
     )
+
+
+def test_hll_registers_invariant_under_microbatch_split(spark, tmp_path):
+    """HLL registers are maxima (the canonical mergeable-sketch update):
+    any micro-batch split must yield the exact register relation of the
+    one-shot batch aggregation, and state is bounded by types x m."""
+    from storage_crawler_spark.operators.sketches import gen_hll_rows
+    from storage_crawler_spark.plans.dialect import SPARK
+    from storage_crawler_spark.streaming.events import hll_registers, run_to_completion
+
+    ev = _batch_events(spark).select("event_id", "ts", "user_id", "event_type", "value")
+    ev.repartition(3).write.mode("overwrite").parquet(str(tmp_path / "evhll"))
+    schema = spark.read.parquet(str(tmp_path / "evhll")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "evhll"))
+    )
+    stream_regs = run_to_completion(hll_registers(spark, stream))
+
+    ev.createOrReplaceTempView("_hll_ev_batch")
+    batch_regs = spark.sql(
+        "SELECT event_type, bucket, max(rho) AS mrho FROM (\n"
+        + gen_hll_rows(SPARK, src="_hll_ev_batch")
+        + "\n) r GROUP BY event_type, bucket"
+    )
+    assert _rows(stream_regs, "event_type", "bucket", "mrho") == _rows(
+        batch_regs, "event_type", "bucket", "mrho"
+    )
+    n_types = ev.filter(F.col("user_id").isNotNull()).select("event_type").distinct().count()
+    assert stream_regs.count() <= 64 * n_types  # bounded state
