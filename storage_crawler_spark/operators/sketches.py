@@ -390,3 +390,112 @@ SELECT event_type,
 FROM est
 ORDER BY event_type
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# deterministic DD-style quantile sketch (shared-dialect, oracle-gated)
+# ---------------------------------------------------------------------------
+
+DD_QUANTILES_PM = (500, 900, 990)  # per-mille targets: p50 / p90 / p99
+
+
+def gen_dd_rows(d, src: str = "events") -> str:
+    """Per-event DD-sketch observation: the relative-error log-lattice
+    bucket of the event's money value (Masson et al. 2019 DDSketch, the
+    INTEGER-exact variant): cents = DECIMAL(18,2)*100 (money never rides
+    raw doubles — the r10 float-sum lesson), magnitude buckets are binary
+    octaves split into quartiles by the two bits under the leading bit
+    (gamma = 2^(1/4): relative error <= ~9.5% per bound, structural), a
+    separate zero bucket and a mirrored negative store (the standard
+    DDSketch treatment of signs).  Everything is integer bit arithmetic —
+    bit-length fold, shifts — so bucket ids and bounds are EXACT in both
+    engines; no float log anywhere near a boundary.
+
+    ``key`` totally orders buckets by value (negatives by descending
+    magnitude, zero, positives ascending); ``lo_cents``/``hi_cents`` are
+    the bucket's closed integer bounds, pre-signed.
+    """
+    cents = "CAST(CAST(coalesce(value, 0) AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    bitlen_step = f"CASE WHEN {d.shr('mag', 'x')} > 0 THEN x + 1 ELSE acc END"
+    bitlen = d.reduce_bigint(d.seq("0", "62"), bitlen_step)
+    one = "CAST(1 AS BIGINT)"
+    return f"""
+SELECT event_type, sign, idx,
+       CAST(sign * 300 + sign * idx AS BIGINT) AS key,
+       CAST(CASE WHEN sign = -1 THEN -hi_mag ELSE sign * lo_mag END AS BIGINT) AS lo_cents,
+       CAST(CASE WHEN sign = -1 THEN -lo_mag ELSE sign * hi_mag END AS BIGINT) AS hi_cents
+FROM (
+  SELECT event_type, sign, CAST(4 * e + sub AS BIGINT) AS idx,
+         CASE WHEN e >= 2 THEN {d.shl(one, 'e')} + sub * {d.shl(one, 'e - 2')}
+              ELSE {d.shl(one, 'e')} END AS lo_mag,
+         CASE WHEN e >= 2 THEN {d.shl(one, 'e')} + (sub + 1) * {d.shl(one, 'e - 2')} - 1
+              ELSE {d.shl(one, 'e + 1')} - 1 END AS hi_mag
+  FROM (
+    SELECT event_type, sign, e,
+           CASE WHEN e >= 2 THEN {d.bxor(d.shr('mag', 'e - 2'), '4')} ELSE CAST(0 AS BIGINT) END AS sub
+    FROM (
+      -- e clamps to 0 for the zero bucket (mag = 0): its bounds are
+      -- forced to 0 by the sign CASE, and DuckDB raises on shl(1, -1)
+      SELECT event_type, sign, mag,
+             CAST(greatest({bitlen} - 1, CAST(0 AS BIGINT)) AS BIGINT) AS e
+      FROM (
+        SELECT event_type,
+               CAST(CASE WHEN c > 0 THEN 1 WHEN c < 0 THEN -1 ELSE 0 END AS BIGINT) AS sign,
+               abs(c) AS mag
+        FROM (SELECT event_type, {cents} AS c FROM {src}) c0
+      ) s0
+    ) s1
+  ) s2
+) s3
+""".strip()
+
+
+def gen_dd_quantiles(d, regs_rel: str | None = None, src: str = "events") -> str:
+    """Quantile readout from the DD-sketch bucket counts: for each event
+    type and each target (p50/p90/p99), the closed integer-cents interval
+    the rank-``ceil(q*n)`` value is GUARANTEED to lie in — a quantile
+    answer with a structural relative-error bound instead of a sample
+    error bar, and (unlike GK/t-digest) byte-identical across engines and
+    under any merge order.
+
+    Rank arithmetic is pure integer (``(q_pm*n + 999) // 1000``); the
+    containing bucket is the unique one with ``cum - cnt < rank <= cum``
+    on the value-ordered cumulative window (PARTITION BY event_type over
+    <= ~250 bucket rows per sign — sketch-sized, never event-sized).
+
+    100 TB shape: one pruned scan folds bucket ids map-side; ONE shuffle
+    carries (type, bucket) partial counts; the readout runs on the tiny
+    register table.  ``regs_rel`` lets the streaming twin (register
+    counts maintained by sum — mergeable) hand its table to the same
+    readout.
+    """
+    regs = (
+        f"(SELECT event_type, key, lo_cents, hi_cents, CAST(count(*) AS BIGINT) AS cnt"
+        f" FROM (\n{gen_dd_rows(d, src)}\n) r GROUP BY event_type, key, lo_cents, hi_cents)"
+        if regs_rel is None
+        else regs_rel
+    )
+    qrows = ", ".join(f"({pm})" for pm in DD_QUANTILES_PM)
+    return f"""
+WITH regs AS (SELECT event_type, key, lo_cents, hi_cents, cnt FROM {regs} rr),
+cum AS (
+  SELECT event_type, key, lo_cents, hi_cents, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY key
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM regs
+),
+targets AS (
+  SELECT c.event_type, q.q_pm, c.lo_cents, c.hi_cents,
+         CAST(c.n AS BIGINT) AS n_rows,
+         CAST({d.idiv('q.q_pm * c.n + 999', '1000')} AS BIGINT) AS rnk
+  FROM cum c
+  JOIN (VALUES {qrows}) AS q(q_pm)
+    ON {d.idiv('q.q_pm * c.n + 999', '1000')} > c.cum - c.cnt
+   AND {d.idiv('q.q_pm * c.n + 999', '1000')} <= c.cum
+)
+SELECT event_type, CAST(q_pm AS BIGINT) AS q_pm, n_rows, rnk,
+       lo_cents, hi_cents
+FROM targets
+ORDER BY event_type, q_pm
+""".strip()

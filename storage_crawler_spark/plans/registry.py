@@ -1710,6 +1710,48 @@ def _specs() -> list[QuerySpec]:
         "one-shot batch chain is the oracle",
     )
 
+    b, o = _sql_pair(sketches.gen_dd_quantiles, ("events",))
+    add(
+        "sketch_dd_quantiles",
+        b,
+        o,
+        tags=("sketch", "events"),
+        doc="deterministic DD-style quantile sketch (r11; Masson 2019 "
+        "DDSketch, integer-exact variant): money as DECIMAL cents, "
+        "binary-octave buckets split into quartiles by the two bits "
+        "under the leading bit (structural relative error, no float log "
+        "near boundaries), mirrored negative store + zero bucket; "
+        "readout gives the closed integer interval containing rank "
+        "ceil(q*n) for p50/p90/p99 — byte-identical across engines and "
+        "merge orders, unlike GK/t-digest (sketch_value_quantiles audits "
+        "those within tolerance); one scan + one (type, bucket) partial "
+        "count + a window over sketch-sized registers",
+    )
+
+    def _b_streaming_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from storage_crawler_spark.streaming.events import (
+            dd_counters,
+            read_events_stream,
+            run_to_completion,
+        )
+
+        regs = run_to_completion(dd_counters(spark, read_events_stream(spark, sf_dir)))
+        regs.createOrReplaceTempView("_dd_stream_regs")
+        return spark.sql(sketches.gen_dd_quantiles(SPARK, regs_rel="_dd_stream_regs"))
+
+    add(
+        "streaming_dd_quantiles",
+        _b_streaming_dd,
+        sketches.gen_dd_quantiles(DUCK),
+        tags=("streaming", "sketch", "events"),
+        doc="streaming twin of sketch_dd_quantiles: bucket counts "
+        "maintained as a complete-mode sum (pure-sum registers — any "
+        "micro-batch split yields the identical relation); state <= ~500 "
+        "bucket rows per event type whatever the stream volume; the "
+        "batch readout consumes the streamed registers unchanged and the "
+        "one-shot batch chain is the oracle",
+    )
+
     def _b_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         from storage_crawler_spark.sources.lake import (
             gen_file_skipping,
@@ -4540,6 +4582,8 @@ _DRIVER_WINDOW_FIRST = (
     "ingest_url_frontier",
     "sketch_hll_distinct",
     "streaming_hll_distinct",
+    "sketch_dd_quantiles",
+    "streaming_dd_quantiles",
     # --- the 33 r3-era stamps (oldest in the ledger; q1/q3/q5 are r4 and
     # q1 is additionally smoke-checked every round as the flagship) -------
     "tpch_q2_min_cost_supplier",
@@ -4571,11 +4615,10 @@ _DRIVER_WINDOW_FIRST = (
     "text_pii_redact",
     "text_quality_filter",
     "text_repetition",
-    "dedup_jaccard_block_guard",
-    "dedup_minhash_signatures",
-    # (report_first_thousand / report_schema_files — the two youngest of
-    # the r3-era block — rotated out for the never-stamped r11 HLL pair;
-    # never-stamped beats stamp-refresh, and their r3 stamps hold.)
+    # (dedup_jaccard_block_guard / dedup_minhash_signatures /
+    # report_first_thousand / report_schema_files — the four youngest of
+    # the r3-era block — rotated out for the never-stamped r11 sketch
+    # pairs; never-stamped beats stamp-refresh, and their r3 stamps hold.)
     # (oldest-r4 fillers — dedup_exact / sim_cosine_topk / join_asof_events
     # / join_range_events / report_status_averages / report_status_brief /
     # owner_prefix_join / window_event_deltas — rotated out as the r11

@@ -294,3 +294,21 @@ def hll_registers(spark: SparkSession, events: DataFrame, m: int = 64) -> DataFr
     events.createOrReplaceTempView("_events_stream_hll")
     rows = spark.sql(gen_hll_rows(SPARK, m=m, src="_events_stream_hll"))
     return rows.groupBy("event_type", "bucket").agg(F.max("rho").alias("mrho"))
+
+
+def dd_counters(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Streaming DD-sketch register table: per (event_type, bucket) counts
+    of operators/sketches.gen_dd_rows (integer log-lattice money buckets)
+    maintained incrementally — counts are pure sums, so any micro-batch
+    split yields the identical final relation (the cms_counters property),
+    and the batch quantile readout (gen_dd_quantiles, regs_rel=...) reads
+    it unchanged.  State: <= ~500 bucket rows per event type TOTAL (the
+    sketch bound), whatever the stream volume."""
+    from storage_crawler_spark.operators.sketches import gen_dd_rows
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    events.createOrReplaceTempView("_events_stream_dd")
+    rows = spark.sql(gen_dd_rows(SPARK, src="_events_stream_dd"))
+    return rows.groupBy("event_type", "key", "lo_cents", "hi_cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )

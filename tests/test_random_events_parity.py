@@ -111,6 +111,10 @@ EVENT_ENTRIES = [
     # streaming twin's register maxima must hash-match the one-shot chain
     "sketch_hll_distinct",
     "streaming_hll_distinct",
+    # r11 DD-sketch pair: random NULL/zero/negative pooled money sweeps
+    # the mirrored negative store, the zero bucket, and sub-octave edges
+    "sketch_dd_quantiles",
+    "streaming_dd_quantiles",
     # round-9 additions: windowed funnel chaining on pooled-instant ties
     # (es > t1 strictness), triangle joins on NULL-pruned type pairs,
     # Benford's integer-side digit on NULL/zero/negative values, burst

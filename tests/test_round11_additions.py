@@ -643,3 +643,63 @@ def test_hll_distinct_planted_python_replication():
     exp_b = _py_hll_estimate(range(100, 105))
     assert got["event_type"] == ["A", "B"]
     assert list(zip(got["n_registers_hit"], got["distinct_est"])) == [exp_a, exp_b]
+
+
+# ---------------------------------------------------------------------------
+# sketch_dd_quantiles (r11): hand-derived integer log-lattice buckets.
+# ---------------------------------------------------------------------------
+
+
+def test_dd_quantiles_planted():
+    from storage_crawler_spark.operators import sketches
+
+    # type A cents: [-250, 0, 1, 3, 100, 700 x5] (n=10)
+    #   p50 rank 5 -> 100  in octave-quartile [96, 111]
+    #   p90 rank 9 -> 700  in [640, 767]; p99 rank 10 -> same bucket
+    # type B cents: [-900, -100] (n=2): mirrored negative store —
+    #   p50 rank 1 -> [-1023, -896]; p90/p99 rank 2 -> [-111, -96]
+    vals_a = [-2.50, 0.0, 0.01, 0.03, 1.00, 7.00, 7.00, 7.00, 7.00, 7.00]
+    vals_b = [-9.00, -1.00]
+    n = len(vals_a) + len(vals_b)
+    ev = pd.DataFrame(
+        {
+            "event_id": pd.array(range(n), dtype="int64"),
+            "ts": pd.to_datetime([1_700_000_000 + i for i in range(n)], unit="s"),
+            "user_id": pd.array([1] * n, dtype="Int64"),
+            "event_type": ["A"] * len(vals_a) + ["B"] * len(vals_b),
+            "value": vals_a + vals_b,
+            "props": [None] * n,
+        }
+    )
+    got = _duck(sketches.gen_dd_quantiles(DUCK), events=ev)
+    rows = list(zip(got["event_type"], got["q_pm"], got["n_rows"], got["rnk"],
+                    got["lo_cents"], got["hi_cents"]))
+    assert rows == [
+        ("A", 500, 10, 5, 96, 111),
+        ("A", 900, 10, 9, 640, 767),
+        ("A", 990, 10, 10, 640, 767),
+        ("B", 500, 2, 1, -1023, -896),
+        ("B", 900, 2, 2, -111, -96),
+        ("B", 990, 2, 2, -111, -96),
+    ]
+
+
+def test_dd_interval_contains_exact_quantile():
+    """Structural guarantee on the sf0.001 corpus: the emitted interval
+    brackets the exact rank-ceil(q*n) order statistic, per type and q."""
+    import duckdb as _dd
+
+    from storage_crawler_spark.operators import sketches
+
+    con = _dd.connect()
+    con.sql("CREATE VIEW events AS SELECT * FROM "
+            "'/root/testdata/sf0.001/events.parquet'")
+    got = con.sql(sketches.gen_dd_quantiles(DUCK)).fetchall()
+    assert got
+    for et, q_pm, n, rnk, lo, hi in got:
+        etq = "IS NULL" if et is None else f"= '{et}'"
+        (exact,) = con.sql(
+            f"SELECT CAST(CAST(coalesce(value,0) AS DECIMAL(18,2)) * 100 AS BIGINT) c "
+            f"FROM events WHERE event_type {etq} ORDER BY c LIMIT 1 OFFSET {rnk - 1}"
+        ).fetchone()
+        assert lo <= exact <= hi, (et, q_pm, exact, lo, hi)

@@ -276,3 +276,32 @@ def test_hll_registers_invariant_under_microbatch_split(spark, tmp_path):
     )
     n_types = ev.filter(F.col("user_id").isNotNull()).select("event_type").distinct().count()
     assert stream_regs.count() <= 64 * n_types  # bounded state
+
+
+def test_dd_counters_invariant_under_microbatch_split(spark, tmp_path):
+    """DD-sketch registers are sums: any micro-batch split must yield the
+    exact bucket-count relation of the one-shot batch aggregation, with
+    sketch-bounded state."""
+    from storage_crawler_spark.operators.sketches import gen_dd_rows
+    from storage_crawler_spark.plans.dialect import SPARK
+    from storage_crawler_spark.streaming.events import dd_counters, run_to_completion
+
+    ev = _batch_events(spark).select("event_id", "ts", "user_id", "event_type", "value")
+    ev.repartition(3).write.mode("overwrite").parquet(str(tmp_path / "evdd"))
+    schema = spark.read.parquet(str(tmp_path / "evdd")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "evdd"))
+    )
+    stream_regs = run_to_completion(dd_counters(spark, stream))
+
+    ev.createOrReplaceTempView("_dd_ev_batch")
+    batch_regs = spark.sql(
+        "SELECT event_type, key, lo_cents, hi_cents, CAST(count(*) AS BIGINT) AS cnt"
+        " FROM (\n" + gen_dd_rows(SPARK, src="_dd_ev_batch") + "\n) r"
+        " GROUP BY event_type, key, lo_cents, hi_cents"
+    )
+    assert _rows(stream_regs, "event_type", "key", "cnt") == _rows(
+        batch_regs, "event_type", "key", "cnt"
+    )
