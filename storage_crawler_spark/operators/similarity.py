@@ -1673,7 +1673,28 @@ ORDER BY label
 """.strip()
 
 
-def gen_hamming_topk(d: Dialect, query_vec_id: int = 0, k: int = 10) -> str:
+def gen_hamming_codes(d: Dialect) -> str:
+    """The packed-code relation gen_hamming_topk serves from:
+    (vec_id, label, ev, nrm, words) — one corpus pass pays the packing
+    fold; every downstream ranking reads the codes.  This is the relation
+    a production binary tier MATERIALIZES (the 32x-smaller code column);
+    the Spark builder checkpoints it so the two rankings + the query row
+    read it instead of re-deriving the fold per reference."""
+    return f"""
+WITH v0 AS (
+  SELECT vec_id, label, {d.cast_double_arr('embedding')} AS ev
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+v1 AS (
+  SELECT vec_id, label, ev, sqrt({d.dot('ev', 'ev')}) AS nrm FROM v0
+)
+SELECT vec_id, label, ev, nrm, {_sign_words(d)} AS words FROM v1 WHERE nrm > 0
+""".strip()
+
+
+def gen_hamming_topk(
+    d: Dialect, query_vec_id: int = 0, k: int = 10, v_rel: str | None = None
+) -> str:
     """Binary-code ANN serving probe: top-``k`` by Hamming distance between
     sign-bit packed codes (``_sign_words``), with the exact-cosine rerank
     column and ``exact_rank`` recall evidence inline (LEFT JOIN against the
@@ -1693,17 +1714,9 @@ def gen_hamming_topk(d: Dialect, query_vec_id: int = 0, k: int = 10) -> str:
     trunc6 cosine with the same vec_id break.
     """
     cos = d.trunc6(f"({d.dot('e.ev', 'q.ev')}) / (e.nrm * q.nrm)")
+    v = v_rel or f"(\n{gen_hamming_codes(d)}\n)"
     return f"""
-WITH v0 AS (
-  SELECT vec_id, label, {d.cast_double_arr('embedding')} AS ev
-  FROM embeddings WHERE embedding IS NOT NULL
-),
-v1 AS (
-  SELECT vec_id, label, ev, sqrt({d.dot('ev', 'ev')}) AS nrm FROM v0
-),
-v AS (
-  SELECT vec_id, label, ev, nrm, {_sign_words(d)} AS words FROM v1 WHERE nrm > 0
-),
+WITH v AS (SELECT vec_id, label, ev, nrm, words FROM {v} vv),
 q AS (SELECT ev, nrm, words FROM v WHERE vec_id = {query_vec_id}),
 cand AS (
   SELECT e.vec_id, e.label,

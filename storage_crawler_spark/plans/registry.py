@@ -4363,11 +4363,20 @@ ORDER BY channel
         "sibling",
     )
 
-    b, o = _sql_pair(similarity.gen_hamming_topk, ("embeddings",))
+    def _b_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("embeddings",))
+        # one corpus pass pays the packing fold; the two rankings + the
+        # query row read the checkpointed codes (words is a computed
+        # column consumed from inside WITH defs — the trapped cache shape)
+        _checkpoint_view(
+            spark.sql(similarity.gen_hamming_codes(SPARK)), "_hamming_codes"
+        )
+        return spark.sql(similarity.gen_hamming_topk(SPARK, v_rel="_hamming_codes"))
+
     add(
         "sim_hamming_topk",
-        b,
-        o,
+        _b_hamming_topk,
+        similarity.gen_hamming_topk(DUCK),
         tags=("similarity", "embedding"),
         doc="binary-code ANN serving probe: top-k by Hamming distance over "
         "sign-bit packed 32-bit words (popcount(xor) fold — the "
