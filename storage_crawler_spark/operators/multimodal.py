@@ -746,3 +746,94 @@ FROM fr
 GROUP BY doc_id, frame_no
 ORDER BY doc_id, frame_no
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# pHash: integer fixed-point 8x8 DCT-II perceptual hash
+# ---------------------------------------------------------------------------
+
+# DCT-II basis, fixed-point: C(u, x) = round(4096 * cos(pi * (2x+1) * u / 16)).
+# Precomputed HERE in Python (one libm call site at import, embedded as
+# integer literals) so the SQL on both engines is pure integer arithmetic —
+# no cos() near a boundary can diverge between Spark's and DuckDB's libm.
+import math as _math
+
+DCT_SCALE = 4096
+_DCT_C = tuple(
+    tuple(round(DCT_SCALE * _math.cos(_math.pi * (2 * x + 1) * u / 16)) for x in range(8))
+    for u in range(8)
+)
+
+
+def _dct_values(axis_var: str, freq_var: str) -> str:
+    rows = ", ".join(
+        f"({u}, {x}, {_DCT_C[u][x]})" for u in range(8) for x in range(8)
+    )
+    return f"(VALUES {rows}) AS c_{freq_var}({freq_var}, {axis_var}, w_{freq_var})"
+
+
+def gen_phash(d: Dialect) -> str:
+    """pHash perceptual fingerprint: 2-D DCT-II over the 8x8 "luma plane"
+    (the first 64 payload bytes of the binary media carrier, row-major —
+    on real decoded images this plane is the 32x32→8x8 downsampled luma,
+    stubbed in this container; the transform, median split and bit
+    packing are the engine-owned part), then bit (u,v) is set iff the AC
+    coefficient exceeds the per-image AC MEDIAN — the classic pHash
+    construction, which unlike aHash's mean-of-bytes is invariant to
+    contrast/brightness rescale, the transform catching structure the
+    average cannot.
+
+    Exactness: the DCT basis is FIXED-POINT INTEGER (scale 4096, values
+    precomputed in Python and embedded as literals — zero float ops in
+    either engine); coefficients are exact BIGINTs (|F| <= 255*4096^2*64
+    < 2^48); the AC median is the rank-32 order statistic of the 63 AC
+    coefficients under a total (value, u, v) order — an integer, never an
+    interpolated float; the packed hash is a sum of distinct powers of
+    two over bit indices 0..62 (sign-safe).
+
+    100 TB shape: every relation is keyed by doc_id — the byte explode
+    (64 rows/doc), two broadcast equi-joins against the constant 64-row
+    basis relations (fan-out 8 each — 4096 weighted terms/doc, the DCT's
+    actual cost), one (doc, u, v) partial-combining aggregate, a
+    PARTITION BY doc window over 63 rows, one final aggregate.  Constant
+    per-doc work, doc_id-partitioned end to end.
+    """
+    content = d.encode_utf8("text")
+    byte_i = d.hex12_to_bigint("substr(hx, 2 * i - 1, 2)")
+    lat = d.lateral_seq("1", "least(n, 64)", "i")
+    return f"""
+WITH m AS (
+  SELECT doc_id, octet_length({content}) AS n, lower(hex({content})) AS hx
+  FROM documents WHERE text IS NOT NULL
+),
+px AS (
+  SELECT doc_id, CAST((i - 1) % 8 AS BIGINT) AS x, CAST({d.idiv('(i - 1)', '8')} AS BIGINT) AS y,
+         {byte_i} AS p
+  FROM (SELECT doc_id, n, hx FROM m WHERE n >= 64) m1
+  {lat}
+),
+coef AS (
+  SELECT px.doc_id, c_u.u, c_v.v,
+         CAST(sum(px.p * c_u.w_u * c_v.w_v) AS BIGINT) AS f
+  FROM px
+  JOIN {_dct_values("x", "u")} ON c_u.x = px.x
+  JOIN {_dct_values("y", "v")} ON c_v.y = px.y
+  GROUP BY px.doc_id, c_u.u, c_v.v
+),
+ac AS (
+  SELECT doc_id, u, v, f,
+         row_number() OVER (PARTITION BY doc_id ORDER BY f, u, v) AS rnk
+  FROM coef WHERE NOT (u = 0 AND v = 0)
+),
+med AS (
+  SELECT doc_id, f AS med_f FROM ac WHERE rnk = 32
+)
+SELECT ac.doc_id,
+       CAST(sum(CASE WHEN ac.f > med.med_f
+                     THEN {d.shl('CAST(1 AS BIGINT)', 'ac.u * 8 + ac.v - 1')}
+                     ELSE 0 END) AS BIGINT) AS phash,
+       CAST(sum(CASE WHEN ac.f > med.med_f THEN 1 ELSE 0 END) AS BIGINT) AS n_bits_set
+FROM ac JOIN med ON ac.doc_id = med.doc_id
+GROUP BY ac.doc_id
+ORDER BY ac.doc_id
+""".strip()

@@ -3438,6 +3438,23 @@ FROM files f
         "power-of-two bit packing; the pre-decode media dedup key",
     )
 
+    b, o = _sql_pair(multimodal.gen_phash, ("documents",))
+    add(
+        "multimodal_phash",
+        b,
+        o,
+        tags=("multimodal", "dedup"),
+        doc="pHash perceptual fingerprint (r11): integer fixed-point 8x8 "
+        "DCT-II over the media carrier's 64-byte luma plane (basis "
+        "precomputed in Python, embedded as literals — zero float ops in "
+        "either engine), bits split on the exact rank-32 AC median (an "
+        "integer order statistic, never an interpolated float); "
+        "contrast/brightness-invariant where aHash is not; doc-keyed end "
+        "to end — byte explode, two broadcast 64-row basis equi-joins "
+        "(fan-out 8 each, the DCT's real cost), per-doc window over 63 "
+        "coefficient rows, one aggregate",
+    )
+
     b, o = _sql_pair(multimodal.gen_ahash_pairs, ("documents",))
     add(
         "dedup_media_hamming",
@@ -4593,6 +4610,7 @@ _DRIVER_WINDOW_FIRST = (
     "streaming_hll_distinct",
     "sketch_dd_quantiles",
     "streaming_dd_quantiles",
+    "multimodal_phash",
     # --- the 33 r3-era stamps (oldest in the ledger; q1/q3/q5 are r4 and
     # q1 is additionally smoke-checked every round as the flagship) -------
     "tpch_q2_min_cost_supplier",
@@ -4623,7 +4641,6 @@ _DRIVER_WINDOW_FIRST = (
     "text_normalize",
     "text_pii_redact",
     "text_quality_filter",
-    "text_repetition",
     # (dedup_jaccard_block_guard / dedup_minhash_signatures /
     # report_first_thousand / report_schema_files — the four youngest of
     # the r3-era block — rotated out for the never-stamped r11 sketch

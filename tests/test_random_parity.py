@@ -466,6 +466,9 @@ DOC_ENTRIES = [
     # hex positional-byte access on multi-byte UTF-8 payloads; empty and
     # single-byte payloads take the NULL/sign-pin paths
     "multimodal_byte_entropy",
+    # r11 pHash: random payloads sweep the <64-byte exclusion, multi-byte
+    # UTF-8 planes, and coefficient ties at the rank-32 median split
+    "multimodal_phash",
     # bm25 on corpora where query terms tie and miss entirely
     "text_bm25_topk",
     # exact duplicates planted across split lines must contaminate

@@ -703,3 +703,52 @@ def test_dd_interval_contains_exact_quantile():
             f"FROM events WHERE event_type {etq} ORDER BY c LIMIT 1 OFFSET {rnk - 1}"
         ).fetchone()
         assert lo <= exact <= hi, (et, q_pm, exact, lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_phash (r11): integer fixed-point DCT pinned against an
+# independent Python replication.
+# ---------------------------------------------------------------------------
+
+
+def _py_phash(payload: bytes):
+    import math
+
+    C = [[round(4096 * math.cos(math.pi * (2 * x + 1) * u / 16)) for x in range(8)]
+         for u in range(8)]
+    p = payload[:64]
+    coef = {}
+    for u in range(8):
+        for v in range(8):
+            coef[(u, v)] = sum(
+                p[8 * y + x] * C[u][x] * C[v][y] for x in range(8) for y in range(8)
+            )
+    ac = sorted(((f, u, v) for (u, v), f in coef.items() if (u, v) != (0, 0)))
+    med = ac[31][0]  # rank-32 under the (f, u, v) total order
+    phash = sum(1 << (u * 8 + v - 1) for (u, v), f in coef.items()
+                if (u, v) != (0, 0) and f > med)
+    nbits = sum(1 for (u, v), f in coef.items() if (u, v) != (0, 0) and f > med)
+    return phash, nbits
+
+
+def test_phash_planted_python_replication():
+    from storage_crawler_spark.operators import multimodal
+
+    flat = "a" * 64                       # uniform plane: every AC coeff 0
+    halves = "a" * 32 + "z" * 32          # top/bottom split: pure-v structure
+    ramp = "".join(chr(33 + i) for i in range(64))
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([0, 1, 2, 3], dtype="int64"),
+            "text": [flat, halves, ramp, "short"],  # <64 bytes drops out
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [64, 64, 64, 5],
+        }
+    )
+    got = _duck(multimodal.gen_phash(DUCK), documents=docs)
+    assert got["doc_id"] == [0, 1, 2]     # the short payload is excluded
+    exp = [_py_phash(t.encode()) for t in (flat, halves, ramp)]
+    assert list(zip(got["phash"], got["n_bits_set"])) == exp
+    # uniform plane: all AC coefficients are 0, nothing exceeds the median
+    assert got["phash"][0] == 0 and got["n_bits_set"][0] == 0
