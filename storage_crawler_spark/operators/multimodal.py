@@ -765,13 +765,6 @@ _DCT_C = tuple(
 )
 
 
-def _dct_values(axis_var: str, freq_var: str) -> str:
-    rows = ", ".join(
-        f"({u}, {x}, {_DCT_C[u][x]})" for u in range(8) for x in range(8)
-    )
-    return f"(VALUES {rows}) AS c_{freq_var}({freq_var}, {axis_var}, w_{freq_var})"
-
-
 def gen_phash(d: Dialect) -> str:
     """pHash perceptual fingerprint: 2-D DCT-II over the 8x8 "luma plane"
     (the first 64 payload bytes of the binary media carrier, row-major —
@@ -784,56 +777,97 @@ def gen_phash(d: Dialect) -> str:
     average cannot.
 
     Exactness: the DCT basis is FIXED-POINT INTEGER (scale 4096, values
-    precomputed in Python and embedded as literals — zero float ops in
-    either engine); coefficients are exact BIGINTs (|F| <= 255*4096^2*64
-    < 2^48); the AC median is the rank-32 order statistic of the 63 AC
-    coefficients under a total (value, u, v) order — an integer, never an
-    interpolated float; the packed hash is a sum of distinct powers of
+    precomputed in Python and embedded as a constant array literal — zero
+    float ops in either engine); coefficients are exact BIGINTs
+    (|F| <= 255*4096^2*64 < 2^48); the AC median is the rank-32 value of
+    the SORTED coefficient array (an integer order statistic, never an
+    interpolated float); the packed hash is a sum of distinct powers of
     two over bit indices 0..62 (sign-safe).
 
-    100 TB shape: every relation is keyed by doc_id — the byte explode
-    (64 rows/doc), two broadcast equi-joins against the constant 64-row
-    basis relations (fan-out 8 each — 4096 weighted terms/doc, the DCT's
-    actual cost), one (doc, u, v) partial-combining aggregate, a
-    PARTITION BY doc window over 63 rows, one final aggregate.  Constant
-    per-doc work, doc_id-partitioned end to end.
+    100 TB shape: the ENTIRE construction is map-side integer folds
+    inside the scan stage — ZERO joins, ZERO shuffles, no per-doc window.
+    (The first formulation exploded 4096 weighted terms per doc through
+    two doc-keyed shuffles; the 10x probe priced that at 125 s for 49 k
+    docs.)  The two expensive intermediates — the 64x64-term coefficient
+    fold and the sorted-AC median — are BOUND ONCE PER ROW by exploding a
+    single-element array (a Generate blocks Spark's projection collapse,
+    which would otherwise re-substitute the whole fold into every
+    consumer: measured as a minutes-long interpreted-mode stall on 486
+    rows; DuckDB's optimizer needed no such help but runs the same text).
     """
     content = d.encode_utf8("text")
+    # constant basis array: cb[u*8 + x + 1] = round(4096*cos(pi*(2x+1)u/16))
+    carr = d.arr_bigint(v for row in _DCT_C for v in row)
     byte_i = d.hex12_to_bigint("substr(hx, 2 * i - 1, 2)")
-    lat = d.lateral_seq("1", "least(n, 64)", "i")
+    bytes_arr = d.transform(d.seq("1", "64"), "i", byte_i)
+    # SEPARABLE 2-D DCT (F = C·P·Cᵀ): row pass then column pass — 2 x 512
+    # integer multiplies per doc instead of the naive 262 144 (the naive
+    # fold ran interpreted at ~4 ms/doc; separability is the classic
+    # fix and the sums merely reassociate — integer adds, bit-identical).
+    # g[k = u*8+y] = Σ_x P[8y+x] · C[u][x]   (row transform)
+    # F[c = u*8+v] = Σ_y g[u*8+y] · C[v][y]  (column transform)
+    # (Spark's element_at demands INT indexes while `div` yields BIGINT —
+    # CAST every computed index; DuckDB is indifferent.)
+    gterm = (
+        f"{d.elem('barr', 'CAST((k % 8) * 8 + x + 1 AS INT)')} "
+        f"* {d.elem('cb', 'CAST(' + d.idiv('k', '8') + ' * 8 + x + 1 AS INT)')}"
+    )
+    grow = d.transform(
+        d.seq("0", "63"), "k", d.reduce_bigint(d.seq("0", "7"), f"acc + {gterm}")
+    )
+    fterm = (
+        f"{d.elem('gr', 'CAST(' + d.idiv('c', '8') + ' * 8 + x + 1 AS INT)')} "
+        f"* {d.elem('cb', 'CAST((c % 8) * 8 + x + 1 AS INT)')}"
+    )
+    coefs = d.transform(
+        d.seq("0", "63"), "c", d.reduce_bigint(d.seq("0", "7"), f"acc + {fterm}")
+    )
+    # acm = the 63 AC values ++ [their rank-32 sorted value] — one bound array
+    ac = d.aslice("coefs", "2", "63")
+    acm = d.aconcat(ac, d.arr1(d.elem(d.asort(ac), "32")))
+    med = d.elem("acm", "64")
+    pack_step = (
+        f"CASE WHEN {d.elem('acm', 'CAST(x AS INT)')} > {med} "
+        f"THEN acc + {d.shl('CAST(1 AS BIGINT)', 'x - 1')} ELSE acc END"
+    )
+    nbits_step = (
+        f"CASE WHEN {d.elem('acm', 'CAST(x AS INT)')} > {med} THEN acc + 1 ELSE acc END"
+    )
+    if d.name == "spark":
+        # Generate (LATERAL VIEW explode of a 1-element array) is the
+        # projection-collapse barrier binding each fold ONCE per row;
+        # DuckDB rejects outer-column lambda capture under lateral unnest
+        # and needs no barrier (MATERIALIZED CTEs pin it there instead)
+        gx = f"""gx AS (
+  SELECT doc_id, cb, gr
+  FROM bx {d.lateral_explode(d.arr1(grow), "gr")}
+)"""
+        co = f"""co AS (
+  SELECT doc_id, coefs
+  FROM gx {d.lateral_explode(d.arr1(coefs), "coefs")}
+)"""
+        acr = f"""acr AS (
+  SELECT doc_id, acm
+  FROM co {d.lateral_explode(d.arr1(acm), "acm")}
+)"""
+    else:
+        gx = f"gx AS MATERIALIZED (\n  SELECT doc_id, cb, {grow} AS gr FROM bx\n)"
+        co = f"co AS MATERIALIZED (\n  SELECT doc_id, {coefs} AS coefs FROM gx\n)"
+        acr = f"acr AS MATERIALIZED (\n  SELECT doc_id, {acm} AS acm FROM co\n)"
     return f"""
 WITH m AS (
-  SELECT doc_id, octet_length({content}) AS n, lower(hex({content})) AS hx
-  FROM documents WHERE text IS NOT NULL
+  SELECT doc_id, lower(hex({content})) AS hx
+  FROM documents WHERE text IS NOT NULL AND octet_length({content}) >= 64
 ),
-px AS (
-  SELECT doc_id, CAST((i - 1) % 8 AS BIGINT) AS x, CAST({d.idiv('(i - 1)', '8')} AS BIGINT) AS y,
-         {byte_i} AS p
-  FROM (SELECT doc_id, n, hx FROM m WHERE n >= 64) m1
-  {lat}
+bx AS (
+  SELECT doc_id, {bytes_arr} AS barr, {carr} AS cb FROM m
 ),
-coef AS (
-  SELECT px.doc_id, c_u.u, c_v.v,
-         CAST(sum(px.p * c_u.w_u * c_v.w_v) AS BIGINT) AS f
-  FROM px
-  JOIN {_dct_values("x", "u")} ON c_u.x = px.x
-  JOIN {_dct_values("y", "v")} ON c_v.y = px.y
-  GROUP BY px.doc_id, c_u.u, c_v.v
-),
-ac AS (
-  SELECT doc_id, u, v, f,
-         row_number() OVER (PARTITION BY doc_id ORDER BY f, u, v) AS rnk
-  FROM coef WHERE NOT (u = 0 AND v = 0)
-),
-med AS (
-  SELECT doc_id, f AS med_f FROM ac WHERE rnk = 32
-)
-SELECT ac.doc_id,
-       CAST(sum(CASE WHEN ac.f > med.med_f
-                     THEN {d.shl('CAST(1 AS BIGINT)', 'ac.u * 8 + ac.v - 1')}
-                     ELSE 0 END) AS BIGINT) AS phash,
-       CAST(sum(CASE WHEN ac.f > med.med_f THEN 1 ELSE 0 END) AS BIGINT) AS n_bits_set
-FROM ac JOIN med ON ac.doc_id = med.doc_id
-GROUP BY ac.doc_id
-ORDER BY ac.doc_id
+{gx},
+{co},
+{acr}
+SELECT doc_id,
+       CAST({d.reduce_bigint(d.seq("1", "63"), pack_step)} AS BIGINT) AS phash,
+       CAST({d.reduce_bigint(d.seq("1", "63"), nbits_step)} AS BIGINT) AS n_bits_set
+FROM acr
+ORDER BY doc_id
 """.strip()

@@ -146,6 +146,24 @@ class Dialect:
         """Single-element array literal."""
         return f"array({x})" if self.name == "spark" else f"[{x}]"
 
+    def aconcat(self, a: str, b: str) -> str:
+        """Array concatenation."""
+        fn = "concat" if self.name == "spark" else "list_concat"
+        return f"{fn}({a}, {b})"
+
+    def asort(self, arr: str) -> str:
+        """Ascending sort of an array (NULL-free by caller contract; both
+        engines sort values identically — used for exact in-array order
+        statistics like a median without a per-group window)."""
+        fn = "array_sort" if self.name == "spark" else "list_sort"
+        return f"{fn}({arr})"
+
+    def arr_bigint(self, values) -> str:
+        """Constant BIGINT array literal from Python ints (basis tables,
+        lookup lattices) — elements are plain literals in both engines."""
+        body = ", ".join(str(int(v)) for v in values)
+        return f"array({body})" if self.name == "spark" else f"[{body}]"
+
     # ---- scalars ----------------------------------------------------------
     def encode_utf8(self, text: str) -> str:
         """String → BLOB/BINARY of its UTF-8 bytes."""

@@ -3449,10 +3449,11 @@ FROM files f
         "precomputed in Python, embedded as literals — zero float ops in "
         "either engine), bits split on the exact rank-32 AC median (an "
         "integer order statistic, never an interpolated float); "
-        "contrast/brightness-invariant where aHash is not; doc-keyed end "
-        "to end — byte explode, two broadcast 64-row basis equi-joins "
-        "(fan-out 8 each, the DCT's real cost), per-doc window over 63 "
-        "coefficient rows, one aggregate",
+        "contrast/brightness-invariant where aHash is not; entirely "
+        "map-side: separable DCT (row+column passes, 2x512 integer "
+        "multiplies/doc), folds bound once per row behind explode "
+        "barriers (Spark) / MATERIALIZED CTEs (DuckDB) — zero joins, "
+        "zero shuffles",
     )
 
     b, o = _sql_pair(multimodal.gen_ahash_pairs, ("documents",))

@@ -138,6 +138,12 @@ NLJ_ALLOWED = {
     # hybrid RRF: the BM25 chain's 1-row avgdl scalar + the 1-row query
     # vector — both allowlisted shapes composed
     "sim_hybrid_rrf",
+    # DD-sketch readout: the rank-containment join probes the constant
+    # 3-row quantile-target VALUES relation (non-equi by construction —
+    # cum-bound containment); build side is 3 rows, scan side is the
+    # sketch-sized register table, never events
+    "sketch_dd_quantiles",
+    "streaming_dd_quantiles",
     # zone-map skipping audit: CROSS JOINs of the constant 4-row predicate
     # VALUES relation and the 1-row corpus-span scalar — both allowlisted
     # shapes; the stats side is n_files rows
