@@ -14,7 +14,7 @@ verify:
 test:
 	$(PY) -m pytest tests/ -q
 
-# Full 179-entry oracle sweep (local replica of the driver gate).
+# Full-registry oracle sweep (local replica of the driver gate).
 # Narrow to changed entries: make sweep ONLY=name1,name2
 sweep:
 	$(PY) tools/check_oracle.py --sf $(SF) $(if $(ONLY),--only $(ONLY),)
