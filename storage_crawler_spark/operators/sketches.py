@@ -499,3 +499,124 @@ SELECT event_type, CAST(q_pm AS BIGINT) AS q_pm, n_rows, rnk,
 FROM targets
 ORDER BY event_type, q_pm
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# deterministic KMV (k-minimum-values) set-intersection sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+KMV_DOMAIN = 1 << 48  # md5_key48 hash space
+
+
+def gen_kmv_overlap(d, k: int = KMV_K) -> str:
+    """Audience-overlap matrix from KMV sketches (Beyer et al. 2007
+    "distinct-value synopses"): per event-type pair, the estimated
+    Jaccard and intersection of the two DISTINCT-user sets, from each
+    type's k smallest md5-derived hash values — the sketch a 100 TB
+    pipeline keeps per segment so ANY pair (or union) of segments can be
+    overlapped later WITHOUT rescanning events: set algebra on k-row
+    synopses.  Completes the sketch plane's set-operation leg beside CMS
+    (frequency), HLL (cardinality), DD (quantiles) and Bloom
+    (membership).
+
+    Estimator (the standard KMV combination): merge the two sketches,
+    keep the k smallest of the union with threshold tau = the kth value;
+    jaccard_est = |{h in BOTH sketches, h <= tau}| / k_u and union_est =
+    (k_u - 1) * DOMAIN / tau, degrading to EXACT set arithmetic when the
+    union sketch is unsaturated (k_u < k: the sketches ARE the sets).
+    Engine parity is exact: hashes are the frozen md5-derived 48-bit
+    uniform, ranks break ties on (h, user_id), and the two float ops
+    (division; jaccard x union product) are single IEEE operations on
+    exact integers — deterministic, unlike the engines' native theta
+    sketches.
+
+    The exact per-pair intersection/Jaccard columns make this the AUDIT
+    form (a distinct-pair self-join — run on a sample or partition range
+    at 100 TB); production reads the sketch columns alone.
+
+    100 TB shape: one DISTINCT (type, user) pass, a per-type top-k
+    window over hashes (partial per partition under
+    TakeOrderedAndProject semantics), then ALL pair algebra runs on
+    k-row synopses — the type-pair join fans out sketch rows, never
+    event rows.
+    """
+    h = d.md5_key48("CAST(user_id AS STRING)", seed="kmv")
+    return f"""
+WITH d0 AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+hh AS (
+  SELECT event_type, user_id, {h} AS h FROM d0
+),
+rk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rnk,
+         count(*) OVER (PARTITION BY event_type) AS n_exact
+  FROM hh
+),
+sk AS (
+  SELECT event_type, h, n_exact FROM rk WHERE rnk <= {k}
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM sk) a
+  JOIN (SELECT DISTINCT event_type FROM sk) b ON a.event_type < b.event_type
+),
+u AS (
+  -- DISTINCT h per pair BEFORE ranking: a hash present in both sketches
+  -- must appear ONCE in the union synopsis (double-counting halves the
+  -- Jaccard of identical sets — caught by the identical-user testdata)
+  SELECT type_a, type_b, h,
+         row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS urnk
+  FROM (
+    SELECT DISTINCT p.type_a, p.type_b, s.h
+    FROM pairs p
+    JOIN (SELECT DISTINCT event_type, h FROM sk) s
+      ON s.event_type = p.type_a OR s.event_type = p.type_b
+  ) du
+),
+ut AS (
+  SELECT type_a, type_b,
+         CAST(max(CASE WHEN urnk <= {k} THEN h END) AS BIGINT) AS tau,
+         CAST(sum(CASE WHEN urnk <= {k} THEN 1 ELSE 0 END) AS BIGINT) AS ku
+  FROM u
+  GROUP BY type_a, type_b
+),
+m AS (
+  SELECT ut.type_a, ut.type_b, ut.tau, ut.ku,
+         CAST(count(*) AS BIGINT) AS matches
+  FROM ut
+  JOIN sk sa ON sa.event_type = ut.type_a AND sa.h <= ut.tau
+  JOIN sk sb ON sb.event_type = ut.type_b AND sb.h = sa.h
+  GROUP BY ut.type_a, ut.type_b, ut.tau, ut.ku
+),
+exact AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS exact_inter
+  FROM d0 a JOIN d0 b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+),
+est AS (
+  SELECT p.type_a, p.type_b,
+         coalesce(m.matches, 0) AS matches, ut.ku, ut.tau,
+         CASE WHEN ut.ku < {k} THEN CAST(ut.ku AS DOUBLE)
+              ELSE ({k} - 1) * CAST({KMV_DOMAIN} AS DOUBLE) / ut.tau END AS union_est,
+         CAST(coalesce(m.matches, 0) AS DOUBLE) / ut.ku AS jaccard_est
+  FROM pairs p
+  JOIN ut ON ut.type_a = p.type_a AND ut.type_b = p.type_b
+  LEFT JOIN m ON m.type_a = p.type_a AND m.type_b = p.type_b
+)
+SELECT e.type_a, e.type_b,
+       na.n_exact AS n_a, nb.n_exact AS n_b,
+       {d.trunc6('e.jaccard_est')} AS kmv_jaccard_est,
+       {d.trunc6('e.jaccard_est * e.union_est')} AS kmv_inter_est,
+       CAST(coalesce(x.exact_inter, 0) AS BIGINT) AS exact_inter,
+       {d.trunc6(f'CAST(coalesce(x.exact_inter, 0) AS DOUBLE) / (na.n_exact + nb.n_exact - coalesce(x.exact_inter, 0))')} AS exact_jaccard
+FROM est e
+JOIN (SELECT DISTINCT event_type, n_exact FROM sk) na ON na.event_type = e.type_a
+JOIN (SELECT DISTINCT event_type, n_exact FROM sk) nb ON nb.event_type = e.type_b
+LEFT JOIN exact x ON x.type_a = e.type_a AND x.type_b = e.type_b
+ORDER BY e.type_a, e.type_b
+""".strip()

@@ -1682,6 +1682,25 @@ def _specs() -> list[QuerySpec]:
         "partial max, one tiny shuffle",
     )
 
+    b, o = _sql_pair(sketches.gen_kmv_overlap, ("events",))
+    add(
+        "sketch_kmv_overlap",
+        b,
+        o,
+        tags=("sketch", "events"),
+        doc="audience-overlap matrix from KMV sketches (Beyer 2007 "
+        "distinct-value synopses, r11): per type pair, Jaccard + "
+        "intersection of the distinct-user sets estimated from each "
+        "type's k smallest md5-derived hashes — set algebra on k-row "
+        "synopses, no event rescan; union-merge threshold estimator "
+        "degrading to EXACT set arithmetic when unsaturated; exact "
+        "intersection/Jaccard columns make this the audit form; "
+        "deterministic cross-engine (frozen hash, (h, user_id) tie "
+        "ranks, single-IEEE-op floats) unlike native theta sketches — "
+        "completes the sketch plane's set-operation leg beside CMS/HLL/"
+        "DD/Bloom",
+    )
+
     def _b_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         from storage_crawler_spark.streaming.events import (
             hll_registers,
@@ -4612,6 +4631,7 @@ _DRIVER_WINDOW_FIRST = (
     "sketch_dd_quantiles",
     "streaming_dd_quantiles",
     "multimodal_phash",
+    "sketch_kmv_overlap",
     # --- the 33 r3-era stamps (oldest in the ledger; q1/q3/q5 are r4 and
     # q1 is additionally smoke-checked every round as the flagship) -------
     "tpch_q2_min_cost_supplier",
@@ -4641,8 +4661,7 @@ _DRIVER_WINDOW_FIRST = (
     "split_counts",
     "text_normalize",
     "text_pii_redact",
-    "text_quality_filter",
-    # (dedup_jaccard_block_guard / dedup_minhash_signatures /
+    # (text_quality_filter / dedup_jaccard_block_guard / dedup_minhash_signatures /
     # report_first_thousand / report_schema_files — the four youngest of
     # the r3-era block — rotated out for the never-stamped r11 sketch
     # pairs; never-stamped beats stamp-refresh, and their r3 stamps hold.)

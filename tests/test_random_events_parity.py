@@ -115,6 +115,9 @@ EVENT_ENTRIES = [
     # the mirrored negative store, the zero bucket, and sub-octave edges
     "sketch_dd_quantiles",
     "streaming_dd_quantiles",
+    # r11 KMV overlap: random user pools give partial-overlap pairs,
+    # unsaturated sketches (exact-arithmetic branch) and NULL users/types
+    "sketch_kmv_overlap",
     # round-9 additions: windowed funnel chaining on pooled-instant ties
     # (es > t1 strictness), triangle joins on NULL-pruned type pairs,
     # Benford's integer-side digit on NULL/zero/negative values, burst

@@ -752,3 +752,76 @@ def test_phash_planted_python_replication():
     assert list(zip(got["phash"], got["n_bits_set"])) == exp
     # uniform plane: all AC coefficients are 0, nothing exceeds the median
     assert got["phash"][0] == 0 and got["n_bits_set"][0] == 0
+
+
+# ---------------------------------------------------------------------------
+# sketch_kmv_overlap (r11): KMV estimator pinned against an independent
+# Python replication on partial-overlap sets; identical sets must read 1.0.
+# ---------------------------------------------------------------------------
+
+
+def _py_kmv(users_a, users_b, k=4):
+    import hashlib
+    import math
+
+    def h(uid):
+        return int(hashlib.md5(f"kmv{uid}".encode()).hexdigest()[:12], 16)
+
+    ska = sorted(h(u) for u in set(users_a))[:k]
+    skb = sorted(h(u) for u in set(users_b))[:k]
+    union = sorted(set(ska) | set(skb))[:k]
+    tau, ku = union[-1], len(union)
+    matches = len({x for x in ska if x <= tau} & {x for x in skb if x <= tau})
+    union_est = float(ku) if ku < k else (k - 1) * float(1 << 48) / tau
+    jac = matches / ku
+    t6 = lambda x: math.floor(x * 1e6) / 1e6
+    return t6(jac), t6(jac * union_est)
+
+
+def test_kmv_overlap_planted_python_replication():
+    from storage_crawler_spark.operators import sketches
+
+    # A: users 1..6, B: users 4..9 -> exact inter 3, union 9, jaccard 1/3
+    rows = [("A", u) for u in range(1, 7)] + [("B", u) for u in range(4, 10)]
+    n = len(rows)
+    ev = pd.DataFrame(
+        {
+            "event_id": pd.array(range(n), dtype="int64"),
+            "ts": pd.to_datetime([1_700_000_000 + i for i in range(n)], unit="s"),
+            "user_id": pd.array([u for _, u in rows], dtype="Int64"),
+            "event_type": [t for t, _ in rows],
+            "value": [1.0] * n,
+            "props": [None] * n,
+        }
+    )
+    got = _duck(sketches.gen_kmv_overlap(DUCK, k=4), events=ev)
+    assert got["type_a"] == ["A"] and got["type_b"] == ["B"]
+    assert got["n_a"] == [6] and got["n_b"] == [6]
+    assert got["exact_inter"] == [3]
+    assert got["exact_jaccard"] == [0.333333]
+    jac, inter = _py_kmv(range(1, 7), range(4, 10), k=4)
+    assert got["kmv_jaccard_est"] == [jac]
+    assert got["kmv_inter_est"] == [inter]
+
+
+def test_kmv_identical_sets_estimate_unity():
+    from storage_crawler_spark.operators import sketches
+
+    rows = [(t, u) for t in ("A", "B") for u in range(200)]
+    n = len(rows)
+    ev = pd.DataFrame(
+        {
+            "event_id": pd.array(range(n), dtype="int64"),
+            "ts": pd.to_datetime([1_700_000_000 + i for i in range(n)], unit="s"),
+            "user_id": pd.array([u for _, u in rows], dtype="Int64"),
+            "event_type": [t for t, _ in rows],
+            "value": [1.0] * n,
+            "props": [None] * n,
+        }
+    )
+    got = _duck(sketches.gen_kmv_overlap(DUCK), events=ev)
+    # identical 200-user sets, saturated k=64 sketches: the union synopsis
+    # equals each side's, every union hash matches -> jaccard EXACTLY 1.0
+    # (the double-counting bug this fixture pins read 0.5 here)
+    assert got["kmv_jaccard_est"] == [1.0]
+    assert got["exact_jaccard"] == [1.0]
