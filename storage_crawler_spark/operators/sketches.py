@@ -509,7 +509,44 @@ KMV_K = 64
 KMV_DOMAIN = 1 << 48  # md5_key48 hash space
 
 
-def gen_kmv_overlap(d, k: int = KMV_K) -> str:
+def gen_kmv_distinct(d) -> str:
+    """The DISTINCT (event_type, user_id) relation the KMV chain hashes —
+    exposed so the Spark builder can checkpoint it (it feeds the sketch
+    AND the exact-audit self-join)."""
+    return (
+        "SELECT DISTINCT event_type, user_id FROM events\n"
+        "WHERE user_id IS NOT NULL AND event_type IS NOT NULL"
+    )
+
+
+def gen_kmv_sketch(d, k: int = KMV_K, d0_rel: str | None = None) -> str:
+    """The per-type KMV synopsis: k smallest md5-derived hashes plus the
+    exact per-type distinct count — the k-row-per-type relation ALL pair
+    algebra downstream reads (and the relation a production pipeline
+    PERSISTS per segment).  Exposed so the Spark builder can checkpoint
+    it: it is consumed by the union rank, the match join (twice) and the
+    two count joins — five references through computed columns, the
+    documented CTE-inlining recompute trap."""
+    h = d.md5_key48("CAST(user_id AS STRING)", seed="kmv")
+    d0 = d0_rel or f"(\n{gen_kmv_distinct(d)}\n)"
+    return f"""
+WITH d0 AS (SELECT event_type, user_id FROM {d0} dd),
+hh AS (
+  SELECT event_type, user_id, {h} AS h FROM d0
+),
+rk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rnk,
+         count(*) OVER (PARTITION BY event_type) AS n_exact
+  FROM hh
+)
+SELECT event_type, h, n_exact FROM rk WHERE rnk <= {k}
+""".strip()
+
+
+def gen_kmv_overlap(
+    d, k: int = KMV_K, d0_rel: str | None = None, sk_rel: str | None = None
+) -> str:
     """Audience-overlap matrix from KMV sketches (Beyer et al. 2007
     "distinct-value synopses"): per event-type pair, the estimated
     Jaccard and intersection of the two DISTINCT-user sets, from each
@@ -541,24 +578,11 @@ def gen_kmv_overlap(d, k: int = KMV_K) -> str:
     k-row synopses — the type-pair join fans out sketch rows, never
     event rows.
     """
-    h = d.md5_key48("CAST(user_id AS STRING)", seed="kmv")
+    d0 = d0_rel or f"(\n{gen_kmv_distinct(d)}\n)"
+    sk = sk_rel or f"(\n{gen_kmv_sketch(d, k, d0_rel)}\n)"
     return f"""
-WITH d0 AS (
-  SELECT DISTINCT event_type, user_id FROM events
-  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-),
-hh AS (
-  SELECT event_type, user_id, {h} AS h FROM d0
-),
-rk AS (
-  SELECT event_type, h,
-         row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rnk,
-         count(*) OVER (PARTITION BY event_type) AS n_exact
-  FROM hh
-),
-sk AS (
-  SELECT event_type, h, n_exact FROM rk WHERE rnk <= {k}
-),
+WITH d0 AS (SELECT event_type, user_id FROM {d0} dd),
+sk AS (SELECT event_type, h, n_exact FROM {sk} ss),
 pairs AS (
   SELECT a.event_type AS type_a, b.event_type AS type_b
   FROM (SELECT DISTINCT event_type FROM sk) a

@@ -1682,11 +1682,23 @@ def _specs() -> list[QuerySpec]:
         "partial max, one tiny shuffle",
     )
 
-    b, o = _sql_pair(sketches.gen_kmv_overlap, ("events",))
+    def _b_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("events",))
+        # the distinct relation feeds the sketch AND the exact-audit
+        # self-join; the synopsis is consumed five times through computed
+        # columns — checkpoint both (CTE-inlining recompute trap)
+        _checkpoint_view(spark.sql(sketches.gen_kmv_distinct(SPARK)), "_kmv_d0")
+        _checkpoint_view(
+            spark.sql(sketches.gen_kmv_sketch(SPARK, d0_rel="_kmv_d0")), "_kmv_sk"
+        )
+        return spark.sql(
+            sketches.gen_kmv_overlap(SPARK, d0_rel="_kmv_d0", sk_rel="_kmv_sk")
+        )
+
     add(
         "sketch_kmv_overlap",
-        b,
-        o,
+        _b_kmv_overlap,
+        sketches.gen_kmv_overlap(DUCK),
         tags=("sketch", "events"),
         doc="audience-overlap matrix from KMV sketches (Beyer 2007 "
         "distinct-value synopses, r11): per type pair, Jaccard + "
