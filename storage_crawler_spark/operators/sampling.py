@@ -390,3 +390,76 @@ SELECT source, exact_n,
 FROM counts
 ORDER BY source
 """.strip()
+
+
+def gen_priority_sample(d: Dialect, k: int = 64, seed: str = "prio") -> str:
+    """Priority sampling for subset-sum ESTIMATION (Duffield, Lund &
+    Thorup 2007, public): each document draws a frozen md5-uniform
+    u ∈ (0, 1] and a priority q = w/u (w = doc length); the sample is the
+    top-``k`` priorities, the threshold τ is the (k+1)-th, and every
+    sampled item carries the Horvitz–Thompson-style estimator weight
+    max(w, τ).  Unlike the Efraimidis–Spirakis sampler (which only picks
+    items), this yields UNBIASED total/subset-sum estimates from k rows:
+    E[Σ max(w, τ)] = Σ w, within-sample covariances are zero, and any
+    subset's weight is estimable from its sampled members alone — the
+    sketch a pipeline uses to answer "how many tokens does slice X hold"
+    without rescanning 100 TB.  The AUDIT columns ship the realized
+    estimate next to the exact corpus total.
+
+    Determinism (the weighted_sample discipline): u is a pure function of
+    (seed, doc_id); q = w/u and τ = min(q) are single exactly-rounded IEEE
+    ops on identical inputs; ties break on doc_id.  The estimator fold is
+    pinned in rank order (agg_arr_by), and the exact total sums BIGINT
+    lengths — both order-free across engines.
+
+    100 TB shape: map-only key/priority computation; ORDER BY+LIMIT (k+1)
+    fuses to TakeOrderedAndProject (per-partition top-k, driver merge of
+    k+1 rows — no global sort); the rank/τ/estimate algebra then runs on a
+    (k+1)-row relation.  The exact-total audit is a second corpus scan by
+    design (remove `tot` and the estimate stands alone); the unsaturated
+    corpus (n ≤ k) degrades to τ = 0 and est_weight = w — the exact sum.
+    """
+    u = f"(CAST({d.md5_key48('doc_id', seed)} AS DOUBLE) + 1.0e0) / 281474976710656.0e0"
+    est_fold = d.fold_double(d.agg_arr_by("rk", "est_w"))
+    return f"""
+WITH pri AS (
+  SELECT doc_id, lang, w, w / u AS q
+  FROM (
+    SELECT doc_id, lang,
+           CAST(greatest(length(text), 1) AS DOUBLE) AS w,
+           {u} AS u
+    FROM documents
+    WHERE text IS NOT NULL
+  ) t0
+),
+top1 AS (
+  SELECT doc_id, lang, w, q FROM pri ORDER BY q DESC, doc_id LIMIT {k + 1}
+),
+ranked AS (
+  SELECT doc_id, lang, w, q,
+         row_number() OVER (ORDER BY q DESC, doc_id) AS rk
+  FROM top1
+),
+thr AS (
+  SELECT CASE WHEN count(*) > {k} THEN min(q) ELSE 0.0e0 END AS tau
+  FROM top1
+),
+samp AS (
+  SELECT r.doc_id, r.lang, r.w, r.q, r.rk,
+         greatest(r.w, t.tau) AS est_w
+  FROM ranked r CROSS JOIN thr t
+  WHERE r.rk <= {k}
+),
+est AS (SELECT {est_fold} AS est_total FROM samp),
+tot AS (SELECT CAST(sum(CAST(w AS BIGINT)) AS DOUBLE) AS exact_total FROM pri)
+SELECT s.rk AS sample_rank,
+       s.doc_id, s.lang,
+       CAST(s.w AS BIGINT) AS w,
+       {d.trunc6('s.q')} AS priority,
+       {d.trunc6('s.est_w')} AS est_weight,
+       {d.trunc6('e.est_total')} AS est_total,
+       CAST(t.exact_total AS BIGINT) AS exact_total,
+       {d.trunc6('(e.est_total - t.exact_total) / t.exact_total')} AS rel_err
+FROM samp s CROSS JOIN est e CROSS JOIN tot t
+ORDER BY sample_rank
+""".strip()

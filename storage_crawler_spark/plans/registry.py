@@ -1137,6 +1137,20 @@ def _specs() -> list[QuerySpec]:
         "md5-frozen exponential keys, weight = doc length) — reproducible "
         "token-budgeted mixture draws; map-only keys + TakeOrderedAndProject",
     )
+    b, o = _sql_pair(sampling.gen_priority_sample, ("documents",))
+    add(
+        "sample_priority",
+        b,
+        o,
+        tags=("sampling", "pipeline", "sketch"),
+        doc="priority sampling for subset-sum estimation (Duffield-Lund-"
+        "Thorup 2007, r11): top-k frozen-uniform priorities q = w/u, "
+        "threshold tau = (k+1)-th, estimator weight max(w, tau) — "
+        "unbiased total/slice estimates from k rows, with the exact "
+        "corpus total shipped as the audit column; TakeOrderedAndProject "
+        "top-(k+1), rank algebra on a (k+1)-row relation, rank-pinned "
+        "estimator fold",
+    )
     b, o = _sql_pair(sampling.gen_shard_plan, ("documents",))
     add(
         "pipeline_shard_plan",
@@ -4644,6 +4658,8 @@ _DRIVER_WINDOW_FIRST = (
     "streaming_dd_quantiles",
     "multimodal_phash",
     "sketch_kmv_overlap",
+    # --- round-11 third-pass operators (added as they land) ---------------
+    "sample_priority",
     # --- the 33 r3-era stamps (oldest in the ledger; q1/q3/q5 are r4 and
     # q1 is additionally smoke-checked every round as the flagship) -------
     "tpch_q2_min_cost_supplier",
@@ -4672,7 +4688,8 @@ _DRIVER_WINDOW_FIRST = (
     "split_assign",
     "split_counts",
     "text_normalize",
-    "text_pii_redact",
+    # (text_pii_redact — r3-era refresh — rotated out for the r11c
+    # never-stamped operators; its r3 stamp holds.)
     # (text_quality_filter / dedup_jaccard_block_guard / dedup_minhash_signatures /
     # report_first_thousand / report_schema_files — the four youngest of
     # the r3-era block — rotated out for the never-stamped r11 sketch

@@ -477,6 +477,9 @@ DOC_ENTRIES = [
     "text_vocab_coverage_curve",
     # NULL-lang stratum and single-doc strata (sd 0 -> alloc 0)
     "sample_neyman_allocation",
+    # r11c priority sampling: random corpora sweep saturated/unsaturated
+    # tau regimes, NULL texts excluded identically, rank-pinned fold
+    "sample_priority",
     # disc-bound winsorize on tiny strata; NULL lang/n_chars filtered
     "text_length_robust",
     # multi-byte words: substr/length are char-based in both engines;

@@ -1,0 +1,100 @@
+"""Round-11 third-pass fixtures: planted corpora for the session's new
+operators (priority sampling, epoch planning, encoding audit, domain caps,
+recrawl priority, column stats, kNN link prediction), each hand- or
+Python-replication-derived per the house contract."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pandas as pd
+import pytest
+
+from storage_crawler_spark.plans.dialect import DUCK, SPARK
+
+
+def _duck(sql: str, **views: pd.DataFrame):
+    con = duckdb.connect()
+    for name, df in views.items():
+        con.register(name, df)
+    return con.execute(sql).fetch_arrow_table().to_pydict()
+
+
+def _key48(s: str, seed: str = "") -> int:
+    return int(hashlib.md5((seed + s).encode()).hexdigest()[:12], 16)
+
+
+# ---------------------------------------------------------------------------
+# sample_priority: independent Python replication of the Duffield-Lund-
+# Thorup estimator on a planted corpus, plus the unsaturated degenerate
+# (n <= k -> tau = 0, est_weight = w, estimate EXACT).
+# ---------------------------------------------------------------------------
+
+
+def _prio_docs(n: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(range(n), dtype="int64"),
+            "text": ["x" * (7 + 13 * (i % 11)) for i in range(n)],
+            "lang": ["en" if i % 2 else "fr" for i in range(n)],
+            "source": ["s"] * n,
+            "n_chars": pd.array([7 + 13 * (i % 11) for i in range(n)], dtype="int64"),
+        }
+    )
+
+
+def _py_priority_sample(docs: pd.DataFrame, k: int, seed: str = "prio"):
+    rows = []
+    for i, t in zip(docs["doc_id"], docs["text"]):
+        w = float(max(len(t), 1))
+        u = (_key48(str(i), seed) + 1.0) / 281474976710656.0
+        rows.append((i, w, w / u))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    top1 = rows[: k + 1]
+    tau = top1[-1][2] if len(rows) > k else 0.0
+    samp = top1[:k]
+    est_total = 0.0
+    out = []
+    for rk, (i, w, q) in enumerate(samp, start=1):
+        ew = max(w, tau)
+        est_total += ew
+        out.append((rk, i, w, q, ew))
+    exact_total = float(sum(max(len(t), 1) for t in docs["text"]))
+    return out, est_total, exact_total
+
+
+def _trunc6(x: float) -> float:
+    import math
+
+    return math.floor(x * 1_000_000) / 1_000_000
+
+
+def test_priority_sample_planted_python_replication():
+    from storage_crawler_spark.operators.sampling import gen_priority_sample
+
+    docs = _prio_docs(40)
+    k = 8
+    got = _duck(gen_priority_sample(DUCK, k=k), documents=docs)
+    exp, est_total, exact_total = _py_priority_sample(docs, k)
+    assert list(got["sample_rank"]) == [r[0] for r in exp]
+    assert list(got["doc_id"]) == [r[1] for r in exp]
+    assert list(got["w"]) == [int(r[2]) for r in exp]
+    assert list(got["priority"]) == [_trunc6(r[3]) for r in exp]
+    assert list(got["est_weight"]) == [_trunc6(r[4]) for r in exp]
+    assert got["est_total"][0] == _trunc6(est_total)
+    assert got["exact_total"][0] == int(exact_total)
+    assert got["rel_err"][0] == _trunc6((est_total - exact_total) / exact_total)
+    # saturated draw: tau > 0 must have lifted at least one light item
+    assert any(g > w for g, w in zip(got["est_weight"], got["w"]))
+
+
+def test_priority_sample_unsaturated_exact():
+    from storage_crawler_spark.operators.sampling import gen_priority_sample
+
+    docs = _prio_docs(5)  # n < k -> tau = 0, estimator degenerates to exact
+    got = _duck(gen_priority_sample(DUCK, k=8), documents=docs)
+    assert len(got["doc_id"]) == 5
+    assert list(got["est_weight"]) == [float(w) for w in got["w"]]
+    assert got["est_total"][0] == float(got["exact_total"][0])
+    assert got["rel_err"][0] == 0.0
