@@ -906,3 +906,109 @@ FROM embeddings
 GROUP BY {shard}
 ORDER BY shard
 """.strip()
+
+
+def gen_epoch_plan(d: Dialect, epochs_target: int = 2) -> str:
+    """Data-constrained epoch allocation (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models", public): given a token
+    budget of ``epochs_target`` × the corpus (the scale-invariant form of
+    "train for ~2 epochs of data"), allocate per-source repeat counts so
+    that sources repeat no more than their REPEAT CAP — derived here from
+    the source's exact-duplicate ratio (a source whose content is already
+    repetitive has effectively "used up" its repeats: cap = least(4,
+    1 + floor(4·distinct_ratio)) ∈ {1..4}, the paper's ~4-epoch
+    diminishing-returns knee) — and the remaining budget spreads as one
+    GLOBAL multiplier λ over the uncapped sources: the water-filling
+    solution of Σ_s t_s·min(cap_s, λ) = B.
+
+    λ has a CLOSED RELATIONAL FORM: group sources by cap, order the
+    (≤4-row) cap relation ascending, take prefix cumulative sums, and pick
+    the unique prefix where λ_j = (B − Σ_{cap≤c_j} t·cap) / (T − Σ_{cap≤c_j} t)
+    lands in [c_j, c_{j+1}] — no iteration.  If even every cap saturated
+    cannot absorb B (Σ t·cap < B), the plan reports feasible = 0, epochs =
+    cap everywhere, and the λ column carries the max cap.
+
+    Engine exactness: token/cap sums are BIGINT; λ is ONE division of
+    exact integers; epochs = min(cap, λ) and alloc = t·epochs are single
+    IEEE ops — identical cross-engine.  Boundary ties (λ exactly on a cap)
+    resolve to the smallest valid prefix (ORDER BY + LIMIT 1).
+
+    100 TB shape: one corpus aggregate on the low-cardinality source key
+    (the distinct-fingerprint count shuffles (source, fp) pairs — the
+    dedup_exact cost class; swap in the HLL sketch for an approximate cap
+    at extreme scale); ALL downstream algebra runs on the per-source and
+    per-cap relations (K and ≤4 rows).  The windows are over the ≤4-row
+    cap relation — never the corpus."""
+    ntoks = d.size(d.split("text"))
+    fp = d.md5_utf8("text")
+    return f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN text IS NULL THEN 0 ELSE {ntoks} END) AS BIGINT) AS sum_tokens,
+         CAST(count(DISTINCT CASE WHEN text IS NULL THEN NULL ELSE {fp} END) AS BIGINT) AS n_distinct,
+         CAST(count(text) AS BIGINT) AS n_text
+  FROM documents
+  GROUP BY source
+),
+caps AS (
+  SELECT source, n_docs, sum_tokens,
+         CAST(n_distinct AS DOUBLE) / n_text AS distinct_ratio,
+         least(4, 1 + CAST(floor(4.0e0 * n_distinct / n_text) AS BIGINT)) AS cap
+  FROM per_src
+  WHERE n_text > 0
+),
+tot AS (
+  SELECT CAST(sum(sum_tokens) AS BIGINT) AS t_all,
+         CAST(sum(sum_tokens * cap) AS BIGINT) AS tc_all,
+         CAST({epochs_target} * sum(sum_tokens) AS BIGINT) AS budget,
+         CAST(max(cap) AS DOUBLE) AS max_cap
+  FROM caps
+),
+bycap AS (
+  SELECT cap, CAST(sum(sum_tokens) AS BIGINT) AS t_c,
+         CAST(sum(sum_tokens * cap) AS BIGINT) AS tc_c
+  FROM caps GROUP BY cap
+),
+cand AS (
+  SELECT CAST(0 AS BIGINT) AS capv, CAST(0 AS BIGINT) AS cum_t,
+         CAST(0 AS BIGINT) AS cum_tc
+  FROM tot
+  UNION ALL
+  SELECT cap,
+         CAST(sum(t_c) OVER (ORDER BY cap) AS BIGINT),
+         CAST(sum(tc_c) OVER (ORDER BY cap) AS BIGINT)
+  FROM bycap
+),
+sel AS (
+  SELECT capv, cum_t, cum_tc,
+         lead(capv) OVER (ORDER BY capv) AS next_cap
+  FROM cand
+),
+pick AS (
+  SELECT (CAST(t.budget AS DOUBLE) - s.cum_tc) / (t.t_all - s.cum_t) AS lam
+  FROM sel s CROSS JOIN tot t
+  WHERE t.t_all > s.cum_t
+    AND (CAST(t.budget AS DOUBLE) - s.cum_tc) / (t.t_all - s.cum_t) >= s.capv
+    AND (s.next_cap IS NULL
+         OR (CAST(t.budget AS DOUBLE) - s.cum_tc) / (t.t_all - s.cum_t) <= s.next_cap)
+  ORDER BY capv
+  LIMIT 1
+),
+lamsel AS (
+  SELECT CASE WHEN t.tc_all < t.budget THEN t.max_cap ELSE p.lam END AS lam,
+         CASE WHEN t.tc_all < t.budget THEN 0 ELSE 1 END AS feasible,
+         t.budget
+  FROM tot t LEFT JOIN pick p ON 1 = 1
+)
+SELECT c.source, c.n_docs, c.sum_tokens,
+       {d.trunc6('c.distinct_ratio')} AS distinct_ratio,
+       c.cap AS repeat_cap,
+       {d.trunc6('least(CAST(c.cap AS DOUBLE), l.lam)')} AS epochs,
+       {d.trunc6('c.sum_tokens * least(CAST(c.cap AS DOUBLE), l.lam)')} AS alloc_tokens,
+       {d.trunc6('l.lam')} AS lambda_mult,
+       CAST(l.feasible AS INT) AS feasible,
+       l.budget AS budget_tokens
+FROM caps c CROSS JOIN lamsel l
+ORDER BY c.source
+""".strip()

@@ -1151,6 +1151,20 @@ def _specs() -> list[QuerySpec]:
         "top-(k+1), rank algebra on a (k+1)-row relation, rank-pinned "
         "estimator fold",
     )
+    b, o = _sql_pair(pipeline_ops.gen_epoch_plan, ("documents",))
+    add(
+        "pipeline_epoch_plan",
+        b,
+        o,
+        tags=("pipeline", "sampling"),
+        doc="data-constrained epoch allocation (Muennighoff 2023, r11c): "
+        "per-source repeat caps from the exact-duplicate ratio (1..4, "
+        "the ~4-epoch diminishing-returns knee), then ONE global "
+        "water-filling multiplier solving sum t_s*min(cap_s, lambda) = "
+        "budget in closed relational form (prefix sums over the <=4-row "
+        "cap relation, no iteration); infeasible budgets reported, never "
+        "silently scaled",
+    )
     b, o = _sql_pair(sampling.gen_shard_plan, ("documents",))
     add(
         "pipeline_shard_plan",
@@ -4660,6 +4674,7 @@ _DRIVER_WINDOW_FIRST = (
     "sketch_kmv_overlap",
     # --- round-11 third-pass operators (added as they land) ---------------
     "sample_priority",
+    "pipeline_epoch_plan",
     # --- the 33 r3-era stamps (oldest in the ledger; q1/q3/q5 are r4 and
     # q1 is additionally smoke-checked every round as the flagship) -------
     "tpch_q2_min_cost_supplier",
@@ -4687,9 +4702,8 @@ _DRIVER_WINDOW_FIRST = (
     "window_moving_avg",
     "split_assign",
     "split_counts",
-    "text_normalize",
-    # (text_pii_redact — r3-era refresh — rotated out for the r11c
-    # never-stamped operators; its r3 stamp holds.)
+    # (text_normalize / text_pii_redact — r3-era refreshes — rotated out
+    # for the r11c never-stamped operators; their r3 stamps hold.)
     # (text_quality_filter / dedup_jaccard_block_guard / dedup_minhash_signatures /
     # report_first_thousand / report_schema_files — the four youngest of
     # the r3-era block — rotated out for the never-stamped r11 sketch

@@ -480,6 +480,9 @@ DOC_ENTRIES = [
     # r11c priority sampling: random corpora sweep saturated/unsaturated
     # tau regimes, NULL texts excluded identically, rank-pinned fold
     "sample_priority",
+    # r11c epoch plan: random corpora with planted exact duplicates sweep
+    # the cap tiers and both feasible/infeasible water-filling regimes
+    "pipeline_epoch_plan",
     # disc-bound winsorize on tiny strata; NULL lang/n_chars filtered
     "text_length_robust",
     # multi-byte words: substr/length are char-based in both engines;

@@ -98,3 +98,93 @@ def test_priority_sample_unsaturated_exact():
     assert list(got["est_weight"]) == [float(w) for w in got["w"]]
     assert got["est_total"][0] == float(got["exact_total"][0])
     assert got["rel_err"][0] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# pipeline_epoch_plan: hand-derived water-filling on a planted corpus with
+# three cap tiers, plus the infeasible (all caps saturated) regime.
+# ---------------------------------------------------------------------------
+
+
+def _epoch_docs() -> pd.DataFrame:
+    rows = []
+    # clean: 4 unique docs of 10 tokens -> dr 1.0, cap 4, t = 40
+    for i in range(4):
+        rows.append((i, " ".join([f"c{i}w{j}" for j in range(10)]), "clean"))
+    # dupey: 8 docs, 2 distinct texts -> dr 0.25, cap 2, t = 80
+    for i in range(8):
+        rows.append((10 + i, " ".join([f"d{i % 2}w{j}" for j in range(10)]), "dupey"))
+    # spam: 10 docs, 1 distinct text -> dr 0.1, cap 1, t = 100
+    for i in range(10):
+        rows.append((30 + i, " ".join([f"sw{j}" for j in range(10)]), "spam"))
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": [r[2] for r in rows],
+            "n_chars": pd.array([len(r[1]) for r in rows], dtype="int64"),
+        }
+    )
+
+
+def test_epoch_plan_planted_water_filling():
+    from storage_crawler_spark.operators.pipeline import gen_epoch_plan
+
+    got = _duck(gen_epoch_plan(DUCK, epochs_target=2), documents=_epoch_docs())
+    rows = {
+        s: (cap, e, a, l, f)
+        for s, cap, e, a, l, f in zip(
+            got["source"], got["repeat_cap"], got["epochs"],
+            got["alloc_tokens"], got["lambda_mult"], got["feasible"],
+        )
+    }
+    # T = 220, B = 440.  Caps: spam 1 (t=100), dupey 2 (t=80), clean 4 (t=40).
+    # Prefix {1}: lam = (440 - 100) / 120 = 2.8333... >= 1, <= 2?  No (> 2).
+    # Prefix {1,2}: lam = (440 - 100 - 160) / 40 = 4.5 >= 2 but > next cap 4 -> invalid.
+    # Infeasible?  tc_all = 100 + 160 + 160 = 420 < 440 -> feasible = 0,
+    # lam = max cap 4, epochs = cap everywhere.
+    assert got["budget_tokens"][0] == 440
+    assert rows == {
+        "spam": (1, 1.0, 100.0, 4.0, 0),
+        "dupey": (2, 2.0, 160.0, 4.0, 0),
+        "clean": (4, 4.0, 160.0, 4.0, 0),
+    }
+
+
+def test_epoch_plan_planted_interior_lambda():
+    from storage_crawler_spark.operators.pipeline import gen_epoch_plan
+
+    docs = _epoch_docs()
+    # double the clean source (8 unique docs, t = 80): T = 260, B = 520,
+    # tc_all = 100 + 160 + 320 = 580 >= B -> feasible.
+    # Prefix {}: lam = 520/260 = 2.0 <= min cap 1?  No.
+    # Prefix {1}: lam = (520-100)/160 = 2.625 in [1, 2]?  No.
+    # Prefix {1,2}: lam = (520-100-160)/80 = 3.25 in [2, 4]?  Yes.
+    extra = pd.DataFrame(
+        {
+            "doc_id": pd.array([100 + i for i in range(4)], dtype="int64"),
+            "text": [" ".join([f"e{i}w{j}" for j in range(10)]) for i in range(4)],
+            "lang": ["en"] * 4,
+            "source": ["clean"] * 4,
+            "n_chars": pd.array([99] * 4, dtype="int64"),
+        }
+    )
+    got = _duck(
+        gen_epoch_plan(DUCK, epochs_target=2),
+        documents=pd.concat([docs, extra], ignore_index=True),
+    )
+    rows = {
+        s: (cap, e, a, l, f)
+        for s, cap, e, a, l, f in zip(
+            got["source"], got["repeat_cap"], got["epochs"],
+            got["alloc_tokens"], got["lambda_mult"], got["feasible"],
+        )
+    }
+    assert rows == {
+        "spam": (1, 1.0, 100.0, 3.25, 1),
+        "dupey": (2, 2.0, 160.0, 3.25, 1),
+        "clean": (4, 3.25, 260.0, 3.25, 1),
+    }
+    # allocation conservation: sum alloc == budget exactly
+    assert sum(rows[s][2] for s in rows) == 520.0

@@ -166,6 +166,13 @@ NLJ_ALLOWED = {
     # bootstrap CI: CROSS JOIN of the 1-row point-estimate aggregate with
     # the 1-row folded-replica relation — both build sides exactly 1 row
     "sample_bootstrap_ci",
+    # priority sampling: CROSS JOINs of the 1-row threshold (tau), 1-row
+    # estimate fold, and 1-row exact-total scalar against the (k+1)-row
+    # ranked sample — every build side <= 1 row
+    "sample_priority",
+    # epoch plan: CROSS JOINs of the 1-row totals/lambda scalars against
+    # the per-source and <=5-row cap-prefix relations — 1-row build sides
+    "pipeline_epoch_plan",
     # BPE encode/compression: CROSS JOINs of the 1-row merge-array
     # relations (epoch-1 and epoch-2 merge tables folded per word)
     "text_bpe_encode",
