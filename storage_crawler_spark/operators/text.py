@@ -2379,3 +2379,67 @@ GROUP BY phrase
 ORDER BY max(score) DESC, phrase
 LIMIT {top_k}
 """.strip()
+
+
+def _occ(s: str, lit: str) -> str:
+    """Occurrence count of a literal substring: the replace-and-measure
+    identity (length delta / literal length) — no regex, so there is no
+    Java-vs-RE2 escape surface at all (the house regex rule taken to its
+    safest end).  ``lit`` is embedded as a raw UTF-8 SQL literal."""
+    n = len(lit)
+    esc = lit.replace("'", "''")
+    if n == 1:
+        return f"(length({s}) - length(replace({s}, '{esc}', '')))"
+    return f"((length({s}) - length(replace({s}, '{esc}', ''))) / {n})"
+
+
+def gen_encoding_audit(d: Dialect) -> str:
+    """Corpus encoding-hygiene audit (the C4/CCNet cleaning pass that runs
+    BEFORE any quality model sees the text): per source, documents and
+    occurrence totals for three defect classes —
+
+    - REPLACEMENT characters (U+FFFD): a decoder already gave up upstream;
+      the bytes are unrecoverable and the doc usually needs re-fetching;
+    - MOJIBAKE signatures: UTF-8 read as CP1252/Latin-1 and re-encoded —
+      detected by the classic double-encoding digraphs ('â€¦' smart-punct
+      family via the 'â€' prefix; 'Ã©'-class accented-vowel pairs).
+      Counting LITERAL digraphs (embedded as raw UTF-8 in the SQL text)
+      sidesteps the Java-vs-RE2 regex escape divergence entirely;
+    - stray C0/DEL CONTROL characters (excluding tab/LF/CR): binary spill
+      into a text column.  Counted via translate() deletion — the control
+      set is built from chr() calls (constant-folded), never backslash
+      escapes.  NUL itself is excluded (DuckDB strings cannot carry it).
+
+    Output per source: doc counts and total occurrences per class, plus
+    the clean-doc ratio.  100 TB shape: pure map-side string algebra over
+    one pruned scan feeding a partial-combining aggregate on the
+    low-cardinality source key — zero joins, zero windows."""
+    ctrl_codes = list(range(1, 9)) + [11, 12] + list(range(14, 32)) + [127]
+    ctrl_str = " || ".join(f"chr({c})" for c in ctrl_codes)
+    moji_pairs = ["Ã©", "Ã¼", "Ã±",
+                  "Ã¤", "Ã¶", "Ã "]
+    t = "coalesce(text, '')"
+    repl = _occ(t, "�")
+    moji = " + ".join([_occ(t, "â€")] + [_occ(t, p) for p in moji_pairs])
+    ctrl = f"(length({t}) - length(translate({t}, {ctrl_str}, '')))"
+    return f"""
+WITH scored AS (
+  SELECT source,
+         CAST({repl} AS BIGINT) AS n_repl,
+         CAST({moji} AS BIGINT) AS n_moji,
+         CAST({ctrl} AS BIGINT) AS n_ctrl
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_replacement,
+       CAST(sum(CASE WHEN n_moji > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_mojibake,
+       CAST(sum(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_control,
+       CAST(sum(n_repl) AS BIGINT) AS total_replacement,
+       CAST(sum(n_moji) AS BIGINT) AS total_mojibake,
+       CAST(sum(n_ctrl) AS BIGINT) AS total_control,
+       {d.trunc6("CAST(sum(CASE WHEN n_repl = 0 AND n_moji = 0 AND n_ctrl = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS clean_ratio
+FROM scored
+GROUP BY source
+ORDER BY source
+""".strip()

@@ -1516,6 +1516,21 @@ def _specs() -> list[QuerySpec]:
         "pruned scan, map-side extracts, one partial-combining aggregate",
     )
 
+    b, o = _sql_pair(text.gen_encoding_audit, ("documents",))
+    add(
+        "text_encoding_audit",
+        b,
+        o,
+        tags=("text", "quality"),
+        doc="encoding-hygiene audit (r11c): per-source replacement-char "
+        "(U+FFFD), CP1252-mojibake digraph ('â€' smart-punct family + "
+        "'Ã©'-class pairs), and stray-C0/DEL-control occurrence counts + "
+        "clean-doc ratio — the pre-quality C4/CCNet cleaning signal; "
+        "LITERAL substring counting (replace/translate deltas, control "
+        "set from constant-folded chr()) so there is no Java-vs-RE2 "
+        "regex escape surface; map-side algebra, one partial agg",
+    )
+
     from storage_crawler_spark.operators.pipeline import (
         gen_dsir_weights as _gen_dsir,
     )
@@ -4675,6 +4690,7 @@ _DRIVER_WINDOW_FIRST = (
     # --- round-11 third-pass operators (added as they land) ---------------
     "sample_priority",
     "pipeline_epoch_plan",
+    "text_encoding_audit",
     # --- the 33 r3-era stamps (oldest in the ledger; q1/q3/q5 are r4 and
     # q1 is additionally smoke-checked every round as the flagship) -------
     "tpch_q2_min_cost_supplier",
@@ -4701,9 +4717,9 @@ _DRIVER_WINDOW_FIRST = (
     "setops_customer_cohorts",
     "window_moving_avg",
     "split_assign",
-    "split_counts",
-    # (text_normalize / text_pii_redact — r3-era refreshes — rotated out
-    # for the r11c never-stamped operators; their r3 stamps hold.)
+    # (split_counts / text_normalize / text_pii_redact — r3-era refreshes —
+    # rotated out for the r11c never-stamped operators; their r3 stamps
+    # hold.)
     # (text_quality_filter / dedup_jaccard_block_guard / dedup_minhash_signatures /
     # report_first_thousand / report_schema_files — the four youngest of
     # the r3-era block — rotated out for the never-stamped r11 sketch

@@ -483,6 +483,9 @@ DOC_ENTRIES = [
     # r11c epoch plan: random corpora with planted exact duplicates sweep
     # the cap tiers and both feasible/infeasible water-filling regimes
     "pipeline_epoch_plan",
+    # r11c encoding audit: random multi-byte texts must count zero unless
+    # a defect literal genuinely lands; NULL texts are clean
+    "text_encoding_audit",
     # disc-bound winsorize on tiny strata; NULL lang/n_chars filtered
     "text_length_robust",
     # multi-byte words: substr/length are char-based in both engines;

@@ -188,3 +188,72 @@ def test_epoch_plan_planted_interior_lambda():
     }
     # allocation conservation: sum alloc == budget exactly
     assert sum(rows[s][2] for s in rows) == 520.0
+
+
+# ---------------------------------------------------------------------------
+# text_encoding_audit: planted defect corpus — hand-counted replacement /
+# mojibake / control occurrences, tab/LF/CR exempt, NULL text counted clean.
+# ---------------------------------------------------------------------------
+
+
+def _enc_docs() -> pd.DataFrame:
+    texts = [
+        "perfectly clean text",          # clean
+        "lost � bytes �� here",  # 3 replacement chars
+        "cafÃ© and â€™ quote",  # moji: 1x 'Ã©' + 1x 'â€'
+        "bin\x01ary\x02 spill\x1f but tab\tand\nnewline ok",  # 3 control
+        None,                            # NULL text -> clean, 0 occurrences
+        "double hit Ã¼ and Ã¤",  # moji: 'Ã¼' + 'Ã¤'
+    ]
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(range(len(texts)), dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["a", "a", "b", "b", "c", "b"],
+            "n_chars": pd.array(
+                [len(t) if t else 0 for t in texts], dtype="int64"
+            ),
+        }
+    )
+
+
+def test_encoding_audit_planted_counts():
+    from storage_crawler_spark.operators.text import gen_encoding_audit
+
+    got = _duck(gen_encoding_audit(DUCK), documents=_enc_docs())
+    rows = {
+        s: tuple(got[c][i] for c in (
+            "n_docs", "docs_replacement", "docs_mojibake", "docs_control",
+            "total_replacement", "total_mojibake", "total_control",
+            "clean_ratio",
+        ))
+        for i, s in enumerate(got["source"])
+    }
+    assert rows == {
+        "a": (2, 1, 0, 0, 3, 0, 0, 0.5),
+        "b": (3, 0, 2, 1, 0, 4, 3, 0.0),
+        "c": (1, 0, 0, 0, 0, 0, 0, 1.0),
+    }
+
+
+def test_encoding_audit_spark_parity_planted(spark, tmp_path):
+    from storage_crawler_spark.operators.text import gen_encoding_audit
+    from storage_crawler_spark.plans import registry
+
+    sf = str(tmp_path / "encdocs")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    _enc_docs().to_parquet(f"{sf}/documents.parquet", index=False)
+    spec = registry.get_query("text_encoding_audit")
+    got = {
+        r["source"]: (r["total_replacement"], r["total_mojibake"],
+                      r["total_control"], r["clean_ratio"])
+        for r in spec.builder(spark, sf).collect()
+    }
+    assert got == {
+        "a": (3, 0, 0, 0.5),
+        "b": (0, 4, 3, 0.0),
+        "c": (0, 0, 0, 1.0),
+    }
