@@ -477,3 +477,50 @@ FROM slots
 GROUP BY domain, slot
 ORDER BY domain, slot
 """.strip()
+
+
+def gen_domain_caps(d: Dialect, cap: int = 3, url_rel: str | None = None) -> str:
+    """Per-host frequency cap — the C4/CCNet "at most N pages per host"
+    pass that stops a single boilerplate-heavy domain from dominating the
+    training mixture: canonical URLs are deduplicated per domain, ranked
+    by a frozen md5 uniform (an engine-stable shuffle, so the kept set is
+    a fair per-host sample rather than a crawl-order artifact), and only
+    the first ``cap`` survive.  Output is the KEEP relation downstream
+    stages semi-join on — (domain, curl, representative doc, pick order)
+    — with each domain's total and dropped counts riding along as audit
+    columns (a domain with n_dropped > 0 is where the cap actually bit).
+
+    100 TB shape: one scan + map-side canonicalization, then ONE exchange
+    on domain reused by the per-URL dedup, both windows (rank + domain
+    count), and the output; the per-domain sort is bounded by host size —
+    a pathological mega-host takes the same two-phase rank escape hatch
+    as the jaccard tier, or is pre-capped by the crawl frontier's
+    per-host budget upstream.  The Spark builder passes a CHECKPOINTED
+    ``url_rel`` (domain/curl are computed join keys through the layered
+    canonicalizer — the tier's standing recompute trap)."""
+    key = d.md5_key48("curl", "domcap")
+    u_cte = (
+        f"u AS (\n{gen_url_rel(d)}\n),"
+        if url_rel is None
+        else f"u AS (SELECT * FROM {url_rel}),"
+    )
+    return f"""
+WITH {u_cte}
+per_url AS (
+  SELECT domain, curl, CAST(min(doc_id) AS BIGINT) AS keep_doc
+  FROM u GROUP BY domain, curl
+),
+ranked AS (
+  SELECT domain, curl, keep_doc,
+         row_number() OVER (PARTITION BY domain ORDER BY {key}, curl) AS pick_order,
+         count(*) OVER (PARTITION BY domain) AS n_urls
+  FROM per_url
+)
+SELECT domain, curl, keep_doc,
+       CAST(pick_order AS BIGINT) AS pick_order,
+       CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(greatest(n_urls - {cap}, 0) AS BIGINT) AS n_dropped
+FROM ranked
+WHERE pick_order <= {cap}
+ORDER BY domain, pick_order
+""".strip()

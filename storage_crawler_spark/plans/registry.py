@@ -3771,6 +3771,27 @@ ORDER BY channel
         "schedule is inherently sequential (that IS politeness)",
     )
 
+    def _b_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        # domain/curl are computed group/partition keys through the
+        # layered canonicalizer — checkpoint (the tier's standing
+        # recompute trap)
+        _checkpoint_view(spark.sql(url_ops.gen_url_rel(SPARK)), "_url_rel_caps")
+        return spark.sql(url_ops.gen_domain_caps(SPARK, url_rel="_url_rel_caps"))
+
+    add(
+        "ingest_domain_caps",
+        _b_domain_caps,
+        url_ops.gen_domain_caps(DUCK),
+        tags=("ingest", "url"),
+        doc="per-host frequency cap (r11c): canonical URLs deduped per "
+        "domain, ranked by a frozen md5 uniform (fair per-host sample, "
+        "not a crawl-order artifact), first N kept — the C4/CCNet "
+        "anti-boilerplate pass; KEEP relation with per-domain total/"
+        "dropped audit columns; ONE exchange on domain reused by dedup, "
+        "both windows, and the output",
+    )
+
     def _b_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
         V.register_base_tables(spark, sf_dir, ("documents",))
         # checkpoint, not persist: the url relation is consumed twice from
@@ -4691,6 +4712,7 @@ _DRIVER_WINDOW_FIRST = (
     "sample_priority",
     "pipeline_epoch_plan",
     "text_encoding_audit",
+    "ingest_domain_caps",
     # --- the 33 r3-era stamps (oldest in the ledger; q1/q3/q5 are r4 and
     # q1 is additionally smoke-checked every round as the flagship) -------
     "tpch_q2_min_cost_supplier",
@@ -4716,10 +4738,9 @@ _DRIVER_WINDOW_FIRST = (
     "join_anti_customers_without_orders",
     "setops_customer_cohorts",
     "window_moving_avg",
-    "split_assign",
-    # (split_counts / text_normalize / text_pii_redact — r3-era refreshes —
-    # rotated out for the r11c never-stamped operators; their r3 stamps
-    # hold.)
+    # (split_assign / split_counts / text_normalize / text_pii_redact —
+    # r3-era refreshes — rotated out for the r11c never-stamped operators;
+    # their r3 stamps hold.)
     # (text_quality_filter / dedup_jaccard_block_guard / dedup_minhash_signatures /
     # report_first_thousand / report_schema_files — the four youngest of
     # the r3-era block — rotated out for the never-stamped r11 sketch

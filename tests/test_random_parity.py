@@ -486,6 +486,9 @@ DOC_ENTRIES = [
     # r11c encoding audit: random multi-byte texts must count zero unless
     # a defect literal genuinely lands; NULL texts are clean
     "text_encoding_audit",
+    # r11c domain caps: random corpora drive the synthesized URL tier
+    # through cap-binding and under-cap hosts with md5-frozen pick order
+    "ingest_domain_caps",
     # disc-bound winsorize on tiny strata; NULL lang/n_chars filtered
     "text_length_robust",
     # multi-byte words: substr/length are char-based in both engines;

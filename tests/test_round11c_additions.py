@@ -257,3 +257,78 @@ def test_encoding_audit_spark_parity_planted(spark, tmp_path):
         "b": (0, 4, 3, 0.0),
         "c": (0, 0, 0, 1.0),
     }
+
+
+# ---------------------------------------------------------------------------
+# ingest_domain_caps: planted url relation via the url_rel hook — cap
+# binding, URL dedup (min-doc representative), md5-frozen pick order
+# replicated independently in Python; plus the full-chain collapse corpus.
+# ---------------------------------------------------------------------------
+
+
+def _caps_urls() -> pd.DataFrame:
+    rows = [
+        # big.example.com: 5 distinct canonical URLs (cap 3 must bind),
+        # /a fetched twice (doc 11 and 10 -> keep_doc 10)
+        ("big.example.com", "https://big.example.com/a", 11),
+        ("big.example.com", "https://big.example.com/a", 10),
+        ("big.example.com", "https://big.example.com/b", 12),
+        ("big.example.com", "https://big.example.com/c", 13),
+        ("big.example.com", "https://big.example.com/d", 14),
+        ("big.example.com", "https://big.example.com/e", 15),
+        # tiny.example.com: 2 URLs, under the cap
+        ("tiny.example.com", "https://tiny.example.com/x", 20),
+        ("tiny.example.com", "https://tiny.example.com/y", 21),
+    ]
+    return pd.DataFrame(
+        {
+            "domain": [r[0] for r in rows],
+            "curl": [r[1] for r in rows],
+            "doc_id": pd.array([r[2] for r in rows], dtype="int64"),
+        }
+    )
+
+
+def test_domain_caps_planted_rank_replication():
+    from storage_crawler_spark.operators import urls
+
+    got = _duck(urls.gen_domain_caps(DUCK, cap=3, url_rel="myurls"),
+                myurls=_caps_urls())
+    # independent rank replication: md5('domcap' || curl) first 12 hex
+    big = sorted(
+        ["https://big.example.com/" + p for p in "abcde"],
+        key=lambda c: (_key48(c, "domcap"), c),
+    )[:3]
+    rows = list(zip(got["domain"], got["curl"], got["keep_doc"],
+                    got["pick_order"], got["n_urls"], got["n_dropped"]))
+    keep_doc = {"https://big.example.com/" + p: d
+                for p, d in zip("abcde", (10, 12, 13, 14, 15))}
+    # ('a' appears twice, docs 11 and 10 — the dedup keeps min doc 10)
+    tiny = sorted(["https://tiny.example.com/x", "https://tiny.example.com/y"],
+                  key=lambda c: (_key48(c, "domcap"), c))
+    tiny_doc = {"https://tiny.example.com/x": 20, "https://tiny.example.com/y": 21}
+    assert rows == [
+        ("big.example.com", big[0], keep_doc[big[0]], 1, 5, 2),
+        ("big.example.com", big[1], keep_doc[big[1]], 2, 5, 2),
+        ("big.example.com", big[2], keep_doc[big[2]], 3, 5, 2),
+        ("tiny.example.com", tiny[0], tiny_doc[tiny[0]], 1, 2, 0),
+        ("tiny.example.com", tiny[1], tiny_doc[tiny[1]], 2, 2, 0),
+    ]
+
+
+def test_domain_caps_full_chain_collapse():
+    """Through the real canonicalizer: _url_docs's alpha section collapses
+    ids {0,3} and {1,2} into 2 canonical URLs — under the cap, nothing
+    dropped, keep_doc is the min id of each collapse class."""
+    from storage_crawler_spark.operators import urls
+
+    from tests.test_round11_additions import _url_docs
+
+    got = _duck(urls.gen_domain_caps(DUCK, cap=3), documents=_url_docs())
+    per_dom = {}
+    for d, c, k, po, n, dr in zip(got["domain"], got["curl"], got["keep_doc"],
+                                  got["pick_order"], got["n_urls"],
+                                  got["n_dropped"]):
+        per_dom.setdefault(d, []).append((k, n, dr))
+    assert sorted(k for k, n, dr in per_dom["alpha.example.com"]) == [0, 1]
+    assert all(n == 2 and dr == 0 for k, n, dr in per_dom["alpha.example.com"])
