@@ -524,3 +524,67 @@ FROM ranked
 WHERE pick_order <= {cap}
 ORDER BY domain, pick_order
 """.strip()
+
+
+def gen_recrawl_priority(d: Dialect, url_rel: str | None = None) -> str:
+    """Recrawl scheduling from observed change rates (Cho & Garcia-Molina
+    2003, "Effective Page Refresh Policies for Web Crawlers", public): for
+    every canonical URL fetched more than once, order the fetches (doc_id
+    = fetch sequence) and count CONSECUTIVE-fetch content transitions —
+    the page's observed change ratio X/n over n = fetches−1 refetch
+    intervals, the sufficient statistic the Poisson-change estimator
+    λ̂ = −ln(1 − X/n) is a monotone function of.  Pages tier into the
+    refresh classes a crawler budgets by: ``hot`` (changed on ≥ half the
+    refetch intervals — recrawl every cycle), ``warm`` (≥ a tenth),
+    ``cold`` (never/rarely changed — longest interval), and ``unknown``
+    (single fetch, no evidence yet — scheduled by the frontier's
+    depth policy instead).  Tier boundaries compare 2X ≥ n / 10X ≥ n in
+    INTEGER arithmetic, so the classification is exact cross-engine; the
+    change_ratio column is display-only.
+
+    The transition count (not the revisions entry's distinct-version
+    count) is the right statistic: a page flapping A→B→A has 2 changes
+    but only 2 versions; the Poisson estimator needs interval evidence.
+
+    100 TB shape: one scan projecting (curl, fp, doc_id) — text never
+    leaves the first projection; one window partitioned by curl (bounded
+    by per-URL fetch count) for the lag comparison; one partial-combining
+    aggregate per curl.  The Spark builder passes a CHECKPOINTED
+    ``url_rel`` (curl is a computed partition key — the tier's standing
+    recompute trap)."""
+    fp = d.md5_utf8("coalesce(text, '')")
+    u_cte = (
+        f"u AS (\n{gen_url_rel(d)}\n),"
+        if url_rel is None
+        else f"u AS (SELECT * FROM {url_rel}),"
+    )
+    return f"""
+WITH {u_cte}
+fetches AS (
+  SELECT u.domain, u.curl, u.doc_id, {fp} AS fp
+  FROM u JOIN documents doc ON u.doc_id = doc.doc_id
+),
+seq AS (
+  SELECT domain, curl, doc_id, fp,
+         lag(fp) OVER (PARTITION BY curl ORDER BY doc_id) AS prev_fp
+  FROM fetches
+),
+per_url AS (
+  SELECT domain, curl,
+         CAST(count(*) AS BIGINT) AS n_fetches,
+         CAST(sum(CASE WHEN prev_fp IS NOT NULL AND fp <> prev_fp
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+  FROM seq
+  GROUP BY domain, curl
+)
+SELECT domain, curl, n_fetches, n_changes,
+       CASE WHEN n_fetches >= 2
+            THEN {d.trunc6('CAST(n_changes AS DOUBLE) / (n_fetches - 1)')}
+            ELSE NULL END AS change_ratio,
+       CASE WHEN n_fetches < 2 THEN 'unknown'
+            WHEN 2 * n_changes >= n_fetches - 1 THEN 'hot'
+            WHEN 10 * n_changes >= n_fetches - 1 THEN 'warm'
+            ELSE 'cold' END AS tier
+FROM per_url
+ORDER BY domain, curl
+""".strip()

@@ -3792,6 +3792,30 @@ ORDER BY channel
         "both windows, and the output",
     )
 
+    def _b_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        # curl is a computed partition/group key — checkpoint (the tier's
+        # standing recompute trap)
+        _checkpoint_view(spark.sql(url_ops.gen_url_rel(SPARK)), "_url_rel_recrawl")
+        return spark.sql(
+            url_ops.gen_recrawl_priority(SPARK, url_rel="_url_rel_recrawl")
+        )
+
+    add(
+        "ingest_recrawl_priority",
+        _b_recrawl,
+        url_ops.gen_recrawl_priority(DUCK),
+        tags=("ingest", "url"),
+        doc="change-rate recrawl scheduling (Cho & Garcia-Molina 2003, "
+        "r11c): consecutive-fetch content transitions per canonical URL "
+        "(the Poisson-change sufficient statistic — flapping pages count "
+        "every interval, unlike the revisions entry's version count) "
+        "tiered hot/warm/cold/unknown by INTEGER threshold comparisons "
+        "(2X >= n, 10X >= n — exact cross-engine); one curl-partitioned "
+        "lag window + one partial agg, text never leaves the first "
+        "projection",
+    )
+
     def _b_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
         V.register_base_tables(spark, sf_dir, ("documents",))
         # checkpoint, not persist: the url relation is consumed twice from
@@ -4713,6 +4737,7 @@ _DRIVER_WINDOW_FIRST = (
     "pipeline_epoch_plan",
     "text_encoding_audit",
     "ingest_domain_caps",
+    "ingest_recrawl_priority",
     # --- the 33 r3-era stamps (oldest in the ledger; q1/q3/q5 are r4 and
     # q1 is additionally smoke-checked every round as the flagship) -------
     "tpch_q2_min_cost_supplier",
@@ -4737,8 +4762,8 @@ _DRIVER_WINDOW_FIRST = (
     "grouping_sets_orders",
     "join_anti_customers_without_orders",
     "setops_customer_cohorts",
-    "window_moving_avg",
-    # (split_assign / split_counts / text_normalize / text_pii_redact —
+    # (window_moving_avg / split_assign / split_counts / text_normalize /
+    # text_pii_redact —
     # r3-era refreshes — rotated out for the r11c never-stamped operators;
     # their r3 stamps hold.)
     # (text_quality_filter / dedup_jaccard_block_guard / dedup_minhash_signatures /

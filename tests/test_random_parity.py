@@ -489,6 +489,9 @@ DOC_ENTRIES = [
     # r11c domain caps: random corpora drive the synthesized URL tier
     # through cap-binding and under-cap hosts with md5-frozen pick order
     "ingest_domain_caps",
+    # r11c recrawl priority: random corpora exercise duplicate-fetch
+    # sequences (transition counting) and single-fetch unknowns
+    "ingest_recrawl_priority",
     # disc-bound winsorize on tiny strata; NULL lang/n_chars filtered
     "text_length_robust",
     # multi-byte words: substr/length are char-based in both engines;

@@ -332,3 +332,63 @@ def test_domain_caps_full_chain_collapse():
         per_dom.setdefault(d, []).append((k, n, dr))
     assert sorted(k for k, n, dr in per_dom["alpha.example.com"]) == [0, 1]
     assert all(n == 2 and dr == 0 for k, n, dr in per_dom["alpha.example.com"])
+
+
+# ---------------------------------------------------------------------------
+# ingest_recrawl_priority: planted fetch sequences via the url_rel hook —
+# all four tiers, the flapping A->B->A page (2 changes, 2 versions: the
+# transition statistic, not the version count), integer tier boundaries.
+# ---------------------------------------------------------------------------
+
+
+def test_recrawl_priority_planted_tiers():
+    from storage_crawler_spark.operators import urls
+
+    seqs = {
+        # flapping: A B A -> 2 changes over 2 intervals -> ratio 1.0 hot
+        "https://h.example.com/flap": ["A", "B", "A"],
+        # stable: B B B -> 0 changes -> cold
+        "https://h.example.com/stable": ["B", "B", "B"],
+        # boundary hot: 1 change over 2 intervals (2*1 >= 2) -> hot
+        "https://h.example.com/edge": ["A", "A", "B"],
+        # warm: 1 change over 9 intervals (2 < 9, 10 >= 9) -> warm
+        "https://h.example.com/slow": ["A"] * 5 + ["B"] * 5,
+        # single fetch -> unknown
+        "https://h.example.com/once": ["A"],
+    }
+    u_rows, d_rows, nid = [], [], 0
+    for curl, texts in seqs.items():
+        for t in texts:
+            u_rows.append(("h.example.com", curl, nid))
+            d_rows.append((nid, t))
+            nid += 1
+    u = pd.DataFrame(
+        {
+            "domain": [r[0] for r in u_rows],
+            "curl": [r[1] for r in u_rows],
+            "doc_id": pd.array([r[2] for r in u_rows], dtype="int64"),
+        }
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([r[0] for r in d_rows], dtype="int64"),
+            "text": [r[1] for r in d_rows],
+            "lang": ["en"] * len(d_rows),
+            "source": ["s"] * len(d_rows),
+            "n_chars": pd.array([1] * len(d_rows), dtype="int64"),
+        }
+    )
+    got = _duck(urls.gen_recrawl_priority(DUCK, url_rel="myurls"),
+                myurls=u, documents=docs)
+    rows = {
+        c: (nf, nc, r, t)
+        for c, nf, nc, r, t in zip(got["curl"], got["n_fetches"],
+                                   got["n_changes"], got["change_ratio"],
+                                   got["tier"])
+    }
+    assert rows["https://h.example.com/flap"] == (3, 2, 1.0, "hot")
+    assert rows["https://h.example.com/stable"] == (3, 0, 0.0, "cold")
+    assert rows["https://h.example.com/edge"] == (3, 1, 0.5, "hot")
+    assert rows["https://h.example.com/slow"] == (10, 1, 0.111111, "warm")
+    nf, nc, r, t = rows["https://h.example.com/once"]
+    assert (nf, nc, t) == (1, 0, "unknown") and (r is None or r != r)
