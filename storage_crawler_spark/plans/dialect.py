@@ -204,6 +204,16 @@ class Dialect:
             return f"unix_seconds({col})"
         return f"CAST(floor(epoch({col})) AS BIGINT)"
 
+    def epoch_s_date(self, col: str) -> str:
+        """Date-valued column → epoch seconds of its DATE (BIGINT),
+        timezone-free in both engines: Spark's unix_seconds rejects the
+        TIMESTAMP_NTZ parquet reads as (and an NTZ→TZ cast would drag the
+        session timezone in), so go through DATE — day count × 86400.
+        For date-valued columns (TPC-H ship dates) this IS the epoch."""
+        if self.name == "spark":
+            return f"(unix_date(CAST({col} AS DATE)) * CAST(86400 AS BIGINT))"
+        return f"CAST(floor(epoch(CAST({col} AS DATE))) AS BIGINT)"
+
     def token_hash64(self, s: str) -> str:
         """64-bit token hash for SET-CARDINALITY operators only (exact
         Jaccard: only |A ∩ B| / |A ∪ B| reaches the output, so each engine

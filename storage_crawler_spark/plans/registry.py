@@ -1857,6 +1857,24 @@ def _specs() -> list[QuerySpec]:
         "no unpartitioned window",
     )
 
+    from storage_crawler_spark.sources.lake import gen_column_stats as _gen_colstats
+
+    b, o = _sql_pair(_gen_colstats, ("lineitem",))
+    add(
+        "lake_column_stats",
+        b,
+        o,
+        tags=("lake", "audit"),
+        doc="ANALYZE-style per-column statistics (r11c, fifth maintenance "
+        "leg): row count, NULL count/fraction, EXACT NDV, numeric min/max "
+        "(timestamps as epoch seconds), string min/max, avg width — the "
+        "relation a CBO costs joins and broadcast decisions with; ONE "
+        "wide aggregate (Spark's Expand multi-distinct, exactly what its "
+        "own ANALYZE plans) pivoted through the constant per-column "
+        "VALUES relation; swap exact NDVs for the deterministic HLL "
+        "sketch at extreme scale",
+    )
+
     def _b_streaming_docs_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         from storage_crawler_spark.streaming import run_to_completion
         from storage_crawler_spark.streaming.documents import (
@@ -4738,6 +4756,7 @@ _DRIVER_WINDOW_FIRST = (
     "text_encoding_audit",
     "ingest_domain_caps",
     "ingest_recrawl_priority",
+    "lake_column_stats",
     # --- the 33 r3-era stamps (oldest in the ledger; q1/q3/q5 are r4 and
     # q1 is additionally smoke-checked every round as the flagship) -------
     "tpch_q2_min_cost_supplier",
@@ -4761,9 +4780,8 @@ _DRIVER_WINDOW_FIRST = (
     "tpch_q22_acctbal_prospects",
     "grouping_sets_orders",
     "join_anti_customers_without_orders",
-    "setops_customer_cohorts",
-    # (window_moving_avg / split_assign / split_counts / text_normalize /
-    # text_pii_redact —
+    # (setops_customer_cohorts / window_moving_avg / split_assign /
+    # split_counts / text_normalize / text_pii_redact —
     # r3-era refreshes — rotated out for the r11c never-stamped operators;
     # their r3 stamps hold.)
     # (text_quality_filter / dedup_jaccard_block_guard / dedup_minhash_signatures /

@@ -45,6 +45,9 @@ RELATIONAL_ENTRIES = [n for n in registry.QUERIES if n.startswith("tpch_q")] + [
     # urgent-key build set and the probe's hit mass reshuffle per seed; the
     # md5 bit positions and the fp accounting must agree exactly
     "sketch_bloom_semijoin",
+    # r11c ANALYZE stats: bootstrap reshuffles NDVs/min/max per seed; the
+    # exact multi-distinct aggregate and the pivot must agree column-wise
+    "lake_column_stats",
     # window_moving_avg is events-plane — swept by test_random_events_parity
 ]
 

@@ -392,3 +392,54 @@ def test_recrawl_priority_planted_tiers():
     assert rows["https://h.example.com/slow"] == (10, 1, 0.111111, "warm")
     nf, nc, r, t = rows["https://h.example.com/once"]
     assert (nf, nc, t) == (1, 0, "unknown") and (r is None or r != r)
+
+
+# ---------------------------------------------------------------------------
+# lake_column_stats: planted lineitem with NULLs, duplicate values, and a
+# known shipdate span — every cell hand-derivable.
+# ---------------------------------------------------------------------------
+
+
+def test_column_stats_planted():
+    from storage_crawler_spark.sources.lake import gen_column_stats
+
+    li = pd.DataFrame(
+        {
+            "l_orderkey": pd.array([1, 1, 2, 3], dtype="int64"),
+            "l_partkey": pd.array([10, 20, 10, None], dtype="Int64"),
+            "l_suppkey": pd.array([5, 5, 5, 5], dtype="int64"),
+            "l_linenumber": pd.array([1, 2, 1, 1], dtype="int32"),
+            "l_quantity": [1.0, 2.0, 2.0, 8.0],
+            "l_extendedprice": [100.0, 200.0, 300.0, 400.0],
+            "l_discount": [0.0, 0.1, 0.1, 0.0],
+            "l_tax": [0.02, 0.02, 0.02, 0.02],
+            "l_returnflag": ["A", "R", None, "N"],
+            "l_linestatus": ["F", "O", "F", "O"],
+            "l_shipdate": pd.to_datetime(
+                ["1996-01-01", "1996-01-01", "1997-06-15", None]
+            ),
+        }
+    )
+    got = _duck(gen_column_stats(DUCK), lineitem=li)
+    rows = {
+        c: (nc, nf, ndv, mn, mx, ms, xs, w)
+        for c, nc, nf, ndv, mn, mx, ms, xs, w in zip(
+            got["col_name"], got["null_count"], got["null_frac"], got["ndv"],
+            got["min_num"], got["max_num"], got["min_str"], got["max_str"],
+            got["avg_width"],
+        )
+    }
+    assert got["n_rows"][0] == 4
+    assert rows["l_orderkey"] == (0, 0.0, 3, 1.0, 3.0, None, None, 8.0)
+    assert rows["l_partkey"] == (1, 0.25, 2, 10.0, 20.0, None, None, 8.0)
+    assert rows["l_suppkey"] == (0, 0.0, 1, 5.0, 5.0, None, None, 8.0)
+    assert rows["l_linenumber"] == (0, 0.0, 2, 1.0, 2.0, None, None, 4.0)
+    assert rows["l_quantity"] == (0, 0.0, 3, 1.0, 8.0, None, None, 8.0)
+    assert rows["l_returnflag"] == (1, 0.25, 3, None, None, "A", "R", 1.0)
+    assert rows["l_linestatus"] == (0, 0.0, 2, None, None, "F", "O", 1.0)
+    # shipdate: epoch seconds of 1996-01-01 / 1997-06-15, one NULL
+    import datetime as dt
+
+    lo = dt.datetime(1996, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    hi = dt.datetime(1997, 6, 15, tzinfo=dt.timezone.utc).timestamp()
+    assert rows["l_shipdate"] == (1, 0.25, 2, lo, hi, None, None, 8.0)
