@@ -687,3 +687,58 @@ SELECT d0.v AS vec_id, d0.degree,
 FROM deg d0 LEFT JOIN tri t ON d0.v = t.v
 ORDER BY vec_id
 """.strip()
+
+
+def gen_knn_link_predict(
+    d: Dialect, k: int = 20, m: int = 8, edges_rel: str | None = None
+) -> str:
+    """Link prediction over the mutual-kNN graph (Liben-Nowell &
+    Kleinberg 2003, "The Link Prediction Problem for Social Networks",
+    public): the top-``k`` NON-adjacent vector pairs most likely to be
+    true neighbours, scored by common-neighbour count with the Jaccard
+    neighbourhood overlap as tie-break — the graph-native "you probably
+    missed this duplicate/near-neighbour" signal that densifies an ANN
+    graph after construction (candidate edges for the next refinement
+    round) without touching the embedding store at all.
+
+    Ranking is exact and engine-identical: primary key common_n DESC;
+    within equal common_n the Jaccard cn/(deg_x+deg_y−cn) is a strictly
+    decreasing function of deg_x+deg_y, so ordering by the INTEGER degree
+    sum ascending realizes the Jaccard order with no float comparison
+    (the jaccard column itself is display-only trunc6).
+
+    100 TB shape: the wedge join (e1.a = e2.a) fans out Σ_w deg(w)² ≤
+    |V|·m² on the bounded-degree edge relation — never a corpus scan;
+    the existing-edge anti-join and the two degree joins key on vec ids;
+    top-k fuses to TakeOrderedAndProject.  The Spark builder passes a
+    CHECKPOINTED ``edges_rel`` (the k-core pattern — edge columns are
+    computed through the bucket join and referenced four times here)."""
+    mat = " MATERIALIZED" if d.name == "duck" else ""
+    e_cte = (
+        f"e AS (SELECT a, b FROM {edges_rel})"
+        if edges_rel
+        else f"e AS{mat} (\n{gen_knn_edges(d, m=m)}\n)"
+    )
+    jac = "CAST(n.common_n AS DOUBLE) / (dx.deg + dy.deg - n.common_n)"
+    return f"""
+WITH {e_cte},
+deg AS (SELECT a AS vid, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY a),
+cn AS (
+  SELECT e1.b AS x, e2.b AS y, CAST(count(*) AS BIGINT) AS common_n
+  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+  GROUP BY e1.b, e2.b
+),
+nonedge AS (
+  SELECT c.x, c.y, c.common_n
+  FROM cn c LEFT JOIN e ON e.a = c.x AND e.b = c.y
+  WHERE e.a IS NULL
+)
+SELECT n.x, n.y, n.common_n,
+       dx.deg AS deg_x, dy.deg AS deg_y,
+       {d.trunc6(jac)} AS jaccard
+FROM nonedge n
+JOIN deg dx ON dx.vid = n.x
+JOIN deg dy ON dy.vid = n.y
+ORDER BY n.common_n DESC, dx.deg + dy.deg, n.x, n.y
+LIMIT {k}
+""".strip()

@@ -4502,6 +4502,36 @@ ORDER BY channel
         "beside IVF/PQ/RP-LSH (index routes) and kNN-GEMM (batch route)",
     )
 
+    def _b_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from storage_crawler_spark.operators.cluster import (
+            gen_knn_edges,
+            gen_knn_link_predict,
+        )
+
+        V.register_base_tables(spark, sf_dir, ("embeddings",))
+        # k-core pattern: edge columns computed through the bucket join,
+        # relation referenced four times (wedge join x2, anti-join, degrees)
+        _checkpoint_view(spark.sql(gen_knn_edges(SPARK, m=8)), "_lp_edges")
+        return spark.sql(gen_knn_link_predict(SPARK, edges_rel="_lp_edges"))
+
+    from storage_crawler_spark.operators.cluster import (
+        gen_knn_link_predict as _gen_lp,
+    )
+
+    add(
+        "sim_knn_link_predict",
+        _b_link_predict,
+        _gen_lp(DUCK),
+        tags=("similarity", "embedding", "graph"),
+        doc="link prediction on the mutual-kNN graph (Liben-Nowell & "
+        "Kleinberg 2003, r11c): top-k NON-adjacent pairs by common-"
+        "neighbour count with Jaccard tie-break realized as an INTEGER "
+        "degree-sum order (no float comparison; jaccard display-only) — "
+        "the post-construction graph densification signal; wedge join "
+        "fan-out <= |V|*m^2 on the bounded-degree edge relation, "
+        "existing-edge anti-join, fused top-k",
+    )
+
     b, o = _sql_pair(similarity.gen_binary_quant_audit, ("embeddings",))
     add(
         "embedding_binary_audit",
@@ -4757,6 +4787,7 @@ _DRIVER_WINDOW_FIRST = (
     "ingest_domain_caps",
     "ingest_recrawl_priority",
     "lake_column_stats",
+    "sim_knn_link_predict",
     # --- the 33 r3-era stamps (oldest in the ledger; q1/q3/q5 are r4 and
     # q1 is additionally smoke-checked every round as the flagship) -------
     "tpch_q2_min_cost_supplier",
@@ -4779,9 +4810,9 @@ _DRIVER_WINDOW_FIRST = (
     "tpch_q21_waiting_suppliers",
     "tpch_q22_acctbal_prospects",
     "grouping_sets_orders",
-    "join_anti_customers_without_orders",
-    # (setops_customer_cohorts / window_moving_avg / split_assign /
-    # split_counts / text_normalize / text_pii_redact —
+    # (join_anti_customers_without_orders / setops_customer_cohorts /
+    # window_moving_avg / split_assign / split_counts / text_normalize /
+    # text_pii_redact —
     # r3-era refreshes — rotated out for the r11c never-stamped operators;
     # their r3 stamps hold.)
     # (text_quality_filter / dedup_jaccard_block_guard / dedup_minhash_signatures /

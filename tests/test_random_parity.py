@@ -193,6 +193,9 @@ EMB_QUERIES = [
     # populations, mutual-edge asymmetry, duplicate vectors (lattice
     # cosine ties -> dst tie-break) — hop frontier + exact_rank must agree
     ("graph_2hop_topk", lambda d: _cl().gen_graph_2hop_topk(d, 0, 5, m=3)),
+    # r11c link prediction: random stores give ragged mutual graphs —
+    # wedge counts, degree-sum tie order, and the anti-join must agree
+    ("knn_link_predict", lambda d: _cl().gen_knn_link_predict(d, k=8, m=3)),
     ("ivf_topk", lambda d: similarity.gen_ivf_topk(d, 0, 10)),
     ("embedding_near_dup", lambda d: similarity.gen_embedding_near_dup(d)),
     ("knn_join", lambda d: similarity.gen_knn_join(d, k=3)),

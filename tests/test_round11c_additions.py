@@ -443,3 +443,35 @@ def test_column_stats_planted():
     lo = dt.datetime(1996, 1, 1, tzinfo=dt.timezone.utc).timestamp()
     hi = dt.datetime(1997, 6, 15, tzinfo=dt.timezone.utc).timestamp()
     assert rows["l_shipdate"] == (1, 0.25, 2, lo, hi, None, None, 8.0)
+
+
+# ---------------------------------------------------------------------------
+# sim_knn_link_predict: planted graph via the edges_rel hook — hand-derived
+# common-neighbour counts, Jaccard-as-integer-degree-sum tie-break order.
+# ---------------------------------------------------------------------------
+
+
+def test_link_predict_planted_graph():
+    from storage_crawler_spark.operators.cluster import gen_knn_link_predict
+
+    und = [(1, 2), (2, 3), (3, 4), (1, 4), (2, 4), (4, 5)]
+    both = und + [(b, a) for a, b in und]
+    e = pd.DataFrame(
+        {
+            "a": pd.array([p[0] for p in both], dtype="int64"),
+            "b": pd.array([p[1] for p in both], dtype="int64"),
+        }
+    )
+    got = _duck(gen_knn_link_predict(DUCK, k=10, edges_rel="myedges"),
+                myedges=e)
+    rows = list(zip(got["x"], got["y"], got["common_n"],
+                    got["deg_x"], got["deg_y"], got["jaccard"]))
+    # (1,3): common {2,4}, both deg 2 -> jaccard 1.0 leads.
+    # cn=1 group ordered by INTEGER degree sum then (x, y):
+    # (1,5) sum 3, (3,5) sum 3, (2,5) sum 4.
+    assert rows == [
+        (1, 3, 2, 2, 2, 1.0),
+        (1, 5, 1, 2, 1, 0.5),
+        (3, 5, 1, 2, 1, 0.5),
+        (2, 5, 1, 3, 1, 0.333333),
+    ]
