@@ -644,3 +644,118 @@ JOIN (SELECT DISTINCT event_type, n_exact FROM sk) nb ON nb.event_type = e.type_
 LEFT JOIN exact x ON x.type_a = e.type_a AND x.type_b = e.type_b
 ORDER BY e.type_a, e.type_b
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# deterministic AMS F2 sketch (shared-dialect, oracle-gated)
+# ---------------------------------------------------------------------------
+
+AMS_G = 5   # median groups (odd -> the median is a single exact element)
+AMS_B = 12  # estimators averaged per group; rel. error ~ sqrt(16/B) w.h.p.
+
+
+def gen_ams_rows(d, src: str = "events") -> str:
+    """Per-event AMS observations: (event_type, estimator j, sign s).
+
+    The AMS second-moment sketch (Alon, Matias & Szegedy 1996, public)
+    maintains J = G·B independent signed sums Z_j = Σ_u s_j(u)·f_u;
+    E[Z_j²] = F2 = Σ f_u², the SELF-JOIN SIZE of the stream on user_id —
+    the statistic a CBO prices equi-joins and skew with (the frequency-
+    moment companion to the column-stats NDV).  Sign functions come from
+    one frozen md5 per (event, group) — bit b of the audited 48-bit key
+    of (seed ‖ g ‖ user) — so the sketch is engine-identical at a cost of
+    G digests per event.
+
+    Two-stage lateral fan-out (× G computing the digest, then × B
+    shifting bits out of it) feeds a partial-combining SUM of ±1 BIGINTs:
+    every Z_j is EXACT integer arithmetic end to end, and any merge order
+    or micro-batch split yields the identical register table (sums
+    commute) — the mergeable-update property the streaming twin rides."""
+    h = d.md5_key48("concat(CAST(g AS STRING), '|', CAST(user_id AS STRING))",
+                    seed="ams")
+    lat_g = d.lateral_seq("0", str(AMS_G - 1), "g")
+    lat_b = d.lateral_seq("0", str(AMS_B - 1), "b")
+    s = f"CASE WHEN {d.shr('h', 'b')} % 2 = 1 THEN 1 ELSE -1 END"
+    return f"""
+SELECT event_type,
+       CAST(g * {AMS_B} + b AS BIGINT) AS j,
+       CAST({s} AS BIGINT) AS s
+FROM (
+  SELECT event_type, g, {h} AS h
+  FROM (SELECT event_type, user_id FROM {src} WHERE user_id IS NOT NULL) e0
+  {lat_g}
+) hg
+{lat_b}
+""".strip()
+
+
+def gen_ams_f2(d, regs_rel: str | None = None) -> str:
+    """Self-join-size (F2) estimate per event type from the AMS registers,
+    with the exact audit column: the classical MEDIAN-OF-MEANS readout —
+    average Z_j² within each of the G groups (an exact integer sum over B
+    squares; the division by B is deferred past the median), take the
+    median group (G odd, so it is one exact BIGINT element of the sorted
+    group-sum array — no interpolation), divide once.  The plain MEAN
+    over all J estimators ships beside it (lower typical deviation at
+    the same J; the median adds the outlier-robust δ guarantee), and
+    exact = Σ f_u² from one (type, user) aggregate with both rel_err
+    columns — the accuracy ledger is part of the output.
+    B sets the accuracy (ε ~ sqrt(16/B) per the AMS bound) and G the
+    confidence — a production deployment sizes B = 16/ε²; the demo J =
+    G·B = 60 keeps the lateral fan-out honest at sf scale (a one-draw
+    deviation of ±30% is within the b=12 bound, and sign vectors are
+    shared across event types, so per-type errors are correlated by
+    construction).
+
+    Engine parity is EXACT: Z_j are integer sums, Z_j² integer products
+    (|Z| ≤ n_events « 2^31 keeps squares in BIGINT), group sums integers,
+    the median an order-statistic pick, and the final division+trunc6
+    single IEEE ops.
+
+    100 TB shape: the register table is the whole sketch state — G·B rows
+    per event type whatever the volume (map-side partial sums, one tiny
+    shuffle); the exact audit is the one genuinely heavy aggregate
+    ((type, user) then type — the dedup_exact cost class), which a
+    production deployment SKIPS, reading the estimate alone; ``regs_rel``
+    lets the streaming twin hand its incrementally-maintained register
+    table to the same readout."""
+    regs = (
+        f"(SELECT event_type, j, CAST(sum(s) AS BIGINT) AS z FROM (\n"
+        f"{gen_ams_rows(d)}\n) r GROUP BY event_type, j)"
+        if regs_rel is None
+        else regs_rel
+    )
+    med_idx = (AMS_G + 1) // 2
+    med = d.elem(d.asort(d.agg_arr_by("g", "zsq")), str(med_idx))
+    return f"""
+WITH regs AS (SELECT event_type, j, z FROM {regs} rr),
+grp AS (
+  SELECT event_type, CAST({d.idiv('j', str(AMS_B))} AS BIGINT) AS g,
+         CAST(sum(z * z) AS BIGINT) AS zsq
+  FROM regs GROUP BY event_type, CAST({d.idiv('j', str(AMS_B))} AS BIGINT)
+),
+est AS (
+  SELECT event_type,
+         {d.trunc6(f'CAST({med} AS DOUBLE) / {AMS_B}')} AS f2_est,
+         {d.trunc6(f'CAST(sum(zsq) AS DOUBLE) / {AMS_G * AMS_B}')} AS f2_est_mean
+  FROM grp GROUP BY event_type
+),
+fu AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS f
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY event_type, user_id
+),
+ex AS (
+  SELECT event_type,
+         CAST(sum(f) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(f * f) AS BIGINT) AS f2_exact
+  FROM fu GROUP BY event_type
+)
+SELECT ex.event_type, ex.n_events, ex.n_users, ex.f2_exact, e.f2_est,
+       e.f2_est_mean,
+       {d.trunc6('(e.f2_est - ex.f2_exact) / ex.f2_exact')} AS rel_err,
+       {d.trunc6('(e.f2_est_mean - ex.f2_exact) / ex.f2_exact')} AS rel_err_mean
+FROM ex JOIN est e ON e.event_type = ex.event_type
+ORDER BY ex.event_type
+""".strip()

@@ -1756,6 +1756,54 @@ def _specs() -> list[QuerySpec]:
         "DD/Bloom",
     )
 
+    def _b_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+        V.register_base_tables(spark, sf_dir, ("events",))
+        return spark.sql(sketches.gen_ams_f2(SPARK))
+
+    add(
+        "sketch_ams_f2",
+        _b_ams_f2,
+        sketches.gen_ams_f2(DUCK),
+        tags=("sketch", "events"),
+        doc="deterministic AMS F2 / self-join-size sketch (Alon-Matias-"
+        "Szegedy 1996, r11c): G*B signed sums Z_j of md5-derived "
+        "Rademacher signs per event type — E[Z^2] = sum f_u^2, the "
+        "equi-join/skew statistic a CBO prices with (the frequency-"
+        "moment companion to lake_column_stats' NDV); median-of-means "
+        "AND mean readouts with the exact audit + both rel_err columns; "
+        "EXACT integer arithmetic end to end (pm-1 sums, integer "
+        "squares, order-statistic median), engine parity exact; register "
+        "state = G*B rows per type whatever the volume",
+    )
+
+    def _b_streaming_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from storage_crawler_spark.streaming.events import (
+            ams_registers,
+            read_events_stream,
+            run_to_completion,
+        )
+
+        regs = run_to_completion(
+            ams_registers(spark, read_events_stream(spark, sf_dir))
+        )
+        regs.createOrReplaceTempView("_ams_stream_regs")
+        V.register_base_tables(spark, sf_dir, ("events",))
+        return spark.sql(sketches.gen_ams_f2(SPARK, regs_rel="_ams_stream_regs"))
+
+    add(
+        "streaming_ams_f2",
+        _b_streaming_ams,
+        sketches.gen_ams_f2(DUCK),
+        tags=("streaming", "sketch", "events"),
+        doc="streaming twin of sketch_ams_f2: the register table "
+        "maintained as a complete-mode sum(s) aggregate — signed sums "
+        "are the canonical linear-sketch update, so any micro-batch "
+        "split yields the identical final relation; state is G*B "
+        "registers per event type TOTAL; the batch readout consumes the "
+        "streamed registers unchanged and the one-shot batch chain is "
+        "the oracle — the continuously-refreshed join-size statistic",
+    )
+
     def _b_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         from storage_crawler_spark.streaming.events import (
             hll_registers,
@@ -4788,6 +4836,8 @@ _DRIVER_WINDOW_FIRST = (
     "ingest_recrawl_priority",
     "lake_column_stats",
     "sim_knn_link_predict",
+    "sketch_ams_f2",
+    "streaming_ams_f2",
     # --- the 33 r3-era stamps (oldest in the ledger; q1/q3/q5 are r4 and
     # q1 is additionally smoke-checked every round as the flagship) -------
     "tpch_q2_min_cost_supplier",
@@ -4808,9 +4858,9 @@ _DRIVER_WINDOW_FIRST = (
     "tpch_q19_disjunctive_filter",
     "tpch_q20_part_promotion",
     "tpch_q21_waiting_suppliers",
-    "tpch_q22_acctbal_prospects",
-    "grouping_sets_orders",
-    # (join_anti_customers_without_orders / setops_customer_cohorts /
+    # (tpch_q22_acctbal_prospects / grouping_sets_orders /
+    # join_anti_customers_without_orders /
+    # setops_customer_cohorts /
     # window_moving_avg / split_assign / split_counts / text_normalize /
     # text_pii_redact —
     # r3-era refreshes — rotated out for the r11c never-stamped operators;

@@ -312,3 +312,23 @@ def dd_counters(spark: SparkSession, events: DataFrame) -> DataFrame:
     return rows.groupBy("event_type", "key", "lo_cents", "hi_cents").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
+
+
+def ams_registers(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Streaming AMS F2 register table: the per-event (event_type, j, ±1)
+    observations of operators/sketches.gen_ams_rows maintained as a
+    complete-mode ``sum(s)`` aggregate — signed sums are the canonical
+    linear-sketch update, so ANY micro-batch split yields the identical
+    final register table (the cms_counters property, frequency-moment
+    edition), and the batch readout (gen_ams_f2, regs_rel=...) reads it
+    unchanged.  State: G·B rows per event type TOTAL, whatever the
+    stream volume — this is the sketch whose register table a CBO
+    refreshes continuously for join-size costing."""
+    from storage_crawler_spark.operators.sketches import gen_ams_rows
+    from storage_crawler_spark.plans.dialect import SPARK
+
+    events.createOrReplaceTempView("_events_stream_ams")
+    rows = spark.sql(gen_ams_rows(SPARK, src="_events_stream_ams"))
+    return rows.groupBy("event_type", "j").agg(
+        F.sum("s").cast("long").alias("z")
+    )

@@ -118,6 +118,11 @@ EVENT_ENTRIES = [
     # r11 KMV overlap: random user pools give partial-overlap pairs,
     # unsaturated sketches (exact-arithmetic branch) and NULL users/types
     "sketch_kmv_overlap",
+    # r11c AMS F2 pair: random user pools sweep skewed/uniform frequency
+    # vectors and NULL users/types; the streaming twin's signed sums must
+    # hash-match the one-shot chain
+    "sketch_ams_f2",
+    "streaming_ams_f2",
     # round-9 additions: windowed funnel chaining on pooled-instant ties
     # (es > t1 strictness), triangle joins on NULL-pruned type pairs,
     # Benford's integer-side digit on NULL/zero/negative values, burst

@@ -475,3 +475,66 @@ def test_link_predict_planted_graph():
         (3, 5, 1, 2, 1, 0.5),
         (2, 5, 1, 3, 1, 0.333333),
     ]
+
+
+# ---------------------------------------------------------------------------
+# sketch_ams_f2: independent Python replication of the md5 sign derivation,
+# the exact integer register sums, and the median-of-means / mean readouts.
+# ---------------------------------------------------------------------------
+
+
+def test_ams_f2_planted_python_replication():
+    import math
+    from collections import Counter, defaultdict
+
+    from storage_crawler_spark.operators.sketches import AMS_B, AMS_G, gen_ams_f2
+
+    rows = []
+    eid = 0
+    # skewed type: one heavy user -> F2 far above n; uniform type beside it
+    for u, n in [(1, 6), (2, 1), (3, 1)]:
+        for _ in range(n):
+            rows.append((eid, "heavy", u)); eid += 1
+    for u in range(10, 18):
+        rows.append((eid, "flat", u)); eid += 1
+    ev = pd.DataFrame(
+        {
+            "event_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "ts": pd.to_datetime(["2024-01-01"] * len(rows)),
+            "user_id": pd.array([r[2] for r in rows], dtype="int64"),
+            "event_type": [r[1] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    got = _duck(gen_ams_f2(DUCK), events=ev)
+
+    def py_est(users: dict):
+        zs = defaultdict(int)
+        for u, fu in users.items():
+            for g in range(AMS_G):
+                h = _key48(f"{g}|{u}", "ams")
+                for b in range(AMS_B):
+                    zs[(g, b)] += (1 if (h >> b) & 1 else -1) * fu
+        gsum = sorted(sum(zs[(g, b)] ** 2 for b in range(AMS_B)) for g in range(AMS_G))
+        med = gsum[AMS_G // 2]
+        mean = sum(gsum)
+        return (
+            math.floor(med / AMS_B * 1e6) / 1e6,
+            math.floor(mean / (AMS_G * AMS_B) * 1e6) / 1e6,
+        )
+
+    exp = {"heavy": ({1: 6, 2: 1, 3: 1}, 38), "flat": ({u: 1 for u in range(10, 18)}, 8)}
+    byt = {
+        t: (ne, nu, f2x, e, m)
+        for t, ne, nu, f2x, e, m in zip(
+            got["event_type"], got["n_events"], got["n_users"],
+            got["f2_exact"], got["f2_est"], got["f2_est_mean"],
+        )
+    }
+    for t, (users, f2_exact) in exp.items():
+        est, est_mean = py_est(users)
+        ne, nu, f2x, e, m = byt[t]
+        assert (ne, nu) == (sum(users.values()), len(users))
+        assert f2x == f2_exact
+        assert e == est and m == est_mean

@@ -305,3 +305,34 @@ def test_dd_counters_invariant_under_microbatch_split(spark, tmp_path):
     assert _rows(stream_regs, "event_type", "key", "cnt") == _rows(
         batch_regs, "event_type", "key", "cnt"
     )
+
+
+def test_ams_registers_invariant_under_microbatch_split(spark, tmp_path):
+    """AMS registers are signed sums (the canonical linear-sketch update):
+    any micro-batch split must yield the exact register relation of the
+    one-shot batch aggregation, with state bounded by types x G*B."""
+    from storage_crawler_spark.operators.sketches import AMS_B, AMS_G, gen_ams_rows
+    from storage_crawler_spark.plans.dialect import SPARK
+    from storage_crawler_spark.streaming.events import ams_registers, run_to_completion
+
+    ev = _batch_events(spark).select("event_id", "ts", "user_id", "event_type", "value")
+    ev.repartition(3).write.mode("overwrite").parquet(str(tmp_path / "evams"))
+    schema = spark.read.parquet(str(tmp_path / "evams")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "evams"))
+    )
+    stream_regs = run_to_completion(ams_registers(spark, stream))
+
+    ev.createOrReplaceTempView("_ams_ev_batch")
+    batch_regs = spark.sql(
+        "SELECT event_type, j, CAST(sum(s) AS BIGINT) AS z FROM (\n"
+        + gen_ams_rows(SPARK, src="_ams_ev_batch")
+        + "\n) r GROUP BY event_type, j"
+    )
+    assert _rows(stream_regs, "event_type", "j", "z") == _rows(
+        batch_regs, "event_type", "j", "z"
+    )
+    n_types = ev.filter(F.col("user_id").isNotNull()).select("event_type").distinct().count()
+    assert stream_regs.count() <= AMS_G * AMS_B * n_types  # bounded state
