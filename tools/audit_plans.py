@@ -173,9 +173,6 @@ NLJ_ALLOWED = {
     # epoch plan: CROSS JOINs of the 1-row totals/lambda scalars against
     # the per-source and <=5-row cap-prefix relations — 1-row build sides
     "pipeline_epoch_plan",
-    # column stats: the 11-row constant VALUES column relation × the 1-row
-    # wide aggregate — the corpus-card pivot shape
-    "lake_column_stats",
     # BPE encode/compression: CROSS JOINs of the 1-row merge-array
     # relations (epoch-1 and epoch-2 merge tables folded per word)
     "text_bpe_encode",
