@@ -166,6 +166,11 @@ NLJ_ALLOWED = {
     # bootstrap CI: CROSS JOIN of the 1-row point-estimate aggregate with
     # the 1-row folded-replica relation — both build sides exactly 1 row
     "sample_bootstrap_ci",
+    # KMV overlap: the type-pair grid is a non-equi (a.type < b.type) join
+    # of the <=|types|-row DISTINCT type relations, and the union-merge
+    # threshold join is a range predicate (h <= tau) over k-row synopses —
+    # every BNLJ side is bounded by types x k (~640 rows), never events
+    "sketch_kmv_overlap",
     # priority sampling: CROSS JOINs of the 1-row threshold (tau), 1-row
     # estimate fold, and 1-row exact-total scalar against the (k+1)-row
     # ranked sample — every build side <= 1 row
