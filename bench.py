@@ -127,7 +127,16 @@ def main() -> int:
     # target scale factor.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in headline_queries():
+        # tier-2 warms too (since r11c): each tier-2 entry is timed with
+        # ONE rep, so without a warm pass its number mixes one-time plan
+        # codegen / Arrow-UDF worker+numpy spin-up into the trend line —
+        # sim_pq_topk measured 14.6s cold vs 4.5s steady-state standalone,
+        # and the r11/r11b tier-2 series scattered 5.8/10.1/17.0 on a
+        # byte-identical plan for exactly this reason.
+        warm_set = list(headline_queries()) + [
+            q for q in TIER2_QUERIES if q in QUERIES
+        ]
+        for name in warm_set:
             try:
                 QUERIES[name].builder(spark, warm_dir).count()
             except Exception:
