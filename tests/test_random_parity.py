@@ -167,10 +167,15 @@ def _random_embeddings(seed: int, n: int = 40, dim: int = 8) -> list[tuple]:
             vec = None  # NULL embedding: allowed by schema, filtered by every op
         elif vec_id == n // 2:
             vec = [0.0] * dim  # the failed-embedding row
-        elif kind == 0 and rows:
-            vec = list(rows[rng.randrange(len(rows))][1])  # exact duplicate
-        elif kind == 1 and rows:
-            vec = [-x for x in rows[rng.randrange(len(rows))][1]]  # antipode
+        elif kind == 0 and any(r[1] is not None for r in rows):
+            # exact duplicate — of a NON-NULL prior row (the NULL row is
+            # un-copyable; seeds beyond the committed params could draw
+            # it, crashing the GENERATOR itself — found by the r11c fuzz)
+            pool = [r[1] for r in rows if r[1] is not None]
+            vec = list(pool[rng.randrange(len(pool))])
+        elif kind == 1 and any(r[1] is not None for r in rows):
+            pool = [r[1] for r in rows if r[1] is not None]
+            vec = [-x for x in pool[rng.randrange(len(pool))]]  # antipode
         else:
             vec = [rng.randrange(-16, 17) / 8 for _ in range(dim)]
             if kind == 2:
