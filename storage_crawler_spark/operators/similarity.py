@@ -1738,3 +1738,61 @@ SELECT t.vec_id, t.label, CAST(t.hamming AS INT) AS hamming, t.cosine,
 FROM topk t LEFT JOIN exact x ON t.vec_id = x.vec_id
 ORDER BY t.hamming, t.vec_id
 """.strip()
+
+
+def gen_ivf_recall_curve(
+    d: Dialect, query_vec_id: int = 0, ks: tuple = (1, 5, 10, 20)
+) -> str:
+    """Recall@k CURVE of the bucketed IVF tier against the exact ranking —
+    the evaluation artifact every ANN system publishes (recall@1/5/10/...)
+    and the generalization of gen_ivf_recall's single point: one row per
+    k with the exact-list size, hit count, and recall, so the accuracy/
+    candidate-budget tradeoff is a queryable relation rather than a
+    number in prose.
+
+    Ranking is EXACT and engine-identical: both lists rank on the
+    floor(cos·10^6) BIGINT lattice with vec_id tie-breaks (the graph-ANN
+    convention), never on rounded floats.  The denominator is the exact
+    list's size at each k, so corpora smaller than max(k) degrade
+    honestly instead of deflating recall.
+
+    100 TB shape: ONE map-only scored scan feeds both ORDER BY+LIMIT
+    branches (each fuses to TakeOrderedAndProject); all curve algebra
+    runs on the two ≤max(k)-row ranked lists; the k-grid is a constant
+    VALUES relation (allowlisted BNLJ, build ≤ |ks| rows)."""
+    kmax = max(ks)
+    grid = ", ".join(f"({k})" for k in sorted(ks))
+    simq = (
+        f"CAST(floor((({d.dot('e.ev', 'q.ev')}) / (e.nrm * q.nrm))"
+        f" * 1000000.0e0) AS BIGINT)"
+    )
+    return f"""
+WITH {_norm_cte(d, with_bucket=True)},
+q AS (SELECT ev, nrm, bkt FROM v WHERE vec_id = {query_vec_id}),
+scored AS (
+  SELECT e.vec_id, {simq} AS simq,
+         CASE WHEN e.bkt = q.bkt THEN 1 ELSE 0 END AS in_bucket
+  FROM v e CROSS JOIN q
+  WHERE e.vec_id <> {query_vec_id}
+),
+ex AS (
+  SELECT vec_id, row_number() OVER (ORDER BY simq DESC, vec_id) AS rnk
+  FROM (SELECT vec_id, simq FROM scored ORDER BY simq DESC, vec_id LIMIT {kmax}) t
+),
+iv AS (
+  SELECT vec_id, row_number() OVER (ORDER BY simq DESC, vec_id) AS rnk
+  FROM (
+    SELECT vec_id, simq FROM scored WHERE in_bucket = 1
+    ORDER BY simq DESC, vec_id LIMIT {kmax}
+  ) t
+)
+SELECT g.k AS k,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(CASE WHEN i.rnk <= g.k THEN 1 END) AS BIGINT) AS n_hits,
+       {d.trunc6('CAST(count(CASE WHEN i.rnk <= g.k THEN 1 END) AS DOUBLE) / count(*)')} AS recall
+FROM (VALUES {grid}) AS g(k)
+JOIN ex e ON e.rnk <= g.k
+LEFT JOIN iv i ON i.vec_id = e.vec_id AND i.rnk <= g.k
+GROUP BY g.k
+ORDER BY g.k
+""".strip()

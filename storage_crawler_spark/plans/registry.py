@@ -2903,6 +2903,20 @@ FROM files f
     )
 
     add(
+        "report_du_forecast",
+        _usage_builder(usage_reports.gen_du_forecast),
+        V.with_files_cte(usage_reports.gen_du_forecast(DUCK)),
+        tags=("report", "usage"),
+        doc="capacity forecast per root (r11c): OLS slope of cumulative "
+        "ingested bytes over insert-time buckets + intervals-to-double — "
+        "the forward-looking report growth_daily's chart answers by "
+        "eyeball; exact integer Sx/Sy/Sxy/Sxx (events_value_trend "
+        "discipline), one division each for slope and horizon, nullif "
+        "guard on single-bucket roots; windows run on the per-(root, "
+        "bucket) relation only",
+    )
+
+    add(
         "report_growth_daily",
         _usage_builder(usage_reports.gen_growth_daily),
         V.with_files_cte(usage_reports.gen_growth_daily(DUCK)),
@@ -4581,6 +4595,23 @@ ORDER BY channel
         "existing-edge anti-join, fused top-k",
     )
 
+    b, o = _sql_pair(similarity.gen_ivf_recall_curve, ("embeddings",))
+    add(
+        "sim_ivf_recall_curve",
+        b,
+        o,
+        tags=("similarity", "embedding", "audit"),
+        doc="recall@k CURVE of the bucketed IVF route vs the exact ranking "
+        "(r11c): one row per k in {1,5,10,20} with exact-list size, hits, "
+        "recall — the ANN evaluation artifact as a queryable relation "
+        "(generalizes sim_ivf_recall's single point; honestly shows the "
+        "sign-bucket route's ~k/16 recall on unstructured vectors, the "
+        "argument for the trained-cell IVF path); both lists rank on the "
+        "exact cosine lattice with vec_id tie-breaks, ONE scored scan "
+        "feeds both fused top-k branches, curve algebra on <=kmax-row "
+        "lists, constant k-grid VALUES join",
+    )
+
     b, o = _sql_pair(similarity.gen_binary_quant_audit, ("embeddings",))
     add(
         "embedding_binary_audit",
@@ -4839,6 +4870,8 @@ _DRIVER_WINDOW_FIRST = (
     "sim_knn_link_predict",
     "sketch_ams_f2",
     "streaming_ams_f2",
+    "sim_ivf_recall_curve",
+    "report_du_forecast",
     # --- the 33 r3-era stamps (oldest in the ledger; q1/q3/q5 are r4 and
     # q1 is additionally smoke-checked every round as the flagship) -------
     "tpch_q2_min_cost_supplier",
@@ -4857,9 +4890,9 @@ _DRIVER_WINDOW_FIRST = (
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume_customer",
     "tpch_q19_disjunctive_filter",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_suppliers",
-    # (tpch_q22_acctbal_prospects / grouping_sets_orders /
+    # (tpch_q20_part_promotion / tpch_q21_waiting_suppliers /
+    # tpch_q22_acctbal_prospects /
+    # grouping_sets_orders /
     # join_anti_customers_without_orders /
     # setops_customer_cohorts /
     # window_moving_avg / split_assign / split_counts / text_normalize /

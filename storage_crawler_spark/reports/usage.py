@@ -328,3 +328,60 @@ def hardlink_usage_df(files) -> "object":
         "_hardlink_paths"
     )
     return spark.sql(gen_hardlink_rollup(SPARK, "_hardlink_paths"))
+
+
+def gen_du_forecast(d: Dialect, interval_s: int = 60, src: str = "files") -> str:
+    """Capacity forecast per top-level root — the forward-looking report
+    the du family lacked: fit an OLS line to the CUMULATIVE ingested
+    bytes over insert-time buckets and read off the growth slope and the
+    intervals until the root's footprint DOUBLES (the procurement
+    question growth_daily's chart answers by eyeball).  A production
+    deployment buckets by day (interval_s = 86400); the default is 60 s
+    because the synthetic corpus's insert epochs span minutes, not months
+    — the fit algebra is identical.
+
+    Engine exactness (the events_value_trend discipline): x = bucket −
+    min(bucket) per root and y = cumulative BIGINT bytes, so Σx, Σy, Σxy,
+    Σx² are exact integers; slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is ONE
+    division, and intervals_to_double = current/slope one more.  Roots
+    with a single bucket (no trend evidence) yield NULL slope via the
+    nullif guard, never a divide-by-zero.
+
+    100 TB shape: one partial-combining aggregate to the per-(root,
+    bucket) relation (tiny: corpus age / interval rows per root); the
+    running sum and the x-offset windows run on that relation only — the
+    corpus-sized scan never sorts."""
+    root = d.elem(d.split("path", "/"), "2")
+    bucket = d.idiv("insert_epoch", str(interval_s))
+    # nested subqueries, no top-level WITH: the DuckDB oracle is wrapped by
+    # with_files_cte (which owns the WITH), the Spark side reads the view
+    return f"""
+SELECT root, n_buckets, cur_bytes,
+       {d.trunc6('CAST(n_buckets * sxy - sx * sy AS DOUBLE) / nullif(n_buckets * sxx - sx * sx, 0)')} AS slope_bytes_per_interval,
+       CASE WHEN n_buckets * sxy - sx * sy > 0 THEN
+         {d.trunc6('CAST(cur_bytes AS DOUBLE) * (n_buckets * sxx - sx * sx) / (n_buckets * sxy - sx * sy)')}
+       ELSE NULL END AS intervals_to_double
+FROM (
+  SELECT root,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(max(y) AS BIGINT) AS cur_bytes,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM (
+    SELECT root,
+           CAST(bucket - min(bucket) OVER (PARTITION BY root) AS BIGINT) AS x,
+           CAST(sum(added) OVER (PARTITION BY root ORDER BY bucket) AS BIGINT) AS y
+    FROM (
+      SELECT root, bucket, CAST(sum(st_size) AS BIGINT) AS added
+      FROM (
+        SELECT {root} AS root, {bucket} AS bucket, st_size FROM {src}
+      ) t0
+      GROUP BY root, bucket
+    ) perb
+  ) cum
+  GROUP BY root
+) fit
+ORDER BY root
+""".strip()

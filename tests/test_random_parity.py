@@ -220,6 +220,9 @@ EMB_QUERIES = [
         + "\n) fp WHERE vec_a % 10 = 0 OR vec_b % 10 = 0",
     ),
     ("ivf_recall", lambda d: similarity.gen_ivf_recall(d, 0, 10)),
+    # r11c recall curve: duplicate/antipode/zero vectors stress lattice
+    # ties in BOTH ranked lists and the per-k grid join
+    ("ivf_recall_curve", lambda d: similarity.gen_ivf_recall_curve(d, 0, ks=(1, 3, 5))),
     # round-5 audit plane: the all-zero vector must land in n_zero_norm (not
     # crash), and outlier ranks must agree on exact-duplicate ties
     ("embedding_stats", lambda d: similarity.gen_embedding_stats(d)),
@@ -500,6 +503,9 @@ DOC_ENTRIES = [
     # r11c recrawl priority: random corpora exercise duplicate-fetch
     # sequences (transition counting) and single-fetch unknowns
     "ingest_recrawl_priority",
+    # r11c du forecast: random corpora give ragged per-root bucket
+    # histories incl. the single-bucket NULL-guard path
+    "report_du_forecast",
     # disc-bound winsorize on tiny strata; NULL lang/n_chars filtered
     "text_length_robust",
     # multi-byte words: substr/length are char-based in both engines;

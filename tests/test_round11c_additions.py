@@ -538,3 +538,99 @@ def test_ams_f2_planted_python_replication():
         assert (ne, nu) == (sum(users.values()), len(users))
         assert f2x == f2_exact
         assert e == est and m == est_mean
+
+
+# ---------------------------------------------------------------------------
+# report_du_forecast: hand-derived OLS on a planted ingest history, plus the
+# single-bucket NULL-guard root.
+# ---------------------------------------------------------------------------
+
+
+def test_du_forecast_planted_ols():
+    from storage_crawler_spark.plans.dialect import DUCK
+    from storage_crawler_spark.reports.usage import gen_du_forecast
+
+    rows = [
+        # /data: buckets 0,1,2 add 100,100,400 -> y = 100,200,600, x = 0,1,2
+        # n=3 sx=3 sy=900 sxy=1400 sxx=5 -> slope (4200-2700)/6 = 250
+        # horizon = 600 * 6 / 1500 = 2.4
+        ("/data/a", 0, 60),   ("/data/b", 0, 40),
+        ("/data/c", 60, 100),
+        ("/data/d", 120, 400),
+        # /solo: one bucket -> NULL slope and horizon
+        ("/solo/x", 300, 77),
+    ]
+    f = pd.DataFrame(
+        {
+            "path": [r[0] for r in rows],
+            "insert_epoch": pd.array([r[1] for r in rows], dtype="int64"),
+            "st_size": pd.array([r[2] for r in rows], dtype="int64"),
+        }
+    )
+    got = _duck(gen_du_forecast(DUCK, interval_s=60, src="my_files"), my_files=f)
+    by = {
+        r: (n, c, s, h)
+        for r, n, c, s, h in zip(got["root"], got["n_buckets"], got["cur_bytes"],
+                                 got["slope_bytes_per_interval"],
+                                 got["intervals_to_double"])
+    }
+    assert by["data"] == (3, 600, 250.0, 2.4)
+    assert by["solo"][0:2] == (1, 77) and by["solo"][2] is None and by["solo"][3] is None
+
+
+# ---------------------------------------------------------------------------
+# sim_ivf_recall_curve: planted store where the bucket structure makes the
+# whole curve hand-derivable (in-bucket vs out-of-bucket neighbours).
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_recall_curve_planted():
+    import numpy as np
+    import pyarrow as pa
+
+    from storage_crawler_spark.operators.similarity import gen_ivf_recall_curve
+
+    # dim 4, nbits=4 sign bucket over all components.  Query = [1,1,1,1]
+    # (bucket 1111).  In-bucket: three progressively-rotated positives.
+    # Out-of-bucket: one vector CLOSER than every in-bucket one (first
+    # component negative -> different bucket) — the recall killer.
+    # a one-negative-component vector's cosine against q caps at
+    # cos = 3/(2*sqrt(3)) = 0.866 (at x1 -> 0-), so the in-bucket vectors
+    # are chosen BELOW that cap to make the out-of-bucket neighbour rank 1
+    vecs = [
+        [1.0, 1.0, 1.0, 1.0],           # 0 query (bucket 1111)
+        [-0.015625, 1.0, 1.0, 1.0],     # 1 out-of-bucket, cos ~ 0.8616 (rank 1)
+        [1.0, 1.0, 0.25, 0.125],        # 2 in-bucket, cos ~ 0.8237
+        [1.0, 0.5, 0.25, 0.125],        # 3 in-bucket, cos ~ 0.809
+        [1.0, 0.25, 0.125, 0.0625],     # 4 in-bucket, cos ~ 0.689
+        [-1.0, -1.0, -1.0, -1.0],       # 5 antipode, out-of-bucket, rank last
+    ]
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    q = vecs[0]
+    ranked = sorted(range(1, 6), key=lambda i: (-math.floor(cos(q, vecs[i]) * 1e6), i))
+    in_bucket = {i for i in range(1, 6) if all(c >= 0 for c in vecs[i])}
+    iv_ranked = [i for i in ranked if i in in_bucket]
+    table = pa.table({
+        "vec_id": pa.array(range(6), pa.int64()),
+        "embedding": pa.array([np.array(v, dtype=np.float32) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 6, pa.int32()),
+    })
+    got = _duck(gen_ivf_recall_curve(DUCK, ks=(1, 2, 5)),
+                embeddings=table.to_pandas())
+    by = {k: (ne, nh, r) for k, ne, nh, r in zip(got["k"], got["n_exact"],
+                                                 got["n_hits"], got["recall"])}
+    # hand-derive expected hits per k
+    for k in (1, 2, 5):
+        ex_k = set(ranked[:k]); iv_k = set(iv_ranked[:k])
+        hits = len(ex_k & iv_k)
+        n_exact = min(k, 5)
+        assert by[k][0] == n_exact and by[k][1] == hits, (k, by[k], ranked, iv_ranked)
+        assert abs(by[k][2] - hits / n_exact) < 1e-6
+    # the planted out-of-bucket near-neighbour must actually cost recall@1
+    assert ranked[0] == 1 and by[1][1] == 0

@@ -166,6 +166,10 @@ NLJ_ALLOWED = {
     # bootstrap CI: CROSS JOIN of the 1-row point-estimate aggregate with
     # the 1-row folded-replica relation — both build sides exactly 1 row
     "sample_bootstrap_ci",
+    # recall curve: the constant k-grid VALUES relation joins the ranked
+    # lists on rnk <= k (non-equi by construction) — build side <= |ks|
+    # rows, scan side <= kmax rows; plus the 1-row query-vector cross join
+    "sim_ivf_recall_curve",
     # KMV overlap: the type-pair grid is a non-equi (a.type < b.type) join
     # of the <=|types|-row DISTINCT type relations, and the union-merge
     # threshold join is a range predicate (h <= tau) over k-row synopses —
