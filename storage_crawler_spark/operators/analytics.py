@@ -11,6 +11,7 @@ semantically identical query.
 from __future__ import annotations
 
 from storage_crawler_spark.plans.dialect import Dialect
+from storage_crawler_spark.operators import check_model_state
 
 SECONDS_PER_WEEK = 604_800
 
@@ -808,6 +809,10 @@ def pagerank_events(spark, k: int = PR_ITERS):
     edges = rel.localCheckpoint(eager=True)
     nd = spark.sql(f"WITH {base} SELECT * FROM nd").localCheckpoint(eager=True)
     n = nd.count()
+    # bounded-model-state contract (r12): the per-iteration rank/contrib
+    # relations stay distributed, but their size — and the loop's cost —
+    # is |event types|; assert the schema-guaranteed bound loudly
+    check_model_state(n, "pagerank_events (event-type node relation)")
     if n == 0:
         return spark.sql(
             "SELECT CAST(NULL AS BIGINT) AS rnk, CAST(NULL AS STRING) AS event_type, "
@@ -1012,10 +1017,15 @@ def hits_events(spark, k: int = PR_ITERS):
     from storage_crawler_spark.plans.dialect import SPARK
 
     base = pagerank_cte_base(SPARK)
+    nodes = [r[0] for r in spark.sql(f"WITH {base} SELECT node FROM nodes").collect()]
+    # bounded-model-state contract (r12): nodes are event TYPES, so the
+    # edge relation is ≤ |nodes|² — guard the node set BEFORE collecting
+    # edges, then the actual edge rows (PCA-guard precedent)
+    check_model_state(len(nodes) * len(nodes), "hits_events (type x type edges)")
     edges = spark.sql(
         f"WITH {base} SELECT e.from_type, e.to_type, e.p_scaled FROM e"
     ).collect()
-    nodes = [r[0] for r in spark.sql(f"WITH {base} SELECT node FROM nodes").collect()]
+    check_model_state(3 * len(edges), "hits_events (collected edge rows)")
     if not nodes:
         return spark.sql(
             "SELECT CAST(NULL AS STRING) AS event_type, "

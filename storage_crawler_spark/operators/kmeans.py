@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from storage_crawler_spark.operators import check_model_state
+
 
 def _dist2_expr(centroid: list[float]) -> str:
     """Squared L2 distance from ``ev`` to a literal centroid, as one fold."""
@@ -107,6 +109,8 @@ def kmeans_fit(
         # array_position over a zero-arm distance array three calls later
         # (empty-input battery catch); same contract as the farthest init
         raise ValueError("cannot fit k-means on an empty vector set")
+    # bounded-model-state contract (r12): k x dim driver state per round
+    check_model_state(k * len(centroids[0]), "kmeans_fit (k x dim centroids)")
     for _ in range(iters):
         assigned = assign_clusters(vectors, centroids)
         means = (
@@ -373,6 +377,10 @@ def kmeans_fit_lattice(spark, k: int = KM_K, iters: int = KM_ITERS):
     if not init:
         raise ValueError("cannot fit k-means on an empty vector set")
     centroids = [list(r.qarr) for r in init]
+    # bounded-model-state contract (r12): k x dim driver state per round
+    check_model_state(
+        k * len(centroids[0]), "kmeans_fit_lattice (k x dim centroids)"
+    )
     sizes: dict[int, int] = {}
     for _ in range(iters):
         arrs = [

@@ -42,6 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from storage_crawler_spark.operators import check_model_state
 from storage_crawler_spark.operators.kmeans import kmeans_fit, load_vectors
 
 
@@ -461,6 +462,9 @@ def pq_fit_lattice(spark, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = PQ_IT
     was the real hot spot and is unrolled instead (see
     :func:`_d2_unrolled` / :func:`pq_lattice_topk`)."""
     pv, vs, dim = _pq_lattice_vs(spark, m)
+    # bounded-model-state contract (r12): the codebook tensor is
+    # m x ksub x (dim/m) = ksub x dim cells of driver state per round
+    check_model_state(ksub * dim, "pq_fit_lattice (codebook tensor)")
     init = pv.orderBy("vec_id").limit(ksub).select("vec_id").collect()
     init_ids = [r.vec_id for r in init]
     seed = {

@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 from storage_crawler_spark.plans.dialect import Dialect
+from storage_crawler_spark.operators import check_model_state
 
 
 def _norm_cte(d: Dialect, with_bucket: bool = False) -> str:
@@ -1459,6 +1460,15 @@ pr AS (SELECT ai, bi, simq FROM pairs)
 SELECT p.vec_id, p.relq, pr.bi, pr.simq
 FROM pool p LEFT JOIN pr ON pr.ai = p.vec_id"""
     ).collect()
+    # bounded-model-state contract (r12): the pool prep is ≤ pool_n rows
+    # plus the pool's pairwise sims — pool_n(pool_n+1) cells by the LIMIT
+    # in the prep CTEs; assert it held (4-wide rows)
+    check_model_state(4 * len(prep), "mmr_rerank (pool + pair sims)")
+    if len(prep) > pool_n * (pool_n + 1):
+        raise ValueError(
+            f"mmr_rerank pool prep returned {len(prep)} rows for "
+            f"pool_n={pool_n} — the prep LIMIT contract broke"
+        )
     pool_rows = sorted({(r["vec_id"], r["relq"]) for r in prep})
     pair_sims = {
         (r["vec_id"], r["bi"]): r["simq"] for r in prep if r["bi"] is not None

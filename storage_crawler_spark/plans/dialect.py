@@ -187,12 +187,41 @@ class Dialect:
         ascii(''))."""
         return f"(CASE WHEN length({s}) = 0 THEN 0 ELSE ascii(substr({s}, 1, 1)) END)"
 
+    def byte_len(self, s: str) -> str:
+        """UTF-8 byte length of a string (length()/len() count CHARACTERS
+        in both engines — wrong for width-in-bytes statistics on non-ASCII
+        text; r11 ADVICE).  Spark octet_length(VARCHAR) and DuckDB
+        strlen(VARCHAR) both count encoded bytes."""
+        if self.name == "spark":
+            return f"octet_length({s})"
+        return f"strlen({s})"
+
     def trunc6(self, x: str) -> str:
         """Truncate to 6 decimals via floor — engine-independent, unlike
         round(): rational ratios (k/2^m) land EXACTLY on decimal ties where
-        Spark rounds HALF_UP and DuckDB half-to-even.  Spark's floor(double)
-        returns BIGINT, DuckDB's DOUBLE, so cast before the division."""
-        return f"(CAST(floor(({x}) * 1000000) AS DOUBLE) / 1000000)"
+        Spark rounds HALF_UP and DuckDB half-to-even.
+
+        The floor must stay in DOUBLE end-to-end: Spark's floor(double)
+        returns BIGINT, which silently CLAMPS at 2^63 — for |x| ≳ 9.2e12
+        (x·1e6 past the BIGINT range; real at capacity-forecast scale,
+        r12) the old CAST(floor(...) AS DOUBLE) form returned 2^63/1e6
+        while DuckDB's DOUBLE floor kept the true value.  Spark side now
+        branches at 2^52: above it every double is already integral, so
+        floor is the identity (no BIGINT round-trip, no clamp — same
+        value DuckDB's DOUBLE floor returns up to and past 2^63); below
+        it the BIGINT floor is exact and the cast back is exact (|n| <
+        2^52), so values are bit-identical to the old form everywhere the
+        old form didn't clamp.  (A pmod-based y − frac(y) identity was
+        rejected: the +1 re-centering for negative fractions rounds,
+        which can miss the true floor by one ULP — this branch form is
+        exact for every finite double.)"""
+        y = f"(({x}) * 1000000)"
+        if self.name == "spark":
+            return (
+                f"((CASE WHEN abs({y}) >= 4503599627370496.0e0 THEN {y} "
+                f"ELSE CAST(floor({y}) AS DOUBLE) END) / 1000000)"
+            )
+        return f"(CAST(floor({y}) AS DOUBLE) / 1000000)"
 
     # ---- time -------------------------------------------------------------
     def epoch_s_events(self, col: str) -> str:

@@ -4505,14 +4505,16 @@ ORDER BY channel
     def _b_cc(spark, sf_dir):
         from storage_crawler_spark.operators.cluster import (
             gen_knn_clustering_coeff,
-            gen_knn_edges,
+            knn_edges_lattice,
         )
 
         V.register_base_tables(spark, sf_dir, ("embeddings",))
         # the edge relation is referenced four times (degree, wedge x2,
         # triangle membership) from INSIDE the downstream WITH chain, so
-        # persist can't reach it — checkpoint instead (audit_cache.py)
-        _checkpoint_view(spark.sql(gen_knn_edges(SPARK, m=8)), "_cc_edges")
+        # persist can't reach it — checkpoint instead (audit_cache.py);
+        # edges come from the trained-cell engine path (r12: driver fit,
+        # cell-local candidates — the fixed sign bucket grew quadratically)
+        _checkpoint_view(knn_edges_lattice(spark, m=8), "_cc_edges")
         return spark.sql(gen_knn_clustering_coeff(SPARK, edges_rel="_cc_edges"))
 
     from storage_crawler_spark.operators.cluster import (
@@ -4536,14 +4538,14 @@ ORDER BY channel
     def _b_graph_2hop(spark, sf_dir):
         from storage_crawler_spark.operators.cluster import (
             gen_graph_2hop_topk,
-            gen_knn_edges,
+            knn_edges_lattice,
         )
 
         V.register_base_tables(spark, sf_dir, ("embeddings",))
-        # edge columns are computed through the bucket join and the
+        # edge columns are computed through the cell join and the
         # relation is referenced twice in the hop chain — checkpoint
-        # (the k-core/cc pattern)
-        _checkpoint_view(spark.sql(gen_knn_edges(SPARK, m=8)), "_gann_edges")
+        # (the k-core/cc pattern); trained-cell engine path (r12)
+        _checkpoint_view(knn_edges_lattice(spark, m=8), "_gann_edges")
         return spark.sql(gen_graph_2hop_topk(SPARK, edges_rel="_gann_edges"))
 
     from storage_crawler_spark.operators.cluster import (
@@ -4567,14 +4569,15 @@ ORDER BY channel
 
     def _b_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         from storage_crawler_spark.operators.cluster import (
-            gen_knn_edges,
             gen_knn_link_predict,
+            knn_edges_lattice,
         )
 
         V.register_base_tables(spark, sf_dir, ("embeddings",))
-        # k-core pattern: edge columns computed through the bucket join,
-        # relation referenced four times (wedge join x2, anti-join, degrees)
-        _checkpoint_view(spark.sql(gen_knn_edges(SPARK, m=8)), "_lp_edges")
+        # k-core pattern: edge columns computed through the cell join,
+        # relation referenced four times (wedge join x2, anti-join, degrees);
+        # trained-cell engine path (r12)
+        _checkpoint_view(knn_edges_lattice(spark, m=8), "_lp_edges")
         return spark.sql(gen_knn_link_predict(SPARK, edges_rel="_lp_edges"))
 
     from storage_crawler_spark.operators.cluster import (
@@ -4730,14 +4733,21 @@ ORDER BY channel
         from storage_crawler_spark.operators.cluster import (
             gen_kcore_peeled,
             gen_knn_kcore,
+            knn_edges_lattice,
         )
 
         V.register_base_tables(spark, sf_dir, ("embeddings",))
-        # one checkpointed relation: the peeled edge set (the final
-        # projection reads it twice — degree rows + the 1-row convergence
-        # min — from INSIDE a WITH chain, so persist can't reach it); the
-        # checkpoint also truncates the 6-round unrolled peel lineage
-        _checkpoint_view(spark.sql(gen_kcore_peeled(SPARK)), "_kcore_peeled")
+        # two checkpointed relations: the trained-cell edge set (r12 engine
+        # path — the peel chain references it once but its columns are
+        # computed through the cell join), then the peeled edge set (the
+        # final projection reads it twice — degree rows + the 1-row
+        # convergence min — from INSIDE a WITH chain, so persist can't
+        # reach it); the checkpoint also truncates the 6-round peel lineage
+        _checkpoint_view(knn_edges_lattice(spark, m=8), "_kcore_edges")
+        _checkpoint_view(
+            spark.sql(gen_kcore_peeled(SPARK, edges_rel="_kcore_edges")),
+            "_kcore_peeled",
+        )
         return spark.sql(gen_knn_kcore(SPARK, peeled_rel="_kcore_peeled"))
 
     from storage_crawler_spark.operators.cluster import (
@@ -4749,8 +4759,9 @@ ORDER BY channel
         _b_kcore,
         _gen_knn_kcore(DUCK),
         tags=("similarity", "embedding", "graph"),
-        doc="k-core of the mutual-kNN similarity graph (bucket-local "
-        "candidates, lattice-ranked top-m, INTERSECT mutual filter): "
+        doc="k-core of the mutual-kNN similarity graph (trained-cell "
+        "candidates — lattice k-means + residual-sign refinement, r12 — "
+        "lattice-ranked top-m, INTERSECT mutual filter): "
         "fixed-round peel where each round is ONE pass with two "
         "PARTITION-BY degree windows (linear plan growth — the join "
         "form doubles per round under CTE inlining); converged flag "

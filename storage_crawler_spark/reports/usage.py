@@ -347,6 +347,17 @@ def gen_du_forecast(d: Dialect, interval_s: int = 60, src: str = "files") -> str
     with a single bucket (no trend evidence) yield NULL slope via the
     nullif guard, never a divide-by-zero.
 
+    Overflow posture (r11 ADVICE): the four sums and every product of
+    sums accumulate as DECIMAL(38,0) — exact integer arithmetic to 1e38,
+    order-free, identical in both engines (the money-sum discipline), so
+    nΣxy, ΣxΣy etc. cannot wrap at any realistic scale (daily buckets
+    over a decade at 1 PB cumulative ≈ 1e25 ≪ 1e38).  The only BIGINT
+    stage left is the PER-TERM product x·y, bounded by max_x · cur_bytes
+    < 2^63 — e.g. 10 years of daily buckets (x ≤ 3653) times ~2.5 EB per
+    root — a physical-impossibility margin, where the old BIGINT Σxy
+    wrapped silently (non-ANSI Spark) vs DuckDB's raise at ~300 buckets
+    of a 100 TB root.
+
     100 TB shape: one partial-combining aggregate to the per-(root,
     bucket) relation (tiny: corpus age / interval rows per root); the
     running sum and the x-offset windows run on that relation only — the
@@ -355,20 +366,25 @@ def gen_du_forecast(d: Dialect, interval_s: int = 60, src: str = "files") -> str
     bucket = d.idiv("insert_epoch", str(interval_s))
     # nested subqueries, no top-level WITH: the DuckDB oracle is wrapped by
     # with_files_cte (which owns the WITH), the Spark side reads the view
+    # covariance/variance numerators as DECIMAL(38,0): exact and identical
+    # in both engines; cast to DOUBLE only at the two division points
+    num = "(n_buckets_d * sxy - sx * sy)"
+    den = "(n_buckets_d * sxx - sx * sx)"
     return f"""
 SELECT root, n_buckets, cur_bytes,
-       {d.trunc6('CAST(n_buckets * sxy - sx * sy AS DOUBLE) / nullif(n_buckets * sxx - sx * sx, 0)')} AS slope_bytes_per_interval,
-       CASE WHEN n_buckets * sxy - sx * sy > 0 THEN
-         {d.trunc6('CAST(cur_bytes AS DOUBLE) * (n_buckets * sxx - sx * sx) / (n_buckets * sxy - sx * sy)')}
+       {d.trunc6(f'CAST({num} AS DOUBLE) / nullif(CAST({den} AS DOUBLE), 0)')} AS slope_bytes_per_interval,
+       CASE WHEN {num} > 0 THEN
+         {d.trunc6(f'CAST(cur_bytes AS DOUBLE) * CAST({den} AS DOUBLE) / CAST({num} AS DOUBLE)')}
        ELSE NULL END AS intervals_to_double
 FROM (
   SELECT root,
+         CAST(count(*) AS DECIMAL(38,0)) AS n_buckets_d,
          CAST(count(*) AS BIGINT) AS n_buckets,
          CAST(max(y) AS BIGINT) AS cur_bytes,
-         CAST(sum(x) AS BIGINT) AS sx,
-         CAST(sum(y) AS BIGINT) AS sy,
-         CAST(sum(x * y) AS BIGINT) AS sxy,
-         CAST(sum(x * x) AS BIGINT) AS sxx
+         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
   FROM (
     SELECT root,
            CAST(bucket - min(bucket) OVER (PARTITION BY root) AS BIGINT) AS x,

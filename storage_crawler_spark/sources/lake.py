@@ -643,8 +643,10 @@ def gen_column_stats(d) -> str:
     decisions.  Per column: row count, NULL count/fraction, EXACT distinct
     count, numeric min/max (ship dates as DATE-epoch seconds — no raw
     timestamps in outputs, the house rule), string min/max, and average
-    width in bytes (the row-size estimate joins/aggregations are costed
-    by; numeric widths are the physical fixed widths).
+    width in UTF-8 BYTES (the row-size estimate joins/aggregations are
+    costed by; numeric widths are the physical fixed widths; string width
+    via the dialect byte_len — length() counts characters and diverges
+    across engines on non-ASCII text, r11 ADVICE).
 
     Shape: a UNION ALL of per-column single-aggregate branches — each
     branch's parquet scan is pruned to ONE column and its distinct
@@ -697,7 +699,7 @@ FROM lineitem""")
        CAST(NULL AS DOUBLE) AS max_num,
        min({name}) AS min_str,
        max({name}) AS max_str,
-       {d.trunc6(f'CAST(sum(length({name})) AS DOUBLE) / nullif(count({name}), 0)')} AS avg_width
+       {d.trunc6(f'CAST(sum({d.byte_len(name)}) AS DOUBLE) / nullif(count({name}), 0)')} AS avg_width
 FROM lineitem""")
     union = "\nUNION ALL\n".join(branches)
     return f"""

@@ -322,8 +322,9 @@ def test_graph_2hop_planted_chain():
 
     from storage_crawler_spark.operators import cluster
 
-    # unit vectors at increasing angles, all in the positive-sign bucket:
-    # with m=2, mutual-kNN forms the chain 0-1-2-3-4 and isolates 5
+    # unit vectors at increasing angles, one trained cell (cells_k=1, no
+    # residual refinement — the hop semantics are what's under test): with
+    # m=2, mutual-kNN forms the chain 0-1-2-3-4 and isolates 5
     # (4's top-2 are {3, 2}; nobody lists 5 back)
     angles = [0, 10, 20, 30, 40, 80]
     emb = pd.DataFrame(
@@ -336,7 +337,10 @@ def test_graph_2hop_planted_chain():
             "label": pd.array([0] * 6, dtype="Int32"),
         }
     )
-    got = _duck(cluster.gen_graph_2hop_topk(DUCK, 0, k=3, m=2), embeddings=emb)
+    got = _duck(
+        cluster.gen_graph_2hop_topk(DUCK, 0, k=3, m=2, cells_k=1, res_bits=0),
+        embeddings=emb,
+    )
     # query 0: hop1 = {1}, hop2 = {2}; candidates rerank to [1, 2];
     # exact top-3 = [1, 2, 3] -> 3 is the structural two-hop miss
     assert got["vec_id"] == [1, 2]

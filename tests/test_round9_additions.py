@@ -1362,15 +1362,18 @@ def test_kcore_converged_flag_honest_on_short_peel():
 def test_knn_edges_mutual_filter_prunes_one_way_links():
     from storage_crawler_spark.operators import cluster
 
-    # same sign bucket (all positive leads); with m=1: 0<->1 mutual,
-    # 2 -> 1 unreciprocated (1 prefers 0), so only edge {0,1} survives
+    # one trained cell (k=1, no residual refinement — the mutual filter is
+    # what's under test); with m=1: 0<->1 mutual, 2 -> 1 unreciprocated
+    # (1 prefers 0), so only edge {0,1} survives
     vecs = [
         [1.0, 0.02, 0.02, 0.02],
         [0.99, 0.14, 0.02, 0.02],
         [0.90, 0.43, 0.02, 0.02],
     ]
     got = _duck(
-        "SELECT a, b FROM (" + cluster.gen_knn_edges(DUCK, m=1) + ") x ORDER BY a, b",
+        "SELECT a, b FROM ("
+        + cluster.gen_knn_edges(DUCK, m=1, k=1, res_bits=0)
+        + ") x ORDER BY a, b",
         embeddings=_emb_df(vecs),
     )
     assert list(zip(got["a"], got["b"])) == [(0, 1), (1, 0)]
