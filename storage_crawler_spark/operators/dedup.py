@@ -789,6 +789,44 @@ ORDER BY bin_lo_pct
 """.strip()
 
 
+def gen_winnow_fk(
+    d: Dialect,
+    k: int = 8,
+    w: int = 4,
+    df_cap: int = 50,
+    winnow_rel: str | None = None,
+) -> str:
+    """Standalone (doc_id, fp) df-capped fingerprint relation — the shared
+    input of the winnow pair join and both per-doc size aggregates.  Split
+    out (r12) so the Spark builder can CHECKPOINT it once: the final query
+    references it three times (pair join a/b sides + sizes) and under CTE
+    inlining each reference re-ran the explode and the df groupBy — the
+    measured majority of dedup_winnow_pairs' tier-2 CPU (the r11 verdict's
+    md5-hashing hypothesis was measured and REJECTED: a portable
+    polynomial-hash rewrite of the k-gram stage was SLOWER — higher-order-
+    function interpretation dominates the lambda body — while this
+    reference-dedup recovers the triple recompute)."""
+    from storage_crawler_spark.operators.text import winnow_fps_cte
+
+    lat = d.lateral_explode("fps", "fp")
+    if winnow_rel is not None:
+        winnow = f"winnow AS (SELECT * FROM {winnow_rel})"
+    else:
+        winnow = winnow_fps_cte(d, k, w)
+    return f"""
+WITH {winnow},
+fp_rel AS (
+  SELECT doc_id, fp
+  FROM winnow
+  {lat}
+),
+kept AS (
+  SELECT fp FROM fp_rel GROUP BY fp HAVING count(*) <= {df_cap}
+)
+SELECT f.doc_id, f.fp FROM fp_rel f JOIN kept ON f.fp = kept.fp
+""".strip()
+
+
 def gen_winnow_pairs(
     d: Dialect,
     k: int = 8,
@@ -796,6 +834,7 @@ def gen_winnow_pairs(
     min_shared: int = 25,
     df_cap: int = 50,
     winnow_rel: str | None = None,
+    fk_rel: str | None = None,
 ) -> str:
     """Near-duplicate CANDIDATE pairs from winnowed fingerprints: documents
     sharing >= ``min_shared`` selected k-gram fingerprints, with the shared
@@ -815,20 +854,25 @@ def gen_winnow_pairs(
     self-equi-join -> pair aggregate, all partial-combining.
 
     ``winnow_rel`` points the query at a pre-materialized winnow relation
-    (the Spark builder persists it — the md5-per-position hashing is the
-    dominant cost and the relation is referenced three times; Spark
-    inlines CTEs, so the un-persisted form would hash the corpus thrice).
-    The oracle path leaves it None and inlines the CTE.
+    (the Spark builder persists it — the md5-per-position hashing runs
+    once and the relation feeds the explode); ``fk_rel`` points it at a
+    pre-materialized df-capped fingerprint relation (:func:`gen_winnow_fk`
+    — referenced THREE times below, so the Spark builder checkpoints it;
+    r12, the measured tier-2 CPU recovery).  The oracle path leaves both
+    None and inlines the CTEs (DuckDB materializes multiply-referenced
+    CTEs itself).
     """
     from storage_crawler_spark.operators.text import winnow_fps_cte
 
     lat = d.lateral_explode("fps", "fp")
-    if winnow_rel is not None:
-        prelude = f"WITH winnow AS (SELECT * FROM {winnow_rel}),"
+    if fk_rel is not None:
+        prelude = f"WITH fk AS (SELECT doc_id, fp FROM {fk_rel}),"
     else:
-        prelude = f"WITH {winnow_fps_cte(d, k, w)},"
-    return f"""
-{prelude}
+        if winnow_rel is not None:
+            winnow = f"winnow AS (SELECT * FROM {winnow_rel})"
+        else:
+            winnow = winnow_fps_cte(d, k, w)
+        prelude = f"""WITH {winnow},
 fp_rel AS (
   SELECT doc_id, fp
   FROM winnow
@@ -839,7 +883,9 @@ kept AS (
 ),
 fk AS (
   SELECT f.doc_id, f.fp FROM fp_rel f JOIN kept ON f.fp = kept.fp
-),
+),"""
+    return f"""
+{prelude}
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared_fps
   FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id

@@ -192,7 +192,7 @@ def test_knn_residual_sign_splits_cell_near_evenly():
 
     emb = _two_cluster_embeddings()
     got = _duck(
-        f"WITH {_knn_cells_sql(DUCK, k=1, iters=2, res_bits=1)} "
+        f"WITH {_knn_cells_sql(DUCK, k=1, iters=2, res_bits=1, cell_target=8)} "
         "SELECT cell, count(*) AS n FROM g GROUP BY cell ORDER BY cell",
         embeddings=emb,
     )
@@ -347,3 +347,28 @@ def test_mmr_guard_wired(spark, monkeypatch):
     monkeypatch.setattr(similarity, "check_model_state", _tiny_limit)
     with pytest.raises(ValueError, match="mmr_rerank"):
         similarity.mmr_rerank(spark, "/root/testdata/sf0.001")
+
+
+def test_knn_adaptive_cell_ladder_twins_agree():
+    """The SQL CASE ladder and its Python twin pick identical pw = 2^b at
+    every boundary (exact-integer compares on count(*) — the mechanism
+    that lets the cell count scale with N while the SQL stays static)."""
+    from storage_crawler_spark.operators.cluster import (
+        _knn_pw_case,
+        _knn_pw_py,
+    )
+
+    con = duckdb.connect()
+    k, tgt, bits = 8, 64, 6
+    for n in [0, 1, 511, 512, 513, 1024, 1025, 2000, 16384, 16385, 10**7]:
+        case = _knn_pw_case(str(n), k, tgt, bits)
+        sql_pw = con.execute(f"SELECT {case}").fetchone()[0]
+        assert sql_pw == _knn_pw_py(n, k, tgt, bits), n
+    # cap respected: astronomically large n still yields 2^res_bits
+    assert _knn_pw_py(10**12, k, tgt, bits) == 64
+    # population contract: smallest b with n <= k*tgt*2^b
+    for n in [1, 512, 513, 5000, 16500]:
+        pw = _knn_pw_py(n, k, tgt, bits)
+        assert n <= k * tgt * pw or pw == 64
+        if pw > 1:
+            assert n > k * tgt * (pw // 2)
