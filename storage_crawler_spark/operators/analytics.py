@@ -10,7 +10,7 @@ semantically identical query.
 
 from __future__ import annotations
 
-from storage_crawler_spark.plans.dialect import Dialect
+from storage_crawler_spark.plans.dialect import Dialect, money_double
 from storage_crawler_spark.operators import check_model_state
 
 SECONDS_PER_WEEK = 604_800
@@ -316,7 +316,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_users,
        {d.trunc6(pc.format(q='0.9'))} AS p90,
        {d.trunc6(pc.format(q='0.99'))} AS p99,
        {d.trunc6('CAST(max(total_dec) AS DOUBLE)')} AS max_total,
-       {d.trunc6('CAST(sum(total_dec) AS DOUBLE)')} AS sum_total
+       {d.trunc6(money_double('sum(total_dec)'))} AS sum_total
 FROM uv
 """.strip()
 

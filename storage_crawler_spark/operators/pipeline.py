@@ -951,7 +951,71 @@ WITH per_src AS (
   FROM documents
   GROUP BY source
 ),
-caps AS (
+{_epoch_plan_tail(d, epochs_target)}
+""".strip()
+
+
+def gen_epoch_plan_hll(d: Dialect, epochs_target: int = 2) -> str:
+    """Sketch-swapped :func:`gen_epoch_plan` (r12, verdict item 9 — the
+    swap the base entry's docstring promises for extreme scale): the
+    per-source exact-duplicate ratio driving the repeat cap comes from the
+    deterministic HLL NDV estimate (operators/sketches.gen_hll_ndv, m=64
+    registers per source) instead of count(DISTINCT md5(text)).
+
+    Cost class: the exact form shuffles every distinct (source,
+    fingerprint) pair — the dedup_exact class, corpus-sized; the sketch
+    form's state is 64 register rows per source whatever the corpus
+    volume, all partial-combining.  The estimate is engine-identical (the
+    HLL exactness argument: single-bit doubles, ≤64-term sums under 52
+    mantissa bits), so caps — and the whole closed-form water-filling
+    allocation downstream — stay hash-gateable; the ~13% relative error
+    of m=64 moves a source's cap only when 4·ratio sits near an integer
+    boundary, and the output exposes distinct_ratio so the swap is
+    auditable against the exact entry."""
+    from storage_crawler_spark.operators.sketches import gen_hll_ndv
+
+    ntoks = d.size(d.split("text"))
+    hll = gen_hll_ndv(
+        d, d.md5_utf8("text"), "documents", "epochndv", group_by="source"
+    )
+    return f"""
+WITH base_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN text IS NULL THEN 0 ELSE {ntoks} END) AS BIGINT) AS sum_tokens,
+         CAST(count(text) AS BIGINT) AS n_text
+  FROM documents
+  GROUP BY source
+),
+hll_src AS (
+{hll}
+),
+per_src AS (
+  SELECT b.source, b.n_docs, b.sum_tokens,
+         h.distinct_est AS n_distinct,
+         b.n_text
+  FROM base_src b JOIN hll_src h ON h.grp = b.source
+),
+{_epoch_plan_tail(d, epochs_target)}
+""".strip()
+
+
+def _epoch_plan_tail(d: Dialect, epochs_target: int) -> str:
+    """Shared water-filling tail of the epoch plans: everything after the
+    per-source relation (caps → totals → cap-prefix candidates → λ pick).
+    ``per_src`` must provide (source, n_docs, sum_tokens, n_distinct,
+    n_text); n_distinct may be exact BIGINT or the HLL DOUBLE estimate —
+    the cap algebra (one division, floor, least) is identical either way."""
+    return _EPOCH_TAIL_TEMPLATE.format(
+        epochs_target=epochs_target,
+        ratio=d.trunc6("c.distinct_ratio"),
+        epochs=d.trunc6("least(CAST(c.cap AS DOUBLE), l.lam)"),
+        alloc=d.trunc6("c.sum_tokens * least(CAST(c.cap AS DOUBLE), l.lam)"),
+        lam=d.trunc6("l.lam"),
+    )
+
+
+_EPOCH_TAIL_TEMPLATE = """caps AS (
   SELECT source, n_docs, sum_tokens,
          CAST(n_distinct AS DOUBLE) / n_text AS distinct_ratio,
          least(4, 1 + CAST(floor(4.0e0 * n_distinct / n_text) AS BIGINT)) AS cap
@@ -1002,11 +1066,11 @@ lamsel AS (
   FROM tot t LEFT JOIN pick p ON 1 = 1
 )
 SELECT c.source, c.n_docs, c.sum_tokens,
-       {d.trunc6('c.distinct_ratio')} AS distinct_ratio,
+       {ratio} AS distinct_ratio,
        c.cap AS repeat_cap,
-       {d.trunc6('least(CAST(c.cap AS DOUBLE), l.lam)')} AS epochs,
-       {d.trunc6('c.sum_tokens * least(CAST(c.cap AS DOUBLE), l.lam)')} AS alloc_tokens,
-       {d.trunc6('l.lam')} AS lambda_mult,
+       {epochs} AS epochs,
+       {alloc} AS alloc_tokens,
+       {lam} AS lambda_mult,
        CAST(l.feasible AS INT) AS feasible,
        l.budget AS budget_tokens
 FROM caps c CROSS JOIN lamsel l

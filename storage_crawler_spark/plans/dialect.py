@@ -363,5 +363,40 @@ class Dialect:
         return f"(({a}) {op} ({b}))"
 
 
+def money_double(sum_expr: str, scale: int = 2) -> str:
+    """Engine-identical DECIMAL-sum → DOUBLE conversion (r12, found by the
+    sf1.0 correctness tier): scale the exact decimal sum to an integral
+    BIGINT by its OWN 10^scale (exact — no rounding, no ties), then
+    rebuild the double with one fixed division.
+
+    Why the plain CAST(sum AS DOUBLE) is not portable at scale: once the
+    sum's integer units exceed 2^53 (≈ 9.2e9 currency at scale 6 — one
+    Q1 sum_charge group at sf1.0), Spark converts via Java BigDecimal
+    (ONE correctly-rounded step) while DuckDB converts int128 → double and
+    THEN divides by 10^scale (TWO roundings) — a 1-ULP divergence the
+    value hash catches.  This form is identical by construction: the
+    scaled BIGINT is exact in both engines (decimal arithmetic
+    end-to-end; the value is integral so the BIGINT cast cannot hit the
+    engines' DIFFERENT fraction policies — Spark truncates, DuckDB
+    rounds), int64 → double is one correctly-rounded step everywhere, and
+    the final division is the same IEEE op on the same operands.  Because
+    nothing is re-rounded, outputs equal the old CAST form everywhere the
+    old form was exact (|sum|·10^scale < 2^53) — no value churn at the
+    driver SFs.
+
+    ``scale`` must be ≥ the sum's true decimal scale (an understated
+    scale leaves a fraction, where Spark truncates but DuckDB rounds;
+    overstating just appends zeros and tightens the bound).  Bound:
+    |sum| < 2^63/10^scale — 9.2e16 currency at scale 2, 9.2e12 at scale
+    6 (a per-group bound; TPC-H per-group money sums sit orders below
+    it through sf10k).  Plain shared-dialect SQL — safe inside
+    one-string queries."""
+    mult = 10 ** scale
+    return (
+        f"(CAST(CAST({sum_expr} * {mult} AS BIGINT) AS DOUBLE)"
+        f" / CAST({mult} AS DOUBLE))"
+    )
+
+
 SPARK = Dialect("spark")
 DUCK = Dialect("duck")

@@ -40,7 +40,7 @@ from storage_crawler_spark.operators import (
     sketches,
     text,
 )
-from storage_crawler_spark.plans.dialect import DUCK, SPARK, Dialect
+from storage_crawler_spark.plans.dialect import DUCK, SPARK, Dialect, money_double
 from storage_crawler_spark.plans import views as V
 
 # Fixed read-only tree the fsmeta_scan entry lists on BOTH engines (its
@@ -116,8 +116,8 @@ def _shared_sql(sql: str, tables: tuple[str, ...]):
 # TPC-H-style relational plane (shared-dialect SQL; money sums via DECIMAL)
 # --------------------------------------------------------------------------
 
-_DSUM2 = "CAST(sum(CAST({x} AS DECIMAL(18,2))) AS DOUBLE)"
-_REV = "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)"
+_DSUM2 = money_double("sum(CAST({x} AS DECIMAL(18,2)))")
+_REV = money_double("sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)))", scale=4)
 
 Q1_SQL = f"""
 SELECT
@@ -126,7 +126,7 @@ SELECT
   {_DSUM2.format(x='l_quantity')} AS sum_qty,
   {_DSUM2.format(x='l_extendedprice')} AS sum_base_price,
   {_REV} AS sum_disc_price,
-  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(18,2)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  {money_double('sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(18,2)) AS DECIMAL(18,6)))', scale=6)} AS sum_charge,
   round({_DSUM2.format(x='l_quantity')} / count(*), 6) AS avg_qty,
   round({_DSUM2.format(x='l_extendedprice')} / count(*), 6) AS avg_price,
   round({_DSUM2.format(x='l_discount')} / count(*), 6) AS avg_disc,
@@ -171,9 +171,9 @@ GROUP BY n.n_name
 ORDER BY revenue DESC, nation
 """.strip()
 
-Q6_SQL = """
+Q6_SQL = f"""
 SELECT
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  {money_double('sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)))', scale=4)} AS revenue,
   count(*) AS n_rows
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
@@ -234,9 +234,9 @@ FROM (
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY n_orders DESC)
 """.strip()
 
-GROUPING_SETS_SQL = """
+GROUPING_SETS_SQL = f"""
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       {money_double('sum(CAST(o_totalprice AS DECIMAL(18,2)))')} AS sum_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """.strip()
@@ -338,7 +338,7 @@ def gen_rollup_daily(d: Dialect) -> str:
     day = f"(({e}) // 86400)" if d.name == "duck" else f"(({e}) div 86400)"
     return f"""
 SELECT event_type, day_num, count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       {money_double('sum(CAST(value AS DECIMAL(18,2)))')} AS sum_value
 FROM (SELECT event_type, {day} AS day_num, value FROM events) t
 GROUP BY ROLLUP(event_type, day_num)
 """.strip()
@@ -455,10 +455,10 @@ def _b_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SALTED_JOIN_ORACLE = """
+_SALTED_JOIN_ORACLE = f"""
 SELECT c.c_mktsegment AS mktsegment,
        CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       {money_double('sum(CAST(o.o_totalprice AS DECIMAL(18,2)))')} AS total_price
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 ORDER BY mktsegment
@@ -737,9 +737,9 @@ def _b_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SALTED_AGG_ORACLE = """
+SALTED_AGG_ORACLE = f"""
 SELECT o_orderstatus, count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       {money_double('sum(CAST(o_totalprice AS DECIMAL(18,2)))')} AS sum_price,
        max(o_totalprice) AS max_price, min(o_orderkey) AS min_key
 FROM orders GROUP BY o_orderstatus
 """.strip()
@@ -811,7 +811,7 @@ _DUCK_EPOCH_EVENTS = "CAST(floor(epoch(ts)) AS BIGINT)"
 STREAMING_WINDOW_ORACLE = f"""
 SELECT (epoch_s // {_WINDOW_S}) * {_WINDOW_S} AS window_start, event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       {money_double('sum(CAST(value AS DECIMAL(18,2)))')} AS sum_value
 FROM (SELECT {_DUCK_EPOCH_EVENTS} AS epoch_s, event_type, value FROM events) t
 GROUP BY 1, 2
 """.strip()
@@ -1169,6 +1169,22 @@ def _specs() -> list[QuerySpec]:
         "budget in closed relational form (prefix sums over the <=4-row "
         "cap relation, no iteration); infeasible budgets reported, never "
         "silently scaled",
+    )
+    b, o = _sql_pair(pipeline_ops.gen_epoch_plan_hll, ("documents",))
+    add(
+        "pipeline_epoch_plan_hll",
+        b,
+        o,
+        tags=("pipeline", "sampling", "sketch"),
+        doc="sketch-swapped epoch allocation (r12): the per-source repeat "
+        "cap's duplicate ratio comes from the deterministic 64-register "
+        "HLL NDV estimate instead of count(DISTINCT md5(text)) — the "
+        "extreme-scale form the exact entry's docstring promises (exact "
+        "NDV shuffles every distinct (source, fingerprint) pair; the "
+        "sketch's state is 64 rows per source at any corpus volume); "
+        "estimate engine-identical (single-bit doubles, <=64-term sums "
+        "under 52 mantissa bits), so the whole water-filling allocation "
+        "stays hash-gated",
     )
     b, o = _sql_pair(sampling.gen_shard_plan, ("documents",))
     add(
@@ -1927,6 +1943,27 @@ def _specs() -> list[QuerySpec]:
         "multi-distinct Expand form at sf0.1; the shape Spark's own "
         "ANALYZE runs); swap exact NDVs for the deterministic HLL "
         "sketch at extreme scale",
+    )
+
+    from storage_crawler_spark.sources.lake import (
+        gen_column_stats_hll as _gen_colstats_hll,
+    )
+
+    b, o = _sql_pair(_gen_colstats_hll, ("lineitem",))
+    add(
+        "lake_column_stats_hll",
+        b,
+        o,
+        tags=("lake", "audit", "sketch"),
+        doc="sketch-swapped column statistics (r12): per-column NDV from "
+        "the deterministic 64-register HLL (doubles canonicalized through "
+        "an exact cent lattice before hashing — engines disagree on "
+        "double->string rendering), exact counts/null fractions beside "
+        "it — the extreme-scale ANALYZE leg the exact entry's docstring "
+        "promises: register state constant in column cardinality, "
+        "map-side partial max, one tiny shuffle per column; estimate "
+        "engine-identical so the entry stays value-hash-gated despite "
+        "being approximate",
     )
 
     def _b_streaming_docs_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4850,80 +4887,81 @@ ORDER BY channel
 # the window with the oldest r4 stamps after them.  New r11 operators are
 # inserted after the must-stamp head as they land (newest code meets the
 # gate); overflow past 50 keeps its old stamp and rotates next round.
+# Round-12 window: 2 never-stamped sketch-swap entries, then every entry
+# whose FORMULATION changed this round (the kNN-graph trained-cell edges,
+# the winnow fk checkpoint, the two r11 ADVICE fixes, and the full
+# money_double plane — 22 oracles changed text when the sf1.0 tier exposed
+# the decimal→double double-rounding divergence), then stamp age: the last
+# 17 r3-era stamps (after this window nothing predates r4) and the six
+# oldest r4 fillers.
 _DRIVER_WINDOW_FIRST = (
-    # --- never-stamped / fixed / reworked this round ----------------------
-    "ingest_sitemap_coverage",
-    "lake_vacuum_plan",
-    "sim_pq_recall",
-    "streaming_funnel_steps",
-    "ingest_url_dedup",
-    "ingest_domain_tiers",
-    "ingest_robots_filter",
-    "ingest_blocklist_filter",
-    "ingest_url_revisions",
-    # --- round-11 operators / reworks (added as they land) ----------------
-    "streaming_url_dedup",
-    "report_hardlink_usage",
-    "sim_pq_topk",  # engine path re-vectorized r11 (numpy ADC)
+    # --- never-stamped (new r12): the two sketch-swapped NDV entries ------
+    "pipeline_epoch_plan_hll",
+    "lake_column_stats_hll",
+    # --- reworked this round (newest formulation meets the gate) ----------
+    # kNN-graph family: trained-cell + adaptive residual-sign candidates
+    # replaced the fixed sign bucket (edge sets changed)
+    "sim_knn_kcore",
+    "sim_knn_clustering_coeff",
     "sim_graph_2hop_topk",
-    "embedding_binary_audit",
-    "sim_hamming_topk",
-    "lake_file_skipping",
-    "ingest_url_frontier",
-    "sketch_hll_distinct",
-    "streaming_hll_distinct",
-    "sketch_dd_quantiles",
-    "streaming_dd_quantiles",
-    "multimodal_phash",
-    "sketch_kmv_overlap",
-    # --- round-11 third-pass operators (added as they land) ---------------
-    "sample_priority",
-    "pipeline_epoch_plan",
-    "text_encoding_audit",
-    "ingest_domain_caps",
-    "ingest_recrawl_priority",
-    "lake_column_stats",
     "sim_knn_link_predict",
-    "sketch_ams_f2",
-    "streaming_ams_f2",
-    "sim_ivf_recall_curve",
+    # winnow pairs: df-capped fingerprint relation checkpointed (oracle
+    # CTE refactor rode along)
+    "dedup_winnow_pairs",
+    # DECIMAL(38,0) OLS accumulators (r11 ADVICE)
     "report_du_forecast",
-    # --- the 33 r3-era stamps (oldest in the ledger; q1/q3/q5 are r4 and
-    # q1 is additionally smoke-checked every round as the flagship) -------
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
+    # byte-accurate string widths (r11 ADVICE)
+    "lake_column_stats",
+    # money_double: every DECIMAL-sum -> DOUBLE now detours through an
+    # exact integral BIGINT (the sf1.0 tier caught Spark/DuckDB double-
+    # rounding divergence above 2^53) — all money-plane oracles changed
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
     "tpch_q6_revenue",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q10_returned_items",
     "tpch_q11_important_stock",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
-    "tpch_q16_distinct_suppliers",
     "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customer",
     "tpch_q19_disjunctive_filter",
-    # (tpch_q20_part_promotion / tpch_q21_waiting_suppliers /
-    # tpch_q22_acctbal_prospects /
-    # grouping_sets_orders /
-    # join_anti_customers_without_orders /
-    # setops_customer_cohorts /
-    # window_moving_avg / split_assign / split_counts / text_normalize /
-    # text_pii_redact —
-    # r3-era refreshes — rotated out for the r11c never-stamped operators;
-    # their r3 stamps hold.)
-    # (text_quality_filter / dedup_jaccard_block_guard / dedup_minhash_signatures /
-    # report_first_thousand / report_schema_files — the four youngest of
-    # the r3-era block — rotated out for the never-stamped r11 sketch
-    # pairs; never-stamped beats stamp-refresh, and their r3 stamps hold.)
-    # (oldest-r4 fillers — dedup_exact / sim_cosine_topk / join_asof_events
-    # / join_range_events / report_status_averages / report_status_brief /
-    # owner_prefix_join / window_event_deltas — rotated out as the r11
-    # operators landed — their r4/r8 stamps hold; the next round's
-    # rotation picks them up.)
+    "tpch_q22_acctbal_prospects",
+    "events_user_value_quantiles",
+    "grouping_sets_orders",
+    "rollup_events_daily",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "streaming_window_counts",
+    # --- stamp-age fillers: the LAST r3-era stamps (ledger oldest; after
+    # this window nothing predates r4), then the oldest r4 block ---------
+    "dedup_jaccard_block_guard",
+    "dedup_minhash_signatures",
+    "join_anti_customers_without_orders",
+    "report_first_thousand",
+    "report_schema_files",
+    "setops_customer_cohorts",
+    "split_assign",
+    "split_counts",
+    "text_normalize",
+    "text_pii_redact",
+    "text_quality_filter",
+    "text_repetition",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_suppliers",
+    "window_moving_avg",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_lsh_quality",
+    "events_json_props",
+    "join_asof_events",
+    "join_range_events",
+    # (r11 window occupants — the 26 then-never-stamped r11 operators and
+    # the r3 refreshes — all went green in CORRECTNESS_r11; their stamps
+    # are current, so they rotate out.  Remaining r4-era stamps queue for
+    # the r13 window tail.)
 )
 
 

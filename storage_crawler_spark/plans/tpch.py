@@ -34,7 +34,9 @@ and DuckDB (the oracle), so plan and oracle cannot drift.
 
 from __future__ import annotations
 
-_REV = "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)"
+from storage_crawler_spark.plans.dialect import money_double
+
+_REV = money_double("sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)))", scale=4)
 
 
 def _trunc6(x: str) -> str:
@@ -73,7 +75,7 @@ ORDER BY supp_nation, cust_nation, l_year
 
 Q8_SQL = f"""
 SELECT o_year,
-       {_trunc6("CAST(sum(CASE WHEN nation = 'NATION_7' THEN vol_dec ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / CAST(sum(vol_dec) AS DOUBLE)")} AS mkt_share
+       {_trunc6(money_double("sum(CASE WHEN nation = 'NATION_7' THEN vol_dec ELSE CAST(0 AS DECIMAL(18,4)) END)", scale=4) + " / " + money_double("sum(vol_dec)", scale=4))} AS mkt_share
 FROM (
   SELECT EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS o_year,
          CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2)) AS vol_dec,
@@ -117,8 +119,8 @@ ORDER BY custdist DESC, c_count DESC
 
 Q14_SQL = f"""
 SELECT {_trunc6(
-    "100.00 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%' THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)"
-    " / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)"
+    "100.00 * " + money_double("sum(CASE WHEN p.p_type LIKE 'PROMO%' THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,4)) END)", scale=4)
+    + " / " + money_double("sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2)))", scale=4)
 )} AS promo_revenue
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
@@ -154,7 +156,7 @@ ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
 # avg threshold via exact integer-valued-double sum: deterministic in any
 # summation order, so the correlated comparison cannot flip between engines.
 Q17_SQL = f"""
-SELECT {_trunc6("CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0")} AS avg_yearly
+SELECT {_trunc6(money_double("sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))") + " / 7.0")} AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#23'
@@ -187,14 +189,14 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BET
    OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
 """.strip()
 
-Q22_SQL = """
+Q22_SQL = f"""
 SELECT cntrycode, count(*) AS numcust,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+       {money_double('sum(CAST(c_acctbal AS DECIMAL(18,2)))')} AS totacctbal
 FROM (
   SELECT substr(c.c_name, 17, 2) AS cntrycode, c.c_acctbal
   FROM customer c
   WHERE c.c_acctbal > (
-      SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      SELECT {money_double('sum(CAST(c2.c_acctbal AS DECIMAL(18,2)))')} / count(*)
       FROM customer c2 WHERE c2.c_acctbal > 0.0
     )
     AND NOT EXISTS (
@@ -235,8 +237,8 @@ LIMIT 100
 
 # q9 shape: LIKE-filtered part, 5-way join, profit = revenue − cost, grouped
 # by (nation, year).  p_retailprice stands in for ps_supplycost.
-Q9_SQL = """
-SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+Q9_SQL = f"""
+SELECT nation, o_year, {money_double('sum(amount)', scale=4)} AS sum_profit
 FROM (
   SELECT n.n_name AS nation,
          EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS o_year,
@@ -256,16 +258,16 @@ ORDER BY nation, o_year DESC
 # q11 shape: grouped value HAVING > fraction-of-global scalar subquery.
 # Both sides reduced to DOUBLE via one exact DECIMAL sum before the single
 # float multiply/compare, so the threshold cannot flip between engines.
-Q11_SQL = """
+Q11_SQL = f"""
 SELECT l.l_partkey AS partkey,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+       {money_double('sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2)))', scale=4)} AS part_value
 FROM lineitem l
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE n.n_name = 'NATION_7'
 GROUP BY l.l_partkey
-HAVING CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) > (
-  SELECT CAST(sum(CAST(l2.l_extendedprice AS DECIMAL(18,2)) * CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 0.001
+HAVING {money_double('sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2)))', scale=4)} > (
+  SELECT {money_double('sum(CAST(l2.l_extendedprice AS DECIMAL(18,2)) * CAST(l2.l_quantity AS DECIMAL(18,2)))', scale=4)} * 0.001
   FROM lineitem l2
   JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
   JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey

@@ -710,3 +710,66 @@ FROM (
 ) u
 ORDER BY col_id
 """.strip()
+
+
+def gen_column_stats_hll(d) -> str:
+    """Sketch-swapped :func:`gen_column_stats` (r12, verdict item 9 — the
+    swap the base entry's docstring promises for extreme scale): the exact
+    per-column count(DISTINCT) — the one aggregate whose state grows with
+    column cardinality — is replaced by the deterministic HLL NDV estimate
+    (operators/sketches.gen_hll_ndv, 64 registers per column, state
+    constant in the data).  Everything else (counts, null fractions) stays
+    exact; min/max/width are dropped — this is the NDV leg, the other legs
+    are already bounded-state in the exact entry.
+
+    Hash-input canonicalization: ints/strings hash as-is; DOUBLE money/
+    quantity columns go through an exact cent lattice (floor(x·100 + 0.5)
+    — engines disagree on double→string scientific-notation thresholds,
+    and TPC-H columns carry exactly 2 decimals so the lattice is
+    injective); ship dates hash their epoch-seconds BIGINT.
+
+    Shape: per-column branch = one exact count pass CROSS JOIN one 64-row
+    register aggregate, column-pruned like the exact entry's union; the
+    estimate is engine-identical (the HLL exactness argument), so the
+    entry stays value-hash-gated despite being approximate."""
+    from storage_crawler_spark.operators.sketches import gen_hll_ndv
+
+    es = d.epoch_s_date("l_shipdate")
+    cents = "CAST(floor({c} * 100 + 0.5e0) AS BIGINT)"
+    cols = [
+        ("l_orderkey", "CAST(l_orderkey AS STRING)"),
+        ("l_partkey", "CAST(l_partkey AS STRING)"),
+        ("l_suppkey", "CAST(l_suppkey AS STRING)"),
+        ("l_linenumber", "CAST(l_linenumber AS STRING)"),
+        ("l_quantity", f"CAST({cents.format(c='l_quantity')} AS STRING)"),
+        ("l_extendedprice", f"CAST({cents.format(c='l_extendedprice')} AS STRING)"),
+        ("l_discount", f"CAST({cents.format(c='l_discount')} AS STRING)"),
+        ("l_tax", f"CAST({cents.format(c='l_tax')} AS STRING)"),
+        ("l_shipdate", f"CAST({es} AS STRING)"),
+        ("l_returnflag", "l_returnflag"),
+        ("l_linestatus", "l_linestatus"),
+    ]
+    branches = []
+    for i, (name, key) in enumerate(cols):
+        hll = gen_hll_ndv(d, key, "lineitem", f"colndv_{name}")
+        branches.append(f"""SELECT {i + 1} AS col_id, '{name}' AS col_name,
+       s.n_rows, s.null_count, s.null_frac,
+       h.n_registers_hit, h.distinct_est AS ndv_est
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count({name}) AS BIGINT) AS null_count,
+         CASE WHEN count(*) = 0 THEN NULL
+              ELSE {d.trunc6(f'CAST(count(*) - count({name}) AS DOUBLE) / count(*)')}
+         END AS null_frac
+  FROM lineitem
+) s CROSS JOIN (
+{hll}
+) h""")
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+SELECT col_name, n_rows, null_count, null_frac, n_registers_hit, ndv_est
+FROM (
+{union}
+) u
+ORDER BY col_id
+""".strip()

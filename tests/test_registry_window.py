@@ -5,13 +5,12 @@ dict order; a rotation mistake (wrong length, a name that no longer exists,
 a duplicate) silently costs driver stamps.  These invariants fail the suite
 the moment the tuple drifts from its contract.
 
-Round-11 contract: the window leads with the never-stamped/fixed/reworked
-head (the FIXED ingest_sitemap_coverage, the never-stamped lake_vacuum_plan,
-sim_pq_recall, the -1-sentinel streaming funnel, and the five URL-tier
-entries riding the utm literal-prefix rework), then round-11 operators as
-they land, then the oldest stamps in the ledger (33 r3-era + 8 r4-era).
-The registry has zero rows-only entries since r9, so the rows-only tail is
-empty.
+Round-12 contract: the window leads with the two never-stamped sketch-swap
+entries, then everything whose FORMULATION changed this round (the
+trained-cell kNN-graph family, the winnow fk checkpoint, the two r11
+ADVICE fixes, the money_double plane), then the last 17 r3-era stamps and
+the oldest r4 fillers.  The registry has zero rows-only entries since r9,
+so the rows-only tail is empty.
 """
 
 from __future__ import annotations
@@ -26,20 +25,22 @@ _ROWS_ONLY_ALLOWED: set[str] = set()
 # chain — EVERY registry entry now carries a full value-hash oracle.)
 
 
-_R11_MUST_STAMP = (
-    # never stamped / fixed this round / reworked this round
-    "ingest_sitemap_coverage", "lake_vacuum_plan", "sim_pq_recall",
-    "streaming_funnel_steps",
-    "ingest_url_dedup", "ingest_domain_tiers", "ingest_robots_filter",
-    "ingest_blocklist_filter", "ingest_url_revisions",
+_R12_MUST_STAMP = (
+    # never stamped this round
+    "pipeline_epoch_plan_hll", "lake_column_stats_hll",
+    # reworked this round: trained-cell kNN-graph edges, winnow fk
+    # checkpoint, the r11 ADVICE fixes, and the money_double plane
+    "sim_knn_kcore", "sim_knn_clustering_coeff", "sim_graph_2hop_topk",
+    "sim_knn_link_predict", "dedup_winnow_pairs", "report_du_forecast",
+    "lake_column_stats",
 )
 
 
-def test_window_leads_with_the_r11_must_stamps():
+def test_window_leads_with_the_r12_must_stamps():
     """The never-stamped/fixed/reworked entries must hold the head of the
     window — a slot they lose is a stamp the round loses."""
     w = registry._DRIVER_WINDOW_FIRST
-    assert w[: len(_R11_MUST_STAMP)] == _R11_MUST_STAMP
+    assert w[: len(_R12_MUST_STAMP)] == _R12_MUST_STAMP
 
 
 def test_window_fits_the_driver_sample_and_is_unique():

@@ -372,3 +372,44 @@ def test_knn_adaptive_cell_ladder_twins_agree():
         assert n <= k * tgt * pw or pw == 64
         if pw > 1:
             assert n > k * tgt * (pw // 2)
+
+
+# ---------------------------------------------------------------------------
+# money_double (r12, found by the sf1.0 tier): once a DECIMAL sum's integer
+# units pass 2^53, Spark's BigDecimal→double (one rounding) and DuckDB's
+# int128→double→/10^s (two roundings) diverge by 1 ULP.  The exact-BIGINT
+# detour must agree across engines AND with Python's correctly-rounded
+# reference at magnitudes both below and above the 2^53 line.
+# ---------------------------------------------------------------------------
+
+
+def _money_lineitem(n: int, price: float) -> pd.DataFrame:
+    li = _tiny_lineitem()
+    rep = pd.concat([li] * (n // 3 + 1), ignore_index=True).head(n).copy()
+    rep["l_orderkey"] = pd.array(range(n), dtype="int64")
+    rep["l_extendedprice"] = price
+    rep["l_discount"] = 0.0
+    rep["l_tax"] = 0.0
+    rep["l_returnflag"] = "A"
+    rep["l_linestatus"] = "F"
+    return rep
+
+
+@pytest.mark.parametrize("n,price", [(100, 123.45), (3000, 3333333333333.33)])
+def test_money_double_cross_engine_above_2pow53(spark, n, price):
+    from storage_crawler_spark.plans.dialect import money_double
+
+    sql = (
+        f"SELECT {money_double('sum(CAST(l_extendedprice AS DECIMAL(18,2)))')}"
+        " AS s FROM lineitem"
+    )
+    li = _money_lineitem(n, price)
+    # exact integer cents in Python, then ONE fixed double reconstruction
+    cents = n * round(price * 100)
+    want = float(cents) / 100.0
+    got_d = _duck(sql, lineitem=li)["s"][0]
+    spark.createDataFrame(li).createOrReplaceTempView("lineitem")
+    got_s = spark.sql(sql).collect()[0].s
+    assert got_d == got_s == want
+    if n == 3000:
+        assert cents > 2**53  # the regime where the old CAST diverged

@@ -66,10 +66,101 @@ def value_hash(rows: list[tuple], cols: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
+# --changed-since module → registry-tag map (r12, verdict item 8): an
+# engine-path edit in a module can change entry BEHAVIOR without changing
+# its oracle text, so tag-mapping complements the oracle fingerprint diff.
+# Conservative by construction: shared infrastructure (dialect, registry,
+# views, session, the crawl core) maps to "*" = full sweep, and any
+# changed module NOT listed here also forces "*" rather than guessing.
+_MODULE_TAGS: dict[str, set[str] | str] = {
+    "operators/dedup.py": {"dedup"},
+    "operators/simhash.py": {"dedup"},
+    "operators/text.py": {"text", "tokenizer", "quality", "search",
+                          "retrieval", "layout"},
+    "operators/packing.py": {"layout", "text"},
+    "operators/similarity.py": {"similarity", "embedding"},
+    "operators/cluster.py": {"graph", "dedup", "similarity"},
+    "operators/kmeans.py": {"similarity", "embedding", "graph", "dedup"},
+    "operators/pq.py": {"similarity"},
+    "operators/logreg.py": {"quality", "ml"},
+    "operators/analytics.py": {"events", "analytics", "session", "forecast",
+                               "stats"},
+    "operators/sketches.py": {"sketch"},
+    "operators/urls.py": {"ingest", "url"},
+    "operators/pipeline.py": {"pipeline", "compliance", "privacy"},
+    "operators/sampling.py": {"sampling"},
+    "operators/multimodal.py": {"multimodal"},
+    "operators/temporal.py": {"temporal", "join"},
+    "operators/skew.py": {"skew"},
+    "sources/lake.py": {"lake"},
+    "sources/fsmeta.py": {"source", "crawl"},
+    "sources/ingest.py": {"ingest", "source"},
+    "sources/jdbc.py": {"source"},
+    "reports/queries.py": {"report"},
+    "reports/usage.py": {"usage", "report"},
+    "reports/render.py": {"report"},
+    "plans/tpch.py": {"tpch"},
+}
+_PREFIX_TAGS = {"streaming/": {"streaming"}, "crawl/": {"crawl", "source"}}
+
+
+def changed_entries(ref: str, queries) -> list[str] | None:
+    """Entries to re-sweep for the diff since ``ref``: tag matches of the
+    changed modules ∪ entries whose ORACLE TEXT differs from the
+    fingerprint file committed at ref.  Returns None for 'full sweep'
+    (shared infrastructure changed, an unmapped module changed, or no
+    fingerprint baseline exists at ref)."""
+    import json
+    import subprocess
+
+    diff = subprocess.run(
+        ["git", "diff", "--name-only", ref, "--", "storage_crawler_spark/"],
+        capture_output=True, text=True, check=True,
+    ).stdout.split()
+    tags: set[str] = set()
+    for f in diff:
+        rel = f.removeprefix("storage_crawler_spark/")
+        if rel.endswith("__init__.py"):
+            continue
+        hit = _MODULE_TAGS.get(rel)
+        if hit is None:
+            hit = next(
+                (t for p, t in _PREFIX_TAGS.items() if rel.startswith(p)), None
+            )
+        if hit is None:
+            print(f"# changed-since: {f} is unmapped shared code -> full sweep")
+            return None
+        tags |= hit
+    selected = {n for n, s in queries.items() if tags & set(s.tags)}
+    # oracle-text fingerprints at ref (written by --write-fingerprints)
+    fp = subprocess.run(
+        ["git", "show", f"{ref}:tools/oracle_fingerprints.json"],
+        capture_output=True, text=True,
+    )
+    if fp.returncode != 0:
+        print("# changed-since: no fingerprint baseline at ref -> full sweep")
+        return None
+    old = json.loads(fp.stdout)
+    for n, s in queries.items():
+        cur = hashlib.sha256((s.oracle or "").encode()).hexdigest()[:16]
+        if old.get(n) != cur:
+            selected.add(n)
+    print(f"# changed-since {ref}: {len(diff)} files -> {len(selected)} entries")
+    return sorted(selected)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--changed-since", default=None, metavar="GITREF",
+                    help="sweep only entries affected by the diff since "
+                         "GITREF (module-tag map + oracle fingerprint diff; "
+                         "falls back to a full sweep when shared code moved)")
+    ap.add_argument("--write-fingerprints", action="store_true",
+                    help="after a green sweep, save per-entry oracle-text "
+                         "fingerprints to tools/oracle_fingerprints.json "
+                         "(the --changed-since baseline)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -87,7 +178,16 @@ def main() -> int:
     for t in BASE_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
 
-    names = list(QUERIES) if not args.only else args.only.split(",")
+    if args.only:
+        names = args.only.split(",")
+    elif args.changed_since:
+        sel = changed_entries(args.changed_since, QUERIES)
+        names = sel if sel is not None else list(QUERIES)
+        if not names:
+            print("0/0 queries match (no affected entries)")
+            return 0
+    else:
+        names = list(QUERIES)
     failures = 0
     for name in names:
         spec = QUERIES[name]
@@ -145,6 +245,18 @@ def main() -> int:
             print(f"ok   {name}: {len(sp_rows)} rows match ({time.time()-t0:.1f}s)")
     spark.stop()
     print(f"{len(names) - failures}/{len(names)} queries match")
+    if args.write_fingerprints and not failures:
+        import json
+
+        out = {
+            n: hashlib.sha256((s.oracle or "").encode()).hexdigest()[:16]
+            for n, s in QUERIES.items()
+        }
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "oracle_fingerprints.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=0, sort_keys=True)
+        print(f"# wrote {len(out)} fingerprints to {path}")
     return 1 if failures else 0
 
 
