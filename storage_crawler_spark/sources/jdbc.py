@@ -8,13 +8,20 @@ from the engine's canonical StructType schemas — one source of truth — and
 the data path is Spark's JDBC writer: executor-parallel batched INSERTs
 (``batchsize``), the scalable replacement for group commit.
 
-No PostgreSQL server or JDBC driver ships in this environment, so
+No PostgreSQL JDBC driver jar ships in this environment, so
 ``write_files_jdbc`` raises a clear error when the Postgres driver is
-absent; the DDL renderers are pure functions and fully unit-tested.  The
-JDBC data path itself (executor-parallel batched INSERT, type mapping,
-schema-qualified target) IS runtime-verified: tests round-trip a crawl
-through the embedded Derby database Spark ships (see
+absent; the JDBC data path itself (executor-parallel batched INSERT, type
+mapping, schema-qualified target) is runtime-verified through the
+embedded Derby database Spark ships (see
 tests/test_sources.py::test_jdbc_write_round_trip_embedded_derby).
+
+The PostgreSQL DDL itself is no longer render-only (r12): a PostgreSQL 15
+server IS available, and tests/test_postgres_e2e.py executes the full
+lifecycle against it — destructive schema re-create (twice, proving the
+DROP..CASCADE), real crawl rows COPYed through the rendered bytea /
+bit(19) / timestamptz columns with a non-UTF-8 path round-tripping
+byte-for-byte, and the reporting user provisioned with its read-only
+grant proven by querying AS that user and being denied the write.
 """
 
 from __future__ import annotations
