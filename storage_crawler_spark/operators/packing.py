@@ -83,7 +83,17 @@ def pack_greedy_oracle_sql(
     partition, pack_greedy's pid-namespaced bin id (pid << 32 | local)
     degenerates to the plain sequential bin counter this recursion
     produces; the multi-partition path's properties (no bin over budget,
-    bins never span partitions) stay pinned by pytest."""
+    bins never span partitions) stay pinned by pytest.
+
+    SCALE BOUND (r12, found by the sf1.0 tier): this recursion re-joins
+    the full chunk relation once per step — O(n²) in DuckDB (~280 s at
+    sf0.1's 16k chunks, CPU-hours at sf1.0's 80k) — while the Spark path
+    it checks stays linear (5 s at sf1.0).  Greedy packing is inherently
+    sequential, so a faster INDEPENDENT relational oracle does not exist;
+    the oracle compare is therefore capped at the ≤ sf0.1 gate tiers, and
+    at-scale verification uses the CONTRACT properties instead
+    (tests/test_round12_additions.py::test_pack_greedy_contract_at_scale:
+    budget bound, fill telescoping, count preservation at 200k chunks)."""
     from storage_crawler_spark.operators.text import gen_chunk_split
     from storage_crawler_spark.plans.dialect import DUCK
 

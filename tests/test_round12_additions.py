@@ -413,3 +413,46 @@ def test_money_double_cross_engine_above_2pow53(spark, n, price):
     assert got_d == got_s == want
     if n == 3000:
         assert cents > 2**53  # the regime where the old CAST diverged
+
+
+# ---------------------------------------------------------------------------
+# text_pack_greedy at scale (r12): the DuckDB recursive-CTE oracle is O(n²)
+# (it re-joins the chunk relation per step — CPU-hours at sf1.0's 80k
+# chunks) while the Spark path is linear, so the oracle compare caps at the
+# <= sf0.1 tiers and AT-SCALE verification pins the greedy CONTRACT:
+# budget bound, per-bin fill telescoping, row preservation.
+# ---------------------------------------------------------------------------
+
+
+def test_pack_greedy_contract_at_scale(spark):
+    from pyspark.sql import functions as F
+
+    from storage_crawler_spark.operators.packing import pack_greedy
+
+    budget = 256
+    n = 200_000
+    chunks = spark.range(n).select(
+        (F.col("id") / 8).cast("long").alias("doc_id"),
+        (F.col("id") % 8).alias("chunk_no"),
+        # deterministic sizes 1..96, plus a sprinkle of over-budget chunks
+        # (the "a huge chunk gets its own bin" clause)
+        F.when(F.col("id") % 9973 == 0, F.lit(300))
+        .otherwise((F.col("id") * 37 % 96) + 1)
+        .cast("long")
+        .alias("n_chunk_tokens"),
+    )
+    packed = pack_greedy(chunks, token_budget=budget, n_partitions=16)
+    packed.persist()
+    assert packed.count() == n  # every chunk lands in exactly one bin
+    bins = packed.groupBy("bin_id").agg(
+        F.sum("n_chunk_tokens").alias("tot"),
+        F.max("bin_fill").alias("max_fill"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    # fill telescopes: the bin's max running fill equals its token total
+    assert bins.filter("max_fill <> tot").count() == 0
+    # budget bound: only single-chunk bins may exceed the budget
+    over = bins.filter(f"tot > {budget}")
+    assert over.filter("n_chunks > 1").count() == 0
+    assert over.count() > 0  # the planted 300-token chunks exercised it
+    packed.unpersist()
