@@ -796,10 +796,14 @@ LIMIT {top_k}
 # Coordinates quantize to the 1/PCA_Q lattice (corr_audit discipline);
 # the scatter matrix n*Sxy - Sx*Sy is re-scaled by PCA_CS to keep the
 # matrix-vector products in BIGINT; eigenvector components live on the
-# PCA_VS lattice with max-abs normalization each step.  Bounds: |x| < 8
-# keeps xq under 2^19; n*sxy <= n^2 * 2^38 needs n <= ~3e5 (shrink PCA_Q
-# for bigger stores); |C'| <= n^2*2^38/CS ~ 7e8 at n=3e5, so each product
-# C'*v <= 7e8 * 1e6 * 64 dims ~ 4.5e16 < 2^63.
+# PCA_VS lattice with max-abs normalization each step.  Bounds (revised
+# r12 after the sf1.0 tier caught the original analysis): for the store's
+# unit-scaled embeddings (|x| <= 1) xq <= 2^16, so n*Sxy <= n^2*2^32
+# needs n <= ~46k (guarded at 40k; shrink PCA_Q for bigger stores).  The
+# iteration product w*VS = λ'*VS^2 is the WIDEST term (it overflowed at
+# 20k rows, far before the scan-side bound) and runs in HUGEINT on the
+# DuckDB oracle side / Python bigints on the engine side; the Spark SQL
+# rendering of the unrolled chain keeps BIGINT and is parity-test-only.
 PCA_Q = 65536
 PCA_CS = 100_000_000
 PCA_VS = 1_000_000
@@ -884,9 +888,16 @@ def _pca_chain(d: Dialect, k: int = PCA_ITERS) -> str:
         parts.append(
             f"""mx{it} AS (SELECT greatest(CAST(max(abs(w)) AS BIGINT), 1) AS m FROM w{it})"""
         )
+        # w·VS is the chain's widest product (w ≈ λ'·VS, so this is
+        # λ'·VS², past int64 once the rescaled eigenvalue tops ~9.2e6 —
+        # the sf1.0 tier hit it at 20k rows, r12).  DuckDB widens to
+        # HUGEINT (int128 — exact // division); the Spark RENDERING of
+        # this chain keeps BIGINT and is test-only at small n (the Spark
+        # ENGINE path is the Python-bigint loop, overflow-free).
+        wv = f"CAST(w AS HUGEINT) * {PCA_VS}" if d.name == "duck" else f"w * {PCA_VS}"
         parts.append(
             f"""p{it} AS{mat} (
-  SELECT dim, CAST({_sgn_div(d, f'w * {PCA_VS}', 'mx.m')} AS BIGINT) AS v
+  SELECT dim, CAST({_sgn_div(d, wv, 'mx.m')} AS BIGINT) AS v
   FROM w{it} CROSS JOIN mx{it} mx
 )"""
         )
@@ -955,17 +966,21 @@ def _pca_fit(spark, k: int = PCA_ITERS):
     ).collect()
     if not rows:
         return None
-    # Runtime guard for the documented BIGINT-overflow precondition (see the
-    # lattice-constant comment above PCA_Q): beyond ~3e5 rows at PCA_Q=65536
-    # the n*sxy scatter term can silently wrap in BOTH the Spark builder and
-    # the oracle, producing wrong loadings with no error.  Fail loudly
-    # instead; bigger stores shrink PCA_Q.
+    # Runtime guard for the BIGINT-overflow precondition (see the
+    # lattice-constant comment above PCA_Q).  TIGHTENED r12: the sf1.0
+    # tier showed the binding surface is the scatter product n·Sxy ≤
+    # n²·PCA_Q²·max|x|² — for unit-scaled embeddings (|x| ≤ 1, the store's
+    # contract) that caps n at ~46k, NOT the 3e5 the r9 note claimed (that
+    # figure ignored the square).  The iteration's w·VS product overflowed
+    # even earlier (λ'·VS² at 20k rows) and is now HUGEINT on the oracle
+    # side / Python-bigint here — the scan-side scatter is the remaining
+    # int64 surface.  Fail loudly; bigger stores shrink PCA_Q.
     n_rows = int(rows[0][4])
-    if n_rows > 300_000:
+    if n_rows > 40_000:
         raise ValueError(
             f"PCA lattice overflow precondition violated: {n_rows} embedding "
-            f"rows > 300000 supported at PCA_Q={PCA_Q}; shrink PCA_Q "
-            f"(scatter term n*sxy no longer fits BIGINT)"
+            f"rows > 40000 supported at PCA_Q={PCA_Q} for |x| <= 1; shrink "
+            f"PCA_Q (scatter term n*sxy no longer fits BIGINT)"
         )
     trace = rows[0][3]
     VS = PCA_VS
