@@ -133,9 +133,23 @@ def gen_jaccard_pairs(
         with_clause = f"WITH {prep_cte}rt AS (\n{gen_jaccard_ranked(d, t, src=src)}\n)\n"
         rt = "rt"
     rblk = d.idiv("(rnk - 1)", str(width))
-    return f"""{with_clause}SELECT doc_a, doc_b, jaccard FROM (
+    # The threshold test runs as an EXACT INTEGER predicate on the hoisted
+    # intersection column: trunc6(i/u) >= θ  ⟺  1e6·i >= (1e6·θ)·u when
+    # 1e6·θ is an integer (θ is a per-mille-grained knob), with u = union
+    # size.  Why it matters (r12): CollapseProject + predicate pushdown
+    # substitute a computed column back into every consumer, so filtering
+    # on the trunc6'd DOUBLE evaluated the array-intersection 2-4× per
+    # candidate pair (the guard branch of the overflow-safe trunc6 made
+    # it visibly worse on the bench); the integer predicate costs one
+    # intersection per pair, and the display score is only computed for
+    # the few survivors.
+    thr6 = int(round(threshold * 1_000_000))
+    assert abs(thr6 / 1_000_000 - threshold) < 1e-12, "threshold finer than 1e-6"
+    return f"""{with_clause}SELECT doc_a, doc_b,
+       {d.trunc6("CAST(i AS DOUBLE) / (an + bn - i)")} AS jaccard
+FROM (
   SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b,
-         {d.trunc6(f"CAST({inter} AS DOUBLE) / (a.n_toks + b.n_toks - {inter})")} AS jaccard
+         {inter} AS i, a.n_toks AS an, b.n_toks AS bn
   FROM (SELECT x.*, {rblk} + off.o AS jblk
         FROM {rt} x CROSS JOIN (VALUES {offsets}) AS off(o)) a
   JOIN (SELECT x.*, {rblk} AS rblk FROM {rt} x) b
@@ -143,8 +157,8 @@ def gen_jaccard_pairs(
    AND b.rnk > a.rnk AND b.rnk - a.rnk <= {block_cap}
    AND abs(a.n_chars - b.n_chars) <= {length_window}
    AND least(a.n_toks, b.n_toks) >= {threshold} * greatest(a.n_toks, b.n_toks)
-) p
-WHERE jaccard >= {threshold}
+) p0
+WHERE 1000000 * i >= {thr6} * (an + bn - i)
 """.strip()
 
 
@@ -714,17 +728,23 @@ cand AS (
 )"""
     )
     with_clause = "WITH " + ",\n".join(parts)
+    # Exact-integer threshold on the hoisted intersection (the jaccard-
+    # pairs discipline, r12): trunc6(i/least) >= θ ⟺ 1e6·i >= 10000·pct·
+    # least(an, bn) for the integer-percent knob, so the filter evaluates
+    # the intersection ONCE per candidate pair (CollapseProject re-inlines
+    # computed columns into consumers; the trunc6'd-DOUBLE filter form
+    # ran it 3-6x) and the display scores compute only for survivors.
     return f"""{with_clause}
-SELECT doc_a, doc_b, containment, jaccard
+SELECT doc_a, doc_b,
+       {d.trunc6("CAST(i AS DOUBLE) / least(an, bn)")} AS containment,
+       {d.trunc6("CAST(i AS DOUBLE) / (an + bn - i)")} AS jaccard
 FROM (
-  SELECT c.doc_a, c.doc_b,
-         {d.trunc6(f"CAST({inter} AS DOUBLE) / least(a.n_sh, b.n_sh)")} AS containment,
-         {d.trunc6(f"CAST({inter} AS DOUBLE) / (a.n_sh + b.n_sh - {inter})")} AS jaccard
+  SELECT c.doc_a, c.doc_b, {inter} AS i, a.n_sh AS an, b.n_sh AS bn
   FROM cand c
   JOIN {pr} a ON c.doc_a = a.doc_id
   JOIN {pr} b ON c.doc_b = b.doc_id
-) v
-WHERE containment >= {theta}
+) v0
+WHERE 1000000 * i >= {10000 * threshold_pct} * least(an, bn)
 """.strip()
 
 
