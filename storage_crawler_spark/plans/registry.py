@@ -526,18 +526,19 @@ def _b_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _b_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnow-pair dedup with TWO materializations (r12): the hashed
-    winnow relation persists (md5-per-position runs once), and the
-    df-capped (doc_id, fp) relation CHECKPOINTS — the final query
-    references it three times (pair join a/b + sizes) from inside a WITH,
-    where persist can't reach (audit_cache caveat); un-materialized, each
-    reference re-ran the explode + df groupBy — the measured majority of
-    this entry's tier-2 CPU."""
+    """Winnow-pair dedup with ONE materialization (r12): the df-capped
+    (doc_id, fp) relation CHECKPOINTS — the final query references it
+    three times (pair join a/b + sizes) from inside a WITH, where persist
+    can't reach (audit_cache caveat); un-materialized, each reference
+    re-ran the explode + df groupBy — the measured majority of this
+    entry's tier-2 CPU.  The hashed winnow relation is a plain temp view:
+    its single consumer is the fk checkpoint build, so the md5-per-
+    position hashing runs exactly once with no cache to keep alive."""
     V.register_base_tables(spark, sf_dir, ("documents",))
     n = spark.sparkContext.defaultParallelism
     spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
     wn = spark.sql(text.gen_winnow_rel(SPARK, src="_documents_rep"))
-    _persist_view(wn, "_winnow_rel")
+    wn.createOrReplaceTempView("_winnow_rel")
     fk = spark.sql(dedup.gen_winnow_fk(SPARK, winnow_rel="_winnow_rel"))
     _checkpoint_view(fk, "_winnow_fk")
     return spark.sql(dedup.gen_winnow_pairs(SPARK, fk_rel="_winnow_fk"))

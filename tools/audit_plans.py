@@ -182,6 +182,13 @@ NLJ_ALLOWED = {
     # epoch plan: CROSS JOINs of the 1-row totals/lambda scalars against
     # the per-source and <=5-row cap-prefix relations — 1-row build sides
     "pipeline_epoch_plan",
+    # sketch-swapped epoch plan (r12): same scalar cross joins as the
+    # exact form; the HLL estimate side is one row per source (equi-join)
+    "pipeline_epoch_plan_hll",
+    # sketch-swapped column stats (r12): per-column branch = the 1-row
+    # exact-count aggregate CROSS JOIN the 1-row HLL-estimate aggregate —
+    # both build sides exactly 1 row, 11 branches
+    "lake_column_stats_hll",
     # BPE encode/compression: CROSS JOINs of the 1-row merge-array
     # relations (epoch-1 and epoch-2 merge tables folded per word)
     "text_bpe_encode",
