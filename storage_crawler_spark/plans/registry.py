@@ -78,6 +78,25 @@ def _persist_view(df: DataFrame, name: str) -> None:
     df.createOrReplaceTempView(name)
 
 
+def _scoped_persist_view(df: DataFrame, name: str) -> DataFrame:
+    """Persist + temp view for a BUILD-SCOPED relation: one that is
+    consumed (usually by a :func:`_checkpoint_view` job) during the
+    builder itself and must be UNPERSISTED by the caller before the
+    builder returns, so no cache outlives the build (the audit_cache
+    contract: every persist still live at entry completion must appear as
+    an InMemoryTableScan in the final plan — a build-scoped persist never
+    can, and tools/audit_cache.py instead verifies it was RELEASED).
+
+    Exists because the checkpoint-input shape genuinely needs the cache:
+    the winnow fk build joins the hashed relation against an aggregate of
+    itself — un-persisted, the planner inlines the md5-hashing lambda
+    into both sides and the build degenerates (measured as a multi-minute
+    wedge at sf0.1, r12)."""
+    df.persist()
+    df.createOrReplaceTempView(name)
+    return df
+
+
 def _checkpoint_view(df: DataFrame, name: str) -> DataFrame:
     """localCheckpoint + temp view — for CTE-bearing relations consumed
     inside WITH definitions, where cache replacement cannot reach (see
@@ -531,16 +550,18 @@ def _b_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     three times (pair join a/b + sizes) from inside a WITH, where persist
     can't reach (audit_cache caveat); un-materialized, each reference
     re-ran the explode + df groupBy — the measured majority of this
-    entry's tier-2 CPU.  The hashed winnow relation is a plain temp view:
-    its single consumer is the fk checkpoint build, so the md5-per-
-    position hashing runs exactly once with no cache to keep alive."""
+    entry's tier-2 CPU.  The hashed winnow relation is a BUILD-SCOPED
+    persist (see :func:`_scoped_persist_view`): it feeds the fk
+    checkpoint job from both join sides, then unpersists so no cache
+    outlives the build."""
     V.register_base_tables(spark, sf_dir, ("documents",))
     n = spark.sparkContext.defaultParallelism
     spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
     wn = spark.sql(text.gen_winnow_rel(SPARK, src="_documents_rep"))
-    wn.createOrReplaceTempView("_winnow_rel")
+    _scoped_persist_view(wn, "_winnow_rel")
     fk = spark.sql(dedup.gen_winnow_fk(SPARK, winnow_rel="_winnow_rel"))
     _checkpoint_view(fk, "_winnow_fk")
+    wn.unpersist()
     return spark.sql(dedup.gen_winnow_pairs(SPARK, fk_rel="_winnow_fk"))
 
 

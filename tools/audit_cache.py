@@ -38,8 +38,10 @@ def main() -> int:
 
     persisted: list[str] = []
     checkpointed: list[str] = []
+    scoped: list[tuple[str, object]] = []
     real_persist = registry._persist_view
     real_ckpt = registry._checkpoint_view
+    real_scoped = registry._scoped_persist_view
 
     def tracking_persist(df, name):
         persisted.append(name)
@@ -49,8 +51,13 @@ def main() -> int:
         checkpointed.append(name)
         return real_ckpt(df, name)
 
+    def tracking_scoped(df, name):
+        scoped.append((name, df))
+        return real_scoped(df, name)
+
     registry._persist_view = tracking_persist
     registry._checkpoint_view = tracking_ckpt
+    registry._scoped_persist_view = tracking_scoped
     # operator modules that imported the symbol directly
     import storage_crawler_spark.plans.registry as _r  # noqa: F401
 
@@ -59,15 +66,27 @@ def main() -> int:
     for name in names:
         persisted.clear()
         checkpointed.clear()
+        scoped.clear()
         spec = registry.QUERIES[name]
         try:
             df = spec.builder(spark, args.sf)
             plan = df._jdf.queryExecution().executedPlan().toString()
+            # build-scoped persists (scoped_persist_view contract): the
+            # builder must have RELEASED them before returning — a still-
+            # cached one is a leak, checked BEFORE clearCache wipes state
+            leaked = [
+                n for n, sdf in scoped
+                if sdf.storageLevel.useMemory or sdf.storageLevel.useDisk
+            ]
         except Exception as exc:  # noqa: BLE001
             skipped.append((name, str(exc).splitlines()[0][:100]))
             continue
         finally:
             spark.catalog.clearCache()
+        if leaked:
+            lost.append((name, len(leaked)))
+            print(f"LOST {name}: scoped persist(s) not released: {leaked}")
+            continue
         n_persist, n_imts = len(persisted), plan.count("InMemoryTableScan")
         n_ckpt = len(checkpointed)
         n_rdd = plan.count("Scan ExistingRDD")
