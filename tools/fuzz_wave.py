@@ -51,7 +51,13 @@ def main() -> int:
     from storage_crawler_spark.plans.dialect import DUCK, SPARK
     from storage_crawler_spark.session import build_session
 
-    spark = build_session(app_name="fuzz-wave")
+    # 8g driver heap: a multi-hundred-query wave accumulates UI/listener
+    # state that OOMs the 1g local-mode default long before any single
+    # plan does (the check_oracle lesson; an OOM in the appStatus listener
+    # STOPS the SparkContext and cascades every later check to failure)
+    spark = build_session(
+        app_name="fuzz-wave", extra_conf={"spark.driver.memory": "8g"}
+    )
     tmp = tempfile.mkdtemp(prefix="fuzzwave_")
     checks = failures = 0
     lines: list[str] = []
