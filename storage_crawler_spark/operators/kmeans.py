@@ -552,6 +552,17 @@ def ivf_lattice_topk(
 # coarse quantizer targets |cell| ≈ n/k rows, so k grows with the corpus
 # (k ≈ n/10⁴ keeps cells constant-sized) and the per-cell scan is a
 # shuffle-free hash-join on cid.  Nothing all-pairs ever executes.
+#
+# r12 note: k is STRUCTURAL (a LIMIT — it cannot be data-dependent
+# cross-engine), so the kNN-graph plane's adaptive residual-sign ladder
+# (operators/cluster.py `_knn_pw_case`: cells ∝ N with static SQL) is the
+# shipped escape hatch when a fixed k binds.  It is deliberately NOT
+# composed here: SemDeDup's published contract is cluster-local search
+# within the TRAINED partition, and residual-sign subcells would split
+# near-duplicate pairs straddling a subcell boundary — an additional
+# recall loss the manifest's consumers have no way to see.  At extreme
+# scale raise k (and see the kNN plane for the measured ladder numbers:
+# 1.3-1.7x wall for 10x data vs 60x for a fixed grid).
 
 SEM_T = 5_300_000_000
 
