@@ -1017,11 +1017,14 @@ def hits_events(spark, k: int = PR_ITERS):
     from storage_crawler_spark.plans.dialect import SPARK
 
     base = pagerank_cte_base(SPARK)
+    # bounded-model-state contract (r12, ordering fixed per r12 ADVICE):
+    # guard the node CARDINALITY via a distributed count() BEFORE the
+    # first collect — nodes are event TYPES, so the edge relation is
+    # ≤ |nodes|², and the node collect itself must not be the unguarded
+    # one the guard exists to catch.
+    n_nodes = spark.sql(f"WITH {base} SELECT count(*) FROM nodes").collect()[0][0]
+    check_model_state(n_nodes * n_nodes, "hits_events (type x type edges)")
     nodes = [r[0] for r in spark.sql(f"WITH {base} SELECT node FROM nodes").collect()]
-    # bounded-model-state contract (r12): nodes are event TYPES, so the
-    # edge relation is ≤ |nodes|² — guard the node set BEFORE collecting
-    # edges, then the actual edge rows (PCA-guard precedent)
-    check_model_state(len(nodes) * len(nodes), "hits_events (type x type edges)")
     edges = spark.sql(
         f"WITH {base} SELECT e.from_type, e.to_type, e.p_scaled FROM e"
     ).collect()

@@ -145,11 +145,19 @@ def gen_jaccard_pairs(
     # the few survivors.
     thr6 = int(round(threshold * 1_000_000))
     assert abs(thr6 / 1_000_000 - threshold) < 1e-12, "threshold finer than 1e-6"
+    # Display score from the SAME integer quantities as the filter
+    # (r12 ADVICE): floor(1e6*i/u)/1e6 via exact integer division, so a
+    # boundary pair that passes the integer predicate can never DISPLAY
+    # a score that truncates below the threshold (the old trunc6'd DOUBLE
+    # division could round down across the 1e-6 boundary the filter
+    # already cleared).  i is cast to BIGINT at the production site so
+    # 1e6*i cannot wrap 32-bit int at large token counts.
+    jac6 = f"CAST({d.idiv('1000000 * i', '(an + bn - i)')} AS DOUBLE) / 1000000"
     return f"""{with_clause}SELECT doc_a, doc_b,
-       {d.trunc6("CAST(i AS DOUBLE) / (an + bn - i)")} AS jaccard
+       {jac6} AS jaccard
 FROM (
   SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b,
-         {inter} AS i, a.n_toks AS an, b.n_toks AS bn
+         CAST({inter} AS BIGINT) AS i, a.n_toks AS an, b.n_toks AS bn
   FROM (SELECT x.*, {rblk} + off.o AS jblk
         FROM {rt} x CROSS JOIN (VALUES {offsets}) AS off(o)) a
   JOIN (SELECT x.*, {rblk} AS rblk FROM {rt} x) b
@@ -734,12 +742,18 @@ cand AS (
     # the intersection ONCE per candidate pair (CollapseProject re-inlines
     # computed columns into consumers; the trunc6'd-DOUBLE filter form
     # ran it 3-6x) and the display scores compute only for survivors.
+    # Display scores from the SAME integer quantities as the filter
+    # (r12 ADVICE, same rationale as gen_jaccard_pairs): exact integer
+    # floor-division so filter and displayed score agree at threshold
+    # boundaries; BIGINT i so 1e6*i cannot wrap.
+    con6 = f"CAST({d.idiv('1000000 * i', 'least(an, bn)')} AS DOUBLE) / 1000000"
+    jac6 = f"CAST({d.idiv('1000000 * i', '(an + bn - i)')} AS DOUBLE) / 1000000"
     return f"""{with_clause}
 SELECT doc_a, doc_b,
-       {d.trunc6("CAST(i AS DOUBLE) / least(an, bn)")} AS containment,
-       {d.trunc6("CAST(i AS DOUBLE) / (an + bn - i)")} AS jaccard
+       {con6} AS containment,
+       {jac6} AS jaccard
 FROM (
-  SELECT c.doc_a, c.doc_b, {inter} AS i, a.n_sh AS an, b.n_sh AS bn
+  SELECT c.doc_a, c.doc_b, CAST({inter} AS BIGINT) AS i, a.n_sh AS an, b.n_sh AS bn
   FROM cand c
   JOIN {pr} a ON c.doc_a = a.doc_id
   JOIN {pr} b ON c.doc_b = b.doc_id
@@ -881,11 +895,22 @@ def gen_winnow_pairs(
     r12, the measured tier-2 CPU recovery).  The oracle path leaves both
     None and inlines the CTEs (DuckDB materializes multiply-referenced
     CTEs itself).
+
+    CONTRACT when ``fk_rel`` is supplied: ``k``/``w``/``df_cap`` are baked
+    into the pre-built relation (:func:`gen_winnow_fk` took them), so this
+    function IGNORES its own copies of those parameters — passing
+    non-default values alongside ``fk_rel`` would silently yield pairs for
+    a different configuration, so it is rejected (r12 ADVICE).
     """
     from storage_crawler_spark.operators.text import winnow_fps_cte
 
     lat = d.lateral_explode("fps", "fp")
     if fk_rel is not None:
+        if (k, w, df_cap) != (8, 4, 50):
+            raise ValueError(
+                "gen_winnow_pairs: k/w/df_cap are baked into fk_rel at its "
+                "build (gen_winnow_fk); pass them there, not here"
+            )
         prelude = f"WITH fk AS (SELECT doc_id, fp FROM {fk_rel}),"
     else:
         if winnow_rel is not None:

@@ -992,9 +992,9 @@ hll_src AS (
 ),
 per_src AS (
   SELECT b.source, b.n_docs, b.sum_tokens,
-         h.distinct_est AS n_distinct,
+         coalesce(h.distinct_est, CAST(0 AS DOUBLE)) AS n_distinct,
          b.n_text
-  FROM base_src b JOIN hll_src h ON h.grp = b.source
+  FROM base_src b LEFT JOIN hll_src h ON h.grp = b.source
 ),
 {_epoch_plan_tail(d, epochs_target)}
 """.strip()

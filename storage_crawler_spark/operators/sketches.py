@@ -364,7 +364,13 @@ def gen_hll_ndv(
 SELECT {gcol}n_hit AS n_registers_hit, {d.trunc6(est)} AS distinct_est
 FROM (
   SELECT {gcol}n_hit,
-         {HLL_ALPHA} * {m} * {m} / (harm_hit + ({m} - n_hit)) AS raw_est,
+         -- coalesce: on ZERO input rows the global (ungrouped) form still
+         -- aggregates to one row with n_hit = 0 and harm_hit = sum() over
+         -- nothing = NULL; coalescing to 0 routes it into the linear-
+         -- counting branch, which correctly returns m*ln(m/m) = 0 instead
+         -- of a NULL estimate (r12 ADVICE).  Grouped forms never see it
+         -- (empty groups emit no row).
+         {HLL_ALPHA} * {m} * {m} / (coalesce(harm_hit, CAST(0 AS DOUBLE)) + ({m} - n_hit)) AS raw_est,
          CAST({m} - n_hit AS BIGINT) AS v
   FROM (
     SELECT {gcol}CAST(count(*) AS BIGINT) AS n_hit,
