@@ -46,6 +46,16 @@ def build_session(
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
+    # Vendored minimal PostgreSQL JDBC driver (vendor/minipg — r13): the
+    # sandbox ships no pgjdbc jar, so the JDBC sink/source would otherwise
+    # be Derby-only.  extraClassPath puts it on the DRIVER classloader,
+    # where java.sql.DriverManager needs it (sc.addJar reaches executors
+    # but not DriverManager); it only takes effect at JVM launch, which is
+    # exactly when getOrCreate builds the first session.
+    jar = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                       "vendor", "minipg", "minipg.jar")
+    if os.path.exists(jar) and not (extra_conf or {}).get("spark.driver.extraClassPath"):
+        builder = builder.config("spark.driver.extraClassPath", jar)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -20,6 +20,7 @@ from storage_crawler_spark.sources.jdbc import (
     files_table_ddl,
     schema_lifecycle_ddl,
     reporting_user_ddl,
+    read_files_jdbc,
     status_table_ddl,
     write_files_jdbc,
 )
@@ -38,6 +39,7 @@ __all__ = [
     "schema_lifecycle_ddl",
     "reporting_user_ddl",
     "write_files_jdbc",
+    "read_files_jdbc",
     "write_crawl",
     "read_files",
     "read_status",
