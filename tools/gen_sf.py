@@ -142,21 +142,60 @@ FROM idx JOIN b0 b ON b.rn = idx.i % {n_base_ev}
 ORDER BY b.ts, idx.i
 """.strip())
 
+    # documents: CORPUS-SHAPED scaling (r13, r12 verdict item 4).  The
+    # old offset-replica form multiplied every base fingerprint's document
+    # frequency by `factor`, pushing ALL shared winnow fingerprints past
+    # the df_cap=50 boilerplate filter (dedup_winnow_pairs degenerated to
+    # 0 pairs at sf1.0).  Instead, each replica GROUP g > 0 renames every
+    # token with a group tag ('g<g>w' prefix) — a BIJECTIVE per-group
+    # token renaming, so within-group duplicate/near-duplicate relations
+    # (exact fingerprints, token-set jaccard, k-gram winnow sharing) are
+    # EXACTLY the base corpus's, while cross-group docs share no tokens
+    # and hence no fingerprints.  Result: f x the base's duplicate
+    # clusters at the base's cluster-size distribution — duplicate RATIO
+    # and per-fingerprint doc frequency held constant as N grows, which
+    # is how real scraped corpora scale.  The odd-row near-dup mutation
+    # (suffix tag) applies after the renaming, preserving the base
+    # exact/near mix inside every group.
     nd = counts["documents"] * f
+    n_base_doc = counts["documents"]
+    gtag = f"'g' || CAST(idx.i // {n_base_doc} AS VARCHAR) || 'w'"
+    gtext = (
+        f"CASE WHEN idx.i // {n_base_doc} = 0 THEN b.text "
+        f"ELSE {gtag} || replace(b.text, ' ', ' ' || {gtag}) END"
+    )
+    mtext = (
+        f"CASE WHEN idx.i % 2 = 1 "
+        f"THEN {gtext} || ' r' || CAST({_lcg('idx.i', 83)} % 97 AS VARCHAR) "
+        f"ELSE {gtext} END"
+    )
     copy("documents", sampled("documents", "doc_id", nd, f"""
   CAST(idx.i AS BIGINT) AS doc_id,
-  CASE WHEN idx.i % 2 = 1
-       THEN b.text || ' r' || CAST({_lcg('idx.i', 83)} % 97 AS VARCHAR)
-       ELSE b.text END AS text,
+  {mtext} AS text,
   b.lang AS lang, b.source AS source,
-  CAST(length(CASE WHEN idx.i % 2 = 1
-       THEN b.text || ' r' || CAST({_lcg('idx.i', 83)} % 97 AS VARCHAR)
-       ELSE b.text END) AS BIGINT) AS n_chars"""))
+  CAST(length({mtext}) AS BIGINT) AS n_chars"""))
 
+    # embeddings: perturb ONE deterministic coordinate per replica row
+    # (g * 3e-4, ~20 lattice quanta at KM_Q = 65536, 0.3% of coordinate
+    # scale) so replica groups are near- but not exact-duplicates of the
+    # base vectors.  The old exact repeats made the mutual-kNN graph
+    # degenerate at sf1.0 (10 identical copies per vector form
+    # near-cliques; sim_knn_link_predict had no non-adjacent pair with a
+    # common neighbour left — 0 rows).  Group 0 keeps base vectors
+    # bit-identical.
     nv = counts["embeddings"] * f
-    copy("embeddings", sampled("embeddings", "vec_id", nv, """
+    n_base_v = counts["embeddings"]
+    dim = con.execute(
+        f"SELECT len(embedding) FROM {base('embeddings')} LIMIT 1"
+    ).fetchone()[0]
+    jcoord = f"(1 + {_lcg('idx.i', 97)} % {dim})"
+    delta = f"(CAST(idx.i // {n_base_v} AS DOUBLE) * 0.0003)"
+    copy("embeddings", sampled("embeddings", "vec_id", nv, f"""
   CAST(idx.i AS BIGINT) AS vec_id,
-  b.embedding AS embedding, b.label AS label"""))
+  CAST(list_transform(CAST(b.embedding AS DOUBLE[]),
+       (x, j) -> CASE WHEN j = {jcoord} THEN x + {delta} ELSE x END)
+       AS FLOAT[]) AS embedding,
+  b.label AS label"""))
 
     print(f"wrote factor-{f} fixture set to {args.out}", file=sys.stderr)
     return 0
