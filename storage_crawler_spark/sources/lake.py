@@ -734,21 +734,7 @@ def gen_column_stats_hll(d) -> str:
     entry stays value-hash-gated despite being approximate."""
     from storage_crawler_spark.operators.sketches import gen_hll_ndv
 
-    es = d.epoch_s_date("l_shipdate")
-    cents = "CAST(floor({c} * 100 + 0.5e0) AS BIGINT)"
-    cols = [
-        ("l_orderkey", "CAST(l_orderkey AS STRING)"),
-        ("l_partkey", "CAST(l_partkey AS STRING)"),
-        ("l_suppkey", "CAST(l_suppkey AS STRING)"),
-        ("l_linenumber", "CAST(l_linenumber AS STRING)"),
-        ("l_quantity", f"CAST({cents.format(c='l_quantity')} AS STRING)"),
-        ("l_extendedprice", f"CAST({cents.format(c='l_extendedprice')} AS STRING)"),
-        ("l_discount", f"CAST({cents.format(c='l_discount')} AS STRING)"),
-        ("l_tax", f"CAST({cents.format(c='l_tax')} AS STRING)"),
-        ("l_shipdate", f"CAST({es} AS STRING)"),
-        ("l_returnflag", "l_returnflag"),
-        ("l_linestatus", "l_linestatus"),
-    ]
+    cols = _colstats_hll_cols(d)
     branches = []
     for i, (name, key) in enumerate(cols):
         hll = gen_hll_ndv(d, key, "lineitem", f"colndv_{name}")
@@ -772,4 +758,148 @@ FROM (
 {union}
 ) u
 ORDER BY col_id
+""".strip()
+
+
+def _colstats_hll_cols(d) -> list[tuple[str, str]]:
+    """The 11 lineitem (name, canonicalized-STRING-key) pairs shared by
+    both HLL column-stats forms — one definition so the A/B variants hash
+    identical keys by construction."""
+    es = d.epoch_s_date("l_shipdate")
+    cents = "CAST(floor({c} * 100 + 0.5e0) AS BIGINT)"
+    return [
+        ("l_orderkey", "CAST(l_orderkey AS STRING)"),
+        ("l_partkey", "CAST(l_partkey AS STRING)"),
+        ("l_suppkey", "CAST(l_suppkey AS STRING)"),
+        ("l_linenumber", "CAST(l_linenumber AS STRING)"),
+        ("l_quantity", f"CAST({cents.format(c='l_quantity')} AS STRING)"),
+        ("l_extendedprice", f"CAST({cents.format(c='l_extendedprice')} AS STRING)"),
+        ("l_discount", f"CAST({cents.format(c='l_discount')} AS STRING)"),
+        ("l_tax", f"CAST({cents.format(c='l_tax')} AS STRING)"),
+        ("l_shipdate", f"CAST({es} AS STRING)"),
+        ("l_returnflag", "l_returnflag"),
+        ("l_linestatus", "l_linestatus"),
+    ]
+
+
+def gen_column_stats_hll_batched(d) -> str:
+    """ONE-SCAN form of :func:`gen_column_stats_hll` (r13, r12 verdict
+    item 5's A/B): all 11 columns' HLL observations come out of a single
+    lineitem pass as packed BIGINTs
+    ``col_id·2^22 + bucket·2^16 + rho`` (−1 for a NULL key), exploded and
+    register-aggregated ONCE — versus the union form's 22 single-column
+    scans / 33 shuffles, whose per-JOB overhead was the steepest surviving
+    10× ratio (3.94×, BENCH_r12_scaleprobe).  NOT the rejected 12-way
+    Expand: there is no multi-distinct — the explode stream is 11 packed
+    BIGINTs per row and the one exchange carries ≤ 11·64 register rows per
+    map task after partial max/count combine.
+
+    Value-identical to the union form by construction: same per-column
+    seeds and canonicalized keys (:func:`_colstats_hll_cols`), same
+    md5-48 split, same register algebra, same estimate formula — so the
+    two forms are interchangeable under the oracle hash gate and the A/B
+    is a pure plan comparison (pinned by
+    tests/test_round13_additions.py::test_colstats_hll_forms_identical).
+
+    A/B RESULT (r13, Spark local[32], warm JVM, best of 2): the UNION
+    form wins at both scales — sf0.1: 3.46 s vs 11.33 s batched; sf1.0
+    (10×): 10.59 s vs 29.41 s batched (union's own 10× ratio 3.06×,
+    sublinear).  The 11-wide explode stream (66 M packed rows at sf1.0)
+    plus its exchange costs ~3× more than 22 column-pruned scans whose
+    per-job overhead the r12 probe flagged; per-job overhead is a
+    local-mode artifact the data-side explode cannot beat.  The union
+    form therefore STAYS the registry entry; this variant is kept as the
+    measured alternative for a future many-more-columns regime (per-job
+    overhead grows with column count, the explode stream doesn't).
+
+    Layers: key projection (NULL-safe — DuckDB's concat IGNORES NULLs, so
+    the md5 key must be CASE-gated on the raw key, matching gen_hll_ndv's
+    pre-hash filter) → rest = h >> 6 → packed array → explode → ONE
+    (col, bucket) aggregate computing max(rho) AND the non-null count →
+    per-col fold (n_hit, harmonic sum, n_nonnull) → estimate, LEFT-joined
+    from the column-spec VALUES so an all-NULL column still reports a row
+    (estimate 0 — the empty-input contract, r12 ADVICE)."""
+    from storage_crawler_spark.operators.sketches import HLL_ALPHA, HLL_M
+
+    m = HLL_M
+    cols = _colstats_hll_cols(d)
+    # NULL-safe 48-bit keys, one per column
+    hsel = ",\n         ".join(
+        f"CASE WHEN ({key}) IS NULL THEN CAST(NULL AS BIGINT) "
+        f"ELSE {d.md5_key48(key, seed=f'colndv_{name}')} END AS h{i}"
+        for i, (name, key) in enumerate(cols, start=1)
+    )
+    rsel = ",\n         ".join(
+        f"h{i}, {d.shr(f'h{i}', '6')} AS r{i}" for i in range(1, len(cols) + 1)
+    )
+
+    def bitlen(r: str) -> str:
+        return "(CASE " + " ".join(
+            f"WHEN {r} >= {1 << (b - 1)} THEN {b}" for b in range(42, 0, -1)
+        ) + " ELSE 0 END)"
+
+    packed = ", ".join(
+        f"CASE WHEN h{i} IS NULL THEN CAST(-1 AS BIGINT) "
+        f"ELSE CAST({i * (1 << 22)} + (h{i} % {m}) * {1 << 16} "
+        f"+ (43 - {bitlen(f'r{i}')}) AS BIGINT) END"
+        for i in range(1, len(cols) + 1)
+    )
+    arr = f"array({packed})" if d.name == "spark" else f"[{packed}]"
+    lat = d.lateral_explode(arr, "p")
+    spec = ", ".join(
+        f"({i}, '{name}')" for i, (name, _) in enumerate(cols, start=1)
+    )
+    est = (
+        f"CASE WHEN v > 0 AND raw_est <= 2.5 * {m} "
+        f"THEN {m} * ln(CAST({m} AS DOUBLE) / v) ELSE raw_est END"
+    )
+    return f"""
+WITH hkeys AS (
+  SELECT {hsel}
+  FROM lineitem
+),
+rests AS (
+  SELECT {rsel}
+  FROM hkeys
+),
+obs AS (
+  SELECT p FROM rests
+  {lat}
+),
+regs AS (
+  SELECT col_id, bucket, max(rho) AS mrho, CAST(count(*) AS BIGINT) AS n_obs
+  FROM (
+    SELECT {d.shr('p', '22')} AS col_id,
+           {d.shr('p', '16')} % {m} AS bucket,
+           p % {1 << 16} AS rho
+    FROM obs WHERE p >= 0
+  ) unpacked
+  GROUP BY col_id, bucket
+),
+percol AS (
+  SELECT col_id,
+         CAST(count(*) AS BIGINT) AS n_hit,
+         sum(power(2.0, -mrho)) AS harm_hit,
+         CAST(sum(n_obs) AS BIGINT) AS n_nonnull
+  FROM regs GROUP BY col_id
+),
+est AS (
+  SELECT col_id, n_hit, n_nonnull,
+         {HLL_ALPHA} * {m} * {m} / (harm_hit + ({m} - n_hit)) AS raw_est,
+         CAST({m} - n_hit AS BIGINT) AS v
+  FROM percol
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem),
+spec(col_id, col_name) AS (VALUES {spec})
+SELECT s.col_name,
+       t.n_rows,
+       t.n_rows - coalesce(e.n_nonnull, 0) AS null_count,
+       CASE WHEN t.n_rows = 0 THEN NULL
+            ELSE {d.trunc6("CAST(t.n_rows - coalesce(e.n_nonnull, 0) AS DOUBLE) / t.n_rows")}
+       END AS null_frac,
+       coalesce(e.n_hit, 0) AS n_registers_hit,
+       coalesce({d.trunc6(est)}, CAST(0 AS DOUBLE)) AS ndv_est
+FROM spec s CROSS JOIN tot t
+LEFT JOIN est e ON e.col_id = s.col_id
+ORDER BY s.col_id
 """.strip()

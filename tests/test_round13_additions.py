@@ -183,3 +183,51 @@ def test_hits_events_guard_precedes_node_collect():
     i_guard = src.index("check_model_state(n_nodes * n_nodes")
     i_collect = src.index("SELECT node FROM nodes")
     assert i_count < i_guard < i_collect
+
+
+# ---------------------------------------------------------------------------
+# r12 verdict item 5 (A/B): the batched one-scan column-stats HLL variant
+# must stay value-identical to the union form (same seeds, same register
+# algebra), so the measured plan comparison is apples-to-apples.  The
+# union form won the A/B (see gen_column_stats_hll_batched docstring) and
+# remains the registry entry.
+# ---------------------------------------------------------------------------
+
+
+def test_colstats_hll_forms_identical():
+    from storage_crawler_spark.sources.lake import (
+        gen_column_stats_hll,
+        gen_column_stats_hll_batched,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    )
+    a = con.execute(gen_column_stats_hll(DUCK)).fetchall()
+    b = con.execute(gen_column_stats_hll_batched(DUCK)).fetchall()
+    assert len(a) == 11
+    assert a == b
+
+
+def test_colstats_hll_batched_all_null_column_reports_zero():
+    """The batched form's LEFT JOIN from the column spec: an all-NULL
+    column still reports a row with estimate 0 (the union form gets the
+    same from gen_hll_ndv's empty-input contract)."""
+    from storage_crawler_spark.sources.lake import (
+        gen_column_stats_hll,
+        gen_column_stats_hll_batched,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * EXCLUDE (l_tax), "
+        "CAST(NULL AS DOUBLE) AS l_tax FROM "
+        "read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    )
+    a = con.execute(gen_column_stats_hll(DUCK)).fetchall()
+    b = con.execute(gen_column_stats_hll_batched(DUCK)).fetchall()
+    assert a == b
+    tax = [r for r in b if r[0] == "l_tax"][0]
+    assert tax[4] == 0 and tax[5] == 0.0  # n_registers_hit, ndv_est

@@ -154,9 +154,12 @@ ORDER BY b.ts, idx.i
     # and hence no fingerprints.  Result: f x the base's duplicate
     # clusters at the base's cluster-size distribution — duplicate RATIO
     # and per-fingerprint doc frequency held constant as N grows, which
-    # is how real scraped corpora scale.  The odd-row near-dup mutation
-    # (suffix tag) applies after the renaming, preserving the base
-    # exact/near mix inside every group.
+    # is how real scraped corpora scale.  No extra mutation: the base
+    # corpus already carries its own exact- AND near-duplicate structure,
+    # and a row-index-keyed suffix (the old odd-row tag) would BREAK
+    # within-group exact pairs (two copies of the same text got different
+    # suffixes); the renaming is equality-preserving, so the base
+    # structure replicates as-is, once per group.
     nd = counts["documents"] * f
     n_base_doc = counts["documents"]
     gtag = f"'g' || CAST(idx.i // {n_base_doc} AS VARCHAR) || 'w'"
@@ -164,16 +167,11 @@ ORDER BY b.ts, idx.i
         f"CASE WHEN idx.i // {n_base_doc} = 0 THEN b.text "
         f"ELSE {gtag} || replace(b.text, ' ', ' ' || {gtag}) END"
     )
-    mtext = (
-        f"CASE WHEN idx.i % 2 = 1 "
-        f"THEN {gtext} || ' r' || CAST({_lcg('idx.i', 83)} % 97 AS VARCHAR) "
-        f"ELSE {gtext} END"
-    )
     copy("documents", sampled("documents", "doc_id", nd, f"""
   CAST(idx.i AS BIGINT) AS doc_id,
-  {mtext} AS text,
+  {gtext} AS text,
   b.lang AS lang, b.source AS source,
-  CAST(length({mtext}) AS BIGINT) AS n_chars"""))
+  CAST(length({gtext}) AS BIGINT) AS n_chars"""))
 
     # embeddings: perturb ONE deterministic coordinate per replica row
     # (g * 3e-4, ~20 lattice quanta at KM_Q = 65536, 0.3% of coordinate
