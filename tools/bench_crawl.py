@@ -26,10 +26,66 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _mutate_tree(tree: str, every: int = 100) -> tuple[set, int]:
+    """Deterministic churn over the make_crawltree.py layout: in every
+    ``every``-th second-level dir, modify 5 files, delete 3, add 2, and
+    add one new subdir with a file.  Returns (expected mtime-stream entry
+    set, dirs touched) — the exact contract of the small-scale parity
+    test (tests/test_incremental_crawl.py::_mutate_tree)."""
+    expect: set = set()
+    touched = 0
+    subs = []
+    for a in sorted(os.listdir(tree)):
+        pa = os.path.join(tree, a)
+        if not os.path.isdir(pa):
+            continue
+        for b in sorted(os.listdir(pa)):
+            subs.append(os.path.join(pa, b))
+    for d in subs[::every]:
+        touched += 1
+        names = sorted(
+            n for n in os.listdir(d) if os.path.isfile(os.path.join(d, n))
+        )
+        for n in names[:5]:  # modified
+            p = os.path.join(d, n)
+            with open(p, "wb") as fh:
+                fh.write(b"y" * 321)
+            expect.add(os.fsencode(p))
+        for n in names[5:8]:  # deleted (surface via the bumped parent)
+            os.unlink(os.path.join(d, n))
+        for j in range(2):  # added
+            p = os.path.join(d, f"new{j}.dat")
+            with open(p, "wb") as fh:
+                fh.write(b"z" * 77)
+            expect.add(os.fsencode(p))
+        sub = os.path.join(d, "subnew")
+        os.makedirs(sub, exist_ok=True)
+        p = os.path.join(sub, "s0.dat")
+        with open(p, "wb") as fh:
+            fh.write(b"s" * 11)
+        expect.add(os.fsencode(p))
+        expect.add(os.fsencode(sub))
+        expect.add(os.fsencode(d))  # parent bumped by delete/add/mkdir
+    return expect, touched
+
+
+# Reference files-table columns stable across a merged lake and a fresh
+# crawl of the same filesystem state (tests/test_incremental_crawl.py).
+_STABLE_COLS = (
+    "path, st_mode, st_nlink, st_uid, st_gid, st_size, st_mtime, st_ino, "
+    "extension, owner"
+)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tree", default="/root/repo/.localdata/crawltree")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--incremental", action="store_true",
+                    help="after the full crawl: churn ~1%% of subtrees, "
+                    "time the mtime-stream detect -> subtree re-crawl -> "
+                    "merge_snapshot path, and assert EXCEPT parity vs a "
+                    "fresh full crawl (MUTATES the tree)")
     args = ap.parse_args()
 
     from storage_crawler_spark.config import CrawlConfig
@@ -77,6 +133,77 @@ def main() -> int:
         "report_rows": n_report,
         "report_sec": round(report_s, 2),
     }
+    if args.incremental:
+        from storage_crawler_spark.sources.fsmeta import register_fsmeta
+        from storage_crawler_spark.sources.lake import merge_snapshot
+
+        register_fsmeta(spark)
+        old = spark.read.parquet(lake_dir)
+        t_mid = int(time.time())
+        time.sleep(1.2)  # mtime margin: churn strictly after the watermark
+        expect, dirs_touched = _mutate_tree(args.tree)
+
+        # mtime-window streaming detection (one availableNow micro-batch)
+        t3 = time.monotonic()
+        det_out = "/root/repo/.localdata/crawl_detect"
+        det_ckpt = "/root/repo/.localdata/crawl_detect_ckpt"
+        import shutil
+
+        shutil.rmtree(det_out, ignore_errors=True)
+        shutil.rmtree(det_ckpt, ignore_errors=True)
+        q = (
+            spark.readStream.format("fsmeta")
+            .option("start_mtime", str(t_mid))
+            .option("slack_s", "0")
+            .load(args.tree)
+            .writeStream.format("parquet")
+            .option("path", det_out)
+            .option("checkpointLocation", det_ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(1800)
+        streamed = {bytes(r.path) for r in spark.read.parquet(det_out).collect()}
+        detect_s = time.monotonic() - t3
+        assert streamed == expect, (
+            f"detection mismatch: {len(streamed)} streamed vs "
+            f"{len(expect)} expected"
+        )
+
+        # touched entries -> top-level subtrees -> batch re-crawl -> merge
+        t4 = time.monotonic()
+        rootb = os.fsencode(args.tree.rstrip("/"))
+        tops = sorted(
+            {rootb + b"/" + p[len(rootb) + 1:].split(b"/", 1)[0] for p in streamed}
+        )
+        new = crawl(
+            spark, CrawlConfig(dirs=[os.fsdecode(t) for t in tops])
+        ).files.localCheckpoint()
+        merged = merge_snapshot(old, new, tops).localCheckpoint()
+        n_merged = merged.count()
+        merge_s = time.monotonic() - t4
+
+        # ground truth: fresh full crawl; EXCEPT both ways on stable cols
+        t5 = time.monotonic()
+        fresh = crawl(spark, CrawlConfig(dirs=[args.tree])).files
+        m_s = merged.selectExpr(*_STABLE_COLS.split(", "))
+        f_s = fresh.selectExpr(*_STABLE_COLS.split(", "))
+        fwd = m_s.exceptAll(f_s).count()
+        bwd = f_s.exceptAll(m_s).count()
+        parity_s = time.monotonic() - t5
+        assert (fwd, bwd) == (0, 0), f"EXCEPT parity broken: {fwd}/{bwd}"
+
+        out.update({
+            "churn_dirs": dirs_touched,
+            "churn_entries": len(expect),
+            "detect_sec": round(detect_s, 2),
+            "detect_emitted": len(streamed),
+            "recrawl_merge_sec": round(merge_s, 2),
+            "merged_rows": n_merged,
+            "parity_except_counts": [fwd, bwd],
+            "parity_check_sec": round(parity_s, 2),
+        })
+
     line = json.dumps(out)
     print(line)
     if args.out:
