@@ -4935,8 +4935,72 @@ ORDER BY channel
 # money_double plane — 22 oracles changed text when the sf1.0 tier exposed
 # the decimal→double double-rounding divergence), then stamp age: the last
 # 17 r3-era stamps (after this window nothing predates r4) and the six
-# oldest r4 fillers.
+# oldest r4 fillers.  (r12 went 50/50 green; occupants rotate out.)
+# Round-13 window: formulation changes first — the r12-ADVICE integer-
+# display rework (jaccard/containment oracles changed text), the two HLL
+# entries riding the gen_hll_ndv empty-input coalesce, the winnow fk_rel
+# parameter contract, the hits_events guard reorder, and the kNN-graph
+# family whose ENGINE path now shares one memoized lattice fit — then
+# stamp age: ALL 23 remaining r4-era stamps (after this window nothing
+# predates r7 — the r12 verdict item 6 target), then the 17 oldest r7
+# stamps as fillers.
 _DRIVER_WINDOW_FIRST = (
+    # --- formulation changed this round (r13) ------------------------------
+    "dedup_jaccard_pairs",
+    "dedup_containment_pairs",
+    "dedup_winnow_pairs",
+    "pipeline_epoch_plan_hll",
+    "lake_column_stats_hll",
+    "events_hits",
+    "sim_knn_kcore",
+    "sim_knn_clustering_coeff",
+    "sim_graph_2hop_topk",
+    "sim_knn_link_predict",
+    # --- stamp age: the last r4-era stamps (all 23) ------------------------
+    "lake_snapshot_diff",
+    "multimodal_binary_meta",
+    "multimodal_media_info",
+    "owner_prefix_join",
+    "report_large_old_files",
+    "report_status_averages",
+    "report_status_brief",
+    "sim_cosine_topk",
+    "sim_ivf_recall",
+    "sim_ivf_topk",
+    "sim_knn_join",
+    "stratified_sample",
+    "streaming_attribution_join",
+    "streaming_dedup",
+    "streaming_session_counts",
+    "streaming_user_sessions",
+    "text_chunk_split",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+    "window_event_deltas",
+    "window_topk_orders",
+    # --- fillers: the oldest r7 stamps -------------------------------------
+    "corpus_card",
+    "dedup_media_hamming",
+    "dedup_normalized_exact",
+    "dedup_substring_spans",
+    "dedup_threshold_histogram",
+    "embedding_corr_audit",
+    "embedding_dim_stats",
+    "embedding_int8_audit",
+    "embedding_label_cohesion",
+    "events_cohort_retention",
+    "events_dow_seasonality",
+    "events_funnel_conversion",
+    "events_session_stats",
+    "events_stickiness",
+    "events_transition_matrix",
+    "events_type_affinity",
+    "events_value_trend",
+)
+
+_DRIVER_WINDOW_R12 = (
     # --- never-stamped (new r12): the two sketch-swapped NDV entries ------
     "pipeline_epoch_plan_hll",
     "lake_column_stats_hll",

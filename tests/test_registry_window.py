@@ -25,22 +25,23 @@ _ROWS_ONLY_ALLOWED: set[str] = set()
 # chain — EVERY registry entry now carries a full value-hash oracle.)
 
 
-_R12_MUST_STAMP = (
-    # never stamped this round
-    "pipeline_epoch_plan_hll", "lake_column_stats_hll",
-    # reworked this round: trained-cell kNN-graph edges, winnow fk
-    # checkpoint, the r11 ADVICE fixes, and the money_double plane
+_R13_MUST_STAMP = (
+    # formulation changed this round (r13): the r12-ADVICE integer-display
+    # rework (oracle text changed), the gen_hll_ndv empty-input coalesce
+    # riders, the winnow fk_rel parameter contract, the hits_events guard
+    # reorder, and the kNN-graph family's shared memoized lattice fit
+    "dedup_jaccard_pairs", "dedup_containment_pairs", "dedup_winnow_pairs",
+    "pipeline_epoch_plan_hll", "lake_column_stats_hll", "events_hits",
     "sim_knn_kcore", "sim_knn_clustering_coeff", "sim_graph_2hop_topk",
-    "sim_knn_link_predict", "dedup_winnow_pairs", "report_du_forecast",
-    "lake_column_stats",
+    "sim_knn_link_predict",
 )
 
 
-def test_window_leads_with_the_r12_must_stamps():
+def test_window_leads_with_the_r13_must_stamps():
     """The never-stamped/fixed/reworked entries must hold the head of the
     window — a slot they lose is a stamp the round loses."""
     w = registry._DRIVER_WINDOW_FIRST
-    assert w[: len(_R12_MUST_STAMP)] == _R12_MUST_STAMP
+    assert w[: len(_R13_MUST_STAMP)] == _R13_MUST_STAMP
 
 
 def test_window_fits_the_driver_sample_and_is_unique():
