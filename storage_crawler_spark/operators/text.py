@@ -22,6 +22,42 @@ _LANG_MARKERS = {
 _STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "it", "on", "for")
 
 
+def _avg6_exact(d: Dialect, row_expr: str) -> str:
+    """ORDER-FREE engine-exact mean of a per-row DOUBLE expression (r13 —
+    found by the fresh-seed fuzz wave, text_perplexity_tertiles seed 257):
+    ``trunc6(avg(x))`` over doubles is partition-order-DEPENDENT on Spark
+    (partial sums merge in task-completion order) while DuckDB sums in its
+    own order, so a mean within ~sqrt(n) ulps of a 1e-6 grid line can
+    truncate differently per engine — a latent flake in every
+    avg-of-transcendental site.  Instead: floor each row onto the exact
+    1e-6 BIGINT lattice (per-row doubles are bit-identical cross-engine —
+    ints through ln/division, each a single IEEE op), sum the BIGINTs
+    (exact, order-free), and take ONE late division + trunc6.
+
+    The displayed mean differs from the old form by < 1e-6 (per-row floor
+    before the mean instead of after); what it buys is determinism.
+    BIGINT bound: sum < 2^63 needs n·x < 9.2e12 — at nll ≈ 50 that is
+    ~1.8e11 rows PER GROUP, far past any per-doc/per-bucket group."""
+    micro = f"CAST(floor(({row_expr}) * 1000000.0e0) AS BIGINT)"
+    return d.trunc6(
+        f"CAST(sum({micro}) AS DOUBLE) / "
+        f"(CAST(count({micro}) AS DOUBLE) * 1000000.0e0)"
+    )
+
+
+def _avg6_lattice(d: Dialect, row_expr: str) -> str:
+    """:func:`_avg6_exact` for rows ALREADY on the 1e-6 lattice (trunc6'd
+    upstream): recover the exact integer with round() — floor would go
+    k-1 when k/1e6 * 1e6 lands an ulp under k — then the same exact sum
+    and single late division.  (round ties can't occur: the product is
+    within an ulp of an integer.)"""
+    micro = f"CAST(round(({row_expr}) * 1000000.0e0) AS BIGINT)"
+    return d.trunc6(
+        f"CAST(sum({micro}) AS DOUBLE) / "
+        f"(CAST(count({micro}) AS DOUBLE) * 1000000.0e0)"
+    )
+
+
 def _in_list(words: tuple[str, ...]) -> str:
     return "(" + ", ".join(f"'{w}'" for w in words) + ")"
 
@@ -174,7 +210,7 @@ def gen_unigram_surprisal(
     return f"""{with_clause}freq AS (SELECT token, count(*) AS n FROM {tok} GROUP BY token),
 tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM freq)
 SELECT doc_id, count(*) AS n_tokens,
-       {d.trunc6("avg(-ln(f.n / tot.total))")} AS mean_surprisal
+       {_avg6_exact(d, "-ln(f.n / tot.total)")} AS mean_surprisal
 FROM {tok}
 JOIN freq f ON {tok}.token = f.token
 CROSS JOIN tot
@@ -896,7 +932,7 @@ def gen_bigram_nll(d: Dialect, src: str = "documents", big_rel: str | None = Non
 uc AS (SELECT prev, count(*) AS c1 FROM {big} GROUP BY prev),
 vocab AS (SELECT CAST(count(DISTINCT cur) AS DOUBLE) AS v FROM {big})
 SELECT {big}.doc_id, count(*) AS n_bigrams,
-       {d.trunc6("avg(-ln((bc.c2 + 1) / (uc.c1 + vocab.v)))")} AS mean_bigram_nll
+       {_avg6_exact(d, "-ln((bc.c2 + 1) / (uc.c1 + vocab.v))")} AS mean_bigram_nll
 FROM {big}
 JOIN bc ON {big}.prev = bc.prev AND {big}.cur = bc.cur
 JOIN uc ON {big}.prev = uc.prev
@@ -954,7 +990,7 @@ cont AS (
 ),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bc)
 SELECT {big}.doc_id, count(*) AS n_bigrams,
-       {d.trunc6(f"avg(-ln({p_kn}))")} AS mean_kn_nll
+       {_avg6_exact(d, f"-ln({p_kn})")} AS mean_kn_nll
 FROM {big}
 JOIN bc ON {big}.prev = bc.prev AND {big}.cur = bc.cur
 JOIN uc ON {big}.prev = uc.prev
@@ -1237,7 +1273,7 @@ def gen_perplexity_tertiles(
 SELECT bucket,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
-       {d.trunc6('avg(mean_bigram_nll)')} AS mean_nll
+       {_avg6_lattice(d, 'mean_bigram_nll')} AS mean_nll
 FROM (
   SELECT {bucket} AS bucket, mean_bigram_nll, n_bigrams
   FROM {nll} CROSS JOIN th

@@ -4956,6 +4956,13 @@ _DRIVER_WINDOW_FIRST = (
     "sim_knn_clustering_coeff",
     "sim_graph_2hop_topk",
     "sim_knn_link_predict",
+    # the order-free exact mean (the fresh-seed fuzz wave's seed-257 find:
+    # trunc6(avg(double)) is partition-order-dependent) changed these four
+    # oracle texts
+    "text_unigram_surprisal",
+    "text_bigram_nll",
+    "text_kn_bigram_nll",
+    "text_perplexity_tertiles",
     # --- stamp age: the last r4-era stamps (all 23) ------------------------
     "lake_snapshot_diff",
     "multimodal_binary_meta",
@@ -4994,10 +5001,9 @@ _DRIVER_WINDOW_FIRST = (
     "events_dow_seasonality",
     "events_funnel_conversion",
     "events_session_stats",
-    "events_stickiness",
-    "events_transition_matrix",
-    "events_type_affinity",
-    "events_value_trend",
+    # (events_stickiness / transition_matrix / type_affinity / value_trend
+    # yielded their filler slots to the four fuzz-find rewrites above;
+    # they head the r14 filler queue)
 )
 
 _DRIVER_WINDOW_R12 = (

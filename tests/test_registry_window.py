@@ -34,6 +34,9 @@ _R13_MUST_STAMP = (
     "pipeline_epoch_plan_hll", "lake_column_stats_hll", "events_hits",
     "sim_knn_kcore", "sim_knn_clustering_coeff", "sim_graph_2hop_topk",
     "sim_knn_link_predict",
+    # the order-free exact-mean rewrite (fresh-seed fuzz find, seed 257)
+    "text_unigram_surprisal", "text_bigram_nll", "text_kn_bigram_nll",
+    "text_perplexity_tertiles",
 )
 
 

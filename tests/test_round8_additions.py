@@ -517,7 +517,10 @@ def test_kn_bigram_hand_computed():
     p_ac = (1 - 0.75) / 3 + 0.75 * 2 / 3 * (1 / 3)
     want = -(2 * math.log(p_ab) + 2 * math.log(p_ba) + math.log(p_ac)) / 5
     assert got["n_bigrams"] == [5]
-    assert abs(got["mean_kn_nll"][0] - want) < 1e-6
+    # 2e-6: the r13 order-free mean floors each row onto the 1e-6 lattice
+    # BEFORE averaging (then trunc6), so the result sits in
+    # (want - 2e-6, want] rather than within 1e-6 of the raw mean
+    assert abs(got["mean_kn_nll"][0] - want) < 2e-6
 
 
 def test_kn_continuation_beats_raw_frequency():
