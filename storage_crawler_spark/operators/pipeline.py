@@ -623,28 +623,38 @@ def gen_quality_budget_curve(d) -> str:
     Deciles come from exact percentile THRESHOLDS (one reduce over the
     logit relation, the perplexity-tertile pattern) applied map-side as
     nine CASE comparisons — not ntile(), whose global sort is the
-    100 TB anti-shape.  Ties at a threshold fall into the better decile
-    in both engines (same comparison on identical trunc6-ed logits).
-    The cumulative column runs over the 10-row decile relation only.
+    100 TB anti-shape.  Thresholds are ``percentile_disc`` over the
+    logits recovered onto the exact 1e-6 BIGINT lattice (r13, the
+    tertile fix: percentile_cont's interpolation for non-binary-exact
+    fractions like 0.9 is associated differently by the two engines and
+    can land one ulp apart, flipping docs that sit exactly on a
+    threshold lattice point; disc selects an actual data value and the
+    comparison is then exact BIGINT).  Ties at a threshold fall into the
+    better decile in both engines.  The cumulative column runs over the
+    10-row decile relation only.
     """
     from storage_crawler_spark.operators.text import gen_quality_classifier
 
     qc = gen_quality_classifier(d)
     pc = ", ".join(
-        f"percentile_cont({(10 - i) / 10}) WITHIN GROUP (ORDER BY quality_logit) AS t{i}"
+        f"CAST(percentile_disc({(10 - i) / 10}) WITHIN GROUP (ORDER BY micro) AS BIGINT) AS t{i}"
         for i in range(1, 10)
     )
     bucket = "1 + " + " + ".join(
-        f"(CASE WHEN quality_logit < t{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
+        f"(CASE WHEN micro < t{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
     )
     return f"""
 WITH qc AS (
 {qc}
 ),
-th AS (SELECT {pc} FROM qc),
+qcm AS (
+  SELECT CAST(round(quality_logit * 1000000.0e0) AS BIGINT) AS micro, n_tokens
+  FROM qc
+),
+th AS (SELECT {pc} FROM qcm),
 b AS (
   SELECT CAST(({bucket}) AS INT) AS decile, n_tokens
-  FROM qc CROSS JOIN th
+  FROM qcm CROSS JOIN th
 ),
 per AS (
   SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,

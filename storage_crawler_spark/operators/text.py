@@ -1245,12 +1245,18 @@ def gen_perplexity_tertiles(
     volume and mean score — the standard curriculum/filter partition
     (train on head+middle, drop or downweight tail).
 
-    Thresholds are exact ``percentile_cont`` over the TRUNCATED per-doc
-    scores (both engines see bit-identical inputs, and linear
-    interpolation is IEEE-exact arithmetic on them), computed in ONE
+    Thresholds are exact ``percentile_disc`` over the per-doc scores
+    recovered onto the integer 1e-6 lattice — an ACTUAL data value, so no
+    interpolation arithmetic exists to diverge (r13: percentile_cont's
+    v_a + f·(v_b − v_a) is associated differently by the two engines and
+    came back one ulp apart at sf1.0, flipping the 10 docs sitting
+    exactly on the threshold lattice point into different buckets; both
+    engines' percentile_disc select the same element by cumulative-
+    fraction ≥ q, verified across n ≡ 0,1 mod 3).  Computed in ONE
     reduce — deliberately not ntile(), whose global sort would funnel the
     corpus through a single task; the bucket assignment is then a
-    broadcast of the 1-row threshold relation (allowlisted scalar shape).
+    broadcast of the 1-row threshold relation (allowlisted scalar shape)
+    compared in EXACT BIGINT.
 
     The NLL relation is referenced twice (thresholds + assignment); the
     Spark builder persists it via ``nll_rel``, the oracle inlines.
@@ -1261,22 +1267,28 @@ def gen_perplexity_tertiles(
     else:
         nll = "nll"
         with_clause = f"WITH nll AS (\n{gen_bigram_nll(d, src)}\n),\n"
+    # scores are trunc6'd upstream: round() recovers the exact integer
+    # (floor would go k-1 an ulp under the grid — the _avg6_lattice rule)
+    micro = "CAST(round(mean_bigram_nll * 1000000.0e0) AS BIGINT)"
     bucket = (
-        "CASE WHEN mean_bigram_nll <= th.t1 THEN 'head' "
-        "WHEN mean_bigram_nll <= th.t2 THEN 'middle' ELSE 'tail' END"
+        "CASE WHEN micro <= th.t1 THEN 'head' "
+        "WHEN micro <= th.t2 THEN 'middle' ELSE 'tail' END"
     )
-    return f"""{with_clause}th AS (
-  SELECT percentile_cont(0.3333333333333333) WITHIN GROUP (ORDER BY mean_bigram_nll) AS t1,
-         percentile_cont(0.6666666666666666) WITHIN GROUP (ORDER BY mean_bigram_nll) AS t2
-  FROM {nll}
+    return f"""{with_clause}nllm AS (
+  SELECT {micro} AS micro, n_bigrams FROM {nll}
+),
+th AS (
+  SELECT CAST(percentile_disc(0.3333333333333333) WITHIN GROUP (ORDER BY micro) AS BIGINT) AS t1,
+         CAST(percentile_disc(0.6666666666666666) WITHIN GROUP (ORDER BY micro) AS BIGINT) AS t2
+  FROM nllm
 )
 SELECT bucket,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
-       {_avg6_lattice(d, 'mean_bigram_nll')} AS mean_nll
+       {d.trunc6("CAST(sum(micro) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0e0)")} AS mean_nll
 FROM (
-  SELECT {bucket} AS bucket, mean_bigram_nll, n_bigrams
-  FROM {nll} CROSS JOIN th
+  SELECT {bucket} AS bucket, micro, n_bigrams
+  FROM nllm CROSS JOIN th
 ) b
 GROUP BY bucket
 ORDER BY bucket
@@ -1402,7 +1414,7 @@ SELECT s.source AS source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(q.keep) AS BIGINT) AS n_keep,
        {rate} AS keep_rate,
-       {d.trunc6('avg(q.quality_logit)')} AS mean_logit
+       {_avg6_lattice(d, 'q.quality_logit')} AS mean_logit
 FROM q
 JOIN (SELECT doc_id, source FROM documents) s ON q.doc_id = s.doc_id
 GROUP BY s.source

@@ -4963,6 +4963,10 @@ _DRIVER_WINDOW_FIRST = (
     "text_bigram_nll",
     "text_kn_bigram_nll",
     "text_perplexity_tertiles",
+    # percentile_disc-on-micro thresholds + lattice mean (same fuzz class:
+    # cont interpolation came back one ulp apart at sf1.0)
+    "pipeline_quality_budget_curve",
+    "text_quality_by_source",
     # --- stamp age: the last r4-era stamps (all 23) ------------------------
     "lake_snapshot_diff",
     "multimodal_binary_meta",
@@ -4999,11 +5003,9 @@ _DRIVER_WINDOW_FIRST = (
     "embedding_label_cohesion",
     "events_cohort_retention",
     "events_dow_seasonality",
-    "events_funnel_conversion",
-    "events_session_stats",
-    # (events_stickiness / transition_matrix / type_affinity / value_trend
-    # yielded their filler slots to the four fuzz-find rewrites above;
-    # they head the r14 filler queue)
+    # (events_funnel_conversion / session_stats / stickiness /
+    # transition_matrix / type_affinity / value_trend yielded their filler
+    # slots to the six fuzz-find rewrites above; they head the r14 queue)
 )
 
 _DRIVER_WINDOW_R12 = (

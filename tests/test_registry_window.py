@@ -37,6 +37,8 @@ _R13_MUST_STAMP = (
     # the order-free exact-mean rewrite (fresh-seed fuzz find, seed 257)
     "text_unigram_surprisal", "text_bigram_nll", "text_kn_bigram_nll",
     "text_perplexity_tertiles",
+    # percentile_disc-on-micro thresholds + lattice means (same class)
+    "pipeline_quality_budget_curve", "text_quality_by_source",
 )
 
 
