@@ -95,13 +95,17 @@ def main() -> int:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--out", default=None)
     ap.add_argument("--metric", default="scale_probe_10x_wall")
+    ap.add_argument("--driver-mem", default="12g")
     args = ap.parse_args()
     entries = [e.strip() for e in args.entries.split(",") if e.strip()]
 
     from storage_crawler_spark.plans import registry
     from storage_crawler_spark.session import build_session
 
-    spark = build_session(app_name="scale-probe")
+    # 12g heap: the 10x replica of the pair plane holds ~19M candidate
+    # pairs in flight; the default 1g driver OOMed mid-probe (r13)
+    spark = build_session(app_name="scale-probe",
+                          extra_conf={"spark.driver.memory": args.driver_mem})
     specs = {n: registry.get_query(n) for n in entries}
 
     rep_dir = tempfile.mkdtemp(prefix="scaleprobe_")
