@@ -23,6 +23,7 @@ from storage_crawler_spark.sources.jdbc import (
     read_files_jdbc,
     status_table_ddl,
     write_files_jdbc,
+    write_status_jdbc,
 )
 from storage_crawler_spark.sources.lake import (
     drop_tag,
@@ -39,6 +40,7 @@ __all__ = [
     "schema_lifecycle_ddl",
     "reporting_user_ddl",
     "write_files_jdbc",
+    "write_status_jdbc",
     "read_files_jdbc",
     "write_crawl",
     "read_files",

@@ -173,6 +173,32 @@ def write_files_jdbc(
     )
 
 
+def write_status_jdbc(
+    status: DataFrame,
+    url: str,
+    tag: str = "crawl",
+    batchsize: int = 10_000,
+    mode: str = "append",
+    properties: dict | None = None,
+) -> None:
+    """Append the status/event log through Spark's JDBC writer — the side
+    channel the reference inserts row-at-a-time from the status process
+    (storcrawl.py:303-309); same id-drop contract as
+    :func:`write_files_jdbc` (SERIAL, DB-assigned)."""
+    props = dict(properties or {})
+    if "driver" not in props:
+        driver = _resolve_pg_driver(status.sparkSession, url)
+        if driver:
+            props["driver"] = driver
+    if "id" in status.columns:
+        status = status.drop("id")
+    (
+        status.write.mode(mode)
+        .option("batchsize", batchsize)
+        .jdbc(url, f"storcrawl_{tag}.status", properties=props)
+    )
+
+
 def read_files_jdbc(
     spark,
     url: str,

@@ -174,3 +174,40 @@ def test_spark_jdbc_append_twice_accumulates(spark, crawl_rows):
         "SELECT count(DISTINCT id) FROM storcrawl_sparkjdbc_x2.files"
     ))
     assert n_ids == 2 * n
+
+
+def test_spark_jdbc_status_log_round_trip(spark, crawl_rows):
+    """The status side channel (storcrawl.py:303-309 parity): lifecycle
+    event rows written through Spark's JDBC writer into the rendered
+    normalized status table, read back via a report-shaped aggregate in
+    both engines."""
+    from storage_crawler_spark.config import CrawlConfig
+    from storage_crawler_spark.crawl import crawl
+    from storage_crawler_spark.sources.jdbc import (
+        schema_lifecycle_ddl,
+        write_status_jdbc,
+    )
+
+    res = crawl(spark, CrawlConfig(dirs=[os.fsdecode(
+        bytes(crawl_rows.select("path").orderBy("path").first().path))]))
+    status = res.status
+    want = status.count()
+    assert want > 0
+
+    for stmt in schema_lifecycle_ddl("sparkjdbc_st"):
+        _psql(stmt)
+    write_status_jdbc(status, _URL, tag="sparkjdbc_st", properties=_PROPS)
+
+    n_pg = int(_psql("SELECT count(*) FROM storcrawl_sparkjdbc_st.status"))
+    assert n_pg == want
+    # the reporter's event projection (report.py get_status events shape)
+    evs = _psql(
+        "SELECT status FROM storcrawl_sparkjdbc_st.status "
+        "WHERE status IN ('begin', 'end') ORDER BY time, status"
+    ).splitlines()
+    assert "begin" in evs and "end" in evs
+    # SERIAL ids assigned server-side, value/units nullable columns intact
+    n_ids = int(_psql(
+        "SELECT count(DISTINCT id) FROM storcrawl_sparkjdbc_st.status"
+    ))
+    assert n_ids == want
