@@ -629,9 +629,17 @@ def gen_quality_budget_curve(d) -> str:
     fractions like 0.9 is associated differently by the two engines and
     can land one ulp apart, flipping docs that sit exactly on a
     threshold lattice point; disc selects an actual data value and the
-    comparison is then exact BIGINT).  Ties at a threshold fall into the
-    better decile in both engines.  The cumulative column runs over the
-    10-row decile relation only.
+    comparison is then exact BIGINT).  Boundary semantics (r14): the
+    ``percentile_disc(q)`` element is by definition part of the bottom
+    ``q`` mass (its cume_dist first reaches ``q``), so the bucket
+    comparison is ``micro <= t`` — the threshold element fills DOWNWARD
+    into the worse decile, and on distinct logits with ``n`` divisible
+    by 10 every decile holds exactly ``n/10`` docs (the equal-fill
+    closure contract pinned by
+    tests/test_round6_additions.py::test_quality_budget_curve_cumulative_closure).
+    Tied logits straddling a threshold move together into the worse
+    decile in both engines.  The cumulative column runs over the 10-row
+    decile relation only.
     """
     from storage_crawler_spark.operators.text import gen_quality_classifier
 
@@ -641,7 +649,7 @@ def gen_quality_budget_curve(d) -> str:
         for i in range(1, 10)
     )
     bucket = "1 + " + " + ".join(
-        f"(CASE WHEN micro < t{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
+        f"(CASE WHEN micro <= t{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
     )
     return f"""
 WITH qc AS (
