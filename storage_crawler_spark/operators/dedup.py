@@ -36,6 +36,12 @@ MINHASH_PERMS = [
 ]
 N_BANDS = 4
 ROWS_PER_BAND = 4
+# Winnowing defaults shared by gen_winnow_fk and gen_winnow_pairs: the
+# fk_rel contract guard compares against THESE (r13 ADVICE — a literal
+# (8, 4, 50) in the guard would silently drift from the signatures).
+WINNOW_K = 8
+WINNOW_W = 4
+WINNOW_DF_CAP = 50
 
 
 def gen_dedup_exact(d: Dialect) -> str:
@@ -825,9 +831,9 @@ ORDER BY bin_lo_pct
 
 def gen_winnow_fk(
     d: Dialect,
-    k: int = 8,
-    w: int = 4,
-    df_cap: int = 50,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    df_cap: int = WINNOW_DF_CAP,
     winnow_rel: str | None = None,
 ) -> str:
     """Standalone (doc_id, fp) df-capped fingerprint relation — the shared
@@ -863,10 +869,10 @@ SELECT f.doc_id, f.fp FROM fp_rel f JOIN kept ON f.fp = kept.fp
 
 def gen_winnow_pairs(
     d: Dialect,
-    k: int = 8,
-    w: int = 4,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
     min_shared: int = 25,
-    df_cap: int = 50,
+    df_cap: int = WINNOW_DF_CAP,
     winnow_rel: str | None = None,
     fk_rel: str | None = None,
 ) -> str:
@@ -906,7 +912,7 @@ def gen_winnow_pairs(
 
     lat = d.lateral_explode("fps", "fp")
     if fk_rel is not None:
-        if (k, w, df_cap) != (8, 4, 50):
+        if (k, w, df_cap) != (WINNOW_K, WINNOW_W, WINNOW_DF_CAP):
             raise ValueError(
                 "gen_winnow_pairs: k/w/df_cap are baked into fk_rel at its "
                 "build (gen_winnow_fk); pass them there, not here"

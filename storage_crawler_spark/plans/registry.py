@@ -23,6 +23,7 @@ Float-parity rules applied throughout (the driver hashes values):
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -124,16 +125,34 @@ def _checkpoint_view(df: DataFrame, name: str) -> DataFrame:
 # The memo key carries sf_dir because register_base_tables re-points the
 # embeddings view per call; a different application id means a fresh JVM
 # whose checkpoint blocks are gone.
-_KNN_EDGES_SHARED_KEY: list = [None]
+_KNN_EDGES_SHARED_KEY: list = [None, None]  # [key, checkpointed DataFrame]
+_KNN_EDGES_SHARED_LOCK = threading.Lock()
 
 
 def _knn_edges_shared(spark: SparkSession, sf_dir: str) -> str:
     from storage_crawler_spark.operators.cluster import knn_edges_lattice
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    if _KNN_EDGES_SHARED_KEY[0] != key:
-        _checkpoint_view(knn_edges_lattice(spark, m=8), "_knn_edges_shared")
-        _KNN_EDGES_SHARED_KEY[0] = key
+    with _KNN_EDGES_SHARED_LOCK:
+        if _KNN_EDGES_SHARED_KEY[0] != key:
+            # Unpersist the previous checkpoint's storage blocks before
+            # re-checkpointing under a new key (r13 ADVICE: switching
+            # sf_dir within one session otherwise leaks the old blocks
+            # for the JVM lifetime).  Guarded: a stale handle from a
+            # stopped context must not abort the rebuild.
+            prev = _KNN_EDGES_SHARED_KEY[1]
+            if prev is not None and _KNN_EDGES_SHARED_KEY[0][0] == key[0]:
+                try:
+                    # DataFrame.unpersist() is a CacheManager no-op for a
+                    # localCheckpoint — the blocks belong to the LogicalRDD's
+                    # underlying RDD (probed on Spark 4.1.2; DF-level
+                    # unpersist left all partitions cached).
+                    prev._jdf.queryExecution().analyzed().rdd().unpersist(False)
+                except Exception:
+                    pass
+            ck = _checkpoint_view(knn_edges_lattice(spark, m=8), "_knn_edges_shared")
+            _KNN_EDGES_SHARED_KEY[0] = key
+            _KNN_EDGES_SHARED_KEY[1] = ck
     return "_knn_edges_shared"
 
 
@@ -5008,75 +5027,11 @@ _DRIVER_WINDOW_FIRST = (
     # slots to the six fuzz-find rewrites above; they head the r14 queue)
 )
 
-_DRIVER_WINDOW_R12 = (
-    # --- never-stamped (new r12): the two sketch-swapped NDV entries ------
-    "pipeline_epoch_plan_hll",
-    "lake_column_stats_hll",
-    # --- reworked this round (newest formulation meets the gate) ----------
-    # kNN-graph family: trained-cell + adaptive residual-sign candidates
-    # replaced the fixed sign bucket (edge sets changed)
-    "sim_knn_kcore",
-    "sim_knn_clustering_coeff",
-    "sim_graph_2hop_topk",
-    "sim_knn_link_predict",
-    # winnow pairs: df-capped fingerprint relation checkpointed (oracle
-    # CTE refactor rode along)
-    "dedup_winnow_pairs",
-    # DECIMAL(38,0) OLS accumulators (r11 ADVICE)
-    "report_du_forecast",
-    # byte-accurate string widths (r11 ADVICE)
-    "lake_column_stats",
-    # money_double: every DECIMAL-sum -> DOUBLE now detours through an
-    # exact integral BIGINT (the sf1.0 tier caught Spark/DuckDB double-
-    # rounding divergence above 2^53) — all money-plane oracles changed
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_filter",
-    "tpch_q22_acctbal_prospects",
-    "events_user_value_quantiles",
-    "grouping_sets_orders",
-    "rollup_events_daily",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "streaming_window_counts",
-    # --- stamp-age fillers: the LAST r3-era stamps (ledger oldest; after
-    # this window nothing predates r4), then the oldest r4 block ---------
-    "dedup_jaccard_block_guard",
-    "dedup_minhash_signatures",
-    "join_anti_customers_without_orders",
-    "report_first_thousand",
-    "report_schema_files",
-    "setops_customer_cohorts",
-    "split_assign",
-    "split_counts",
-    "text_normalize",
-    "text_pii_redact",
-    "text_quality_filter",
-    "text_repetition",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_suppliers",
-    "window_moving_avg",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_lsh_quality",
-    "events_json_props",
-    "join_asof_events",
-    "join_range_events",
-    # (r11 window occupants — the 26 then-never-stamped r11 operators and
-    # the r3 refreshes — all went green in CORRECTNESS_r11; their stamps
-    # are current, so they rotate out.  Remaining r4-era stamps queue for
-    # the r13 window tail.)
-)
+# (_DRIVER_WINDOW_R12, the r12 occupant tuple, was deleted in r14 — it was
+# dead code once _ordered() moved to the r13 window; git history preserves
+# it.  Occupant notes worth keeping: r12 stamped the two never-stamped
+# sketch-swap NDV entries, the reworked kNN-graph family, the money_double
+# plane, and the last r3-era stamps — after r12 nothing predated r4.)
 
 
 def _ordered(specs: list[QuerySpec]) -> list[QuerySpec]:

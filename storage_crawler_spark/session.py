@@ -51,11 +51,16 @@ def build_session(
     # be Derby-only.  extraClassPath puts it on the DRIVER classloader,
     # where java.sql.DriverManager needs it (sc.addJar reaches executors
     # but not DriverManager); it only takes effect at JVM launch, which is
-    # exactly when getOrCreate builds the first session.
+    # exactly when getOrCreate builds the first session.  spark.jars ships
+    # the same jar to EXECUTORS (r13 ADVICE: JDBC read/write partitions run
+    # executor-side, and on a non-local master extraClassPath alone would
+    # leave them without the driver class).
     jar = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                        "vendor", "minipg", "minipg.jar")
     if os.path.exists(jar) and not (extra_conf or {}).get("spark.driver.extraClassPath"):
         builder = builder.config("spark.driver.extraClassPath", jar)
+        if not (extra_conf or {}).get("spark.jars"):
+            builder = builder.config("spark.jars", jar)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
