@@ -25,7 +25,7 @@ from __future__ import annotations
 from storage_crawler_spark.operators.dedup import gen_span_windows
 from storage_crawler_spark.operators.sampling import split_bucket_expr, split_case_expr
 from storage_crawler_spark.operators.text import gen_quality_filter
-from storage_crawler_spark.plans.dialect import Dialect
+from storage_crawler_spark.plans.dialect import Dialect, avg_lattice
 
 
 def gen_training_pipeline(
@@ -780,7 +780,9 @@ def gen_dsir_weights(
     relations, then the scoring join — both LMs broadcast in Spark, so
     the only shuffle is the per-doc combine.  Add-one smoothing keeps
     every bucket finite; the log ratio is ONE ln() per token over a
-    deterministic integer-derived rational (trunc6 discipline).
+    deterministic integer-derived rational, and mean_llr is an order-free
+    lattice mean at p=12 (r14 determinism audit; |ln ratio| is bounded
+    by ln of the corpus token count — far under the 9e3 lattice bound).
 
     Output: every raw doc's (n_toks, mean_llr), doc_id-ordered — no
     float ranking crosses engines (the BM25 last-ulp lesson); consumers
@@ -825,7 +827,7 @@ tot AS (
 )
 SELECT tok.doc_id, tok.source,
        CAST(count(*) AS BIGINT) AS n_toks,
-       {d.trunc6(f'avg(ln({ratio}))')} AS mean_llr
+       {avg_lattice(d, f'ln({ratio})', 12)} AS mean_llr
 FROM tok
 LEFT JOIN tcnt tc ON tok.b = tc.b
 LEFT JOIN rcnt rc ON tok.b = rc.b

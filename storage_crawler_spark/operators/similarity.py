@@ -14,7 +14,7 @@
 
 from __future__ import annotations
 
-from storage_crawler_spark.plans.dialect import Dialect
+from storage_crawler_spark.plans.dialect import Dialect, avg_lattice
 from storage_crawler_spark.operators import check_model_state
 
 
@@ -171,6 +171,8 @@ def gen_embedding_stats(d: Dialect) -> str:
     only (label, scalar) rows.  All integer aggregates CAST to BIGINT:
     DuckDB's sum(int) is HUGEINT and its len() BIGINT vs Spark's INT —
     the exact Arrow decimal128-vs-int64 trap of driver round 4.
+    mean_norm is an order-free lattice mean at p=9 (r14 determinism
+    audit; bound: norms < 9e6); min/max are order-free by algebra.
     """
     ev = d.cast_double_arr("embedding")
     return f"""
@@ -188,7 +190,7 @@ SELECT label,
        CAST(max(dims) AS BIGINT) AS max_dims,
        CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
        {d.trunc6('min(nrm)')} AS min_norm,
-       {d.trunc6('avg(nrm)')} AS mean_norm,
+       {avg_lattice(d, 'nrm', 9)} AS mean_norm,
        {d.trunc6('max(nrm)')} AS max_norm
 FROM n
 GROUP BY label
@@ -213,6 +215,10 @@ def gen_int8_quant_audit(d: Dialect) -> str:
     100 TB shape: everything per-vector happens inside the scan stage
     (map-only); the shuffle carries (label, scalar error) rows into one
     partial-combining aggregate.  No joins, no window.
+    mean_sq_err is an order-free lattice mean at p=12 (r14 determinism
+    audit — quantization errors sit near 1e-5, so the 1e-6 grid would
+    zero them; bound: err2 < 9e3); max_sq_err/max_rel_err are order-free
+    by algebra.
     """
     ev = d.cast_double_arr("embedding")
     absarr = d.transform("ev", "x", "abs(x)")
@@ -241,7 +247,7 @@ e AS (
 )
 SELECT label,
        CAST(count(*) AS BIGINT) AS n_vecs,
-       {d.trunc6('avg(err2)')} AS mean_sq_err,
+       {avg_lattice(d, 'err2', 12)} AS mean_sq_err,
        {d.trunc6('max(err2)')} AS max_sq_err,
        {d.trunc6('max(CASE WHEN nrm2 = 0 THEN 0.0 ELSE err2 / nrm2 END)')} AS max_rel_err
 FROM e
@@ -472,13 +478,32 @@ def gen_label_cohesion(d: Dialect) -> str:
     (label, dim, component) for the per-dimension sum — partial-combining
     on a (labels × dims)-sized key space — then one tiny per-label fold.
     No joins, no pair materialization, nothing quadratic anywhere.
+
+    Determinism (r14 audit, the seed-257 class): BOTH float sums in the
+    chain — sum(c) over n vectors per (label, dim) and sum(sc²) over dims
+    per label — merge partials in task-completion order on Spark, so the
+    displayed cohesion could truncate differently per engine/run.  Fixed
+    with a two-hop lattice: unit components (|c| <= 1) floor onto the
+    1e-12 lattice into exact DECIMAL(38,0) sums; the per-dim MEAN
+    component mc = sc/n (rebuilt with one cast + one division) is squared
+    and floored onto the 1e-12 lattice again for the exact per-label
+    DECIMAL sum.  Algebra: s2 = Σ sc² = n²·Σ mc², so cohesion =
+    (s2 − n)/(n(n−1)) = (n·Σ mc² − 1)/(n − 1).  Lattice error <=
+    ~3e-12·dims (≈3e-8 at 10k dims) — deterministic, and invisible next
+    to the 1e-6 display grid.
     """
     ev = d.cast_double_arr("embedding")
     nrm = f"sqrt({d.dot('ev', 'ev')})"
     unit = d.transform("ev", "x", "x / nrm")
     lat = d.lateral_seq("1", d.size("uv"), "dim")
     comp = d.elem("uv", "dim")
-    cohesion = "CASE WHEN n > 1 THEN (s2 - n) / (n * (n - 1)) ELSE NULL END"
+    mc = "CAST(sci AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e12)"
+    s2m = "CAST(floor((mc * mc) * 1.0e12) AS DECIMAL(38,0))"
+    s_sum = "CAST(sum(mcsq) AS DOUBLE) / 1.0e12"
+    cohesion = (
+        "CASE WHEN n > 1 THEN (CAST(n AS DOUBLE) * s_mc2 - 1.0e0) / "
+        "(CAST(n AS DOUBLE) - 1.0e0) ELSE NULL END"
+    )
     return f"""
 WITH v0 AS (
   SELECT label, ev, {nrm} AS nrm
@@ -493,15 +518,23 @@ comps AS (
   {lat}
 ),
 sums AS (
-  SELECT label, dim, sum(c) AS sc FROM comps GROUP BY label, dim
+  SELECT label, dim,
+         CAST(sum(CAST(floor(c * 1.0e12) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sci
+  FROM comps GROUP BY label, dim
+),
+mdims AS (
+  SELECT label, n, {s2m} AS mcsq
+  FROM (
+    SELECT s0.label, n0.n, {mc} AS mc
+    FROM sums s0
+    JOIN (SELECT label, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY label) n0
+      ON s0.label = n0.label
+  ) s
 ),
 agg AS (
-  SELECT s.label,
-         CAST(n.n AS DOUBLE) AS n,
-         sum(s.sc * s.sc) AS s2
-  FROM sums s
-  JOIN (SELECT label, count(*) AS n FROM u GROUP BY label) n ON s.label = n.label
-  GROUP BY s.label, n.n
+  SELECT label, n, {s_sum} AS s_mc2
+  FROM mdims
+  GROUP BY label, n
 )
 SELECT label, CAST(n AS BIGINT) AS n_vecs,
        {d.trunc6(cohesion)} AS mean_pairwise_cos
@@ -683,9 +716,11 @@ def gen_dim_stats(d: Dialect) -> str:
 
     100 TB shape: map-only lateral explode to (dim, x) with partial
     aggregation onto the tiny dim key (combiner shrinks each task's output
-    to n_dims rows before the shuffle).  Mean/moment are trunc6-ed doubles
-    (same accepted ulp posture as gen_embedding_stats' avg(nrm)); zero
-    counts and n are exact BIGINTs.  Empty arrays are filtered before the
+    to n_dims rows before the shuffle).  Mean/moment are order-free exact
+    lattice means at p=9 (r14 determinism audit; bound: |x| < 9e6 for
+    full lattice accuracy — real embedding components sit orders below);
+    min/max of doubles are order-free by algebra; zero counts and n are
+    exact BIGINTs.  Empty arrays are filtered before the
     sequence (Spark's sequence() counts DOWN on inverted bounds).
     """
     ev = d.cast_double_arr("embedding")
@@ -705,8 +740,8 @@ SELECT dim,
        CAST(count(*) AS BIGINT) AS n_vecs,
        {d.trunc6('min(x)')} AS min_x,
        {d.trunc6('max(x)')} AS max_x,
-       {d.trunc6('avg(x)')} AS mean_x,
-       {d.trunc6('avg(x * x)')} AS mean_x2,
+       {avg_lattice(d, 'x', 9)} AS mean_x,
+       {avg_lattice(d, 'x * x', 9)} AS mean_x2,
        CAST(sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
 FROM dims
 GROUP BY dim
@@ -1658,7 +1693,9 @@ def gen_binary_quant_audit(d: Dialect) -> str:
     100 TB shape: packing, popcount and the sign-cosine all fold inside the
     scan stage (map-only); the shuffle carries (label, code-string, scalars)
     into one aggregate — count(DISTINCT code) is the only expanding term
-    and it is bounded by the corpus itself.  No joins.
+    and it is bounded by the corpus itself.  No joins.  The two means are
+    order-free lattice means at p=12 (r14 determinism audit; both
+    statistics live in [-1, 1]); min_sign_cos is order-free by algebra.
     """
     ev = d.cast_double_arr("embedding")
     sabs = d.fold_double(d.transform("ev", "x", "abs(x)"))
@@ -1689,8 +1726,8 @@ s AS (
 SELECT label,
        CAST(count(*) AS BIGINT) AS n_vecs,
        CAST(count(DISTINCT code) AS BIGINT) AS n_codes,
-       {d.trunc6('avg(bit_density)')} AS mean_bit_density,
-       {d.trunc6('avg(sign_cos)')} AS mean_sign_cos,
+       {avg_lattice(d, 'bit_density', 12)} AS mean_bit_density,
+       {avg_lattice(d, 'sign_cos', 12)} AS mean_sign_cos,
        {d.trunc6('min(sign_cos)')} AS min_sign_cos
 FROM s
 GROUP BY label

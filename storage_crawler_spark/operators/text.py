@@ -8,7 +8,7 @@ parquet scan with column pruning (only ``doc_id``/``text``/``lang`` read).
 
 from __future__ import annotations
 
-from storage_crawler_spark.plans.dialect import Dialect
+from storage_crawler_spark.plans.dialect import Dialect, avg_lattice
 
 # Stopword markers per language for the n-gram/marker language-ID heuristic.
 _LANG_MARKERS = {
@@ -1910,7 +1910,14 @@ def gen_readability(d: Dialect) -> str:
     regex pass replaces a per-word loop.  All literals are E-notation
     DOUBLEs and counts are cast before arithmetic (the decimal-literal
     trap in plans/dialect.py).  One partial-combining aggregate; the
-    regex extraction runs inside the scan stage."""
+    regex extraction runs inside the scan stage.
+
+    Determinism (r14 audit): avg_fre is an order-free lattice mean at
+    p=9 (bound |fre| < 9e6 — a doc would need ~9M unpunctuated words to
+    leave the lattice; determinism itself holds to 9e9).  hard_share /
+    easy_share need NO lattice: means of exact 0/1 doubles — every
+    partial sum is an exact integer below 2^53, so any summation order
+    yields the identical sum and the single division is one IEEE op."""
     words = d.size(d.regex_tokens("text", "[A-Za-z]+"))
     sents = d.size(d.regex_tokens("text", "[.!?]+"))
     syls = d.size(d.regex_tokens("text", "[aeiouyAEIOUY]+"))
@@ -1930,7 +1937,7 @@ scored AS (
 )
 SELECT lang, source,
        CAST(count(*) AS BIGINT) AS n_docs,
-       {d.trunc6('avg(fre)')} AS avg_fre,
+       {avg_lattice(d, 'fre', 9)} AS avg_fre,
        {d.trunc6('avg(CASE WHEN fre < 30.0e0 THEN 1.0e0 ELSE 0.0e0 END)')} AS hard_share,
        {d.trunc6('avg(CASE WHEN fre > 70.0e0 THEN 1.0e0 ELSE 0.0e0 END)')} AS easy_share
 FROM scored
@@ -1951,7 +1958,12 @@ def gen_ngram_novelty(d: Dialect, n: int = 3) -> str:
     100 TB shape: distinct-gram explode (array_distinct inside the scan
     stage caps the fan-out at the gram count) -> two partial-combining
     aggregates (df on gram key, novelty on doc key) -> one per-source
-    rollup.  No joins against raw text after the first projection."""
+    rollup.  No joins against raw text after the first projection.
+
+    Determinism (r14 audit): the per-doc novelty is an exact rational
+    (avg of 0/1 doubles — integer partial sums, order-free); avg_novelty
+    over those rationals is an order-free lattice mean at p=12 (novelty
+    lives in [0, 1]); min/max are order-free by algebra."""
     grams = d.adistinct(
         d.transform(
             d.seq("1", f"{d.size('toks')} - {n} + 1"),
@@ -1985,7 +1997,7 @@ nov AS (
 )
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
-       {d.trunc6('avg(novelty)')} AS avg_novelty,
+       {avg_lattice(d, 'novelty', 12)} AS avg_novelty,
        {d.trunc6('min(novelty)')} AS min_novelty,
        {d.trunc6('max(novelty)')} AS max_novelty
 FROM nov

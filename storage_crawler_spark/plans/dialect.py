@@ -398,5 +398,41 @@ def money_double(sum_expr: str, scale: int = 2) -> str:
     )
 
 
+def avg_lattice(d: Dialect, row_expr: str, p: int) -> str:
+    """ORDER-FREE engine-exact mean of a per-row DOUBLE expression at a
+    per-site lattice scale — the generalization of text._avg6_exact that
+    the r14 determinism audit applies to the remaining display-only
+    ``trunc6(avg(double))`` sites (the fuzz seed-257 class: Spark merges
+    avg's partial double sums in task-completion order, DuckDB sums in
+    its own order, so a mean within ~n ulps of a 1e-6 display grid line
+    can truncate differently per engine or per run).
+
+    Shape: floor each row onto the 10^-p lattice (one multiply + floor —
+    bit-identical cross-engine; Spark's floor(double) lands in BIGINT,
+    DuckDB's in an integral DOUBLE, and the DECIMAL(38,0) cast is exact
+    from both), accumulate as DECIMAL(38,0) (exact, order-free, 1e38
+    headroom at ANY group size — the du-forecast discipline; a BIGINT
+    accumulator would cap norm-scale sums near 1e10 rows), then ONE
+    correctly-rounded decimal→double cast, one division, trunc6.
+
+    Choosing ``p`` (the per-site magnitude analysis, NOT a blanket 1e-6
+    grid — that would zero statistics like int8 mean_sq_err ~1e-5):
+    the displayed mean shifts DOWN by < 10^-p vs the raw avg, so any
+    p >= 7 is invisible at the 1e-6 display; the constraint is per-row
+    headroom.  Hard determinism bound |row| < 2^63/10^p (Spark's BIGINT
+    floor clamps above it while DuckDB's DOUBLE floor keeps going —
+    the trunc6 clamp lesson); full lattice accuracy additionally wants
+    |row| < 2^53/10^p (above that, integral doubles have gaps, which is
+    still deterministic but the floor lands off-lattice).  Rule used at
+    the call sites: p=12 for [0,1]-bounded statistics, p=9 for O(1)-to-
+    O(1e3) magnitudes (norms, components, Flesch scores), matching the
+    documented per-site bound."""
+    mult = f"1.0e{p}"
+    micro = f"CAST(floor(({row_expr}) * {mult}) AS DECIMAL(38,0))"
+    return d.trunc6(
+        f"CAST(sum({micro}) AS DOUBLE) / (CAST(count({micro}) AS DOUBLE) * {mult})"
+    )
+
+
 SPARK = Dialect("spark")
 DUCK = Dialect("duck")

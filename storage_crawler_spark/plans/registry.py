@@ -4964,67 +4964,67 @@ ORDER BY channel
 # predates r7 — the r12 verdict item 6 target), then the 17 oldest r7
 # stamps as fillers.
 _DRIVER_WINDOW_FIRST = (
-    # --- formulation changed this round (r13) ------------------------------
-    "dedup_jaccard_pairs",
-    "dedup_containment_pairs",
-    "dedup_winnow_pairs",
-    "pipeline_epoch_plan_hll",
-    "lake_column_stats_hll",
-    "events_hits",
-    "sim_knn_kcore",
-    "sim_knn_clustering_coeff",
-    "sim_graph_2hop_topk",
-    "sim_knn_link_predict",
-    # the order-free exact mean (the fresh-seed fuzz wave's seed-257 find:
-    # trunc6(avg(double)) is partition-order-dependent) changed these four
-    # oracle texts
-    "text_unigram_surprisal",
-    "text_bigram_nll",
-    "text_kn_bigram_nll",
-    "text_perplexity_tertiles",
-    # percentile_disc-on-micro thresholds + lattice mean (same fuzz class:
-    # cont interpolation came back one ulp apart at sf1.0)
+    # Round-14 window: formulation changes first — the percentile_disc
+    # decile-boundary fix (the r13 verdict's one weak entry) and the r14
+    # determinism audit (every remaining display-only trunc6(avg(double))
+    # site became an order-free lattice mean via plans/dialect.avg_lattice;
+    # label_cohesion's whole float-sum chain moved to a two-hop lattice) —
+    # then stamp age: the 28 remaining r7-era stamps (after this window
+    # nothing predates r8 — the r13 verdict item 6 target), then the 13
+    # oldest r8 stamps as fillers.
+    # --- formulation changed this round (r14) ------------------------------
     "pipeline_quality_budget_curve",
-    "text_quality_by_source",
-    # --- stamp age: the last r4-era stamps (all 23) ------------------------
-    "lake_snapshot_diff",
-    "multimodal_binary_meta",
-    "multimodal_media_info",
-    "owner_prefix_join",
-    "report_large_old_files",
-    "report_status_averages",
-    "report_status_brief",
-    "sim_cosine_topk",
-    "sim_ivf_recall",
-    "sim_ivf_topk",
-    "sim_knn_join",
-    "stratified_sample",
-    "streaming_attribution_join",
-    "streaming_dedup",
-    "streaming_session_counts",
-    "streaming_user_sessions",
-    "text_chunk_split",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_stats",
-    "window_event_deltas",
-    "window_topk_orders",
-    # --- fillers: the oldest r7 stamps -------------------------------------
-    "corpus_card",
-    "dedup_media_hamming",
-    "dedup_normalized_exact",
-    "dedup_substring_spans",
-    "dedup_threshold_histogram",
-    "embedding_corr_audit",
-    "embedding_dim_stats",
+    "embedding_stats_audit",
     "embedding_int8_audit",
     "embedding_label_cohesion",
-    "events_cohort_retention",
-    "events_dow_seasonality",
-    # (events_funnel_conversion / session_stats / stickiness /
-    # transition_matrix / type_affinity / value_trend yielded their filler
-    # slots to the six fuzz-find rewrites above; they head the r14 queue)
+    "embedding_dim_stats",
+    "embedding_binary_audit",
+    "pipeline_dsir_weights",
+    "text_readability",
+    "text_ngram_novelty",
+    # --- stamp age: the remaining r7-era stamps (all 28) -------------------
+    "dedup_minhash_lsh",
+    "events_funnel_conversion",
+    "events_session_stats",
+    "events_stickiness",
+    "events_transition_matrix",
+    "events_type_affinity",
+    "events_value_trend",
+    "ingest_cdc_upsert",
+    "ingest_schema_evolution",
+    "join_asof_tolerance_events",
+    "multimodal_ahash",
+    "multimodal_dimension_audit",
+    "pipeline_forget_audit",
+    "pipeline_ngram_contamination",
+    "pipeline_shard_balance",
+    "report_dir_fanout",
+    "report_permission_audit",
+    "report_status_full",
+    "sample_bootstrap_ci",
+    "sim_rp_lsh_recall",
+    "text_bpe_merge_pairs",
+    "text_char_entropy",
+    "text_dup_span_ratio",
+    "text_length_robust",
+    "text_winnow_fingerprints",
+    "tpch_basket_brands",
+    "weighted_sample",
+    "window_rate_anomaly",
+    # --- fillers: the oldest r8 stamps -------------------------------------
+    "dedup_embedding_exact",
+    "dedup_minhash_incremental",
+    "dedup_paragraphs",
+    "dedup_semantic_clusters",
+    "embedding_centroid_confusion",
+    "embedding_pca_power",
+    "embedding_pca_project",
+    "events_ab_test",
+    "events_holt_trend",
+    "events_pagerank",
+    "ingest_csv_fidelity",
+    "ingest_jsonl_fidelity",
+    "multimodal_byte_entropy",
 )
 
 # (_DRIVER_WINDOW_R12, the r12 occupant tuple, was deleted in r14 — it was

@@ -211,3 +211,142 @@ def test_spark_jdbc_status_log_round_trip(spark, crawl_rows):
         "SELECT count(DISTINCT id) FROM storcrawl_sparkjdbc_st.status"
     ))
     assert n_ids == want
+
+
+# ---------------------------------------------------------------------------
+# r14 hardening (r13 verdict item 5): the literal renderer's injection-
+# shaped surface, NULLs of every mapped type, and loud walls on the
+# surfaces the driver cannot honor.
+# ---------------------------------------------------------------------------
+
+
+def test_spark_jdbc_nulls_of_every_mapped_type(spark):
+    """One all-NULL row and one valued row for every Spark type the
+    PostgresDialect maps: the writer's setNull path and the reader's
+    wasNull path both survive."""
+    import datetime
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.IntegerType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("b", T.BinaryType()),
+        T.StructField("f_bool", T.BooleanType()),
+        T.StructField("f_short", T.ShortType()),
+        T.StructField("f_int", T.IntegerType()),
+        T.StructField("f_long", T.LongType()),
+        T.StructField("f_float", T.FloatType()),
+        T.StructField("f_double", T.DoubleType()),
+        T.StructField("f_dec", T.DecimalType(12, 3)),
+        T.StructField("f_ts", T.TimestampType()),
+        T.StructField("f_date", T.DateType()),
+    ])
+    valued = (
+        1, "v", bytearray(b"\x00\x01\xff"), True, 7, 42, 2**40, 1.5, 2.25,
+        Decimal("123456789.125"),
+        datetime.datetime(2024, 2, 29, 12, 34, 56, 789000),
+        datetime.date(1999, 12, 31),
+    )
+    nulled = (2,) + (None,) * 11
+    df = spark.createDataFrame([valued, nulled], schema)
+
+    _psql("DROP TABLE IF EXISTS minipg_nulls")
+    df.write.jdbc(_URL, "minipg_nulls", mode="overwrite", properties=_PROPS)
+    back = spark.read.jdbc(_URL, "minipg_nulls", properties=_PROPS)
+
+    rows = {r["k"]: r for r in back.collect()}
+    assert set(rows) == {1, 2}
+    r2 = rows[2]
+    for c in schema.fieldNames():
+        if c != "k":
+            assert r2[c] is None, f"column {c} lost its NULL"
+    r1 = rows[1]
+    assert r1["s"] == "v" and bytes(r1["b"]) == b"\x00\x01\xff"
+    assert r1["f_bool"] is True and r1["f_short"] == 7 and r1["f_int"] == 42
+    assert r1["f_long"] == 2**40
+    assert r1["f_float"] == 1.5 and r1["f_double"] == 2.25
+    assert r1["f_dec"] == Decimal("123456789.125")
+    assert r1["f_ts"] == datetime.datetime(2024, 2, 29, 12, 34, 56, 789000)
+    assert r1["f_date"] == datetime.date(1999, 12, 31)
+
+
+def test_spark_jdbc_quoting_torture_row(spark):
+    """The injection-shaped surface a literal renderer must prove safe:
+    embedded single quotes, doubled quotes, backslashes (lone, doubled,
+    trailing), newline/semicolon/comment markers, a '?' that must NOT be
+    taken as a placeholder, dollar-quoting markers, and binary holding
+    quote/backslash bytes — all byte-identical after write -> PG -> read."""
+    from pyspark.sql import types as T
+
+    torture = [
+        "it's",
+        "''already doubled''",
+        "back\\slash",
+        "double\\\\backslash",
+        "trailing backslash\\",
+        "line\nbreak; DROP TABLE should_not_run; --",
+        "placeholder ? inside",
+        "$$dollar$$ quoted",
+        "café ☃ \U0001f600",
+        "",
+    ]
+    schema = T.StructType([
+        T.StructField("k", T.IntegerType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("b", T.BinaryType()),
+    ])
+    rows = [
+        (i, s, bytearray(s.encode("utf-8") + b"\x27\x5c\x00"))
+        for i, s in enumerate(torture)
+    ]
+    df = spark.createDataFrame(rows, schema)
+    _psql("DROP TABLE IF EXISTS minipg_torture")
+    df.write.jdbc(_URL, "minipg_torture", mode="overwrite", properties=_PROPS)
+    back = spark.read.jdbc(_URL, "minipg_torture", properties=_PROPS)
+    got = {r["k"]: (r["s"], bytes(r["b"])) for r in back.collect()}
+    for i, s in enumerate(torture):
+        assert got[i] == (s, s.encode("utf-8") + b"\x27\x5c\x00"), repr(s)
+    # nothing in the torture strings executed as SQL
+    assert _psql(
+        "SELECT count(*) FROM information_schema.tables "
+        "WHERE table_name = 'should_not_run'"
+    ) == "0"
+
+
+def test_minipg_pins_standard_conforming_strings(spark):
+    """The quote() contract (backslash is plain; only ' doubles) must be
+    guaranteed by the SESSION, not assumed from server defaults."""
+    jvm = spark.sparkContext._jvm
+    props = jvm.java.util.Properties()
+    props.setProperty("user", "postgres")
+    conn = jvm.java.sql.DriverManager.getConnection(_URL, props)
+    try:
+        st = conn.createStatement()
+        rs = st.executeQuery("SHOW standard_conforming_strings")
+        assert rs.next()
+        assert rs.getString(1) == "on"
+    finally:
+        conn.close()
+
+
+def test_minipg_setquerytimeout_walls(spark):
+    """setQueryTimeout(0) (Spark's default: no limit) is accepted; any
+    non-zero timeout would be silently ignored, so it must throw
+    SQLFeatureNotSupportedException naming the wall."""
+    from py4j.protocol import Py4JJavaError
+
+    jvm = spark.sparkContext._jvm
+    props = jvm.java.util.Properties()
+    props.setProperty("user", "postgres")
+    conn = jvm.java.sql.DriverManager.getConnection(_URL, props)
+    try:
+        st = conn.createStatement()
+        st.setQueryTimeout(0)  # accepted
+        with pytest.raises(Py4JJavaError) as ei:
+            st.setQueryTimeout(5)
+        assert "SQLFeatureNotSupported" in str(ei.value.java_exception.getClass())
+        assert "setQueryTimeout" in str(ei.value.java_exception.getMessage())
+    finally:
+        conn.close()

@@ -25,28 +25,26 @@ _ROWS_ONLY_ALLOWED: set[str] = set()
 # chain — EVERY registry entry now carries a full value-hash oracle.)
 
 
-_R13_MUST_STAMP = (
-    # formulation changed this round (r13): the r12-ADVICE integer-display
-    # rework (oracle text changed), the gen_hll_ndv empty-input coalesce
-    # riders, the winnow fk_rel parameter contract, the hits_events guard
-    # reorder, and the kNN-graph family's shared memoized lattice fit
-    "dedup_jaccard_pairs", "dedup_containment_pairs", "dedup_winnow_pairs",
-    "pipeline_epoch_plan_hll", "lake_column_stats_hll", "events_hits",
-    "sim_knn_kcore", "sim_knn_clustering_coeff", "sim_graph_2hop_topk",
-    "sim_knn_link_predict",
-    # the order-free exact-mean rewrite (fresh-seed fuzz find, seed 257)
-    "text_unigram_surprisal", "text_bigram_nll", "text_kn_bigram_nll",
-    "text_perplexity_tertiles",
-    # percentile_disc-on-micro thresholds + lattice means (same class)
-    "pipeline_quality_budget_curve", "text_quality_by_source",
+_R14_MUST_STAMP = (
+    # formulation changed this round (r14): the percentile_disc decile-
+    # boundary fix (boundary element now fills downward — the r13
+    # verdict's weak entry), and the determinism audit that moved every
+    # remaining display-only trunc6(avg(double)) site onto order-free
+    # lattice means (plans/dialect.avg_lattice; label_cohesion's float-sum
+    # chain became a two-hop lattice)
+    "pipeline_quality_budget_curve",
+    "embedding_stats_audit", "embedding_int8_audit",
+    "embedding_label_cohesion", "embedding_dim_stats",
+    "embedding_binary_audit", "pipeline_dsir_weights",
+    "text_readability", "text_ngram_novelty",
 )
 
 
-def test_window_leads_with_the_r13_must_stamps():
+def test_window_leads_with_the_r14_must_stamps():
     """The never-stamped/fixed/reworked entries must hold the head of the
     window — a slot they lose is a stamp the round loses."""
     w = registry._DRIVER_WINDOW_FIRST
-    assert w[: len(_R13_MUST_STAMP)] == _R13_MUST_STAMP
+    assert w[: len(_R14_MUST_STAMP)] == _R14_MUST_STAMP
 
 
 def test_window_fits_the_driver_sample_and_is_unique():

@@ -166,3 +166,156 @@ def test_session_registers_minipg_for_executors(spark):
     conf = spark.sparkContext.getConf()
     assert jar in (conf.get("spark.driver.extraClassPath", "") or "")
     assert jar in (conf.get("spark.jars", "") or "")
+
+
+# ---------------------------------------------------------------------------
+# r14 determinism audit: the remaining display-only trunc6(avg(double))
+# sites become order-free lattice means (plans/dialect.avg_lattice) at a
+# per-site scale.  These tests pin (a) the helper's exact-integer
+# contract against a Python recomputation, (b) the rewritten cohesion
+# algebra against brute-force pairwise cosine, and (c) hand-computable
+# entry values on the lattice.
+# ---------------------------------------------------------------------------
+
+import math
+
+import duckdb
+import pandas as pd
+
+from storage_crawler_spark.plans.dialect import DUCK, avg_lattice
+
+
+def _duck(sql: str, **views: pd.DataFrame):
+    con = duckdb.connect()
+    for name, df in views.items():
+        con.register(name, df)
+    return con.execute(sql).fetch_arrow_table().to_pydict()
+
+
+def _lattice_mean(values, p):
+    """The exact arithmetic avg_lattice promises: floor each row onto the
+    10^-p lattice, integer sum, one late division, trunc6."""
+    total = sum(math.floor(v * (10.0**p)) for v in values)
+    mean = total / (len(values) * (10.0**p))
+    return math.floor(mean * 1e6) / 1e6
+
+
+def test_avg_lattice_matches_exact_integer_recomputation():
+    vals = [0.1234567891234, -2.718281828, 3.1e-7, 1999.5, 0.0]
+    df = pd.DataFrame({"x": vals})
+    for p in (6, 9, 12):
+        got = _duck(
+            f"SELECT {avg_lattice(DUCK, 'x', p)} AS m FROM t", t=df
+        )["m"][0]
+        assert got == _lattice_mean(vals, p), p
+
+
+def test_avg_lattice_is_row_order_invariant():
+    # adversarial: values whose raw double sum depends on order near a
+    # 1e-6 grid line; the lattice mean must be bit-identical under any
+    # permutation because the accumulator is an integer
+    import random
+
+    rng = random.Random(257)
+    vals = [rng.uniform(-50, 50) for _ in range(400)]
+    base = None
+    for seed in range(5):
+        perm = vals[:]
+        random.Random(seed).shuffle(perm)
+        got = _duck(
+            f"SELECT {avg_lattice(DUCK, 'x', 9)} AS m FROM t",
+            t=pd.DataFrame({"x": perm}),
+        )["m"][0]
+        base = got if base is None else base
+        assert got == base
+
+
+def test_avg_lattice_small_statistics_not_zeroed():
+    # the int8 mean_sq_err regime: values ~1e-5 would all floor to 0 on
+    # the 1e-6 display grid's own lattice at p=6 is fine (1e-5 > 1e-6),
+    # but ~1e-8 values need p=12 — the reason the audit is per-site
+    vals = [3.7e-8, 4.1e-8, 2.9e-8]
+    got6 = _duck(f"SELECT {avg_lattice(DUCK, 'x', 6)} AS m FROM t",
+                 t=pd.DataFrame({"x": vals}))["m"][0]
+    got12 = _duck(f"SELECT {avg_lattice(DUCK, 'x', 12)} AS m FROM t",
+                  t=pd.DataFrame({"x": vals}))["m"][0]
+    assert got6 == 0.0
+    assert got12 == 0.0  # still below the 1e-6 DISPLAY grid...
+    # ...but the lattice preserved the sum: check the pre-display mean
+    import math as _m
+
+    total12 = sum(_m.floor(v * 1e12) for v in vals)
+    assert total12 > 0  # p=12 kept the statistic; p=6 floored it away
+
+
+def test_label_cohesion_lattice_matches_bruteforce_pairwise():
+    from storage_crawler_spark.operators import similarity
+
+    vecs = [
+        [1.0, 0.5, -0.25, 0.125],
+        [0.9, 0.6, -0.2, 0.1],
+        [-0.3, 1.1, 0.7, -0.5],
+        [0.05, -0.02, 0.99, 0.4],
+    ]
+    emb = pd.DataFrame(
+        {"vec_id": range(4), "embedding": [list(map(float, v)) for v in vecs],
+         "label": [0] * 4}
+    )
+    got = _duck(similarity.gen_label_cohesion(DUCK), embeddings=emb)
+    # brute force: mean pairwise cosine of unit-normalized vectors
+    units = []
+    for v in vecs:
+        nrm = math.sqrt(sum(x * x for x in v))
+        units.append([x / nrm for x in v])
+    n = len(units)
+    s = 0.0
+    for i in range(n):
+        for j in range(n):
+            if i != j:
+                s += sum(a * b for a, b in zip(units[i], units[j]))
+    want = s / (n * (n - 1))
+    assert got["n_vecs"] == [4]
+    # two-hop lattice error bound ~3e-12*dims plus trunc6 floor
+    assert abs(got["mean_pairwise_cos"][0] - want) < 2e-6
+
+
+def test_label_cohesion_singleton_label_null():
+    from storage_crawler_spark.operators import similarity
+
+    emb = pd.DataFrame(
+        {"vec_id": [0, 1, 2],
+         "embedding": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+         "label": [0, 0, 1]}
+    )
+    got = _duck(similarity.gen_label_cohesion(DUCK), embeddings=emb)
+    by_label = dict(zip(got["label"], got["mean_pairwise_cos"]))
+    assert by_label[1] is None  # singleton: no pairs
+    assert abs(by_label[0] - 0.0) < 2e-6  # orthogonal pair
+
+
+def test_readability_mean_on_lattice():
+    from storage_crawler_spark.operators import text as text_ops
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["The cat sat on the mat.", "Incomprehensibility notwithstanding."],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [23, 36],
+        }
+    )
+    got = _duck(text_ops.gen_readability(DUCK), documents=docs)
+    # per-doc FRE, then the p=9 lattice mean
+    def fre(text):
+        import re
+
+        w = len(re.findall(r"[A-Za-z]+", text))
+        s = max(len(re.findall(r"[.!?]+", text)), 1)
+        syl = len(re.findall(r"[aeiouyAEIOUY]+", text))
+        return 206.835 - 1.015 * (w / s) - 84.6 * (syl / w)
+
+    want = _lattice_mean([fre(t) for t in docs["text"]], 9)
+    assert got["avg_fre"] == [want]
+    # shares of 0/1 indicators stay exact rationals
+    assert got["hard_share"][0] in (0.0, 0.5, 1.0)
