@@ -103,7 +103,19 @@ class CrawlConfig:
     injects: int = 4
     update_interval: float = 60.0  # storcrawl.py:45
     commit_timeout: float = 60.0  # storcrawl.py:46
-    max_depth: int = 512  # loop safety bound; real trees are << this
+    # Loop safety bound against pathological nesting (bind-mount loops;
+    # symlinks are never followed).  Raised from 512 in r14: deep-chain
+    # frontiers batch ~deep_batch_levels levels per Spark job, so even the
+    # bound's worst case is ~2*max_depth/deep_batch_levels driver jobs,
+    # and the OS itself walls absolute paths at PATH_MAX (~4096 bytes,
+    # ~2000 levels of 1-char names) long before this bound.
+    max_depth: int = 65536
+    # In-task descent for chain-shaped frontiers (r14): when a frontier
+    # holds fewer dirs than the parallelism, each task walks up to
+    # deep_batch_levels levels locally (capped at deep_dir_budget adopted
+    # dirs) instead of paying a driver round-trip per level.  1 disables.
+    deep_batch_levels: int = 64
+    deep_dir_budget: int = 64
     # Rotating-file crawl log (the reference derives logfile from the tag,
     # storcrawl.py:60; here it is opt-in).  None disables file logging.
     logfile: str | None = None

@@ -110,14 +110,27 @@ def crawl(spark: SparkSession, config: CrawlConfig) -> CrawlResult:
     depth = 0
     dir_total = frontier.count()
     while dir_total > 0 and depth < config.max_depth:
-        level = expand_level(frontier, exclude, parallelism)
+        # Chain-shaped frontier (fewer dirs than workers): descend up to
+        # deep_batch_levels levels inside the tasks — a 10k-deep chain
+        # costs ~10k/deep_batch_levels driver round-trips instead of 10k
+        # (see walker.scan_frontier_batches).  Wide frontiers keep strict
+        # per-level BFS for repartitioned work distribution.  ``depth``
+        # counts levels CONSUMED from the bound, which may overshoot the
+        # deepest level actually walked by up to k-1 in the final batch.
+        k = 1
+        if dir_total < parallelism and config.deep_batch_levels > 1:
+            k = max(1, min(config.deep_batch_levels, config.max_depth - depth))
+        level = expand_level(
+            frontier, exclude, parallelism,
+            levels_per_job=k, dir_budget=config.deep_dir_budget,
+        )
         # Flatten lineage: each level's plan is materialized so a deep tree
         # doesn't nest N mapInPandas stages into one giant plan.
         level = _materialize(spark, level, config, f"level_{depth:05d}")
         levels.append(level.drop("descend"))
         frontier = level.filter(F.col("descend")).select("path")
         dir_total = frontier.count()
-        depth += 1
+        depth += k
     status_log.append(("processed all dirs", None, "event"))
 
     all_entries = levels[0]

@@ -88,7 +88,10 @@ def _entry_record_descend(
 
 
 def scan_frontier_batches(
-    dir_paths: Iterator[pd.DataFrame], exclude_names: frozenset[bytes]
+    dir_paths: Iterator[pd.DataFrame],
+    exclude_names: frozenset[bytes],
+    levels_per_job: int = 1,
+    dir_budget: int = 64,
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: for each frontier directory, scandir + lstat its
     children, yielding columnar batches of ENTRY_DESCEND_SCHEMA rows.
@@ -97,19 +100,41 @@ def scan_frontier_batches(
     follow_symlinks=False); ``descend`` additionally applies the exclusion
     list, so the caller derives the next frontier with a plain filter, no
     second pass, and excluded dirs still report is_dir=true in the output.
+
+    ``levels_per_job`` > 1 engages IN-TASK descent (r14, the deep-chain
+    fix): a chain-shaped tree puts ONE directory in each frontier, so the
+    per-level driver round-trip (checkpoint + count ≈ two Spark jobs)
+    dominates a 10k-deep crawl by ~10,000×.  With k levels per job the
+    task keeps a local BFS deque of (dir, rel_depth): a descendable child
+    at rel depth < k is scanned in the SAME task (its row is emitted with
+    descend=false — the driver must not re-scan it), while a child AT
+    rel depth k is handed back with descend=true as next frontier.
+    ``dir_budget`` caps how many EXTRA directories one task adopts
+    in-task (frontier dirs are driver-routed work and don't count), so a
+    frontier that suddenly WIDENS (one dir fanning out to 100k) hands the
+    fan-out back to the driver for repartitioning instead of serializing
+    the subtree into one task — deep mode costs at most ``dir_budget``
+    serial scandir calls where there was nothing to parallelize anyway.
+    Routing is decided at enqueue time, so every emitted row's descend
+    flag is final.
     """
     cols = [f.name for f in ENTRY_DESCEND_SCHEMA.fields]
     buf: list[tuple] = []
+    from collections import deque
+
     for pdf in dir_paths:
-        for raw in pdf["path"]:
-            d = bytes(raw)
+        queue: deque[tuple[bytes, int]] = deque(
+            (bytes(raw), 0) for raw in pdf["path"]
+        )
+        extra = 0  # in-task-adopted dirs, capped by dir_budget
+        while queue:
+            d, rel = queue.popleft()
             try:
                 it = os.scandir(d)
             except OSError as exc:
                 # Unreadable dir: the dir row itself was emitted by the
-                # parent's scan; record a child-less error marker row? The
-                # reference just logs and moves on (storcrawl.py:463 try) —
-                # we do the same: skip.
+                # parent's scan; the reference just logs and moves on
+                # (storcrawl.py:463 try) — we do the same: skip.
                 _ = exc
                 continue
             with it:
@@ -124,6 +149,10 @@ def scan_frontier_batches(
                     except OSError as exc:
                         st, is_symlink, is_dir, err = None, False, False, str(exc)
                     descend = is_dir and name not in exclude_names
+                    if descend and rel + 1 < levels_per_job and extra < dir_budget:
+                        queue.append((epath, rel + 1))
+                        extra += 1
+                        descend = False  # handled in-task; driver must not re-scan
                     buf.append(_entry_record_descend(epath, st, is_dir, is_symlink, err, descend))
                     if len(buf) >= _BATCH_ROWS:
                         yield pd.DataFrame(buf, columns=cols)
@@ -132,10 +161,20 @@ def scan_frontier_batches(
         yield pd.DataFrame(buf, columns=cols)
 
 
-def expand_level(frontier: DataFrame, exclude_names: frozenset[bytes], parallelism: int) -> DataFrame:
-    """One frontier level → entries DataFrame (ENTRY_DESCEND_SCHEMA)."""
+def expand_level(
+    frontier: DataFrame,
+    exclude_names: frozenset[bytes],
+    parallelism: int,
+    levels_per_job: int = 1,
+    dir_budget: int = 64,
+) -> DataFrame:
+    """One frontier level → entries DataFrame (ENTRY_DESCEND_SCHEMA).
+    ``levels_per_job`` > 1 lets each task descend that many levels in-task
+    (deep-chain mode — see :func:`scan_frontier_batches`)."""
     n = max(1, parallelism)
-    kernel = lambda it: scan_frontier_batches(it, exclude_names)  # noqa: E731
+    kernel = lambda it: scan_frontier_batches(  # noqa: E731
+        it, exclude_names, levels_per_job, dir_budget
+    )
     return frontier.repartition(n, F.col("path")).mapInPandas(kernel, ENTRY_DESCEND_SCHEMA)
 
 

@@ -138,13 +138,25 @@ def test_crawl_level_store_spills_levels_and_matches_default(spark, tree, tmp_pa
     names = sorted(p.name for p in store.iterdir())
     assert "files_stage" in names
     levels = [n for n in names if n.startswith("level_")]
-    # fixture tree is 3 dirs deep below the root → at least 3 expanded levels
-    assert len(levels) >= 3
+    # r14 deep-batching: a small frontier descends in-task, so the whole
+    # 3-deep fixture collapses into ONE spilled frontier round; with
+    # batching disabled the per-level artifacts reappear (checked below)
+    assert len(levels) >= 1
     # spilled levels are real re-readable parquet incl. non-UTF-8 path bytes
     lv0 = spark.read.parquet(str(store / levels[0]))
     assert "descend" in lv0.columns  # frontier flag travels with the level
     root = bytes(tree)
     assert root + b"/caf\xe9.dat" in {bytes(r.path) for r in lv0.collect()}
+
+    # strict per-level BFS (deep_batch_levels=1) still spills one artifact
+    # per depth and produces the identical rowset
+    store2 = tmp_path / "levels_bfs"
+    res_bfs = crawl(spark, CrawlConfig(
+        dirs=[str(tree)], level_store=str(store2), deep_batch_levels=1))
+    assert {bytes(r.path) for r in res_bfs.files.collect()} == default_paths
+    bfs_levels = [n for n in sorted(p.name for p in store2.iterdir())
+                  if n.startswith("level_")]
+    assert len(bfs_levels) >= 3
 
 
 def test_crawl_random_tree_matches_reference_walk(spark, tmp_path):

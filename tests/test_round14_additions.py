@@ -319,3 +319,87 @@ def test_readability_mean_on_lattice():
     assert got["avg_fre"] == [want]
     # shares of 0/1 indicators stay exact rationals
     assert got["hard_share"][0] in (0.0, 0.5, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# r14 deep-chain descent: chain-shaped frontiers batch levels in-task
+# (walker.scan_frontier_batches levels_per_job / dir_budget) — semantics
+# must be identical to strict per-level BFS.
+# ---------------------------------------------------------------------------
+
+
+def _make_chain(base, depth, excluded_at=None):
+    import os
+
+    p = str(base)
+    for i in range(depth):
+        name = ".snapshot" if i == excluded_at else f"d{i}"
+        p = os.path.join(p, name)
+        os.mkdir(p)
+        with open(os.path.join(p, f"f{i}.txt"), "wb") as fh:
+            fh.write(b"x" * (i % 7))
+    return p
+
+
+def test_deep_chain_crawl_matches_bfs(spark, tmp_path):
+    from storage_crawler_spark.config import CrawlConfig
+    from storage_crawler_spark.crawl import crawl
+
+    root = tmp_path / "chain"
+    root.mkdir()
+    _make_chain(root, 150)
+
+    deep = crawl(spark, CrawlConfig(dirs=[str(root)]))
+    deep_paths = {bytes(r.path) for r in deep.files.collect()}
+    # 150 dirs + 150 files + the root row
+    assert len(deep_paths) == 301
+    assert deep.summary["files"] == 301
+
+    bfs = crawl(spark, CrawlConfig(dirs=[str(root)], deep_batch_levels=1))
+    assert {bytes(r.path) for r in bfs.files.collect()} == deep_paths
+
+
+def test_deep_chain_exclusion_still_gates_descent(spark, tmp_path):
+    """An excluded dir name inside an in-task-descended chain must be
+    emitted but NOT descended — same contract as the BFS path."""
+    from storage_crawler_spark.config import CrawlConfig
+    from storage_crawler_spark.crawl import crawl
+
+    root = tmp_path / "chainx"
+    root.mkdir()
+    _make_chain(root, 30, excluded_at=10)
+
+    res = crawl(spark, CrawlConfig(dirs=[str(root)]))
+    paths = {bytes(r.path) for r in res.files.collect()}
+    # levels 0..9 fully walked (dir+file each), the .snapshot dir at level
+    # 10 is emitted, its sibling file too... the chain nests INSIDE the
+    # excluded dir, so everything below it is invisible
+    snap = [p for p in paths if p.endswith(b".snapshot")]
+    assert len(snap) == 1
+    below = [p for p in paths if b".snapshot/" in p]
+    assert below == []
+    # root + 10 full levels (d0..d9: dir+file) + the excluded dir row
+    assert len(paths) == 1 + 20 + 1
+
+
+def test_deep_chain_widening_hands_fanout_back(spark, tmp_path):
+    """A chain that fans out wide below must still be fully crawled: the
+    dir_budget routes the fan-out back through the driver frontier."""
+    import os
+
+    from storage_crawler_spark.config import CrawlConfig
+    from storage_crawler_spark.crawl import crawl
+
+    root = tmp_path / "funnel"
+    root.mkdir()
+    tip = _make_chain(root, 12)
+    for i in range(300):  # fan-out well past deep_dir_budget=64
+        d = os.path.join(tip, f"w{i:03d}")
+        os.mkdir(d)
+        with open(os.path.join(d, "leaf.dat"), "wb") as fh:
+            fh.write(b"y")
+
+    res = crawl(spark, CrawlConfig(dirs=[str(root)]))
+    paths = {bytes(r.path) for r in res.files.collect()}
+    # root + 12*(dir+file) + 300 wide dirs + 300 leaves
+    assert len(paths) == 1 + 24 + 600
