@@ -76,3 +76,36 @@ def test_every_entry_referenced_by_a_test():
     assert not uncovered, (
         f"rows-only entries with zero test references: {uncovered}"
     )
+
+
+def test_pytest_closeout_attestation_is_honest():
+    """r13 verdict item 2: a round's "pytest N passed" close-out claim must
+    be measured at the commit it describes.  The newest
+    PYTEST_CLOSEOUT_r*.json must name a real commit, a clean tree, and
+    zero failures — the judge verifies freshness by diffing the recorded
+    sha against the round head (doc-only diffs allowed).  Older rounds'
+    artifacts attest THEIR shas and are exempt (history, not claims)."""
+    files = glob.glob(os.path.join(_ROOT, "PYTEST_CLOSEOUT_r*.json"))
+    if not files:
+        return  # pre-r14 history has no close-out artifacts
+    latest = max(files, key=lambda f: int(re.search(r"_r(\d+)", f).group(1)))
+    with open(latest) as fh:
+        rec = json.load(fh)
+    for key in ("round", "head_sha", "dirty", "passed", "failed", "duration_s"):
+        assert key in rec, f"{latest} missing {key}"
+    assert rec["failed"] == 0 and rec.get("errors", 0) == 0, (
+        f"{latest} records a FAILING suite — fix or re-run at the fixed sha"
+    )
+    assert rec["dirty"] is False, (
+        f"{latest} was measured on a dirty tree — not attributable to a sha"
+    )
+    assert rec["passed"] > 1000, f"{latest} passed-count implausibly low"
+    import subprocess
+
+    r = subprocess.run(
+        ["git", "cat-file", "-t", rec["head_sha"]],
+        cwd=_ROOT, capture_output=True, text=True,
+    )
+    assert r.stdout.strip() == "commit", (
+        f"{latest} head_sha {rec['head_sha']} is not a commit in this repo"
+    )
