@@ -114,8 +114,14 @@ class CrawlConfig:
     # holds fewer dirs than the parallelism, each task walks up to
     # deep_batch_levels levels locally (capped at deep_dir_budget adopted
     # dirs) instead of paying a driver round-trip per level.  1 disables.
-    deep_batch_levels: int = 64
-    deep_dir_budget: int = 64
+    # 256 (up from the initial 64): the per-batch driver cost is ~1.6 s
+    # (checkpoint + frontier count + Python-worker spin-up), so a
+    # PATH_MAX-deep chain (~2048 levels) pays 8 round-trips instead of
+    # 32; the worst case a wider budget adds is deep_dir_budget SERIAL
+    # scandir calls inside one task — work that had no parallelism to
+    # lose (one dir per level) and costs ~µs per call.
+    deep_batch_levels: int = 256
+    deep_dir_budget: int = 256
     # Rotating-file crawl log (the reference derives logfile from the tag,
     # storcrawl.py:60; here it is opt-in).  None disables file logging.
     logfile: str | None = None

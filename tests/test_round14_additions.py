@@ -393,7 +393,7 @@ def test_deep_chain_widening_hands_fanout_back(spark, tmp_path):
     root = tmp_path / "funnel"
     root.mkdir()
     tip = _make_chain(root, 12)
-    for i in range(300):  # fan-out well past deep_dir_budget=64
+    for i in range(600):  # fan-out well past deep_dir_budget=256
         d = os.path.join(tip, f"w{i:03d}")
         os.mkdir(d)
         with open(os.path.join(d, "leaf.dat"), "wb") as fh:
@@ -401,5 +401,5 @@ def test_deep_chain_widening_hands_fanout_back(spark, tmp_path):
 
     res = crawl(spark, CrawlConfig(dirs=[str(root)]))
     paths = {bytes(r.path) for r in res.files.collect()}
-    # root + 12*(dir+file) + 300 wide dirs + 300 leaves
-    assert len(paths) == 1 + 24 + 600
+    # root + 12*(dir+file) + 600 wide dirs + 600 leaves
+    assert len(paths) == 1 + 24 + 1200
