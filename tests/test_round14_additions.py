@@ -32,6 +32,29 @@ def _checkpoint_rdd_id(df) -> str:
     return str(df._jdf.queryExecution().analyzed().rdd().id())
 
 
+def _scrub_knn_memo(spark, memo_list):
+    """Restore the SHARED session to a consistent memo state after a test
+    that built fake `_knn_edges_shared` relations: monkeypatch puts the
+    ORIGINAL memo list back, but the catalog temp view its key attests to
+    was overwritten with fake-schema src/dst edges — a later memo HIT
+    would serve the fake view (the 4-failure suite-ordering break the r14
+    close-out attestation caught: kcore/2hop/coeff/link_predict resolving
+    `a`/`b` against the fake view).  Invalidate the key so the next
+    caller rebuilds view + checkpoint, and drop the corrupted view."""
+    prev = memo_list[1]
+    if prev is not None and not isinstance(prev, (list, tuple)):
+        try:
+            prev._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+    memo_list[0] = None
+    memo_list[1] = None
+    try:
+        spark.catalog.dropTempView("_knn_edges_shared")
+    except Exception:
+        pass
+
+
 def test_knn_edges_memo_unpersists_superseded_checkpoint(spark, monkeypatch):
     from storage_crawler_spark.plans import registry
 
@@ -43,29 +66,35 @@ def test_knn_edges_memo_unpersists_superseded_checkpoint(spark, monkeypatch):
     import storage_crawler_spark.operators.cluster as cluster
 
     monkeypatch.setattr(cluster, "knn_edges_lattice", fake_edges)
-    # Isolate from any memo state earlier tests left behind.
-    monkeypatch.setattr(registry, "_KNN_EDGES_SHARED_KEY", [None, None])
+    # Isolate from any memo state earlier tests left behind; afterwards
+    # scrub BOTH lists (patched + restored original) and the shared view,
+    # whatever the outcome — see _scrub_knn_memo.
+    orig_memo = registry._KNN_EDGES_SHARED_KEY
+    patched = [None, None]
+    monkeypatch.setattr(registry, "_KNN_EDGES_SHARED_KEY", patched)
 
-    rel = registry._knn_edges_shared(spark, "/sf/dirA")
-    first = registry._KNN_EDGES_SHARED_KEY[1]
-    first_id = _checkpoint_rdd_id(first)
-    assert rel == "_knn_edges_shared"
-    assert first_id in _cached_rdd_ids(spark)
+    try:
+        rel = registry._knn_edges_shared(spark, "/sf/dirA")
+        first = registry._KNN_EDGES_SHARED_KEY[1]
+        first_id = _checkpoint_rdd_id(first)
+        assert rel == "_knn_edges_shared"
+        assert first_id in _cached_rdd_ids(spark)
 
-    # Same key: memoized, no rebuild.
-    registry._knn_edges_shared(spark, "/sf/dirA")
-    assert registry._KNN_EDGES_SHARED_KEY[1] is first
+        # Same key: memoized, no rebuild.
+        registry._knn_edges_shared(spark, "/sf/dirA")
+        assert registry._KNN_EDGES_SHARED_KEY[1] is first
 
-    # Key change within the same application: the old checkpoint's blocks
-    # must be gone and the new ones present.
-    registry._knn_edges_shared(spark, "/sf/dirB")
-    second = registry._KNN_EDGES_SHARED_KEY[1]
-    assert second is not first
-    cached = _cached_rdd_ids(spark)
-    assert first_id not in cached, "superseded checkpoint leaked its blocks"
-    assert _checkpoint_rdd_id(second) in cached
-    # Clean up the test's own checkpoint.
-    second._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        # Key change within the same application: the old checkpoint's
+        # blocks must be gone and the new ones present.
+        registry._knn_edges_shared(spark, "/sf/dirB")
+        second = registry._KNN_EDGES_SHARED_KEY[1]
+        assert second is not first
+        cached = _cached_rdd_ids(spark)
+        assert first_id not in cached, "superseded checkpoint leaked its blocks"
+        assert _checkpoint_rdd_id(second) in cached
+    finally:
+        _scrub_knn_memo(spark, patched)
+        _scrub_knn_memo(spark, orig_memo)
 
 
 def test_knn_edges_memo_skips_unpersist_across_applications(spark, monkeypatch):
@@ -86,13 +115,17 @@ def test_knn_edges_memo_skips_unpersist_across_applications(spark, monkeypatch):
         def _jdf(self):  # pragma: no cover - must never be reached
             raise AssertionError("unpersist attempted on a stale-app handle")
 
-    monkeypatch.setattr(
-        registry, "_KNN_EDGES_SHARED_KEY", [("dead-app-id", "/sf/old"), Boom()]
-    )
-    registry._knn_edges_shared(spark, "/sf/new")
-    ck = registry._KNN_EDGES_SHARED_KEY[1]
-    assert ck is not None and not isinstance(ck, Boom)
-    ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    orig_memo = registry._KNN_EDGES_SHARED_KEY
+    patched = [("dead-app-id", "/sf/old"), Boom()]
+    monkeypatch.setattr(registry, "_KNN_EDGES_SHARED_KEY", patched)
+    try:
+        registry._knn_edges_shared(spark, "/sf/new")
+        ck = registry._KNN_EDGES_SHARED_KEY[1]
+        assert ck is not None and not isinstance(ck, Boom)
+    finally:
+        if not isinstance(patched[1], Boom):
+            _scrub_knn_memo(spark, patched)
+        _scrub_knn_memo(spark, orig_memo)
 
 
 # ---------------------------------------------------------------------------
