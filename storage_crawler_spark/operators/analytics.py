@@ -1603,7 +1603,10 @@ GROUP BY {uk}, {tk}
 
 
 def gen_lpa_communities(
-    d: Dialect, sweeps: int = 1, edges_rel: str | None = None
+    d: Dialect,
+    sweeps: int = 1,
+    edges_rel: str | None = None,
+    labels_rels: tuple[str, str] | None = None,
 ) -> str:
     """Community detection by WEIGHTED LABEL PROPAGATION over the
     user x event-type bipartite graph (edge weight = event count per
@@ -1635,12 +1638,21 @@ def gen_lpa_communities(
         if edges_rel
         else f"e AS{mat} (\n{gen_lpa_edges(d)}\n)"
     )
-    parts = [
-        e_cte,
-        "un0 AS (SELECT u AS id, u AS lbl FROM e GROUP BY u)",
-        "tn0 AS (SELECT t AS id, t AS lbl FROM e GROUP BY t)",
-    ]
-    r = 0
+    parts = [e_cte]
+    if labels_rels is not None:
+        # r14 optimization: the Spark builder materializes the final
+        # label relations (each is referenced 2× by the roll-up below,
+        # and under CTE inlining every reference re-ran the whole sweep
+        # chain of joins + windows); the oracle leaves this None.
+        un_rel, tn_rel = labels_rels
+        r = 1
+        parts.append(f"un{r} AS (SELECT id, lbl FROM {un_rel})")
+        parts.append(f"tn{r} AS (SELECT id, lbl FROM {tn_rel})")
+        sweeps = 0  # skip the inline sweep chain
+    else:
+        parts.append("un0 AS (SELECT u AS id, u AS lbl FROM e GROUP BY u)")
+        parts.append("tn0 AS (SELECT t AS id, t AS lbl FROM e GROUP BY t)")
+        r = 0
     for _ in range(sweeps):
         r += 1
         parts.append(

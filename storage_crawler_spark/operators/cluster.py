@@ -635,6 +635,8 @@ def knn_edges_lattice(
     )
     from storage_crawler_spark.plans.dialect import SPARK
 
+    from storage_crawler_spark.operators.kmeans import _uniform_lattice_dim
+
     try:
         centroids, _ = kmeans_fit_lattice(spark, k, iters)
     except ValueError:
@@ -643,47 +645,142 @@ def knn_edges_lattice(
     # adaptive cell ladder (oracle twin: _knn_pw_case over knc.n) — the
     # count reads the checkpointed lattice relation, one cheap job
     pw = _knn_pw_py(v.count(), k, cell_target, res_bits)
-    arrs = [
-        "array(" + ", ".join(f"CAST({c} AS BIGINT)" for c in cent) + ")"
-        for cent in centroids
-    ]
-    dists = "array(" + ", ".join(
-        f"aggregate(zip_with(qarr, {a}, (u, v) -> (u - v) * (u - v)), "
-        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        for a in arrs
-    ) + ")"
-    cents = "array(" + ", ".join(arrs) + ")"
-    sgn = _knn_res_sign(SPARK, "qarr", "carr", res_bits)
-    g = (
-        v.withColumn("__d", F.expr(dists))
-        .withColumn(
-            "cid",
-            (F.expr("array_position(__d, array_min(__d))") - 1).cast("long"),
+    fast = _uniform_lattice_dim(v, len(centroids[0]))
+    if fast:
+        # r14 optimization: assignment + residual-sign cell + norm in ONE
+        # NumPy batch stage (bit-identical to the interpreted HOF chain —
+        # exact int64 distance/dot, np.sqrt == IEEE sqrt of the same
+        # double, argmin first-occurrence == lowest-cid tie-break)
+        g = _knn_cells_fast(v, centroids, res_bits, pw)
+    else:
+        arrs = [
+            "array(" + ", ".join(f"CAST({c} AS BIGINT)" for c in cent) + ")"
+            for cent in centroids
+        ]
+        dists = "array(" + ", ".join(
+            f"aggregate(zip_with(qarr, {a}, (u, v) -> (u - v) * (u - v)), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            for a in arrs
+        ) + ")"
+        cents = "array(" + ", ".join(arrs) + ")"
+        sgn = _knn_res_sign(SPARK, "qarr", "carr", res_bits)
+        g = (
+            v.withColumn("__d", F.expr(dists))
+            .withColumn(
+                "cid",
+                (F.expr("array_position(__d, array_min(__d))") - 1).cast("long"),
+            )
+            .withColumn("carr", F.expr(f"element_at({cents}, CAST(cid + 1 AS INT))"))
+            .withColumn(
+                "cell",
+                F.expr(
+                    f"CAST(cid * {1 << max(res_bits, 0)} + ({sgn} % {pw}) AS BIGINT)"
+                ),
+            )
+            .withColumn(
+                "qn",
+                F.expr(
+                    "sqrt(CAST(aggregate(zip_with(qarr, qarr, (u, v) -> u * v), "
+                    "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE))"
+                ),
+            )
+            .filter(F.col("qn") > 0)
+            .select("vec_id", "qarr", "cell", "qn")
         )
-        .withColumn("carr", F.expr(f"element_at({cents}, CAST(cid + 1 AS INT))"))
-        .withColumn(
-            "cell",
-            F.expr(
-                f"CAST(cid * {1 << max(res_bits, 0)} + ({sgn} % {pw}) AS BIGINT)"
-            ),
-        )
-        .withColumn(
-            "qn",
-            F.expr(
-                "sqrt(CAST(aggregate(zip_with(qarr, qarr, (u, v) -> u * v), "
-                "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE))"
-            ),
-        )
-        .filter(F.col("qn") > 0)
-        .select("vec_id", "qarr", "cell", "qn")
-    )
     g.localCheckpoint().createOrReplaceTempView("_knn_cells_g")
-    topm = spark.sql(gen_knn_topm(SPARK, m=m, cells_rel="_knn_cells_g"))
+    if fast:
+        # r14 optimization: the cell-local candidate join + per-src top-m
+        # window collapse into ONE grouped NumPy stage per cell — the
+        # exact int64 Gram matrix replaces an interpreted 64-element dot
+        # fold per candidate pair, and the separate PARTITION BY src
+        # window exchange disappears (a src's candidates all live in its
+        # own cell group).  simq replicates the SQL float chain op-for-op:
+        # double(dot) / (qn_a*qn_b) * KNN_Q, floor, int64.
+        topm = _knn_topm_fast(spark.table("_knn_cells_g"), m)
+    else:
+        topm = spark.sql(gen_knn_topm(SPARK, m=m, cells_rel="_knn_cells_g"))
     topm.localCheckpoint().createOrReplaceTempView("_knn_topm")
     return spark.sql(
         "SELECT src AS a, dst AS b FROM _knn_topm "
         "INTERSECT SELECT dst AS a, src AS b FROM _knn_topm"
     )
+
+
+def _knn_cells_fast(v, centroids, res_bits: int, pw: int):
+    """NumPy twin of the knn cell-assignment chain: (vec_id, qarr, cell,
+    qn) per Arrow batch.  See :func:`knn_edges_lattice` for the exactness
+    argument; requires a dim-uniform store (caller-guarded)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.int64)
+    bits = max(res_bits, 0)
+    powers = (1 << np.arange(bits, dtype=np.int64)) if bits else None
+    mult = 1 << bits
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["qarr"].to_numpy()).astype(np.int64, copy=False)
+            d2 = np.empty((len(X), len(C)), dtype=np.int64)
+            for j in range(len(C)):
+                diff = X - C[j]
+                d2[:, j] = np.einsum("nd,nd->n", diff, diff)
+            cid = d2.argmin(axis=1)
+            if bits:
+                res = X[:, :bits] - C[cid][:, :bits]
+                sgn = ((res >= 0).astype(np.int64) * powers[None, :]).sum(axis=1)
+            else:
+                sgn = np.zeros(len(X), dtype=np.int64)
+            cell = cid * mult + (sgn % pw)
+            qn = np.sqrt(np.einsum("nd,nd->n", X, X).astype(np.float64))
+            keep = qn > 0
+            out = pdf.loc[keep, ["vec_id", "qarr"]].copy()
+            out["cell"] = cell[keep]
+            out["qn"] = qn[keep]
+            yield out
+
+    return v.select("vec_id", "qarr").mapInPandas(
+        gen, "vec_id bigint, qarr array<bigint>, cell bigint, qn double"
+    )
+
+
+def _knn_topm_fast(g, m: int):
+    """NumPy twin of :func:`gen_knn_topm` over a cells relation: per cell
+    group, exact int64 Gram dot products, simq = floor(double(dot) /
+    (qn_a·qn_b) · KNN_Q) as int64 (op-for-op the SQL float chain), then
+    each src's top-``m`` by (simq DESC, dst ASC) — row_number() semantics
+    without the window exchange."""
+    import numpy as np
+    import pandas as pd
+
+    q = float(KNN_Q)
+
+    def topm_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                                 "dst": pd.Series([], dtype="int64")})
+        X = np.stack(pdf["qarr"].to_numpy()).astype(np.int64, copy=False)
+        ids = pdf["vec_id"].to_numpy()
+        qn = pdf["qn"].to_numpy(dtype=np.float64)
+        dot = X @ X.T
+        sim = np.floor(dot.astype(np.float64) / np.outer(qn, qn) * q).astype(np.int64)
+        srcs: list[np.ndarray] = []
+        dsts: list[np.ndarray] = []
+        take = min(m, n - 1)
+        for i in range(n):
+            cand = np.delete(np.arange(n), i)
+            order = np.lexsort((ids[cand], -sim[i, cand]))[:take]
+            chosen = cand[order]
+            srcs.append(np.full(len(chosen), ids[i], dtype=np.int64))
+            dsts.append(ids[chosen].astype(np.int64))
+        return pd.DataFrame(
+            {"src": np.concatenate(srcs), "dst": np.concatenate(dsts)}
+        )
+
+    return g.groupBy("cell").applyInPandas(topm_cell, "src bigint, dst bigint")
 
 
 def gen_kcore_peeled(

@@ -88,6 +88,7 @@ def gen_jaccard_pairs(
     block_width: int = 64,
     ranked_rel: str | None = None,
     src: str = "documents",
+    prefix_col: str | None = None,
 ) -> str:
     """Blocked exact Jaccard over distinct token sets, with bounded blocks.
 
@@ -151,6 +152,30 @@ def gen_jaccard_pairs(
     # the few survivors.
     thr6 = int(round(threshold * 1_000_000))
     assert abs(thr6 / 1_000_000 - threshold) < 1e-12, "threshold finer than 1e-6"
+    # Spark-side exact prefix pre-filter (r14 optimization): when the
+    # ranked relation carries the fastpath's sorted-prefix column, an
+    # arrays_overlap test runs BEFORE the set intersection.  SSJoin lemma
+    # (see fastpath.JACCARD_PREF_THETA): sets with overlap >= α share an
+    # element in their (size − α + 1)-prefixes under any global order; a
+    # pair at this threshold needs i >= ceil(θ·|x|) per side, so prefixes
+    # built at JACCARD_PREF_THETA can never reject a qualifying pair as
+    # long as threshold >= that θ.  Non-matching candidates (the vast
+    # majority) are rejected at ~half an intersection's cost; matches pay
+    # the overlap probe (early-exit) plus the intersection.  Oracle-side
+    # semantics untouched: the filter is pure pruning, and the guard
+    # keeps it off any query whose threshold is below the prep's θ.
+    pre = ""
+    if prefix_col is not None:
+        from storage_crawler_spark.operators.fastpath import JACCARD_PREF_THETA
+
+        if d.name != "spark":
+            raise ValueError("prefix_col is a Spark engine-path pruning device")
+        if threshold < JACCARD_PREF_THETA:
+            raise ValueError(
+                f"prefix_col prefixes are built for θ={JACCARD_PREF_THETA}; "
+                f"a lower query threshold ({threshold}) would prune true pairs"
+            )
+        pre = f"\n   AND arrays_overlap(a.{prefix_col}, b.{prefix_col})"
     # Display score from the SAME integer quantities as the filter
     # (r12 ADVICE): floor(1e6*i/u)/1e6 via exact integer division, so a
     # boundary pair that passes the integer predicate can never DISPLAY
@@ -170,7 +195,7 @@ FROM (
     ON a.lang = b.lang AND a.jblk = b.rblk
    AND b.rnk > a.rnk AND b.rnk - a.rnk <= {block_cap}
    AND abs(a.n_chars - b.n_chars) <= {length_window}
-   AND least(a.n_toks, b.n_toks) >= {threshold} * greatest(a.n_toks, b.n_toks)
+   AND least(a.n_toks, b.n_toks) >= {threshold} * greatest(a.n_toks, b.n_toks){pre}
 ) p0
 WHERE 1000000 * i >= {thr6} * (an + bn - i)
 """.strip()
@@ -549,7 +574,13 @@ WHERE est_jaccard >= {min_agreement}
 """.strip()
 
 
-def gen_lsh_quality(d: Dialect, jaccard_threshold: float = 0.5) -> str:
+def gen_lsh_quality(
+    d: Dialect,
+    jaccard_threshold: float = 0.5,
+    ranked_rel: str | None = None,
+    sigs_rel: str | None = None,
+    prefix_col: str | None = None,
+) -> str:
     """Precision/recall of the minhash-LSH candidate tier against exact
     blocked Jaccard at ``jaccard_threshold`` — the dedup sketch's accuracy
     measured as a driver-checked query.
@@ -562,9 +593,16 @@ def gen_lsh_quality(d: Dialect, jaccard_threshold: float = 0.5) -> str:
     divisors are NULLIF-guarded: a corpus with no true (or no candidate)
     pairs reports NULL recall/precision instead of throwing on Spark
     (ANSI DIVIDE_BY_ZERO) while DuckDB silently NULLs — the engines must
-    agree on the degenerate corpus too."""
-    exact = gen_jaccard_pairs(d, threshold=jaccard_threshold)
-    lsh = gen_minhash_pairs(d)
+    agree on the degenerate corpus too.
+
+    ``ranked_rel``/``sigs_rel`` (r14 optimization) let the Spark builder
+    substitute persisted prep relations exactly as the standalone pair
+    entries do — the raw inline form re-tokenizes/re-hashes per CTE
+    reference under Spark's CTE inlining; the oracle leaves both None."""
+    exact = gen_jaccard_pairs(
+        d, threshold=jaccard_threshold, ranked_rel=ranked_rel, prefix_col=prefix_col
+    )
+    lsh = gen_minhash_pairs(d, sigs_rel=sigs_rel)
     return f"""
 WITH truth AS (
 {exact}
@@ -835,6 +873,7 @@ def gen_winnow_fk(
     w: int = WINNOW_W,
     df_cap: int = WINNOW_DF_CAP,
     winnow_rel: str | None = None,
+    rows_rel: str | None = None,
 ) -> str:
     """Standalone (doc_id, fp) df-capped fingerprint relation — the shared
     input of the winnow pair join and both per-doc size aggregates.  Split
@@ -848,6 +887,19 @@ def gen_winnow_fk(
     reference-dedup recovers the triple recompute)."""
     from storage_crawler_spark.operators.text import winnow_fps_cte
 
+    if rows_rel is not None:
+        # r14 optimization: the Spark builder supplies PRE-EXPLODED
+        # (doc_id, fp) rows (fastpath.winnow_fp_rows) — no array column,
+        # so the two references below never re-box cached array cells.
+        return f"""
+WITH fp_rel AS (
+  SELECT doc_id, fp FROM {rows_rel}
+),
+kept AS (
+  SELECT fp FROM fp_rel GROUP BY fp HAVING count(*) <= {df_cap}
+)
+SELECT f.doc_id, f.fp FROM fp_rel f JOIN kept ON f.fp = kept.fp
+""".strip()
     lat = d.lateral_explode("fps", "fp")
     if winnow_rel is not None:
         winnow = f"winnow AS (SELECT * FROM {winnow_rel})"

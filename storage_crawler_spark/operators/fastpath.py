@@ -1,0 +1,325 @@
+"""Arrow-vectorized engine-path twins of the hottest interpreted SQL map
+stages (r14 optimization round, guide §4.2: let Spark do distribution and
+shuffles, hand per-batch compute to native/vectorized code).
+
+Each function returns a DataFrame with the EXACT schema and values of the
+SQL relation it replaces — pinned by tests that compare against the SQL
+form row-for-row (tests/test_round14_optimization.py) and by the DuckDB
+oracle gate on every consuming entry.  The SQL generators stay the oracle
+formulation; these are Spark ENGINE paths only.
+
+Why this is the right boundary (guide §4.1/§4.2): Catalyst INTERPRETS
+higher-order array lambdas per element (measured r11: ~6 µs/element for
+``aggregate(zip_with(...))`` folds), and per-position ``md5`` over a
+``transform(sequence(...))`` pays the same interpretation tax on top of
+the digest.  A pandas/Arrow batch crossing the boundary once and running
+hashlib/NumPy per batch is 10-40× cheaper per element, and the columns
+shipped are exactly the ones the function needs (project-before-the-hop,
+guide §4.1).
+
+Exactness contracts relied on (each asserted by the parity tests):
+
+- ``substr(text, i, k)`` (Spark: code points) == Python ``text[i-1:i+k-1]``;
+  ``length(text)`` == ``len(text)`` (both count code points).
+- ``CAST(conv(substr(md5(encode(s,'utf-8')),1,12),16,10) AS BIGINT)`` ==
+  ``int.from_bytes(hashlib.md5(s.encode()).digest()[:6], 'big')`` (first
+  12 hex chars are the first 6 digest bytes; 48 bits, sign-safe).
+- ``array_distinct`` keeps first-occurrence order == ``np.unique`` indices
+  re-sorted (or ``dict.fromkeys`` for object rows).
+- ``split(text, ' ')`` (Java regex split, limit -1: keeps leading /
+  interior / trailing empty strings) == Python ``text.split(' ')``.
+- Integer lattice arithmetic (BIGINT) == NumPy int64 exactly (all bounds
+  documented at the SQL sites keep every product/sum far below 2^63).
+- ``array_position(__d, array_min(__d))`` (first index of the min) ==
+  ``np.argmin`` (first occurrence).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from storage_crawler_spark.operators.dedup import MINHASH_P, MINHASH_PERMS
+
+WINNOW_OUT_SCHEMA = "doc_id bigint, n_grams int, fps array<bigint>"
+MINHASH_OUT_SCHEMA = "doc_id bigint, " + ", ".join(
+    f"m{i} bigint" for i in range(len(MINHASH_PERMS))
+)
+
+
+def _md5_48(data: bytes) -> int:
+    """First 48 bits of md5 as a non-negative int — identical to the SQL
+    ``hex12_to_bigint(substr(md5_utf8(s), 1, 12))`` construction."""
+    return int.from_bytes(hashlib.md5(data).digest()[:6], "big")
+
+
+def _winnow_batches(k: int, w: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        swv = np.lib.stride_tricks.sliding_window_view
+        for pdf in batches:
+            ids: list[int] = []
+            ngs: list[int] = []
+            fpss: list[list[int]] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # caller's WHERE guarantees text is not NULL and
+                # len(text) >= k + w - 1, so n >= w and the window view
+                # below is never empty
+                n = len(text) - k + 1
+                hs = np.empty(n, dtype=np.int64)
+                if text.isascii():
+                    b = text.encode()
+                    for i in range(n):
+                        hs[i] = int.from_bytes(md5(b[i : i + k]).digest()[:6], "big")
+                else:
+                    for i in range(n):
+                        hs[i] = int.from_bytes(
+                            md5(text[i : i + k].encode("utf-8")).digest()[:6], "big"
+                        )
+                mins = swv(hs, w).min(axis=1)
+                _, first = np.unique(mins, return_index=True)
+                fps = mins[np.sort(first)]
+                ids.append(doc_id)
+                ngs.append(n)
+                fpss.append(fps.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_grams": pd.Series(ngs, dtype="int32"),
+                    "fps": fpss,
+                }
+            )
+
+    return gen
+
+
+def winnow_rel(spark: SparkSession, src: str = "documents", k: int = 8, w: int = 4) -> DataFrame:
+    """Engine twin of :func:`text.gen_winnow_rel`: (doc_id, n_grams, fps)
+    winnowed-fingerprint relation, computed per Arrow batch (one md5 per
+    k-gram in hashlib + one NumPy sliding-window min) instead of per
+    interpreted SQL lambda element.  Values and schema are bit-identical
+    to the SQL form (parity-tested); the WHERE stays in SQL so the filter
+    pushes into the parquet scan."""
+    base = spark.table(src).where(
+        f"text IS NOT NULL AND length(text) >= {k + w - 1}"
+    ).select("doc_id", "text")
+    return base.mapInPandas(_winnow_batches(k, w), WINNOW_OUT_SCHEMA)
+
+
+def _minhash_batches():
+    perms_a = np.array([a for a, _ in MINHASH_PERMS], dtype=np.int64)
+    perms_b = np.array([b for _, b in MINHASH_PERMS], dtype=np.int64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        n_perm = len(perms_a)
+        for pdf in batches:
+            ids: list[int] = []
+            mins = np.empty((len(pdf), n_perm), dtype=object)
+            for r, (doc_id, text) in enumerate(zip(pdf["doc_id"], pdf["text"])):
+                ids.append(doc_id)
+                if text is None:
+                    mins[r, :] = None  # SQL: NULL toks -> NULL signature
+                    continue
+                toks = text.split(" ")
+                if len(toks) >= 3:
+                    shingles = [
+                        f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
+                        for i in range(len(toks) - 2)
+                    ]
+                else:
+                    shingles = [text]
+                # adistinct: first-occurrence order (min() is order-free,
+                # but dedup before hashing mirrors the SQL's md5 volume cut)
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(md5(s.encode("utf-8")).digest()[:6], "big")
+                        for s in dict.fromkeys(shingles)
+                    ),
+                    dtype=np.int64,
+                )
+                # (a*h + b) % P per permutation; h < 2^48, a < 2^15 so the
+                # product stays far under 2^63 — exact int64, same as BIGINT
+                sig = ((hs[None, :] * perms_a[:, None]) + perms_b[:, None]) % MINHASH_P
+                mins[r, :] = sig.min(axis=1)
+            out = {"doc_id": pd.Series(ids, dtype="int64")}
+            for j in range(n_perm):
+                out[f"m{j}"] = pd.Series(mins[:, j])
+            yield pd.DataFrame(out)
+
+    return gen
+
+
+# θ the jaccard-prep prefix column is built for: prefix = the first
+# n - ceil(θ·n) + 1 of the ASCENDING-sorted hash set.  SSJoin lemma
+# (Chaudhuri/Ganti/Kaushik 2006): under any global total order, two sets
+# with overlap >= α must share an element within their (size − α + 1)-
+# prefixes; a qualifying pair at threshold θ' >= θ has overlap
+# α >= ceil(θ·|x|) on each side, so these prefixes are long enough and
+# the arrays_overlap pre-test can never reject a qualifying pair.
+JACCARD_PREF_THETA = 0.5
+
+
+def _jaccard_prep_batches():
+    import math
+
+    theta = JACCARD_PREF_THETA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            hs_out: list[list[int] | None] = []
+            nt_out: list[int | None] = []
+            pref_out: list[list[int] | None] = []
+            for text in pdf["text"]:
+                if text is None:
+                    hs_out.append(None)
+                    nt_out.append(None)
+                    pref_out.append(None)
+                    continue
+                toks = dict.fromkeys(text.split(" "))
+                hs = [
+                    int.from_bytes(md5(t.encode("utf-8")).digest()[:6], "big") for t in toks
+                ]
+                n = len(hs)
+                hs_out.append(hs)
+                nt_out.append(n)
+                pref_out.append(sorted(hs)[: n - math.ceil(theta * n) + 1])
+            out = pdf[["doc_id", "lang", "n_chars"]].copy()
+            out["hs"] = hs_out
+            out["n_toks"] = pd.Series(nt_out, dtype="Int32")
+            out["pref"] = pref_out
+            yield out
+
+    return gen
+
+
+def jaccard_prep(spark: SparkSession, src: str = "documents") -> DataFrame:
+    """Engine twin of :func:`dedup.gen_jaccard_prep`: per-document hashed
+    distinct token set + set size.  The token hash is ENGINE-LOCAL by the
+    documented token_hash64 contract (only intersection CARDINALITIES
+    reach any output), and this path uses the md5-48 construction — the
+    very hash the DuckDB oracle side uses — so cross-engine collision
+    behaviour is identical by construction rather than merely negligible.
+    Tokenization replicates ``split(text, ' ')`` (Java limit -1: empties
+    kept) == ``str.split(' ')``; distinct keeps first-occurrence order.
+
+    Adds a ``pref`` column the SQL prep does not have: the sorted
+    JACCARD_PREF_THETA prefix for the pair join's arrays_overlap
+    pre-filter (exact pruning — see the lemma note above; consumers that
+    cannot use it simply ignore the column)."""
+    base = spark.table(src).select("doc_id", "lang", "n_chars", "text")
+    return base.mapInPandas(
+        _jaccard_prep_batches(),
+        "doc_id bigint, lang string, n_chars bigint, hs array<bigint>, "
+        "n_toks int, pref array<bigint>",
+    )
+
+
+def _winnow_rows_batches(k: int, w: int):
+    inner = _winnow_batches(k, w)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in inner(batches):
+            if len(pdf) == 0:
+                continue
+            counts = pdf["fps"].map(len).to_numpy()
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), counts),
+                    "fp": np.concatenate(pdf["fps"].to_numpy())
+                    if counts.sum()
+                    else np.array([], dtype=np.int64),
+                }
+            )
+
+    return gen
+
+
+def winnow_fp_rows(
+    spark: SparkSession, src: str = "documents", k: int = 8, w: int = 4
+) -> DataFrame:
+    """Exploded (doc_id, fp) winnow rows, flattened INSIDE the Python
+    stage — the pair builder's shape.  Equivalent to exploding
+    :func:`winnow_rel`'s fps array, but no array column ever exists:
+    reading array<bigint> cells back out of the block-cache for a LATERAL
+    VIEW boxes every element per reference (the fk relation reads the
+    winnow relation twice), which profiling showed dominating the
+    dedup_winnow_pairs CPU after the hash fast path landed."""
+    base = spark.table(src).where(
+        f"text IS NOT NULL AND length(text) >= {k + w - 1}"
+    ).select("doc_id", "text")
+    return base.mapInPandas(_winnow_rows_batches(k, w), "doc_id bigint, fp bigint")
+
+
+def _containment_batches():
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids: list[int] = []
+            shs: list[list[str | None]] = []
+            hss: list[list[int | None]] = []
+            ns: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    # SQL: split(NULL) -> NULL toks, CASE falls through to
+                    # array(text) = [NULL]; distinct keeps it; hash(NULL)=NULL
+                    shingles: list[str | None] = [None]
+                    hs: list[int | None] = [None]
+                else:
+                    toks = text.split(" ")
+                    if len(toks) >= 3:
+                        raw = [
+                            f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
+                            for i in range(len(toks) - 2)
+                        ]
+                    else:
+                        raw = [text]
+                    shingles = list(dict.fromkeys(raw))
+                    hs = [
+                        int.from_bytes(md5(s.encode("utf-8")).digest()[:6], "big")
+                        for s in shingles
+                    ]
+                ids.append(doc_id)
+                shs.append(shingles)
+                hss.append(hs)
+                ns.append(len(hs))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "shingles": shs,
+                    "hs": hss,
+                    "n_sh": pd.Series(ns, dtype="Int32"),
+                }
+            )
+
+    return gen
+
+
+def containment_prep(spark: SparkSession, src: str = "documents") -> DataFrame:
+    """Shared base of the containment-pair entry: (doc_id, shingles,
+    hs, n_sh) in ONE Python pass per document — the SQL form computed the
+    tokenize+3-shingle map TWICE (once for the exploded string relation,
+    once for the hashed prep) plus an interpreted per-shingle hash.
+    Shingle strings replicate ``_shingles`` exactly; the hash is the
+    engine-local md5-48 (the oracle's own construction — containment
+    output depends only on intersection cardinalities)."""
+    base = spark.table(src).select("doc_id", "text")
+    return base.mapInPandas(
+        _containment_batches(),
+        "doc_id bigint, shingles array<string>, hs array<bigint>, n_sh int",
+    )
+
+
+def minhash_sigs(spark: SparkSession, src: str = "documents") -> DataFrame:
+    """Engine twin of :func:`dedup.gen_minhash_sigs`: per-document minhash
+    signature (m0..m15 BIGINT) via hashlib md5 over distinct 3-shingles +
+    one vectorized (a·h+b) mod P min per permutation.  Bit-identical to
+    the SQL form (parity-tested; hash values CROSS the output, so the md5
+    construction is mandatory and replicated exactly)."""
+    base = spark.table(src).select("doc_id", "text")
+    return base.mapInPandas(_minhash_batches(), MINHASH_OUT_SCHEMA)

@@ -352,6 +352,96 @@ ORDER BY e.cid, e.dim
 """.strip()
 
 
+def _uniform_lattice_dim(v: DataFrame, dim: int) -> bool:
+    """True when every qarr in ``v`` has exactly ``dim`` elements — the
+    precondition of the NumPy assignment fast path (the SQL fold pads a
+    ragged zip_with with NULLs; the embeddings contract keeps stores
+    uniform, but the guard keeps a ragged store on the SQL path instead
+    of silently diverging).  One tiny job over the checkpointed relation."""
+    sizes = [r.d for r in v.select(F.size("qarr").alias("d")).distinct().collect()]
+    return sizes == [dim]
+
+
+def lattice_assign(v: DataFrame, centroids: list[list[int]], out_col: str = "cid") -> DataFrame:
+    """``v`` + ``out_col``: nearest-centroid id by exact integer squared
+    L2, computed per Arrow batch with NumPy int64 instead of the
+    ``aggregate(zip_with(...))`` fold + ``array_position(array_min(...))``
+    expression, which Catalyst INTERPRETS per element (measured r14:
+    ~6 µs/element — the dominant CPU of every lattice-fit consumer).
+
+    Bit-identical to the SQL form: BIGINT arithmetic == int64 (documented
+    bounds keep |coord| < 2^19, d² < 2^46), and ``np.argmin`` first
+    occurrence == the fold's lowest-cid tie-break.  Callers must ensure
+    every qarr has ``len(centroids[0])`` elements
+    (:func:`_uniform_lattice_dim`)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    C = np.asarray(centroids, dtype=np.int64)
+    schema = StructType(v.schema.fields + [StructField(out_col, LongType())])
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = pd.Series([], dtype="int64")
+                yield pdf
+                continue
+            X = np.stack(pdf["qarr"].to_numpy()).astype(np.int64, copy=False)
+            d2 = np.empty((len(X), len(C)), dtype=np.int64)
+            for j in range(len(C)):
+                diff = X - C[j]
+                d2[:, j] = np.einsum("nd,nd->n", diff, diff)
+            pdf = pdf.copy()
+            pdf[out_col] = d2.argmin(axis=1).astype(np.int64)
+            yield pdf
+
+    return v.mapInPandas(gen, schema)
+
+
+def _lattice_assign_stats(v: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Per-batch partial (cid, pos, s, n) coordinate sums of the NumPy
+    assignment — the map-side-combined twin of the fit loop's
+    ``posexplode + groupBy`` (k×dim rows per BATCH cross the shuffle
+    instead of n×dim rows; guide §2.3 'aggregate before you shuffle').
+    Consumers ``groupBy(cid, pos).agg(sum(s), sum(n))`` for the exact
+    order-free BIGINT totals."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["qarr"].to_numpy()).astype(np.int64, copy=False)
+            d2 = np.empty((len(X), len(C)), dtype=np.int64)
+            for j in range(len(C)):
+                diff = X - C[j]
+                d2[:, j] = np.einsum("nd,nd->n", diff, diff)
+            cid = d2.argmin(axis=1)
+            cids, poss, ss, ns = [], [], [], []
+            for c in np.unique(cid):
+                sel = X[cid == c]
+                s = sel.sum(axis=0, dtype=np.int64)
+                dim = sel.shape[1]
+                cids.extend([int(c)] * dim)
+                poss.extend(range(dim))
+                ss.extend(int(x) for x in s)
+                ns.extend([sel.shape[0]] * dim)
+            yield pd.DataFrame(
+                {
+                    "cid": pd.Series(cids, dtype="int64"),
+                    "pos": pd.Series(poss, dtype="int32"),
+                    "s": pd.Series(ss, dtype="int64"),
+                    "n": pd.Series(ns, dtype="int64"),
+                }
+            )
+
+    return v.select("qarr").mapInPandas(gen, "cid long, pos int, s long, n long")
+
+
 def kmeans_fit_lattice(spark, k: int = KM_K, iters: int = KM_ITERS):
     """Spark ENGINE path of the lattice fit: the distributed Lloyd's loop
     with exact-integer arithmetic — assignment is a map against literal
@@ -381,26 +471,42 @@ def kmeans_fit_lattice(spark, k: int = KM_K, iters: int = KM_ITERS):
     check_model_state(
         k * len(centroids[0]), "kmeans_fit_lattice (k x dim centroids)"
     )
+    # r14 optimization: the per-round assignment is a NumPy int64 argmin
+    # per Arrow batch (bit-identical to the interpreted HOF fold — see
+    # lattice_assign) whenever the store is dim-uniform; a ragged store
+    # (impossible for real embeddings, guarded anyway) falls back to the
+    # original SQL expression.  The round's coordinate sums partial-
+    # combine inside the same Python stage (k×dim rows per batch cross
+    # the shuffle instead of n×dim posexploded rows).
+    fast = _uniform_lattice_dim(v, len(centroids[0]))
     sizes: dict[int, int] = {}
     for _ in range(iters):
-        arrs = [
-            "array(" + ", ".join(f"CAST({c} AS BIGINT)" for c in cent) + ")"
-            for cent in centroids
-        ]
-        dists = "array(" + ", ".join(
-            f"aggregate(zip_with(qarr, {a}, (u, v) -> (u - v) * (u - v)), "
-            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-            for a in arrs
-        ) + ")"
-        assigned = v.withColumn("__d", F.expr(dists)).withColumn(
-            "cid", (F.expr("array_position(__d, array_min(__d))") - 1).cast("long")
-        ).drop("__d")
-        stats = (
-            assigned.select("cid", F.posexplode("qarr").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        if fast:
+            stats = (
+                _lattice_assign_stats(v, centroids)
+                .groupBy("cid", "pos")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                .collect()
+            )
+        else:
+            arrs = [
+                "array(" + ", ".join(f"CAST({c} AS BIGINT)" for c in cent) + ")"
+                for cent in centroids
+            ]
+            dists = "array(" + ", ".join(
+                f"aggregate(zip_with(qarr, {a}, (u, v) -> (u - v) * (u - v)), "
+                f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+                for a in arrs
+            ) + ")"
+            assigned = v.withColumn("__d", F.expr(dists)).withColumn(
+                "cid", (F.expr("array_position(__d, array_min(__d))") - 1).cast("long")
+            ).drop("__d")
+            stats = (
+                assigned.select("cid", F.posexplode("qarr").alias("pos", "val"))
+                .groupBy("cid", "pos")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
         by_c: dict[int, dict[int, tuple[int, int]]] = {}
         for r in stats:
             by_c.setdefault(int(r.cid), {})[int(r.pos)] = (int(r.s), int(r.n))
@@ -414,22 +520,25 @@ def kmeans_fit_lattice(spark, k: int = KM_K, iters: int = KM_ITERS):
         centroids = new
     # final sizes = the partition the TRAINED model induces (one more
     # distributed assignment count — mirrors the oracle chain's a_fin)
-    arrs = [
-        "array(" + ", ".join(f"CAST({c} AS BIGINT)" for c in cent) + ")"
-        for cent in centroids
-    ]
-    dists = "array(" + ", ".join(
-        f"aggregate(zip_with(qarr, {a}, (u, v) -> (u - v) * (u - v)), "
-        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        for a in arrs
-    ) + ")"
-    fin = (
-        v.withColumn("__d", F.expr(dists))
-        .withColumn("cid", (F.expr("array_position(__d, array_min(__d))") - 1).cast("long"))
-        .groupBy("cid")
-        .count()
-        .collect()
-    )
+    if fast:
+        fin = lattice_assign(v, centroids).groupBy("cid").count().collect()
+    else:
+        arrs = [
+            "array(" + ", ".join(f"CAST({c} AS BIGINT)" for c in cent) + ")"
+            for cent in centroids
+        ]
+        dists = "array(" + ", ".join(
+            f"aggregate(zip_with(qarr, {a}, (u, v) -> (u - v) * (u - v)), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            for a in arrs
+        ) + ")"
+        fin = (
+            v.withColumn("__d", F.expr(dists))
+            .withColumn("cid", (F.expr("array_position(__d, array_min(__d))") - 1).cast("long"))
+            .groupBy("cid")
+            .count()
+            .collect()
+        )
     sizes = {int(r.cid): int(r["count"]) for r in fin}
     return centroids, sizes
 
@@ -494,18 +603,23 @@ def ivf_lattice_topk(
 
     centroids, _ = kmeans_fit_lattice(spark, k, iters)
     v = spark.table("_km_lat_v")  # checkpointed by the fit
-    arrs = [
-        "array(" + ", ".join(f"CAST({c} AS BIGINT)" for c in cent) + ")"
-        for cent in centroids
-    ]
-    dists = "array(" + ", ".join(
-        f"aggregate(zip_with(qarr, {arr}, (u, v) -> (u - v) * (u - v)), "
-        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        for arr in arrs
-    ) + ")"
-    assigned = v.withColumn("__d", F.expr(dists)).withColumn(
-        "cid", (F.expr("array_position(__d, array_min(__d))") - 1).cast("long")
-    ).drop("__d")
+    # r14 optimization: NumPy batch argmin replaces the interpreted HOF
+    # fold (bit-identical — see lattice_assign); ragged stores fall back
+    if _uniform_lattice_dim(v, len(centroids[0])):
+        assigned = lattice_assign(v, centroids)
+    else:
+        arrs = [
+            "array(" + ", ".join(f"CAST({c} AS BIGINT)" for c in cent) + ")"
+            for cent in centroids
+        ]
+        dists = "array(" + ", ".join(
+            f"aggregate(zip_with(qarr, {arr}, (u, v) -> (u - v) * (u - v)), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            for arr in arrs
+        ) + ")"
+        assigned = v.withColumn("__d", F.expr(dists)).withColumn(
+            "cid", (F.expr("array_position(__d, array_min(__d))") - 1).cast("long")
+        ).drop("__d")
     q_row = v.filter(F.col("vec_id") == query_vec_id).select("qarr").collect()
     if not q_row:
         raise ValueError(f"query_vec_id={query_vec_id} not found")
@@ -603,18 +717,79 @@ def semantic_dedup(spark, sf_dir: str, k: int = KM_K, iters: int = KM_ITERS,
     V.register_base_tables(spark, sf_dir, ("embeddings",))
     centroids, _ = kmeans_fit_lattice(spark, k, iters)
     v = spark.table("_km_lat_v")  # checkpointed by the fit
-    arrs = [
-        "array(" + ", ".join(f"CAST({c} AS BIGINT)" for c in cent) + ")"
-        for cent in centroids
-    ]
-    dists = "array(" + ", ".join(
-        f"aggregate(zip_with(qarr, {arr}, (u, v) -> (u - v) * (u - v)), "
-        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        for arr in arrs
-    ) + ")"
-    assigned = v.withColumn("__d", F.expr(dists)).withColumn(
-        "cid", (F.expr("array_position(__d, array_min(__d))") - 1).cast("long")
-    ).drop("__d")
+    # r14 optimization: NumPy batch argmin replaces the interpreted HOF
+    # fold (bit-identical — see lattice_assign); ragged stores fall back
+    fast = _uniform_lattice_dim(v, len(centroids[0]))
+    if fast:
+        assigned = lattice_assign(v, centroids)
+    else:
+        arrs = [
+            "array(" + ", ".join(f"CAST({c} AS BIGINT)" for c in cent) + ")"
+            for cent in centroids
+        ]
+        dists = "array(" + ", ".join(
+            f"aggregate(zip_with(qarr, {arr}, (u, v) -> (u - v) * (u - v)), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            for arr in arrs
+        ) + ")"
+        assigned = v.withColumn("__d", F.expr(dists)).withColumn(
+            "cid", (F.expr("array_position(__d, array_min(__d))") - 1).cast("long")
+        ).drop("__d")
+    # r14 optimization: the cell-local pair scan runs as one NumPy stage
+    # per cell (groupBy(cid).applyInPandas) — exact int64 d² via the
+    # |a|²+|b|²−2a·b Gram identity instead of an interpreted 64-element
+    # fold per candidate pair.  Values are bit-identical (all-integer);
+    # NULL labels compare unequal in pandas (NaN != NaN) exactly like the
+    # oracle's CASE WHEN.  One shuffle on cid either way; no pair row
+    # ever leaves its cell's partition (the SemDeDup posture unchanged).
+    import numpy as np
+    import pandas as pd
+
+    thr_i = int(thr)
+
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(pdf["qarr"].to_numpy()).astype(np.int64, copy=False)
+        ids = pdf["vec_id"].to_numpy()
+        labels = pdf["label"].to_numpy()
+        cid = int(pdf["cid"].iloc[0])
+        G = X @ X.T
+        sq = np.diag(G)
+        d2 = sq[:, None] + sq[None, :] - 2 * G
+        iu, ju = np.triu_indices(len(ids), k=1)
+        # canonicalize by vec_id order (row order within the group is
+        # partition-dependent; the PAIR set is not)
+        a_ids, b_ids = ids[iu], ids[ju]
+        swap = a_ids > b_ids
+        keep = np.where(swap, b_ids, a_ids)
+        drop = np.where(swap, a_ids, b_ids)
+        dd = d2[iu, ju]
+        m = dd <= thr_i
+        la, lb = labels[iu][m], labels[ju][m]
+        same = np.array(
+            [1 if (x is not None and y is not None and not (x != x) and not (y != y) and x == y) else 0
+             for x, y in zip(la, lb)],
+            dtype=np.int64,
+        )
+        return pd.DataFrame(
+            {
+                "keep_id": keep[m].astype(np.int64),
+                "drop_id": drop[m].astype(np.int64),
+                "cid": np.full(int(m.sum()), cid, dtype=np.int64),
+                "d2": dd[m].astype(np.int64),
+                "same_label": same,
+            }
+        )
+
+    if fast:
+        return (
+            assigned.select("vec_id", "label", "qarr", "cid")
+            .groupBy("cid")
+            .applyInPandas(
+                _cell_pairs,
+                "keep_id long, drop_id long, cid long, d2 long, same_label long",
+            )
+            .orderBy("keep_id", "drop_id")
+        )
     a = assigned.select(
         F.col("vec_id").alias("keep_id"), F.col("label").alias("label_a"),
         F.col("qarr").alias("qa"), "cid",

@@ -1880,15 +1880,26 @@ def gen_winnow_rel(d: Dialect, k: int = 8, w: int = 4, src: str = "documents") -
   ) g""".strip("\n")
 
 
-def gen_winnow_fingerprints(d: Dialect, k: int = 8, w: int = 4) -> str:
+def gen_winnow_fingerprints(
+    d: Dialect, k: int = 8, w: int = 4, winnow_rel: str | None = None
+) -> str:
     """Per-document winnowing stats: k-gram count, selected-fingerprint
     count, and selection density (distinct fingerprints per window
     position) — the storage-cost audit for the MOSS-style fingerprint
     index (expected density ~2/(w+1) before dedup; a density near 1 means
     pathological hash ties or tiny docs).  Short docs (< k + w - 1 chars)
-    surface with n_fingerprints 0 via the LEFT JOIN, not silently absent."""
+    surface with n_fingerprints 0 via the LEFT JOIN, not silently absent.
+
+    ``winnow_rel`` points the Spark builder at a pre-computed winnow
+    relation (the r14 Arrow fast path — operators/fastpath.winnow_rel);
+    the oracle path leaves it None and inlines the CTE."""
+    winnow = (
+        f"winnow AS (SELECT * FROM {winnow_rel})"
+        if winnow_rel is not None
+        else winnow_fps_cte(d, k, w)
+    )
     return f"""
-WITH {winnow_fps_cte(d, k, w)}
+WITH {winnow}
 SELECT d.doc_id,
        CAST(coalesce(w.n_grams, 0) AS BIGINT) AS n_grams,
        CAST(coalesce({d.size('w.fps')}, 0) AS BIGINT) AS n_fingerprints,

@@ -34,6 +34,7 @@ from storage_crawler_spark.operators import (
     analytics,
     cluster,
     dedup,
+    fastpath,
     multimodal,
     pipeline as pipeline_ops,
     sampling,
@@ -475,17 +476,23 @@ def _b_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no single lang funnels through one sort task.  Both are bit-identical
     # (pytest-proven); the window formulation is always the oracle.  Size
     # comes from parquet footers (metadata only) — not a count() scan job.
+    # r14 optimization: the tokenize+hash prep runs as an Arrow batch map
+    # (operators/fastpath.jaccard_prep — md5-48 token hash, the hash the
+    # ORACLE side already uses; values parity-pinned) instead of the
+    # interpreted array_distinct+transform chain.
     if _parquet_row_count(f"{sf_dir}/documents.parquet") < 1_000_000:
-        spark.sql(dedup.gen_jaccard_prep(SPARK, src="_documents_rep")).createOrReplaceTempView(
+        fastpath.jaccard_prep(spark, src="_documents_rep").createOrReplaceTempView(
             "_jaccard_prep"
         )
         ranked = spark.sql(dedup.gen_jaccard_ranked(SPARK, "_jaccard_prep", src="documents"))
     else:
         ranked = dedup.scalable_lang_rank(
-            spark.sql(dedup.gen_jaccard_prep(SPARK, src="_documents_rep"))
+            fastpath.jaccard_prep(spark, src="_documents_rep")
         )
     _persist_view(ranked, "_jaccard_ranked")
-    return spark.sql(dedup.gen_jaccard_pairs(SPARK, ranked_rel="_jaccard_ranked"))
+    return spark.sql(
+        dedup.gen_jaccard_pairs(SPARK, ranked_rel="_jaccard_ranked", prefix_col="pref")
+    )
 
 
 def _b_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -600,9 +607,17 @@ def _b_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     V.register_base_tables(spark, sf_dir, ("documents",))
     n = spark.sparkContext.defaultParallelism
     spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
-    wn = spark.sql(text.gen_winnow_rel(SPARK, src="_documents_rep"))
-    _scoped_persist_view(wn, "_winnow_rel")
-    fk = spark.sql(dedup.gen_winnow_fk(SPARK, winnow_rel="_winnow_rel"))
+    # r14 optimization: the winnow hashing computes per Arrow batch
+    # (hashlib md5 per k-gram + NumPy sliding-window min) instead of the
+    # interpreted transform(sequence(...)) md5 chain — bit-identical
+    # (operators/fastpath; parity-pinned) at ~1/20th the CPU — and the
+    # relation arrives PRE-EXPLODED as (doc_id, fp) rows: the fk build
+    # references it twice, and reading array<bigint> cells back out of
+    # the block-cache for a LATERAL VIEW boxed every element per
+    # reference (the measured majority of the remaining CPU).
+    wn = fastpath.winnow_fp_rows(spark, src="_documents_rep")
+    _scoped_persist_view(wn, "_winnow_rows")
+    fk = spark.sql(dedup.gen_winnow_fk(SPARK, rows_rel="_winnow_rows"))
     _checkpoint_view(fk, "_winnow_fk")
     wn.unpersist()
     return spark.sql(dedup.gen_winnow_pairs(SPARK, fk_rel="_winnow_fk"))
@@ -612,7 +627,9 @@ def _b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     V.register_base_tables(spark, sf_dir, ("documents",))
     n = spark.sparkContext.defaultParallelism
     spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
-    sigs = spark.sql(dedup.gen_minhash_sigs(SPARK, src="_documents_rep"))
+    # r14 optimization: Arrow fast path for the shingle-md5 signature
+    # map (operators/fastpath.minhash_sigs — bit-identical, parity-pinned)
+    sigs = fastpath.minhash_sigs(spark, src="_documents_rep")
     _persist_view(sigs, "_minhash_sigs")
     return spark.sql(dedup.gen_minhash_pairs(SPARK, sigs_rel="_minhash_sigs"))
 
@@ -621,7 +638,9 @@ def _b_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     V.register_base_tables(spark, sf_dir, ("documents",))
     n = spark.sparkContext.defaultParallelism
     spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
-    sigs = spark.sql(dedup.gen_minhash_sigs(SPARK, src="_documents_rep"))
+    # r14 optimization: Arrow fast path for the shingle-md5 signature
+    # map (operators/fastpath.minhash_sigs — bit-identical, parity-pinned)
+    sigs = fastpath.minhash_sigs(spark, src="_documents_rep")
     _persist_view(sigs, "_minhash_sigs_inc")
     return spark.sql(dedup.gen_minhash_pairs_incremental(SPARK, sigs_rel="_minhash_sigs_inc"))
 
@@ -641,7 +660,9 @@ def _b_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     V.register_base_tables(spark, sf_dir, ("documents",))
     n = spark.sparkContext.defaultParallelism
     spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
-    sigs = spark.sql(dedup.gen_minhash_sigs(SPARK, src="_documents_rep"))
+    # r14 optimization: Arrow fast path for the shingle-md5 signature
+    # map (operators/fastpath.minhash_sigs — bit-identical, parity-pinned)
+    sigs = fastpath.minhash_sigs(spark, src="_documents_rep")
     _checkpoint_view(sigs, "_minhash_sigs_cc")
     return cluster.build_minhash_clusters(spark, SPARK, sigs_rel="_minhash_sigs_cc")
 
@@ -650,7 +671,9 @@ def _b_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     V.register_base_tables(spark, sf_dir, ("documents",))
     n = spark.sparkContext.defaultParallelism
     spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
-    sigs = spark.sql(dedup.gen_minhash_sigs(SPARK, src="_documents_rep"))
+    # r14 optimization: Arrow fast path for the shingle-md5 signature
+    # map (operators/fastpath.minhash_sigs — bit-identical, parity-pinned)
+    sigs = fastpath.minhash_sigs(spark, src="_documents_rep")
     _checkpoint_view(sigs, "_minhash_sigs_ck")
     return cluster.build_minhash_cluster_keepers(spark, SPARK, sigs_rel="_minhash_sigs_ck")
 
@@ -1090,8 +1113,18 @@ def _specs() -> list[QuerySpec]:
         tags=("dedup",),
         doc="block-cap diagnostic: densest length-window neighborhood + upper bound on rank-capped (dropped) pairs per lang",
     )
-    b, o = _sql_pair(dedup.gen_minhash_sigs, ("documents",))
-    add("dedup_minhash_signatures", b, o, tags=("dedup",), doc="16-perm minhash signatures (map-only)")
+    def _b_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # r14 optimization: Arrow fast path (parity-pinned vs the SQL form)
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        return fastpath.minhash_sigs(spark, src="documents")
+
+    add(
+        "dedup_minhash_signatures",
+        _b_minhash_signatures,
+        dedup.gen_minhash_sigs(DUCK),
+        tags=("dedup",),
+        doc="16-perm minhash signatures (map-only)",
+    )
     add(
         "dedup_minhash_lsh",
         _b_minhash_lsh,
@@ -1415,11 +1448,35 @@ def _specs() -> list[QuerySpec]:
         tags=("similarity", "quality"),
         doc="recall@k of the bucketed IVF tier vs exact top-k, as a measured query",
     )
-    b, o = _sql_pair(dedup.gen_lsh_quality, ("documents",))
+    def _b_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # r14 optimization: persist the jaccard ranked-prep and the minhash
+        # signatures ONCE (the raw inline form re-ran the tokenize/md5 maps
+        # per CTE reference under Spark's CTE inlining — the same recompute
+        # class the standalone pair builders already materialize away), and
+        # take the signatures from the Arrow fast path.
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        n = spark.sparkContext.defaultParallelism
+        spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
+        fastpath.jaccard_prep(spark, src="_documents_rep").createOrReplaceTempView(
+            "_lshq_prep"
+        )
+        ranked = spark.sql(dedup.gen_jaccard_ranked(SPARK, "_lshq_prep", src="documents"))
+        _persist_view(ranked, "_lshq_ranked")
+        sigs = fastpath.minhash_sigs(spark, src="_documents_rep")
+        _persist_view(sigs, "_lshq_sigs")
+        return spark.sql(
+            dedup.gen_lsh_quality(
+                SPARK,
+                ranked_rel="_lshq_ranked",
+                sigs_rel="_lshq_sigs",
+                prefix_col="pref",
+            )
+        )
+
     add(
         "dedup_lsh_quality",
-        b,
-        o,
+        _b_lsh_quality,
+        dedup.gen_lsh_quality(DUCK),
         tags=("dedup", "quality"),
         doc="precision/recall of minhash-LSH candidates vs exact blocked Jaccard",
     )
@@ -2859,22 +2916,20 @@ FROM files f
     )
 
     def _b_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # r14 optimization: ONE Arrow pass builds shingles + hashes + size
+        # (operators/fastpath.containment_prep) where the SQL form ran the
+        # tokenize+shingle map twice and an interpreted per-shingle hash;
+        # both downstream relations project from the single persisted base.
         V.register_base_tables(spark, sf_dir, ("documents",))
-        from storage_crawler_spark.operators.dedup import _shingles
-
+        n = spark.sparkContext.defaultParallelism
+        spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep_ct")
+        base = fastpath.containment_prep(spark, src="_documents_rep_ct")
+        _persist_view(base, "_cont_base")
         lat = SPARK.lateral_explode("shingles", "shingle")
-        base = (
-            f"SELECT doc_id, {SPARK.adistinct(_shingles(SPARK))} AS shingles "
-            f"FROM (SELECT doc_id, text, {SPARK.split('text')} AS toks FROM documents) s0"
-        )
-        sh = spark.sql(f"SELECT doc_id, shingle FROM ({base}) s1 {lat}")
-        _persist_view(sh, "_cont_sh")
-        hs = SPARK.transform("shingles", "s", SPARK.token_hash64("s"))
-        pr = spark.sql(
-            f"SELECT doc_id, hs, {SPARK.size('hs')} AS n_sh "
-            f"FROM (SELECT doc_id, {hs} AS hs FROM ({base}) p0) p1"
-        )
-        _persist_view(pr, "_cont_pr")
+        sh = spark.sql(f"SELECT doc_id, shingle FROM _cont_base {lat}")
+        sh.createOrReplaceTempView("_cont_sh")
+        pr = spark.sql("SELECT doc_id, hs, n_sh FROM _cont_base")
+        pr.createOrReplaceTempView("_cont_pr")
         return spark.sql(
             dedup.gen_containment_pairs(SPARK, sh_rel="_cont_sh", prep_rel="_cont_pr")
         )
@@ -3036,7 +3091,8 @@ FROM files f
         V.register_base_tables(spark, sf_dir, ("documents",))
         n = spark.sparkContext.defaultParallelism
         spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep_h")
-        spark.sql(dedup.gen_jaccard_prep(SPARK, src="_documents_rep_h")).createOrReplaceTempView(
+        # r14 optimization: Arrow fast path for the tokenize+hash prep
+        fastpath.jaccard_prep(spark, src="_documents_rep_h").createOrReplaceTempView(
             "_hist_prep"
         )
         ranked = spark.sql(dedup.gen_jaccard_ranked(SPARK, "_hist_prep", src="documents"))
@@ -3251,7 +3307,8 @@ FROM files f
         V.register_base_tables(spark, sf_dir, ("documents",))
         n = spark.sparkContext.defaultParallelism
         spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep_nc")
-        sigs = spark.sql(dedup.gen_minhash_sigs(SPARK, src="_documents_rep_nc"))
+        # r14 optimization: Arrow fast path for the signature map
+        sigs = fastpath.minhash_sigs(spark, src="_documents_rep_nc")
         _persist_view(sigs, "_minhash_sigs_nc")
         return spark.sql(
             pipeline_ops.gen_neardup_contamination(SPARK, sigs_rel="_minhash_sigs_nc")
@@ -3584,11 +3641,24 @@ FROM files f
     )
 
     # round 7 ----------------------------------------------------------------
-    b, o = _sql_pair(text.gen_winnow_fingerprints, ("documents",))
+    def _b_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # r14 optimization: same Arrow fast path as _b_winnow_pairs for
+        # the md5 k-gram map (the entry's dominant cost); the stats
+        # query itself is unchanged SQL over the relation.
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        n = spark.sparkContext.defaultParallelism
+        spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
+        fastpath.winnow_rel(spark, src="_documents_rep").createOrReplaceTempView(
+            "_winnow_fp_rel"
+        )
+        return spark.sql(
+            text.gen_winnow_fingerprints(SPARK, winnow_rel="_winnow_fp_rel")
+        )
+
     add(
         "text_winnow_fingerprints",
-        b,
-        o,
+        _b_winnow_fingerprints,
+        text.gen_winnow_fingerprints(DUCK),
         tags=("text", "dedup"),
         doc="MOSS-style winnowed k-gram fingerprints per document (window-min "
         "selection, expected density ~2/(w+1)); array-expression-only, no "
@@ -4388,11 +4458,44 @@ ORDER BY channel
     def _b_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one persisted relation: the weighted edge aggregate (referenced
         # by init, both half-rounds, and the internal-weight roll-up —
-        # un-persisted it re-scans events 4x; plan-audit catch)
+        # un-persisted it re-scans events 4x; plan-audit catch).
+        # r14 optimization: the final label relations checkpoint too —
+        # the roll-up references each 2×, and under CTE inlining every
+        # reference re-ran the half-round join + window chain (the
+        # measured majority of the entry's CPU).  The chain here is the
+        # default-sweeps (1) schedule, bit-identical to the generator's
+        # inline form which remains the oracle.
         V.register_base_tables(spark, sf_dir, ("events",))
         _persist_view(spark.sql(analytics.gen_lpa_edges(SPARK)), "_lpa_edges")
+        spark.sql(
+            "SELECT t AS id, t AS lbl FROM _lpa_edges GROUP BY t"
+        ).createOrReplaceTempView("_lpa_tn0")
+        un = spark.sql(
+            """SELECT v AS id, lbl FROM (
+  SELECT e.u AS v, l.lbl,
+         row_number() OVER (PARTITION BY e.u
+                            ORDER BY sum(e.w) DESC, l.lbl) AS rn
+  FROM _lpa_edges e JOIN _lpa_tn0 l ON l.id = e.t
+  GROUP BY e.u, l.lbl
+) x WHERE rn = 1"""
+        )
+        _checkpoint_view(un, "_lpa_un_fin")
+        tn = spark.sql(
+            """SELECT v AS id, lbl FROM (
+  SELECT e.t AS v, l.lbl,
+         row_number() OVER (PARTITION BY e.t
+                            ORDER BY sum(e.w) DESC, l.lbl) AS rn
+  FROM _lpa_edges e JOIN _lpa_un_fin l ON l.id = e.u
+  GROUP BY e.t, l.lbl
+) x WHERE rn = 1"""
+        )
+        _checkpoint_view(tn, "_lpa_tn_fin")
         return spark.sql(
-            analytics.gen_lpa_communities(SPARK, edges_rel="_lpa_edges")
+            analytics.gen_lpa_communities(
+                SPARK,
+                edges_rel="_lpa_edges",
+                labels_rels=("_lpa_un_fin", "_lpa_tn_fin"),
+            )
         )
 
     add(
@@ -4759,6 +4862,11 @@ ORDER BY channel
         "RP-LSH (few-bit bucketing) and PQ (table-lookup ADC)",
     )
 
+    # r14 optimization note: a cand-checkpointing builder was measured
+    # and REJECTED — Spark 4.1's exchange/subquery reuse already dedups
+    # the three identical cand subtrees (A/B: checkpoint form 11.1 vs
+    # 2.8 exec-CPU-s inline, equal wall), so the materialization only
+    # ADDED serialization cost.  The raw inline form stays.
     b, o = _sql_pair(text.gen_rake_keywords, ("documents",))
     add(
         "text_rake_keywords",

@@ -1,0 +1,383 @@
+"""Round-14 OPTIMIZATION parity pins: every Arrow/NumPy fast path added
+this round must be bit-identical to the SQL form it replaced.  Each test
+computes BOTH forms in one session and compares rows exactly — the oracle
+gate then re-proves the same equality against DuckDB per entry, but these
+tests localize a future break to the specific fast path.
+
+Edge corpus: unicode (multi-byte, astral), single-space runs (empty
+tokens), texts at/below the winnow length floor, NULL text — the shapes
+the fuzz waves historically used to catch engine drift.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from storage_crawler_spark.plans.dialect import SPARK as D
+
+
+EDGE_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog the quick brown fox", "en", "web"),
+    (2, "the  quick   brown fox " * 4, "en", "web"),          # empty tokens, trailing space
+    (3, "短い非アスキー文字列のテスト、ハッシュは коде пойнт 単位で", "ja", "web"),
+    (4, "emoji 🙂 and astral 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝕤𝕝𝕚𝕔𝕖𝕤 here 🙂 again", "en", "web"),
+    (5, "exactly11ch", "en", "web"),                            # == k + w - 1 chars
+    (6, "tenchars!!", "en", "web"),                             # below the winnow floor
+    (7, "", "en", "web"),                                       # empty text
+    (8, None, "en", "web"),                                     # NULL text
+    (9, "a b", "fr", "web"),                                    # < 3 tokens (shingle fallback)
+    (10, "x" * 200, "en", "web"),                               # degenerate repeat
+]
+
+
+@pytest.fixture(scope="module")
+def edge_docs_view(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("edge") / "documents.parquet")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in EDGE_DOCS], pa.int64()),
+            "text": pa.array([r[1] for r in EDGE_DOCS], pa.string()),
+            "lang": pa.array([r[2] for r in EDGE_DOCS], pa.string()),
+            "source": pa.array([r[3] for r in EDGE_DOCS], pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) if r[1] is not None else None for r in EDGE_DOCS], pa.int64()
+            ),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, path)
+    spark.read.parquet(path).createOrReplaceTempView("_r14_edge_docs")
+    return "_r14_edge_docs"
+
+
+def _rows(df, sort_cols):
+    return [tuple(r) for r in df.orderBy(*sort_cols).collect()]
+
+
+def _register_docs(spark, sf_dir):
+    from storage_crawler_spark.plans import views as V
+
+    V.register_base_tables(spark, sf_dir, ("documents",))
+
+
+# -- winnow ----------------------------------------------------------------
+
+
+@pytest.mark.parametrize("src_kind", ["sf", "edge"])
+def test_winnow_rel_fastpath_matches_sql(spark, sf_dir, edge_docs_view, src_kind):
+    from storage_crawler_spark.operators import fastpath, text
+
+    if src_kind == "sf":
+        _register_docs(spark, sf_dir)
+        src = "documents"
+    else:
+        src = edge_docs_view
+    sql_df = spark.sql(text.gen_winnow_rel(D, src=src))
+    fast_df = fastpath.winnow_rel(spark, src=src)
+    assert fast_df.schema == sql_df.schema
+    a = _rows(sql_df.selectExpr("doc_id", "n_grams", "fps"), ["doc_id"])
+    b = _rows(fast_df.selectExpr("doc_id", "n_grams", "fps"), ["doc_id"])
+    assert a == b  # including element ORDER inside fps (array_distinct order)
+
+
+@pytest.mark.parametrize("src_kind", ["sf", "edge"])
+def test_winnow_fp_rows_matches_exploded_rel(spark, sf_dir, edge_docs_view, src_kind):
+    from storage_crawler_spark.operators import fastpath
+
+    if src_kind == "sf":
+        _register_docs(spark, sf_dir)
+        src = "documents"
+    else:
+        src = edge_docs_view
+    rel = fastpath.winnow_rel(spark, src=src)
+    rel.createOrReplaceTempView("_t14_wrel")
+    exploded = spark.sql(
+        f"SELECT doc_id, fp FROM _t14_wrel {D.lateral_explode('fps', 'fp')}"
+    )
+    rows = fastpath.winnow_fp_rows(spark, src=src)
+    assert rows.schema == exploded.schema
+    assert _rows(exploded, ["doc_id", "fp"]) == _rows(rows, ["doc_id", "fp"])
+
+
+# -- minhash ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize("src_kind", ["sf", "edge"])
+def test_minhash_sigs_fastpath_matches_sql(spark, sf_dir, edge_docs_view, src_kind):
+    from storage_crawler_spark.operators import dedup, fastpath
+
+    if src_kind == "sf":
+        _register_docs(spark, sf_dir)
+        src = "documents"
+    else:
+        src = edge_docs_view
+    sql_df = spark.sql(dedup.gen_minhash_sigs(D, src=src))
+    fast_df = fastpath.minhash_sigs(spark, src=src)
+    assert [f.name for f in fast_df.schema.fields] == [f.name for f in sql_df.schema.fields]
+    a = _rows(sql_df, ["doc_id"])
+    b = _rows(fast_df, ["doc_id"])
+    assert a == b
+
+
+# -- containment prep ------------------------------------------------------
+
+
+@pytest.mark.parametrize("src_kind", ["sf", "edge"])
+def test_containment_prep_fastpath_matches_sql(spark, sf_dir, edge_docs_view, src_kind):
+    """The shingle STRING relation must match the SQL form exactly (it
+    keys the df/prefix machinery); n_sh likewise.  The hash column is
+    engine-local by the token_hash64 contract — pinned instead via the
+    oracle gate on the containment entry itself."""
+    from storage_crawler_spark.operators import fastpath
+    from storage_crawler_spark.operators.dedup import _shingles
+
+    if src_kind == "sf":
+        _register_docs(spark, sf_dir)
+        src = "documents"
+    else:
+        src = edge_docs_view
+    base = fastpath.containment_prep(spark, src=src)
+    base.createOrReplaceTempView("_t14_cont_base")
+    sql_shingles = spark.sql(
+        f"SELECT doc_id, {D.adistinct(_shingles(D))} AS shingles "
+        f"FROM (SELECT doc_id, text, {D.split('text')} AS toks FROM {src}) s0"
+    )
+    a = _rows(sql_shingles, ["doc_id"])
+    b = _rows(base.select("doc_id", "shingles"), ["doc_id"])
+    assert a == b
+    # n_sh == size of the hashed distinct-shingle set, exactly as SQL's
+    ns = {r.doc_id: r.n_sh for r in base.select("doc_id", "n_sh").collect()}
+    for doc_id, shingles in a:
+        assert ns[doc_id] == len(shingles)
+
+
+# -- jaccard prep ----------------------------------------------------------
+
+
+def test_jaccard_prep_fastpath_same_pairs(spark, sf_dir):
+    """The token hash is engine-local (only intersection cardinalities
+    reach the output), so parity is on the FINAL pair relation: the old
+    xxhash64 SQL prep and the md5-48 fast path must induce identical
+    (doc_a, doc_b, jaccard) rows."""
+    from storage_crawler_spark.operators import dedup, fastpath
+
+    _register_docs(spark, sf_dir)
+    spark.sql(dedup.gen_jaccard_prep(D, src="documents")).createOrReplaceTempView(
+        "_t14_prep_sql"
+    )
+    old_ranked = spark.sql(dedup.gen_jaccard_ranked(D, "_t14_prep_sql", src="documents"))
+    old_ranked.createOrReplaceTempView("_t14_ranked_sql")
+    old = spark.sql(dedup.gen_jaccard_pairs(D, ranked_rel="_t14_ranked_sql"))
+
+    fastpath.jaccard_prep(spark, src="documents").createOrReplaceTempView("_t14_prep_fast")
+    new_ranked = spark.sql(dedup.gen_jaccard_ranked(D, "_t14_prep_fast", src="documents"))
+    new_ranked.createOrReplaceTempView("_t14_ranked_fast")
+    new = spark.sql(dedup.gen_jaccard_pairs(D, ranked_rel="_t14_ranked_fast"))
+
+    assert _rows(old, ["doc_a", "doc_b"]) == _rows(new, ["doc_a", "doc_b"])
+
+
+def test_jaccard_prefix_filter_is_pure_pruning(spark, sf_dir):
+    """The arrays_overlap prefix pre-test (SSJoin lemma) must not change
+    the pair set: with and without prefix_col, identical rows."""
+    from storage_crawler_spark.operators import dedup, fastpath
+
+    _register_docs(spark, sf_dir)
+    fastpath.jaccard_prep(spark, src="documents").createOrReplaceTempView("_t14_pf_prep")
+    ranked = spark.sql(dedup.gen_jaccard_ranked(D, "_t14_pf_prep", src="documents"))
+    ranked.persist()
+    ranked.createOrReplaceTempView("_t14_pf_ranked")
+    plain = spark.sql(dedup.gen_jaccard_pairs(D, ranked_rel="_t14_pf_ranked"))
+    pruned = spark.sql(
+        dedup.gen_jaccard_pairs(D, ranked_rel="_t14_pf_ranked", prefix_col="pref")
+    )
+    assert _rows(plain, ["doc_a", "doc_b"]) == _rows(pruned, ["doc_a", "doc_b"])
+    ranked.unpersist()
+
+
+def test_jaccard_prefix_filter_guards(spark):
+    """A threshold below the prep's prefix θ must be rejected loudly (a
+    shorter-than-needed prefix would prune TRUE pairs), as must an
+    oracle-dialect request."""
+    from storage_crawler_spark.operators import dedup
+    from storage_crawler_spark.plans.dialect import DUCK
+
+    with pytest.raises(ValueError, match="prune true pairs"):
+        dedup.gen_jaccard_pairs(D, threshold=0.3, ranked_rel="r", prefix_col="pref")
+    with pytest.raises(ValueError, match="Spark engine-path"):
+        dedup.gen_jaccard_pairs(DUCK, ranked_rel="r", prefix_col="pref")
+
+
+def test_jaccard_prep_fastpath_meta_columns(spark, sf_dir):
+    from storage_crawler_spark.operators import dedup, fastpath
+
+    _register_docs(spark, sf_dir)
+    sql_df = spark.sql(dedup.gen_jaccard_prep(D, src="documents")).selectExpr(
+        "doc_id", "lang", "n_chars", "n_toks"
+    )
+    fast_df = fastpath.jaccard_prep(spark, src="documents").selectExpr(
+        "doc_id", "lang", "n_chars", "n_toks"
+    )
+    assert fast_df.schema == sql_df.schema
+    assert _rows(sql_df, ["doc_id"]) == _rows(fast_df, ["doc_id"])
+
+
+# -- lattice assignment ----------------------------------------------------
+
+
+def _lattice_v(spark, sf_dir):
+    from storage_crawler_spark.operators.kmeans import _km_lattice_sql
+    from pyspark.sql import functions as F
+
+    from storage_crawler_spark.plans import views as V
+
+    V.register_base_tables(spark, sf_dir, ("embeddings",))
+    return spark.sql(_km_lattice_sql(D)).repartition(4).localCheckpoint()
+
+
+def _sql_assign(v, centroids):
+    from pyspark.sql import functions as F
+
+    arrs = [
+        "array(" + ", ".join(f"CAST({c} AS BIGINT)" for c in cent) + ")"
+        for cent in centroids
+    ]
+    dists = "array(" + ", ".join(
+        f"aggregate(zip_with(qarr, {a}, (u, v) -> (u - v) * (u - v)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        for a in arrs
+    ) + ")"
+    return v.withColumn("__d", F.expr(dists)).withColumn(
+        "cid", (F.expr("array_position(__d, array_min(__d))") - 1).cast("long")
+    ).drop("__d")
+
+
+def test_lattice_assign_matches_sql_fold(spark, sf_dir):
+    from storage_crawler_spark.operators.kmeans import lattice_assign
+
+    v = _lattice_v(spark, sf_dir)
+    init = [list(r.qarr) for r in v.orderBy("vec_id").limit(5).select("qarr").collect()]
+    a = _rows(_sql_assign(v, init).select("vec_id", "cid"), ["vec_id"])
+    b = _rows(lattice_assign(v, init).select("vec_id", "cid"), ["vec_id"])
+    assert a == b
+
+
+def test_knn_topm_fastpath_matches_sql(spark, sf_dir):
+    """_knn_topm_fast (grouped NumPy Gram + local top-m) vs gen_knn_topm
+    (SQL candidate join + window) over the SAME cells relation."""
+    from storage_crawler_spark.operators import cluster
+    from storage_crawler_spark.operators.kmeans import kmeans_fit_lattice
+
+    _ = sf_dir
+    from storage_crawler_spark.plans import views as V
+
+    V.register_base_tables(spark, sf_dir, ("embeddings",))
+    centroids, _sizes = kmeans_fit_lattice(spark, k=4, iters=cluster.KNN_ITERS)
+    v = spark.table("_km_lat_v")
+    pw = cluster._knn_pw_py(v.count(), 4, cluster.KNN_CELL_TARGET, cluster.KNN_RES_BITS)
+    g = cluster._knn_cells_fast(v, centroids, cluster.KNN_RES_BITS, pw)
+    g.localCheckpoint().createOrReplaceTempView("_t14_cells")
+    sql_topm = spark.sql(cluster.gen_knn_topm(D, m=3, cells_rel="_t14_cells"))
+    fast_topm = cluster._knn_topm_fast(spark.table("_t14_cells"), 3)
+    assert sorted(map(tuple, sql_topm.collect())) == sorted(map(tuple, fast_topm.collect()))
+
+
+def test_knn_cells_fast_matches_sql_chain(spark, sf_dir):
+    """The NumPy cell-assignment stage vs the SQL expression chain it
+    replaced (dists fold -> argmin -> residual sign -> norm -> filter)."""
+    from pyspark.sql import functions as F
+
+    from storage_crawler_spark.operators import cluster
+    from storage_crawler_spark.operators.kmeans import kmeans_fit_lattice
+    from storage_crawler_spark.plans import views as V
+
+    V.register_base_tables(spark, sf_dir, ("embeddings",))
+    centroids, _sizes = kmeans_fit_lattice(spark, k=4, iters=cluster.KNN_ITERS)
+    v = spark.table("_km_lat_v")
+    pw = cluster._knn_pw_py(v.count(), 4, cluster.KNN_CELL_TARGET, cluster.KNN_RES_BITS)
+
+    arrs = [
+        "array(" + ", ".join(f"CAST({c} AS BIGINT)" for c in cent) + ")"
+        for cent in centroids
+    ]
+    dists = "array(" + ", ".join(
+        f"aggregate(zip_with(qarr, {a}, (u, v) -> (u - v) * (u - v)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        for a in arrs
+    ) + ")"
+    cents = "array(" + ", ".join(arrs) + ")"
+    sgn = cluster._knn_res_sign(D, "qarr", "carr", cluster.KNN_RES_BITS)
+    sql_g = (
+        v.withColumn("__d", F.expr(dists))
+        .withColumn("cid", (F.expr("array_position(__d, array_min(__d))") - 1).cast("long"))
+        .withColumn("carr", F.expr(f"element_at({cents}, CAST(cid + 1 AS INT))"))
+        .withColumn(
+            "cell",
+            F.expr(f"CAST(cid * {1 << cluster.KNN_RES_BITS} + ({sgn} % {pw}) AS BIGINT)"),
+        )
+        .withColumn(
+            "qn",
+            F.expr(
+                "sqrt(CAST(aggregate(zip_with(qarr, qarr, (u, v) -> u * v), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE))"
+            ),
+        )
+        .filter(F.col("qn") > 0)
+        .select("vec_id", "qarr", "cell", "qn")
+    )
+    fast_g = cluster._knn_cells_fast(v, centroids, cluster.KNN_RES_BITS, pw)
+    a = _rows(sql_g, ["vec_id"])
+    b = _rows(fast_g, ["vec_id"])
+    assert a == b  # includes the qn DOUBLE bit-for-bit
+
+
+def test_pq_assign_stats_matches_join_window(spark, sf_dir):
+    """_pq_assign_stats partials vs the broadcast-join + row_number
+    assignment they replaced — identical (sub, cid, pos, s, n) totals."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from storage_crawler_spark.operators import pq as pqm
+    from storage_crawler_spark.plans import views as V
+
+    V.register_base_tables(spark, sf_dir, ("embeddings",))
+    pv, vs, dim = pqm._pq_lattice_vs(spark, pqm.PQ_M)
+    init = pv.orderBy("vec_id").limit(pqm.PQ_KSUB).select("vec_id").collect()
+    init_ids = [r.vec_id for r in init]
+    seed = {
+        (r.sub, init_ids.index(r.vec_id)): [int(x) for x in r.sarr]
+        for r in vs.filter(F.col("vec_id").isin(init_ids)).collect()
+    }
+    books = [[seed[(s, c)] for c in range(len(init_ids))] for s in range(pqm.PQ_M)]
+
+    fast = (
+        pqm._pq_assign_stats(vs, books)
+        .groupBy("sub", "cid", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+
+    rows = []
+    for s, book in enumerate(books):
+        for c, cent in enumerate(book):
+            rows.append((s, c, cent))
+    bdf = spark.createDataFrame(rows, "sub long, cid long, carr array<bigint>")
+    dist = (
+        "aggregate(zip_with(sarr, carr, (u, v) -> (u - v) * (u - v)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("sub", "vec_id").orderBy(F.expr(dist), "cid")
+    assigned = (
+        vs.join(F.broadcast(bdf), "sub")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("sub", "vec_id", "sarr", "cid")
+    )
+    sql_stats = (
+        assigned.select("sub", "cid", F.posexplode("sarr").alias("pos", "val"))
+        .groupBy("sub", "cid", "pos")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    key = ["sub", "cid", "pos"]
+    assert _rows(sql_stats, key) == _rows(fast, key)
