@@ -42,6 +42,11 @@ ROWS_PER_BAND = 4
 WINNOW_K = 8
 WINNOW_W = 4
 WINNOW_DF_CAP = 50
+WINNOW_MIN_SHARED = 25
+# The threshold-histogram's deliberately-low pair floor, shared by
+# gen_threshold_histogram's default and the Spark builder's fastpath pair
+# stage (a literal 0.3 in both places would silently drift).
+THRESHOLD_HISTOGRAM_FLOOR = 0.3
 
 
 def gen_dedup_exact(d: Dialect) -> str:
@@ -580,6 +585,7 @@ def gen_lsh_quality(
     ranked_rel: str | None = None,
     sigs_rel: str | None = None,
     prefix_col: str | None = None,
+    pairs_rel: str | None = None,
 ) -> str:
     """Precision/recall of the minhash-LSH candidate tier against exact
     blocked Jaccard at ``jaccard_threshold`` — the dedup sketch's accuracy
@@ -598,9 +604,18 @@ def gen_lsh_quality(
     ``ranked_rel``/``sigs_rel`` (r14 optimization) let the Spark builder
     substitute persisted prep relations exactly as the standalone pair
     entries do — the raw inline form re-tokenizes/re-hashes per CTE
-    reference under Spark's CTE inlining; the oracle leaves both None."""
-    exact = gen_jaccard_pairs(
-        d, threshold=jaccard_threshold, ranked_rel=ranked_rel, prefix_col=prefix_col
+    reference under Spark's CTE inlining; ``pairs_rel`` goes further and
+    substitutes the whole truth-side pair relation (the builder supplies
+    :func:`fastpath.jaccard_pairs_blocked` at this ``jaccard_threshold``).
+    The oracle leaves all of them None."""
+    if pairs_rel is not None and d.name != "spark":
+        raise ValueError("pairs_rel is a Spark engine-path device")
+    exact = (
+        f"SELECT doc_a, doc_b, jaccard FROM {pairs_rel}"
+        if pairs_rel is not None
+        else gen_jaccard_pairs(
+            d, threshold=jaccard_threshold, ranked_rel=ranked_rel, prefix_col=prefix_col
+        )
     )
     lsh = gen_minhash_pairs(d, sigs_rel=sigs_rel)
     return f"""
@@ -836,9 +851,10 @@ ORDER BY lang
 
 def gen_threshold_histogram(
     d: Dialect,
-    threshold: float = 0.3,
+    threshold: float = THRESHOLD_HISTOGRAM_FLOOR,
     bin_width_pct: int = 5,
     ranked_rel: str | None = None,
+    pairs_rel: str | None = None,
 ) -> str:
     """Operating-characteristic histogram for the near-dup cutoff: blocked
     exact-Jaccard pairs (at a deliberately LOW floor) bucketed into
@@ -850,8 +866,19 @@ def gen_threshold_histogram(
     Reuses the rank-blocked pair generator unchanged at ``threshold`` and
     adds ONE partial-combining aggregate on the (tiny) bin key — the pair
     relation's cost dominates and is already bounded O(n·cap).
+
+    ``pairs_rel`` (r14 optimization, Spark engine path only) substitutes a
+    pre-built (doc_a, doc_b, jaccard) pair relation — the builder supplies
+    :func:`fastpath.jaccard_pairs_blocked` at this same ``threshold``; the
+    oracle leaves it None and inlines the SQL pair generator.
     """
-    inner = gen_jaccard_pairs(d, threshold=threshold, ranked_rel=ranked_rel)
+    if pairs_rel is not None and d.name != "spark":
+        raise ValueError("pairs_rel is a Spark engine-path device")
+    inner = (
+        f"SELECT doc_a, doc_b, jaccard FROM {pairs_rel}"
+        if pairs_rel is not None
+        else gen_jaccard_pairs(d, threshold=threshold, ranked_rel=ranked_rel)
+    )
     bin_id = d.idiv(f"CAST(floor(jaccard * 100) AS BIGINT)", str(bin_width_pct))
     lo = f"{bin_id} * {bin_width_pct}"
     return f"""
@@ -890,15 +917,18 @@ def gen_winnow_fk(
     if rows_rel is not None:
         # r14 optimization: the Spark builder supplies PRE-EXPLODED
         # (doc_id, fp) rows (fastpath.winnow_fp_rows) — no array column,
-        # so the two references below never re-box cached array cells.
+        # so no cached array cells are ever re-boxed — and the df cap is
+        # a window count over ONE exchange of the rows instead of the
+        # groupBy+join form (which shuffled the rows twice and paid the
+        # join probe).  Identical rows: count(*) OVER (PARTITION BY fp)
+        # <= cap keeps exactly the rows whose fp survives the HAVING
+        # (parity-pinned; the oracle path below keeps the join form).
         return f"""
-WITH fp_rel AS (
-  SELECT doc_id, fp FROM {rows_rel}
-),
-kept AS (
-  SELECT fp FROM fp_rel GROUP BY fp HAVING count(*) <= {df_cap}
-)
-SELECT f.doc_id, f.fp FROM fp_rel f JOIN kept ON f.fp = kept.fp
+SELECT doc_id, fp FROM (
+  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+  FROM {rows_rel}
+) t
+WHERE df <= {df_cap}
 """.strip()
     lat = d.lateral_explode("fps", "fp")
     if winnow_rel is not None:
@@ -923,7 +953,7 @@ def gen_winnow_pairs(
     d: Dialect,
     k: int = WINNOW_K,
     w: int = WINNOW_W,
-    min_shared: int = 25,
+    min_shared: int = WINNOW_MIN_SHARED,
     df_cap: int = WINNOW_DF_CAP,
     winnow_rel: str | None = None,
     fk_rel: str | None = None,
@@ -959,6 +989,11 @@ def gen_winnow_pairs(
     function IGNORES its own copies of those parameters — passing
     non-default values alongside ``fk_rel`` would silently yield pairs for
     a different configuration, so it is rejected (r12 ADVICE).
+
+    (An r14 experiment replaced the fp-keyed pair SELF-join with per-fp
+    grouped Arrow pair generation; it cut JVM CPU but tripled wall from
+    per-group pandas overhead — measured and REVERTED, the self-join over
+    the checkpointed df-capped relation stays.  See OPTIMIZATION_r14.md.)
     """
     from storage_crawler_spark.operators.text import winnow_fps_cte
 

@@ -256,6 +256,153 @@ def winnow_fp_rows(
     return base.mapInPandas(_winnow_rows_batches(k, w), "doc_id bigint, fp bigint")
 
 
+def jaccard_pairs_blocked(
+    spark: SparkSession,
+    ranked_rel: str,
+    threshold: float = 0.5,
+    length_window: int = 60,
+    block_cap: int = 512,
+) -> DataFrame:
+    """Engine twin of :func:`dedup.gen_jaccard_pairs` over a ranked prep
+    relation: the rank-window candidate join + per-pair ``array_intersect``
+    collapse into ONE grouped Arrow stage per (lang, rank-chunk).
+
+    Shape argument (guide §3/§4.2): the SQL form expands the probe side
+    across ~9 rank-bucket offsets, meets ~n·(cap+width) candidates on the
+    (lang, bucket) equi-key, and evaluates the window/size predicates plus
+    an interpreted set intersection per surviving pair inside the join.
+    Here each (lang, chunk) group holds its ``block_cap`` primaries plus
+    the next chunk's docs (2× row expansion instead of ~9×), candidate
+    enumeration and the length/size-ratio filters vectorize in NumPy, and
+    only surviving candidates pay a set intersection — with the group
+    count ~n/cap, per-group pandas overhead is amortized over ~10^4 pairs
+    (the winnow experiment showed per-KEY grouping drowning in it).
+
+    Exactness vs the SQL form (parity-pinned; oracle-gated per consumer):
+
+    - pair universe: a pair with ``0 < b.rnk − a.rnk <= cap`` has its
+      lower-rank doc primary in exactly one chunk g and its upper-rank doc
+      present there (primary of g, or the secondary copy of chunk g+1), so
+      each qualifying pair is generated exactly once;
+    - docs with NULL hs / n_toks / n_chars / lang can never appear in a
+      SQL pair (every predicate evaluates NULL), so the upfront WHERE
+      drops them without changing the result — and keeps NULL langs from
+      meeting inside a shared group key, which the SQL join's
+      ``a.lang = b.lang`` would reject;
+    - ``least(n_toks) >= θ·greatest(n_toks)`` runs as the identical IEEE
+      double comparison (int64 → float64 promotion, the same θ literal);
+    - the intersection cardinality over distinct int64 token hashes, the
+      integer threshold predicate ``1e6·i >= thr6·(an+bn−i)``, and the
+      display score ``double(idiv(1e6·i, u))/1e6`` are exact integer /
+      op-for-op float replicas of the SQL chain.
+    """
+    from pyspark.sql import functions as F
+
+    thr6 = int(round(threshold * 1_000_000))
+    assert abs(thr6 / 1_000_000 - threshold) < 1e-12, "threshold finer than 1e-6"
+    theta = float(threshold)
+    cap = int(block_cap)
+    win = int(length_window)
+
+    base = (
+        spark.table(ranked_rel)
+        .where(
+            "hs IS NOT NULL AND n_toks IS NOT NULL AND n_chars IS NOT NULL "
+            "AND lang IS NOT NULL"
+        )
+        .select("doc_id", "lang", "n_chars", "n_toks", "hs", "rnk")
+    )
+    g = F.expr(f"CAST((rnk - 1) DIV {cap} AS BIGINT)")
+    prim = base.withColumn("g", g).withColumn("prim", F.lit(True))
+    sec = (
+        base.withColumn("g", g - F.lit(1))
+        .withColumn("prim", F.lit(False))
+        .where("g >= 0")
+    )
+    both = prim.unionByName(sec)
+
+    def chunk_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["rnk"].to_numpy(), kind="stable")
+        rnk = pdf["rnk"].to_numpy()[order].astype(np.int64, copy=False)
+        ids = pdf["doc_id"].to_numpy()[order].astype(np.int64, copy=False)
+        nch = pdf["n_chars"].to_numpy()[order].astype(np.int64, copy=False)
+        ntk = pdf["n_toks"].to_numpy()[order].astype(np.int64, copy=False)
+        hss = pdf["hs"].to_numpy()[order]
+        isp = pdf["prim"].to_numpy()[order]
+        n = len(rnk)
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            }
+        )
+        if n < 2:
+            return empty
+        # rank-sorted => the chunk's primaries precede its secondaries
+        n_prim = int(isp.sum())
+        his = np.searchsorted(rnk, rnk + cap, side="right")
+        # per-doc token hashes, concatenated in rank order: a primary's
+        # candidate range (i, his[i]) is CONTIGUOUS here, so one
+        # np.add.reduceat over a membership mask computes every candidate
+        # intersection cardinality without a per-pair loop (hs is distinct
+        # per doc, so the per-doc mask sum IS |a.hs ∩ b.hs|; n_toks is by
+        # construction len(hs), which keeps the offsets exact).
+        concat = (
+            np.concatenate(hss[:n].tolist())
+            if n
+            else np.array([], dtype=np.int64)
+        )
+        offsets = np.concatenate(([0], np.cumsum(ntk)))
+        vocab, tok_ids = np.unique(concat, return_inverse=True)
+        member = np.zeros(len(vocab), dtype=np.int64)
+        parts_a: list[np.ndarray] = []
+        parts_b: list[np.ndarray] = []
+        parts_i: list[np.ndarray] = []
+        for i in range(n_prim):
+            jlo, jhi = i + 1, int(his[i])
+            if jhi <= jlo:
+                continue
+            my = tok_ids[offsets[i] : offsets[i + 1]]
+            member[my] = 1
+            seg = tok_ids[offsets[jlo] : offsets[jhi]]
+            bounds = (offsets[jlo:jhi] - offsets[jlo]).astype(np.int64)
+            icnt = np.add.reduceat(member[seg], bounds)
+            member[my] = 0
+            parts_a.append(np.full(jhi - jlo, i, dtype=np.int64))
+            parts_b.append(np.arange(jlo, jhi, dtype=np.int64))
+            parts_i.append(icnt)
+        if not parts_a:
+            return empty
+        ai = np.concatenate(parts_a)
+        bj = np.concatenate(parts_b)
+        icnt = np.concatenate(parts_i)
+        # the SQL join's predicates, vectorized over every rank-window
+        # candidate (identical IEEE double comparison for the θ ratio;
+        # exact int64 for the threshold test and the display score)
+        keep = np.abs(nch[ai] - nch[bj]) <= win
+        mn = np.minimum(ntk[ai], ntk[bj]).astype(np.float64)
+        mx = np.maximum(ntk[ai], ntk[bj]).astype(np.float64)
+        keep &= mn >= theta * mx
+        u = ntk[ai] + ntk[bj] - icnt
+        keep &= 1_000_000 * icnt >= thr6 * u
+        ai, bj, icnt, u = ai[keep], bj[keep], icnt[keep], u[keep]
+        if len(ai) == 0:
+            return empty
+        jac = ((1_000_000 * icnt) // u).astype(np.float64) / 1e6
+        return pd.DataFrame(
+            {
+                "doc_a": np.minimum(ids[ai], ids[bj]),
+                "doc_b": np.maximum(ids[ai], ids[bj]),
+                "jaccard": jac,
+            }
+        )
+
+    return both.groupBy("lang", "g").applyInPandas(
+        chunk_pairs, "doc_a bigint, doc_b bigint, jaccard double"
+    )
+
+
 def _containment_batches():
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         md5 = hashlib.md5

@@ -479,7 +479,12 @@ def _b_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r14 optimization: the tokenize+hash prep runs as an Arrow batch map
     # (operators/fastpath.jaccard_prep — md5-48 token hash, the hash the
     # ORACLE side already uses; values parity-pinned) instead of the
-    # interpreted array_distinct+transform chain.
+    # interpreted array_distinct+transform chain, and the pair stage is
+    # fastpath.jaccard_pairs_blocked: the rank-window candidate join +
+    # per-pair array_intersect collapse into one grouped Arrow stage per
+    # (lang, rank-chunk) with reduceat-vectorized intersection counts —
+    # measured wall 3.6→2.5 s min AND JVM CPU 14.9→2.4 at sf0.1, pair set
+    # bit-identical (parity test + oracle).
     if _parquet_row_count(f"{sf_dir}/documents.parquet") < 1_000_000:
         fastpath.jaccard_prep(spark, src="_documents_rep").createOrReplaceTempView(
             "_jaccard_prep"
@@ -490,9 +495,7 @@ def _b_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             fastpath.jaccard_prep(spark, src="_documents_rep")
         )
     _persist_view(ranked, "_jaccard_ranked")
-    return spark.sql(
-        dedup.gen_jaccard_pairs(SPARK, ranked_rel="_jaccard_ranked", prefix_col="pref")
-    )
+    return fastpath.jaccard_pairs_blocked(spark, "_jaccard_ranked")
 
 
 def _b_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,13 +600,10 @@ def _b_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _b_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnow-pair dedup with ONE materialization (r12): the df-capped
     (doc_id, fp) relation CHECKPOINTS — the final query references it
-    three times (pair join a/b + sizes) from inside a WITH, where persist
-    can't reach (audit_cache caveat); un-materialized, each reference
-    re-ran the explode + df groupBy — the measured majority of this
-    entry's tier-2 CPU.  The hashed winnow relation is a BUILD-SCOPED
-    persist (see :func:`_scoped_persist_view`): it feeds the fk
-    checkpoint job from both join sides, then unpersists so no cache
-    outlives the build."""
+    from the pair-count branch and the sizes aggregate (twice) from
+    inside a WITH, where persist can't reach (audit_cache caveat);
+    un-materialized, each reference re-ran the hashing + df window —
+    the measured majority of this entry's tier-2 CPU before r12/r14."""
     V.register_base_tables(spark, sf_dir, ("documents",))
     n = spark.sparkContext.defaultParallelism
     spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep")
@@ -611,15 +611,16 @@ def _b_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (hashlib md5 per k-gram + NumPy sliding-window min) instead of the
     # interpreted transform(sequence(...)) md5 chain — bit-identical
     # (operators/fastpath; parity-pinned) at ~1/20th the CPU — and the
-    # relation arrives PRE-EXPLODED as (doc_id, fp) rows: the fk build
-    # references it twice, and reading array<bigint> cells back out of
-    # the block-cache for a LATERAL VIEW boxed every element per
-    # reference (the measured majority of the remaining CPU).
+    # relation arrives PRE-EXPLODED as (doc_id, fp) rows.  The df cap is
+    # a window count over ONE exchange of the rows (gen_winnow_fk's
+    # rows_rel form), so the rows feed exactly one consumer and need no
+    # persist.  (A per-fp grouped-Arrow pair generator was A/B'd against
+    # the self-join and REVERTED: JVM CPU halved but wall tripled on
+    # per-group pandas overhead — see OPTIMIZATION_r14.md.)
     wn = fastpath.winnow_fp_rows(spark, src="_documents_rep")
-    _scoped_persist_view(wn, "_winnow_rows")
+    wn.createOrReplaceTempView("_winnow_rows")
     fk = spark.sql(dedup.gen_winnow_fk(SPARK, rows_rel="_winnow_rows"))
     _checkpoint_view(fk, "_winnow_fk")
-    wn.unpersist()
     return spark.sql(dedup.gen_winnow_pairs(SPARK, fk_rel="_winnow_fk"))
 
 
@@ -1464,12 +1465,16 @@ def _specs() -> list[QuerySpec]:
         _persist_view(ranked, "_lshq_ranked")
         sigs = fastpath.minhash_sigs(spark, src="_documents_rep")
         _persist_view(sigs, "_lshq_sigs")
+        # truth side = the chunked-Arrow pair stage (same relation the
+        # dedup_jaccard_pairs entry computes; parity-pinned + oracle-gated)
+        fastpath.jaccard_pairs_blocked(spark, "_lshq_ranked").createOrReplaceTempView(
+            "_lshq_pairs"
+        )
         return spark.sql(
             dedup.gen_lsh_quality(
                 SPARK,
-                ranked_rel="_lshq_ranked",
                 sigs_rel="_lshq_sigs",
-                prefix_col="pref",
+                pairs_rel="_lshq_pairs",
             )
         )
 
@@ -3097,7 +3102,13 @@ FROM files f
         )
         ranked = spark.sql(dedup.gen_jaccard_ranked(SPARK, "_hist_prep", src="documents"))
         _persist_view(ranked, "_hist_ranked")
-        return spark.sql(dedup.gen_threshold_histogram(SPARK, ranked_rel="_hist_ranked"))
+        # r14 optimization: the pair relation comes from the chunked-Arrow
+        # pair stage at this entry's LOW threshold (0.3) — same reduceat
+        # vectorization as dedup_jaccard_pairs, parity-pinned per threshold
+        fastpath.jaccard_pairs_blocked(
+            spark, "_hist_ranked", threshold=dedup.THRESHOLD_HISTOGRAM_FLOOR
+        ).createOrReplaceTempView("_hist_pairs")
+        return spark.sql(dedup.gen_threshold_histogram(SPARK, pairs_rel="_hist_pairs"))
 
     add(
         "dedup_threshold_histogram",

@@ -381,3 +381,73 @@ def test_pq_assign_stats_matches_join_window(spark, sf_dir):
     )
     key = ["sub", "cid", "pos"]
     assert _rows(sql_stats, key) == _rows(fast, key)
+
+
+# -- winnow fk window form (round-2 change) --------------------------------
+
+
+@pytest.mark.parametrize("src_kind", ["sf", "edge"])
+def test_winnow_fk_window_form_matches_join_form(spark, sf_dir, edge_docs_view, src_kind):
+    """gen_winnow_fk's rows_rel branch (window df count, one exchange)
+    must keep exactly the rows of the groupBy+join form it replaced."""
+    from storage_crawler_spark.operators import dedup, fastpath
+
+    if src_kind == "sf":
+        _register_docs(spark, sf_dir)
+        src = "documents"
+    else:
+        src = edge_docs_view
+    rows = fastpath.winnow_fp_rows(spark, src=src)
+    rows.createOrReplaceTempView("_t14_wfk_rows")
+    cap = dedup.WINNOW_DF_CAP
+    join_form = spark.sql(
+        f"""
+        WITH fp_rel AS (SELECT doc_id, fp FROM _t14_wfk_rows),
+        kept AS (SELECT fp FROM fp_rel GROUP BY fp HAVING count(*) <= {cap})
+        SELECT f.doc_id, f.fp FROM fp_rel f JOIN kept ON f.fp = kept.fp
+        """
+    )
+    window_form = spark.sql(dedup.gen_winnow_fk(D, rows_rel="_t14_wfk_rows"))
+    assert window_form.schema == join_form.schema
+    assert _rows(join_form, ["doc_id", "fp"]) == _rows(window_form, ["doc_id", "fp"])
+
+
+# -- chunked jaccard pair stage (round-2 change) ---------------------------
+
+
+@pytest.mark.parametrize("src_kind", ["sf", "edge"])
+@pytest.mark.parametrize("thr", [0.5, 0.3])
+def test_jaccard_pairs_blocked_matches_sql(spark, sf_dir, edge_docs_view, src_kind, thr):
+    """fastpath.jaccard_pairs_blocked (per-(lang, rank-chunk) grouped
+    Arrow stage, reduceat-vectorized intersections) must reproduce the
+    SQL rank-window join's pair relation row-for-row at both the dedup
+    threshold (0.5) and the histogram floor (0.3)."""
+    from storage_crawler_spark.operators import dedup, fastpath
+
+    if src_kind == "sf":
+        _register_docs(spark, sf_dir)
+        src = "documents"
+    else:
+        src = edge_docs_view
+    fastpath.jaccard_prep(spark, src=src).createOrReplaceTempView("_t14_jb_prep")
+    ranked = spark.sql(dedup.gen_jaccard_ranked(D, "_t14_jb_prep", src=src))
+    ranked.persist()
+    ranked.createOrReplaceTempView("_t14_jb_ranked")
+    sql_pairs = spark.sql(
+        dedup.gen_jaccard_pairs(D, threshold=thr, ranked_rel="_t14_jb_ranked")
+    )
+    fast_pairs = fastpath.jaccard_pairs_blocked(spark, "_t14_jb_ranked", threshold=thr)
+    assert fast_pairs.schema == sql_pairs.schema
+    assert _rows(sql_pairs, ["doc_a", "doc_b"]) == _rows(fast_pairs, ["doc_a", "doc_b"])
+    ranked.unpersist()
+
+
+def test_jaccard_pairs_rel_guards():
+    """pairs_rel is Spark-engine-only on both consumers."""
+    from storage_crawler_spark.operators import dedup
+    from storage_crawler_spark.plans.dialect import DUCK
+
+    with pytest.raises(ValueError, match="Spark engine-path"):
+        dedup.gen_threshold_histogram(DUCK, pairs_rel="_p")
+    with pytest.raises(ValueError, match="Spark engine-path"):
+        dedup.gen_lsh_quality(DUCK, pairs_rel="_p")
