@@ -470,3 +470,54 @@ def minhash_sigs(spark: SparkSession, src: str = "documents") -> DataFrame:
     construction is mandatory and replicated exactly)."""
     base = spark.table(src).select("doc_id", "text")
     return base.mapInPandas(_minhash_batches(), MINHASH_OUT_SCHEMA)
+
+
+def _source_gram_batches(n: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srcs: list[str] = []
+            grams: list[str] = []
+            for source, txt in zip(pdf["source"], pdf["text"]):
+                toks = txt.split(" ")
+                m = len(toks) - n + 1
+                if m <= 0:
+                    continue
+                # dict.fromkeys == per-doc DISTINCT with a deterministic
+                # (first-occurrence) order; downstream is order-insensitive
+                gs = dict.fromkeys(
+                    " ".join(toks[i : i + n]) for i in range(m)
+                )
+                srcs.extend([source] * len(gs))
+                grams.extend(gs)
+            yield pd.DataFrame(
+                {
+                    "source": pd.Series(srcs, dtype=object),
+                    "ngram": pd.Series(grams, dtype=object),
+                }
+            )
+
+    return gen
+
+
+def source_gram_rows(
+    spark: SparkSession, src: str = "documents", n: int = 5
+) -> DataFrame:
+    """One (source, ngram) row per (document, DISTINCT token n-gram) —
+    the projection of ``SELECT DISTINCT doc_id, source, ngram`` over
+    :func:`text.gen_token_ngrams` (passthrough source, NULL sources
+    dropped) that :func:`text.gen_source_overlap` actually consumes:
+    ``count(*)`` per ngram IS that relation's n_docs (doc_id is unique
+    per input row here, one source per doc), and ``collect_set(source)``
+    IS its distinct source set.
+
+    Exactness: tokenization is ``split(text, ' ')`` == ``str.split(' ')``
+    (limit -1, empties kept — the pinned contract above); the gram string
+    is ``array_join(slice(toks, gi+1, n), ' ')`` == ``' '.join(...)``;
+    docs with fewer than ``n`` tokens (including NULL text: size -1)
+    produce nothing in both forms."""
+    base = (
+        spark.table(src)
+        .where("text IS NOT NULL AND source IS NOT NULL")
+        .select("source", "text")
+    )
+    return base.mapInPandas(_source_gram_batches(n), "source string, ngram string")

@@ -734,8 +734,15 @@ ORDER BY lang
 """.strip()
 
 
+SOURCE_OVERLAP_MAX_DF = 50
+
+
 def gen_source_overlap(
-    d: Dialect, n: int = 5, max_df: int = 50, gram_rel: str | None = None
+    d: Dialect,
+    n: int = 5,
+    max_df: int = SOURCE_OVERLAP_MAX_DF,
+    gram_rel: str | None = None,
+    kept_rel: str | None = None,
 ) -> str:
     """Cross-source duplication matrix: n-gram Jaccard similarity between
     every pair of sources — "which feeds are mirroring each other" is the
@@ -763,7 +770,48 @@ def gen_source_overlap(
     temp view (one explode), while the DuckDB oracle keeps the inline
     form (DuckDB materializes multiply-referenced CTEs) — the same
     split as gen_unigram_surprisal.
+
+    ``kept_rel`` (r14 optimization, Spark engine path ONLY) goes much
+    further: it names a persisted relation holding ONE row per
+    df-capped ngram with just its distinct source set
+    (``srcs array<string>`` — the builder aggregates
+    :func:`fastpath.source_gram_rows` with
+    ``collect_set(source) ... HAVING count(*) <= max_df``).  sizes and
+    pairs then derive by exploding the tiny per-ngram source sets —
+    sizes is ``explode(srcs)`` counted per source, pairs is the
+    ``sa < sb`` double-explode counted per pair — which removes the
+    ngram-keyed self-join and every repeated DISTINCT/groupBy of the
+    inline chain: the ngram strings cross exactly one exchange (the
+    builder's groupBy), everything after is source-keyed and tiny.
+    Exactly the relation algebra of the inline form (a kept ngram
+    contributes 1 to each of its sources' sizes and to each unordered
+    source pair it spans); parity-pinned full-entry and oracle-gated.
     """
+    if kept_rel is not None:
+        if d.name != "spark":
+            raise ValueError("kept_rel is a Spark engine-path device")
+        return f"""
+WITH sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+  FROM (SELECT explode(srcs) AS source FROM {kept_rel}) e
+  GROUP BY source
+),
+pairs AS (
+  SELECT sa AS source_a, sb AS source_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM {kept_rel}
+  LATERAL VIEW explode(srcs) _la AS sa
+  LATERAL VIEW explode(srcs) _lb AS sb
+  WHERE sa < sb
+  GROUP BY sa, sb
+)
+SELECT p.source_a, p.source_b, p.n_common,
+       sa.n_grams AS grams_a, sb.n_grams AS grams_b,
+       {d.trunc6('CAST(p.n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - p.n_common)')} AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.source_a = sa.source
+JOIN sizes sb ON p.source_b = sb.source
+ORDER BY source_a, source_b
+""".strip()
     if gram_rel:
         grams = gram_rel
         dg_src = gram_rel

@@ -2616,10 +2616,29 @@ FROM files f
     )
 
     def _b_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # r14 optimization: the inline CTE chain re-ran the DISTINCT +
+        # df-cap groupBy per consumer (g is referenced by sizes + both
+        # pair sides) and paid an ngram-string self-join — measured 70
+        # exec-CPU-s at sf0.1 for a 190-row output.  Now ONE Arrow stage
+        # emits per-doc distinct (source, ngram) rows, ONE ngram-keyed
+        # groupBy builds the df-capped per-ngram source sets (persisted,
+        # tiny), and sizes/pairs explode those sets — no self-join, the
+        # ngram strings cross exactly one exchange.  Parity-pinned
+        # full-entry + oracle-gated; see gen_source_overlap(kept_rel=...).
         V.register_base_tables(spark, sf_dir, ("documents",))
-        grams = spark.sql(text.gen_token_ngrams(SPARK, passthrough=("source",)))
-        _persist_view(grams, "_grams_srcov")
-        return spark.sql(text.gen_source_overlap(SPARK, gram_rel="_grams_srcov"))
+        n = spark.sparkContext.defaultParallelism
+        spark.table("documents").repartition(n).createOrReplaceTempView(
+            "_srcov_docs_rep"
+        )
+        fastpath.source_gram_rows(spark, src="_srcov_docs_rep").createOrReplaceTempView(
+            "_srcov_rows"
+        )
+        kept = spark.sql(
+            "SELECT collect_set(source) AS srcs FROM _srcov_rows "
+            f"GROUP BY ngram HAVING count(*) <= {text.SOURCE_OVERLAP_MAX_DF}"
+        )
+        _persist_view(kept, "_srcov_kept")
+        return spark.sql(text.gen_source_overlap(SPARK, kept_rel="_srcov_kept"))
 
     add(
         "source_overlap_matrix",

@@ -451,3 +451,84 @@ def test_jaccard_pairs_rel_guards():
         dedup.gen_threshold_histogram(DUCK, pairs_rel="_p")
     with pytest.raises(ValueError, match="Spark engine-path"):
         dedup.gen_lsh_quality(DUCK, pairs_rel="_p")
+
+
+# -- source overlap kept-set form (round-2 change) -------------------------
+
+
+@pytest.fixture(scope="module")
+def multisrc_docs_view(spark, tmp_path_factory):
+    """Edge corpus with VARIED sources (plus a NULL source) so the
+    overlap matrix actually has pairs to disagree on."""
+    path = str(tmp_path_factory.mktemp("msrc") / "documents.parquet")
+    srcs = ["web", "books", "code", None]
+    rows = [(i, t, lang, srcs[i % 4]) for i, t, lang, _ in EDGE_DOCS]
+    # mirrored feeds: same text under two different sources
+    rows += [(100, EDGE_DOCS[0][1], "en", "books"), (101, EDGE_DOCS[0][1], "en", "code")]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, path)
+    spark.read.parquet(path).createOrReplaceTempView("_r14_msrc_docs")
+    return "_r14_msrc_docs"
+
+
+def test_source_gram_rows_matches_sql_distinct(spark, multisrc_docs_view):
+    """fastpath.source_gram_rows == the (source, ngram) projection of
+    SELECT DISTINCT doc_id, source, ngram over gen_token_ngrams —
+    row multiset equality (the downstream consumes only counts/sets)."""
+    from storage_crawler_spark.operators import fastpath, text
+
+    sql_rows = spark.sql(
+        "SELECT source, ngram FROM (SELECT DISTINCT doc_id, source, ngram FROM ("
+        + text.gen_token_ngrams(D, passthrough=("source",), src=multisrc_docs_view)
+        + ") g WHERE source IS NOT NULL) t"
+    )
+    fast = fastpath.source_gram_rows(spark, src=multisrc_docs_view)
+    assert fast.schema == sql_rows.schema
+    assert sorted(map(tuple, sql_rows.collect())) == sorted(map(tuple, fast.collect()))
+
+
+@pytest.mark.parametrize("src_kind", ["sf", "edge"])
+def test_source_overlap_kept_form_matches_inline(spark, sf_dir, multisrc_docs_view, src_kind):
+    """The kept-set engine path (one ngram groupBy + source-set explodes,
+    no self-join) must reproduce the inline CTE chain's matrix exactly."""
+    from storage_crawler_spark.operators import fastpath, text
+
+    if src_kind == "sf":
+        _register_docs(spark, sf_dir)
+        src = "documents"
+        inline = spark.sql(text.gen_source_overlap(D))
+    else:
+        src = multisrc_docs_view
+        grams = spark.sql(text.gen_token_ngrams(D, passthrough=("source",), src=src))
+        grams.createOrReplaceTempView("_t14_srcov_grams")
+        inline = spark.sql(text.gen_source_overlap(D, gram_rel="_t14_srcov_grams"))
+    fastpath.source_gram_rows(spark, src=src).createOrReplaceTempView("_t14_srcov_rows")
+    kept = spark.sql(
+        "SELECT collect_set(source) AS srcs FROM _t14_srcov_rows "
+        f"GROUP BY ngram HAVING count(*) <= {text.SOURCE_OVERLAP_MAX_DF}"
+    )
+    kept.createOrReplaceTempView("_t14_srcov_kept")
+    fast = spark.sql(text.gen_source_overlap(D, kept_rel="_t14_srcov_kept"))
+    # nullability flags differ (collect_set/explode lineage vs scan); the
+    # oracle gate and this test compare names, types and VALUES
+    assert [(f.name, f.dataType) for f in fast.schema] == [
+        (f.name, f.dataType) for f in inline.schema
+    ]
+    assert _rows(inline, ["source_a", "source_b"]) == _rows(fast, ["source_a", "source_b"])
+
+
+def test_source_overlap_kept_rel_guard():
+    from storage_crawler_spark.operators import text
+    from storage_crawler_spark.plans.dialect import DUCK
+
+    with pytest.raises(ValueError, match="Spark engine-path"):
+        text.gen_source_overlap(DUCK, kept_rel="_k")
