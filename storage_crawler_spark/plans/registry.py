@@ -2944,12 +2944,26 @@ FROM files f
         # (operators/fastpath.containment_prep) where the SQL form ran the
         # tokenize+shingle map twice and an interpreted per-shingle hash;
         # both downstream relations project from the single persisted base.
+        # Round-2: the candidate pipeline (df / pref / cand joins) runs in
+        # int64 HASH space — sh_rel explodes array_distinct(hs) instead of
+        # the shingle strings, so every shuffle/join key is 8 bytes, and
+        # the string shingles never leave the Python stage (the persisted
+        # base drops them too).  Exactness: the prefix-filter theorem
+        # holds for ANY fixed global element order (generator docstring),
+        # and it holds over the doc's DISTINCT-HASH set — for the smaller
+        # doc S of a qualifying pair, i >= theta*n_sh(S) >= theta*m where
+        # m = |distinct hashes|, so S misses < (1-theta)*m + 1 of its own
+        # hashes from L and its m-based prefix must hit L; verification
+        # (hs-intersection vs n_sh) is byte-identical to before.
+        # Parity-pinned against the string-keyed form + oracle-gated.
         V.register_base_tables(spark, sf_dir, ("documents",))
         n = spark.sparkContext.defaultParallelism
         spark.table("documents").repartition(n).createOrReplaceTempView("_documents_rep_ct")
-        base = fastpath.containment_prep(spark, src="_documents_rep_ct")
+        base = fastpath.containment_prep(spark, src="_documents_rep_ct").select(
+            "doc_id", "hs", "n_sh"
+        )
         _persist_view(base, "_cont_base")
-        lat = SPARK.lateral_explode("shingles", "shingle")
+        lat = SPARK.lateral_explode(SPARK.adistinct("hs"), "shingle")
         sh = spark.sql(f"SELECT doc_id, shingle FROM _cont_base {lat}")
         sh.createOrReplaceTempView("_cont_sh")
         pr = spark.sql("SELECT doc_id, hs, n_sh FROM _cont_base")

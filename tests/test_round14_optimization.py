@@ -532,3 +532,44 @@ def test_source_overlap_kept_rel_guard():
 
     with pytest.raises(ValueError, match="Spark engine-path"):
         text.gen_source_overlap(DUCK, kept_rel="_k")
+
+
+@pytest.mark.parametrize("src_kind", ["sf", "edge"])
+def test_containment_hash_keyed_candidates_same_pairs(
+    spark, sf_dir, edge_docs_view, src_kind
+):
+    """Round-2 containment change: the candidate pipeline (df / prefix /
+    candidate joins) keys on the int64 shingle HASH instead of the shingle
+    string.  The prefix-filter theorem holds for ANY fixed global element
+    order, so the output pair relation must be identical; verification
+    (hs-intersection vs n_sh) is shared between both forms."""
+    from storage_crawler_spark.operators import dedup, fastpath
+
+    if src_kind == "sf":
+        _register_docs(spark, sf_dir)
+        src = "documents"
+    else:
+        src = edge_docs_view
+
+    base = fastpath.containment_prep(spark, src=src)
+    base.createOrReplaceTempView("_t14_cont_b")
+    spark.sql("SELECT doc_id, hs, n_sh FROM _t14_cont_b").createOrReplaceTempView(
+        "_t14_cont_pr"
+    )
+
+    out = {}
+    for form, expr in (
+        ("string", "shingles"),
+        ("hash", D.adistinct("hs")),
+    ):
+        lat = D.lateral_explode(expr, "shingle")
+        spark.sql(
+            f"SELECT doc_id, shingle FROM _t14_cont_b {lat}"
+        ).createOrReplaceTempView("_t14_cont_sh")
+        df = spark.sql(
+            dedup.gen_containment_pairs(
+                D, sh_rel="_t14_cont_sh", prep_rel="_t14_cont_pr"
+            )
+        )
+        out[form] = sorted(map(tuple, df.collect()))
+    assert out["string"] == out["hash"]
