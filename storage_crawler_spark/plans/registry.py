@@ -3814,11 +3814,18 @@ FROM files f
         "power-of-two bit packing; the pre-decode media dedup key",
     )
 
-    b, o = _sql_pair(multimodal.gen_phash, ("documents",))
+    def _b_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # r14 optimization: one exact-int64 NumPy separable DCT per Arrow
+        # batch (operators/fastpath.phash_rel — parity-pinned vs the SQL
+        # form) instead of the interpreted 2x512-multiply folds; the final
+        # ORDER BY doc_id is preserved from the SQL form.
+        V.register_base_tables(spark, sf_dir, ("documents",))
+        return fastpath.phash_rel(spark, src="documents").orderBy("doc_id")
+
     add(
         "multimodal_phash",
-        b,
-        o,
+        _b_multimodal_phash,
+        multimodal.gen_phash(DUCK),
         tags=("multimodal", "dedup"),
         doc="pHash perceptual fingerprint (r11): integer fixed-point 8x8 "
         "DCT-II over the media carrier's 64-byte luma plane (basis "

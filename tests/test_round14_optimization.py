@@ -573,3 +573,66 @@ def test_containment_hash_keyed_candidates_same_pairs(
         )
         out[form] = sorted(map(tuple, df.collect()))
     assert out["string"] == out["hash"]
+
+
+# -- phash -------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("src_kind", ["sf", "edge"])
+def test_phash_rel_fastpath_matches_sql(spark, sf_dir, src_kind):
+    """The NumPy separable-DCT fast path must be bit-identical to the SQL
+    fold form: same <64-byte exclusion, same byte plane (UTF-8 bytes 1..64,
+    including a slice that splits a multibyte sequence), same rank-32 AC
+    median split and bit packing.  Integer arithmetic is exact in both
+    (|F| < 2^48), so equality is exact, not approximate."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from storage_crawler_spark.operators import fastpath, multimodal
+
+    if src_kind == "sf":
+        _register_docs(spark, sf_dir)
+    else:
+        # boundary corpus: exactly-64-byte payload, 63 bytes (excluded),
+        # multibyte char split AT byte 64, astral plane, NULL/empty text
+        rows = [
+            (1, "a" * 64),                    # uniform plane: phash == 0
+            (2, "a" * 63),                    # one byte short: excluded
+            (3, "a" * 32 + "z" * 32),         # structured plane
+            (4, "x" * 63 + "é" + "tail"),     # 2-byte char split at byte 64
+            (5, "𝔘" * 20),                    # astral: 4-byte units, 80 bytes
+            (6, ""),                          # empty: excluded
+            (7, None),                        # NULL: excluded
+            (8, "".join(chr(33 + i) for i in range(64)) * 2),  # ramp, long
+        ]
+        tbl = _pa.table(
+            {
+                "doc_id": _pa.array([r[0] for r in rows], _pa.int64()),
+                "text": _pa.array([r[1] for r in rows], _pa.string()),
+                "lang": _pa.array(["en"] * len(rows), _pa.string()),
+                "source": _pa.array(["web"] * len(rows), _pa.string()),
+                "n_chars": _pa.array(
+                    [len(r[1]) if r[1] is not None else None for r in rows],
+                    _pa.int64(),
+                ),
+            }
+        )
+        import tempfile, os as _os
+
+        d = tempfile.mkdtemp(prefix="phash_edge")
+        path = _os.path.join(d, "documents.parquet")
+        _pq.write_table(tbl, path)
+        spark.read.parquet(path).createOrReplaceTempView("documents")
+
+    sql_df = spark.sql(multimodal.gen_phash(D))
+    fast_df = fastpath.phash_rel(spark, src="documents").orderBy("doc_id")
+    assert [f.name for f in fast_df.schema.fields] == [
+        f.name for f in sql_df.schema.fields
+    ]
+    a = _rows(sql_df, ["doc_id"])
+    b = _rows(fast_df, ["doc_id"])
+    assert a and a == b
+    if src_kind == "edge":
+        ids = [r[0] for r in a]
+        assert ids == [1, 3, 4, 5, 8]         # exclusion boundary exact
+        assert a[0][1] == 0 and a[0][2] == 0  # uniform plane: no bit set
