@@ -475,6 +475,41 @@ FROM (
 """.strip()
 
 
+def gen_minhash_bands(d: Dialect, sigs_rel: str) -> str:
+    """The band-key relation ``(doc_id, band_id, band_key)`` — one row per
+    document per band, ``band_key = md5(concat_ws('|', band's 4 sig cols))``.
+
+    The two dialects emit the same row multiset through different shapes:
+
+    - DuckDB (the oracle) keeps the original {N_BANDS}-way UNION ALL — one
+      SELECT per band.
+    - Spark computes all {N_BANDS} keys in ONE projection and posexplodes
+      them: under a persisted ``sigs_rel`` the UNION form executes a
+      separate InMemoryTableScan per branch per consumer (the pair self-join
+      reads bands twice → 8 scans, each its own AQE stage — the "many small
+      stages" latency the r14 profile flagged), while the explode form is
+      1 scan + 1 Generate per consumer.  Total md5 work is identical (4 per
+      doc either way); ``posexplode``'s (pos, col) is exactly the UNION
+      branches' ``({{band}} AS band_id, key AS band_key)``, so the relation
+      is identical by construction.  Guide §2.4 (remove redundant
+      exchanges/stages), §1.2 (plan-shape latency at bench scale).
+    """
+    keys = []
+    for band in range(N_BANDS):
+        cols = ", ".join(f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        keys.append(d.md5_utf8(f"concat_ws('|', {cols})"))
+    if d.name == "spark":
+        arr = ", ".join(keys)
+        return (
+            f"SELECT doc_id, band_id, band_key FROM {sigs_rel}\n"
+            f"  LATERAL VIEW posexplode(array({arr})) b AS band_id, band_key"
+        )
+    return "\nUNION ALL\n".join(
+        f"SELECT doc_id, {band} AS band_id, {key} AS band_key FROM {sigs_rel}"
+        for band, key in enumerate(keys)
+    )
+
+
 def gen_minhash_pairs(
     d: Dialect, min_agreement: float = 0.25, sigs_rel: str | None = None
 ) -> str:
@@ -495,15 +530,7 @@ def gen_minhash_pairs(
     if sigs_rel is None:
         ctes.append(f"sigs AS (\n{gen_minhash_sigs(d)}\n)")
         sigs_rel = "sigs"
-    band_selects = []
-    for band in range(N_BANDS):
-        cols = ", ".join(f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        key = d.md5_utf8(f"concat_ws('|', {cols})")
-        band_selects.append(
-            f"SELECT doc_id, {band} AS band_id, {key} AS band_key FROM {sigs_rel}"
-        )
-    bands = "\nUNION ALL\n".join(band_selects)
-    ctes.append(f"bands AS (\n{bands}\n)")
+    ctes.append(f"bands AS (\n{gen_minhash_bands(d, sigs_rel)}\n)")
     ctes.append(
         f"""cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -548,15 +575,7 @@ def gen_minhash_pairs_incremental(
     if sigs_rel is None:
         ctes.append(f"sigs AS (\n{gen_minhash_sigs(d)}\n)")
         sigs_rel = "sigs"
-    band_selects = []
-    for band in range(N_BANDS):
-        cols = ", ".join(f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        key = d.md5_utf8(f"concat_ws('|', {cols})")
-        band_selects.append(
-            f"SELECT doc_id, {band} AS band_id, {key} AS band_key FROM {sigs_rel}"
-        )
-    bands = "\nUNION ALL\n".join(band_selects)
-    ctes.append(f"bands AS (\n{bands}\n)")
+    ctes.append(f"bands AS (\n{gen_minhash_bands(d, sigs_rel)}\n)")
     ctes.append(f"bands_new AS (SELECT * FROM bands WHERE {new_pred})")
     ctes.append(
         """cand AS (

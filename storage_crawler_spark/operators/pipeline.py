@@ -561,7 +561,7 @@ def gen_neardup_contamination(d: Dialect, sigs_rel: str | None = None) -> str:
     train-side band-key set DISTINCTs down before the semi-join, which
     shuffles on the 16-byte band key; one final tiny aggregate.
     """
-    from storage_crawler_spark.operators.dedup import N_BANDS, ROWS_PER_BAND, gen_minhash_sigs
+    from storage_crawler_spark.operators.dedup import gen_minhash_bands, gen_minhash_sigs
     from storage_crawler_spark.operators.sampling import split_bucket_expr, split_case_expr
 
     split = split_case_expr(split_bucket_expr(d))
@@ -569,15 +569,7 @@ def gen_neardup_contamination(d: Dialect, sigs_rel: str | None = None) -> str:
     if sigs_rel is None:
         ctes.append(f"sigs AS (\n{gen_minhash_sigs(d)}\n)")
         sigs_rel = "sigs"
-    band_selects = []
-    for band in range(N_BANDS):
-        cols = ", ".join(f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        key = d.md5_utf8(f"concat_ws('|', {cols})")
-        band_selects.append(
-            f"SELECT doc_id, {band} AS band_id, {key} AS band_key FROM {sigs_rel}"
-        )
-    bands = "\nUNION ALL\n".join(band_selects)
-    ctes.append(f"bands AS (\n{bands}\n)")
+    ctes.append(f"bands AS (\n{gen_minhash_bands(d, sigs_rel)}\n)")
     ctes.append(
         f"""sb AS (
   SELECT b.doc_id, dsp.split, b.band_id, b.band_key

@@ -121,6 +121,40 @@ def test_minhash_sigs_fastpath_matches_sql(spark, sf_dir, edge_docs_view, src_ki
     assert a == b
 
 
+@pytest.mark.parametrize("src_kind", ["sf", "edge"])
+def test_minhash_bands_explode_matches_union(spark, sf_dir, edge_docs_view, src_kind):
+    """gen_minhash_bands' Spark posexplode form emits the SAME (doc_id,
+    band_id, band_key) multiset as the r13 4-way UNION ALL it replaced
+    (which the DuckDB oracle branch still renders verbatim)."""
+    from storage_crawler_spark.operators import dedup, fastpath
+
+    if src_kind == "sf":
+        _register_docs(spark, sf_dir)
+        src = "documents"
+    else:
+        src = edge_docs_view
+    sigs = fastpath.minhash_sigs(spark, src=src)
+    sigs.createOrReplaceTempView("_r14_bands_sigs")
+    explode_df = spark.sql(dedup.gen_minhash_bands(D, "_r14_bands_sigs"))
+    union_sql = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band_id, {key} AS band_key FROM _r14_bands_sigs".format(
+            b=band,
+            key=D.md5_utf8(
+                "concat_ws('|', %s)"
+                % ", ".join(
+                    f"m{band * dedup.ROWS_PER_BAND + r}" for r in range(dedup.ROWS_PER_BAND)
+                )
+            ),
+        )
+        for band in range(dedup.N_BANDS)
+    )
+    union_df = spark.sql(union_sql)
+    assert explode_df.schema == union_df.schema
+    a = _rows(explode_df, ["doc_id", "band_id", "band_key"])
+    b = _rows(union_df, ["doc_id", "band_id", "band_key"])
+    assert a == b
+
+
 # -- containment prep ------------------------------------------------------
 
 
