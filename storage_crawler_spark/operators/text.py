@@ -2446,7 +2446,7 @@ def gen_rake_keywords(
     lat = d.lateral_seq("1", d.size("toks"), "i")
     phrase = d.ajoin(d.agg_arr_by("pos", "token"), " ")
     ws = d.idiv("(1000000 * deg)", "freq")
-    return f"""
+    prefix = f"""
 WITH tp AS (
   SELECT doc_id, i AS pos, {tok_i} AS token
   FROM (
@@ -2466,7 +2466,54 @@ cand AS (
   SELECT doc_id, pos, token,
          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
   FROM tp WHERE token NOT IN (SELECT token FROM stop)
+),"""
+    suffix = f"""SELECT phrase, max(n_words) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       {d.trunc6('(CAST(max(score) AS DOUBLE) / 1000000)')} AS rake_score
+FROM psc
+GROUP BY phrase
+ORDER BY max(score) DESC, phrase
+LIMIT {top_k}
+""".rstrip()
+    if d.name == "spark":
+        # Spark engine path (r14 optimization): the island length is a
+        # count(*) window over cand — (doc_id, isl) clustering is already
+        # satisfied by the island window's doc_id hash partitioning, so no
+        # new exchange — and islands longer than max_len are dropped BEFORE
+        # any join (identical semantics: ph's HAVING kept wstat/psc blind
+        # to them).  wstat then needs no cand×ph join (freq = count(*),
+        # deg = sum(n_words) over the kept rows directly), and psc folds
+        # phrase assembly + scoring into ONE (doc_id, isl) aggregate after
+        # the single token-keyed join to wsc — both cand×ph joins removed.
+        # Same relation algebra row-for-row: every kept island contributes
+        # one psc row with the same phrase / n_words / summed-ws score.
+        # The DuckDB oracle formulation below is untouched.
+        return f"""{prefix}
+candk AS (
+  SELECT doc_id, pos, token, isl, n_words FROM (
+    SELECT doc_id, pos, token, isl,
+           CAST(count(*) OVER (PARTITION BY doc_id, isl) AS BIGINT) AS n_words
+    FROM cand
+  ) c0 WHERE n_words <= {max_len}
 ),
+wstat AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(n_words) AS BIGINT) AS deg
+  FROM candk GROUP BY token
+),
+wsc AS (
+  SELECT token, CAST({ws} AS BIGINT) AS ws FROM wstat
+),
+psc AS (
+  SELECT c.doc_id, c.isl,
+         {d.ajoin(d.agg_arr_by('c.pos', 'c.token'), ' ')} AS phrase,
+         max(c.n_words) AS n_words,
+         CAST(sum(w.ws) AS BIGINT) AS score
+  FROM candk c JOIN wsc w ON w.token = c.token
+  GROUP BY c.doc_id, c.isl
+)
+{suffix}""".strip()
+    return f"""{prefix}
 ph AS (
   SELECT doc_id, isl, {phrase} AS phrase,
          CAST(count(*) AS BIGINT) AS n_words
@@ -2490,14 +2537,7 @@ psc AS (
   JOIN wsc w ON w.token = c.token
   GROUP BY p.doc_id, p.isl, p.phrase, p.n_words
 )
-SELECT phrase, max(n_words) AS n_words,
-       CAST(count(*) AS BIGINT) AS n_occurrences,
-       {d.trunc6('(CAST(max(score) AS DOUBLE) / 1000000)')} AS rake_score
-FROM psc
-GROUP BY phrase
-ORDER BY max(score) DESC, phrase
-LIMIT {top_k}
-""".strip()
+{suffix}""".strip()
 
 
 def _occ(s: str, lit: str) -> str:

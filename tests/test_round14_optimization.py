@@ -670,3 +670,65 @@ def test_phash_rel_fastpath_matches_sql(spark, sf_dir, src_kind):
         ids = [r[0] for r in a]
         assert ids == [1, 3, 4, 5, 8]         # exclusion boundary exact
         assert a[0][1] == 0 and a[0][2] == 0  # uniform plane: no bit set
+
+
+# -- rake ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize("src_kind", ["sf", "edge"])
+def test_rake_window_form_matches_join_form(spark, sf_dir, edge_docs_view, src_kind):
+    """The r14 Spark-side rake restructure (island length as a count(*)
+    window on cand, long islands filtered BEFORE any join, wstat a direct
+    groupBy, phrase+score folded into one (doc_id, isl) aggregate after
+    the single token join) must emit exactly the rows of the reference
+    join-based form — the DuckDB oracle formulation, rendered here with
+    Spark's dialect.  Output order included (same ORDER BY + tie-break)."""
+    from storage_crawler_spark.operators import text
+
+    if src_kind == "sf":
+        _register_docs(spark, sf_dir)
+        src = "documents"
+    else:
+        src = edge_docs_view
+    new_sql = text.gen_rake_keywords(D, src=src)
+    assert "candk" in new_sql  # the restructured form is what ships
+    # reference formulation: the pre-r14 cand×ph join chain, byte-for-byte
+    # the shape the DuckDB oracle still runs (see gen_rake_keywords' else
+    # branch), rendered for Spark
+    head, _, _ = new_sql.partition("candk AS (")
+    phrase = D.ajoin(D.agg_arr_by("pos", "token"), " ")
+    ws = D.idiv("(1000000 * deg)", "freq")
+    ref_sql = f"""{head}
+ph AS (
+  SELECT doc_id, isl, {phrase} AS phrase,
+         CAST(count(*) AS BIGINT) AS n_words
+  FROM cand GROUP BY doc_id, isl
+  HAVING count(*) <= 4
+),
+wstat AS (
+  SELECT c.token, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(p.n_words) AS BIGINT) AS deg
+  FROM cand c JOIN ph p ON c.doc_id = p.doc_id AND c.isl = p.isl
+  GROUP BY c.token
+),
+wsc AS (
+  SELECT token, CAST({ws} AS BIGINT) AS ws FROM wstat
+),
+psc AS (
+  SELECT p.doc_id, p.isl, p.phrase, p.n_words,
+         CAST(sum(w.ws) AS BIGINT) AS score
+  FROM ph p
+  JOIN cand c ON c.doc_id = p.doc_id AND c.isl = p.isl
+  JOIN wsc w ON w.token = c.token
+  GROUP BY p.doc_id, p.isl, p.phrase, p.n_words
+)
+SELECT phrase, max(n_words) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       {D.trunc6('(CAST(max(score) AS DOUBLE) / 1000000)')} AS rake_score
+FROM psc
+GROUP BY phrase
+ORDER BY max(score) DESC, phrase
+LIMIT 40"""
+    a = [tuple(r) for r in spark.sql(ref_sql).collect()]
+    b = [tuple(r) for r in spark.sql(new_sql).collect()]
+    assert a and a == b
