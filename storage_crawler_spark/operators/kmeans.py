@@ -24,6 +24,8 @@ An empty cluster keeps its previous centroid (standard Lloyd's fallback).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -442,6 +444,41 @@ def _lattice_assign_stats(v: DataFrame, centroids: list[list[int]]) -> DataFrame
     return v.select("qarr").mapInPandas(gen, "cid long, pos int, s long, n long")
 
 
+_KM_FIT_MEMO: dict = {}  # key -> (centroids, sizes, checkpointed v)
+_KM_FIT_MEMO_CAP = 8  # distinct (files, k, iters) keys per session stay tiny
+_KM_FIT_MEMO_LOCK = threading.Lock()
+
+
+def _km_fit_memo_key(spark, k: int, iters: int):
+    """Identity of a lattice fit's input: the parquet files behind the
+    ``embeddings`` view (plus application id and the fit hyperparameters).
+    Rewriting a store produces new part-file names, so path reuse with
+    different content yields a different key.
+
+    Memoization is accepted ONLY when the view is a BARE file scan (the
+    shape ``register_base_tables`` creates, i.e. every registry / bench /
+    sweep execution).  Anything else returns None and disables the memo
+    for that call: a non-file-backed fixture has no file identity, and a
+    DERIVED view (``limit``/``filter`` over the parquet) reports the SAME
+    ``inputFiles`` as the raw table while holding different rows — keying
+    on files alone would serve the wrong model."""
+    try:
+        plan = spark.table("embeddings")._jdf.queryExecution().analyzed()
+        for _ in range(4):  # unwrap alias/view wrappers only
+            if plan.getClass().getSimpleName() in ("SubqueryAlias", "View"):
+                plan = plan.child()
+            else:
+                break
+        if plan.getClass().getSimpleName() != "LogicalRelation":
+            return None
+        files = spark.table("embeddings").inputFiles()
+    except Exception:  # noqa: BLE001 — any failure means "don't memoize"
+        return None
+    if not files:
+        return None
+    return (spark.sparkContext.applicationId, k, iters, tuple(sorted(files)))
+
+
 def kmeans_fit_lattice(spark, k: int = KM_K, iters: int = KM_ITERS):
     """Spark ENGINE path of the lattice fit: the distributed Lloyd's loop
     with exact-integer arithmetic — assignment is a map against literal
@@ -449,8 +486,31 @@ def kmeans_fit_lattice(spark, k: int = KM_K, iters: int = KM_ITERS):
     are order-free, unlike the float fit's avg), and the k×dim model
     state collects to the driver per round (the k-means contract).
     Bit-identical to :func:`kmeans_lattice_ctes`'s unrolled chain by
-    construction.  Returns (centroids: list[list[int]], sizes: dict)."""
+    construction.  Returns (centroids: list[list[int]], sizes: dict).
+
+    r14 optimization (the ``_knn_edges_shared`` precedent, guide §2.4):
+    the fit is DETERMINISTIC in its input (init is ORDER BY vec_id LIMIT
+    k; every round aggregate is an order-free BIGINT sum; ties break by
+    lowest cid), so one (application, input files, k, iters) key is
+    memoized — sim_kmeans_lattice / sim_ivf_trained_topk / dedup_semantic
+    each used to re-pay the identical ~5 s wall / double-digit-CPU fit in
+    every session.  Small dict memo (the kNN family fits with iters=2 and
+    this family with iters=4, so a single slot would thrash); eviction
+    only drops the reference — no explicit unpersist, because a LIVE
+    consumer plan may still read the checkpointed blocks, and Spark's
+    ContextCleaner reclaims them once the last reference goes.  Session-
+    scoped only — the key carries the applicationId, so nothing persists
+    across bench/oracle invocations."""
     from storage_crawler_spark.plans.dialect import SPARK
+
+    memo_key = _km_fit_memo_key(spark, k, iters)
+    if memo_key is not None:
+        with _KM_FIT_MEMO_LOCK:
+            hit = _KM_FIT_MEMO.get(memo_key)
+            if hit is not None:
+                centroids, sizes, ck = hit
+                ck.createOrReplaceTempView("_km_lat_v")
+                return [list(c) for c in centroids], dict(sizes)
 
     # repartition BEFORE the checkpoint: one parquet file would pin the
     # whole store in a single partition, single-threading every Lloyd's
@@ -540,6 +600,15 @@ def kmeans_fit_lattice(spark, k: int = KM_K, iters: int = KM_ITERS):
             .collect()
         )
     sizes = {int(r.cid): int(r["count"]) for r in fin}
+    if memo_key is not None:
+        with _KM_FIT_MEMO_LOCK:
+            # drop stale applications' entries, then cap (insertion order)
+            app = memo_key[0]
+            for kk in [x for x in _KM_FIT_MEMO if x[0] != app]:
+                del _KM_FIT_MEMO[kk]
+            while len(_KM_FIT_MEMO) >= _KM_FIT_MEMO_CAP:
+                del _KM_FIT_MEMO[next(iter(_KM_FIT_MEMO))]
+            _KM_FIT_MEMO[memo_key] = ([list(c) for c in centroids], dict(sizes), v)
     return centroids, sizes
 
 
