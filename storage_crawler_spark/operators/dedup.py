@@ -976,6 +976,7 @@ def gen_winnow_pairs(
     df_cap: int = WINNOW_DF_CAP,
     winnow_rel: str | None = None,
     fk_rel: str | None = None,
+    pair_partials_rel: str | None = None,
 ) -> str:
     """Near-duplicate CANDIDATE pairs from winnowed fingerprints: documents
     sharing >= ``min_shared`` selected k-gram fingerprints, with the shared
@@ -1017,6 +1018,22 @@ def gen_winnow_pairs(
     from storage_crawler_spark.operators.text import winnow_fps_cte
 
     lat = d.lateral_explode("fps", "fp")
+    if pair_partials_rel is not None:
+        # r15 Spark-engine path: the pair candidates come pre-generated
+        # (and same-chunk pre-combined) by fastpath.winnow_pair_partials
+        # over the SAME fk relation — sum(cnt) over chunks == count(*)
+        # over the fp-keyed self-join (exactness argument at the fastpath
+        # site; parity-pinned).  The oracle dialect never takes this path.
+        if d.name != "spark":
+            raise ValueError(
+                "gen_winnow_pairs: pair_partials_rel is a Spark ENGINE "
+                "path; the oracle keeps the self-join formulation"
+            )
+        if fk_rel is None:
+            raise ValueError(
+                "gen_winnow_pairs: pair_partials_rel requires fk_rel "
+                "(sizes must count the same df-capped relation)"
+            )
     if fk_rel is not None:
         if (k, w, df_cap) != (WINNOW_K, WINNOW_W, WINNOW_DF_CAP):
             raise ValueError(
@@ -1041,14 +1058,23 @@ kept AS (
 fk AS (
   SELECT f.doc_id, f.fp FROM fp_rel f JOIN kept ON f.fp = kept.fp
 ),"""
-    return f"""
-{prelude}
-pairs AS (
+    if pair_partials_rel is not None:
+        pairs = f"""pairs AS (
+  SELECT doc_a, doc_b, CAST(sum(cnt) AS BIGINT) AS shared_fps
+  FROM {pair_partials_rel}
+  GROUP BY doc_a, doc_b
+  HAVING sum(cnt) >= {min_shared}
+)"""
+    else:
+        pairs = f"""pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared_fps
   FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
   HAVING count(*) >= {min_shared}
-),
+)"""
+    return f"""
+{prelude}
+{pairs},
 sizes AS (
   -- counts over the df-FILTERED relation, matching the numerator's
   -- fingerprint space: counting ALL fingerprints here would deflate the

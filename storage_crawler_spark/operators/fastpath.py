@@ -403,6 +403,84 @@ def jaccard_pairs_blocked(
     )
 
 
+def winnow_pair_partials(
+    spark: SparkSession, fk_rel: str, n_chunks: int
+) -> DataFrame:
+    """Pre-combined (doc_a, doc_b, cnt) pair partials over the df-capped
+    winnow fingerprint relation — the Arrow replacement of the fp-keyed
+    pair SELF-join's candidate generation (r15; the r14 verdict's
+    "cap-before-the-Python-boundary" shape).
+
+    The df cap stays a JVM window over ONE exchange (gen_winnow_fk's
+    rows_rel form): at sf0.1 it drops 87% of the fp rows natively, so only
+    the surviving ~13% ever cross the Arrow boundary — the r14 experiment
+    that folded the cap INTO the Python stage paid the crossing for every
+    boilerplate row and lost.  Here each (fp % n_chunks) chunk group holds
+    every row of its fps (fp is md5-48-uniform, so chunks balance), pair
+    enumeration per fp vectorizes in NumPy (one triu_indices gather per
+    DISTINCT group size, never per fp), and same-chunk duplicates combine
+    before emission (guide §2.3 "aggregate before you shuffle").
+
+    Exactness vs ``fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id``
+    + ``GROUP BY doc_a, doc_b``: (doc_id, fp) is unique in fk (winnow fps
+    are per-doc distinct) and fp is never NULL, so the join's row multiset
+    is exactly {unordered doc pairs within one fp group}; every fp lives
+    in exactly one chunk, so each such pair is generated exactly once per
+    shared fp; summing cnt over chunks is count(*) over the join.  Sorted
+    doc_ids within a group make doc_a < doc_b structural."""
+    from pyspark.sql import functions as F
+
+    rows = spark.table(fk_rel).select(
+        "doc_id", "fp", F.pmod("fp", F.lit(int(n_chunks))).alias("g")
+    )
+
+    def chunk_partials(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "cnt": pd.Series([], dtype="int64"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        fp = pdf["fp"].to_numpy()
+        ids = pdf["doc_id"].to_numpy()
+        order = np.lexsort((ids, fp))
+        fp = fp[order]
+        ids = ids[order]
+        starts = np.concatenate(([0], np.nonzero(fp[1:] != fp[:-1])[0] + 1))
+        lens = np.diff(np.concatenate((starts, [n])))
+        pa_parts: list[np.ndarray] = []
+        pb_parts: list[np.ndarray] = []
+        for m in np.unique(lens):
+            if m < 2:
+                continue
+            s = starts[lens == m]  # all groups of size m, stacked
+            block = ids[(s[:, None] + np.arange(m)[None, :])]  # (n_grp, m)
+            iu, ju = np.triu_indices(m, 1)
+            pa_parts.append(block[:, iu].ravel())
+            pb_parts.append(block[:, ju].ravel())
+        if not pa_parts:
+            return empty
+        pairs = np.stack(
+            (np.concatenate(pa_parts), np.concatenate(pb_parts)), axis=1
+        )
+        uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+        return pd.DataFrame(
+            {
+                "doc_a": uniq[:, 0],
+                "doc_b": uniq[:, 1],
+                "cnt": cnt.astype(np.int64),
+            }
+        )
+
+    return rows.groupBy("g").applyInPandas(
+        chunk_partials, "doc_a bigint, doc_b bigint, cnt bigint"
+    )
+
+
 def _containment_batches():
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         md5 = hashlib.md5

@@ -223,6 +223,21 @@ KM_K = 8
 KM_ITERS = 4
 
 
+# NumPy/Arrow batch stages want thousands of rows per task before the
+# per-task Arrow setup amortizes; below that, extra tasks are pure
+# scheduling + serialization overhead (guide §2.2 "fewer, larger tasks").
+_LATTICE_ROWS_PER_TASK = 4096
+
+
+def _lattice_parts(spark, n_rows: int) -> int:
+    """Scale-adaptive partition count for the lattice relations: enough
+    partitions to keep every core busy on a big store (ceiling =
+    defaultParallelism), but never more than one task per
+    ``_LATTICE_ROWS_PER_TASK`` rows on a small one."""
+    want = -(-int(n_rows) // _LATTICE_ROWS_PER_TASK) if n_rows > 0 else 1
+    return max(1, min(spark.sparkContext.defaultParallelism, want))
+
+
 def _km_sgn_div_py(x: int, n: int) -> int:
     """Truncating signed integer division (matches similarity._sgn_div)."""
     return -((-x) // n) if x < 0 else x // n
@@ -517,9 +532,18 @@ def kmeans_fit_lattice(spark, k: int = KM_K, iters: int = KM_ITERS):
     # round and the semantic-dedup cell self-join (pq.py lesson).  The
     # init is ORDER BY vec_id LIMIT k and round aggregates are order-free
     # BIGINT sums, so the fit is partitioning-independent.
+    # r15 (guide §2.2): the partition count is SCALE-ADAPTIVE — derived
+    # from the store's row count (parquet-footer count job, metadata-cheap)
+    # instead of a flat defaultParallelism.  A small store split 32 ways
+    # pays ~32 Arrow task setups PER ROUND for ~60-row batches (measured:
+    # the sf0.1 fit's per-round CPU is task overhead, not compute); a
+    # large store still fans out to every core via the defaultParallelism
+    # ceiling.
     v = (
         spark.sql(_km_lattice_sql(SPARK))
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(
+            _lattice_parts(spark, spark.table("embeddings").count())
+        )
         .localCheckpoint()
     )
     v.createOrReplaceTempView("_km_lat_v")

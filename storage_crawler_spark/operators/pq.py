@@ -415,7 +415,13 @@ def _pq_lattice_vs(spark, m: int):
     # would run single-threaded (measured: the sf0.1 ADC scan ran as one
     # 10 s task).  Map-only downstream + order-free BIGINT aggregates, so
     # values are partitioning-independent.
-    n = spark.sparkContext.defaultParallelism
+    # r15 (guide §2.2): partition count is scale-adaptive (rows / target
+    # batch size, capped at defaultParallelism) — a 2000-row store split
+    # 32 ways paid ~32 Arrow task setups per fit round for ~60-row
+    # batches; see kmeans._lattice_parts.
+    from storage_crawler_spark.operators.kmeans import _lattice_parts
+
+    n = _lattice_parts(spark, spark.table("embeddings").count())
     pv = pv.filter(F.size("qarr") == dim).repartition(n).localCheckpoint()
     dsub = dim // m
     vs = pv.select(

@@ -621,7 +621,27 @@ def _b_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     wn.createOrReplaceTempView("_winnow_rows")
     fk = spark.sql(dedup.gen_winnow_fk(SPARK, rows_rel="_winnow_rows"))
     _checkpoint_view(fk, "_winnow_fk")
-    return spark.sql(dedup.gen_winnow_pairs(SPARK, fk_rel="_winnow_fk"))
+    # r15 optimization (the r14 verdict's cap-BEFORE-the-boundary shape):
+    # the fp-keyed pair SELF-join is replaced by one chunked Arrow stage
+    # over the checkpointed (already df-capped) relation —
+    # fastpath.winnow_pair_partials generates each fp group's doc pairs
+    # vectorized and pre-combines same-chunk duplicates; the JVM sums the
+    # partials.  Only the ~13% of fp rows the cap keeps ever cross to
+    # Python (both r14 Arrow attempts shipped all rows and lost).  Chunk
+    # count is scale-adaptive: one chunk per ~8k kept rows, at least the
+    # core count (the checkpoint makes the count job metadata-cheap).
+    n_kept = fk.count()
+    n_chunks = max(n, n_kept // 8192 + 1)
+    fastpath.winnow_pair_partials(
+        spark, "_winnow_fk", n_chunks
+    ).createOrReplaceTempView("_winnow_pair_partials")
+    return spark.sql(
+        dedup.gen_winnow_pairs(
+            SPARK,
+            fk_rel="_winnow_fk",
+            pair_partials_rel="_winnow_pair_partials",
+        )
+    )
 
 
 def _b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1116,8 +1136,15 @@ def _specs() -> list[QuerySpec]:
     )
     def _b_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r14 optimization: Arrow fast path (parity-pinned vs the SQL form)
+        # r15: repartition the (possibly single-file) source so the Arrow
+        # signature map parallelizes — same pattern as every other
+        # fastpath consumer (guide §2.5 / §4.1)
         V.register_base_tables(spark, sf_dir, ("documents",))
-        return fastpath.minhash_sigs(spark, src="documents")
+        n = spark.sparkContext.defaultParallelism
+        spark.table("documents").repartition(n).createOrReplaceTempView(
+            "_documents_rep_ms"
+        )
+        return fastpath.minhash_sigs(spark, src="_documents_rep_ms")
 
     add(
         "dedup_minhash_signatures",
@@ -2326,7 +2353,16 @@ FROM base b JOIN last_w l
         from storage_crawler_spark.operators.simhash import simhash_near_dups
 
         V.register_base_tables(spark, sf_dir, ("documents",))
-        return simhash_near_dups(spark.table("documents"), max_hamming=7)
+        # r15 optimization (guide §2.5 input skew / §4.1): the source may be
+        # ONE parquet file (1 scan partition), and the pandas-UDF fingerprint
+        # stage inherits that — the whole md5+vote kernel ran as a single
+        # Python task (measured: ~25 s wall for ~1.2 JVM-CPU-s at sf0.1).
+        # Same repartition-before-the-Python-map pattern as the jaccard /
+        # winnow / minhash builders (_documents_rep).
+        n = spark.sparkContext.defaultParallelism
+        return simhash_near_dups(
+            spark.table("documents").repartition(n), max_hamming=7
+        )
 
     def _simhash_oracle() -> str:
         from storage_crawler_spark.operators.simhash import simhash_pairs_oracle_sql
