@@ -476,7 +476,20 @@ def _km_fit_memo_key(spark, k: int, iters: int):
     for that call: a non-file-backed fixture has no file identity, and a
     DERIVED view (``limit``/``filter`` over the parquet) reports the SAME
     ``inputFiles`` as the raw table while holding different rows — keying
-    on files alone would serve the wrong model."""
+    on files alone would serve the wrong model.
+
+    Single-threaded-driver assumption (r15, ADVICE): the key is computed
+    BEFORE the fit reads the view, and the lock guards only the dict —
+    a concurrent ``createOrReplaceTempView('embeddings')`` between key
+    computation and the fit's scan could store a fit under the wrong
+    file-set key.  Every harness in this repo (registry builders, bench,
+    sweeps, tests) drives queries from one driver thread; a concurrent
+    deployment must re-derive the key after the fit and skip the store
+    on mismatch.  The memoized relation is a ``localCheckpoint`` —
+    lineage is truncated, so on a CLUSTER (executor loss, dynamic
+    allocation) a memo hit can hand out a relation over dangling blocks;
+    this memo is a LOCAL-MODE optimization and a cluster deployment
+    should use a reliable checkpoint directory instead."""
     try:
         plan = spark.table("embeddings")._jdf.queryExecution().analyzed()
         for _ in range(4):  # unwrap alias/view wrappers only
@@ -629,6 +642,17 @@ def kmeans_fit_lattice(spark, k: int = KM_K, iters: int = KM_ITERS):
             # drop stale applications' entries, then cap (insertion order)
             app = memo_key[0]
             for kk in [x for x in _KM_FIT_MEMO if x[0] != app]:
+                del _KM_FIT_MEMO[kk]
+            # r15 (ADVICE): retain only the MOST RECENT fit per (k, iters)
+            # — a superseded input file-set's checkpointed relation would
+            # otherwise stay pinned in executor storage for the whole
+            # application; dropping the reference lets the ContextCleaner
+            # reclaim its blocks once no live plan reads them
+            for kk in [
+                x
+                for x in _KM_FIT_MEMO
+                if x[1:3] == memo_key[1:3] and x != memo_key
+            ]:
                 del _KM_FIT_MEMO[kk]
             while len(_KM_FIT_MEMO) >= _KM_FIT_MEMO_CAP:
                 del _KM_FIT_MEMO[next(iter(_KM_FIT_MEMO))]

@@ -914,6 +914,34 @@ def gen_inverted_index(
     """
     toks = d.regex_tokens("lower(text)", "[a-z0-9]+")
     postings = d.ajoin(d.agg_arr_by("doc_id", "CAST(doc_id AS STRING)"), ",")
+    if d.name == "spark":
+        # r15 Spark-engine restructure (guide §2.4 — same-key operations
+        # share one exchange): the document frequency rides the SAME
+        # term-partitioned window pass as the posting rank —
+        # count(*) OVER (PARTITION BY term) == docfreq.n_docs joined back
+        # on term, row for row — so the separate groupBy exchange, the
+        # docfreq×ranked join AND the second computation of td (the
+        # tokenize+DISTINCT CTE was referenced twice under inlining)
+        # all disappear; the final GROUP BY (term, n_docs) reuses the
+        # window's term partitioning.  The oracle keeps the join form
+        # below — identical relation by construction.
+        return f"""
+WITH td AS (
+  SELECT DISTINCT doc_id, tok AS term
+  FROM (SELECT doc_id, {toks} AS toks FROM {src} WHERE text IS NOT NULL) t0
+  {d.lateral_explode('toks', 'tok')}
+),
+ranked AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY term) AS n_docs
+  FROM td
+)
+SELECT term, n_docs, {postings} AS postings_head
+FROM ranked
+WHERE rn <= {postings_cap} AND n_docs >= {min_df}
+GROUP BY term, n_docs
+""".strip()
     return f"""
 WITH td AS (
   SELECT DISTINCT doc_id, tok AS term

@@ -748,27 +748,32 @@ def test_kmeans_fit_memo_reuses_and_isolates(spark, sf_dir):
 
     V.register_base_tables(spark, sf_dir, ("embeddings",))
     KM._KM_FIT_MEMO.clear()
-    c1, s1 = KM.kmeans_fit_lattice(spark)
-    assert len(KM._KM_FIT_MEMO) == 1
-    c2, s2 = KM.kmeans_fit_lattice(spark)
-    assert c2 == c1 and s2 == s1
-    c2[0][0] += 7  # caller mutation must not poison the memo
-    c3, _ = KM.kmeans_fit_lattice(spark)
-    assert c3 == c1
-    # a different iters count is a different key; both stay usable
-    c4, _ = KM.kmeans_fit_lattice(spark, iters=2)
-    assert len(KM._KM_FIT_MEMO) == 2
-    assert KM.kmeans_fit_lattice(spark)[0] == c1
-    assert KM.kmeans_fit_lattice(spark, iters=2)[0] == c4
-    # the checkpointed relation is re-registered on every hit
-    assert spark.table("_km_lat_v").count() > 0
-    # non-file-backed embeddings view: memo key is None -> no caching
-    df = spark.table("embeddings").limit(5)
-    df.createOrReplaceTempView("embeddings")
-    assert KM._km_fit_memo_key(spark, 8, 4) is None
-    n_before = len(KM._KM_FIT_MEMO)
-    KM.kmeans_fit_lattice(spark)
-    assert len(KM._KM_FIT_MEMO) == n_before
-    # restore the parquet-backed view for later tests in this session
-    V.register_base_tables(spark, sf_dir, ("embeddings",))
-    KM._KM_FIT_MEMO.clear()
+    # r15 (ADVICE): the view mutation below must not leak a truncated
+    # 'embeddings' into later tests if any assertion here fails — restore
+    # the parquet-backed view and clear the memo on every exit path.
+    try:
+        c1, s1 = KM.kmeans_fit_lattice(spark)
+        assert len(KM._KM_FIT_MEMO) == 1
+        c2, s2 = KM.kmeans_fit_lattice(spark)
+        assert c2 == c1 and s2 == s1
+        c2[0][0] += 7  # caller mutation must not poison the memo
+        c3, _ = KM.kmeans_fit_lattice(spark)
+        assert c3 == c1
+        # a different iters count is a different key; both stay usable
+        c4, _ = KM.kmeans_fit_lattice(spark, iters=2)
+        assert len(KM._KM_FIT_MEMO) == 2
+        assert KM.kmeans_fit_lattice(spark)[0] == c1
+        assert KM.kmeans_fit_lattice(spark, iters=2)[0] == c4
+        # the checkpointed relation is re-registered on every hit
+        assert spark.table("_km_lat_v").count() > 0
+        # non-file-backed embeddings view: memo key is None -> no caching
+        df = spark.table("embeddings").limit(5)
+        df.createOrReplaceTempView("embeddings")
+        assert KM._km_fit_memo_key(spark, 8, 4) is None
+        n_before = len(KM._KM_FIT_MEMO)
+        KM.kmeans_fit_lattice(spark)
+        assert len(KM._KM_FIT_MEMO) == n_before
+    finally:
+        # restore the parquet-backed view for later tests in this session
+        V.register_base_tables(spark, sf_dir, ("embeddings",))
+        KM._KM_FIT_MEMO.clear()
