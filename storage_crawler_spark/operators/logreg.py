@@ -243,11 +243,18 @@ def logreg_lattice_ctes(d, iters: int = LRL_ITERS, lr: int = LRL_LR) -> tuple[st
         "wt0 AS (SELECT CAST(0 AS BIGINT) AS wb, CAST(0 AS BIGINT) AS wa1, "
         "CAST(0 AS BIGINT) AS wa2, CAST(0 AS BIGINT) AS wa3, CAST(0 AS BIGINT) AS wa4)"
     )
+    # r15: the per-step relations carry the DuckDB MATERIALIZED hint too —
+    # wt{p} is referenced TWICE per step (the gradient aggregate and the
+    # update), so the un-materialized chain re-inlined the entire prior
+    # chain per reference: 2^iters plan growth, measured ~100 s of pure
+    # DuckDB planning at ANY scale (even an empty corpus).  Materializing
+    # the 1-row relations is execution-order only — values are untouched
+    # (verified: identical rows and value hash at all gate SFs).
     for t in range(1, iters + 1):
         p = t - 1
         zn = _lrl_z("wb", "wa1", "wa2", "wa3", "wa4")
         parts.append(
-            f"""gr{t} AS (
+            f"""gr{t} AS{mat} (
   SELECT greatest(count(*), 1) AS nn,
          CAST(coalesce(sum(eq), 0) AS BIGINT) AS g0,
          CAST(coalesce(sum(eq * m1), 0) AS BIGINT) AS g1,
@@ -272,7 +279,7 @@ def logreg_lattice_ctes(d, iters: int = LRL_ITERS, lr: int = LRL_LR) -> tuple[st
             for i in (1, 2, 3, 4)
         ]
         parts.append(
-            f"""wt{t} AS (
+            f"""wt{t} AS{mat} (
   SELECT w.wb - {upd_b} AS wb,
          w.wa1 - {upds[0]} AS wa1,
          w.wa2 - {upds[1]} AS wa2,
